@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline extensions), (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — matching DuckDB ANSI SQL for the correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+# Importing the plan modules populates the registry.
+import sparkksqldbbenchmark_spark.plans.reference_queries  # noqa: F401
+
+try:
+    import sparkksqldbbenchmark_spark.plans.llm_queries  # noqa: F401
+except ImportError:
+    pass
+try:
+    import sparkksqldbbenchmark_spark.plans.streaming_queries  # noqa: F401
+except ImportError:
+    pass
+
+from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (the reference's tumbling-window weather aggregation)
+    on /root/testdata/sf0.001."""
+    return QUERIES["weather_window_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

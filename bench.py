@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The metric is total wall-clock over the headline set (lower is better);
+per-query seconds let the driver track regressions. Each query executes
+with a count-style action that materializes the full result without
+driver-side collection of payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sparkksqldbbenchmark_spark.session import SessionConfig, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the reference-parity streaming aggregation (batch and
+# streaming forms), the heavy relational queries, and the LLM-pipeline ops.
+HEADLINE = [
+    "weather_window_agg",
+    "weather_window_agg_by_station",
+    "union_streams_agg",
+    "latency_percentiles",
+    "multiway_timejoin_ffill",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "per_station_accumulation",
+    "streaming_window_agg",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    spark = get_spark(SessionConfig(app_name="bench"))
+    queries = entrymod.queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        # one warm-up of the session on the first query only (JVM spin-up
+        # is not query cost); each timed run plans + executes from scratch
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""TESTDATA table catalog.
+
+Loads the driver-generated parquet tables (TESTDATA.md) and registers them
+as temp views so both the DataFrame API and the SQL front door see the same
+relations. Parquet scans get predicate pushdown + column pruning from
+Catalyst for free; loaders never collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df)
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Parquet timestamp[ns] columns arrive as int64 nanos under
+    spark.sql.legacy.parquet.nanosAsLong; convert to TimestampType with the
+    same ns→µs floor truncation DuckDB applies when reading them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table and register `<name>` temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,119 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every queries() entry on Spark at sf0.01 and its oracle_sql() twin on
+DuckDB over the same parquet, then compares row count, sorted column names,
+and an order-insensitive value hash (rows canonicalized to strings, floats
+via repr of round-trip float()). Run: python tools/check_correctness.py [names...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and float noise at 1e-9
+        if v == 0:
+            v = 0.0
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows) -> tuple[str, list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(canon_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return h, lines
+
+
+def main() -> int:
+    import __spark_entry__ as mod
+    from sparkksqldbbenchmark_spark.session import get_spark, SessionConfig
+
+    spark = get_spark(SessionConfig(shuffle_partitions=8))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if ok:
+            sh, sl = canon_rows(scols, srows)
+            oh, ol = canon_rows(ocols, orows)
+            if sh != oh:
+                ok = False
+                diff = [(a, b) for a, b in zip(sl, ol) if a != b][:3]
+                msgs.append(f"hash {sh} != {oh}; first diffs: {diff}")
+        dt = time.time() - t0
+        if ok:
+            print(f"PASS {name}: rows={len(srows)} hash={sh} ({dt:.1f}s)")
+        else:
+            print(f"FAIL {name}: {'; '.join(msgs)}")
+            failures += 1
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
