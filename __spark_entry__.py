@@ -26,6 +26,10 @@ try:
     import sparkksqldbbenchmark_spark.plans.streaming_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    import sparkksqldbbenchmark_spark.plans.ksql_queries  # noqa: F401
+except ImportError:
+    pass
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 

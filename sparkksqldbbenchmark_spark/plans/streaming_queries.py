@@ -1,0 +1,123 @@
+"""Streaming queries for the correctness gate: the reference's streaming
+topology run to completion on the TESTDATA events table, checked against
+the SAME DuckDB oracle as the batch form — stream-batch equivalence is the
+correctness argument (SURVEY.md §5).
+
+The memory sink in complete output mode holds exactly the final per-window
+values, so emission cadence (T3/T10 — the engines' update-mode cadences
+differ) never enters the comparison.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import _normalize_nanos
+from sparkksqldbbenchmark_spark.functions.stable import sql_stable_avg
+from sparkksqldbbenchmark_spark.operators.windowed_agg import tumbling_window_agg
+from sparkksqldbbenchmark_spark.plans.registry import query
+from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+_BUCKET_H = "time_bucket(INTERVAL 1 HOUR, ts)"
+_FMT = "'%Y-%m-%d %H:%M:%S'"
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stand-in for the Kafka topic (S1 —
+    SparkWeatherConsumer.scala:172-183; test harness substitution per
+    SURVEY §2.1). Schema comes from a batch footer read: streaming file
+    sources require an explicit schema."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source requires a directory: stream the sf dir, filtered to
+    # the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_nanos(stream)
+
+
+@query(
+    "streaming_window_agg",
+    oracle=f"""
+    SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,
+           strftime({_BUCKET_H} + INTERVAL 1 HOUR, {_FMT}) AS window_end,
+           event_type,
+           {sql_stable_avg("value")} AS avg_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           count(*) AS message_count,
+           min(event_id) AS min_producer_ts
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core query in true Structured Streaming form (A1/T1/T5):
+    readStream → event-time tumbling window aggregate → availableNow run to
+    completion → final state. Hash-matches the batch oracle exactly."""
+    agged = tumbling_window_agg(
+        _read_events_stream(spark, sf_dir),
+        ts_col="ts",
+        window_duration="1 hour",
+        keys=("event_type",),
+        value_col="value",
+        order_col="event_id",
+    )
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "streaming_union_window_agg",
+    oracle=f"""
+    SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,
+           event_type,
+           {sql_stable_avg("value")} AS avg_value,
+           count(*) AS message_count
+    FROM (
+        SELECT * FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT * FROM events WHERE event_type = 'view'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def streaming_union_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two streams unioned before windowing — the full reference topology
+    (U1 + A1, SparkWeatherConsumer.scala:90-99,232): wind ∪ sunshine
+    modeled as click ∪ view partitions of the events stream."""
+    wind = _read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    sunshine = _read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "view"
+    )
+    unioned = wind.unionByName(sunshine)
+    agged = (
+        unioned.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("message_count"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "avg_value",
+            "message_count",
+        )
+    )
+    name = f"stream_union_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)

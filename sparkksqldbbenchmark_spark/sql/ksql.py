@@ -1,0 +1,149 @@
+"""ksql-style SQL front door: named streams/tables over Spark SQL.
+
+Reproduces the reference's second entry point
+(ksqldb-consumer/setup-ksqldb-correct.sh:49-146): CREATE STREAM binds a
+schema onto a source (pure metadata — here a temp view), CREATE TABLE AS
+SELECT deploys a continuously-maintained aggregate. Parsing, analysis and
+optimization are Catalyst's; this module only (a) keeps a registry of named
+queries (SHOW QUERIES, :145-146) and (b) string-maps the ~6 ksql-dialect
+constructs onto Spark SQL (SURVEY §7 step 4 — deliberately NOT a parser
+port):
+
+  LATEST_BY_OFFSET(x)            → max_by(x, <offset_col>)         (A3)
+  TIMESTAMPTOSTRING(x, 'fmt')    → date_format(x, 'fmt')           (F6)
+  WINDOWSTART / WINDOWEND        → window.start / window.end       (F7)
+  CAST(WINDOWEND AS BIGINT)      → unix_millis(window.end)         (F7)
+  WINDOW TUMBLING (SIZE n UNIT)  → window(<ts>, 'n unit') prepended
+                                   to GROUP BY                     (T1/A2)
+  EMIT CHANGES                   → removed; marks the query continuous
+                                   (update output mode)            (T3)
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def translate_ksql(
+    sql: str, *, ts_col: str = "ts", offset_col: str = "offset"
+) -> tuple[str, bool]:
+    """Map ksql dialect onto Spark SQL text. Returns (spark_sql,
+    is_continuous)."""
+    out = sql
+
+    continuous = bool(re.search(r"\bEMIT\s+CHANGES\b", out, re.I))
+    out = re.sub(r"\bEMIT\s+CHANGES\b", "", out, flags=re.I)
+
+    out = re.sub(
+        r"\bLATEST_BY_OFFSET\s*\(\s*([^)]+?)\s*\)",
+        rf"max_by(\1, {offset_col})",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(r"\bTIMESTAMPTOSTRING\s*\(", "date_format(", out, flags=re.I)
+    out = re.sub(
+        r"\bCAST\s*\(\s*WINDOWEND\s+AS\s+BIGINT\s*\)",
+        "unix_millis(window.end)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(
+        r"\bCAST\s*\(\s*WINDOWSTART\s+AS\s+BIGINT\s*\)",
+        "unix_millis(window.start)",
+        out,
+        flags=re.I,
+    )
+    out = re.sub(r"\bWINDOWSTART\b", "window.start", out, flags=re.I)
+    out = re.sub(r"\bWINDOWEND\b", "window.end", out, flags=re.I)
+
+    # WINDOW TUMBLING (SIZE 1 MINUTES) → prepend window(ts, '1 minutes')
+    # to the GROUP BY list (ksql puts the window clause before GROUP BY;
+    # Spark expresses it as a grouping expression).
+    m = re.search(
+        r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+(\w+?)S?\s*\)",
+        out,
+        flags=re.I,
+    )
+    if m:
+        dur = f"{m.group(1)} {m.group(2).lower()}"
+        out = out[: m.start()] + out[m.end():]
+        out = re.sub(
+            r"\bGROUP\s+BY\b",
+            f"GROUP BY window({ts_col}, '{dur}'),",
+            out,
+            count=1,
+            flags=re.I,
+        )
+    return out, continuous
+
+
+@dataclass
+class KsqlFrontDoor:
+    """Registry of named streams/tables ≈ ksql server state."""
+
+    spark: SparkSession
+    ts_col: str = "ts"
+    offset_col: str = "offset"
+    streams: dict[str, DataFrame] = field(default_factory=dict)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    queries: dict[str, StreamingQuery] = field(default_factory=dict)
+
+    def create_stream(self, name: str, df: DataFrame) -> None:
+        """CREATE STREAM name (...) WITH (kafka_topic=...) — bind a name
+        onto a (possibly streaming) DataFrame as a temp view
+        (setup-ksqldb-correct.sh:59-82)."""
+        df.createOrReplaceTempView(name)
+        self.streams[name] = df
+
+    def create_table_as(
+        self, name: str, ksql: str, *, output_mode: str = "update"
+    ) -> DataFrame | StreamingQuery:
+        """CREATE TABLE name AS SELECT ... (setup-ksqldb-correct.sh:93-142).
+
+        Over batch views this materializes a named result view; over a
+        streaming view (EMIT CHANGES) it deploys a continuous query into a
+        memory sink readable as `name` — the changelog-table equivalent.
+        """
+        spark_sql, continuous = translate_ksql(
+            ksql, ts_col=self.ts_col, offset_col=self.offset_col
+        )
+        df = self.spark.sql(spark_sql)
+        if continuous and df.isStreaming:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix=f"ksql_{name}_{uuid.uuid4().hex[:6]}_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            self.queries[name] = q
+            self.tables[name] = self.spark.table(name)
+            return q
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return df
+
+    def show_streams(self) -> list[str]:
+        return sorted(self.streams)
+
+    def show_tables(self) -> list[str]:
+        return sorted(self.tables)
+
+    def show_queries(self) -> list[str]:
+        """SHOW QUERIES (setup-ksqldb-correct.sh:180-182)."""
+        return sorted(self.queries)
+
+    def terminate(self, name: str) -> None:
+        q = self.queries.pop(name, None)
+        if q is not None:
+            q.stop()

@@ -1,0 +1,195 @@
+"""Streaming semantics tests (SURVEY.md §2.9): stream-batch equivalence,
+watermark+append mode (our extension, T4), update-mode emission,
+processing-time toggle, the pipeline builder, and the ksql front door's
+continuous path."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sparkksqldbbenchmark_spark.operators.windowed_agg import tumbling_window_agg
+from sparkksqldbbenchmark_spark.sql.ksql import KsqlFrontDoor, translate_ksql
+from sparkksqldbbenchmark_spark.streaming.pipeline import (
+    StreamSource,
+    WindowedPipeline,
+    run_to_memory,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("stationId", LongType()),
+        StructField("metric", StringType()),
+        StructField("value", DoubleType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+ROWS = [
+    ("2024-01-01 00:00:10", 1, "wind_speed", 5.0, 0),
+    ("2024-01-01 00:00:40", 1, "wind_speed", 7.0, 1),
+    ("2024-01-01 00:01:10", 1, "wind_speed", 9.0, 2),
+    ("2024-01-01 00:00:20", 2, "sunshine", 30.0, 3),
+    ("2024-01-01 00:05:00", 2, "sunshine", 40.0, 4),  # late-ish window
+]
+
+
+def _write_fixture(spark) -> str:
+    d = tempfile.mkdtemp(prefix="stream_fixture_")
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in ROWS],
+        "ts string, stationId long, metric string, value double, offset long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_batch_equivalence(spark):
+    """The same logical plan over readStream and read produces identical
+    final state (SURVEY §5 golden strategy)."""
+    d = _write_fixture(spark)
+    batch = tumbling_window_agg(
+        spark.read.parquet(d), ts_col="ts", keys=("metric", "stationId"),
+        order_col="offset",
+    )
+    stream_df = tumbling_window_agg(
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d),
+        ts_col="ts",
+        keys=("metric", "stationId"),
+        order_col="offset",
+    )
+    name = f"eq_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream_df, name, output_mode="complete")
+    q.stop()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(want) == 4  # 3 wind/sunshine windows in min 0-1 + 1 at min 5
+
+
+def test_watermark_append_mode(spark):
+    """T4 extension: with a watermark, append mode emits only closed
+    windows and state is bounded."""
+    d = _write_fixture(spark)
+    stream_df = tumbling_window_agg(
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d),
+        ts_col="ts",
+        keys=("metric",),
+        watermark="2 minutes",
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream_df, name, output_mode="append")
+    q.stop()
+    rows = spark.table(name).collect()
+    # watermark advances to 00:05 - 2min = 00:03 after the single
+    # availableNow batch; windows ending ≤ 00:03 are closed and emitted.
+    emitted = {(r["window_start"], r["metric"]) for r in rows}
+    assert ("2024-01-01 00:00:00", "wind_speed") in emitted
+    assert all(ws < "2024-01-01 00:03:00" for ws, _ in emitted)
+
+
+def test_update_mode_emits_rows(spark):
+    d = _write_fixture(spark)
+    stream_df = tumbling_window_agg(
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d),
+        ts_col="ts",
+        keys=("metric",),
+    )
+    name = f"up_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream_df, name, output_mode="update")
+    q.stop()
+    assert spark.table(name).count() >= 4
+
+
+def test_processing_time_mode_smoke(spark):
+    """T2 — processing-time windowing (reference default) runs; values are
+    nondeterministic so only shape is asserted."""
+    d = _write_fixture(spark)
+    stream_df = tumbling_window_agg(
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d),
+        ts_col="ts",
+        keys=("metric",),
+        use_processing_time=True,
+    )
+    name = f"pt_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream_df, name, output_mode="complete")
+    q.stop()
+    rows = spark.table(name).collect()
+    assert {r["metric"] for r in rows} == {"wind_speed", "sunshine"}
+    assert sum(r["message_count"] for r in rows) == len(ROWS)
+
+
+def test_pipeline_builder_two_sources(spark):
+    """U1 — the full reference topology via WindowedPipeline: two file
+    sources unioned then windowed (SparkWeatherConsumer.scala:88-99)."""
+    d1 = _write_fixture(spark)
+    d2 = _write_fixture(spark)
+    schema = spark.read.parquet(d1).schema
+    pipe = WindowedPipeline(
+        sources=[
+            StreamSource("parquet", path=d1, schema=schema),
+            StreamSource("parquet", path=d2, schema=schema),
+        ],
+        ts_col="ts",
+        keys=("metric", "stationId"),
+        order_col="offset",
+    )
+    name = f"pipe_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(pipe.build(spark), name, output_mode="complete")
+    q.stop()
+    rows = spark.table(name).collect()
+    assert sum(r["message_count"] for r in rows) == 2 * len(ROWS)
+
+
+def test_translate_ksql():
+    sql, cont = translate_ksql(
+        """SELECT TIMESTAMPTOSTRING(WINDOWSTART, 'yyyy-MM-dd') AS ws,
+                  CAST(WINDOWEND AS BIGINT) AS we,
+                  LATEST_BY_OFFSET(stationName) AS name, COUNT(*) AS c
+           FROM weather WINDOW TUMBLING (SIZE 1 MINUTES)
+           GROUP BY stationId EMIT CHANGES""",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert cont
+    assert "EMIT" not in sql.upper()
+    assert "date_format(window.start, 'yyyy-MM-dd')" in sql
+    assert "unix_millis(window.end)" in sql
+    assert "max_by(stationName, offset)" in sql
+    assert "GROUP BY window(ts, '1 minute')," in sql
+
+
+def test_ksql_front_door_continuous(spark):
+    """EMIT CHANGES over a streaming view deploys a persistent query
+    readable as the table name (setup-ksqldb-correct.sh:93-146)."""
+    d = _write_fixture(spark)
+    front = KsqlFrontDoor(spark, ts_col="ts", offset_col="offset")
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    sname = f"weather_{uuid.uuid4().hex[:8]}"
+    tname = f"agg_{uuid.uuid4().hex[:8]}"
+    front.create_stream(sname, stream)
+    q = front.create_table_as(
+        tname,
+        f"""SELECT metric, COUNT(*) AS c, LATEST_BY_OFFSET(value) AS latest
+            FROM {sname} WINDOW TUMBLING (SIZE 1 MINUTES)
+            GROUP BY metric EMIT CHANGES""",
+    )
+    q.awaitTermination(120)
+    front.terminate(tname)
+    rows = spark.table(tname).collect()
+    assert front.show_queries() == []
+    assert front.show_streams() == [sname]
+    assert {r["metric"] for r in rows} == {"wind_speed", "sunshine"}
+    latest = {r["metric"]: r["latest"] for r in rows}
+    assert latest["wind_speed"] in (7.0, 9.0)  # per-window latest
