@@ -1,0 +1,253 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five strategies, all pure DataFrame compositions (no UDFs — every hash and
+set operation is a built-in JVM expression inside whole-stage codegen):
+
+- exact:        md5-hash groupBy — one shuffle on the content hash.
+- minhash LSH:  shingle → k minhashes → b bands → bucket self-join →
+                exact-Jaccard verify. The classic near-dup pipeline
+                (Broder '97); candidate generation touches only
+                same-bucket pairs, never the n² cross join.
+- simhash:      token-hash sign aggregation → 32-bit fingerprint →
+                banded bucket join → Hamming-distance verify
+                (Charikar '02 / Manku '07). With b=4 bands of 8 bits,
+                any pair at Hamming distance ≤ 3 shares ≥ 1 exact band
+                (pigeonhole), so the prefilter is lossless for d ≤ 3.
+- ngram-jaccard: inverted-index style shingle self-join with exact
+                Jaccard — the accurate-but-heavier baseline; at 100 TB
+                the LSH variants replace it.
+- embedding cosine near-dup lives in llm/similarity.py.
+
+Scale notes: every stage is groupBy/join on uniformly-distributed hash
+keys — shuffle-friendly, skew-free by construction. Signature arrays are
+k×8 bytes/doc (k=16 → 128 B), so the band-explode is b rows/doc, not
+shingles rows/doc. Verification joins shingle arrays only for candidate
+pairs (a tiny fraction of n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.llm.hashing import (
+    spark_md5_int,
+    spark_minhash_sig,
+    spark_tokens,
+    spark_word_shingles,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the canonical
+    (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, *, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Append `shingles` (distinct word n-grams) and `sig` (array of k
+    minhashes via universal hashing — one md5 per shingle total). One
+    narrow projection — no shuffle."""
+    sh = spark_word_shingles(text_col, shingle_n)
+    return df.withColumn("shingles", F.expr(sh)).withColumn(
+        "sig", F.expr(spark_minhash_sig("shingles", num_hashes))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
+    candidate-filtered through b LSH bands of k/b minhash rows each."""
+    rows = num_hashes // bands
+    sigged = with_minhash_signature(
+        df.select(id_col, text_col),
+        text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+
+    # band hash: md5 over the stringified minhash slice
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    f"transform(slice(sig, {b * rows + 1}, {rows}),"
+                    " x -> cast(x as string))"
+                ),
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    # bands shuffle only (id, band_idx, bh) — shingle arrays join back in
+    # for the (small) candidate set only, keeping the wide rows out of the
+    # bucket-join shuffle.
+    banded = sigged.select(F.col(id_col), *band_cols)
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    exploded = banded.select(
+        F.col(id_col), F.explode(band_arr).alias("e")
+    ).select(id_col, "e.band_idx", "e.bh")
+
+    left = exploded.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "bh"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "bh"
+    )
+    cand = (
+        left.join(right, on=["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingle_side = sigged.select(id_col, "shingles")
+    verified = cand.join(
+        shingle_side.select(
+            F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        shingle_side.select(
+            F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        verified.withColumn("jaccard_sim", jac)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, *, bits: int = 32
+) -> DataFrame:
+    """Append a `simhash` fingerprint: per bit, sum +1/-1 over token
+    hashes; bit set iff the sum is ≥ 0. Pure nested higher-order
+    expressions — one pass over tokens per document."""
+    tokens = spark_tokens(text_col)
+    th = spark_md5_int("t")
+    expr = f"""
+    aggregate(
+      sequence(0, {bits - 1}),
+      cast(0 as bigint),
+      (acc, b) -> acc + IF(
+        aggregate({tokens}, cast(0 as bigint),
+          (a, t) -> a + IF(({th} >> b) & 1 = 1,
+                           cast(1 as bigint), cast(-1 as bigint))) >= 0,
+        shiftleft(cast(1 as bigint), b), cast(0 as bigint))
+    )
+    """
+    return df.withColumn("simhash", F.expr(expr))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ max_hamming,
+    banded-prefiltered (lossless for max_hamming < bands)."""
+    width = bits // bands
+    hashed = with_simhash(df.select(id_col, text_col), text_col, bits=bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(
+                    f"(simhash >> {b * width}) & {(1 << width) - 1}"
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = hashed.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("e")
+    ).select(id_col, "simhash", "e.band_idx", "e.bh")
+    left = exploded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"),
+        "band_idx", "bh",
+    )
+    right = exploded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"),
+        "band_idx", "bh",
+    )
+    cand = (
+        left.join(right, on=["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.expr("h_a ^ h_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join: explode distinct
+    shingles, join on shingle, count co-occurrences, compute Jaccard from
+    |A∩B| and the per-doc shingle counts. No LSH approximation — the
+    accuracy baseline. At scale, frequent shingles dominate the join;
+    production use goes through minhash_lsh_pairs instead."""
+    sh = df.select(
+        F.col(id_col),
+        F.expr(spark_word_shingles(text_col, shingle_n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("s"))
+    a = ex.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    co = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        co.withColumn("jaccard_sim", jac)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )

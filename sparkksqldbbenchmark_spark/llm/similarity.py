@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Query set × corpus
+  via broadcast join (queries are small by construction), dot product and
+  norms as higher-order array expressions (JVM, no UDF), per-query top-k
+  via window rank. Cost O(|Q|·n·d) — fine for |Q| ≪ n.
+- LSH-bucketed ANN: random-hyperplane signatures (Charikar '02). P
+  deterministic planes (module-seeded) → P sign bits → bucket id; search
+  touches only the query's bucket. The scale path: bucket join replaces
+  the n² cross product, buckets are uniform by construction. Recall is
+  tunable via P (fewer bits → bigger buckets → higher recall).
+
+Embeddings are float32 on disk; all arithmetic casts to double first so
+Spark and the DuckDB oracle fold the same IEEE values.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic hyperplanes (fixed seed — must match the oracle SQL, which
+# inlines the same literals via planes_sql()).
+_PLANE_SEED = 1234
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    rng = random.Random(_PLANE_SEED)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
+
+
+def _dot(a: str, b: str) -> str:
+    """Left-fold dot product — identical fold order to DuckDB's
+    list_aggregate sum (see oracle)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append `vec` (double-cast embedding) and `norm`."""
+    return df.withColumn(
+        "vec", F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    ).withColumn("norm", F.expr(f"sqrt({_dot('vec', 'vec')})"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k for the first `num_queries` ids (excluding
+    self-matches). Query side is broadcast; ties broken by candidate id."""
+    from pyspark.sql import Window
+
+    base = with_unit_norm(df.select(id_col, vec_col), vec_col)
+    queries = base.where(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("cand_id"), "vec", "norm"
+    )
+    scored = (
+        cand.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.expr(_dot("qvec", "vec")) / (F.col("qnorm") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def lsh_bucket_col(vec_expr: str, planes: list[list[float]]) -> str:
+    """Bucket id = bit i set iff dot(vec, plane_i) >= 0."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"cast({x} as double)" for x in p) + ")"
+        terms.append(
+            f"IF({_dot(vec_expr, arr)} >= 0.0,"
+            f" shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"
+        )
+    return " + ".join(terms)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_planes: int = 4,
+    num_queries: int = 10,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH bucket join then exact cosine within the
+    bucket. Approximate — neighbors in other buckets are missed; that is
+    the documented recall/speed trade."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(num_planes, dim)
+    base = with_unit_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "bucket", F.expr(lsh_bucket_col("vec", planes))
+    )
+    queries = base.where(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("cand_id"), "vec", "norm", "bucket"
+    )
+    scored = (
+        cand.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine_sim",
+            F.expr(_dot("qvec", "vec")) / (F.col("qnorm") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_planes: int = 4,
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), LSH-bucketed so only same-bucket pairs are compared."""
+    planes = hyperplanes(num_planes, dim)
+    base = with_unit_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "bucket", F.expr(lsh_bucket_col("vec", planes))
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim",
+            F.expr(_dot("vec_a", "vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )

@@ -1,0 +1,412 @@
+"""LLM training-data-pipeline queries (the north-star extensions), each
+with a DuckDB oracle generated from the SAME hash/shingle expression
+builders the Spark operators use (llm/hashing.py), so the two sides cannot
+drift.
+
+Multimodal queries are rows-only (no oracle): the mapInPandas decode path
+is not SQL-expressible by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.llm import dedup, multimodal, similarity, text
+from sparkksqldbbenchmark_spark.llm.hashing import (
+    sql_md5_int,
+    sql_minhash_sig,
+    sql_tokens,
+    sql_word_shingles,
+)
+from sparkksqldbbenchmark_spark.plans.registry import query
+
+# ---------------------------------------------------------------- dedup --
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "text", "doc_id")
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, n: int = 3,
+                    threshold: float = 0.5) -> str:
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    inter = "len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))"
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, shingles, {sql_minhash_sig("shingles", k)} AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({inter} AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles) - {inter} AS DOUBLE)
+             AS jaccard_sim
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE CAST({inter} AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles) - {inter} AS DOUBLE)
+          >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+
+
+def _simhash_oracle(bits: int = 32, bands: int = 4, max_h: int = 3) -> str:
+    width = bits // bands
+    toks = sql_tokens("text")
+    th = sql_md5_int("t")
+    simhash = f"""
+        list_sum(list_transform(range(0, {bits}), b ->
+            CASE WHEN list_sum(list_transform({toks}, t ->
+                     CASE WHEN ({th} >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+    """
+    return f"""
+    WITH sim AS (
+        SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM documents
+    ), banded AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * {width})) & {(1 << width) - 1} AS bh
+        FROM sim, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS h_a, b.simhash AS h_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_h}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id")
+
+
+def _jaccard_oracle(n: int = 5, threshold: float = 0.4) -> str:
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+               AS jaccard_sim
+    FROM co
+    WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+          >= {threshold}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
+
+
+# ----------------------------------------------------------- similarity --
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, {dim} + 1),"
+    " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return _SQL_DOT.format(a=a, b=b, dim=dim)
+
+
+def _cosine_topk_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
+    dot_qc = _sql_dot("q.vec", "c.vec", dim)
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec,
+               sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {dot_qc} / (q.norm * c.norm) AS cos
+        FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {nq}
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, round(cos, 6) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_topk_cosine", oracle=_cosine_topk_oracle())
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb)
+
+
+def _planes_values(num_planes: int = 4, dim: int = 64) -> str:
+    planes = similarity.hyperplanes(num_planes, dim)
+    rows = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES {rows}) p(pid, pvec)"
+
+
+def _ann_oracle(num_planes: int = 4, nq: int = 10, k: int = 5,
+                dim: int = 64) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM normed n, {_planes_values(num_planes, dim)}
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT n.vec_id, n.vec, n.norm, b.bucket
+        FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_sql_dot("q.vec", "c.vec", dim)} / (q.norm * c.norm) AS cos
+        FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.vec_id < {nq}
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, round(cos, 6) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb)
+
+
+def _near_dup_oracle(num_planes: int = 4, threshold: float = 0.4,
+                     dim: int = 64) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM normed n, {_planes_values(num_planes, dim)}
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT n.vec_id, n.vec, n.norm, b.bucket
+        FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_dot("a.vec", "b.vec", dim)} / (a.norm * b.norm), 6)
+               AS cosine_sim
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_sql_dot("a.vec", "b.vec", dim)} / (a.norm * b.norm)
+          >= {threshold}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_near_dup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ----------------------------------------------------------------- text --
+
+_STOP_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+@query(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   AS BIGINT) AS punct_count,
+               CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                    t -> list_contains([{_STOP_EN}], lower(t))))
+                   AS BIGINT) AS stopword_hits,
+               CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                    t -> len(t))) AS DOUBLE) AS tok_chars
+        FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens, punct_count, stopword_hits,
+           tok_chars / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           CAST(punct_count AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)
+               AS punct_ratio,
+           CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS stopword_ratio,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (1.0 - CAST(punct_count AS DOUBLE)
+                            / CAST(n_chars_calc AS DOUBLE))
+               AS quality_score
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_quality_scores(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "punct_count", "stopword_hits",
+        "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            f"CAST(len(list_filter(regexp_extract_all(text, '\\S+'),"
+            f" t -> list_contains([{','.join(chr(39) + w + chr(39) for w in ws)}],"
+            f" lower(t)))) AS BIGINT)"
+        )
+        for lang, ws in text.STOPWORDS.items()
+    }
+    return rf"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {hits['en']} AS hits_en,
+               {hits['de']} AS hits_de,
+               {hits['fr']} AS hits_fr,
+               {hits['es']} AS hits_es,
+               regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS has_cjk
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0
+                     THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es)
+                     THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es)
+                     THEN 'de'
+                WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es)
+                     THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM h
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang", "predicted_lang")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')))
+               AS fingerprint,
+           {sql_md5_int("lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))")}
+               AS fingerprint_int
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select(
+        "doc_id", "fingerprint", "fingerprint_int"
+    )
+
+
+# ----------------------------------------------------------- multimodal --
+
+
+@query("multimodal_feature_extract")  # rows-only: mapInPandas, not SQL
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.attach_media_blobs(docs)
+    return multimodal.extract_features(blobs)
+
+
+@query("multimodal_frame_sample")  # rows-only: plumbing for video decode
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.attach_media_blobs(docs)
+    return multimodal.frame_sample_plan(blobs)
