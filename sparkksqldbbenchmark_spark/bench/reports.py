@@ -1,0 +1,71 @@
+"""Report emitters (SURVEY.md §2.1 S14-S16): text report, JSON metrics,
+Prometheus exposition text. Driver-side formatting over already-aggregated
+scalars — the only place in the engine that touches Python string building,
+after the heavy lifting finished on the executors."""
+
+from __future__ import annotations
+
+import json
+
+from sparkksqldbbenchmark_spark.bench.latency import LatencyMetrics
+
+
+def text_report(m: LatencyMetrics, *, title: str = "LATENCY REPORT") -> str:
+    """S14 — the monitor's formatted report
+    (LatencyMonitor.scala:304-392). %.2f formatting done correctly — the
+    reference's committed reports are corrupted by a broken format string
+    (BASELINE.md note)."""
+    q = m.quality()
+    lines = [
+        "=" * 50,
+        title,
+        "=" * 50,
+        f"Valid samples:    {m.sample_count}",
+        f"Average latency:  {m.avg_ms:.2f} ms   [{q['avg']}]",
+        f"Median (P50):     {m.p50_ms:.2f} ms",
+        f"P95 latency:      {m.p95_ms:.2f} ms",
+        f"P99 latency:      {m.p99_ms:.2f} ms   [{q['p99']}]",
+        f"Min latency:      {m.min_ms:.2f} ms",
+        f"Max latency:      {m.max_ms:.2f} ms",
+        f"Std deviation:    {m.stddev_ms:.2f} ms   [{q['stddev']}]",
+        "=" * 50,
+    ]
+    return "\n".join(lines)
+
+
+def json_report(m: LatencyMetrics) -> str:
+    """S16 — JSON metrics export (MetricsExporter.scala:89-117)."""
+    return json.dumps(
+        {
+            "sample_count": m.sample_count,
+            "avg_ms": round(m.avg_ms, 2),
+            "p50_ms": m.p50_ms,
+            "p95_ms": m.p95_ms,
+            "p99_ms": m.p99_ms,
+            "min_ms": m.min_ms,
+            "max_ms": m.max_ms,
+            "stddev_ms": round(m.stddev_ms, 2),
+            "quality": m.quality(),
+        }
+    )
+
+
+def prometheus_text(m: LatencyMetrics, *, prefix: str = "benchmark") -> str:
+    """S15 — Prometheus exposition format (MetricsExporter.scala:16-84
+    serves the same gauges over HTTP; serving is deployment glue, the
+    format is the contract)."""
+    gauges = {
+        "latency_avg_ms": m.avg_ms,
+        "latency_p50_ms": m.p50_ms,
+        "latency_p95_ms": m.p95_ms,
+        "latency_p99_ms": m.p99_ms,
+        "latency_min_ms": m.min_ms,
+        "latency_max_ms": m.max_ms,
+        "latency_stddev_ms": m.stddev_ms,
+        "sample_count": float(m.sample_count),
+    }
+    out = []
+    for name, val in gauges.items():
+        out.append(f"# TYPE {prefix}_{name} gauge")
+        out.append(f"{prefix}_{name} {val}")
+    return "\n".join(out) + "\n"

@@ -175,6 +175,50 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "latency_nearest_rank_percentiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               row_number() OVER (ORDER BY value) AS rn,
+               count(*) OVER () AS n
+        FROM events WHERE value > 0 AND value < 600000
+    )
+    SELECT max(CASE WHEN rn - 1 = least(CAST(floor(n * 0.5) AS BIGINT), n - 1)
+                    THEN value END) AS p50_nr,
+           max(CASE WHEN rn - 1 = least(CAST(floor(n * 0.95) AS BIGINT), n - 1)
+                    THEN value END) AS p95_nr,
+           max(CASE WHEN rn - 1 = least(CAST(floor(n * 0.99) AS BIGINT), n - 1)
+                    THEN value END) AS p99_nr
+    FROM ranked
+    """,
+)
+def latency_nearest_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4, reference convention — percentile = sorted[(count·p).toInt]
+    clamped (LatencyMonitor.scala:278-280), NOT interpolated. One global
+    rank pass, conditional aggregation picks all three indices."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").where(
+        (F.col("value") > 0) & (F.col("value") < 600000)
+    )
+    ranked = events.select(
+        "value",
+        F.row_number().over(Window.partitionBy().orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p: float, alias: str) -> F.Column:
+        idx = F.least(F.floor(F.col("n") * F.lit(p)), F.col("n") - 1)
+        return F.max(
+            F.when(F.col("rn") - 1 == idx, F.col("value"))
+        ).alias(alias)
+
+    return ranked.agg(
+        pick(0.5, "p50_nr"), pick(0.95, "p95_nr"), pick(0.99, "p99_nr")
+    )
+
+
+@query(
     "top_k_values",
     oracle="""
     SELECT event_id, user_id, event_type, round(value, 2) AS value

@@ -1,0 +1,135 @@
+"""Sources (file readers, Confluent framing) and bench-harness tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.bench import latency, reports
+from sparkksqldbbenchmark_spark.schemas import (
+    AGGREGATED_WEATHER_AVRO,
+    WEATHER_DATA,
+    WEATHER_DATA_AVRO,
+)
+from sparkksqldbbenchmark_spark.sources import files, kafka
+
+
+def test_csv_roundtrip_and_semicolon(spark):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "data.csv")
+    with open(p, "w") as f:
+        f.write("a;b\n1;x\n2;y\n")
+    df = files.read_semicolon_csv(spark, p)
+    rows = {(r["a"], r["b"]) for r in df.collect()}
+    assert rows == {(1, "x"), (2, "y")}
+
+
+def test_zipped_csv(spark):
+    d = tempfile.mkdtemp()
+    zp = os.path.join(d, "archive.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("inner.csv", "k,v\n1,10\n2,20\n")
+    df = files.read_zipped_csv(spark, zp)
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(1, 10), (2, 20)}
+
+
+def test_jsonl(spark):
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "rows.jsonl")
+    with open(p, "w") as f:
+        f.write('{"x": 1}\n{"x": 2}\n')
+    assert {r["x"] for r in files.read_json(spark, p).collect()} == {1, 2}
+
+
+def test_confluent_framing_roundtrip(spark):
+    """S2/S3/S7 — header strip/add and wire-format detection over real
+    binary columns, no Kafka needed."""
+    payload = b"avro-bytes-here"
+    framed = bytes([0]) + (42).to_bytes(4, "big") + payload
+    df = spark.createDataFrame(
+        [(framed,), (payload,)], "value binary"
+    )
+    out = df.select(
+        kafka.is_confluent_framed(F.col("value")).alias("framed"),
+        kafka.strip_confluent_header(F.col("value")).alias("stripped"),
+        kafka.confluent_schema_id(F.col("value")).alias("sid"),
+    ).collect()
+    by_framed = {r["framed"]: r for r in out}
+    assert bytes(by_framed[True]["stripped"]) == payload
+    assert by_framed[True]["sid"] == 42
+    assert by_framed[False]["framed"] is False
+
+    # add-header inverse
+    added = df.where(F.length("value") == len(payload)).select(
+        kafka.add_confluent_header(F.col("value"), 42).alias("v")
+    ).collect()[0]["v"]
+    assert bytes(added) == framed
+
+
+def test_json_payload_decode_flatten(spark):
+    """S2-JSON degradation path + P1 flatten."""
+    df = spark.createDataFrame(
+        [(b'{"timeObserved":"2024-01-01 00:00:00+00:00","stationId":6013,'
+          b'"stationName":"Silstrup","metric":"wind_speed","value":5.5,'
+          b'"producer_ts":1700000000000}',)],
+        "value binary",
+    )
+    decoded = kafka.decode_json_value(df, WEATHER_DATA)
+    flat = kafka.flatten_payload(decoded)
+    row = flat.collect()[0]
+    assert row["stationId"] == 6013 and row["value"] == 5.5
+
+
+def test_avro_schema_json_shape():
+    import json
+
+    s = json.loads(WEATHER_DATA_AVRO)
+    assert s["name"] == "WeatherData"
+    assert [f["name"] for f in s["fields"]][:2] == ["timeObserved", "stationId"]
+    a = json.loads(AGGREGATED_WEATHER_AVRO)
+    assert a["fields"][-1]["name"] == "processing_end_ts"
+
+
+def test_latency_metrics_reference_convention(spark):
+    """Nearest-rank percentile = sorted[(n*p).toInt] clamped
+    (LatencyMonitor.scala:278-280), checked against a hand-computed
+    fixture that includes dirty rows the validity filter must drop."""
+    base = 1_700_000_000_000
+    lat = [1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000, 10000]
+    rows = [(base, base + l) for l in lat]
+    rows += [
+        (base, base),                 # latency 0 → dropped
+        (base, base + 700_000),       # ≥ 600000 → dropped
+        (100, 200),                   # pre-2020 → dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "min_producer_ts long, processing_end_ts long"
+    )
+    valid = latency.valid_latency_points(df)
+    assert valid.count() == 10
+    m = latency.calculate_metrics(valid)
+    assert m.sample_count == 10
+    assert m.avg_ms == 5500.0
+    # reference convention: idx = int(10*0.5) = 5 → sorted[5] = 6000
+    assert m.p50_ms == 6000.0
+    assert m.p95_ms == 10000.0  # int(9.5)=9 → last
+    assert m.p99_ms == 10000.0
+    assert abs(m.stddev_ms - 2872.2813) < 0.001  # population, N divisor
+
+    rep = reports.text_report(m)
+    assert "5500.00 ms" in rep and "excellent" in rep
+    assert "%.2f" not in rep  # the reference's corrupted-format bug, fixed
+    assert '"avg_ms": 5500.0' in reports.json_report(m)
+    prom = reports.prometheus_text(m)
+    assert "benchmark_latency_p99_ms 10000.0" in prom
+
+
+def test_top_latency_windows(spark):
+    df = spark.createDataFrame(
+        [(i, 1000 * i) for i in range(1, 8)], "w int, latency_ms long"
+    )
+    top = latency.top_latency_windows(df, k=3).collect()
+    assert [r["latency_ms"] for r in top] == [7000, 6000, 5000]
