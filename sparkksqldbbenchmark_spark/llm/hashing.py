@@ -65,6 +65,19 @@ def spark_word_shingles(text: str, n: int) -> str:
     )
 
 
+def spark_word_shingles_from_tokens(toks: str, n: int) -> str:
+    """Word n-grams over an already-materialized token-array column.
+    Callers should project the token array in its own select first:
+    referencing the tokenizer expression inside the shingle lambda would
+    re-run the regex once per shingle (Catalyst inlines it into the lambda
+    body) — a measured 3× slowdown."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
 def sql_word_shingles(text: str, n: int) -> str:
     toks = sql_tokens(text)
     return (
