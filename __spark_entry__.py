@@ -30,6 +30,10 @@ try:
     import sparkksqldbbenchmark_spark.plans.ksql_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    import sparkksqldbbenchmark_spark.plans.extended_queries  # noqa: F401
+except ImportError:
+    pass
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 

@@ -204,7 +204,33 @@ def simhash_pairs(
     """Near-duplicate pairs by simhash Hamming distance ≤ max_hamming,
     banded-prefiltered (lossless for max_hamming < bands)."""
     width = bits // bands
-    hashed = with_simhash(df.select(id_col, text_col), text_col, bits=bits)
+    # explode tokens → codegen'd md5 → one groupBy with `bits` conditional
+    # ±1 sums → assemble the fingerprint. Same values as with_simhash (the
+    # HOF form, kept for single-column use); this shape keeps the hashing
+    # in whole-stage codegen and the bit sums as partial aggregates — same
+    # rationale as the minhash pipeline.
+    from sparkksqldbbenchmark_spark.llm.hashing import _P31  # noqa: F401
+
+    toks = df.select(
+        F.col(id_col), F.expr(spark_tokens(text_col)).alias("__toks")
+    )
+    ex = toks.select(id_col, F.explode("__toks").alias("t")).withColumn(
+        "h", F.expr(spark_md5_int("t"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    summed = ex.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    hashed = summed.select(F.col(id_col), fingerprint.alias("simhash"))
     band_arr = F.array(
         *[
             F.struct(

@@ -1,0 +1,253 @@
+"""Extended coverage queries: the remaining SURVEY.md §2 operators not yet
+exercised by reference_queries (P6/P8/P9 projections and flags, A7 group
+sums, F9-F12 datetime parsing variants, W2 row_number latest) plus two
+more TPC-H shapes (Q5 join chain, Q6 selective scan) that stress join
+ordering and pushdown at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from sparkksqldbbenchmark_spark.plans.registry import query
+
+
+@query(
+    "group_by_sum_consumption",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           {sql_stable_sum("o_totalprice", 2)} AS total_price,
+           count(*) AS order_count
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def group_by_sum_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the consumption group-by-sum (price_prediction.ipynb cell 8
+    `groupby([TimeUTC, Area]).sum()`): month × priority → Σ price."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_orderpriority",
+    ).agg(
+        stable_sum("o_totalprice", 2).alias("total_price"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@query(
+    "numeric_projection_summary",
+    oracle=f"""
+    SELECT {sql_stable_avg("l_quantity")} AS avg_l_quantity,
+           {sql_stable_avg("l_extendedprice")} AS avg_l_extendedprice,
+           {sql_stable_avg("l_discount")} AS avg_l_discount,
+           {sql_stable_avg("l_tax")} AS avg_l_tax
+    FROM lineitem
+    """,
+)
+def numeric_projection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — select_dtypes(include='number') (notebook cell 14): numeric
+    columns discovered FROM THE SCHEMA (not hard-coded), then averaged.
+    Restricted to the double measures (ids are numeric but meaningless to
+    average)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    numeric = [
+        f.name
+        for f in li.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name.startswith("l_")
+        and f.name not in ("l_orderkey", "l_partkey", "l_suppkey",
+                           "l_linenumber")
+    ]
+    return li.agg(
+        *[stable_avg(c).alias(f"avg_{c}") for c in numeric]
+    )
+
+
+@query(
+    "flag_derivation_dropna",
+    oracle="""
+    SELECT p_partkey,
+           p_type LIKE '%BRASS%' AS is_brass,
+           p_brand IN ('Brand#1', 'Brand#2') AS is_major_brand,
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+    FROM part
+    WHERE p_type IS NOT NULL AND p_brand IS NOT NULL
+    """,
+)
+def flag_derivation_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + P9 — boolean flag derivation (measures_X = param in set,
+    dmi/scripts/wind.py:234-238) and dropna on key columns
+    (dmi/scripts/map.py:76-80)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.na.drop(subset=["p_type", "p_brand"]).select(
+        "p_partkey",
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.col("p_brand").isin("Brand#1", "Brand#2").alias("is_major_brand"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias(
+            "size_class"
+        ),
+    )
+
+
+@query(
+    "datetime_parse_suite",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS eu_str,
+               strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+               strftime(o_orderdate, '%H:%M') AS tm_str
+        FROM orders
+    )
+    SELECT o_orderkey,
+           strftime(strptime(eu_str, '%d/%m/%Y %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_eu,
+           strftime(strptime(eu_str, '%d/%m/%Y %H:%M:%S'),
+                    '%Y-%m-%dT%H:%M:%SZ') AS iso_z,
+           strftime(strptime(d_str || ' ' || tm_str, '%Y-%m-%d %H:%M'),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_concat,
+           split_part(eu_str, ' ', 1) AS date_part_str
+    FROM t
+    """,
+)
+def datetime_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9-F12 — the notebook's datetime normalizations: explicit-format
+    parse dd/MM/yyyy HH:mm:ss (F10, cell 6), ISO + strftime-to-Z (F11,
+    cell 8), concat date+time then parse yyyy-MM-dd HH:mm (F12, cells
+    10/12), string split + element pick (F9). Round-tripped through
+    strings built from o_orderdate so the oracle sees identical inputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss").alias("eu_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+        F.date_format("o_orderdate", "HH:mm").alias("tm_str"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.date_format(
+            F.to_timestamp("eu_str", "dd/MM/yyyy HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("parsed_eu"),
+        F.date_format(
+            F.to_timestamp("eu_str", "dd/MM/yyyy HH:mm:ss"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("iso_z"),
+        F.date_format(
+            F.to_timestamp(
+                F.concat_ws(" ", "d_str", "tm_str"), "yyyy-MM-dd HH:mm"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("parsed_concat"),
+        F.element_at(F.split("eu_str", " "), 1).alias("date_part_str"),
+    )
+
+
+@query(
+    "latest_by_rownumber",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_by_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the row_number formulation of latest-per-key (the alternative
+    to max_by listed in SURVEY §2.5; also the keep-latest dedup shape)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@query(
+    "tpch_q6_selective_scan",
+    oracle=f"""
+    SELECT {sql_stable_sum("l_extendedprice * l_discount", 2)} AS revenue,
+           count(*) AS matched_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pushdown benchmark: every predicate reaches
+    the parquet reader (PushedFilters), no join, single partial+final
+    aggregate. The fastest possible plan for a selective scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        stable_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("matched_rows"),
+    )
+
+
+@query(
+    "tpch_q5_join_chain",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {sql_stable_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}
+               AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the deep join chain: region/nation/customer
+    broadcast down onto orders, the only big⋈big join (orders⋈lineitem)
+    shuffles on the order key, aggregation on the tiny nation domain."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    orders_dim = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+    joined = li.join(orders_dim, li.l_orderkey == F.col("o_orderkey"))
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("revenue")
+    )

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale are asserted, not assumed — predicate pushdown reaches the parquet
+scan, column pruning trims ReadSchema, small dims broadcast, top-k
+compiles to TakeOrderedAndProject, aggregations are partial+final, and
+hot expressions stay inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "validity_filter")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan" in plan  # value > 0 reached the parquet reader
+
+
+def test_column_pruning(spark):
+    """The window aggregation needs 4 of events' 6 columns — props and
+    user_id must not be read."""
+    plan = plan_of(spark, "weather_window_agg")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema
+    assert "user_id" not in read_schema
+    assert "value" in read_schema
+
+
+def test_broadcast_join_for_dims(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enrichment_is_all_broadcast(spark):
+    plan = plan_of(spark, "station_enrichment_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "top_k_values")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_final_aggregation(spark):
+    """Catalyst must split the windowed aggregate into partial (map-side)
+    and final (post-shuffle) HashAggregates."""
+    plan = plan_of(spark, "weather_window_agg", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_scalar_suite_wholestage_codegen(spark):
+    plan = plan_of(spark, "scalar_function_suite", mode="simple")
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH candidate join must be a hash/merge join on band keys —
+    never a cartesian product."""
+    plan = plan_of(spark, "dedup_minhash_lsh", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bucket_join_not_cartesian(spark):
+    plan = plan_of(spark, "similarity_ann_lsh", mode="simple")
+    assert "CartesianProduct" not in plan
