@@ -69,6 +69,25 @@ def main() -> None:
         total += dt
         print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # End-to-end streaming latency — the reference's actual benchmark
+    # (BASELINE.md: rate-limited produce → tumbling window, 2 s trigger,
+    # update mode → latency percentiles per emitted window). 10 s windows
+    # here vs the reference's 60 s; same trigger. Directly comparable to
+    # the BASELINE expectation bands (avg 5-7 s, P99 11-14 s, σ 3-4 s).
+    from sparkksqldbbenchmark_spark.bench.replay import run_latency_benchmark
+
+    m = run_latency_benchmark(spark, run_seconds=20)
+    streaming_latency = {
+        "avg_ms": round(m.avg_ms, 2),
+        "p50_ms": m.p50_ms,
+        "p95_ms": m.p95_ms,
+        "p99_ms": m.p99_ms,
+        "stddev_ms": round(m.stddev_ms, 2),
+        "samples": m.sample_count,
+        "config": "10s window, 2s trigger, 200 rows/s, update mode",
+    }
+    print(f"  streaming e2e: {streaming_latency}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -77,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming_e2e_latency": streaming_latency,
             }
         )
     )

@@ -1,0 +1,101 @@
+"""End-to-end streaming latency benchmark — the reference's core
+experiment without Kafka.
+
+Reference shape (BASELINE.md): a rate-limited producer stamps producer_ts,
+two topics of weather rows flow through a tumbling-window aggregation with
+a processing-time trigger in update mode, and the monitor computes
+latency = processing_end_ts − min(producer_ts) per emitted window record
+(LatencyMonitor.scala:211), then percentile statistics.
+
+Here the producer is Spark's rate source (rows stamped with their
+generation time — the producer_ts equivalent), the query is the same
+tumbling-window aggregate (operators/windowed_agg.py), and the monitor is
+a foreachBatch hook stamping processing_end_ts at sink time, feeding the
+same latency metrics (bench/latency.py, reference conventions). Latency is
+therefore dominated by trigger cadence + window residence, exactly like
+the reference's 5-7 s expectation band at a 2 s trigger (their windows are
+1 min; scale window/trigger here accordingly)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.bench.latency import (
+    LatencyMetrics,
+    calculate_metrics,
+    valid_latency_points,
+)
+from sparkksqldbbenchmark_spark.operators.windowed_agg import (
+    tumbling_window_agg,
+)
+
+
+def weather_rate_stream(
+    spark: SparkSession, *, rows_per_second: int = 200, stations: int = 10
+) -> DataFrame:
+    """Producer-equivalent (KafkaWeatherProducer rate pacing,
+    BASELINE.md: 100 msg/s × 2 topics): rate source → WeatherData shape.
+    Two metrics interleave, modeling the two-topic union."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % stations).cast("int").alias("stationId"),
+        F.when(F.col("value") % 2 == 0, "wind_speed")
+        .otherwise("sunshine")
+        .alias("metric"),
+        (F.col("value") % 400 / 10.0).alias("value"),
+        F.unix_millis(F.col("timestamp")).alias("producer_ts"),
+    )
+
+
+def run_latency_benchmark(
+    spark: SparkSession,
+    *,
+    rows_per_second: int = 200,
+    window_duration: str = "10 seconds",
+    trigger_interval: str = "2 seconds",
+    run_seconds: int = 20,
+) -> LatencyMetrics:
+    """Run the pipeline for `run_seconds`, collect per-emission latency
+    points sink-side, return reference-convention metrics."""
+    stream = weather_rate_stream(spark, rows_per_second=rows_per_second)
+    agged = tumbling_window_agg(
+        stream,
+        ts_col="ts",
+        window_duration=window_duration,
+        keys=("metric", "stationId"),
+        value_col="value",
+        order_col="producer_ts",
+    )
+
+    points: list[tuple[int, int]] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        end_ts = int(time.time() * 1000)
+        for r in batch_df.select("min_producer_ts").collect():
+            points.append((r["min_producer_ts"], end_ts))
+
+    query = (
+        agged.writeStream.outputMode("update")
+        .trigger(processingTime=trigger_interval)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        time.sleep(run_seconds)
+    finally:
+        query.stop()
+
+    if not points:
+        return LatencyMetrics(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    pts = spark.createDataFrame(
+        points, "min_producer_ts long, processing_end_ts long"
+    )
+    return calculate_metrics(valid_latency_points(pts))

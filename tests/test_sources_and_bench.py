@@ -133,3 +133,16 @@ def test_top_latency_windows(spark):
     )
     top = latency.top_latency_windows(df, k=3).collect()
     assert [r["latency_ms"] for r in top] == [7000, 6000, 5000]
+
+
+def test_streaming_latency_benchmark_short(spark):
+    """E2E replay benchmark produces in-band metrics on a short run."""
+    from sparkksqldbbenchmark_spark.bench.replay import run_latency_benchmark
+
+    m = run_latency_benchmark(
+        spark, rows_per_second=100, window_duration="5 seconds",
+        trigger_interval="1 seconds", run_seconds=8,
+    )
+    assert m.sample_count > 0
+    assert 0 < m.avg_ms < 60_000
+    assert m.p99_ms >= m.p50_ms >= m.min_ms
