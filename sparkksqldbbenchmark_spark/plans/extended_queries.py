@@ -180,6 +180,53 @@ def latest_by_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 12 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 12 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS event_count
+    FROM islands GROUP BY user_id, sess_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via the built-in F.session_window (gap timeout) —
+    the idiomatic engine path; the custom-state applyInPandasWithState
+    variant lives in streaming/stateful.py. Oracle = the classic
+    gaps-and-islands formulation: identical sessions, start = first event,
+    end = last event + gap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "12 hours"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "event_count",
+        )
+    )
+
+
+@query(
     "tpch_q6_selective_scan",
     oracle=f"""
     SELECT {sql_stable_sum("l_extendedprice * l_discount", 2)} AS revenue,
