@@ -159,6 +159,76 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    num_centroids: int = 8,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    search probes only the query's cell (nprobe=1).
+
+    Centroids here are the first `num_centroids` vectors (deterministic,
+    reproducible, oracle-checkable); production would k-means them — the
+    plan shape (broadcast centroids → argmin assignment → cell-equi-join →
+    exact rerank) is identical either way, and it is the join-based shape
+    that scales: assignment is a broadcast nested score over K centroids,
+    search never leaves the cell."""
+    from pyspark.sql import Window
+
+    base = with_unit_norm(df.select(id_col, vec_col), vec_col)
+    centroids = base.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = base.join(F.broadcast(centroids)).withColumn(
+        "c_cos",
+        F.expr(_dot("vec", "cvec")) / (F.col("norm") * F.col("cnorm")),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w_assign))
+        .where(F.col("__r") == 1)
+        .select(id_col, "vec", "norm", "centroid_id")
+    )
+    queries = assigned.where(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("centroid_id").alias("qcell"),
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("cand_id"), "vec", "norm", "centroid_id"
+    )
+    pair = cand.join(
+        F.broadcast(queries),
+        (F.col("centroid_id") == F.col("qcell"))
+        & (F.col("cand_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine_sim",
+        F.expr(_dot("qvec", "vec")) / (F.col("qnorm") * F.col("norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -242,6 +242,54 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb)
 
 
+def _ivf_oracle(num_centroids: int = 8, nq: int = 10, k: int = 5,
+                dim: int = 64) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), centroids AS (
+        SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm
+        FROM normed WHERE vec_id < {num_centroids}
+    ), assigned AS (
+        SELECT vec_id, vec, norm, centroid_id FROM (
+            SELECT n.vec_id, n.vec, n.norm, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_sql_dot("n.vec", "c.cvec", dim)}
+                                / (n.norm * c.cnorm) DESC, c.centroid_id
+                   ) AS r
+            FROM normed n CROSS JOIN centroids c
+        ) WHERE r = 1
+    ), pair AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_sql_dot("q.vec", "c.vec", dim)} / (q.norm * c.norm) AS cos
+        FROM assigned q
+        JOIN assigned c ON q.centroid_id = c.centroid_id
+                        AND q.vec_id != c.vec_id
+        WHERE q.vec_id < {nq}
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rank
+        FROM pair
+    )
+    SELECT query_id, cand_id, round(cos, 6) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_ivf_topk", oracle=_ivf_oracle())
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb)
+
+
 def _near_dup_oracle(num_planes: int = 4, threshold: float = 0.4,
                      dim: int = 64) -> str:
     return f"""
