@@ -28,7 +28,18 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession (e.g. the driver's) able
+    to run our plans deterministically: timestamp[ns] parquet handling and
+    UTC timestamp rendering (oracle comparisons format timestamps as
+    strings — a non-UTC session would shift them). Both are runtime
+    confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_nanos(df)
 
