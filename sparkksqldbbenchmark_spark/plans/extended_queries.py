@@ -180,6 +180,162 @@ def latest_by_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_prediction_pipeline",
+    oracle=f"""
+    WITH click AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS datetime,
+               {sql_stable_avg("value")} AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), purchase AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS datetime,
+               {sql_stable_avg("value")} AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), orders_daily AS (
+        SELECT time_bucket(INTERVAL 1 DAY,
+                   strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M:%S'),
+                            '%d/%m/%Y %H:%M:%S')) AS datetime,
+               {sql_stable_sum("o_totalprice", 2)} AS order_value
+        FROM orders
+        GROUP BY 1
+    ), merged AS (
+        SELECT coalesce(c.datetime, p.datetime, o.datetime) AS datetime,
+               click_value, purchase_value, order_value
+        FROM click c
+        FULL OUTER JOIN purchase p ON c.datetime = p.datetime
+        FULL OUTER JOIN orders_daily o
+            ON coalesce(c.datetime, p.datetime) = o.datetime
+    ), filled AS (
+        SELECT datetime,
+               last_value(click_value IGNORE NULLS) OVER
+                   (ORDER BY datetime ROWS UNBOUNDED PRECEDING) AS click_value,
+               last_value(purchase_value IGNORE NULLS) OVER
+                   (ORDER BY datetime ROWS UNBOUNDED PRECEDING)
+                   AS purchase_value,
+               last_value(order_value IGNORE NULLS) OVER
+                   (ORDER BY datetime ROWS UNBOUNDED PRECEDING) AS order_value
+        FROM merged
+    )
+    SELECT round(corr(click_value, purchase_value), 4)
+               AS corr_click_purchase,
+           round(corr(click_value, order_value), 4) AS corr_click_order,
+           round(corr(purchase_value, order_value), 4)
+               AS corr_purchase_order,
+           count(*) AS timeline_rows
+    FROM filled
+    """,
+)
+def price_prediction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notebook's whole analysis (price_prediction.ipynb cells 3-14,
+    SURVEY §3 entry point 4) as ONE lazy plan: per-series datetime
+    normalization (incl. an explicit-format parse round-trip, F10), daily
+    aggregation, multi-way full-outer time join (J1), forward-fill (W1),
+    correlation matrix (A6). One action at the end — the eager per-cell
+    pandas flow becomes a single Catalyst-optimized DAG."""
+    from sparkksqldbbenchmark_spark.operators.joins import (
+        forward_fill,
+        multiway_outer_time_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def series(event_type: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == event_type)
+            .groupBy(F.window("ts", "1 day"))
+            .agg(stable_avg("value").alias(f"{event_type}_value"))
+            .select(
+                F.col("window.start").alias("datetime"),
+                f"{event_type}_value",
+            )
+        )
+
+    # orders series goes through the notebook's parse path: format to
+    # dd/MM/yyyy string, parse back with the explicit format (F10)
+    orders_daily = (
+        orders.withColumn(
+            "parsed",
+            F.to_timestamp(
+                F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"),
+                "dd/MM/yyyy HH:mm:ss",
+            ),
+        )
+        .groupBy(F.window("parsed", "1 day"))
+        .agg(stable_sum("o_totalprice", 2).alias("order_value"))
+        .select(F.col("window.start").alias("datetime"), "order_value")
+    )
+
+    merged = multiway_outer_time_join(
+        [series("click"), series("purchase"), orders_daily], "datetime"
+    )
+    filled = forward_fill(
+        merged, "datetime", ["click_value", "purchase_value", "order_value"]
+    )
+    return filled.agg(
+        F.round(F.corr("click_value", "purchase_value"), 4).alias(
+            "corr_click_purchase"
+        ),
+        F.round(F.corr("click_value", "order_value"), 4).alias(
+            "corr_click_order"
+        ),
+        F.round(F.corr("purchase_value", "order_value"), 4).alias(
+            "corr_purchase_order"
+        ),
+        F.count(F.lit(1)).alias("timeline_rows"),
+    )
+
+
+@query(
+    "dirty_data_parsing",
+    oracle="""
+    WITH dirty AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp'
+                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str
+        FROM events
+    )
+    SELECT count(*) AS total_rows,
+           count(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S')) AS parsed_rows,
+           count(*) - count(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'))
+               AS failed_rows
+    FROM dirty
+    """,
+)
+def dirty_data_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — errors='coerce' parsing (price_prediction.ipynb cell 3):
+    malformed timestamps become NULL, never exceptions. Deterministic
+    dirt: every 7th row's string is corrupted."""
+    events = load_table(spark, sf_dir, "events")
+    dirty = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, "not-a-timestamp")
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_str"),
+    )
+    parsed = dirty.withColumn(
+        "parsed_ts", F.try_to_timestamp("ts_str", F.lit("yyyy-MM-dd HH:mm:ss"))
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count("parsed_ts").alias("parsed_rows"),
+        (F.count(F.lit(1)) - F.count("parsed_ts")).alias("failed_rows"),
+    )
+
+
+@query("approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 scale path — approx_count_distinct (HyperLogLog++, mergeable,
+    no exact-distinct shuffle). Rows-only check: sketch estimates are
+    engine-specific by nature; the exact variant is oracle-checked in
+    count_distinct_stations."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_stations"),
+        F.countDistinct("user_id").alias("exact_stations"),
+    )
+
+
+@query(
     "session_window_agg",
     oracle="""
     WITH flagged AS (
