@@ -149,13 +149,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # recompute shingles ONLY for candidate docs: semi-join the corpus down
+    # to ids appearing in a candidate pair first. Candidates are a tiny
+    # fraction of the corpus (that is the whole point of LSH), so this
+    # avoids shingling the full corpus two more times for the verify joins.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .dropDuplicates([id_col])
+    )
+    cand_shingles = _with_shingles(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
+    )
     verified = cand.join(
-        shingle_side.select(
+        cand_shingles.select(
             F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
         ),
         "doc_a",
     ).join(
-        shingle_side.select(
+        cand_shingles.select(
             F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
         ),
         "doc_b",
