@@ -69,6 +69,13 @@ def main() -> None:
         total += dt
         print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # input-throughput of the core query: events rows consumed per second
+    # (the reference's consumer is rate-capped at 5000 offsets/trigger and
+    # its producer sustains ~100-200 msg/s — BASELINE.md)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    core_s = per_query.get("weather_window_agg", 0) or 1
+    core_rows_per_sec = int(n_events / core_s)
+
     # End-to-end streaming latency — the reference's actual benchmark
     # (BASELINE.md: rate-limited produce → tumbling window, 2 s trigger,
     # update mode → latency percentiles per emitted window). 10 s windows
@@ -96,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "core_query_rows_per_sec": core_rows_per_sec,
                 "streaming_e2e_latency": streaming_latency,
             }
         )

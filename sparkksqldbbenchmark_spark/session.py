@@ -65,6 +65,29 @@ class SessionConfig:
         return conf
 
 
+def cluster_profile(**overrides) -> SessionConfig:
+    """Recommended configuration for a real multi-executor deployment at
+    large scale (vs the local-bench profile): AQE + skew-join on, RocksDB
+    state store for large streaming state, shuffle partitions sized for
+    ~128 MB post-shuffle partitions (tune to 2-3x total executor cores)."""
+    cfg = SessionConfig(
+        shuffle_partitions=2000,
+        aqe=True,
+        state_store_provider=(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        extra={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+            "spark.sql.shuffle.spill.compress": "true",
+            "spark.shuffle.file.buffer": "1m",
+        },
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
 def get_spark(config: SessionConfig | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine configuration."""
     config = config or SessionConfig()
