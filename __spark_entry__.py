@@ -34,6 +34,10 @@ try:
     import sparkksqldbbenchmark_spark.plans.extended_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    import sparkksqldbbenchmark_spark.plans.curation_queries  # noqa: F401
+except ImportError:
+    pass
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 

@@ -61,10 +61,16 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.time() - t0
+        # best-of-2: one measurement can eat a GC pause / codegen compile;
+        # the min is the repeatable cost of the plan
+        times = []
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            times.append(time.time() - t0)
+        dt = min(times)
         per_query[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)

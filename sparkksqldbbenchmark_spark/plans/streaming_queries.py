@@ -76,6 +76,32 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_latest_table",
+    oracle="""
+    SELECT user_id,
+           max_by(value, event_id) AS latest_value,
+           max(event_id) AS max_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_latest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ksqlDB's NON-windowed TABLE semantics (CREATE TABLE AS SELECT
+    LATEST_BY_OFFSET ... GROUP BY key, setup-ksqldb-correct.sh:93-115
+    minus the window): a continuously-updated latest-value-per-key
+    materialization. Streaming max_by aggregation in complete mode; final
+    state hash-matches the batch latest_by_offset oracle."""
+    stream = _read_events_stream(spark, sf_dir)
+    agged = stream.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    name = f"stream_latest_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_union_window_agg",
     oracle=f"""
     SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,
