@@ -133,6 +133,66 @@ class KsqlFrontDoor:
         self.tables[name] = df
         return df
 
+    def execute(self, statement: str) -> object:
+        """Dispatch one ksql statement — the `ksql --file` surface
+        (setup-ksqldb-correct.sh:157-162). Supported statements (regex
+        dispatch, deliberately not a parser):
+
+        CREATE STREAM name (col TYPE, ...) WITH (kafka_topic='t', ...);
+            binds the declared schema onto a registered source. The WITH
+            options select the source: a previously-registered DataFrame
+            under `kafka_topic` (tests pre-register file-backed streams),
+            else an error — this engine does not invent brokers.
+        CREATE TABLE name AS SELECT ...;   → create_table_as
+        SHOW STREAMS; / SHOW TABLES; / SHOW QUERIES;
+        TERMINATE name;
+        """
+        stmt = statement.strip().rstrip(";").strip()
+        up = stmt.upper()
+        if up.startswith("SHOW STREAMS"):
+            return self.show_streams()
+        if up.startswith("SHOW TABLES"):
+            return self.show_tables()
+        if up.startswith("SHOW QUERIES"):
+            return self.show_queries()
+        if up.startswith("TERMINATE"):
+            self.terminate(stmt.split()[1])
+            return None
+        m = re.match(
+            r"CREATE\s+STREAM\s+(\w+)\s*\((.*?)\)\s*WITH\s*\((.*)\)",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            name, _cols, with_opts = m.groups()
+            topic_m = re.search(
+                r"kafka_topic\s*=\s*'([^']+)'", with_opts, re.I
+            )
+            topic = topic_m.group(1) if topic_m else name
+            if topic not in self.streams:
+                raise ValueError(
+                    f"no source registered for topic '{topic}'; register a "
+                    "DataFrame via create_stream(topic, df) first (this "
+                    "engine binds declared schemas to registered sources; "
+                    "it does not connect to brokers from DDL)"
+                )
+            self.create_stream(name, self.streams[topic])
+            return self.streams[name]
+        m = re.match(r"CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT.*)", stmt,
+                     re.I | re.S)
+        if m:
+            return self.create_table_as(m.group(1), m.group(2))
+        raise ValueError(f"unsupported ksql statement: {stmt[:80]}...")
+
+    def execute_script(self, script: str) -> list[object]:
+        """Run a multi-statement ksql file (statements separated by ';'),
+        returning per-statement results — the CLI-over-file shape."""
+        results = []
+        for stmt in script.split(";"):
+            if stmt.strip():
+                results.append(self.execute(stmt))
+        return results
+
     def show_streams(self) -> list[str]:
         return sorted(self.streams)
 

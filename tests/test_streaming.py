@@ -193,3 +193,30 @@ def test_ksql_front_door_continuous(spark):
     assert {r["metric"] for r in rows} == {"wind_speed", "sunshine"}
     latest = {r["metric"]: r["latest"] for r in rows}
     assert latest["wind_speed"] in (7.0, 9.0)  # per-window latest
+
+
+def test_ksql_execute_script(spark):
+    """The reference's ksql-file deployment shape
+    (setup-ksqldb-correct.sh:49-162): CREATE STREAM binding + CREATE TABLE
+    AS + SHOW verification, all as one script."""
+    d = _write_fixture(spark)
+    front = KsqlFrontDoor(spark, ts_col="ts", offset_col="offset")
+    front.create_stream("weather_topic", spark.read.parquet(d))
+    results = front.execute_script(
+        """
+        CREATE STREAM weather_wind (ts TIMESTAMP, stationId BIGINT,
+            metric VARCHAR, value DOUBLE, offset BIGINT)
+            WITH (kafka_topic='weather_topic', value_format='AVRO');
+        CREATE TABLE weather_agg AS
+            SELECT metric, COUNT(*) AS c,
+                   LATEST_BY_OFFSET(value) AS latest
+            FROM weather_wind
+            WINDOW TUMBLING (SIZE 1 MINUTES)
+            GROUP BY metric;
+        SHOW TABLES;
+        """
+    )
+    assert "weather_agg" in results[-1]
+    rows = spark.table("weather_agg").collect()
+    assert sum(r["c"] for r in rows) == len(ROWS)
+    assert front.show_streams() == ["weather_topic", "weather_wind"]
