@@ -446,7 +446,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- multimodal --
 
 
-@query("multimodal_feature_extract")  # rows-only: mapInPandas, not SQL
+@query(
+    "multimodal_feature_extract",
+    # The decode itself is Python (mapInPandas) — but the deterministic
+    # fake codec is md5-derived, so the oracle can recompute the expected
+    # output in SQL and verify the Arrow/Pandas path byte-for-byte.
+    oracle="""
+    SELECT doc_id,
+           ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+           16::BIGINT AS n_bytes,
+           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+           list_transform(range(0, 16), bin ->
+               len(list_filter(range(1, 17), i ->
+                   ('0x' || substring(md5(text), 2*i-1, 2))::INT % 16 = bin))
+               / 16.0) AS features
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_media_blobs(docs)

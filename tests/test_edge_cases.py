@@ -1,0 +1,67 @@
+"""Edge-case hardening: empty/unicode/degenerate inputs must produce
+nulls or empty results, never exceptions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.llm import dedup, text
+from sparkksqldbbenchmark_spark.operators.aggregates import percentile_stats
+from sparkksqldbbenchmark_spark.operators.joins import forward_fill
+
+
+def test_text_ops_on_empty_and_unicode(spark):
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "héllo wörld çafé"),
+        (3, "日本語のテキストです"),
+        (4, "mixed 日本語 and english words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.with_quality_scores(text.with_token_counts(df)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["ws_tokens"] == 0
+    assert by_id[1]["ws_tokens"] == 0
+    # ratios divide by zero tokens/chars → null, not error
+    assert by_id[0]["stopword_ratio"] is None
+    assert by_id[2]["ws_tokens"] == 3
+    lang = {r["doc_id"]: r["predicted_lang"] for r in text.with_lang_id(df).collect()}
+    assert lang[3] == "zh"  # CJK detection
+    assert lang[4] == "zh"
+    assert lang[0] == "und"
+
+
+def test_dedup_on_tiny_corpus(spark):
+    df = spark.createDataFrame([(0, "one doc only")], "doc_id long, text string")
+    assert dedup.minhash_lsh_pairs(df, "text", "doc_id").count() == 0
+    assert dedup.simhash_pairs(df, "text", "doc_id").count() == 0
+    assert dedup.exact_dedup_groups(df, "text", "doc_id").count() == 1
+
+
+def test_percentiles_on_single_row(spark):
+    df = spark.createDataFrame([(5.0,)], "value double")
+    row = percentile_stats(df, "value").collect()[0]
+    assert row["sample_count"] == 1
+    assert row["p5"] == 5.0 and row["p99"] == 5.0
+    assert row["stddev_value"] == 0.0
+
+
+def test_forward_fill_all_null_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7.0), (4, None)], "t int, v double"
+    )
+    out = {r["t"]: r["v"] for r in forward_fill(df, "t", ["v"]).collect()}
+    assert out == {1: None, 2: None, 3: 7.0, 4: 7.0}
+
+
+def test_windowed_agg_empty_input(spark):
+    from sparkksqldbbenchmark_spark.operators.windowed_agg import (
+        tumbling_window_agg,
+    )
+
+    df = spark.createDataFrame(
+        [], "ts timestamp, metric string, value double"
+    )
+    out = tumbling_window_agg(df, ts_col="ts", keys=("metric",))
+    assert out.count() == 0
