@@ -1,0 +1,95 @@
+"""Scale smoke: generate events at ~100× sf0.1 (10M rows, multi-file) in
+scratch space and measure the core plans — the empirical "would this hold
+at 1000×?" check. Expected: near-linear wall-clock in rows (the plans are
+scan + partial-agg + bounded shuffles), multi-task scans (many files →
+real parallelism, unlike the single-row-group TESTDATA files).
+
+Run: python tools/scale_smoke.py [rows_millions]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.operators.windowed_agg import (
+    tumbling_window_agg,
+)
+from sparkksqldbbenchmark_spark.session import SessionConfig, get_spark
+
+
+def main() -> None:
+    millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n = int(millions * 1_000_000)
+    spark = get_spark(SessionConfig(app_name="scale-smoke"))
+    d = tempfile.mkdtemp(prefix="scale_events_")
+    try:
+        print(f"generating {n:,} events into {d} (32 files)...",
+              file=sys.stderr)
+        t0 = time.time()
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + (F.col("id") % 2_592_000).cast("string")
+                    .cast("interval second")
+                ).alias("ts"),
+                (F.col("id") % 1500).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in
+                              ("click", "view", "error", "purchase",
+                               "signup")]),
+                    (F.col("id") % 5 + 1).cast("int"),
+                ).alias("event_type"),
+                F.round((F.col("id") % 100000) / 100.0, 2).alias("value"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        gen_s = time.time() - t0
+        print(f"generated in {gen_s:.1f}s", file=sys.stderr)
+
+        events = spark.read.parquet(d)
+
+        t0 = time.time()
+        agg = tumbling_window_agg(
+            events, ts_col="ts", window_duration="1 hour",
+            keys=("event_type",), value_col="value", order_col="event_id",
+        )
+        groups = agg.count()
+        core_s = time.time() - t0
+
+        t0 = time.time()
+        stations = (
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"), F.avg("value").alias("a"))
+            .count()
+        )
+        acc_s = time.time() - t0
+
+        t0 = time.time()
+        top = events.orderBy(F.desc("value"), F.asc("event_id")).limit(5)
+        top.collect()
+        topk_s = time.time() - t0
+
+        rows_per_sec = int(n / core_s)
+        print(
+            f"rows={n:,} core_window_agg={core_s:.1f}s "
+            f"({rows_per_sec:,} rows/s, {groups} groups) "
+            f"per_key_acc={acc_s:.1f}s ({stations} keys) top_k={topk_s:.1f}s"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
