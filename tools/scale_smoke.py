@@ -87,8 +87,43 @@ def main() -> None:
             f"({rows_per_sec:,} rows/s, {groups} groups) "
             f"per_key_acc={acc_s:.1f}s ({stations} keys) top_k={topk_s:.1f}s"
         )
+
+        # dedup at 10× documents: 50k synthetic word-salad docs (deterministic
+        # from id), ~60 words each, with every 1000th doc duplicating its
+        # predecessor so recall is observable.
+        from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
+
+        vocab = ("key agg row scan slow fast table value part hash merge "
+                 "batch window spark order data column join small line "
+                 "customer query big the group sort stream filter").split()
+        arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+        base_id = F.when(
+            F.col("id") % 1000 == 999, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        docs = (
+            spark.range(50_000)
+            .withColumn("bid", base_id)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"concat_ws(' ', transform(sequence(1, 60), i -> "
+                    f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+                    f"{len(vocab)}) + 1 as int))))"
+                ).alias("text"),
+            )
+        )
+        docs.write.mode("overwrite").parquet(d + "_docs")
+        docs = spark.read.parquet(d + "_docs")
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, "text", "doc_id").count()
+        dedup_s = time.time() - t0
+        print(
+            f"docs=50,000 minhash_lsh={dedup_s:.1f}s ({pairs} dup pairs, "
+            f"{int(50_000 / dedup_s):,} docs/s)"
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d + "_docs", ignore_errors=True)
 
 
 if __name__ == "__main__":
