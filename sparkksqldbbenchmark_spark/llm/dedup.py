@@ -221,8 +221,6 @@ def simhash_pairs(
     # HOF form, kept for single-column use); this shape keeps the hashing
     # in whole-stage codegen and the bit sums as partial aggregates — same
     # rationale as the minhash pipeline.
-    from sparkksqldbbenchmark_spark.llm.hashing import _P31  # noqa: F401
-
     toks = df.select(
         F.col(id_col), F.expr(spark_tokens(text_col)).alias("__toks")
     )
