@@ -1,0 +1,69 @@
+"""Near-duplicate clustering: connected components over the dedup pair
+graph, so each group of mutually-similar documents collapses to one
+canonical id (min id in the component) — the step after pair generation
+in a real dedup pipeline (keep one doc per cluster).
+
+Algorithm: iterative min-label propagation (the standard distributed CC
+approach — each round every node adopts the smallest label among itself
+and its neighbors; converges in O(diameter) rounds). Each round is one
+join + one aggregation — fully distributed; the driver only checks the
+convergence counter. Dedup components are tiny (near-dup groups), so
+diameter is small and rounds are few.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components_min_label(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id) × (src, dst) → (id, component) with component = min node id
+    reachable. Iterates until a fixpoint or max_iter."""
+    # undirected: propagate both ways
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    bwd = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    adj = fwd.unionByName(bwd)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    )
+    # iterative lineage must be truncated each round (localCheckpoint) or
+    # every convergence-check action re-executes all previous rounds —
+    # quadratic re-execution. Checkpointing keeps each round O(1) jobs.
+    adj = adj.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(adj, labels.id == adj.b)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -144,6 +144,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
 
 
+def _cluster_oracle(n: int = 5, threshold: float = 0.4) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {_jaccard_oracle(n, threshold)}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, r.label
+        FROM reach r JOIN edges e ON r.doc_id = e.b
+    )
+    SELECT doc_id, min(label) AS component
+    FROM reach GROUP BY doc_id
+    """
+
+
+@query("dedup_clusters", oracle=_cluster_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (iterative connected components over the n-gram
+    Jaccard pair graph): every document labeled with its component's min
+    doc id — singletons keep their own id, duplicate groups collapse to
+    one canonical. Spark side iterates min-label propagation (distributed
+    join+agg per round); the oracle computes the same fixpoint with a
+    recursive CTE."""
+    from sparkksqldbbenchmark_spark.llm.cluster import (
+        connected_components_min_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
+    labels = connected_components_min_label(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 # ----------------------------------------------------------- similarity --
 
 _SQL_DOT = (

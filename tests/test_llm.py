@@ -115,3 +115,23 @@ def test_ann_subset_of_brute_force(spark):
         key = (r["query_id"], r["cand_id"])
         if key in bf_cos:
             assert abs(bf_cos[key] - r["cosine_sim"]) < 1e-9
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c edges must land a, b, c in ONE component (transitivity —
+    the property pairwise dedup alone doesn't give you)."""
+    from sparkksqldbbenchmark_spark.llm.cluster import (
+        connected_components_min_label,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_min_label(
+            nodes, edges, src_col="doc_a", dst_col="doc_b"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
