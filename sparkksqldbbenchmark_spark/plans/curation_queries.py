@@ -50,6 +50,53 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(toks[i : i + 2], ' ')) AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS total_3grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE) AS repetition_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (boilerplate/spam signal): fraction of
+    word 3-grams that are repeats. High ratio → templated or degenerate
+    text — a standard pretraining-quality heuristic alongside the
+    stopword/length filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"
+        ).alias("grams"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("total_3grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("distinct_3grams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")).cast("double")
+            / F.size("grams").cast("double")
+        ).alias("repetition_ratio"),
+    )
+
+
+@query(
     "curation_pipeline",
     oracle=rf"""
     WITH scored AS (

@@ -52,6 +52,36 @@ def canon_rows(cols, rows) -> tuple[str, list[str]]:
     return h, lines
 
 
+# Spark simpleString → normalized type; DuckDB DESCRIBE type → normalized.
+_SPARK_TYPES = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "date": "date", "binary": "bin",
+    "array<double>": "f64[]", "array<float>": "f32[]",
+    "array<bigint>": "i64[]", "array<string>": "str[]",
+}
+_DUCK_TYPES = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date", "BLOB": "bin",
+    "DOUBLE[]": "f64[]", "FLOAT[]": "f32[]", "BIGINT[]": "i64[]",
+    "VARCHAR[]": "str[]",
+}
+
+
+def type_warnings(name, sdf, ocols, otypes) -> list[str]:
+    """Warn (not fail) when a column's type class differs across engines —
+    the driver's schema comparison may be stricter than name-only."""
+    warns = []
+    sd = dict(sdf.dtypes)
+    for col, duck_t in zip(ocols, otypes):
+        st = _SPARK_TYPES.get(sd.get(col, "?"), sd.get(col, "?"))
+        dt = _DUCK_TYPES.get(duck_t, duck_t)
+        if col in sd and st != dt:
+            warns.append(f"  TYPE? {name}.{col}: spark={st} duck={dt}")
+    return warns
+
+
 def main() -> int:
     import __spark_entry__ as mod
     from sparkksqldbbenchmark_spark.session import get_spark, SessionConfig
@@ -85,7 +115,15 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = [str(d[1]) for d in res.description]
             orows = res.fetchall()
+            desc = con.execute(
+                f"DESCRIBE {oracles[name]}"
+            ).fetchall()
+            for w in type_warnings(
+                name, sdf, [r[0] for r in desc], [r[1] for r in desc]
+            ):
+                print(w)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
