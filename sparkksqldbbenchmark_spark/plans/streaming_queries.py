@@ -76,6 +76,44 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_watermarked_append",
+    oracle=f"""
+    SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,
+           event_type,
+           count(*) AS message_count
+    FROM events
+    GROUP BY 1, 2
+    HAVING max(time_bucket(INTERVAL 1 HOUR, ts)) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+    """,
+)
+def streaming_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, oracle-checked (T4 extension): append mode
+    emits exactly the windows closed by the final watermark
+    (= max event time − delay). The oracle recomputes that closed-window
+    set relationally — Spark's state eviction must agree with it row for
+    row. 90-minute delay avoids window-boundary ties."""
+    stream = _read_events_stream(spark, sf_dir).withWatermark(
+        "ts", "90 minutes"
+    )
+    agged = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("message_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "message_count",
+        )
+    )
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_latest_table",
     oracle="""
     SELECT user_id,
