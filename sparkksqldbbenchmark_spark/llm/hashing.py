@@ -87,23 +87,6 @@ def sql_word_shingles(text: str, n: int) -> str:
     )
 
 
-def spark_minhash(shingles: str, seed: int) -> str:
-    """One minhash: min over shingles of the seeded 60-bit hash. (Simple
-    form; prefer spark_minhash_sig — one md5 per shingle for all k.)"""
-    salted = f"concat(s, '#{seed}')"
-    return (
-        f"array_min(transform({shingles}, s -> {spark_md5_int(salted)}))"
-    )
-
-
-def sql_minhash(shingles: str, seed: int) -> str:
-    salted = f"(s || '#{seed}')"
-    return (
-        f"list_aggregate(list_transform({shingles},"
-        f" s -> {sql_md5_int(salted)}), 'min')"
-    )
-
-
 # Universal-hash minhash signature: one md5 per shingle, then k affine
 # hashes h_j(x) = ((2j+1)·x31 + b_j) mod P over the 31-bit residue — the
 # standard (a·x+b) mod p scheme. All arithmetic stays < 2^63 (no overflow:
