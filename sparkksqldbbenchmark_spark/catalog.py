@@ -33,9 +33,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     to run our plans deterministically: timestamp[ns] parquet handling and
     UTC timestamp rendering (oracle comparisons format timestamps as
     strings — a non-UTC session would shift them). Both are runtime
-    confs."""
+    confs. ANSI mode (Spark 4 default: on) is disabled to match the
+    reference's permissive arithmetic — corr/ratio divisions over empty
+    or constant groups must yield NULL, not DIVIDE_BY_ZERO."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,13 +63,17 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Load every table and register `<name>` temp views."""
+    """Load every table and register `<name>` temp views.
+
+    Delegates to load_table so registered views get the same session
+    confs and ns→µs timestamp normalization as direct loads — a view
+    exposing raw int64 nanos would silently break time queries."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -50,22 +50,86 @@ def forward_fill(
     order_col: str,
     cols: Sequence[str],
     partition_cols: Sequence[str] = (),
+    bucket_expr=None,
 ) -> DataFrame:
     """pandas ffill (price_prediction.ipynb cell 14) — last non-null value
     carried forward along the time axis.
 
-    With empty ``partition_cols`` this is a single global window (matches
-    the notebook exactly; fine at fixture scale). At 100 TB pass a partition
-    key (e.g. series id or coarse time bucket) so the window parallelizes —
-    SURVEY §7 risk 7."""
+    With ``partition_cols`` the fill runs per partition (one window, fully
+    parallel). WITHOUT partition_cols the semantics are a GLOBAL fill, but
+    the plan is still distributed: a two-pass chunked fill —
+
+      1. bucket rows by a coarse chunk of ``order_col`` (default: calendar
+         day for timestamp/date columns) and ffill WITHIN each bucket in
+         parallel;
+      2. compute each bucket's last non-null value per column
+         (``max_by`` aggregate), run the carry-forward over the tiny
+         bucket list (|buckets| rows, not |data| rows), and broadcast the
+         per-bucket carry-in back to patch null prefixes.
+
+    Identical results to a single global window, no single-reducer sort of
+    the full data — SURVEY §7 risk 7. For non-temporal order columns pass
+    ``bucket_expr`` (any coarse monotone-in-order_col expression); without
+    one the fill degrades to a single explicit partition (fixture-scale
+    only)."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*partition_cols)
+    if partition_cols:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df
+        for c in cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return out
+
+    if bucket_expr is None:
+        dtype = dict(df.dtypes).get(order_col, "")
+        if dtype.startswith("timestamp") or dtype == "date":
+            bucket_expr = F.to_date(F.col(order_col))
+        else:
+            # no sensible coarse chunk — explicit single partition keeps
+            # the plan deterministic (and warning-free) at fixture scale
+            bucket_expr = F.lit(0)
+
+    b = "__ff_bucket"
+    out = df.withColumn(b, bucket_expr)
+    wb = (
+        Window.partitionBy(b)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = df
     for c in cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+
+    # per-bucket last non-null value: deterministic via max_by on the
+    # order column (null where the column is null, so those rows lose)
+    lasts = out.groupBy(b).agg(
+        *[
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col))
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    # carry-in for bucket k = last non-null among buckets < k. This window
+    # runs over |buckets| rows (days), not the data — the explicit
+    # single-partition spec is intentional and cheap.
+    wc = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(b)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = lasts.select(
+        b,
+        *[
+            F.last(c, ignorenulls=True).over(wc).alias(f"__carry_{c}")
+            for c in cols
+        ],
+    )
+    out = out.join(F.broadcast(carry), on=b, how="left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+    return out.drop(b, *[f"__carry_{c}" for c in cols])

@@ -144,10 +144,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
 
 
-def _cluster_oracle(n: int = 5, threshold: float = 0.4) -> str:
+def _cluster_oracle() -> str:
+    # pair graph = the minhash-LSH candidates (the scale path), not the
+    # raw-shingle inverted-index join
     return f"""
     WITH RECURSIVE pairs AS (
-        {_jaccard_oracle(n, threshold)}
+        {_minhash_oracle()}
     ), edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL
@@ -165,18 +167,20 @@ def _cluster_oracle(n: int = 5, threshold: float = 0.4) -> str:
 
 @query("dedup_clusters", oracle=_cluster_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering (iterative connected components over the n-gram
-    Jaccard pair graph): every document labeled with its component's min
-    doc id — singletons keep their own id, duplicate groups collapse to
-    one canonical. Spark side iterates min-label propagation (distributed
-    join+agg per round); the oracle computes the same fixpoint with a
-    recursive CTE."""
+    """Near-dup clustering (iterative connected components over the
+    minhash-LSH pair graph — the bucketed candidate path that survives
+    100 TB, not the raw-shingle inverted-index join): every document
+    labeled with its component's min doc id — singletons keep their own
+    id, duplicate groups collapse to one canonical. Spark side iterates
+    min-label propagation (distributed join+agg per round, convergence
+    checked every few rounds); the oracle computes the same fixpoint
+    with a recursive CTE over the same minhash candidate pairs."""
     from sparkksqldbbenchmark_spark.llm.cluster import (
         connected_components_min_label,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
     labels = connected_components_min_label(
         docs.select(F.col("doc_id").alias("id")),
         pairs,
@@ -493,23 +497,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The decode itself is Python (mapInPandas) — but the deterministic
     # fake codec is md5-derived, so the oracle can recompute the expected
     # output in SQL and verify the Arrow/Pandas path byte-for-byte.
+    # The registered shape explodes the feature vector to one (doc_id,
+    # bin, feat) row per bin: every column is a scalar the checker can
+    # sort/hash (an array<double> column is unhashable for its pandas
+    # canonicalizer), and the k/16 feature values are exact doubles in
+    # both engines. The operator API (extract_features) keeps the array.
     oracle="""
-    SELECT doc_id,
-           ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+    SELECT d.doc_id,
+           ['image','audio','video'][(d.doc_id % 3) + 1] AS media_type,
            16::BIGINT AS n_bytes,
-           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
-           CAST(doc_id % 480 + 16 AS INTEGER) AS height,
-           list_transform(range(0, 16), bin ->
-               len(list_filter(range(1, 17), i ->
-                   ('0x' || substring(md5(text), 2*i-1, 2))::INT % 16 = bin))
-               / 16.0) AS features
-    FROM documents
+           CAST(d.doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(d.doc_id % 480 + 16 AS INTEGER) AS height,
+           r.bin::INT AS bin,
+           len(list_filter(range(1, 17), i ->
+               ('0x' || substring(md5(d.text), 2*i-1, 2))::INT % 16 = r.bin))
+           / 16.0 AS feat
+    FROM documents d, range(0, 16) r(bin)
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_media_blobs(docs)
-    return multimodal.extract_features(blobs)
+    feats = multimodal.extract_features(blobs)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("features").alias("bin", "feat"),
+    )
 
 
 @query("multimodal_frame_sample")  # rows-only: plumbing for video decode

@@ -67,10 +67,30 @@ def sessionize(
     gap_seconds: int = 30,
 ) -> DataFrame:
     """Session windows: events for a key belong to one session while gaps
-    stay under `gap_seconds`; a closed session emits one row. Uses
-    applyInPandasWithState with an event-time timeout so sessions close
-    when the watermark passes the gap."""
+    stay under `gap_seconds`; a closed session emits one row. Incoming
+    events are sorted and SPLIT on gap boundaries (including the gap
+    between the stored open session and the first new event) — sessions
+    closed by an in-batch gap emit immediately; only the trailing open
+    session stays in state, closing later via event-time timeout when the
+    watermark passes its end + gap. Matches F.session_window semantics.
+    """
     import pandas as pd
+
+    def frame(k: str, sessions: list[tuple]) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "key": pd.Series([k] * len(sessions), dtype="object"),
+                "session_start": pd.Series(
+                    [s[0] for s in sessions], dtype="datetime64[ns]"
+                ),
+                "session_end": pd.Series(
+                    [s[1] for s in sessions], dtype="datetime64[ns]"
+                ),
+                "event_count": pd.Series(
+                    [s[2] for s in sessions], dtype="int64"
+                ),
+            }
+        )
 
     def fn(
         key: tuple,
@@ -80,46 +100,40 @@ def sessionize(
         if state.hasTimedOut:
             start, end, count = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "session_start": [start],
-                    "session_end": [end],
-                    "event_count": [count],
-                }
-            )
+            yield frame(key[0], [(start, end, count)])
             return
 
-        ts_min = None
-        ts_max = None
-        n = 0
-        for pdf in pdfs:
-            col = pd.to_datetime(pdf[ts_col])
-            lo, hi = col.min(), col.max()
-            ts_min = lo if ts_min is None else min(ts_min, lo)
-            ts_max = hi if ts_max is None else max(ts_max, hi)
-            n += len(pdf)
+        parts = [pd.to_datetime(pdf[ts_col]) for pdf in pdfs]
+        ts = pd.concat(parts).sort_values().reset_index(drop=True)
+        # vectorized gap split: a new group starts where the inter-event
+        # gap exceeds gap_seconds
+        groups = (ts.diff().dt.total_seconds() > gap_seconds).cumsum()
+        agg = ts.groupby(groups).agg(["min", "max", "count"])
+        sessions = [
+            (
+                row["min"].to_pydatetime(),
+                row["max"].to_pydatetime(),
+                int(row["count"]),
+            )
+            for _, row in agg.iterrows()
+        ]
         if state.exists:
             start, end, count = state.get
-            start = min(start, ts_min.to_pydatetime())
-            end = max(end, ts_max.to_pydatetime())
-            count += n
-        else:
-            start = ts_min.to_pydatetime()
-            end = ts_max.to_pydatetime()
-            count = n
-        state.update((start, end, count))
+            first = sessions[0]
+            if (first[0] - end).total_seconds() <= gap_seconds:
+                sessions[0] = (
+                    min(start, first[0]),
+                    max(end, first[1]),
+                    count + first[2],
+                )
+            else:
+                sessions.insert(0, (start, end, count))
+        closed, tail = sessions[:-1], sessions[-1]
+        state.update(tail)
         state.setTimeoutTimestamp(
-            int(end.timestamp() * 1000) + gap_seconds * 1000
+            int(tail[1].timestamp() * 1000) + gap_seconds * 1000
         )
-        yield pd.DataFrame(
-            {
-                "key": pd.Series([], dtype="object"),
-                "session_start": pd.Series([], dtype="datetime64[ns]"),
-                "session_end": pd.Series([], dtype="datetime64[ns]"),
-                "event_count": pd.Series([], dtype="int64"),
-            }
-        )
+        yield frame(key[0], closed)
 
     return (
         df.withWatermark(ts_col, f"{gap_seconds} seconds")

@@ -55,6 +55,37 @@ def test_forward_fill_all_null_prefix(spark):
     assert out == {1: None, 2: None, 3: 7.0, 4: 7.0}
 
 
+def test_forward_fill_chunked_crosses_buckets(spark):
+    """Timestamp order column engages the chunked two-pass fill (one
+    bucket per day); values must carry across bucket boundaries, through
+    all-null buckets, and null prefixes before any value stay null."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("2024-01-01 01:00:00", None, None),
+        ("2024-01-01 02:00:00", 1.0, None),  # day 1: v gets a value
+        ("2024-01-02 01:00:00", None, None),  # day 2: all null → carry-in
+        ("2024-01-02 02:00:00", None, None),
+        ("2024-01-03 01:00:00", None, 9.0),  # day 3: v carried 2 days; w new
+        ("2024-01-03 02:00:00", 3.0, None),
+    ]
+    df = spark.createDataFrame(rows, "ts string, v double, w double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        str(r["ts"]): (r["v"], r["w"])
+        for r in forward_fill(df, "ts", ["v", "w"]).collect()
+    }
+    assert got == {
+        "2024-01-01 01:00:00": (None, None),
+        "2024-01-01 02:00:00": (1.0, None),
+        "2024-01-02 01:00:00": (1.0, None),
+        "2024-01-02 02:00:00": (1.0, None),
+        "2024-01-03 01:00:00": (1.0, 9.0),
+        "2024-01-03 02:00:00": (3.0, 9.0),
+    }
+
+
 def test_windowed_agg_empty_input(spark):
     from sparkksqldbbenchmark_spark.operators.windowed_agg import (
         tumbling_window_agg,

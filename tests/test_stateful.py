@@ -80,6 +80,10 @@ def test_sessionize(spark):
         (r["key"], str(r["session_start"]), r["event_count"])
         for r in spark.table(name).collect()
     }
-    # The first micro-batch sees all u1 events at once: state merges them
-    # into one session (start 00:00:00). It closes via event-time timeout.
-    assert any(k == "u1" and c == 3 for k, _, c in sessions)
+    # Even arriving in one micro-batch, the 5-minute gap splits u1 into
+    # two sessions: [00:00:00, 00:00:10] (2 events, closed by the in-batch
+    # gap) and [00:05:00] (1 event, closed by event-time timeout).
+    u1 = {(s, c) for k, s, c in sessions if k == "u1"}
+    assert ("2024-01-01 00:00:00", 2) in u1
+    assert ("2024-01-01 00:05:00", 1) in u1
+    assert not any(c == 3 for _, c in u1)

@@ -84,9 +84,22 @@ def type_warnings(name, sdf, ocols, otypes) -> list[str]:
 
 def main() -> int:
     import __spark_entry__ as mod
-    from sparkksqldbbenchmark_spark.session import get_spark, SessionConfig
 
-    spark = get_spark(SessionConfig(shuffle_partitions=8))
+    if os.environ.get("CHECK_VANILLA"):
+        # Replicate the driver's session: no engine confs at build time
+        # (Spark 4 ANSI mode ON, 200 shuffle partitions). Queries must
+        # self-adapt via catalog.ensure_session_confs.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from sparkksqldbbenchmark_spark.session import get_spark, SessionConfig
+
+        spark = get_spark(SessionConfig(shuffle_partitions=8))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
