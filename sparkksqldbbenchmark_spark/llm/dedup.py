@@ -149,10 +149,17 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # the verify tree below references `cand` three times (directly plus
+    # through both shingle sides) — without materialization the whole
+    # shingle→sig→band→self-join pipeline re-executes per reference.
+    # Candidate pairs are tiny (that is the point of LSH), so an eager
+    # localCheckpoint costs one small write and removes two full
+    # recomputations of the signature pass.
+    cand = cand.localCheckpoint(eager=True)
     # recompute shingles ONLY for candidate docs: semi-join the corpus down
     # to ids appearing in a candidate pair first. Candidates are a tiny
-    # fraction of the corpus (that is the whole point of LSH), so this
-    # avoids shingling the full corpus two more times for the verify joins.
+    # fraction of the corpus, so this avoids shingling the full corpus two
+    # more times for the verify joins.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
@@ -161,6 +168,8 @@ def minhash_lsh_pairs(
     cand_shingles = _with_shingles(
         df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
     )
+    # joined twice below (doc_a side, doc_b side) — materialize once
+    cand_shingles = cand_shingles.localCheckpoint(eager=True)
     verified = cand.join(
         cand_shingles.select(
             F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")

@@ -62,10 +62,11 @@ def forward_fill(
       1. bucket rows by a coarse chunk of ``order_col`` (default: calendar
          day for timestamp/date columns) and ffill WITHIN each bucket in
          parallel;
-      2. compute each bucket's last non-null value per column
-         (``max_by`` aggregate), run the carry-forward over the tiny
-         bucket list (|buckets| rows, not |data| rows), and broadcast the
-         per-bucket carry-in back to patch null prefixes.
+      2. compute each bucket's last non-null value per column with a
+         whole-bucket window frame (shares the fill's exchange — no extra
+         shuffle), run the carry-forward over the tiny bucket list
+         (|buckets| rows, not |data| rows), and broadcast the per-bucket
+         carry-in back to patch null prefixes.
 
     Identical results to a single global window, no single-reducer sort of
     the full data — SURVEY §7 risk 7. For non-temporal order columns pass
@@ -101,18 +102,21 @@ def forward_fill(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # whole-bucket frame shares wb's exchange+sort — the per-bucket last
+    # value costs no extra shuffle, just one more window function
+    wfull = (
+        Window.partitionBy(b)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     for c in cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+        out = out.withColumn(
+            f"__last_{c}", F.last(c, ignorenulls=True).over(wfull)
+        ).withColumn(c, F.last(c, ignorenulls=True).over(wb))
 
-    # per-bucket last non-null value: deterministic via max_by on the
-    # order column (null where the column is null, so those rows lose)
-    lasts = out.groupBy(b).agg(
-        *[
-            F.max_by(
-                F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col))
-            ).alias(c)
-            for c in cols
-        ]
+    lasts = (
+        out.select(b, *[F.col(f"__last_{c}").alias(c) for c in cols])
+        .dropDuplicates([b])
     )
     # carry-in for bucket k = last non-null among buckets < k. This window
     # runs over |buckets| rows (days), not the data — the explicit
@@ -132,4 +136,8 @@ def forward_fill(
     out = out.join(F.broadcast(carry), on=b, how="left")
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
-    return out.drop(b, *[f"__carry_{c}" for c in cols])
+    return out.drop(
+        b,
+        *[f"__carry_{c}" for c in cols],
+        *[f"__last_{c}" for c in cols],
+    )
