@@ -159,6 +159,68 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    *,
+    num_centroids: int = 8,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) coarse quantizer:
+    seeds = the first `num_centroids` vectors, then a fixed number of
+    assign/re-center rounds. Each round is one broadcast score-join
+    (argmax cosine, ties to the lower centroid id) plus one element-wise
+    mean — computed with DECIMAL(38,12)-exact sums so the result is
+    independent of partition/accumulation order and reproducible in the
+    DuckDB oracle (cross-engine double sums are order-sensitive; decimal
+    sums are not). `base` is with_unit_norm output: (id, vec, norm).
+
+    The fixed iteration count keeps the plan static (no driver-side
+    convergence loop) — the standard production trade for coarse
+    quantizers, where cell quality plateaus after a few rounds."""
+    from pyspark.sql import Window
+
+    cent = base.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(lloyd_iters):
+        scored = base.join(F.broadcast(cent)).withColumn(
+            "c_cos",
+            F.expr(_dot("vec", "cvec")) / (F.col("norm") * F.col("cnorm")),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("c_cos"), F.asc("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("centroid_id", "vec")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("vec"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mv")
+            )
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))),"
+                    " s -> s.mv)"
+                ).alias("cvec")
+            )
+            .withColumn("cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
+        )
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -167,23 +229,25 @@ def ivf_topk(
     num_centroids: int = 8,
     num_queries: int = 10,
     k: int = 5,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
     search probes only the query's cell (nprobe=1).
 
-    Centroids here are the first `num_centroids` vectors (deterministic,
-    reproducible, oracle-checkable); production would k-means them — the
-    plan shape (broadcast centroids → argmin assignment → cell-equi-join →
-    exact rerank) is identical either way, and it is the join-based shape
-    that scales: assignment is a broadcast nested score over K centroids,
-    search never leaves the cell."""
+    Centroids come from a seeded, fixed-round Lloyd refinement
+    (kmeans_centroids) — deterministic and oracle-checkable. The plan
+    shape (broadcast centroids → argmin assignment → cell-equi-join →
+    exact rerank) is the join-based shape that scales: assignment is a
+    broadcast nested score over K centroids, search never leaves the
+    cell."""
     from pyspark.sql import Window
 
     base = with_unit_norm(df.select(id_col, vec_col), vec_col)
-    centroids = base.where(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
+    centroids = kmeans_centroids(
+        base,
+        id_col,
+        num_centroids=num_centroids,
+        lloyd_iters=lloyd_iters,
     )
     scored = base.join(F.broadcast(centroids)).withColumn(
         "c_cos",

@@ -289,7 +289,38 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(num_centroids: int = 8, nq: int = 10, k: int = 5,
-                dim: int = 64) -> str:
+                dim: int = 64, lloyd_iters: int = 2) -> str:
+    # Lloyd rounds unrolled: assignment under c{i-1} → element-wise mean
+    # with DECIMAL(38,12)-exact sums (order-independent, matching the
+    # Spark side bit for bit) → c{i}. Seeds c0 = first K vectors.
+    lloyd = ""
+    prev = "c0"
+    for i in range(1, lloyd_iters + 1):
+        lloyd += f""", a{i} AS (
+        SELECT vec_id, vec, centroid_id FROM (
+            SELECT n.vec_id, n.vec, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_sql_dot("n.vec", "c.cvec", dim)}
+                                / (n.norm * c.cnorm) DESC, c.centroid_id
+                   ) AS r
+            FROM normed n CROSS JOIN {prev} c
+        ) WHERE r = 1
+    ), m{i} AS (
+        SELECT centroid_id, r.i AS pos,
+               CAST(SUM(CAST(vec[r.i] AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS mv
+        FROM a{i}, range(1, {dim + 1}) r(i)
+        GROUP BY centroid_id, r.i
+    ), c{i} AS (
+        SELECT centroid_id, cvec,
+               sqrt({_sql_dot("cvec", "cvec", dim)}) AS cnorm
+        FROM (
+            SELECT centroid_id, list(mv ORDER BY pos) AS cvec
+            FROM m{i} GROUP BY centroid_id
+        )
+    )"""
+        prev = f"c{i}"
     return f"""
     WITH base AS (
         SELECT vec_id,
@@ -298,9 +329,11 @@ def _ivf_oracle(num_centroids: int = 8, nq: int = 10, k: int = 5,
     ), normed AS (
         SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
         FROM base
-    ), centroids AS (
+    ), c0 AS (
         SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm
         FROM normed WHERE vec_id < {num_centroids}
+    ){lloyd}, centroids AS (
+        SELECT centroid_id, cvec, cnorm FROM {prev}
     ), assigned AS (
         SELECT vec_id, vec, norm, centroid_id FROM (
             SELECT n.vec_id, n.vec, n.norm, c.centroid_id,

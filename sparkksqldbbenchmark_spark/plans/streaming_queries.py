@@ -140,6 +140,68 @@ def streaming_latest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_update_mode_final",
+    oracle=f"""
+    SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,
+           event_type,
+           {sql_stable_avg("value")} AS avg_value,
+           count(*) AS message_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_update_mode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, deterministically gated (T3 —
+    SparkWeatherConsumer.scala:130): the events table is re-laid-out as
+    4 files and streamed with maxFilesPerTrigger=1, so availableNow runs
+    4 micro-batches and the memory sink records every per-batch update
+    row. A key's message_count strictly increases across its updates, so
+    max_by(avg_value, message_count) per key recovers exactly the final
+    state — which must hash-match the batch aggregate over all events.
+    This checks the update-mode cadence itself (several updates per key),
+    not just the complete-mode final table."""
+    import tempfile
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="upd_stream_")
+    events.repartition(4, "event_id").write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agged = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("message_count"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "avg_value",
+            "message_count",
+        )
+    )
+    name = f"stream_upd_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="update")
+    q.stop()
+    sink = spark.table(name)
+    return sink.groupBy("window_start", "event_type").agg(
+        F.max_by("avg_value", "message_count").alias("avg_value"),
+        F.max("message_count").alias("message_count"),
+    )
+
+
+@query(
     "streaming_union_window_agg",
     oracle=f"""
     SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,

@@ -117,23 +117,39 @@ def decode_avro_value(
     avro_schema_json: str,
     *,
     framed: bool = True,
+    python_fallback: bool = True,
 ) -> DataFrame:
     """S2/S7 — decode the Kafka `value` into a `data` struct column.
-    Requires spark-avro on the classpath; raises a clear error otherwise.
-    With framed=False the payload is raw Avro (the monitor's second
-    branch)."""
-    if not avro_available():
-        raise RuntimeError(
-            "spark-avro is not on the classpath; launch with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
-            "or use JSON payloads (decode_json_value)"
-        )
-    from pyspark.sql.avro.functions import from_avro
-
+    Prefers spark-avro's from_avro (JVM, codegen — the 100 TB path). When
+    spark-avro is absent and ``python_fallback`` is set, flat record
+    schemas decode through the pure-Python Avro codec
+    (sources/avro_codec.py, mapInPandas) with the identical output shape;
+    set python_fallback=False to require the JVM path. With framed=False
+    the payload is raw Avro (the monitor's second branch)."""
     payload = (
         strip_confluent_header(F.col("value")) if framed else F.col("value")
     )
-    return df.withColumn("data", from_avro(payload, avro_schema_json))
+    if avro_available():
+        # the import succeeding does not guarantee the Avro data source is
+        # loaded — that surfaces as AnalysisException at plan analysis
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            return df.withColumn("data", from_avro(payload, avro_schema_json))
+        except Exception:
+            if not python_fallback:
+                raise
+    if python_fallback:
+        from sparkksqldbbenchmark_spark.sources.avro_codec import (
+            decode_avro_value_python,
+        )
+
+        return decode_avro_value_python(df, avro_schema_json, framed=framed)
+    raise RuntimeError(
+        "spark-avro is not on the classpath; launch with "
+        "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+        "or use JSON payloads (decode_json_value)"
+    )
 
 
 def decode_json_value(df: DataFrame, schema) -> DataFrame:

@@ -45,13 +45,17 @@ ROWS = [
 ]
 
 
-def _write_fixture(spark) -> str:
+def _write_fixture(spark, n_files: int = 1) -> str:
     d = tempfile.mkdtemp(prefix="stream_fixture_")
     df = spark.createDataFrame(
         [(r[0], r[1], r[2], r[3], r[4]) for r in ROWS],
         "ts string, stationId long, metric string, value double, offset long",
     ).withColumn("ts", F.to_timestamp("ts"))
-    df.coalesce(1).write.mode("overwrite").parquet(d)
+    if n_files == 1:
+        df = df.coalesce(1)
+    else:
+        df = df.repartition(n_files, "offset")
+    df.write.mode("overwrite").parquet(d)
     return d
 
 
@@ -110,6 +114,45 @@ def test_update_mode_emits_rows(spark):
     q = run_to_memory(stream_df, name, output_mode="update")
     q.stop()
     assert spark.table(name).count() >= 4
+
+
+def test_update_mode_multiple_updates_per_key(spark):
+    """T3 cadence: with one file per micro-batch, a key spanning several
+    batches emits one update row per batch it changes in, counts strictly
+    increasing; the last update equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    d = _write_fixture(spark, n_files=3)
+    stream_df = tumbling_window_agg(
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d),
+        ts_col="ts",
+        keys=("metric",),
+    )
+    name = f"upm_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream_df, name, output_mode="update")
+    q.stop()
+    sink = spark.table(name)
+    # at least one (window, metric) key must have been updated in more
+    # than one micro-batch
+    multi = (
+        sink.groupBy("window_start", "metric")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert multi >= 1
+    final = sink.groupBy("window_start", "metric").agg(
+        F.max("message_count").alias("message_count")
+    )
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 minute"), "metric")
+        .count()
+    )
+    assert sum(r["message_count"] for r in final.collect()) == len(ROWS)
+    assert final.count() == batch.count()
 
 
 def test_processing_time_mode_smoke(spark):
