@@ -170,10 +170,20 @@ def kmeans_centroids(
     seeds = the first `num_centroids` vectors, then a fixed number of
     assign/re-center rounds. Each round is one broadcast score-join
     (argmax cosine, ties to the lower centroid id) plus one element-wise
-    mean — computed with DECIMAL(38,12)-exact sums so the result is
-    independent of partition/accumulation order and reproducible in the
-    DuckDB oracle (cross-engine double sums are order-sensitive; decimal
-    sums are not). `base` is with_unit_norm output: (id, vec, norm).
+    mean.
+
+    The mean is computed over components quantized to integer nano-units
+    (``floor(x*1e9 + 0.5)`` — identical IEEE double multiply/add/floor in
+    every engine, so the integers match bit-for-bit cross-engine), summed
+    as exact BIGINTs (order-independent), and divided once in double.
+    This replaces the earlier CAST(x AS DECIMAL(38,12)) sum, whose
+    rounding convention differs between engines on exact half-way values:
+    Spark casts double->decimal HALF_UP on the shortest decimal string
+    while DuckDB rounds the binary value HALF_EVEN, and the embeddings
+    data really contains odd-multiple-of-2^-13 components (7 at sf0.1)
+    where the two disagree by 1e-12. Quantizing at 1e-9 keeps full
+    float32 precision for |x| <= 1 (~7 significant digits) and is exact
+    by construction. `base` is with_unit_norm output: (id, vec, norm).
 
     The fixed iteration count keeps the plan static (no driver-side
     convergence loop) — the standard production trade for coarse
@@ -203,8 +213,11 @@ def kmeans_centroids(
             .groupBy("centroid_id", "pos")
             .agg(
                 (
-                    F.sum(F.col("col").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1))
+                    F.sum(
+                        F.floor(F.col("col") * F.lit(1e9) + F.lit(0.5))
+                        .cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
                 ).alias("mv")
             )
         )

@@ -291,8 +291,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_oracle(num_centroids: int = 8, nq: int = 10, k: int = 5,
                 dim: int = 64, lloyd_iters: int = 2) -> str:
     # Lloyd rounds unrolled: assignment under c{i-1} → element-wise mean
-    # with DECIMAL(38,12)-exact sums (order-independent, matching the
-    # Spark side bit for bit) → c{i}. Seeds c0 = first K vectors.
+    # over integer nano-unit quantized components (floor(x*1e9+0.5) —
+    # identical IEEE ops in both engines), summed as exact BIGINTs
+    # (order-independent, matching the Spark side bit for bit) → c{i}.
+    # Seeds c0 = first K vectors. See kmeans_centroids docstring for why
+    # this replaced the DECIMAL(38,12) cast (cross-engine half-way
+    # rounding divergence on dyadic tie values present in the data).
     lloyd = ""
     prev = "c0"
     for i in range(1, lloyd_iters + 1):
@@ -308,8 +312,9 @@ def _ivf_oracle(num_centroids: int = 8, nq: int = 10, k: int = 5,
         ) WHERE r = 1
     ), m{i} AS (
         SELECT centroid_id, r.i AS pos,
-               CAST(SUM(CAST(vec[r.i] AS DECIMAL(38,12))) AS DOUBLE)
-                   / COUNT(*) AS mv
+               CAST(SUM(CAST(FLOOR(vec[r.i] * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mv
         FROM a{i}, range(1, {dim + 1}) r(i)
         GROUP BY centroid_id, r.i
     ), c{i} AS (

@@ -206,18 +206,27 @@ def decode_avro_value_python(
     # decoded fields carry a __avro_ prefix in the flat frame so record
     # field names (e.g. the weather schema's `value`) can't collide with
     # Kafka columns; the struct packing below restores the real names
+    # the flat __avro_ fields are always nullable regardless of the Avro
+    # schema: a tombstone (null payload) nulls every field of its row
     out_schema = StructType(
         [f for f in stripped.schema.fields if f.name != "__avro_payload"]
         + [
-            StructField(f"__avro_{f.name}", f.dataType, f.nullable)
+            StructField(f"__avro_{f.name}", f.dataType, True)
             for f in spark_schema_for(schema).fields
         ]
     )
 
+    null_record = {n: None for n in names}
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
+            # Kafka tombstones (null values) arrive as None/NaN in the
+            # pandas batch; decode to all-null fields so the packed struct
+            # below can become a null struct, matching from_avro's output.
             decoded = [
                 decode_record(schema, bytes(b))
+                if isinstance(b, (bytes, bytearray))
+                else null_record
                 for b in pdf["__avro_payload"]
             ]
             res = pdf.drop(columns=["__avro_payload"])
@@ -227,11 +236,15 @@ def decode_avro_value_python(
 
     flat = stripped.mapInPandas(batches, out_schema)
     # package the record fields as a `data` struct — the same shape
-    # decode_avro_value produces, so flatten_payload works on either
+    # decode_avro_value produces, so flatten_payload works on either.
+    # A null payload yields data = NULL (not a struct of nulls), the same
+    # as the JVM from_avro path on a tombstone.
     keep = [f.name for f in df.schema.fields]
+    struct_type = spark_schema_for(schema)
+    packed = F.struct(*[F.col(f"__avro_{n}").alias(n) for n in names])
     return flat.select(
         *keep,
-        F.struct(
-            *[F.col(f"__avro_{n}").alias(n) for n in names]
-        ).alias("data"),
+        F.when(F.col(value_col).isNull(), F.lit(None).cast(struct_type))
+        .otherwise(packed)
+        .alias("data"),
     )

@@ -20,6 +20,8 @@ builders are exercised by unit tests on the framing expressions only).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,6 +114,22 @@ def add_confluent_header(payload: Column, schema_id: int) -> Column:
     return F.concat(F.lit(header), payload)
 
 
+def _is_missing_avro_error(exc: Exception) -> bool:
+    """True only for the signatures of spark-avro being absent from the
+    classpath: the FAILED_TO_LOAD/Failed-to-find AnalysisException at
+    analysis time, or Py4J's 'does not exist in the JVM' when the function
+    object itself is missing."""
+    msg = str(exc).upper()
+    return (
+        "AVRO_NOT_LOADED" in msg
+        or "FAILED_TO_LOAD_AVRO" in msg
+        or ("FAILED TO FIND" in msg and "AVRO" in msg)
+        or ("DOES NOT EXIST IN THE JVM" in msg and "AVRO" in msg)
+        or "CLASSNOTFOUNDEXCEPTION" in msg
+        or "NOCLASSDEFFOUNDERROR" in msg
+    )
+
+
 def decode_avro_value(
     df: DataFrame,
     avro_schema_json: str,
@@ -131,14 +149,33 @@ def decode_avro_value(
     )
     if avro_available():
         # the import succeeding does not guarantee the Avro data source is
-        # loaded — that surfaces as AnalysisException at plan analysis
+        # loaded — depending on Spark version that surfaces as an
+        # AnalysisException at analysis or a Py4J "does not exist in the
+        # JVM" at call time. Only a recognizably-missing jar/data-source
+        # falls back; genuine user errors (malformed avro_schema_json,
+        # unsupported schema features) propagate instead of silently
+        # changing decode paths.
         try:
             from pyspark.sql.avro.functions import from_avro
 
             return df.withColumn("data", from_avro(payload, avro_schema_json))
-        except Exception:
+        except ImportError:
             if not python_fallback:
                 raise
+            warnings.warn(
+                "pyspark.sql.avro import failed; falling back to the "
+                "pure-Python Avro codec (mapInPandas)",
+                stacklevel=2,
+            )
+        except Exception as exc:
+            if not python_fallback or not _is_missing_avro_error(exc):
+                raise
+            warnings.warn(
+                f"spark-avro data source unavailable ({type(exc).__name__}: "
+                f"{str(exc).splitlines()[0][:120]}); falling back to the "
+                "pure-Python Avro codec",
+                stacklevel=2,
+            )
     if python_fallback:
         from sparkksqldbbenchmark_spark.sources.avro_codec import (
             decode_avro_value_python,

@@ -208,3 +208,25 @@ def test_decode_avro_value_public_path(spark):
     assert got["stationId"] == 601
     assert got["metric"] == "temp_dry"
     assert got["value"] == 21.5
+
+
+def test_decode_tombstone_yields_null_struct(spark):
+    """A null Kafka value (tombstone) decodes to data = NULL — the same
+    shape the JVM from_avro path produces — instead of raising in the
+    pandas batch loop."""
+    rec = {
+        "timeObserved": "2024-06-01T12:00:00Z",
+        "stationId": 601,
+        "stationName": "st",
+        "metric": "temp_dry",
+        "value": 21.5,
+        "producer_ts": 1717243200000,
+    }
+    framed = bytes([0]) + (9).to_bytes(4, "big") + encode_record(
+        WEATHER_SCHEMA, rec
+    )
+    df = spark.createDataFrame([(framed,), (None,)], "value binary")
+    rows = decode_avro_value_python(df, WEATHER_SCHEMA, framed=True).collect()
+    by_null = {r["value"] is None: r for r in rows}
+    assert by_null[True]["data"] is None
+    assert by_null[False]["data"]["stationId"] == 601
