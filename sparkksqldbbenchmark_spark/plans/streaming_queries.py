@@ -202,6 +202,66 @@ def streaming_update_mode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 12 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 12 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS event_count
+    FROM islands GROUP BY user_id, sess_id
+    HAVING max(ts) + INTERVAL 12 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 12 HOUR
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState,
+    streaming/stateful.py) run as a real stream and oracle-gated: append
+    mode emits exactly the sessions whose end + gap the final watermark
+    passed — the same closed-set rule as streaming_watermarked_append —
+    and each emitted session must match the batch gaps-and-islands
+    oracle row for row (session_end = last event + gap, the
+    F.session_window convention shared with session_window_agg)."""
+    from sparkksqldbbenchmark_spark.streaming.stateful import sessionize
+
+    stream = _read_events_stream(spark, sf_dir)
+    gap_h = 12
+    sessions = sessionize(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=gap_h * 3600,
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(sessions, name, output_mode="append")
+    q.stop()
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(
+            F.col("session_end") + F.expr(f"INTERVAL {gap_h} HOURS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("session_end"),
+        "event_count",
+    )
+
+
+@query(
     "streaming_union_window_agg",
     oracle=f"""
     SELECT strftime({_BUCKET_H}, {_FMT}) AS window_start,

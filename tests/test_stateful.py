@@ -87,3 +87,53 @@ def test_sessionize(spark):
     assert ("2024-01-01 00:00:00", 2) in u1
     assert ("2024-01-01 00:05:00", 1) in u1
     assert not any(c == 3 for _, c in u1)
+
+
+def test_sessionize_late_event_bridges_cross_batch(spark):
+    """The out-of-order hazard: batch 1 gap-splits u1 into [00:00:00] and
+    [00:00:31] (gap=30s); batch 2 delivers a late-but-within-watermark
+    event at 00:00:20 that bridges them. Because sessions are held in
+    state until the watermark passes end + gap, the result is ONE merged
+    session of 3 events — F.session_window semantics — not an eagerly
+    emitted fragment plus a remainder."""
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="stateful_bridge_")
+
+    def write_batch(rows, sub):
+        df = spark.createDataFrame(rows, "ts string, key string")
+        df = df.withColumn("ts", F.to_timestamp("ts"))
+        tmp = os.path.join(d, f"_tmp_{sub}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(d, f"{sub}.parquet"))
+
+    write_batch(
+        [("2024-01-01 00:00:00", "u1"), ("2024-01-01 00:00:31", "u1")],
+        "b1",
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    write_batch(
+        [("2024-01-01 00:00:20", "u1"), ("2024-01-01 01:00:00", "wm")],
+        "b2",
+    )
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    name = f"sess_bridge_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        sessionize(stream, gap_seconds=30), name, output_mode="append"
+    )
+    q.stop()
+    u1 = [
+        (str(r["session_start"]), str(r["session_end"]), r["event_count"])
+        for r in spark.table(name).collect()
+        if r["key"] == "u1"
+    ]
+    assert u1 == [("2024-01-01 00:00:00", "2024-01-01 00:00:31", 3)]
