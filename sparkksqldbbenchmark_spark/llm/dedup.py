@@ -96,7 +96,16 @@ def minhash_lsh_pairs(
     # identical to with_minhash_signature (same universal-hash family).
     from sparkksqldbbenchmark_spark.llm.hashing import _BMUL, _P31
 
+    # ONE tokenize/shingle pass for the whole pipeline: the (id, shingles)
+    # projection is materialized once and feeds both the signature stage
+    # and the candidate-verify joins below. Shingling (regex tokenize +
+    # n-gram assembly + distinct) is the dominant per-row cost, so
+    # computing it twice — full corpus for signatures, candidates again
+    # for verify — was the top remaining cost in this pipeline. At
+    # cluster scale the same sharing is a persist(DISK_ONLY)/checkpoint
+    # of the projection, amortized across both consumers.
     shingle_side = _with_shingles(df, text_col, id_col, shingle_n)
+    shingle_side = shingle_side.localCheckpoint(eager=True)
     ex = shingle_side.select(
         id_col, F.explode("shingles").alias("s")
     ).withColumn("h", F.expr(f"{spark_md5_int('s')} & {_P31}"))
@@ -149,34 +158,18 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # the verify tree below references `cand` three times (directly plus
-    # through both shingle sides) — without materialization the whole
-    # shingle→sig→band→self-join pipeline re-executes per reference.
-    # Candidate pairs are tiny (that is the point of LSH), so an eager
-    # localCheckpoint costs one small write and removes two full
-    # recomputations of the signature pass.
-    cand = cand.localCheckpoint(eager=True)
-    # recompute shingles ONLY for candidate docs: semi-join the corpus down
-    # to ids appearing in a candidate pair first. Candidates are a tiny
-    # fraction of the corpus, so this avoids shingling the full corpus two
-    # more times for the verify joins.
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .dropDuplicates([id_col])
-    )
-    cand_shingles = _with_shingles(
-        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
-    )
-    # joined twice below (doc_a side, doc_b side) — materialize once
-    cand_shingles = cand_shingles.localCheckpoint(eager=True)
+    # verify joins read the SAME materialized shingle projection — no
+    # re-shingling, no semi-join round trip; the joins bring in only the
+    # candidate docs' rows. `cand` appears once in the final tree (its
+    # shingle inputs are checkpointed), so the LSH pipeline executes once
+    # without an extra materialization barrier.
     verified = cand.join(
-        cand_shingles.select(
+        shingle_side.select(
             F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
         ),
         "doc_a",
     ).join(
-        cand_shingles.select(
+        shingle_side.select(
             F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
         ),
         "doc_b",
