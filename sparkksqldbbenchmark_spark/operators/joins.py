@@ -62,11 +62,11 @@ def forward_fill(
       1. bucket rows by a coarse chunk of ``order_col`` (default: calendar
          day for timestamp/date columns) and ffill WITHIN each bucket in
          parallel;
-      2. compute each bucket's last non-null value per column with a
-         whole-bucket window frame (shares the fill's exchange — no extra
-         shuffle), run the carry-forward over the tiny bucket list
-         (|buckets| rows, not |data| rows), and broadcast the per-bucket
-         carry-in back to patch null prefixes.
+      2. read each bucket's last non-null value per column off the filled
+         output's final row via an exchange-free max_by groupBy (the fill
+         already hash-partitioned by bucket), run the carry-forward over
+         the tiny bucket list (|buckets| rows, not |data| rows), and
+         broadcast the per-bucket carry-in back to patch null prefixes.
 
     Identical results to a single global window, no single-reducer sort of
     the full data — SURVEY §7 risk 7. For non-temporal order columns pass
@@ -102,21 +102,26 @@ def forward_fill(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # whole-bucket frame shares wb's exchange+sort — the per-bucket last
-    # value costs no extra shuffle, just one more window function
-    wfull = (
-        Window.partitionBy(b)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     for c in cols:
-        out = out.withColumn(
-            f"__last_{c}", F.last(c, ignorenulls=True).over(wfull)
-        ).withColumn(c, F.last(c, ignorenulls=True).over(wb))
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    # `out` is consumed twice — as the main branch and as the input to
+    # the per-bucket lasts/carry below. Without materialization Spark
+    # recomputes the entire upstream (source aggregations, the outer-join
+    # fold, the fill window) once per consumer; materialize the filled
+    # frame so upstream runs once. At cluster scale this is a
+    # persist(MEMORY_AND_DISK) of the filled output — the price of the
+    # global carry, still strictly cheaper than a 2x recompute.
+    out = out.localCheckpoint(eager=True)
 
-    lasts = (
-        out.select(b, *[F.col(f"__last_{c}").alias(c) for c in cols])
-        .dropDuplicates([b])
+    # The running fill makes each bucket's LAST row carry the bucket's
+    # last non-null value for every column (null only if the whole bucket
+    # is null — which the carry chain below handles). Recover it with a
+    # max_by aggregate instead of a second unbounded-following window
+    # pass per column: the window output is already hash-partitioned by
+    # bucket, so this groupBy needs no exchange, and the full-frame
+    # window function per column disappears.
+    lasts = out.groupBy(b).agg(
+        *[F.max_by(c, order_col).alias(c) for c in cols]
     )
     # carry-in for bucket k = last non-null among buckets < k. This window
     # runs over |buckets| rows (days), not the data — the explicit
@@ -136,8 +141,4 @@ def forward_fill(
     out = out.join(F.broadcast(carry), on=b, how="left")
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
-    return out.drop(
-        b,
-        *[f"__carry_{c}" for c in cols],
-        *[f"__last_{c}" for c in cols],
-    )
+    return out.drop(b, *[f"__carry_{c}" for c in cols])
