@@ -47,7 +47,31 @@ def main() -> None:
     # cost ~4 s of fixed overhead per multi-shuffle query at sub-GB scale
     # with nothing to re-plan — it goes back on for cluster deployments
     # (SessionConfig default). Plan logic is identical either way.
-    spark = get_spark(SessionConfig(app_name="bench", aqe=False))
+    spark = get_spark(
+        SessionConfig(
+            app_name="bench",
+            aqe=False,
+            # keep the driver-captured tail to signal only: no console
+            # progress bars interleaving with the per-query lines, and a
+            # roomier thread stack — the stream-execution thread's
+            # shutdown path can blow the default ~1m stack in regex
+            # backtracking (benign StackOverflowError spew, rc stays 0)
+            extra={
+                "spark.ui.showConsoleProgress": "false",
+                "spark.driver.extraJavaOptions": "-Xss16m",
+            },
+        )
+    )
+    # WARN spew (replay-shutdown job-group cancellation, single-partition
+    # window notes on the bounded monitor samples) drowns the per-query
+    # stderr lines and makes round-over-round diffs noisy; the bench
+    # prints its own signal.
+    spark.sparkContext.setLogLevel("ERROR")
+    # A11: sample process-tree CPU/RSS on a fixed cadence for the whole
+    # run (reference BenchmarkRunner.scala:96-146)
+    from sparkksqldbbenchmark_spark.bench.resources import ResourceSampler
+
+    sampler = ResourceSampler(interval=0.5).start()
     # JVM/codegen/parquet-datasource warm-up on the tiniest SF — engine
     # spin-up, not query cost
     spark.range(1_000_000).count()
@@ -61,11 +85,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        # best-of-2: one measurement can eat a GC pause / codegen compile;
-        # the min is the repeatable cost of the plan
+        # best-of-3: one measurement can eat a GC pause / codegen compile
+        # (and at sub-second query times two samples still drift); the min
+        # is the repeatable cost of the plan
         times = []
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -101,6 +126,9 @@ def main() -> None:
     }
     print(f"  streaming e2e: {streaming_latency}", file=sys.stderr)
 
+    resources = sampler.stop()
+    print(f"  resources: {resources}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -111,6 +139,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "core_query_rows_per_sec": core_rows_per_sec,
                 "streaming_e2e_latency": streaming_latency,
+                "resources": resources,
             }
         )
     )

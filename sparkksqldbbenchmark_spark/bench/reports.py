@@ -69,3 +69,22 @@ def prometheus_text(m: LatencyMetrics, *, prefix: str = "benchmark") -> str:
         out.append(f"# TYPE {prefix}_{name} gauge")
         out.append(f"{prefix}_{name} {val}")
     return "\n".join(out) + "\n"
+
+
+def resources_prometheus_text(
+    summary: dict, *, prefix: str = "benchmark"
+) -> str:
+    """A11's exporter half: the resource-sampler summary
+    (bench/resources.py — reference BenchmarkRunner.scala:96-146 gauge
+    averaging) as Prometheus gauges."""
+    out = []
+    for name in (
+        "cpu_avg_pct",
+        "cpu_peak_pct",
+        "rss_avg_mb",
+        "rss_peak_mb",
+        "samples",
+    ):
+        out.append(f"# TYPE {prefix}_resource_{name} gauge")
+        out.append(f"{prefix}_resource_{name} {float(summary[name])}")
+    return "\n".join(out) + "\n"

@@ -146,3 +146,67 @@ def test_streaming_latency_benchmark_short(spark):
     assert m.sample_count > 0
     assert 0 < m.avg_ms < 60_000
     assert m.p99_ms >= m.p50_ms >= m.min_ms
+
+
+def test_resource_sampler_math():
+    """A11 sampler arithmetic (reference BenchmarkRunner.scala:96-146):
+    tick deltas -> CPU percent, sample lists -> running avg + peak."""
+    from sparkksqldbbenchmark_spark.bench.resources import (
+        cpu_percent,
+        summarize,
+    )
+
+    # 100 ticks at 100 Hz over 0.5 s wall = 1 full core busy for the
+    # whole interval spread over... 100/100/0.5 = 2.0 cores -> 200%
+    assert cpu_percent(1000, 1100, 10.0, 10.5, 100) == 200.0
+    assert cpu_percent(1000, 1000, 10.0, 10.5, 100) == 0.0
+    assert cpu_percent(1000, 1100, 10.0, 10.0, 100) == 0.0  # zero wall
+
+    s = summarize([100.0, 300.0], [512.0, 1024.0])
+    assert s == {
+        "cpu_avg_pct": 200.0,
+        "cpu_peak_pct": 300.0,
+        "rss_avg_mb": 768.0,
+        "rss_peak_mb": 1024.0,
+        "samples": 2,
+    }
+    empty = summarize([], [])
+    assert empty["samples"] == 0 and empty["cpu_avg_pct"] == 0.0
+
+
+def test_resource_sampler_live():
+    """The /proc-backed sampler observes this very process: RSS positive,
+    CPU non-negative, at least one sample over a short busy loop."""
+    import time
+
+    from sparkksqldbbenchmark_spark.bench.resources import ResourceSampler
+
+    s = ResourceSampler(interval=0.1).start()
+    # sleep rather than busy-wait: a CPU-bound pytest main thread can
+    # starve the sampler thread of the GIL for the whole window (convoy
+    # effect); the real bench's work happens JVM-side where the sampler
+    # thread samples freely
+    time.sleep(0.6)
+    out = s.stop()
+    assert out["samples"] >= 1
+    assert out["rss_avg_mb"] > 10  # a python+jvm tree is way above 10 MB
+    assert out["cpu_peak_pct"] >= 0.0
+
+
+def test_resources_prometheus_text():
+    from sparkksqldbbenchmark_spark.bench.reports import (
+        resources_prometheus_text,
+    )
+
+    txt = resources_prometheus_text(
+        {
+            "cpu_avg_pct": 150.0,
+            "cpu_peak_pct": 300.0,
+            "rss_avg_mb": 768.0,
+            "rss_peak_mb": 1024.0,
+            "samples": 7,
+        }
+    )
+    assert "# TYPE benchmark_resource_cpu_avg_pct gauge" in txt
+    assert "benchmark_resource_rss_peak_mb 1024.0" in txt
+    assert "benchmark_resource_samples 7.0" in txt
