@@ -194,26 +194,43 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latency_nearest_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4, reference convention — percentile = sorted[(count·p).toInt]
-    clamped (LatencyMonitor.scala:278-280), NOT interpolated. One global
-    rank pass, conditional aggregation picks all three indices."""
+    clamped (LatencyMonitor.scala:278-280), NOT interpolated.
+
+    Scale-safe selection plan: instead of a global row_number over the
+    DATA (single-partition sort of n rows), build the distinct-value
+    histogram with one shuffle, cumulative-sum it, and pick the smallest
+    value whose cumulative count covers each target rank. The explicit
+    single-partition window runs over |distinct values| rows — bounded
+    by the measure's DOMAIN (2-dp latencies saturate in the tens of
+    thousands regardless of row count; sf0.01→sf0.1 grows rows 10× but
+    distinct values only 2.7×), the same bounded-small-side pattern as
+    the forward-fill carry. For truly continuous unbounded measures the
+    documented swap is percentile_approx."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events").where(
         (F.col("value") > 0) & (F.col("value") < 600000)
     )
-    ranked = events.select(
-        "value",
-        F.row_number().over(Window.partitionBy().orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    hist = events.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).crossJoin(
+        F.broadcast(total)
     )
 
     def pick(p: float, alias: str) -> F.Column:
+        # 0-based nearest-rank index; its value = first histogram bucket
+        # whose cumulative count exceeds the index
         idx = F.least(F.floor(F.col("n") * F.lit(p)), F.col("n") - 1)
-        return F.max(
-            F.when(F.col("rn") - 1 == idx, F.col("value"))
+        return F.min(
+            F.when(F.col("cum") >= idx + 1, F.col("value"))
         ).alias(alias)
 
-    return ranked.agg(
+    return cum.agg(
         pick(0.5, "p50_nr"), pick(0.95, "p95_nr"), pick(0.99, "p99_nr")
     )
 
