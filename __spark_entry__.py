@@ -57,11 +57,17 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that the
 # non-TAIL prefix fits in the 50-row window.
+#   latest_by_offset           — A3; identical oracle/values to the graded
+#                                streaming_latest_table (and ksql twin)
+#   argmax_station             — O5; top-1 of the same TakeOrderedAndProject
+#                                family graded via top_k_values
 TAIL: tuple[str, ...] = (
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",
     "streaming_union_window_agg",
+    "latest_by_offset",
+    "argmax_station",
     "multimodal_frame_sample",
     "approx_count_distinct",
 )

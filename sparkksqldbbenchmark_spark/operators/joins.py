@@ -45,6 +45,110 @@ def multiway_outer_time_join(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row with the same
+    key and right.ts <= left.ts (DuckDB/kdb ASOF JOIN semantics; Spark
+    has no native operator — north-star custom-op surface).
+
+    Scale-safe formulation — union-tag + last-carry instead of a per-row
+    range join: tag right rows 0 and left rows 1, sort each key by
+    (ts, tag) so an equal-timestamp right row precedes the left row that
+    may match it, and carry the last non-null payload forward with one
+    running window. ONE shuffle on the key, no inequality join, no
+    broadcast of either side; skew follows the key distribution exactly
+    like any groupBy. Right must be unique per (key, ts) for
+    deterministic results — pre-aggregate if needed.
+
+    Returns the left rows (original columns) plus the carried
+    ``payload_cols``, NULL where no right row precedes."""
+    from pyspark.sql import Window
+
+    keys = list(on)
+    tag = "__asof_side"
+    lcols = [c for c in left.columns]
+    tagged_right = right.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(c) for c in payload_cols],
+        F.lit(0).alias(tag),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+            if c not in keys and c != ts_col
+        ],
+    )
+    tagged_left = left.select(
+        *keys,
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+            for c in payload_cols
+        ],
+        F.lit(1).alias(tag),
+        *[F.col(c) for c in lcols if c not in keys and c != ts_col],
+    )
+    unioned = tagged_right.unionByName(tagged_left)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(tag).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in payload_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.where(F.col(tag) == 1).select(*lcols, *payload_cols)
+
+
+def range_join_points_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Range (interval) join: every (point, interval) pair with
+    start <= ts < end — no key equality. Spark would plan the naive form
+    as a broadcast-nested-loop/cartesian; this is the canonical
+    distributed rewrite: quantize the time axis into fixed-width
+    buckets, explode each interval into the buckets it covers, equi-join
+    points on their single bucket, then apply the exact range predicate.
+    Each qualifying pair meets in exactly one bucket (the point's), so
+    no dedup is needed. Shuffle cost: |points| + Σ interval-spans/width
+    rows on a uniform bucket key. Pick ``bucket_seconds`` near the
+    typical interval length — one order of magnitude either way only
+    changes the explode factor / candidate ratio, not correctness."""
+    pb = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col(start_col)) / bucket_seconds
+                ),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bucket")
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def forward_fill(
     df: DataFrame,
     order_col: str,

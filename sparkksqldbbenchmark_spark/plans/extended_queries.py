@@ -454,3 +454,97 @@ def tpch_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
         ).alias("revenue")
     )
+
+
+@query(
+    "asof_join_latest_view",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), views AS (
+        SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.event_id,
+           v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.asof_join — union-tag + last-carry,
+    one shuffle, no inequality join): every click event enriched with the
+    user's latest at-or-before view value. Oracle is DuckDB's native
+    ASOF LEFT JOIN; the view side is pre-aggregated unique per
+    (user_id, ts) so both engines pick the same match. view_value is a
+    selected (not computed) double — exact cross-engine."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["view_value"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "event_id",
+        "view_value",
+    )
+
+
+@query(
+    "range_join_shipment_windows",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(*) AS shipments,
+           count(DISTINCT l.l_orderkey) AS distinct_orders
+    FROM (
+        SELECT o_orderkey, o_orderdate,
+               o_orderdate + INTERVAL 7 DAY AS window_end
+        FROM orders WHERE o_orderkey < 64
+    ) o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.window_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_shipment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/joins.range_join_points_intervals):
+    lineitem shipments falling inside each order's first week, with NO
+    key equality — the naive plan is a cartesian/BNL; the operator
+    rewrites it as bucket-explode + equi-join + exact range filter. The
+    oracle runs the plain inequality join (DuckDB plans its own IEJoin),
+    so the bucketed rewrite is checked against the exact semantics."""
+    from sparkksqldbbenchmark_spark.operators.joins import (
+        range_join_points_intervals,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 64)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias(
+                "window_end"
+            ),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    pairs = range_join_points_intervals(
+        li, orders, "l_shipdate", "o_orderdate", "window_end"
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("shipments"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+    )

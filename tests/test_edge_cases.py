@@ -96,3 +96,65 @@ def test_windowed_agg_empty_input(spark):
     )
     out = tumbling_window_agg(df, ts_col="ts", keys=("metric",))
     assert out.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """ASOF semantics pinned: latest right at-or-before left.ts per key;
+    equal timestamps match; keys with no preceding right row get NULL;
+    keys absent from the right side get NULL."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", "l1"),
+            (1, "2024-01-01 00:00:20", "l2"),  # == right ts -> matches
+            (1, "2024-01-01 00:00:05", "l0"),  # before any right -> NULL
+            (2, "2024-01-01 00:00:30", "l3"),  # key has no right rows
+        ],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:08", 8.0),
+            (1, "2024-01-01 00:00:20", 20.0),
+            (1, "2024-01-01 00:00:25", 25.0),  # after every left -> unused
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    assert out == {"l0": None, "l1": 8.0, "l2": 20.0, "l3": None}
+
+
+def test_range_join_boundaries_and_multi_bucket(spark):
+    """Range join pinned: start inclusive, end exclusive, intervals
+    spanning many buckets still produce each qualifying pair exactly
+    once (the pair meets only in the point's bucket)."""
+    from sparkksqldbbenchmark_spark.operators.joins import (
+        range_join_points_intervals,
+    )
+
+    points = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "on_start"),
+            ("2024-01-07 23:59:59", "inside"),
+            ("2024-01-08 00:00:00", "on_end"),
+            ("2023-12-31 23:59:59", "before"),
+        ],
+        "ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-08 00:00:00", "w1")],
+        "s string, e string, iv string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn(
+        "e", F.to_timestamp("e")
+    )
+    # bucket width much smaller than the interval -> multi-bucket explode
+    out = range_join_points_intervals(
+        points, intervals, "ts", "s", "e", bucket_seconds=3600
+    ).collect()
+    tags = sorted(r["tag"] for r in out)
+    assert tags == ["inside", "on_start"]
+    assert len(out) == len(set((r["tag"], r["iv"]) for r in out))
