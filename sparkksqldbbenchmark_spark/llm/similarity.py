@@ -50,8 +50,19 @@ def _dot(a: str, b: str, dim: int = _DIM) -> str:
     whole-stage codegen. Left-associative `+` gives the exact
     left-to-right fold order of DuckDB's list_reduce in the oracle, so
     values are bit-identical cross-engine (double addition is
-    order-sensitive; the order here is part of the contract)."""
-    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
+    order-sensitive; the order here is part of the contract).
+
+    Each element casts to double individually (exact for float32 input;
+    a no-op after SimplifyCasts when the array is already double). This
+    lets callers pass the RAW float embedding column — materializing a
+    transform(..., cast)'d copy is a trap: CollapseProject inlines the
+    interpreted transform into every one of the 2×dim element
+    references, re-evaluating it per reference (measured ~1 s/query at
+    sf0.1)."""
+    return " + ".join(
+        f"(cast({a}[{i}] as double) * cast({b}[{i}] as double))"
+        for i in range(dim)
+    )
 
 
 def _dot_literal(vec: str, plane: list[float]) -> str:
@@ -59,15 +70,19 @@ def _dot_literal(vec: str, plane: list[float]) -> str:
     components inline as double literals (no array construction, no
     per-element extraction to optimize away)."""
     return " + ".join(
-        f"({vec}[{i}] * cast({x} as double))" for i, x in enumerate(plane)
+        f"(cast({vec}[{i}] as double) * cast({x} as double))"
+        for i, x in enumerate(plane)
     )
 
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Append `vec` (double-cast embedding) and `norm`."""
-    return df.withColumn(
-        "vec", F.expr(f"transform({vec_col}, x -> cast(x as double))")
-    ).withColumn("norm", F.expr(f"sqrt({_dot('vec', 'vec')})"))
+    """Append `vec` (the raw embedding array — kept float32-typed; _dot
+    casts per element, so no transform()'d double copy exists to be
+    inlined by CollapseProject, and shuffles move the 4-byte floats) and
+    `norm`."""
+    return df.withColumn("vec", F.col(vec_col)).withColumn(
+        "norm", F.expr(f"sqrt({_dot('vec', 'vec')})")
+    )
 
 
 def cosine_topk(
