@@ -548,3 +548,67 @@ def range_join_shipment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("shipments"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
+
+
+@query(
+    "time_rollup_hierarchy",
+    oracle=f"""
+    SELECT '1h' AS level,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS message_count,
+           {sql_stable_avg("value")} AS avg_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1d' AS level,
+           strftime(time_bucket(INTERVAL 1 DAY, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS message_count,
+           {sql_stable_avg("value")} AS avg_value
+    FROM events GROUP BY 2, 3
+    """,
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup
+    (operators/rollup.time_rollup): hourly aggregate computed from the
+    data ONCE, daily level re-aggregated from the hourly aggregate's
+    decomposable state (count + exact decimal sum). The oracle
+    aggregates the raw rows at both resolutions directly — the
+    re-aggregated path must match it bit for bit, which is exactly what
+    the order-independent decimal sums guarantee."""
+    from sparkksqldbbenchmark_spark.operators.rollup import time_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return time_rollup(events, "ts", "value", ["event_type"])
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+    ), k AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+    SELECT count(*) AS sample_k,
+           max(hv) AS kth_hash,
+           CAST(63 AS DOUBLE) * power(2.0, 60) / CAST(max(hv) AS DOUBLE)
+               AS est_distinct
+    FROM k
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.kmv_distinct_estimate)
+    over events.user_id — the deterministic, oracle-replayable
+    alternative to HLL (approx_count_distinct stays rows-only by
+    nature). Both engines hash with the shared md5-prefix integer and
+    compute (k-1)/U_k from the k smallest distinct hashes."""
+    from sparkksqldbbenchmark_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(events, "user_id", k=64)

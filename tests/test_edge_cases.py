@@ -158,3 +158,61 @@ def test_range_join_boundaries_and_multi_bucket(spark):
     tags = sorted(r["tag"] for r in out)
     assert tags == ["inside", "on_start"]
     assert len(out) == len(set((r["tag"], r["iv"]) for r in out))
+
+
+def test_time_rollup_coarse_equals_direct(spark):
+    """The rollup's re-aggregated daily level must equal aggregating the
+    raw rows directly — the decomposable-state guarantee the oracle
+    relies on."""
+    from sparkksqldbbenchmark_spark.operators.rollup import time_rollup
+
+    rows = [
+        ("2024-01-01 00:10:00", "a", 1.07),
+        ("2024-01-01 00:50:00", "a", 2.03),
+        ("2024-01-01 13:00:00", "a", 4.11),
+        ("2024-01-02 01:00:00", "a", 8.25),
+        ("2024-01-01 05:00:00", "b", 16.5),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = time_rollup(df, "ts", "v", ["k"])
+    daily = {
+        (r["window_start"], r["k"]): (r["message_count"], r["avg_value"])
+        for r in out.where(F.col("level") == "1d").collect()
+    }
+    direct = {
+        (r["d"], r["k"]): (r["c"], r["a"])
+        for r in df.groupBy(
+            F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd HH:mm:ss").alias("d"),
+            "k",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            (
+                F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                / F.count("v")
+            ).alias("a"),
+        )
+        .collect()
+    }
+    assert daily == direct
+    # fine level is intact alongside (00:10 and 00:50 share one hour)
+    assert out.where(F.col("level") == "1h").count() == 4
+
+
+def test_kmv_sketch_degenerate_and_estimate(spark):
+    """sample_k < k when distinct values are scarce; estimate lands
+    within the ~1/sqrt(k-2) band for a known cardinality."""
+    from sparkksqldbbenchmark_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    few = spark.range(5).select(F.col("id").alias("u"))
+    r = kmv_distinct_estimate(few, "u", k=64).collect()[0]
+    assert r["sample_k"] == 5
+
+    many = spark.range(2000).select((F.col("id") % 1000).alias("u"))
+    r = kmv_distinct_estimate(many, "u", k=128).collect()[0]
+    assert r["sample_k"] == 128
+    assert 700 < r["est_distinct"] < 1400  # 1000 true, ~9% stderr
