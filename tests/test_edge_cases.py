@@ -216,3 +216,95 @@ def test_kmv_sketch_degenerate_and_estimate(spark):
     r = kmv_distinct_estimate(many, "u", k=128).collect()[0]
     assert r["sample_k"] == 128
     assert 700 < r["est_distinct"] < 1400  # 1000 true, ~9% stderr
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: asof_join == pandas merge_asof(direction='backward') on
+    randomized keyed series (seeded for reproducibility)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260813)
+    base = pd.Timestamp("2024-01-01")
+    left_rows = [
+        (
+            k,
+            (base + pd.Timedelta(seconds=rng.randrange(0, 3600)))
+            .to_pydatetime(),
+            i,
+        )
+        for i, k in enumerate(rng.choices([1, 2, 3], k=40))
+    ]
+    right_rows = {
+        (
+            k,
+            (base + pd.Timedelta(seconds=rng.randrange(0, 3600)))
+            .to_pydatetime(),
+        )
+        for k in rng.choices([1, 2, 3, 4], k=30)
+        for _ in range(1)
+    }
+    right_rows = [(k, t, float(hash((k, t)) % 1000)) for k, t in right_rows]
+
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    got = {
+        (r["k"], r["lid"]): r["v"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp = {
+        (row.k, row.lid): (None if pd.isna(row.v) else row.v)
+        for row in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Property: bucketized range join == brute-force cross-filter on
+    randomized points/intervals (seeded)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = pd.Timestamp("2024-01-01")
+    points = [
+        (
+            (base + pd.Timedelta(minutes=rng.randrange(0, 5000)))
+            .to_pydatetime(),
+            i,
+        )
+        for i in range(60)
+    ]
+    intervals = []
+    for j in range(15):
+        iv_s = base + pd.Timedelta(minutes=rng.randrange(0, 4500))
+        iv_e = iv_s + pd.Timedelta(minutes=rng.randrange(1, 900))
+        intervals.append((iv_s.to_pydatetime(), iv_e.to_pydatetime(), j))
+
+    from sparkksqldbbenchmark_spark.operators.joins import (
+        range_join_points_intervals,
+    )
+
+    pdf = spark.createDataFrame(points, "ts timestamp, pid long")
+    idf = spark.createDataFrame(intervals, "s timestamp, e timestamp, iid long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points_intervals(
+            pdf, idf, "ts", "s", "e", bucket_seconds=3600
+        ).collect()
+    }
+    exp = {
+        (pid, iid)
+        for ts, pid in points
+        for s, e, iid in intervals
+        if s <= ts < e
+    }
+    assert got == exp
