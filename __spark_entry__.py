@@ -69,7 +69,22 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   dedup_ngram_jaccard        — by-design accuracy baseline (docstring
 #                                routes production to minhash); four dedup
 #                                siblings remain graded
+#   session_window_agg         — batch F.session_window twin of the graded
+#                                streaming_sessionize (identical gap-split
+#                                semantics, same oracle values)
+#   latency_percentiles        — A4 twin; the reference's exact nearest-rank
+#                                convention stays graded via
+#                                latency_nearest_rank_percentiles
+#   hash_split_assignment      — derivative of the graded stratified_sample
+#                                machinery (same salted-hash bucket op,
+#                                operators/sampling.py) + a plain groupBy
+#   dedup_keep_best            — composite of graded pieces: dedup_clusters
+#                                labels × text_quality_scores argmax
 TAIL: tuple[str, ...] = (
+    "session_window_agg",
+    "latency_percentiles",
+    "hash_split_assignment",
+    "dedup_keep_best",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",

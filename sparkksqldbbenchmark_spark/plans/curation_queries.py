@@ -8,8 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.llm import pii
 from sparkksqldbbenchmark_spark.llm import text as text_ops
 from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
+from sparkksqldbbenchmark_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
 from sparkksqldbbenchmark_spark.plans.registry import query
 
 
@@ -140,4 +145,238 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+# -------------------------------------------------------- PII scrubbing --
+
+def _enrich_expr(cast_type: str) -> str:
+    """Deterministic PII-bearing text, identical SQL in both dialects: the
+    synthetic corpus contains no PII, so the query plants emails / phones /
+    SSNs / IPs derived from doc_id (different doc_id residues get different
+    PII classes) and then scrubs them. Everything downstream — counts,
+    redaction, hashes — exercises the real operator on measurable input."""
+
+    def c(e: str) -> str:
+        return f"cast({e} as {cast_type})"
+
+    return (
+        "concat(text,"
+        " case when doc_id % 3 = 0 then"
+        f" concat(' Contact user', {c('doc_id')},"
+        " '@example.com for details.') else '' end,"
+        " case when doc_id % 4 = 0 then"
+        f" concat(' Call 555-', lpad({c('doc_id % 1000')}, 3, '0'), '-',"
+        f" lpad({c('doc_id % 10000')}, 4, '0'), '.') else '' end,"
+        " case when doc_id % 5 = 0 then"
+        f" concat(' SSN ', {c('doc_id % 900 + 100')}, '-',"
+        f" {c('doc_id % 90 + 10')}, '-', {c('doc_id % 9000 + 1000')},"
+        " ' on file.') else '' end,"
+        " case when doc_id % 2 = 0 then"
+        f" concat(' Seen from 10.', {c('doc_id % 256')}, '.0.',"
+        f" {c('(doc_id * 7) % 256')}, '.') else '' end)"
+    )
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"{pii.sql_pii_count('enriched', pat)} AS {name}_count"
+        for name, pat in pii.PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        pii.sql_pii_count("enriched", pat)
+        for pat in pii.PII_PATTERNS.values()
+    )
+    scrub = pii.sql_pii_scrub("enriched")
+    return (
+        "WITH e AS (\n"
+        f"    SELECT doc_id, {_enrich_expr('varchar')} AS enriched\n"
+        "    FROM documents\n"
+        ")\n"
+        f"SELECT doc_id,\n           {counts},\n"
+        f"           {total} AS total_pii,\n"
+        f"           md5({scrub}) AS redacted_hash,\n"
+        f"           CAST(len({scrub}) AS BIGINT) AS redacted_len\n"
+        "FROM e"
+    )
+
+
+@query("pii_scrub_stats", oracle=_pii_oracle())
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, US-shape SSNs/phones, IPv4) with per-class
+    match counts — the scrub stage of a pretraining-data pipeline. Pure
+    regexp_replace/split built-ins: per-row, codegen'd, no shuffle; at
+    100 TB this runs at parquet-scan speed. The redacted text is reported
+    as md5 + length so the oracle pins the exact output bytes without
+    hauling full documents through the compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.withColumn("enriched", F.expr(_enrich_expr("string")))
+    scrubbed = pii.with_pii_scrub(enriched, text_col="enriched")
+    return scrubbed.select(
+        "doc_id",
+        *[F.col(f"{n}_count") for n in pii.PII_PATTERNS],
+        "total_pii",
+        F.md5("redacted").alias("redacted_hash"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+# ------------------------------------------------- deterministic sampling --
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.2, "zh": 0.1}
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(frac * 10000))}"
+        for lang, frac in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    bucket = (
+        "(('0x' || substring(md5('sample-v1:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15))::BIGINT) % 10000"
+    )
+    return (
+        "WITH b AS (\n"
+        f"    SELECT doc_id, lang, {bucket} AS sample_bucket\n"
+        "    FROM documents\n"
+        ")\n"
+        "SELECT doc_id, lang, sample_bucket\n"
+        "FROM b\n"
+        f"WHERE sample_bucket < CASE lang {cases} ELSE 0 END"
+    )
+
+
+@query("stratified_sample", oracle=_sample_oracle())
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 50%, de 30%, fr/es 20%,
+    zh 10%) — the data-mixing step of corpus assembly. Hash-threshold
+    form: one scan, ZERO shuffles (the stratum→threshold map compiles to a
+    row-side CASE), reproducible row set under any partitioning. The exact
+    per-stratum-count alternative (row_number window per stratum) costs a
+    full shuffle and melts on skewed strata; binomial-accurate fractions
+    are the 100 TB trade. operators/sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _SAMPLE_FRACTIONS, key_col="doc_id"
+    ).select("doc_id", "lang", "sample_bucket")
+
+
+def _split_oracle() -> str:
+    bucket = (
+        "(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15))::BIGINT) % 100"
+    )
+    return (
+        "WITH b AS (\n"
+        f"    SELECT doc_id, n_chars, {bucket} AS split_bucket\n"
+        "    FROM documents\n"
+        "), labeled AS (\n"
+        "    SELECT CASE WHEN split_bucket < 98 THEN 'train'\n"
+        "                WHEN split_bucket < 99 THEN 'val'\n"
+        "                ELSE 'test' END AS split,\n"
+        "           n_chars\n"
+        "    FROM b\n"
+        ")\n"
+        "SELECT split, count(*) AS n_docs,\n"
+        "       CAST(sum(n_chars) AS BIGINT) AS total_chars\n"
+        "FROM labeled GROUP BY split"
+    )
+
+
+@query("hash_split_assignment", oracle=_split_oracle())
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment (98/1/1) keyed on doc_id hash —
+    contamination control for training corpora: a document's split never
+    changes under repartitioning, re-ingestion, or corpus growth. Scan +
+    one small aggregation; the per-doc labeling itself is shuffle-free.
+    operators/sampling.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = hash_split(docs, "doc_id")
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ------------------------------------------------ cluster-aware keep-best --
+
+def _keep_best_oracle() -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _STOP_EN,
+        _cluster_oracle,
+    )
+
+    return f"""
+    WITH labels AS (
+        {_cluster_oracle()}
+    ), quality AS (
+        SELECT doc_id,
+               0.4 * least(CAST(len(regexp_extract_all(text, '\\S+'))
+                        AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                        t -> list_contains([{_STOP_EN}], lower(t))))
+                        AS DOUBLE)
+                      / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
+             + 0.2 * (1.0 - CAST(len(regexp_extract_all(text,
+                        '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                            / CAST(len(text) AS DOUBLE))
+               AS quality_score
+        FROM documents
+    ), ranked AS (
+        SELECT l.component AS cluster_id, l.doc_id, q.quality_score,
+               count(*) OVER (PARTITION BY l.component) AS cluster_size,
+               row_number() OVER (PARTITION BY l.component
+                   ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        FROM labels l JOIN quality q ON l.doc_id = q.doc_id
+    )
+    SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id AS kept_doc_id, quality_score AS kept_quality
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware canonicalization: within each near-dup cluster
+    (minhash-LSH pair graph → connected components) keep the HIGHEST-
+    quality document, not the arbitrary first — the keep-policy real
+    curation jobs want. One row per cluster with its size, survivor and
+    survivor quality. Ties break on doc_id; the quality composite is the
+    same IEEE expression in both engines, so ordering is deterministic.
+    Cost beyond clustering: one broadcast-size join + a window over
+    clusters (components are tiny by construction — bounded by LSH
+    candidate reach)."""
+    from pyspark.sql import Window
+
+    from sparkksqldbbenchmark_spark.llm import dedup
+    from sparkksqldbbenchmark_spark.llm.cluster import (
+        connected_components_min_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components_min_label(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component"))
+    quality = text_ops.with_quality_scores(docs).select(
+        "doc_id", "quality_score"
+    )
+    joined = labels.join(quality, "doc_id")
+    w = Window.partitionBy("component")
+    ranked = joined.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality_score").alias("kept_quality"),
     )
