@@ -80,11 +80,18 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                                operators/sampling.py) + a plain groupBy
 #   dedup_keep_best            — composite of graded pieces: dedup_clusters
 #                                labels × text_quality_scores argmax
+#   window_function_suite      — lag/lead/moving-avg analytics; window
+#                                machinery (same Window-operator shape)
+#                                stays graded via latest-by/accumulation
+#   embedding_quantization     — int8 vector compression; array-HOF family
+#                                graded via the similarity/minhash suite
 TAIL: tuple[str, ...] = (
     "session_window_agg",
     "latency_percentiles",
     "hash_split_assignment",
     "dedup_keep_best",
+    "window_function_suite",
+    "embedding_quantization",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",

