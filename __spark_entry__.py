@@ -92,6 +92,7 @@ TAIL: tuple[str, ...] = (
     "dedup_keep_best",
     "window_function_suite",
     "embedding_quantization",
+    "streaming_stream_join",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",

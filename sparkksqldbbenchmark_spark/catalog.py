@@ -56,8 +56,11 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
+            # `div` keeps the arithmetic in int64: `/` would promote to
+            # double, whose 256 ns ulp at epoch-nano magnitude shifts the
+            # floored microsecond by ±1 — exposed by µs-precision joins.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

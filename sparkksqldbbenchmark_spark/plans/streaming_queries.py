@@ -313,3 +313,70 @@ def streaming_union_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_to_memory(agged, name, output_mode="complete")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — view→click attribution
+    within one hour, the canonical two-stream correlation Structured
+    Streaming supports natively (and the reference's engine family
+    markets as a core capability). Both sides carry event-time
+    watermarks and the join predicate carries a time-range bound, so the
+    state store retains only rows inside
+    watermark − range — bounded state at any scale; both streams
+    shuffle-partition on user_id so matching is co-located. Run to
+    completion with availableNow (single micro-batch here: no mid-run
+    eviction ambiguity), the emitted pairs must equal the batch
+    relational join row for row — the same stream-batch-equivalence
+    argument as the windowed aggregates."""
+    views = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+            "lag_us"
+        ),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -26,6 +26,8 @@ from sparkksqldbbenchmark_spark.streaming.pipeline import (
     run_to_memory,
 )
 
+from .conftest import SF_DIR
+
 SCHEMA = StructType(
     [
         StructField("ts", TimestampType()),
@@ -263,3 +265,39 @@ def test_ksql_execute_script(spark):
     rows = spark.table("weather_agg").collect()
     assert sum(r["c"] for r in rows) == len(ROWS)
     assert front.show_streams() == ["weather_topic", "weather_wind"]
+
+
+def test_streaming_stream_join_matches_batch(spark):
+    """Watermarked stream-stream join run to completion equals the batch
+    relational join (stream-batch equivalence for two-stream correlation)."""
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        streaming_stream_join,
+    )
+
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us)
+        for r in streaming_stream_join(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        F.expr("user_id = cu AND cts >= vts AND cts <= vts + interval 1 hour"),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("cts") - F.unix_micros("vts")).alias("lag_us"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
