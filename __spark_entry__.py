@@ -93,6 +93,8 @@ TAIL: tuple[str, ...] = (
     "window_function_suite",
     "embedding_quantization",
     "streaming_stream_join",
+    "cube_rollup_report",
+    "tpch_q10_returned_items",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",

@@ -665,3 +665,89 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_3"),
         F.row_number().over(w).cast("long").alias("seq"),
     )
+
+
+@query(
+    "cube_rollup_report",
+    oracle=f"""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(hour(ts) AS BIGINT), -1) AS hour_of_day,
+           count(*) AS message_count,
+           {sql_stable_sum("value", 2)} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(hour(ts) AS BIGINT))
+    """,
+)
+def cube_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event type × hour of day): every subtotal
+    combination — per cell, per type, per hour, grand total — in ONE
+    aggregation pass. Spark expands grouping sets inside a single
+    Expand + HashAggregate (partial map-side combine still applies), so
+    the cube costs one shuffle, not four separate aggregations. NULL
+    group markers are labeled ('ALL' / -1) identically in both engines
+    so the driver compare is unambiguous. Sums use the exact-decimal
+    stable form (order- and engine-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("long")
+    return (
+        ev.cube(F.col("event_type"), hod.alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("message_count"),
+            stable_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hour_of_day", F.lit(-1)).alias("hour_of_day"),
+            "message_count",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           {sql_stable_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}
+               AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue ranking: who returned the
+    most value. Dimension joins (nation, customer) broadcast; the one
+    big⋈big join (orders⋈lineitem) shuffles on the order key; top-20
+    compiles to TakeOrderedAndProject (no global sort materialization).
+    Tie-break on c_custkey makes the LIMIT cut deterministic across
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    orders_dim = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    joined = li.join(orders_dim, li.l_orderkey == F.col("o_orderkey"))
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -74,3 +74,33 @@ def test_quantization_error_bounded_by_half_scale(spark):
     for r in out:
         dim = 64
         assert r.recon_err <= math.sqrt(dim) * r.scale / 2 + 1e-9
+
+
+def test_cube_single_pass_plan(spark):
+    from sparkksqldbbenchmark_spark.plans.extended_queries import (
+        cube_rollup_report,
+    )
+
+    df = cube_rollup_report(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one Expand feeding partial+final aggregation — not N separate aggs
+    assert plan.count("Expand") == 1, plan
+    assert "HashAggregate" in plan
+    # grand-total row present and consistent
+    rows = {(r.event_type, r.hour_of_day): r for r in df.collect()}
+    total = rows[("ALL", -1)]
+    per_type = [v for (t, h), v in rows.items() if h == -1 and t != "ALL"]
+    assert total.message_count == sum(v.message_count for v in per_type)
+
+
+def test_tpch_q10_plan_quality(spark):
+    from sparkksqldbbenchmark_spark.plans.extended_queries import (
+        tpch_q10_returned_items,
+    )
+
+    df = tpch_q10_returned_items(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() <= 20
