@@ -95,6 +95,8 @@ TAIL: tuple[str, ...] = (
     "streaming_stream_join",
     "cube_rollup_report",
     "tpch_q10_returned_items",
+    "skewed_agg_salted",
+    "skewed_join_replicated",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",

@@ -751,3 +751,73 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "skewed_agg_salted",
+    oracle=f"""
+    SELECT event_type,
+           {sql_stable_sum("value", 2)} AS sum_value,
+           count(*) AS row_count,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.salted_sum_count)
+    proven EQUIVALENT to the plain group-by: phase 1 spreads each hot
+    key over 16 salt buckets, phase 2 merges partials — same answer,
+    bounded per-reducer load. The oracle is the plain aggregate, so this
+    row certifies the skew path's algebra (exact decimal partials make
+    the two-step sum identical to the one-step)."""
+    from sparkksqldbbenchmark_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, keys=("event_type",), value_col="value", salt_col="event_id"
+    )
+
+
+@query(
+    "skewed_join_replicated",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               upper(substring(event_type, 1, 1)) AS category
+        FROM events
+    )
+    SELECT d.category,
+           count(*) AS message_count,
+           {sql_stable_sum("e.value", 2)} AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    """,
+)
+def skewed_join_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replicated (salted) skew join (operators/skew.
+    replicated_skew_join) proven equivalent to the plain equi-join: the
+    big side salts deterministically, the dim side replicates 16×, the
+    join keys on (key, salt) so a hot key's probe rows spread over 16
+    tasks. Oracle = the plain join + aggregate; identical output
+    certifies the replication algebra. Use broadcast() when the dim
+    fits — this is the fallback shape between broadcast and AQE."""
+    from sparkksqldbbenchmark_spark.operators.skew import (
+        replicated_skew_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category", F.upper(F.substring("event_type", 1, 1))
+        )
+    )
+    joined = replicated_skew_join(
+        ev, dim, key="event_type", salt_col="event_id"
+    )
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("message_count"),
+        stable_sum("value", 2).alias("total_value"),
+    )
