@@ -121,6 +121,66 @@ def main() -> None:
             f"docs=50,000 minhash_lsh={dedup_s:.1f}s ({pairs} dup pairs, "
             f"{int(50_000 / dedup_s):,} docs/s)"
         )
+
+        # curation ops at 10× documents: PII scrub (regex redaction over
+        # every doc, planted emails so matches are real), stratified
+        # sample + hash split (scan-side filters — should be near scan
+        # speed), OLAP cube over the 10M events.
+        from sparkksqldbbenchmark_spark.llm.pii import with_pii_scrub
+        from sparkksqldbbenchmark_spark.operators.sampling import (
+            hash_split,
+            stratified_sample,
+        )
+
+        cdocs = docs.withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        t0 = time.time()
+        scrubbed = with_pii_scrub(cdocs, text_col="text")
+        n_pii = scrubbed.agg(F.sum("total_pii")).collect()[0][0]
+        pii_s = time.time() - t0
+        t0 = time.time()
+        n_sample = stratified_sample(
+            cdocs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, "doc_id"
+        ).count()
+        samp_s = time.time() - t0
+        t0 = time.time()
+        n_splits = hash_split(cdocs, "doc_id").groupBy("split").count().count()
+        split_s = time.time() - t0
+        print(
+            f"docs=50,000 pii_scrub={pii_s:.1f}s ({n_pii} redactions, "
+            f"{int(50_000 / pii_s):,} docs/s) "
+            f"stratified_sample={samp_s:.1f}s ({n_sample} kept) "
+            f"hash_split={split_s:.1f}s ({n_splits} splits)"
+        )
+        t0 = time.time()
+        cube_rows = (
+            events.cube(
+                "event_type", F.hour("ts").cast("long").alias("hod")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .count()
+        )
+        cube_s = time.time() - t0
+        print(
+            f"rows={n:,} cube_rollup={cube_s:.1f}s ({cube_rows} cells, "
+            f"{int(n / cube_s):,} rows/s)"
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
