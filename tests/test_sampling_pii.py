@@ -149,3 +149,30 @@ def test_pii_scrub_is_shuffle_free(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pii_counts_match_python_re_randomized(spark):
+    """Property-style: over 500 seeded random strings drawn from an
+    alphabet dense in digits/@/.-, Spark's Java-regex counts equal
+    Python re.findall counts for every pattern (three engines agree:
+    Java, RE2 via the oracle gate, Python here)."""
+    import random
+
+    rng = random.Random(20260813)
+    alphabet = "0123456789@.- abcdefg\t"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, text string"
+    )
+    rows = with_pii_scrub(df, text_col="text").collect()
+    mismatches = []
+    for row in rows:
+        s = samples[row.id]
+        for name, pat in PII_PATTERNS.items():
+            expect = len(re.findall(pat, s))
+            if row[f"{name}_count"] != expect:
+                mismatches.append((name, repr(s), row[f"{name}_count"], expect))
+    assert not mismatches, mismatches[:5]
