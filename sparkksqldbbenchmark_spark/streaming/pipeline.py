@@ -121,3 +121,46 @@ def last_progress_metrics(query: StreamingQuery) -> dict:
         "processedRowsPerSecond": p.get("processedRowsPerSecond"),
         "batchDurationMs": p.get("batchDuration"),
     }
+
+
+def run_foreach_batch_idempotent(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+) -> StreamingQuery:
+    """Exactly-once file sink via foreachBatch: each micro-batch writes to
+    a batch-id-keyed subdirectory with mode=overwrite, so a batch replayed
+    after a failure (at-least-once delivery from the checkpoint) lands in
+    the SAME directory and overwrites its previous partial output instead
+    of duplicating it — idempotence turns at-least-once into
+    effectively-once. This is the upgrade over the reference's Kafka sink
+    (at-least-once, duplicates possible on restart,
+    SparkWeatherConsumer.scala:128-140 / SURVEY T10): the (batchId →
+    deterministic location, idempotent write) pattern is the standard
+    Spark recipe when the sink is not transactional.
+
+    Readers see a consistent view by listing `batch=*/` subdirs; at
+    100 TB each batch directory is written by its own tasks in parallel —
+    no coordination beyond the streaming checkpoint itself.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
+        )
+
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_feb_")
+    query = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -301,3 +301,51 @@ def test_streaming_stream_join_matches_batch(spark):
         (r.user_id, r.view_id, r.click_id, r.lag_us) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch exactly-once pattern: (1) a completed run's output
+    equals the input exactly; (2) re-writing a batch id (the failure-replay
+    case) overwrites rather than duplicates."""
+    import pathlib
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_foreach_batch_idempotent,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    events = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("k")
+    )
+    events.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = run_foreach_batch_idempotent(stream, str(out))
+    q.stop()
+    batches = sorted(p.name for p in pathlib.Path(out).glob("batch=*"))
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 over 3 files
+    got = spark.read.option("basePath", str(out)).parquet(
+        str(out) + "/batch=*"
+    )
+    assert got.count() == 100
+    assert {r.event_id for r in got.select("event_id").collect()} == set(
+        range(100)
+    )
+    # replay simulation: re-write batch 0 with the same rows — total count
+    # must NOT grow (overwrite, not append). Materialize first: a lazy
+    # self-read-overwrite would delete its own input mid-job.
+    b0_rows = spark.read.parquet(str(out) + "/batch=0").collect()
+    n0 = len(b0_rows)
+    spark.createDataFrame(b0_rows, schema).write.mode("overwrite").parquet(
+        str(out) + "/batch=0"
+    )
+    again = spark.read.option("basePath", str(out)).parquet(
+        str(out) + "/batch=*"
+    )
+    assert again.count() == 100
+    assert spark.read.parquet(str(out) + "/batch=0").count() == n0
