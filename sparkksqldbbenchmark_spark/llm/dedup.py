@@ -286,32 +286,76 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join: explode distinct
-    shingles, join on shingle, count co-occurrences, compute Jaccard from
-    |A∩B| and the per-doc shingle counts. No LSH approximation — the
-    accuracy baseline. At scale, frequent shingles dominate the join;
-    production use goes through minhash_lsh_pairs instead."""
+    """Exact n-gram Jaccard with PREFIX FILTERING (the PPJoin family):
+    instead of indexing every shingle (where one hot shingle creates a
+    quadratic join blow-up), each document indexes only its
+    p = |S| − ⌈t·|S|⌉ + 1 globally-RAREST shingles. Candidate-complete
+    for J ≥ t: if two sets share no token in both prefixes, their
+    overlap is ≤ min(⌈t|S|⌉−1, ⌈t|T|⌉−1) < t·min(|S|,|T|)
+    ≤ t(|S|+|T|)/(1+t), below the overlap J ≥ t requires — so every
+    qualifying pair shares an indexed token. Exact Jaccard is then
+    computed on candidates only (array_intersect over the full shingle
+    sets). Rarest-first ordering (by global document frequency) makes
+    the candidate join meet on the least-shared tokens, so index entries
+    per token — and candidate pairs — stay small at any corpus size.
+    Output is IDENTICAL to the naive full-index form; only the candidate
+    generation shrinks."""
+    from pyspark.sql import Window
+
     sh = _with_shingles(df, text_col, id_col, shingle_n).withColumn(
         "n_sh", F.size("shingles")
     )
     ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("s"))
-    a = ex.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    # global document frequency per shingle → the total order (df, s)
+    tok_df = ex.groupBy("s").agg(F.count(F.lit(1)).alias("tok_df"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast(
+        "int"
     )
-    b = ex.select(
-        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    ranked = (
+        ex.join(tok_df, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("tok_df", "s")
+            ),
+        )
+        .where(F.col("rn") <= prefix_len)
+        .select(id_col, "s")
     )
-    co = (
-        a.join(b, "s")
+    cands = (
+        ranked.select(F.col(id_col).alias("doc_a"), "s")
+        .join(ranked.select(F.col(id_col).alias("doc_b"), "s"), "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    full = sh.select(id_col, "shingles", "n_sh")
+    verified = (
+        cands.join(
+            full.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            full.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
     return (
-        co.withColumn("jaccard_sim", jac)
+        verified.withColumn("jaccard_sim", jac)
         .where(F.col("jaccard_sim") >= threshold)
         .select("doc_a", "doc_b", "jaccard_sim")
     )

@@ -135,3 +135,40 @@ def test_connected_components_transitive_chain(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_ngram_prefix_filter_equals_bruteforce(spark):
+    """The prefix-filtered exact-Jaccard path returns EXACTLY the pairs a
+    brute-force all-pairs Jaccard finds (candidate completeness + exact
+    verify) on the sf0.001 corpus."""
+    import itertools
+
+    docs_df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, "text", "doc_id", shingle_n=5, threshold=0.4
+        ).collect()
+    }
+
+    def shingles(t):
+        import re
+
+        toks = re.findall(r"\S+", t)
+        return {
+            " ".join(toks[i : i + 5]) for i in range(max(len(toks) - 4, 1))
+        }
+
+    rows = [(r.doc_id, shingles(r.text)) for r in docs_df.collect()]
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.4:
+            a, b = min(ia, ib), max(ia, ib)
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
