@@ -56,11 +56,17 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
-            # `div` keeps the arithmetic in int64: `/` would promote to
+            # Exact FLOOR division in integer space: `/` would promote to
             # double, whose 256 ns ulp at epoch-nano magnitude shifts the
-            # floored microsecond by ±1 — exposed by µs-precision joins.
+            # floored microsecond by ±1 (exposed by µs-precision joins);
+            # bare `div` truncates toward zero, which diverges from floor
+            # for pre-1970 (negative) nanos. pmod makes the remainder
+            # non-negative so the subtraction floors for either sign.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000")
+                ),
             )
     return df
 

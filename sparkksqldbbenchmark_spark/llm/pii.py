@@ -22,9 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Order matters: patterns are counted independently (they cannot overlap
-# each other's matches — distinct shapes) but redaction applies them in
-# this sequence.
+# Order matters: redaction applies the patterns in this sequence, and
+# each class's count is measured on the text AS THE PRECEDING REDACTIONS
+# LEFT IT. On ordinary text the patterns don't interact, but adversarial
+# inputs can nest (an email whose domain contains an IPv4) or create new
+# boundaries once a match is replaced — staged counting keeps the
+# counts consistent with the actual output: total_pii always equals the
+# number of <CLASS> tokens in the redacted text.
 PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — conservative char classes, 2+ letter TLD
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
@@ -52,29 +56,45 @@ def with_pii_scrub(
     """Add per-class PII match counts and a redacted text column where
     every match is replaced by its ``<CLASS>`` token.
 
-    Counts are measured on the ORIGINAL text (before any replacement) so
-    each class reports its true occurrence count regardless of redaction
-    order.
+    Counts are STAGED: each class counts its matches in the text as the
+    preceding redactions left it (the same text its own replacement then
+    runs on), so the per-class counts sum exactly to the replacement
+    tokens present in ``out_col`` — the invariant an audit consumer
+    needs. See module docstring for why independent counting diverges on
+    adversarial inputs.
     """
     out = df
-    for name, pat in PII_PATTERNS.items():
-        out = out.withColumn(f"{name}_count", pii_count(text_col, pat))
-    red = F.col(text_col)
-    for name, pat in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    current: F.Column = F.col(text_col)
     total = None
-    for name in PII_PATTERNS:
+    for name, pat in PII_PATTERNS.items():
+        cnt = (F.size(F.split(current, pat, -1)) - 1).cast("long")
+        out = out.withColumn(f"{name}_count", cnt)
+        current = F.regexp_replace(current, pat, f"<{name.upper()}>")
         c = F.col(f"{name}_count")
         total = c if total is None else total + c
-    return out.withColumn(out_col, red).withColumn("total_pii", total)
+    return out.withColumn(out_col, current).withColumn("total_pii", total)
 
 
 def sql_pii_count(text_expr: str, pattern: str) -> str:
-    """DuckDB twin of :func:`pii_count` (RE2 executes the same pattern)."""
+    """DuckDB match count over an arbitrary text expression (RE2 executes
+    the same pattern)."""
     return (
         f"CAST(len(regexp_split_to_array({text_expr}, '{pattern}')) - 1"
         f" AS BIGINT)"
     )
+
+
+def sql_pii_staged_counts(text_expr: str) -> list[tuple[str, str]]:
+    """DuckDB twin of the STAGED counts in :func:`with_pii_scrub`:
+    returns [(class, count_sql)] where each count runs over the text as
+    the preceding redactions left it — generated from the same
+    PII_PATTERNS walk so the two engines cannot drift."""
+    cur = text_expr
+    out = []
+    for name, pat in PII_PATTERNS.items():
+        out.append((name, sql_pii_count(cur, pat)))
+        cur = f"regexp_replace({cur}, '{pat}', '<{name.upper()}>', 'g')"
+    return out
 
 
 def sql_pii_scrub(text_expr: str) -> str:

@@ -97,6 +97,15 @@ def hash_split(
     """
     if boundaries is None:
         boundaries = {"train": 98, "val": 99, "test": 100}
+    if not boundaries:
+        raise ValueError("hash_split: boundaries must name at least one split")
+    if max(boundaries.values()) != 100:
+        # every bucket 0-99 must map to a label — a silent NULL split is
+        # exactly the contamination hazard this operator exists to prevent
+        raise ValueError(
+            "hash_split: largest boundary must be 100 so all buckets are "
+            f"covered (got {max(boundaries.values())})"
+        )
     bucket = hash_bucket(key_col, salt, n_buckets=100)
     label = None
     for name, upper in sorted(boundaries.items(), key=lambda kv: kv[1]):

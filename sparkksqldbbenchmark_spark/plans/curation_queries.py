@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from sparkksqldbbenchmark_spark.catalog import load_table
 from sparkksqldbbenchmark_spark.llm import pii
 from sparkksqldbbenchmark_spark.llm import text as text_ops
-from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
+from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens, sql_md5_int
 from sparkksqldbbenchmark_spark.operators.sampling import (
     hash_split,
     stratified_sample,
@@ -179,14 +179,11 @@ def _enrich_expr(cast_type: str) -> str:
 
 
 def _pii_oracle() -> str:
+    staged = pii.sql_pii_staged_counts("enriched")
     counts = ",\n           ".join(
-        f"{pii.sql_pii_count('enriched', pat)} AS {name}_count"
-        for name, pat in pii.PII_PATTERNS.items()
+        f"{cnt} AS {name}_count" for name, cnt in staged
     )
-    total = " + ".join(
-        pii.sql_pii_count("enriched", pat)
-        for pat in pii.PII_PATTERNS.values()
-    )
+    total = " + ".join(cnt for _, cnt in staged)
     scrub = pii.sql_pii_scrub("enriched")
     return (
         "WITH e AS (\n"
@@ -231,10 +228,10 @@ def _sample_oracle() -> str:
         f"WHEN '{lang}' THEN {int(round(frac * 10000))}"
         for lang, frac in sorted(_SAMPLE_FRACTIONS.items())
     )
-    bucket = (
-        "(('0x' || substring(md5('sample-v1:' || CAST(doc_id AS VARCHAR)),"
-        " 1, 15))::BIGINT) % 10000"
-    )
+    # built from the SAME shared hash builder as the Spark side's
+    # hash_bucket arithmetic (llm/hashing) so the convention can't drift
+    key = "'sample-v1:' || CAST(doc_id AS VARCHAR)"
+    bucket = f"({sql_md5_int(key)}) % 10000"
     return (
         "WITH b AS (\n"
         f"    SELECT doc_id, lang, {bucket} AS sample_bucket\n"
@@ -262,10 +259,8 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_oracle() -> str:
-    bucket = (
-        "(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)),"
-        " 1, 15))::BIGINT) % 100"
-    )
+    key = "'split-v1:' || CAST(doc_id AS VARCHAR)"
+    bucket = f"({sql_md5_int(key)}) % 100"
     return (
         "WITH b AS (\n"
         f"    SELECT doc_id, n_chars, {bucket} AS split_bucket\n"
@@ -302,8 +297,8 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _keep_best_oracle() -> str:
     from sparkksqldbbenchmark_spark.plans.llm_queries import (
-        _STOP_EN,
         _cluster_oracle,
+        sql_quality_score,
     )
 
     return f"""
@@ -311,16 +306,7 @@ def _keep_best_oracle() -> str:
         {_cluster_oracle()}
     ), quality AS (
         SELECT doc_id,
-               0.4 * least(CAST(len(regexp_extract_all(text, '\\S+'))
-                        AS DOUBLE) / 100.0, 1.0)
-             + 0.4 * (CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
-                        t -> list_contains([{_STOP_EN}], lower(t))))
-                        AS DOUBLE)
-                      / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE))
-             + 0.2 * (1.0 - CAST(len(regexp_extract_all(text,
-                        '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                            / CAST(len(text) AS DOUBLE))
-               AS quality_score
+               {sql_quality_score("text")} AS quality_score
         FROM documents
     ), ranked AS (
         SELECT l.component AS cluster_id, l.doc_id, q.quality_score,

@@ -415,6 +415,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
 
+def sql_quality_score(text_expr: str = "text") -> str:
+    """DuckDB twin of text.with_quality_scores' composite quality_score —
+    the ONE place the SQL formula lives (text_quality_scores' oracle and
+    dedup_keep_best's oracle both build from it, so a weight change
+    cannot drift between them)."""
+    toks = f"regexp_extract_all({text_expr}, '\\S+')"
+    return (
+        f"0.4 * least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.4 * (CAST(len(list_filter({toks},"
+        f" t -> list_contains([{_STOP_EN}], lower(t)))) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE))"
+        f" + 0.2 * (1.0 - CAST(len(regexp_extract_all({text_expr},"
+        f" '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        f" / CAST(len({text_expr}) AS DOUBLE))"
+    )
+
+
 @query(
     "text_token_counts",
     oracle=r"""
@@ -444,7 +461,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     t -> list_contains([{_STOP_EN}], lower(t))))
                    AS BIGINT) AS stopword_hits,
                CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
-                    t -> len(t))) AS DOUBLE) AS tok_chars
+                    t -> len(t))) AS DOUBLE) AS tok_chars,
+               {sql_quality_score("text")} AS quality_score
         FROM documents
     )
     SELECT doc_id, n_chars_calc, n_tokens, punct_count, stopword_hits,
@@ -453,11 +471,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS punct_ratio,
            CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                AS stopword_ratio,
-           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-             + 0.4 * (CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-             + 0.2 * (1.0 - CAST(punct_count AS DOUBLE)
-                            / CAST(n_chars_calc AS DOUBLE))
-               AS quality_score
+           quality_score
     FROM t
     """,
 )

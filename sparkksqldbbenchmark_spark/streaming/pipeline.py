@@ -162,5 +162,12 @@ def run_foreach_batch_idempotent(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    finished = query.awaitTermination(timeout_s)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"idempotent sink did not drain the backlog within {timeout_s}s;"
+            f" output under {out_dir} is PARTIAL (checkpoint {checkpoint}"
+            " resumes it)"
+        )
     return query

@@ -41,9 +41,10 @@ def test_window_suite_semantics(spark):
 def test_window_suite_single_window_operator(spark):
     out = window_function_suite(spark, SF_DIR)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # every expression shares one (partition, order) → exactly one Window
-    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
-    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
+    # every expression shares one (partition, order) → EXACTLY one Window
+    # operator and one shuffle — the property the query demonstrates
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_quantization_matches_numpy(spark):

@@ -170,9 +170,17 @@ def test_pii_counts_match_python_re_randomized(spark):
     rows = with_pii_scrub(df, text_col="text").collect()
     mismatches = []
     for row in rows:
-        s = samples[row.id]
+        cur = samples[row.id]
+        total = 0
         for name, pat in PII_PATTERNS.items():
-            expect = len(re.findall(pat, s))
+            expect = len(re.findall(pat, cur))
+            total += expect
             if row[f"{name}_count"] != expect:
-                mismatches.append((name, repr(s), row[f"{name}_count"], expect))
+                mismatches.append(
+                    (name, repr(cur), row[f"{name}_count"], expect)
+                )
+            cur = re.sub(pat, f"<{name.upper()}>", cur)
+        # the audit invariant: counts sum to the redactions in the output
+        if row.total_pii != total or row.redacted != cur:
+            mismatches.append(("staged", repr(samples[row.id])))
     assert not mismatches, mismatches[:5]
