@@ -41,62 +41,56 @@ except ImportError:
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
-# The driver grades at most the FIRST 50 registered queries. Order is
-# therefore part of the contract: every oracle-bearing, non-redundant query
-# must land in the first 50 positions. TAIL holds the entries we can afford
-# to leave driver-ungraded — the two rows-only (no-oracle) checks and exact
-# semantic twins of queries that remain graded:
-#   latest_by_rownumber        — W2 window-form twin of latest_by_offset (A3)
-#   weather_window_agg_sql     — SQL twin of weather_window_agg; A2 evidence
-#                                stays via ksql_windowed_table
-#   weather_window_agg_by_station — per-key twin; same semantics graded via
-#                                ksql_windowed_table (9998-row twin)
-#   streaming_union_window_agg — streaming twin of union_streams_agg (U1);
-#                                streaming machinery stays graded via the
-#                                other five streaming_* rows
+# The driver grades at most the FIRST 50 registered queries per round.
+# Order is therefore part of the contract. With 71 registered queries the
+# policy is ROTATION: every query must hold a driver-graded row from SOME
+# round, so queries that have never been graded take head slots and the
+# displaced TAIL is drawn from queries that are already green in a prior
+# round's CORRECTNESS_r*.json AND whose implementation has not materially
+# changed since (their recorded verdict remains valid evidence).
+#
+# Round-3 rotation: the nine round-3-new queries that r02 never graded
+# (streaming_stream_join, cube_rollup_report, tpch_q10_returned_items,
+# skewed_agg_salted, skewed_join_replicated, hash_split_assignment,
+# dedup_keep_best, window_function_suite, embedding_quantization) move
+# into the head; nine r02-green queries whose machinery stays covered by
+# graded siblings move out:
+#   dedup_clusters             — r02 green; its cluster-labeling CTE is the
+#                                exact input of the now-graded dedup_keep_best
+#   dedup_simhash              — r02 green; unchanged since
+#   similarity_ann_lsh         — r02 green; brute topk + IVF stay graded
+#   value_counts               — r02 green; same TakeOrdered shape as the
+#                                graded top_k_values
+#   station_enrichment_join    — r02 green; J2 twin region_zone_lookup graded
+#   group_by_sum_consumption   — r02 green; grouped sums graded via tpch_q1 /
+#                                per_station_accumulation
+#   validity_filter            — r02 green; predicate machinery ubiquitous in
+#                                graded rows
+#   numeric_projection_summary — r02 green; same summary-agg shape as the
+#                                graded correlation/scalar suites
+#   count_distinct_stations    — r02 green; unchanged since
+# Carried-over tail (r02-green exact twins of still-graded queries, and the
+# two rows-only checks): latest_by_rownumber, weather_window_agg_sql,
+# weather_window_agg_by_station, streaming_union_window_agg,
+# latest_by_offset, argmax_station, streaming_window_agg,
+# dedup_ngram_jaccard, session_window_agg, latency_percentiles,
+# multimodal_frame_sample, approx_count_distinct.
+#
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that the
 # non-TAIL prefix fits in the 50-row window.
-#   latest_by_offset           — A3; identical oracle/values to the graded
-#                                streaming_latest_table (and ksql twin)
-#   argmax_station             — O5; top-1 of the same TakeOrderedAndProject
-#                                family graded via top_k_values
-#   streaming_window_agg       — identical oracle/values to the graded batch
-#                                flagship weather_window_agg; streaming
-#                                machinery stays graded via the five other
-#                                streaming_* rows (watermarked/update/
-#                                latest/union-in-tail/sessionize)
-#   dedup_ngram_jaccard        — by-design accuracy baseline (docstring
-#                                routes production to minhash); four dedup
-#                                siblings remain graded
-#   session_window_agg         — batch F.session_window twin of the graded
-#                                streaming_sessionize (identical gap-split
-#                                semantics, same oracle values)
-#   latency_percentiles        — A4 twin; the reference's exact nearest-rank
-#                                convention stays graded via
-#                                latency_nearest_rank_percentiles
-#   hash_split_assignment      — derivative of the graded stratified_sample
-#                                machinery (same salted-hash bucket op,
-#                                operators/sampling.py) + a plain groupBy
-#   dedup_keep_best            — composite of graded pieces: dedup_clusters
-#                                labels × text_quality_scores argmax
-#   window_function_suite      — lag/lead/moving-avg analytics; window
-#                                machinery (same Window-operator shape)
-#                                stays graded via latest-by/accumulation
-#   embedding_quantization     — int8 vector compression; array-HOF family
-#                                graded via the similarity/minhash suite
 TAIL: tuple[str, ...] = (
     "session_window_agg",
     "latency_percentiles",
-    "hash_split_assignment",
-    "dedup_keep_best",
-    "window_function_suite",
-    "embedding_quantization",
-    "streaming_stream_join",
-    "cube_rollup_report",
-    "tpch_q10_returned_items",
-    "skewed_agg_salted",
-    "skewed_join_replicated",
+    "dedup_clusters",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "value_counts",
+    "station_enrichment_join",
+    "group_by_sum_consumption",
+    "validity_filter",
+    "numeric_projection_summary",
+    "count_distinct_stations",
     "latest_by_rownumber",
     "weather_window_agg_sql",
     "weather_window_agg_by_station",
