@@ -48,14 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """Parquet timestamp[ns] columns arrive as int64 nanos under
-    spark.sql.legacy.parquet.nanosAsLong; convert to TimestampType with the
-    same ns→µs floor truncation DuckDB applies when reading them."""
+    """Normalize the `ts` column to TimestampType regardless of which
+    parquet encoding the driver generated:
+
+    - timestamp[ns] → int64 nanos under spark.sql.legacy.parquet.nanosAsLong:
+      converted with the same ns→µs floor truncation DuckDB applies.
+    - timestamp[us] (no tz) → Spark 4 reads it as TIMESTAMP_NTZ, which
+      `withWatermark` / `unix_millis` / event-time windows reject. The
+      session runs in UTC (ensure_session_confs), so a cast to TIMESTAMP
+      is value-preserving: the wall-clock fields are reinterpreted as UTC
+      instants, exactly how DuckDB reads the same file.
+
+    The loader must not assume either encoding — the driver has switched
+    between them across rounds."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
+        if field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif field.name == "ts" and isinstance(field.dataType, LongType):
             # Exact FLOOR division in integer space: `/` would promote to
             # double, whose 256 ns ulp at epoch-nano magnitude shifts the
             # floored microsecond by ±1 (exposed by µs-precision joins);
