@@ -366,3 +366,108 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc_id"),
         F.col("quality_score").alias("kept_quality"),
     )
+
+
+def _packing_oracle(capacity: int = 2048, seed: str = "pack-v1") -> str:
+    # Global-order twin of operators/packing.pack_offsets: one window
+    # cumsum over the md5 shuffle key (the oracle runs at small SF where
+    # a single-partition sort is fine; the Spark side decomposes it into
+    # the bucketed prefix sum documented in operators/packing.py).
+    key = sql_md5_int(f"('{seed}:' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               {key} AS key
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {capacity} AS pack_id,
+           start_offset % {capacity} AS pack_offset,
+           (start_offset % {capacity}) + n_tokens > {capacity} AS straddles
+    FROM o
+    """
+
+
+@query("sequence_packing", oracle=_packing_oracle())
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the corpus into 2048-token
+    context windows in deterministic-shuffle order (operators/packing).
+    Per document: global token start offset, pack id, in-pack offset,
+    straddle flag. The Spark plan is the distributed prefix sum (range-
+    bucketed cumsum + constant-size carry broadcast) — one data shuffle
+    at any scale; the oracle is the equivalent single global cumsum."""
+    from sparkksqldbbenchmark_spark.operators.packing import pack_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.expr(spark_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_offsets(
+        with_tokens, id_col="doc_id", tokens_col="n_tokens", capacity=2048
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        "pack_offset",
+        "straddles",
+    )
+
+
+def _decontam_oracle(n: int = 8, threshold: float = 0.3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_word_shingles
+
+    sh = sql_word_shingles("text", n)
+    h = sql_md5_int("sh")
+    return rf"""
+    WITH trs AS (
+        SELECT doc_id, {h} AS shash
+        FROM (SELECT doc_id, unnest({sh}) AS sh
+              FROM documents WHERE doc_id % 50 <> 0)
+    ), evs AS (
+        SELECT DISTINCT {h} AS shash
+        FROM (SELECT unnest({sh}) AS sh
+              FROM documents WHERE doc_id % 50 = 0)
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM trs GROUP BY doc_id
+    ), hits AS (
+        SELECT t.doc_id, count(*) AS overlap_count
+        FROM trs t JOIN evs e USING (shash) GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.overlap_count, 0) AS overlap_count,
+           CAST(COALESCE(h.overlap_count, 0) AS DOUBLE) / t.n_shingles
+               AS overlap_frac,
+           CAST(COALESCE(h.overlap_count, 0) AS DOUBLE) / t.n_shingles
+               >= {threshold} AS contaminated
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+
+
+@query("decontam_ngram_overlap", oracle=_decontam_oracle())
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (llm/decontam.ngram_overlap): the
+    held-out 'eval set' is every 50th document; every remaining training
+    document reports its distinct word-8-gram count, how many of those
+    8-grams appear anywhere in the eval set, and the contamination flag.
+    The eval shingle-hash set is broadcast, so the corpus side is a
+    map-side semi-join — no corpus shuffle beyond the per-doc count."""
+    from sparkksqldbbenchmark_spark.llm.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    return ngram_overlap(
+        train, eval_df, text_col="text", id_col="doc_id", n=8, threshold=0.3
+    ).select(
+        "doc_id", "n_shingles", "overlap_count", "overlap_frac", "contaminated"
+    )

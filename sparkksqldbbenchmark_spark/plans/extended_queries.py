@@ -322,16 +322,31 @@ def dirty_data_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_stations,
+           true AS approx_within_5pct
+    FROM events
+    """,
+)
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 scale path — approx_count_distinct (HyperLogLog++, mergeable,
-    no exact-distinct shuffle). Rows-only check: sketch estimates are
-    engine-specific by nature; the exact variant is oracle-checked in
-    count_distinct_stations."""
+    no exact-distinct shuffle). The raw sketch estimate is engine-
+    specific, so the graded contract is the part both engines agree on:
+    the exact cardinality, plus the verifiable claim that the HLL
+    estimate (rsd=0.01) landed within 5% of it — deterministic because
+    Spark's HLL is hash-based, not randomized, for a fixed input."""
     events = load_table(spark, sf_dir, "events")
     return events.agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_stations"),
         F.countDistinct("user_id").alias("exact_stations"),
+    ).select(
+        "exact_stations",
+        (
+            F.abs(F.col("approx_stations") - F.col("exact_stations"))
+            <= 0.05 * F.col("exact_stations")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -581,11 +581,31 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: plumbing for video decode
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx, upper(md5(text)) AS payload_hex
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, ((doc_id % 640 + 16) % 10) + 1))
+                     AS frame_idx
+          FROM documents WHERE doc_id % 3 = 2)
+    WHERE frame_idx % 2 = 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (llm/multimodal.frame_sample_plan):
+    per synthetic video row, explode the deterministic frame index list
+    and keep every 2nd frame. The graded projection hex-encodes the
+    binary payload so the oracle can reproduce it (upper(md5(text)) —
+    attach_media_blobs derives the blob from md5 of the text); the plan
+    under it is the real binary-column path."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.attach_media_blobs(docs)
-    return multimodal.frame_sample_plan(blobs)
+    return multimodal.frame_sample_plan(blobs).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
 def _quant_oracle(dim: int = 64) -> str:
