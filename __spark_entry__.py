@@ -58,6 +58,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   approx_count_distinct   — new exact-count + 5%-bound oracle
 #   sequence_packing        — NEW (operators/packing wired per VERDICT)
 #   decontam_ngram_overlap  — NEW (llm/decontam wired per VERDICT)
+#   similarity_ann_lsh      — llm/similarity.py changed this round (the
+#                             vectorized cosine_topk rework shares the
+#                             module), voiding its r02 source pin
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -67,6 +70,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                            lang_id / repetition stay graded
 #   dirty_data_parsing     — try_to_timestamp graded via datetime_parse_suite
 #   time_rollup_hierarchy  — rollup machinery graded via cube_rollup_report
+#   streaming_update_mode_final — r03 green unchanged; update-cadence
+#                            machinery covered by the still-graded
+#                            streaming_latest_table + complete-mode rows
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -79,7 +85,6 @@ TAIL: tuple[str, ...] = (
     "latency_percentiles",
     "dedup_clusters",
     "dedup_simhash",
-    "similarity_ann_lsh",
     "value_counts",
     "station_enrichment_join",
     "group_by_sum_consumption",
@@ -98,6 +103,7 @@ TAIL: tuple[str, ...] = (
     "text_fingerprint",
     "dirty_data_parsing",
     "time_rollup_hierarchy",
+    "streaming_update_mode_final",
 )
 
 DRIVER_WINDOW = 50

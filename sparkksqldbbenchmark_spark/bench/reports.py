@@ -88,3 +88,80 @@ def resources_prometheus_text(
         out.append(f"# TYPE {prefix}_resource_{name} gauge")
         out.append(f"{prefix}_resource_{name} {float(summary[name])}")
     return "\n".join(out) + "\n"
+
+
+class MetricsServer:
+    """S15's serving half (MetricsExporter.scala:16-84): a stdlib
+    http.server thread exposing the current Prometheus exposition text
+    at /metrics (and a liveness 200 at /). The payload is a callable so
+    the bench harness can re-point it at fresh metrics between queries
+    without restarting the server; everything served is an
+    already-formatted string — no Spark objects cross this thread.
+
+    Usage:
+        srv = MetricsServer(lambda: prometheus_text(metrics))
+        port = srv.start()          # OS-assigned free port by default
+        ... curl :port/metrics ...
+        srv.stop()
+    """
+
+    def __init__(self, payload, *, host: str = "127.0.0.1", port: int = 0):
+        self._payload = payload
+        self._host = host
+        self._port = port
+        self._httpd = None
+        self._thread = None
+
+    def start(self) -> int:
+        import http.server
+        import threading
+
+        payload = self._payload
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib casing)
+                if self.path not in ("/metrics", "/"):
+                    self.send_error(404)
+                    return
+                if self.path == "/":
+                    body = b"ok\n"
+                    ctype = "text/plain"
+                else:
+                    body = payload().encode("utf-8")
+                    ctype = "text/plain; version=0.0.4; charset=utf-8"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # silence per-request stderr
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self._host, self._port), Handler
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._thread.join(timeout=5)
+            self._httpd = None
+            self._thread = None
+
+    def __enter__(self) -> "MetricsServer":
+        self.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

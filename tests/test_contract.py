@@ -50,7 +50,6 @@ TAIL_SOURCE_SHA256 = {
     "latency_percentiles": "921d4bebb146be04",
     "dedup_clusters": "e7e68ce4cd15991b",
     "dedup_simhash": "f2eca011f5c48cb6",
-    "similarity_ann_lsh": "d506228c45ec885a",
     "value_counts": "00844505bf55dd97",
     "station_enrichment_join": "be845868ea1f69ec",
     "group_by_sum_consumption": "b69cb2f4192ed6bb",
@@ -69,6 +68,7 @@ TAIL_SOURCE_SHA256 = {
     "text_fingerprint": "c17c61d1999b75a4",
     "dirty_data_parsing": "c1274951d6221b89",
     "time_rollup_hierarchy": "39dacc5c5040bb32",
+    "streaming_update_mode_final": "dc7c477191421541",
 }
 
 

@@ -101,6 +101,51 @@ def test_frame_sample_only_videos(spark, docs):
     assert all(r["frame_idx"] % 2 == 0 for r in frames)
 
 
+def test_cosine_topk_vectorized_matches_codegen_bitexact(spark):
+    """The Arrow mapInPandas cosine_topk and the pure-JVM codegen twin
+    must agree to the BIT (not approximately): the vectorized fold adds
+    one product term per dimension sequentially in float64, which is the
+    same IEEE operation sequence as the unrolled codegen dot. Any drift
+    here would silently break the DuckDB oracle hash."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast = sorted(
+        map(tuple, similarity.cosine_topk(emb, num_queries=7, k=9).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_codegen(
+                emb, num_queries=7, k=9
+            ).collect(),
+        )
+    )
+    assert fast == slow
+
+
+def test_cosine_topk_local_merge_partition_independent(spark):
+    """Local-top-k-then-merge must give identical results however the
+    candidates are partitioned (top-k is distributive under the total
+    order (sim desc, cand_id asc))."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk(
+                emb.coalesce(1), num_queries=4, k=6
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk(
+                emb.repartition(13), num_queries=4, k=6
+            ).collect(),
+        )
+    )
+    assert one == many
+
+
 def test_ann_subset_of_brute_force(spark):
     """LSH top-k results are always genuine neighbors: every (query, cand)
     scored by ANN appears in the brute-force candidate ordering with the

@@ -127,6 +127,54 @@ def test_latency_metrics_reference_convention(spark):
     assert "benchmark_latency_p99_ms 10000.0" in prom
 
 
+def test_metrics_server_serves_prometheus_over_http(spark):
+    """S15 serving parity (MetricsExporter.scala:16-84): a live HTTP
+    endpoint returns the exposition text, re-reads its payload callable
+    per request, 404s unknown paths, and shuts down cleanly."""
+    import urllib.error
+    import urllib.request
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(range(1000, 11000, 1000))],
+        "id int, latency_ms long",
+    )
+    m = latency.calculate_metrics(df)
+    state = {"m": m}
+    srv = reports.MetricsServer(lambda: reports.prometheus_text(state["m"]))
+    port = srv.start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        assert "benchmark_latency_avg_ms 5500.0" in body
+        assert "# TYPE benchmark_latency_p99_ms gauge" in body
+        # liveness endpoint
+        ok = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5
+        ).read()
+        assert ok == b"ok\n"
+        # payload is re-evaluated per request (harness swaps metrics
+        # between bench queries without a server restart)
+        state["m"] = latency.calculate_metrics(
+            spark.createDataFrame(
+                [(0, 100), (1, 300)], "id int, latency_ms long"
+            )
+        )
+        body2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        assert "benchmark_latency_avg_ms 200.0" in body2
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=5
+            )
+            raise AssertionError("unknown path must 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+
+
 def test_top_latency_windows(spark):
     df = spark.createDataFrame(
         [(i, 1000 * i) for i in range(1, 8)], "w int, latency_ms long"
