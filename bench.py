@@ -114,6 +114,15 @@ def main() -> None:
     # the BASELINE expectation bands (avg 5-7 s, P99 11-14 s, σ 3-4 s).
     from sparkksqldbbenchmark_spark.bench.replay import run_latency_benchmark
 
+    # Which Avro codec would a Kafka deployment of this session execute?
+    # (jvm = spark-avro data source loaded, the 100 TB path; python =
+    # mapInPandas codec fallback.) Recorded so throughput numbers are
+    # attributable to the codec that actually runs here.
+    from sparkksqldbbenchmark_spark.sources.kafka import probe_avro_path
+
+    avro_path = probe_avro_path(spark)
+    print(f"  avro codec path: {avro_path}", file=sys.stderr)
+
     m = run_latency_benchmark(spark, run_seconds=20)
     streaming_latency = {
         "avg_ms": round(m.avg_ms, 2),
@@ -129,6 +138,31 @@ def main() -> None:
     resources = sampler.stop()
     print(f"  resources: {resources}", file=sys.stderr)
 
+    # S15 serving parity: expose the run's metrics over a live /metrics
+    # endpoint (MetricsExporter.scala:16-84) and self-scrape once so the
+    # JSON line records that the HTTP surface actually served.
+    from urllib.request import urlopen
+
+    from sparkksqldbbenchmark_spark.bench.reports import (
+        MetricsServer,
+        prometheus_text,
+        resources_prometheus_text,
+    )
+
+    prometheus_served = False
+    try:
+        srv = MetricsServer(
+            lambda: prometheus_text(m) + resources_prometheus_text(resources)
+        )
+        port = srv.start()
+        body = urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        prometheus_served = "benchmark_latency_avg_ms" in body
+        srv.stop()
+    except Exception as exc:  # metrics serving must never fail the bench
+        print(f"  prometheus serve failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -140,6 +174,8 @@ def main() -> None:
                 "core_query_rows_per_sec": core_rows_per_sec,
                 "streaming_e2e_latency": streaming_latency,
                 "resources": resources,
+                "avro_codec_path": avro_path,
+                "prometheus_http_served": prometheus_served,
             }
         )
     )

@@ -292,3 +292,40 @@ def test_from_avro_jvm_parity_or_documented_probe(spark):
         assert any("Avro codec" in str(w.message) for w in caught)
     else:
         assert [r.asDict() for r in jvm_rows] == [rec]
+
+
+def test_probe_avro_path_names_executable_codec(spark):
+    """probe_avro_path must report the codec a decode would ACTUALLY run
+    — "jvm" only when a real one-row from_avro decode succeeds (the
+    pyspark wrapper importing is not enough: the data-source jar can be
+    absent and only fail at analysis). In this container the jar is
+    absent by design, so the probe must degrade to "python", matching
+    the documented fallback the other tests exercise; on a cluster with
+    spark-avro loaded the same probe reports "jvm"."""
+    from sparkksqldbbenchmark_spark.sources.kafka import (
+        decode_avro_value,
+        probe_avro_path,
+    )
+
+    path = probe_avro_path(spark)
+    assert path in ("jvm", "python")
+    if path == "jvm":
+        # must not be a false positive: the strict no-fallback decode
+        # has to work end-to-end
+        df = spark.createDataFrame([(bytes([0x02]),)], "value binary")
+        schema = ('{"type":"record","name":"P",'
+                  '"fields":[{"name":"x","type":"long"}]}')
+        got = decode_avro_value(
+            df, schema, framed=False, python_fallback=False
+        ).collect()
+        assert got[0]["data"]["x"] == 1
+    else:
+        import pytest
+
+        df = spark.createDataFrame([(bytes([0x02]),)], "value binary")
+        schema = ('{"type":"record","name":"P",'
+                  '"fields":[{"name":"x","type":"long"}]}')
+        with pytest.raises(Exception):
+            decode_avro_value(
+                df, schema, framed=False, python_fallback=False
+            ).collect()

@@ -27,7 +27,15 @@ from sparkksqldbbenchmark_spark.session import SessionConfig, get_spark
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
-    spark = get_spark(SessionConfig(app_name="scale-smoke"))
+    # local-mode driver == the executor: the default 1g heap dies on the
+    # forward_fill materialization at 10M+ rows. On a cluster this is
+    # executor memory; here size the single JVM for the data we generate.
+    spark = get_spark(
+        SessionConfig(
+            app_name="scale-smoke",
+            extra={"spark.driver.memory": "24g"},
+        )
+    )
     d = tempfile.mkdtemp(prefix="scale_events_")
     try:
         print(f"generating {n:,} events into {d} (32 files)...",
@@ -88,8 +96,9 @@ def main() -> None:
             f"per_key_acc={acc_s:.1f}s ({stations} keys) top_k={topk_s:.1f}s"
         )
 
-        # dedup at 10× documents: 50k synthetic word-salad docs (deterministic
-        # from id), ~60 words each, with every 1000th doc duplicating its
+        # dedup over a corpus that scales with the run (n/20 docs,
+        # min 50k): synthetic word-salad docs (deterministic from id),
+        # ~60 words each, with every 1000th doc duplicating its
         # predecessor so recall is observable.
         from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
 
@@ -100,8 +109,9 @@ def main() -> None:
         base_id = F.when(
             F.col("id") % 1000 == 999, F.col("id") - 1
         ).otherwise(F.col("id"))
+        docs_n = max(50_000, n // 20)
         docs = (
-            spark.range(50_000)
+            spark.range(docs_n)
             .withColumn("bid", base_id)
             .select(
                 F.col("id").alias("doc_id"),
@@ -118,8 +128,8 @@ def main() -> None:
         pairs = minhash_lsh_pairs(docs, "text", "doc_id").count()
         dedup_s = time.time() - t0
         print(
-            f"docs=50,000 minhash_lsh={dedup_s:.1f}s ({pairs} dup pairs, "
-            f"{int(50_000 / dedup_s):,} docs/s)"
+            f"docs={docs_n:,} minhash_lsh={dedup_s:.1f}s ({pairs} dup "
+            f"pairs, {int(docs_n / dedup_s):,} docs/s)"
         )
 
         # curation ops at 10× documents: PII scrub (regex redaction over
@@ -163,8 +173,8 @@ def main() -> None:
         n_splits = hash_split(cdocs, "doc_id").groupBy("split").count().count()
         split_s = time.time() - t0
         print(
-            f"docs=50,000 pii_scrub={pii_s:.1f}s ({n_pii} redactions, "
-            f"{int(50_000 / pii_s):,} docs/s) "
+            f"docs={docs_n:,} pii_scrub={pii_s:.1f}s ({n_pii} redactions, "
+            f"{int(docs_n / pii_s):,} docs/s) "
             f"stratified_sample={samp_s:.1f}s ({n_sample} kept) "
             f"hash_split={split_s:.1f}s ({n_splits} splits)"
         )
@@ -180,6 +190,48 @@ def main() -> None:
         print(
             f"rows={n:,} cube_rollup={cube_s:.1f}s ({cube_rows} cells, "
             f"{int(n / cube_s):,} rows/s)"
+        )
+
+        # global forward-fill over the full event stream (the two-pass
+        # day-bucketed plan — SURVEY §7 risk 7): null every 7th value,
+        # fill with NO partition columns, count filled rows. The check
+        # is that this scales like a parallel window, not a global sort.
+        from sparkksqldbbenchmark_spark.operators.joins import forward_fill
+
+        holey = events.withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 != 0, F.col("value")),
+        )
+        t0 = time.time()
+        filled = forward_fill(holey, "ts", ["value"])
+        n_filled = filled.where(F.col("value").isNotNull()).count()
+        ffill_s = time.time() - t0
+        print(
+            f"rows={n:,} global_ffill={ffill_s:.1f}s "
+            f"({n_filled:,} non-null after fill, "
+            f"{int(n / ffill_s):,} rows/s)"
+        )
+
+        # sequence packing over the events table treated as a corpus
+        # (n_tokens synthesized from the value column): the distributed
+        # prefix sum must stay one-data-shuffle at any row count.
+        from sparkksqldbbenchmark_spark.operators.packing import (
+            pack_offsets,
+        )
+
+        corpus = events.select(
+            F.col("event_id").alias("doc_id"),
+            (F.col("event_id") % 512 + 1).cast("long").alias("n_tokens"),
+        )
+        t0 = time.time()
+        packed = pack_offsets(corpus, capacity=2048)
+        n_packs = packed.agg(
+            F.countDistinct("pack_id").alias("p")
+        ).collect()[0]["p"]
+        pack_s = time.time() - t0
+        print(
+            f"rows={n:,} sequence_packing={pack_s:.1f}s "
+            f"({n_packs:,} packs, {int(n / pack_s):,} docs/s)"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
