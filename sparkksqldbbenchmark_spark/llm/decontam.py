@@ -70,23 +70,26 @@ def ngram_overlap(
         shingle_hash_rows(eval_df, text_col, id_col, n)
         .select("shash")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = shingle_hash_rows(train, text_col, id_col, n)
-    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        tr.join(ev, "shash")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("overlap_count"))
-    )
+    # ONE corpus pass: left-join the (distinct, so at most one match per
+    # shingle) eval hash set onto the shingle stream map-side, then a
+    # single groupBy counts total and hit shingles together. The naive
+    # form — separate totals/hits aggregates joined back — shuffles the
+    # corpus twice and shuffles again for the join; this shape shuffles
+    # the corpus exactly once and partial-aggregates map-side first.
+    joined = tr.join(ev, "shash", "left")
     frac = F.col("overlap_count").cast("double") / F.col("n_shingles").cast(
         "double"
     )
     return (
-        totals.join(hits, id_col, "left")
-        .withColumn(
-            "overlap_count", F.coalesce("overlap_count", F.lit(0)).cast("long")
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("overlap_count"),
         )
         .withColumn("overlap_frac", frac)
         .withColumn("contaminated", frac >= F.lit(threshold))

@@ -79,3 +79,36 @@ def test_minhash_no_cartesian(spark):
 def test_ann_bucket_join_not_cartesian(spark):
     plan = plan_of(spark, "similarity_ann_lsh", mode="simple")
     assert "CartesianProduct" not in plan
+
+
+def test_decontam_corpus_shuffles_once(spark):
+    """ngram_overlap's corpus side must flow scan → broadcast-left-join →
+    ONE hash exchange (the per-doc groupBy). The eval side may exchange
+    for its distinct (it is small by construction) and must broadcast;
+    the corpus must never sort-merge or re-aggregate-and-join (the naive
+    three-exchange shape this plan replaced)."""
+    plan = plan_of(spark, "decontam_ngram_overlap", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two hash exchanges total: eval-side distinct + corpus groupBy
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # map-side partial aggregation on the corpus count
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sequence_packing_single_data_shuffle(spark):
+    """pack_offsets must shuffle the DATA once (hash on the range
+    bucket for the in-bucket cumsum window); the cross-bucket carry may
+    only move aggregate partials (map-side combined — n_buckets rows per
+    input partition) plus one broadcast back. No global sort of the
+    data, no cartesian."""
+    plan = plan_of(spark, "sequence_packing", mode="simple")
+    assert "BroadcastExchange" in plan  # the carry patch-back
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("HashAggregate") >= 2  # partial+final carry totals
+    # the only single-partition constructs are over the n_buckets-row
+    # carry frame, never the data: no global Sort outside a window over
+    # __bucket rows (rangepartitioning would betray a data-wide sort)
+    assert "rangepartitioning" not in plan.lower()
