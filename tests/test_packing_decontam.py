@@ -157,3 +157,40 @@ def test_ngram_overlap_shuffle_fallback_matches_broadcast(spark):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pack_offsets_property_random_corpora(spark):
+    """Property: for arbitrary (id, n_tokens) corpora — including zero
+    token counts, duplicated sizes, and non-contiguous ids — the
+    distributed prefix-sum assignment equals the brute-force global
+    cumsum in shuffle order. Hypothesis drives the corpus shape; Spark
+    runs once per example, so examples are few but adversarial."""
+    from hypothesis import given, settings, strategies as st
+
+    corpus = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows=corpus, capacity=st.sampled_from([1, 7, 64, 2048]))
+    def check(rows, capacity):
+        got = {
+            r["doc_id"]: (
+                r["start_offset"],
+                r["pack_id"],
+                r["pack_offset"],
+                r["straddles"],
+            )
+            for r in pack_offsets(
+                _docs(spark, rows), capacity=capacity, n_buckets=16
+            ).collect()
+        }
+        assert got == _expected_offsets(rows, capacity=capacity)
+
+    check()
