@@ -17,6 +17,25 @@ port):
                                    to GROUP BY                     (T1/A2)
   EMIT CHANGES                   → removed; marks the query continuous
                                    (update output mode)            (T3)
+  AS_VALUE(x)                    → (x) — ksql's key-to-value copy is
+                                   an identity projection in Spark,
+                                   where grouping keys are ordinary
+                                   output columns
+                                   (ksqldb-consumer/profiles/
+                                   low_latency.sql AS_VALUE usage)
+  ROWTIME                        → unix_millis(<ts>) — the record-
+                                   timestamp pseudo-column, epoch ms
+                                   (low_latency.sql MAX(ROWTIME))
+
+Statement forms handled by KsqlFrontDoor.execute beyond the bare
+CREATE TABLE name AS SELECT:
+  CREATE TABLE name WITH (kafka_topic=..., partitions=...) AS SELECT
+      — sink metadata in WITH is deployment glue (topic/partitions/
+        replicas have no meaning over temp views) and is recorded but
+        otherwise ignored (low_latency.sql:5-10)
+  DROP TABLE [IF EXISTS] name [DELETE TOPIC]
+      — terminates the backing continuous query if one is running and
+        unregisters the view (low_latency.sql:2)
 """
 
 from __future__ import annotations
@@ -61,6 +80,12 @@ def translate_ksql(
     )
     out = re.sub(r"\bWINDOWSTART\b", "window.start", out, flags=re.I)
     out = re.sub(r"\bWINDOWEND\b", "window.end", out, flags=re.I)
+    # AS_VALUE(k): ksql tables keep grouping keys in the Kafka key; the
+    # function copies one into the value. Spark grouping keys are already
+    # ordinary columns — identity projection.
+    out = re.sub(r"\bAS_VALUE\s*\(", "(", out, flags=re.I)
+    # ROWTIME: record-timestamp pseudo-column, epoch milliseconds.
+    out = re.sub(r"\bROWTIME\b", f"unix_millis({ts_col})", out, flags=re.I)
 
     # WINDOW TUMBLING (SIZE 1 MINUTES) → prepend window(ts, '1 minutes')
     # to the GROUP BY list (ksql puts the window clause before GROUP BY;
@@ -149,6 +174,14 @@ class KsqlFrontDoor:
         """
         stmt = statement.strip().rstrip(";").strip()
         up = stmt.upper()
+        m = re.match(
+            r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)(\s+DELETE\s+TOPIC)?$",
+            stmt,
+            re.I,
+        )
+        if m:
+            self.drop_table(m.group(1), missing_ok="IF EXISTS" in up)
+            return None
         if up.startswith("SHOW STREAMS"):
             return self.show_streams()
         if up.startswith("SHOW TABLES"):
@@ -178,11 +211,30 @@ class KsqlFrontDoor:
                 )
             self.create_stream(name, self.streams[topic])
             return self.streams[name]
-        m = re.match(r"CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT.*)", stmt,
-                     re.I | re.S)
+        # CREATE TABLE name [WITH (sink options)] AS SELECT ... — the
+        # reference's deployed form carries WITH (KAFKA_TOPIC=...,
+        # VALUE_FORMAT='AVRO', PARTITIONS=5, REPLICAS=1); those are Kafka
+        # sink placement options with no equivalent over a temp view, so
+        # they parse and drop (low_latency.sql:5-10).
+        m = re.match(
+            r"CREATE\s+TABLE\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT.*)",
+            stmt,
+            re.I | re.S,
+        )
         if m:
-            return self.create_table_as(m.group(1), m.group(2))
+            return self.create_table_as(m.group(1), m.group(3))
         raise ValueError(f"unsupported ksql statement: {stmt[:80]}...")
+
+    def drop_table(self, name: str, *, missing_ok: bool = False) -> None:
+        """DROP TABLE [IF EXISTS] name [DELETE TOPIC]: stop the backing
+        continuous query if running, unregister the view. DELETE TOPIC is
+        Kafka-side cleanup — nothing to delete over a memory sink."""
+        if name not in self.tables and not missing_ok:
+            raise ValueError(f"table '{name}' does not exist")
+        self.terminate(name)
+        if name in self.tables:
+            del self.tables[name]
+            self.spark.catalog.dropTempView(name)
 
     def execute_script(self, script: str) -> list[object]:
         """Run a multi-statement ksql file (statements separated by ';'),

