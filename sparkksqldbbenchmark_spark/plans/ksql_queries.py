@@ -15,11 +15,13 @@ _KSQL_TEXT = """
 SELECT TIMESTAMPTOSTRING(WINDOWSTART, 'yyyy-MM-dd HH:mm:ss') AS window_start,
        CAST(WINDOWEND AS BIGINT) AS window_end_ms,
        user_id, event_type,
+       AS_VALUE(user_id) AS key_user_id,
        LATEST_BY_OFFSET(value) AS latest_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value,
        COUNT(*) AS message_count,
-       MIN(event_id) AS min_producer_ts
+       MIN(event_id) AS min_producer_ts,
+       MAX(ROWTIME) AS processing_end_ts
 FROM events
 WINDOW TUMBLING (SIZE 1 MINUTES)
 GROUP BY user_id, event_type
@@ -35,11 +37,13 @@ EMIT CHANGES
            CAST(epoch(time_bucket(INTERVAL 1 MINUTE, ts) + INTERVAL 1 MINUTE)
                 * 1000 AS BIGINT) AS window_end_ms,
            user_id, event_type,
+           user_id AS key_user_id,
            max_by(value, event_id) AS latest_value,
            min(value) AS min_value,
            max(value) AS max_value,
            count(*) AS message_count,
-           min(event_id) AS min_producer_ts
+           min(event_id) AS min_producer_ts,
+           max(epoch_ms(ts)) AS processing_end_ts
     FROM events
     GROUP BY 1, 2, 3, 4
     """,
@@ -48,7 +52,10 @@ def ksql_windowed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3+F6+F7+T1 — the reference's ksql aggregation text run through
     the front door's dialect translation (LATEST_BY_OFFSET → max_by,
     TIMESTAMPTOSTRING → date_format, WINDOWSTART/END → window.start/end,
-    WINDOW TUMBLING → window() grouping)."""
+    WINDOW TUMBLING → window() grouping, AS_VALUE → identity, ROWTIME →
+    unix_millis(ts) — the full construct set of low_latency.sql:5-30,
+    with MAX(ROWTIME) standing in for the reference's processing_end_ts
+    over deterministic event time so the oracle can replay it)."""
     front = KsqlFrontDoor(spark, ts_col="ts", offset_col="event_id")
     front.create_stream("events", load_table(spark, sf_dir, "events"))
     result = front.create_table_as("events_aggregated", _KSQL_TEXT)
