@@ -61,6 +61,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   similarity_ann_lsh      — llm/similarity.py changed this round (the
 #                             vectorized cosine_topk rework shares the
 #                             module), voiding its r02 source pin
+#   tpch_q4_semijoin_priority — NEW: EXISTS → LEFT SEMI join shape
+#   tpch_q22_antijoin_segments — NEW: NOT EXISTS → LEFT ANTI join shape
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -73,6 +75,11 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_update_mode_final — r03 green unchanged; update-cadence
 #                            machinery covered by the still-graded
 #                            streaming_latest_table + complete-mode rows
+#   region_zone_lookup     — r03 green unchanged; broadcast-dim machinery
+#                            graded via tpch_q3/q5/q10, P7 via
+#                            scalar_function_suite
+#   dedup_exact            — r03 green unchanged; dedup family graded via
+#                            minhash/keep-best/embedding/ngram head rows
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -104,6 +111,8 @@ TAIL: tuple[str, ...] = (
     "dirty_data_parsing",
     "time_rollup_hierarchy",
     "streaming_update_mode_final",
+    "region_zone_lookup",
+    "dedup_exact",
 )
 
 DRIVER_WINDOW = 50

@@ -836,3 +836,76 @@ def skewed_join_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("message_count"),
         stable_sum("value", 2).alias("total_value"),
     )
+
+
+@query(
+    "tpch_q4_semijoin_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_semijoin_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking via EXISTS, the LEFT SEMI
+    join form (TESTDATA carries no commit/receipt dates, so the predicate
+    is 'some lineitem shipped after the order date'). Semi joins are the
+    right 100 TB shape for EXISTS: the probe side streams, each order
+    emits at most once regardless of matching lineitem multiplicity, and
+    no lineitem columns survive the join (narrowest possible shuffle).
+    One big⋈big shuffle on the order key, then a tiny priority rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q22_antijoin_segments",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS idle_customers,
+           {sql_stable_sum("c.c_acctbal", 2)} AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def tpch_q22_antijoin_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with no urgent orders, per market
+    segment, via NOT EXISTS → LEFT ANTI join. The anti probe carries one
+    column (the filtered order custkeys — the priority filter pushes to
+    the orders scan before the shuffle) and emits each customer at most
+    once; the acctbal sum goes through the decimal-partial stable sum so
+    the oracle comparison is order-independent. ('No orders at all' is
+    degenerate on TESTDATA — every customer has orders — so the filtered
+    form keeps the graded result non-trivial: ~13% of customers.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    idle = c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("idle_customers"),
+            stable_sum("c_acctbal", 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -69,6 +69,8 @@ TAIL_SOURCE_SHA256 = {
     "dirty_data_parsing": "c1274951d6221b89",
     "time_rollup_hierarchy": "39dacc5c5040bb32",
     "streaming_update_mode_final": "dc7c477191421541",
+    "region_zone_lookup": "d5c61e86e895d069",
+    "dedup_exact": "6ebe967cf510b65f",
 }
 
 
