@@ -340,9 +340,13 @@ def kmeans_centroids(
 
     The fixed iteration count keeps the plan static (no driver-side
     convergence loop) — the standard production trade for coarse
-    quantizers, where cell quality plateaus after a few rounds."""
-    from pyspark.sql import Window
+    quantizers, where cell quality plateaus after a few rounds.
 
+    Assignment is max_by over (c_cos, -centroid_id) structs, NOT a
+    row_number window: the K scored rows per vector are born co-located
+    (they come from one input row's broadcast join), so the aggregate
+    collapses them map-side and the exchange carries n rows with no
+    sort — the window form shuffled and sorted all n×K."""
     cent = base.where(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("centroid_id"),
         F.col("vec").alias("cvec"),
@@ -353,13 +357,18 @@ def kmeans_centroids(
             "c_cos",
             F.expr(_dot("vec", "cvec")) / (F.col("norm") * F.col("cnorm")),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
-        )
         assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("centroid_id", "vec")
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("centroid_id", "vec"),
+                    F.struct(F.col("c_cos"), -F.col("centroid_id")),
+                ).alias("__best")
+            )
+            .select(
+                F.col("__best.centroid_id").alias("centroid_id"),
+                F.col("__best.vec").alias("vec"),
+            )
         )
         means = (
             assigned.select("centroid_id", F.posexplode("vec"))
@@ -419,13 +428,22 @@ def ivf_topk(
         "c_cos",
         F.expr(_dot("vec", "cvec")) / (F.col("norm") * F.col("cnorm")),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
+    # argmin cell via max_by (see kmeans_centroids: map-side collapse of
+    # the K co-located scored rows, no n×K window sort)
     assigned = (
-        scored.withColumn("__r", F.row_number().over(w_assign))
-        .where(F.col("__r") == 1)
-        .select(id_col, "vec", "norm", "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "vec", "norm"),
+                F.struct(F.col("c_cos"), -F.col("centroid_id")),
+            ).alias("__best")
+        )
+        .select(
+            id_col,
+            F.col("__best.vec").alias("vec"),
+            F.col("__best.norm").alias("norm"),
+            F.col("__best.centroid_id").alias("centroid_id"),
+        )
     )
     queries = assigned.where(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
