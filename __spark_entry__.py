@@ -63,6 +63,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             module), voiding its r02 source pin
 #   tpch_q4_semijoin_priority — NEW: EXISTS → LEFT SEMI join shape
 #   tpch_q22_antijoin_segments — NEW: NOT EXISTS → LEFT ANTI join shape
+#   sequence_packing_manifest — NEW: per-(pack, segment) manifest
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -80,6 +81,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                            scalar_function_suite
 #   dedup_exact            — r03 green unchanged; dedup family graded via
 #                            minhash/keep-best/embedding/ngram head rows
+#   text_lang_id           — r03 green unchanged; regex-scan machinery
+#                            graded via text_quality/token/repetition rows
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -113,6 +116,7 @@ TAIL: tuple[str, ...] = (
     "streaming_update_mode_final",
     "region_zone_lookup",
     "dedup_exact",
+    "text_lang_id",
 )
 
 DRIVER_WINDOW = 50

@@ -94,3 +94,45 @@ def pack_offsets(
         )
         .drop("__key", "__bucket", "__local_start", "__carry")
     )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+) -> DataFrame:
+    """The training-loader deliverable: one row per (pack, document
+    segment). A document occupying [start_offset, start_offset+n) spans
+    packs start_offset div C .. (start_offset+n-1) div C; straddlers
+    yield one segment per pack with the in-pack offset and the slice of
+    the document's own tokens that lands there. Input is pack_offsets
+    output; empty documents (0 tokens) occupy no pack and emit no row.
+
+    Pure codegen explode over a per-doc constant-size sequence (a doc
+    spans at most n/C + 1 packs) — no shuffle beyond what pack_offsets
+    already did; the manifest is written partitioned by pack range in a
+    real pipeline so each trainer shard reads one contiguous slice."""
+    end = F.col("start_offset") + F.col(tokens_col)
+    return (
+        packed.where(F.col(tokens_col) > 0)
+        .withColumn("__p", F.explode(F.sequence(
+            F.expr(f"start_offset div {capacity}"),
+            F.expr(f"(start_offset + {tokens_col} - 1) div {capacity}"),
+        )))
+        .select(
+            F.col("__p").alias("pack_id"),
+            F.col(id_col),
+            F.greatest(
+                F.col("start_offset") - F.col("__p") * capacity, F.lit(0)
+            ).cast("long").alias("pack_offset"),
+            F.greatest(
+                F.col("__p") * capacity - F.col("start_offset"), F.lit(0)
+            ).cast("long").alias("doc_slice_start"),
+            (
+                F.least(end, (F.col("__p") + 1) * capacity)
+                - F.greatest(F.col("start_offset"), F.col("__p") * capacity)
+            ).cast("long").alias("seg_tokens"),
+        )
+    )

@@ -471,3 +471,58 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_shingles", "overlap_count", "overlap_frac", "contaminated"
     )
+
+
+def _manifest_oracle(capacity: int = 2048, seed: str = "pack-v1") -> str:
+    key = sql_md5_int(f"('{seed}:' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               {key} AS key
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS s
+        FROM t WHERE n_tokens > 0
+    ), seg AS (
+        SELECT doc_id, n_tokens, s,
+               unnest(range(CAST(s // {capacity} AS BIGINT),
+                            CAST((s + n_tokens - 1) // {capacity} + 1
+                                 AS BIGINT))) AS p
+        FROM o
+    )
+    SELECT p AS pack_id, doc_id,
+           greatest(s - p * {capacity}, 0) AS pack_offset,
+           greatest(p * {capacity} - s, 0) AS doc_slice_start,
+           least(s + n_tokens, (p + 1) * {capacity})
+               - greatest(s, p * {capacity}) AS seg_tokens
+    FROM seg
+    """
+
+
+@query("sequence_packing_manifest", oracle=_manifest_oracle())
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pack manifest a training loader actually consumes: one row
+    per (pack, document segment) — straddling documents split into one
+    segment per pack with the in-pack offset and the slice of their own
+    tokens that lands there (operators/packing.pack_manifest over the
+    sequence_packing assignment). Pure codegen explode on top of the
+    distributed prefix sum; no additional shuffle."""
+    from sparkksqldbbenchmark_spark.operators.packing import (
+        pack_manifest,
+        pack_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.expr(spark_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = pack_offsets(
+        with_tokens, id_col="doc_id", tokens_col="n_tokens", capacity=2048
+    )
+    return pack_manifest(packed, capacity=2048)

@@ -71,6 +71,7 @@ TAIL_SOURCE_SHA256 = {
     "streaming_update_mode_final": "dc7c477191421541",
     "region_zone_lookup": "d5c61e86e895d069",
     "dedup_exact": "6ebe967cf510b65f",
+    "text_lang_id": "ee1612470f8d3e16",
 }
 
 

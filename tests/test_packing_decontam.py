@@ -194,3 +194,44 @@ def test_pack_offsets_property_random_corpora(spark):
         assert got == _expected_offsets(rows, capacity=capacity)
 
     check()
+
+
+def test_pack_manifest_tiles_docs_and_packs(spark):
+    """Manifest invariants: each doc's segments tile its tokens exactly
+    (slice starts contiguous from 0, lengths sum to n_tokens); each
+    pack's segments tile the pack exactly (offsets contiguous from 0,
+    full packs sum to capacity); zero-token docs emit nothing."""
+    from sparkksqldbbenchmark_spark.operators.packing import pack_manifest
+
+    rows = [(i, (i * 131) % 300) for i in range(120)]  # includes 0-token
+    packed = pack_offsets(_docs(spark, rows), capacity=256)
+    man = pack_manifest(packed, capacity=256).collect()
+
+    by_doc = {}
+    for r in man:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    expected_docs = {i for i, n in rows if n > 0}
+    assert set(by_doc) == expected_docs
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_slice_start"])
+        acc = 0
+        for s in segs:
+            assert s["doc_slice_start"] == acc
+            assert s["seg_tokens"] >= 1
+            acc += s["seg_tokens"]
+        assert acc == dict(rows)[doc_id]
+
+    by_pack = {}
+    for r in man:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    last_pack = max(by_pack)
+    for pack_id, segs in by_pack.items():
+        segs.sort(key=lambda r: r["pack_offset"])
+        acc = 0
+        for s in segs:
+            assert s["pack_offset"] == acc, "segments must tile the pack"
+            acc += s["seg_tokens"]
+        if pack_id != last_pack:
+            assert acc == 256, f"non-final pack {pack_id} must be full"
+        else:
+            assert 0 < acc <= 256
