@@ -64,6 +64,13 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   tpch_q4_semijoin_priority — NEW: EXISTS → LEFT SEMI join shape
 #   tpch_q22_antijoin_segments — NEW: NOT EXISTS → LEFT ANTI join shape
 #   sequence_packing_manifest — NEW: per-(pack, segment) manifest
+#   tpch_q7_volume_shipping   — NEW: double-role dimension join
+#   tpch_q14_promo_revenue    — NEW: conditional-ratio aggregate
+#   tpch_q18_large_orders     — NEW: IN-over-grouped-HAVING semi join
+#   tpch_q19_disjunctive_predicates — NEW: OR-of-ANDs cross-side predicate
+#   token_budget_selection    — NEW: priority-ordered budget cut
+#   passage_dup_stats         — NEW: chunk-grain duplication audit
+#   streaming_dedup_distinct_keys — NEW: stateful stream dedup, graded
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -83,6 +90,21 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                            minhash/keep-best/embedding/ngram head rows
 #   text_lang_id           — r03 green unchanged; regex-scan machinery
 #                            graded via text_quality/token/repetition rows
+#   top_k_values           — r03 green unchanged; TakeOrderedAndProject
+#                            machinery graded via tpch_q10/q18 tails
+#   correlation_matrix     — r03 green unchanged (operators/aggregates
+#                            untouched this round); per-key agg machinery
+#                            graded via per_station_accumulation
+#   price_prediction_pipeline — r03 green unchanged
+#   flag_derivation_dropna — r03 green unchanged (P8/P9, plans-only expr)
+#   window_function_suite  — r03 green unchanged; window machinery also
+#                            exercised by multiway ffill + keep-best rows
+#   kmv_distinct_sketch    — r03 green unchanged (operators/sketch
+#                            untouched); cardinality also graded via
+#                            approx_count_distinct's new oracle row
+#   embedding_quantization — r03 green unchanged (pure expression plan;
+#                            array-HOF machinery graded via similarity
+#                            rows and token_budget/passage rows)
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -117,6 +139,13 @@ TAIL: tuple[str, ...] = (
     "region_zone_lookup",
     "dedup_exact",
     "text_lang_id",
+    "top_k_values",
+    "correlation_matrix",
+    "price_prediction_pipeline",
+    "flag_derivation_dropna",
+    "window_function_suite",
+    "kmv_distinct_sketch",
+    "embedding_quantization",
 )
 
 DRIVER_WINDOW = 50

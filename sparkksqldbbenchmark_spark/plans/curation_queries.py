@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 from sparkksqldbbenchmark_spark.catalog import load_table
 from sparkksqldbbenchmark_spark.llm import pii
 from sparkksqldbbenchmark_spark.llm import text as text_ops
-from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens, sql_md5_int
+from sparkksqldbbenchmark_spark.llm.hashing import (
+    spark_md5_int,
+    spark_tokens,
+    sql_md5_int,
+)
 from sparkksqldbbenchmark_spark.operators.sampling import (
     hash_split,
     stratified_sample,
@@ -388,9 +392,9 @@ def _packing_oracle(capacity: int = 2048, seed: str = "pack-v1") -> str:
                    0) AS start_offset
         FROM t
     )
-    SELECT doc_id, n_tokens, start_offset,
-           start_offset // {capacity} AS pack_id,
-           start_offset % {capacity} AS pack_offset,
+    SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {capacity} AS BIGINT) AS pack_id,
+           CAST(start_offset % {capacity} AS BIGINT) AS pack_offset,
            (start_offset % {capacity}) + n_tokens > {capacity} AS straddles
     FROM o
     """
@@ -496,10 +500,11 @@ def _manifest_oracle(capacity: int = 2048, seed: str = "pack-v1") -> str:
         FROM o
     )
     SELECT p AS pack_id, doc_id,
-           greatest(s - p * {capacity}, 0) AS pack_offset,
-           greatest(p * {capacity} - s, 0) AS doc_slice_start,
-           least(s + n_tokens, (p + 1) * {capacity})
-               - greatest(s, p * {capacity}) AS seg_tokens
+           CAST(greatest(s - p * {capacity}, 0) AS BIGINT) AS pack_offset,
+           CAST(greatest(p * {capacity} - s, 0) AS BIGINT)
+               AS doc_slice_start,
+           CAST(least(s + n_tokens, (p + 1) * {capacity})
+               - greatest(s, p * {capacity}) AS BIGINT) AS seg_tokens
     FROM seg
     """
 
@@ -526,3 +531,164 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tokens, id_col="doc_id", tokens_col="n_tokens", capacity=2048
     )
     return pack_manifest(packed, capacity=2048)
+
+
+# ------------------------------------------------- token-budget selection --
+
+_BUDGET = 20_000  # tokens; a pipeline parameter, constant for the gate
+
+
+def _budget_oracle(budget: int = _BUDGET) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import sql_quality_score
+
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               {sql_quality_score("text")} AS quality_score
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens, quality_score,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens, quality_score, cum_before,
+           cum_before < {budget} AS selected
+    FROM o
+    """
+
+
+@query("token_budget_selection", oracle=_budget_oracle())
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus cut at a global token budget — "take the
+    best documents until the budget is spent", the selection step between
+    scoring and packing in corpus assembly. Every document reports its
+    exclusive running token total in (quality DESC, doc_id) order and
+    whether it starts inside the budget.
+
+    Spark plan is operators/selection.ordered_budget_select: the same
+    distributed prefix sum as sequence packing, range-bucketed here by a
+    64-level quality grid (monotone in the priority order, so
+    level-major + in-level order == global order) — one data shuffle +
+    a |levels|-row carry broadcast at any scale, where the oracle's
+    single global window would be one reducer. The quality composite is
+    the shared IEEE expression (sql_quality_score), so the cross-engine
+    order is identical; doc_id breaks ties totally."""
+    from sparkksqldbbenchmark_spark.operators.selection import (
+        ordered_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = text_ops.with_quality_scores(docs).select(
+        "doc_id",
+        F.size(F.expr(spark_tokens("text"))).cast("long").alias("n_tokens"),
+        "quality_score",
+    )
+    out = ordered_budget_select(
+        t,
+        level=F.floor((F.lit(1.0) - F.col("quality_score")) * 64).cast(
+            "long"
+        ),
+        order=[F.desc("quality_score"), F.asc("doc_id")],
+        weight_col="n_tokens",
+        budget=_BUDGET,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "quality_score", "cum_before", "selected"
+    )
+
+
+# -------------------------------------------- passage-level duplicate scan --
+
+_CHUNK_W = 16  # words per passage chunk
+
+
+def _passage_oracle(w: int = _CHUNK_W) -> str:
+    h = sql_md5_int("chunk")
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT)),
+                   i -> array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ')))
+                   AS chunk
+        FROM tok WHERE len(toks) > 0
+    ), h AS (
+        SELECT doc_id, {h} AS chash FROM ch
+    ), freq AS (
+        SELECT chash, count(DISTINCT doc_id) AS nd FROM h GROUP BY chash
+    ), per AS (
+        SELECT h.doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+        FROM h JOIN freq f USING (chash) GROUP BY h.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+           CASE WHEN COALESCE(p.n_chunks, 0) = 0 THEN 0.0
+                ELSE CAST(p.dup_chunks AS DOUBLE) / p.n_chunks
+           END AS dup_frac
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """
+
+
+@query("passage_dup_stats", oracle=_passage_oracle())
+def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication audit (the C4/RefinedWeb "duplicate
+    paragraph" signal, at fixed 16-word chunk grain since the synthetic
+    corpus has no paragraph marks): each document's text is cut into
+    non-overlapping word chunks; a chunk is duplicated if it appears in
+    ≥2 distinct documents; every document reports its chunk count,
+    duplicated-chunk count and fraction.
+
+    Differs from shingle dedup (overlapping n-grams → pairwise
+    similarity) — this is corpus-frequency analysis of aligned segments,
+    the shape used to REMOVE boilerplate passages rather than whole
+    near-dup docs. Plan: codegen chunking (transform+slice, no Python),
+    explode, one hash-keyed aggregate for chunk frequencies, join back
+    on the same key (AQE broadcasts the dup set when small), one doc-key
+    rollup. All keys uniform (md5) — no skew at 100 TB; memory is bounded
+    by chunks-per-task, never whole-corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(spark_tokens("text"))
+    chunks_expr = F.expr(
+        f"transform(sequence(0, cast((size({spark_tokens('text')}) + {_CHUNK_W - 1})"
+        f" div {_CHUNK_W} as int) - 1),"
+        f" i -> concat_ws(' ', slice({spark_tokens('text')}, i*{_CHUNK_W}+1, {_CHUNK_W})))"
+    )
+    exploded = (
+        docs.where(F.size(toks) > 0)
+        .select("doc_id", F.explode(chunks_expr).alias("chunk"))
+        .select("doc_id", F.expr(spark_md5_int("chunk")).alias("chash"))
+    )
+    freq = exploded.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per = (
+        exploded.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_chunks"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+        F.when(
+            F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.col("dup_chunks").cast("double") / F.col("n_chunks")
+        )
+        .alias("dup_frac"),
+    )

@@ -909,3 +909,231 @@ def tpch_q22_antijoin_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_stable_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue between two nation
+    pairs per ship year. The scale-relevant feature is the DOUBLE dimension
+    role: nation joins twice under different roles (supplier's vs
+    customer's), so the plan must keep both broadcast — supplier+nation
+    broadcasts onto lineitem, customer+nation broadcasts onto orders, and
+    the single big⋈big shuffle is lineitem⋈orders on the order key. The
+    nation-pair disjunction is applied AFTER both enrichments (it
+    references both sides) but before the aggregate, so only pair-matching
+    rows reach the hash agg. Year extraction stays in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+
+    supp_dim = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cust_dim = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    # pre-filter each enriched side to the two nations involved so the
+    # big⋈big shuffle carries only candidate rows
+    supp_dim = supp_dim.where(F.col("supp_nation").isin(*pair))
+    cust_dim = cust_dim.where(F.col("cust_nation").isin(*pair))
+
+    li_s = li.join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+    o_c = o.join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+    joined = li_s.join(o_c, li_s.l_orderkey == o_c.o_orderkey).where(
+        ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+        | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT {sql_stable_sum(
+        "CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 2)}
+               AS promo_revenue,
+           {sql_stable_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}
+               AS total_revenue,
+           count(*) AS matched_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion-revenue share: conditional aggregation
+    over a fact⋈dim join. The month filter pushes to the lineitem scan
+    (PushedFilters), part broadcasts, and the CASE folds into the partial
+    aggregate — one broadcast join, zero wide shuffles (the final agg is a
+    single-group reduce of per-partition partials). The promo/total pair
+    is emitted as exact-decimal sums rather than the spec's percentage:
+    a cross-engine double division on .xx5 boundaries is the one unstable
+    step (functions/stable.py), and the share is a sink-side presentation
+    detail."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        stable_sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 2
+        ).alias("promo_revenue"),
+        stable_sum(rev, 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("matched_rows"),
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_totalprice,
+           {sql_stable_sum("l.l_quantity", 2)} AS total_quantity
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: IN over a grouped-HAVING
+    subquery, the aggregate-then-semi-join pattern. The qualifying-key set
+    is produced by a partial+final hash agg on the order key and then used
+    as the BUILD side of a semi join back onto the same aggregation — at
+    any scale the qualifier output is a tiny fraction of orders (here
+    sum(qty) > 280 ≈ top 0.5% of orders), so the driver-visible work after
+    qualification is small. Spark shape: aggregate lineitem once, filter
+    the HAVING in the same stage, inner-join the tiny qualifier set back
+    (broadcast — it IS the semantic semi join), then broadcast-enrich with
+    customer. Top-100 compiles to TakeOrderedAndProject. Tie-break on
+    o_orderkey pins the LIMIT cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    per_order = li.groupBy("l_orderkey").agg(
+        stable_sum("l_quantity", 2).alias("total_quantity")
+    )
+    qualifying = per_order.where(F.col("total_quantity") > 280)
+    big = o.join(
+        F.broadcast(qualifying), o.o_orderkey == qualifying.l_orderkey
+    )
+    enriched = big.join(F.broadcast(c), big.o_custkey == c.c_custkey)
+    return (
+        enriched.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_quantity",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_stable_sum("l.l_extendedprice * (1 - l.l_discount)", 2)}
+               AS revenue,
+           count(*) AS matched_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_predicates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs across both join sides, the predicate
+    the optimizer must NOT evaluate as a cross-product filter. Each
+    disjunct constrains part attributes AND lineitem attributes; Catalyst
+    derives the single-side implied filters (brand ∈ {...} on the part
+    scan, quantity ∈ [1,30] on the lineitem scan — visible as
+    PushedFilters), broadcasts the filtered part side, and evaluates the
+    residual disjunction inside the join's codegen stage. No shuffle at
+    all: broadcast join + single-group partial/final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.where(d1 | d2 | d3).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("matched_rows"),
+    )

@@ -380,3 +380,33 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup_distinct_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/stateful.streaming_dedup —
+    dropDuplicates state-store semantics) run as a real stream and
+    oracle-gated: append mode emits each (user_id, event_type) key
+    exactly once. Only the key columns are emitted, because WHICH
+    duplicate row survives depends on micro-batch arrival order — the
+    key SET is the order-independent (and therefore oracle-checkable)
+    deliverable; the batch twin is DISTINCT. State is partitioned by
+    the uniform key and bounded by the distinct-key count; the
+    watermark-evicted variant (dropDuplicatesWithinWatermark) is the
+    100 TB shape when keys can't be held forever, unit-covered in
+    tests/test_streaming_stateful.py."""
+    from sparkksqldbbenchmark_spark.streaming.stateful import streaming_dedup
+
+    stream = _read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+    deduped = streaming_dedup(stream, ["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -72,6 +72,13 @@ TAIL_SOURCE_SHA256 = {
     "region_zone_lookup": "d5c61e86e895d069",
     "dedup_exact": "6ebe967cf510b65f",
     "text_lang_id": "ee1612470f8d3e16",
+    "top_k_values": "730d0ba016e9d1cf",
+    "correlation_matrix": "9aa4fa882628a8db",
+    "price_prediction_pipeline": "f3cca85f3f7eb856",
+    "flag_derivation_dropna": "5959d7f50a2caf6b",
+    "window_function_suite": "3330ec5d71abad10",
+    "kmv_distinct_sketch": "111a71d3b5aea126",
+    "embedding_quantization": "08198b98283f7b99",
 }
 
 

@@ -1,0 +1,97 @@
+"""Unit tests for operators/selection.ordered_budget_select (the
+priority-ordered token-budget cut) and the passage-chunking expression
+shape behind plans/curation_queries.passage_dup_stats. Both also carry
+driver-graded oracle rows; these tests pin operator semantics on
+hand-built frames, including the boundary cases the sf-data oracle may
+never hit (exact budget boundary, cross-level ties, short tail chunks).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.operators.selection import (
+    ordered_budget_select,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "id long, score double, w long")
+
+
+def _run(spark, rows, budget, levels=8):
+    df = _frame(spark, rows)
+    out = ordered_budget_select(
+        df,
+        level=F.floor((F.lit(1.0) - F.col("score")) * levels).cast("long"),
+        order=[F.desc("score"), F.asc("id")],
+        weight_col="w",
+        budget=budget,
+    )
+    return {
+        r["id"]: (r["cum_before"], r["selected"])
+        for r in out.collect()
+    }
+
+
+def _expected(rows, budget):
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    out, acc = {}, 0
+    for rid, _, w in ordered:
+        out[rid] = (acc, acc < budget)
+        acc += w
+    return out
+
+
+def test_budget_select_matches_bruteforce(spark):
+    rows = [(i, ((i * 13) % 97) / 97.0, (i * 7) % 50 + 1) for i in range(300)]
+    assert _run(spark, rows, budget=2000) == _expected(rows, budget=2000)
+
+
+def test_budget_boundary_is_exclusive(spark):
+    # cum_before == budget exactly → NOT selected; the row before fits
+    rows = [(1, 0.9, 100), (2, 0.5, 7), (3, 0.1, 1)]
+    got = _run(spark, rows, budget=100)
+    assert got[1] == (0, True)
+    assert got[2] == (100, False)
+    assert got[3] == (107, False)
+
+
+def test_ties_share_level_and_order_by_id(spark):
+    # equal scores must never split across levels or reorder unstably
+    rows = [(10, 0.5, 5), (2, 0.5, 5), (7, 0.5, 5), (1, 0.9, 5)]
+    got = _run(spark, rows, budget=12)
+    assert got == _expected(rows, budget=12)
+    # the two selected after the leader are the LOWEST ids among the tie
+    assert got[1][1] and got[2][1] and got[7][1] and not got[10][1]
+
+
+def test_zero_weight_rows_cost_nothing(spark):
+    rows = [(1, 0.9, 0), (2, 0.8, 10), (3, 0.7, 0)]
+    got = _run(spark, rows, budget=5)
+    assert got[1] == (0, True)
+    assert got[2] == (0, True)   # zero-weight predecessor adds nothing
+    assert got[3] == (10, False)
+
+
+def test_passage_chunking_covers_all_tokens(spark):
+    # the chunk expression used by passage_dup_stats: non-overlapping
+    # W-word slices, short tail kept
+    w = 4
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    chunks = df.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast((size(split(text, ' ')) + {w - 1})"
+            f" div {w} as int) - 1),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i*{w}+1, {w})))"
+        ).alias("chunks"),
+    ).collect()
+    got = {r["doc_id"]: r["chunks"] for r in chunks}
+    assert got[1] == ["a b c d", "e f g h", "i"]
+    assert got[2] == ["x y"]
+    assert got[3] == ["p q r s"]
