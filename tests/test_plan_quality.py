@@ -112,3 +112,50 @@ def test_sequence_packing_single_data_shuffle(spark):
     # carry frame, never the data: no global Sort outside a window over
     # __bucket rows (rangepartitioning would betray a data-wide sort)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q19_broadcast_zero_shuffle(spark):
+    """Q19's OR-of-ANDs must compile to a broadcast join + single-group
+    aggregate with NO shuffle exchange at all, and Catalyst must derive
+    the single-side implied filters so the part scan is pre-filtered."""
+    plan = plan_of(spark, "tpch_q19_disjunctive_predicates", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    form = plan_of(spark, "tpch_q19_disjunctive_predicates")
+    assert "PushedFilters:" in form  # implied per-side predicates pushed
+
+
+def test_q18_qualifier_broadcast_and_topk(spark):
+    """Q18's IN-over-HAVING must become: one hash agg on the order key,
+    broadcast of the tiny qualifier set, and a TakeOrderedAndProject
+    tail — never a second wide shuffle to evaluate the IN."""
+    plan = plan_of(spark, "tpch_q18_large_orders", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q7_single_big_join_shuffle(spark):
+    """Q7's two nation enrichments must both broadcast; the only
+    sort-merge-eligible join is lineitem⋈orders. With broadcasts in
+    place the plan carries the join + agg + order exchanges and no
+    cartesian fallback."""
+    plan = plan_of(spark, "tpch_q7_volume_shipping", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_selection_carry_is_bounded(spark):
+    """token_budget_selection rides the same distributed-prefix-sum
+    shape as sequence_packing: one data shuffle on the level grid, a
+    constant-size carry aggregate, broadcast patch-back — no data-wide
+    range partitioning (global sort)."""
+    plan = plan_of(spark, "token_budget_selection", mode="simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "rangepartitioning" not in plan.lower()
