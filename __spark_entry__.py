@@ -71,6 +71,11 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   token_budget_selection    — NEW: priority-ordered budget cut
 #   passage_dup_stats         — NEW: chunk-grain duplication audit
 #   streaming_dedup_distinct_keys — NEW: stateful stream dedup, graded
+#   pivot_hourly_by_type      — NEW: explicit-values PIVOT reshape
+#   unpivot_measure_summary   — NEW: Expand-based UNPIVOT/melt
+#   correlated_above_avg_orders — NEW: decorrelated scalar subquery
+#   approx_quantiles_bounded  — NEW: GK sketch with certified bound
+#   streaming_static_enrich   — NEW: stream-static broadcast join
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -105,6 +110,17 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   embedding_quantization — r03 green unchanged (pure expression plan;
 #                            array-HOF machinery graded via similarity
 #                            rows and token_budget/passage rows)
+#   skewed_agg_salted      — r03 green unchanged (operators/skew
+#   skewed_join_replicated   untouched); equivalence algebra also
+#                            pinned by test_skew.py
+#   cube_rollup_report     — r03 green unchanged; Expand+HashAggregate
+#                            machinery now also graded via the
+#                            unpivot_measure_summary head row
+#   vocab_top_tokens       — r03 green unchanged; explode+count+top-k
+#                            graded via tpch_q10/q18 tails
+#   datetime_parse_suite   — r03 green unchanged; parse functions also
+#                            covered by dirty_data_parsing's pin and
+#                            scalar_function_suite stays graded
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -146,6 +162,11 @@ TAIL: tuple[str, ...] = (
     "window_function_suite",
     "kmv_distinct_sketch",
     "embedding_quantization",
+    "skewed_agg_salted",
+    "skewed_join_replicated",
+    "cube_rollup_report",
+    "vocab_top_tokens",
+    "datetime_parse_suite",
 )
 
 DRIVER_WINDOW = 50

@@ -1137,3 +1137,157 @@ def tpch_q19_disjunctive_predicates(
         ).alias("revenue"),
         F.count(F.lit(1)).alias("matched_rows"),
     )
+
+
+@query(
+    "pivot_hourly_by_type",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           {sql_stable_sum("CASE WHEN event_type = 'click' THEN value END", 2)} AS click,
+           {sql_stable_sum("CASE WHEN event_type = 'error' THEN value END", 2)} AS error,
+           {sql_stable_sum("CASE WHEN event_type = 'purchase' THEN value END", 2)} AS purchase,
+           {sql_stable_sum("CASE WHEN event_type = 'signup' THEN value END", 2)} AS signup,
+           {sql_stable_sum("CASE WHEN event_type = 'view' THEN value END", 2)} AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — hour-of-day × event-type value matrix, the long→wide
+    reshape every reporting layer wants. The value list is EXPLICIT
+    (pivot(col, values)): with it, Catalyst compiles the pivot into ONE
+    partial+final hash aggregate whose buffer holds all five sums — same
+    shuffle cost as the plain group-by; without it, Spark must first run
+    a distinct scan to discover columns. The oracle is the equivalent
+    conditional aggregation — which is also exactly how the pivot
+    executes (PivotFirst/case folding), so the parity claim is
+    plan-level, not coincidence."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", types)
+        .agg(stable_sum("value", 2))
+    )
+
+
+@query(
+    "unpivot_measure_summary",
+    oracle=f"""
+    SELECT measure,
+           {sql_stable_sum("val", 4)} AS total,
+           count(*) AS n_rows,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM (
+        SELECT 'l_discount' AS measure, l_discount AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', l_quantity FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def unpivot_measure_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide→long over the four lineitem measures, then a
+    per-measure profile (sum/count/min/max). DataFrame.unpivot compiles
+    to Expand (each input row emits 4 slim rows inside codegen — no
+    self-union, ONE scan of the table where the naive UNION ALL form
+    scans it four times); the aggregate is the usual partial+final pair
+    over a 4-key domain. 4-dp stable sum because l_discount/l_tax carry
+    more fractional digits than prices."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        stable_sum("val", 4).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "correlated_above_avg_orders",
+    oracle=f"""
+    SELECT count(*) AS big_orders,
+           {sql_stable_sum("o_totalprice", 2)} AS big_order_value
+    FROM orders o
+    WHERE o_totalprice > 1.2 * (
+        SELECT {sql_stable_avg("o2.o_totalprice")}
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders priced >1.2× their own
+    customer's average (the TPC-H Q17 family). The scale shape is
+    DECORRELATION: never execute the subquery per row; compute the
+    per-customer average ONCE as an aggregate keyed on the correlation
+    key and join it back. Both the aggregate and the join shuffle on
+    o_custkey, so AQE/exchange-reuse co-locates them (one logical
+    repartition of orders). The average uses the stable decimal-sum /
+    count form on BOTH sides, making the >1.2× cut identical IEEE
+    arithmetic cross-engine. DuckDB plans the same decorrelation from
+    the correlated SQL — the oracle states the semantics, the DataFrame
+    states the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        stable_avg("o_totalprice").alias("cust_avg")
+    )
+    joined = o.join(per_cust, o.o_custkey == per_cust.k)
+    big = joined.where(F.col("o_totalprice") > 1.2 * F.col("cust_avg"))
+    return big.agg(
+        F.count(F.lit(1)).alias("big_orders"),
+        stable_sum("o_totalprice", 2).alias("big_order_value"),
+    )
+
+
+@query(
+    "approx_quantiles_bounded",
+    oracle="""
+    SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS exact_p95,
+           true AS p50_within_1pct,
+           true AS p95_within_1pct
+    FROM events
+    """,
+)
+def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles with a verifiable contract (the
+    approx_count_distinct pattern): the graded row carries the EXACT
+    interpolated percentiles plus the claim that approx_percentile
+    (accuracy 10000) landed within 1% of them. The sketch itself is
+    engine-specific (Greenwald-Khanna here, different in DuckDB) but
+    deterministic for a fixed input, so the bound is a real, repeatable
+    assertion — and the 100 TB story is the sketch's: mergeable partials,
+    one tiny final merge, no global sort. Exact percentiles use
+    `percentile` (exact interpolated median) only to certify the bound;
+    at scale you'd drop them and keep the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("ap95"),
+    )
+    tol = 0.01
+    return agged.select(
+        "exact_p50",
+        "exact_p95",
+        (
+            F.abs(F.col("ap50") - F.col("exact_p50"))
+            <= tol * F.abs(F.col("exact_p50"))
+        ).alias("p50_within_1pct"),
+        (
+            F.abs(F.col("ap95") - F.col("exact_p95"))
+            <= tol * F.abs(F.col("exact_p95"))
+        ).alias("p95_within_1pct"),
+    )

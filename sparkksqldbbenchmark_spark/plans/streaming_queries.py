@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkksqldbbenchmark_spark.catalog import _normalize_nanos
-from sparkksqldbbenchmark_spark.functions.stable import sql_stable_avg
+from sparkksqldbbenchmark_spark.functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+)
 from sparkksqldbbenchmark_spark.operators.windowed_agg import tumbling_window_agg
 from sparkksqldbbenchmark_spark.plans.registry import query
 from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
@@ -408,5 +411,44 @@ def streaming_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = streaming_dedup(stream, ["user_id", "event_type"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = run_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS message_count,
+           {sql_stable_sum("e.value", 2)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the events STREAM enriched with the static
+    customer dimension (batch DataFrame), then aggregated per market
+    segment: the canonical streaming-enrichment topology (a Kafka stream
+    joined to a warehouse dim). Structured Streaming re-plans the static
+    side per micro-batch; with a broadcastable dim the stream side never
+    shuffles for the join — state exists only in the aggregation. Run to
+    completion with availableNow in complete mode, the final table must
+    equal the batch join+aggregate."""
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.functions.stable import stable_sum
+
+    stream = _read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agged = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("message_count"),
+        stable_sum("value", 2).alias("total_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
     q.stop()
     return spark.table(name)

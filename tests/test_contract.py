@@ -79,6 +79,11 @@ TAIL_SOURCE_SHA256 = {
     "window_function_suite": "3330ec5d71abad10",
     "kmv_distinct_sketch": "111a71d3b5aea126",
     "embedding_quantization": "08198b98283f7b99",
+    "skewed_agg_salted": "cd2f15fec708bdb3",
+    "skewed_join_replicated": "de3407de79b063fe",
+    "cube_rollup_report": "883406bb09d6150c",
+    "vocab_top_tokens": "4f3fb82b30845a54",
+    "datetime_parse_suite": "cd1f91e55c560a21",
 }
 
 
