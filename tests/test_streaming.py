@@ -415,3 +415,39 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     )
     assert again.count() == 100
     assert spark.read.parquet(str(out) + "/batch=0").count() == n0
+
+
+def test_rocksdb_state_store_equivalence(spark):
+    """T8 — the cluster profile's RocksDB state store provider, proven
+    end-to-end rather than config-only: the same windowed aggregation
+    over the same stream produces the identical final state under the
+    default (HDFS-backed) provider and under RocksDBStateStoreProvider.
+    The provider conf is read at query start, so flipping it on the
+    session between runs exercises both backends in one test."""
+    d = _write_fixture(spark)
+    schema = spark.read.parquet(d).schema
+
+    def run_once():
+        stream_df = tumbling_window_agg(
+            spark.readStream.schema(schema).parquet(d),
+            ts_col="ts",
+            keys=("metric", "stationId"),
+            order_col="offset",
+        )
+        name = f"rocks_eq_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(stream_df, name, output_mode="complete")
+        q.stop()
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    default_state = run_once()
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocksdb_state = run_once()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocksdb_state == default_state
+    assert len(rocksdb_state) == 4

@@ -233,6 +233,67 @@ def main() -> None:
             f"rows={n:,} sequence_packing={pack_s:.1f}s "
             f"({n_packs:,} packs, {int(n / pack_s):,} docs/s)"
         )
+
+        # token-budget selection over the same synthetic corpus: the
+        # priority-ordered prefix sum (quality stand-in = a uniform
+        # derived score) must scale exactly like packing — one data
+        # shuffle on the level grid + constant-size carry.
+        from sparkksqldbbenchmark_spark.operators.selection import (
+            ordered_budget_select,
+        )
+
+        scored = corpus.withColumn(
+            "score", (F.col("doc_id") % 997).cast("double") / 997.0
+        )
+        t0 = time.time()
+        sel = ordered_budget_select(
+            scored,
+            level=F.floor((F.lit(1.0) - F.col("score")) * 64).cast("long"),
+            order=[F.desc("score"), F.asc("doc_id")],
+            weight_col="n_tokens",
+            budget=n * 64,  # ~25% of total tokens
+        )
+        n_sel = sel.where(F.col("selected")).count()
+        sel_s = time.time() - t0
+        print(
+            f"rows={n:,} budget_selection={sel_s:.1f}s "
+            f"({n_sel:,} selected, {int(n / sel_s):,} docs/s)"
+        )
+
+        # passage-chunk frequency audit over the word-salad docs: explode
+        # to 16-word chunks, hash-keyed frequency agg + join-back — the
+        # duplicate-passage signal at chunk grain.
+        t0 = time.time()
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        chunk_docs = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast((size({toks}) + 15)"
+                    f" div 16 as int) - 1),"
+                    f" i -> concat_ws(' ', slice({toks}, i*16+1, 16)))"
+                )
+            ).alias("chunk"),
+        ).select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)"
+            ).alias("chash"),
+        )
+        freq = chunk_docs.groupBy("chash").agg(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        n_dup_chunks = (
+            chunk_docs.join(freq, "chash")
+            .where(F.col("nd") >= 2)
+            .count()
+        )
+        chunk_s = time.time() - t0
+        print(
+            f"docs={docs_n:,} passage_dup={chunk_s:.1f}s "
+            f"({n_dup_chunks:,} duplicated chunk instances, "
+            f"{int(docs_n / chunk_s):,} docs/s)"
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
