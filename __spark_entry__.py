@@ -76,6 +76,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   correlated_above_avg_orders — NEW: decorrelated scalar subquery
 #   approx_quantiles_bounded  — NEW: GK sketch with certified bound
 #   streaming_static_enrich   — NEW: stream-static broadcast join
+#   multimodal_resize         — NEW: mapInPandas resize-to-fit
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -121,6 +122,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   datetime_parse_suite   — r03 green unchanged; parse functions also
 #                            covered by dirty_data_parsing's pin and
 #                            scalar_function_suite stays graded
+#   text_token_counts      — r03 green unchanged (llm/text untouched);
+#                            token counting also graded via
+#                            token_budget_selection / vocab / quality
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -167,6 +171,7 @@ TAIL: tuple[str, ...] = (
     "cube_rollup_report",
     "vocab_top_tokens",
     "datetime_parse_suite",
+    "text_token_counts",
 )
 
 DRIVER_WINDOW = 50

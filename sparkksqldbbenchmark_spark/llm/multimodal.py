@@ -135,3 +135,57 @@ def frame_sample_plan(df: DataFrame, every_n: int = 2) -> DataFrame:
         .where(F.col("frame_idx") % every_n == 0)
         .select("doc_id", "frame_idx", "payload")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_hex", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 128, target_h: int = 128
+) -> DataFrame:
+    """mapInPandas resize-to-fit: aspect-preserving downscale into a
+    target box (never upscale), the standard image-normalization step in
+    front of a vision encoder. The geometry (scale = min(tw/w, th/h, 1),
+    floor-rounded dims) is the real contract; the pixel work is the
+    stubbed codec path, stood in for by deterministically truncating the
+    payload to its scaled length (a real deployment swaps the body for
+    PIL/ffmpeg — the Arrow batch shape, schema and plan are unchanged).
+    Emits hex payloads so the result is engine-comparable."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            w = pdf["meta"].map(lambda m: m["width"])
+            h = pdf["meta"].map(lambda m: m["height"])
+            scale = pd.concat(
+                [target_w / w, target_h / h], axis=1
+            ).min(axis=1).clip(upper=1.0)
+            resized = [
+                (p or b"")[: max(1, int(len(p or b"") * s))]
+                for p, s in zip(pdf["payload"], scale)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_width": w,
+                    "orig_height": h,
+                    "new_width": (w * scale).astype(int),
+                    "new_height": (h * scale).astype(int),
+                    "n_bytes": [len(p) for p in resized],
+                    "payload_hex": [p.hex().upper() for p in resized],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)

@@ -84,6 +84,7 @@ TAIL_SOURCE_SHA256 = {
     "cube_rollup_report": "883406bb09d6150c",
     "vocab_top_tokens": "4f3fb82b30845a54",
     "datetime_parse_suite": "cd1f91e55c560a21",
+    "text_token_counts": "ce001968315c7497",
 }
 
 

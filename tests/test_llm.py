@@ -217,3 +217,26 @@ def test_ngram_prefix_filter_equals_bruteforce(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+def test_multimodal_resize_geometry(spark, docs):
+    """resize_media: aspect-preserving fit into the target box, never
+    upscaled, payload truncated to the scaled length (hex round-trip)."""
+    blobs = multimodal.attach_media_blobs(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.resize_media(blobs, 128, 128).collect()}
+    src = {r["doc_id"]: r for r in blobs.collect()}
+    assert set(out) == set(src)
+    for doc_id, r in out.items():
+        w, h = r["orig_width"], r["orig_height"]
+        scale = min(128 / w, 128 / h, 1.0)
+        assert r["new_width"] == int(w * scale)
+        assert r["new_height"] == int(h * scale)
+        # never upscale; fits in the box unless already smaller
+        assert r["new_width"] <= max(128, w)
+        assert r["new_height"] <= max(128, h)
+        expect_len = max(1, int(len(src[doc_id]["payload"]) * scale))
+        assert r["n_bytes"] == expect_len
+        assert r["payload_hex"] == (
+            src[doc_id]["payload"][:expect_len].hex().upper()
+        )
