@@ -77,6 +77,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   approx_quantiles_bounded  — NEW: GK sketch with certified bound
 #   streaming_static_enrich   — NEW: stream-static broadcast join
 #   multimodal_resize         — NEW: mapInPandas resize-to-fit
+#   rank_function_suite       — NEW: six ranking fns, one window pass
+#   fuzzy_dedup_levenshtein   — NEW: prefix-blocked edit-distance dedup
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -125,6 +127,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   text_token_counts      — r03 green unchanged (llm/text untouched);
 #                            token counting also graded via
 #                            token_budget_selection / vocab / quality
+#   stratified_sample      — r03 green unchanged (operators/sampling
+#   hash_split_assignment    untouched); scan-filter machinery also
+#                            unit-tested in test_sampling_pii.py
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -172,6 +177,8 @@ TAIL: tuple[str, ...] = (
     "vocab_top_tokens",
     "datetime_parse_suite",
     "text_token_counts",
+    "stratified_sample",
+    "hash_split_assignment",
 )
 
 DRIVER_WINDOW = 50

@@ -692,3 +692,56 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_frac"),
     )
+
+
+# ------------------------------------------------ fuzzy edit-distance dedup --
+
+_FUZZY_PRE = 24     # blocking prefix length
+_FUZZY_MAXD = 40    # max edit distance reported
+
+
+def _fuzzy_oracle(pre: int = _FUZZY_PRE, maxd: int = _FUZZY_MAXD) -> str:
+    return f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+           levenshtein(a.text, b.text)
+               <= {maxd} AS is_near_dup
+    FROM (SELECT doc_id, substring(text, 1, {pre}) AS pre, text
+          FROM documents) a
+    JOIN (SELECT doc_id, substring(text, 1, {pre}) AS pre, text
+          FROM documents) b
+      ON a.pre = b.pre AND a.doc_id < b.doc_id
+    """
+
+
+@query("fuzzy_dedup_levenshtein", oracle=_fuzzy_oracle())
+def fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with prefix blocking — the fuzzy
+    complement to shingle/minhash dedup for short-edit duplicates
+    (boilerplate variants, OCR noise): candidate pairs share an exact
+    24-char text prefix (an equi-join on a derived key — never n²), and
+    each candidate pair is scored with full-text Levenshtein, entirely
+    JVM-side (F.levenshtein is codegen; both engines implement classic
+    edit distance). At 100 TB the blocking key bounds the quadratic term
+    by true prefix-collision density, the same argument as LSH banding;
+    a production variant blocks on several offsets/lengths to cover
+    prefix-edited dups, each block an independent equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, _FUZZY_PRE).alias("pre"),
+        F.col("text").alias("text_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, _FUZZY_PRE).alias("pre"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "pre").where(F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("long").alias("edit_distance"),
+        (dist <= _FUZZY_MAXD).alias("is_near_dup"),
+    )

@@ -1291,3 +1291,45 @@ def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= tol * F.abs(F.col("exact_p95"))
         ).alias("p95_within_1pct"),
     )
+
+
+@query(
+    "rank_function_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM (SELECT * FROM orders WHERE o_orderkey < 2000)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def rank_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage in one shared window: row_number, rank,
+    dense_rank, percent_rank, cume_dist and ntile(4) over the same
+    (priority, price-desc) frame — one shuffle on the partition key
+    serves all six expressions (WindowExec evaluates them in a single
+    pass). Ties on price break by order key so every rank is total and
+    cross-engine deterministic; the orderkey<2000 slice keeps the graded
+    frame small while the plan is the one a full-table run would use."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).cast("double").alias("prank"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

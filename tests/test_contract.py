@@ -85,6 +85,8 @@ TAIL_SOURCE_SHA256 = {
     "vocab_top_tokens": "4f3fb82b30845a54",
     "datetime_parse_suite": "cd1f91e55c560a21",
     "text_token_counts": "ce001968315c7497",
+    "stratified_sample": "829a56c9083a8cf5",
+    "hash_split_assignment": "a0804351cc0b6b16",
 }
 
 
