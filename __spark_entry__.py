@@ -79,6 +79,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   multimodal_resize         — NEW: mapInPandas resize-to-fit
 #   rank_function_suite       — NEW: six ranking fns, one window pass
 #   fuzzy_dedup_levenshtein   — NEW: prefix-blocked edit-distance dedup
+#   grouped_array_collect     — NEW: sort-canonicalized collect_list/set
 # OUT of the head (r03 green, implementation unchanged since — pinned by
 # the TAIL_SOURCE_SHA256 check in tests/test_contract.py — and machinery
 # still covered by graded siblings):
@@ -130,6 +131,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   stratified_sample      — r03 green unchanged (operators/sampling
 #   hash_split_assignment    untouched); scan-filter machinery also
 #                            unit-tested in test_sampling_pii.py
+#   text_repetition_ratio  — r03 green unchanged; the transform/slice
+#                            n-gram machinery is graded via the
+#                            passage_dup_stats head row
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -179,6 +183,7 @@ TAIL: tuple[str, ...] = (
     "text_token_counts",
     "stratified_sample",
     "hash_split_assignment",
+    "text_repetition_ratio",
 )
 
 DRIVER_WINDOW = 50

@@ -87,6 +87,7 @@ TAIL_SOURCE_SHA256 = {
     "text_token_counts": "ce001968315c7497",
     "stratified_sample": "829a56c9083a8cf5",
     "hash_split_assignment": "a0804351cc0b6b16",
+    "text_repetition_ratio": "ea01a24b9132cfb8",
 }
 
 
