@@ -15,6 +15,12 @@ port):
   CAST(WINDOWEND AS BIGINT)      → unix_millis(window.end)         (F7)
   WINDOW TUMBLING (SIZE n UNIT)  → window(<ts>, 'n unit') prepended
                                    to GROUP BY                     (T1/A2)
+  WINDOW HOPPING (SIZE n UNIT, ADVANCE BY m UNIT)
+                                 → window(<ts>, 'n unit', 'm unit')
+                                   — overlapping windows, each row in
+                                   size/advance of them
+  WINDOW SESSION (n UNIT)        → session_window(<ts>, 'n unit') —
+                                   gap-merged session windows
   EMIT CHANGES                   → removed; marks the query continuous
                                    (update output mode)            (T3)
   AS_VALUE(x)                    → (x) — ksql's key-to-value copy is
@@ -90,6 +96,16 @@ def translate_ksql(
     # WINDOW TUMBLING (SIZE 1 MINUTES) → prepend window(ts, '1 minutes')
     # to the GROUP BY list (ksql puts the window clause before GROUP BY;
     # Spark expresses it as a grouping expression).
+    def _prepend_group_expr(text: str, span: tuple[int, int], expr: str) -> str:
+        text = text[: span[0]] + text[span[1]:]
+        return re.sub(
+            r"\bGROUP\s+BY\b",
+            f"GROUP BY {expr},",
+            text,
+            count=1,
+            flags=re.I,
+        )
+
     m = re.search(
         r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+(\w+?)S?\s*\)",
         out,
@@ -97,13 +113,37 @@ def translate_ksql(
     )
     if m:
         dur = f"{m.group(1)} {m.group(2).lower()}"
-        out = out[: m.start()] + out[m.end():]
-        out = re.sub(
-            r"\bGROUP\s+BY\b",
-            f"GROUP BY window({ts_col}, '{dur}'),",
-            out,
-            count=1,
-            flags=re.I,
+        out = _prepend_group_expr(
+            out, m.span(), f"window({ts_col}, '{dur}')"
+        )
+
+    # WINDOW HOPPING (SIZE n U, ADVANCE BY m U) → sliding window(ts,
+    # size, slide): each row lands in size/advance overlapping windows,
+    # exactly ksql's hopping semantics.
+    m = re.search(
+        r"\bWINDOW\s+HOPPING\s*\(\s*SIZE\s+(\d+)\s+(\w+?)S?\s*,"
+        r"\s*ADVANCE\s+BY\s+(\d+)\s+(\w+?)S?\s*\)",
+        out,
+        flags=re.I,
+    )
+    if m:
+        size = f"{m.group(1)} {m.group(2).lower()}"
+        adv = f"{m.group(3)} {m.group(4).lower()}"
+        out = _prepend_group_expr(
+            out, m.span(), f"window({ts_col}, '{size}', '{adv}')"
+        )
+
+    # WINDOW SESSION (n UNIT) → session_window(ts, gap): windows merge
+    # while events arrive within the gap of each other.
+    m = re.search(
+        r"\bWINDOW\s+SESSION\s*\(\s*(\d+)\s+(\w+?)S?\s*\)",
+        out,
+        flags=re.I,
+    )
+    if m:
+        gap = f"{m.group(1)} {m.group(2).lower()}"
+        out = _prepend_group_expr(
+            out, m.span(), f"session_window({ts_col}, '{gap}')"
         )
     return out, continuous
 

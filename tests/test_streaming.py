@@ -451,3 +451,72 @@ def test_rocksdb_state_store_equivalence(spark):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocksdb_state == default_state
     assert len(rocksdb_state) == 4
+
+
+def test_translate_ksql_hopping_and_session():
+    sql, _ = translate_ksql(
+        """SELECT metric, COUNT(*) AS c FROM weather
+           WINDOW HOPPING (SIZE 10 MINUTES, ADVANCE BY 5 MINUTES)
+           GROUP BY metric""",
+        ts_col="ts",
+    )
+    assert "GROUP BY window(ts, '10 minute', '5 minute')," in sql
+    assert "HOPPING" not in sql.upper()
+    sql2, _ = translate_ksql(
+        """SELECT metric, COUNT(*) AS c FROM weather
+           WINDOW SESSION (30 SECONDS)
+           GROUP BY metric""",
+        ts_col="ts",
+    )
+    assert "GROUP BY session_window(ts, '30 second')," in sql2
+    assert "SESSION (" not in sql2
+
+
+def test_ksql_hopping_window_executes(spark):
+    """A translated HOPPING query actually runs and matches the
+    directly-written sliding-window aggregate: every event lands in
+    size/advance = 2 overlapping windows."""
+    d = _write_fixture(spark)
+    batch = spark.read.parquet(d)
+    batch.createOrReplaceTempView("hop_src")
+    sql, _ = translate_ksql(
+        """SELECT metric, WINDOWSTART AS ws, COUNT(*) AS c FROM hop_src
+           WINDOW HOPPING (SIZE 2 MINUTES, ADVANCE BY 1 MINUTES)
+           GROUP BY metric""",
+        ts_col="ts",
+    )
+    got = {
+        (r["metric"], str(r["ws"]), r["c"])
+        for r in spark.sql(sql).collect()
+    }
+    want = {
+        (r["metric"], str(r["window"]["start"]), r["c"])
+        for r in batch.groupBy(
+            F.window("ts", "2 minutes", "1 minutes"), "metric"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ksql_session_window_executes(spark):
+    """A translated SESSION query runs and merges events within the gap
+    (2 minutes): wind_speed's minute-0/1 cluster merges into one
+    session; sunshine's 4m40s-apart events split into two."""
+    d = _write_fixture(spark)
+    spark.read.parquet(d).createOrReplaceTempView("sess_src")
+    sql, _ = translate_ksql(
+        """SELECT metric, COUNT(*) AS c FROM sess_src
+           WINDOW SESSION (2 MINUTES)
+           GROUP BY metric""",
+        ts_col="ts",
+    )
+    rows = spark.sql(sql).select("metric", "c").collect()
+    per_metric = {}
+    for r in rows:
+        per_metric.setdefault(r["metric"], []).append(r["c"])
+    # wind_speed events all fall within the 2-min gap → one session of 3;
+    # sunshine's 00:00:20 and 00:05:00 are 4m40s apart → two sessions
+    assert sorted(per_metric["wind_speed"]) == [3]
+    assert sorted(per_metric["sunshine"]) == [1, 1]
