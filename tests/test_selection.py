@@ -95,3 +95,33 @@ def test_passage_chunking_covers_all_tokens(spark):
     assert got[1] == ["a b c d", "e f g h", "i"]
     assert got[2] == ["x y"]
     assert got[3] == ["p q r s"]
+
+
+def test_budget_select_property_random_corpora(spark):
+    """Property: for arbitrary (id, score, weight) corpora — duplicate
+    scores (cross-level tie groups), zero weights, non-contiguous ids,
+    boundary-grazing budgets — the bucketed prefix sum equals the
+    brute-force global cumsum in (score DESC, id) order. Scores are
+    drawn from a small grid so level-boundary collisions actually
+    happen."""
+    from hypothesis import given, settings, strategies as st
+
+    corpus = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from([0.0, 0.124, 0.125, 0.5, 0.874, 0.875, 1.0]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows=corpus, budget=st.sampled_from([0, 1, 50, 100, 10_000]))
+    def check(rows, budget):
+        assert _run(spark, rows, budget, levels=8) == _expected(
+            rows, budget
+        )
+
+    check()
