@@ -65,8 +65,14 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if isinstance(field.dataType, TimestampNTZType):
+            # EVERY NTZ temporal column (ts, o_orderdate, l_shipdate, …)
+            # — not just `ts`: an NTZ column is a latent failure for any
+            # future watermark/unix_millis use, and the UTC cast is
+            # value-preserving for all of them.
+            df = df.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
         elif field.name == "ts" and isinstance(field.dataType, LongType):
             # Exact FLOOR division in integer space: `/` would promote to
             # double, whose 256 ns ulp at epoch-nano magnitude shifts the
