@@ -1363,3 +1363,66 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("user_id")).alias("distinct_users"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "null_semantics_suite",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS w
+        FROM events
+    )
+    SELECT count(*) AS n_rows,
+           count(v) AS n_nonnull_v,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_v,
+           count(CASE WHEN v = w THEN 1 END) AS eq_plain,
+           count(CASE WHEN v IS NOT DISTINCT FROM w THEN 1 END)
+               AS eq_nullsafe,
+           {sql_stable_sum("coalesce(v, 0)", 2)} AS sum_coalesced,
+           count(nullif(event_type, 'click')) AS n_not_click,
+           CAST(sum(CASE WHEN false THEN v END) AS DOUBLE)
+               AS all_null_sum,
+           CAST(avg(v) IS NOT NULL AS BOOLEAN) AS avg_skips_nulls
+    FROM t
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity proof — the classic cross-engine trap
+    set, graded in one row: plain equality DROPS null comparisons
+    (eq_plain counts only both-non-null matches) while null-safe
+    equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM) also matches
+    null-with-null; count(col) skips nulls while count(*) doesn't; an
+    all-null sum is NULL (never 0 — ANSI off matches the reference's
+    permissive arithmetic); avg skips nulls rather than poisoning the
+    aggregate; coalesce/nullif round-trip. Both engines must agree on
+    every cell — nulls derived deterministically from event_id
+    residues."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("w"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull_v"),
+        F.sum(F.col("v").isNull().cast("int")).cast("long").alias("n_null_v"),
+        F.count(F.when(F.col("v") == F.col("w"), F.lit(1))).alias("eq_plain"),
+        F.count(F.when(F.expr("v <=> w"), F.lit(1))).alias("eq_nullsafe"),
+        stable_sum(F.coalesce("v", F.lit(0.0)), 2).alias("sum_coalesced"),
+        F.count(F.nullif(F.col("event_type"), F.lit("click"))).alias(
+            "n_not_click"
+        ),
+        F.sum(F.when(F.lit(False), F.col("v")))
+        .cast("double")
+        .alias("all_null_sum"),
+        F.avg("v").isNotNull().alias("avg_skips_nulls"),
+    )

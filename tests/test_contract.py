@@ -46,48 +46,49 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
-    "session_window_agg": "d77b16407f066ec6",
-    "latency_percentiles": "921d4bebb146be04",
-    "dedup_clusters": "e7e68ce4cd15991b",
-    "dedup_simhash": "f2eca011f5c48cb6",
-    "value_counts": "00844505bf55dd97",
-    "station_enrichment_join": "be845868ea1f69ec",
-    "group_by_sum_consumption": "b69cb2f4192ed6bb",
-    "validity_filter": "d883627afc06719d",
-    "numeric_projection_summary": "e0adc5bc786eb52a",
-    "count_distinct_stations": "ede28ac1c2bbf625",
-    "latest_by_rownumber": "ca58fb12c489da04",
-    "weather_window_agg_sql": "34f93a49a1e8e0fc",
-    "weather_window_agg_by_station": "a9d103ad154796d5",
+    "session_window_agg": "958aeb73f54fc5bc",
+    "latency_percentiles": "730709de52b987de",
+    "dedup_clusters": "b0a03168fca85ff6",
+    "dedup_simhash": "9182f1f534c22f2d",
+    "value_counts": "77901eddede1bfe4",
+    "station_enrichment_join": "41cc5c343e720dd5",
+    "group_by_sum_consumption": "6daa6057b01b979b",
+    "validity_filter": "dc7bdf37ab5fb6bd",
+    "numeric_projection_summary": "e7ca50f8469d3141",
+    "count_distinct_stations": "48371d26e62bd910",
+    "latest_by_rownumber": "780a1e09f354d759",
+    "weather_window_agg_by_station": "6056a265e99a141c",
     "streaming_union_window_agg": "6a00b93b4b1e7758",
-    "latest_by_offset": "93f6b5d747f9c052",
-    "argmax_station": "57534924da9abd75",
+    "latest_by_offset": "7e309fbf1a7caa32",
+    "argmax_station": "1a117b3f0ee6725b",
     "streaming_window_agg": "1084464fda6034a4",
-    "tpch_q6_selective_scan": "346edd0cb15fc76a",
-    "tpch_q5_join_chain": "73e56a5b96c436ce",
-    "text_fingerprint": "c17c61d1999b75a4",
-    "dirty_data_parsing": "c1274951d6221b89",
-    "time_rollup_hierarchy": "39dacc5c5040bb32",
+    "tpch_q6_selective_scan": "455060503f6aebc5",
+    "tpch_q5_join_chain": "5a02adf132f9f215",
+    "text_fingerprint": "73475d3a3e413a14",
+    "dirty_data_parsing": "dd8d04068d76f6ec",
+    "time_rollup_hierarchy": "89cc8cd950222e2f",
     "streaming_update_mode_final": "dc7c477191421541",
-    "region_zone_lookup": "d5c61e86e895d069",
-    "dedup_exact": "6ebe967cf510b65f",
-    "text_lang_id": "ee1612470f8d3e16",
-    "top_k_values": "730d0ba016e9d1cf",
-    "correlation_matrix": "9aa4fa882628a8db",
-    "price_prediction_pipeline": "f3cca85f3f7eb856",
-    "flag_derivation_dropna": "5959d7f50a2caf6b",
-    "window_function_suite": "3330ec5d71abad10",
-    "kmv_distinct_sketch": "111a71d3b5aea126",
-    "embedding_quantization": "08198b98283f7b99",
-    "skewed_agg_salted": "cd2f15fec708bdb3",
-    "skewed_join_replicated": "de3407de79b063fe",
-    "cube_rollup_report": "883406bb09d6150c",
-    "vocab_top_tokens": "4f3fb82b30845a54",
-    "datetime_parse_suite": "cd1f91e55c560a21",
-    "text_token_counts": "ce001968315c7497",
-    "stratified_sample": "829a56c9083a8cf5",
-    "hash_split_assignment": "a0804351cc0b6b16",
-    "text_repetition_ratio": "ea01a24b9132cfb8",
+    "region_zone_lookup": "9f66a6df1060f2be",
+    "dedup_exact": "80fc22965040b2e3",
+    "text_lang_id": "43d81e9a93902bda",
+    "top_k_values": "d386676c518380cd",
+    "correlation_matrix": "e044c5edb25f8831",
+    "price_prediction_pipeline": "c876f5ae1066d720",
+    "flag_derivation_dropna": "5975c2e85d92f56b",
+    "window_function_suite": "4af6a3771eb6902e",
+    "kmv_distinct_sketch": "63dbb472efa588b6",
+    "embedding_quantization": "ae3a2207f42032f8",
+    "skewed_agg_salted": "72a35cfc5c0d93c7",
+    "skewed_join_replicated": "465ade223ec248eb",
+    "cube_rollup_report": "6604fd8c1b273082",
+    "vocab_top_tokens": "13fcc84ed6eea3fd",
+    "datetime_parse_suite": "8ed31ca6b8b2125d",
+    "text_token_counts": "235f83939aa24c03",
+    "stratified_sample": "6d7192037e5e3fc1",
+    "hash_split_assignment": "3347ccd4ebc979d0",
+    "text_repetition_ratio": "8463170c6768af92",
+    "union_streams_agg": "0a3661b025a8e5f4",
+    "asof_join_latest_view": "0ba68b007cd74fe1",
 }
 
 

@@ -62,6 +62,12 @@ def tail_impl_fingerprint(fn) -> str:
         if f in seen_fns:
             return
         seen_fns.add(f)
+        # honor the module exclusion at FUNCTION level too: without this,
+        # visiting load_table (catalog) inlines its callees' sources and
+        # a loader fix invalidates every TAIL pin — the exact cascade the
+        # EXCLUDED_MODULES carve-out exists to prevent
+        if getattr(f, "__module__", "") in EXCLUDED_MODULES:
+            return
         try:
             sources.append(inspect.getsource(f))
         except (OSError, TypeError):
