@@ -81,6 +81,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   fuzzy_dedup_levenshtein   — NEW: prefix-blocked edit-distance dedup
 #   grouped_array_collect     — NEW: sort-canonicalized collect_list/set
 #   null_semantics_suite      — NEW: three-valued-logic parity row
+#   tpch_q21_waiting_suppliers — NEW: double-correlated EXISTS/NOT
+#                             EXISTS folded into one-pass per-order aggs
 #   weather_window_agg_sql    — rotated BACK in: sql/ksql.py changed this
 #                             round (HOPPING/SESSION translations +
 #                             TUMBLING refactor); translation output is
@@ -146,6 +148,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   asof_join_latest_view  — r03 green unchanged (operators/joins
 #                            untouched); as-of machinery also pinned by
 #                            test_asof_join_semantics
+#   per_station_accumulation — r03 green unchanged (operators/aggregates
+#                            untouched); per-key agg machinery graded
+#                            via the q21 / correlated / skew head rows
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -197,6 +202,7 @@ TAIL: tuple[str, ...] = (
     "text_repetition_ratio",
     "union_streams_agg",
     "asof_join_latest_view",
+    "per_station_accumulation",
 )
 
 DRIVER_WINDOW = 50

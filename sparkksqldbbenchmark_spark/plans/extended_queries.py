@@ -1426,3 +1426,67 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("all_null_sum"),
         F.avg("v").isNotNull().alias("avg_skips_nulls"),
     )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept finished orders waiting: the
+    double-correlated EXISTS + NOT EXISTS over the SAME fact table, the
+    hardest decorrelation in the TPC-H suite. The scale answer is to
+    fold both subqueries into per-order aggregates computed in ONE pass
+    over lineitem⋈orders: n_suppliers = distinct suppliers on the order
+    (EXISTS other-supplier ⇔ ≥2) and n_late_suppliers = distinct
+    suppliers late on the order (NOT EXISTS other-late ⇔ == 1, since the
+    probe row's own supplier is late) — then filter the late rows on
+    both counts. The naive translation is three scans of lineitem and
+    two correlated shuffles; this is one lineitem⋈orders shuffle on the
+    order key, a same-key aggregate the optimizer co-partitions
+    (exchange reuse), and a broadcast of supplier names."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_suppliers"),
+    )
+    qualifying = (
+        lo.where((F.col("o_orderstatus") == "F") & F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where(
+            (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
+        )
+    )
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

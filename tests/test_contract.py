@@ -89,6 +89,7 @@ TAIL_SOURCE_SHA256 = {
     "text_repetition_ratio": "8463170c6768af92",
     "union_streams_agg": "0a3661b025a8e5f4",
     "asof_join_latest_view": "0ba68b007cd74fe1",
+    "per_station_accumulation": "1e9bbdddc7ab4bc5",
 }
 
 
