@@ -83,6 +83,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   null_semantics_suite      — NEW: three-valued-logic parity row
 #   tpch_q21_waiting_suppliers — NEW: double-correlated EXISTS/NOT
 #                             EXISTS folded into one-pass per-order aggs
+#   linear_interpolation_gapfill — NEW: two-sided time-weighted gap
+#                             reconstruction (one shuffle, two windows)
 #   weather_window_agg_sql    — rotated BACK in: sql/ksql.py changed this
 #                             round (HOPPING/SESSION translations +
 #                             TUMBLING refactor); translation output is
@@ -151,6 +153,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   per_station_accumulation — r03 green unchanged (operators/aggregates
 #                            untouched); per-key agg machinery graded
 #                            via the q21 / correlated / skew head rows
+#   range_join_shipment_windows — r03 green unchanged (operators/joins
+#                            untouched); bucket-explode machinery also
+#                            pinned by test_range_join_boundaries
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -203,6 +208,7 @@ TAIL: tuple[str, ...] = (
     "union_streams_agg",
     "asof_join_latest_view",
     "per_station_accumulation",
+    "range_join_shipment_windows",
 )
 
 DRIVER_WINDOW = 50

@@ -1490,3 +1490,74 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "linear_interpolation_gapfill",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts,
+               max(CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END) AS v
+        FROM events GROUP BY user_id, ts
+    ), n AS (
+        SELECT user_id, ts, v,
+               last_value(v IGNORE NULLS) OVER back AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                   OVER back AS pt,
+               first_value(v IGNORE NULLS) OVER fwd AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                   OVER fwd AS nt
+        FROM base
+        WINDOW back AS (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           v AS original_value,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                WHEN epoch_us(nt) - epoch_us(pt) = 0 THEN pv
+                ELSE pv + (nv - pv)
+                     * ((epoch_us(ts) - epoch_us(pt))
+                        / (epoch_us(nt) - epoch_us(pt)))
+           END AS v_interp
+    FROM n
+    """,
+)
+def linear_interpolation_gapfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear gap interpolation (operators/interpolation) — every 4th
+    reading nulled, then reconstructed from its nearest non-null
+    neighbors weighted by event-time distance; edges one-sided. The
+    series is pre-aggregated to unique (user_id, ts) instants so the
+    window order is total and the oracle deterministic. Both windows
+    share one (user_id, ts) sort → a single Exchange+Sort in the plan;
+    the gap fraction is bigint-µs difference divided in double — the
+    identical IEEE expression in both engines."""
+    from sparkksqldbbenchmark_spark.operators.interpolation import (
+        interpolate_linear,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_id") % 4 == 0, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    out = interpolate_linear(base, ["user_id"], "ts", "v")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("v").alias("original_value"),
+        F.col("v_interp"),
+    )

@@ -105,3 +105,48 @@ def test_tpch_q10_plan_quality(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert df.count() <= 20
+
+
+def test_interpolate_linear_semantics(spark):
+    """operators/interpolation.interpolate_linear: interior gaps are
+    time-weighted blends, leading/trailing gaps one-sided, all-null
+    partitions stay null, non-null values pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.operators.interpolation import (
+        interpolate_linear,
+    )
+
+    rows = [
+        # key a: null at t=1 sits 1/3 of the way from t=0 (v=10) to
+        # t=3 (v=40) → 20.0; leading null at key b backfills; trailing
+        # null at key b carries; key c is all-null
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:00:01", None),
+        ("a", "2024-01-01 00:00:03", 40.0),
+        ("b", "2024-01-01 00:00:00", None),
+        ("b", "2024-01-01 00:00:01", 5.0),
+        ("b", "2024-01-01 00:00:02", None),
+        ("c", "2024-01-01 00:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["k"], str(r["ts"])): r["v_interp"]
+        for r in interpolate_linear(df, ["k"], "ts", "v").collect()
+    }
+    assert out[("a", "2024-01-01 00:00:00")] == 10.0
+    assert abs(out[("a", "2024-01-01 00:00:01")] - 20.0) < 1e-12
+    assert out[("a", "2024-01-01 00:00:03")] == 40.0
+    assert out[("b", "2024-01-01 00:00:00")] == 5.0   # backfill
+    assert out[("b", "2024-01-01 00:00:02")] == 5.0   # carry
+    assert out[("c", "2024-01-01 00:00:00")] is None  # all-null
+
+    # plan: both windows ride ONE shuffle of the series key
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interpolate_linear(df, ["k"], "ts", "v").explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") == 1
