@@ -85,6 +85,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             EXISTS folded into one-pass per-order aggs
 #   linear_interpolation_gapfill — NEW: two-sided time-weighted gap
 #                             reconstruction (one shuffle, two windows)
+#   grouping_sets_report      — NEW: asymmetric GROUPING SETS +
+#                             GROUPING() markers, one Expand pass
 #   weather_window_agg_sql    — rotated BACK in: sql/ksql.py changed this
 #                             round (HOPPING/SESSION translations +
 #                             TUMBLING refactor); translation output is
@@ -156,6 +158,10 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   range_join_shipment_windows — r03 green unchanged (operators/joins
 #                            untouched); bucket-explode machinery also
 #                            pinned by test_range_join_boundaries
+#   text_quality_scores    — r03 green unchanged (llm/text untouched);
+#                            the quality composite stays graded via
+#                            token_budget_selection / keep-best /
+#                            curation_pipeline head rows
 #
 # All TAIL entries remain registered and keep passing the local oracle
 # replica (tools/check_correctness.py); tests/test_contract.py pins that
@@ -209,6 +215,7 @@ TAIL: tuple[str, ...] = (
     "asof_join_latest_view",
     "per_station_accumulation",
     "range_join_shipment_windows",
+    "text_quality_scores",
 )
 
 DRIVER_WINDOW = 50

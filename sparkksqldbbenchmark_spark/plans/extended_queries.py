@@ -1561,3 +1561,44 @@ def linear_interpolation_gapfill(
         F.col("v").alias("original_value"),
         F.col("v_interp"),
     )
+
+
+@query(
+    "grouping_sets_report",
+    oracle=f"""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(hour(ts) AS VARCHAR), 'ALL') AS hour_of_day,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(hour(ts)) AS INTEGER) AS g_hour,
+           count(*) AS message_count,
+           {sql_stable_sum("value", 2)} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hour(ts)))
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ASYMMETRIC grouping sets — two independent subtotal
+    groupings, (by type) and (by hour), that neither CUBE nor ROLLUP can
+    express, computed in ONE Expand + partial/final HashAggregate pass
+    over a single scan (vs a UNION ALL of two aggregations = two scans,
+    two shuffles). GROUPING() markers disambiguate which set each output
+    row belongs to — the reason coalesce('ALL') is unambiguous even if a
+    real value equaled the placeholder. Exercised through the SQL front
+    door; Catalyst's grouping-sets analysis is the machinery under
+    cube_rollup_report too."""
+    from sparkksqldbbenchmark_spark.catalog import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(hour(ts) AS STRING), 'ALL') AS hour_of_day,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(hour(ts)) AS INT) AS g_hour,
+               count(*) AS message_count,
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)))
+        """
+    )

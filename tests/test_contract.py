@@ -91,6 +91,7 @@ TAIL_SOURCE_SHA256 = {
     "asof_join_latest_view": "0ba68b007cd74fe1",
     "per_station_accumulation": "1e9bbdddc7ab4bc5",
     "range_join_shipment_windows": "7f950454653b21cb",
+    "text_quality_scores": "c9148936e55f74b7",
 }
 
 
