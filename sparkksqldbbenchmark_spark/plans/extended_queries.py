@@ -6,7 +6,7 @@ ordering and pushdown at scale."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -1339,8 +1339,10 @@ def rank_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_array_collect",
     oracle="""
     SELECT event_type,
-           list(event_id ORDER BY event_id) AS event_ids,
-           list_sort(list(DISTINCT user_id)) AS distinct_users,
+           array_to_string(list(event_id ORDER BY event_id), ',')
+               AS event_ids,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',')
+               AS distinct_users,
            count(*) AS n_rows
     FROM events WHERE event_id < 200
     GROUP BY event_type
@@ -1356,11 +1358,23 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (one shuffle); the event_id<200 slice bounds per-group
     array size in the graded row exactly the way a production job caps
     collected groups (slice/limit inside the group) to bound reducer
-    memory at 100 TB."""
+    memory at 100 TB. The sorted arrays are serialized to comma-joined
+    strings at the query boundary (array_join ≡ DuckDB array_to_string)
+    so the row is hashable by any downstream canonicalizer — array-typed
+    payloads stay an internal representation, never a result-contract
+    type."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+
+    def _joined(col: Column) -> Column:
+        return F.array_join(
+            F.transform(col, lambda x: x.cast("string")), ","
+        )
+
     return ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("event_id")).alias("event_ids"),
-        F.array_sort(F.collect_set("user_id")).alias("distinct_users"),
+        _joined(F.array_sort(F.collect_list("event_id"))).alias("event_ids"),
+        _joined(F.array_sort(F.collect_set("user_id"))).alias(
+            "distinct_users"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
