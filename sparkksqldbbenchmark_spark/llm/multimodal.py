@@ -171,8 +171,11 @@ def resize_media(
             scale = pd.concat(
                 [target_w / w, target_h / h], axis=1
             ).min(axis=1).clip(upper=1.0)
+            # NULL payloads stay NULL (n_bytes/payload_hex None) — a null
+            # blob is missing data, not a zero-byte image, and the oracle
+            # twin's md5(NULL) agrees.
             resized = [
-                (p or b"")[: max(1, int(len(p or b"") * s))]
+                None if p is None else p[: max(1, int(len(p) * s))]
                 for p, s in zip(pdf["payload"], scale)
             ]
             yield pd.DataFrame(
@@ -183,8 +186,13 @@ def resize_media(
                     "orig_height": h,
                     "new_width": (w * scale).astype(int),
                     "new_height": (h * scale).astype(int),
-                    "n_bytes": [len(p) for p in resized],
-                    "payload_hex": [p.hex().upper() for p in resized],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in resized
+                    ],
+                    "payload_hex": [
+                        None if p is None else p.hex().upper()
+                        for p in resized
+                    ],
                 }
             )
 

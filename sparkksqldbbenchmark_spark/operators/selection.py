@@ -53,8 +53,17 @@ def ordered_budget_select(
     order, level(a) <= level(b), and order-ties share a level. The
     in-level window re-applies the full ``order`` so the composition is
     exactly the global order.
+
+    A NULL ``level`` (e.g. a null quality score) is coalesced to +inf so
+    the row lands in a worst-priority level that sorts last — it still
+    flows through the carry join (a null key would silently vanish from
+    the inner equi-join) and is only selected if budget remains after
+    every non-null level.
     """
-    b = df.withColumn("__level", level)
+    b = df.withColumn(
+        "__level",
+        F.coalesce(level.cast("double"), F.lit(float("inf"))),
+    )
     in_level = (
         Window.partitionBy("__level")
         .orderBy(*order)

@@ -1039,7 +1039,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
         SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+        GROUP BY l_orderkey
+        HAVING {sql_stable_sum("l_quantity", 2)} > 280
     )
     GROUP BY 1, 2, 3, 4, 5
     ORDER BY o.o_totalprice DESC, o.o_orderkey

@@ -700,7 +700,9 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(h AS INTEGER) AS orig_height,
            CAST(floor(w * scale) AS INTEGER) AS new_width,
            CAST(floor(h * scale) AS INTEGER) AS new_height,
-           CAST(greatest(1, floor(16 * scale)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE greatest(1, floor(16 * scale)) END AS BIGINT)
+               AS n_bytes,
            substring(upper(md5(text)), 1,
                      CAST(2 * greatest(1, floor(16 * scale)) AS INTEGER))
                AS payload_hex

@@ -98,13 +98,23 @@ def translate_ksql(
     # Spark expresses it as a grouping expression).
     def _prepend_group_expr(text: str, span: tuple[int, int], expr: str) -> str:
         text = text[: span[0]] + text[span[1]:]
-        return re.sub(
-            r"\bGROUP\s+BY\b",
-            f"GROUP BY {expr},",
-            text,
-            count=1,
-            flags=re.I,
+        if re.search(r"\bGROUP\s+BY\b", text, flags=re.I):
+            return re.sub(
+                r"\bGROUP\s+BY\b",
+                f"GROUP BY {expr},",
+                text,
+                count=1,
+                flags=re.I,
+            )
+        # Global windowed aggregate (legal ksql: WINDOW clause, no GROUP
+        # BY keys) — the window itself is the only grouping expression.
+        # Insert GROUP BY before any trailing HAVING/ORDER BY/LIMIT so
+        # the window is never silently dropped into an unwindowed agg.
+        tail = re.search(
+            r"\b(HAVING|ORDER\s+BY|LIMIT)\b", text, flags=re.I
         )
+        pos = tail.start() if tail else len(text.rstrip())
+        return f"{text[:pos].rstrip()} GROUP BY {expr} {text[pos:]}"
 
     m = re.search(
         r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+(\w+?)S?\s*\)",

@@ -95,6 +95,30 @@ TAIL_SOURCE_SHA256 = {
 }
 
 
+# Shared-infrastructure pin (ADVICE r04, tools/tail_hash.py:68 carve-out
+# gap): loader/session semantics every TAIL query flows through. A change
+# here voids ALL TAIL evidence at once — run the full oracle sweep
+# (`python tools/check_correctness.py`) green, then regenerate with
+# `python tools/tail_hash.py`.
+INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
+
+
+def test_shared_infra_unchanged_since_green_verdict():
+    """catalog._normalize_nanos / load_table / ensure_session_confs /
+    SessionConfig.to_conf feed every TAIL query but are excluded from the
+    per-query pins (cascade-noise carve-out). Pin them separately so a
+    loader-semantics change still forces a re-grade."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from tail_hash import infra_fingerprint
+
+    assert infra_fingerprint() == INFRA_SOURCE_SHA256, (
+        "shared loader/session semantics changed since TAIL verdicts were "
+        "recorded — run the full oracle sweep, then regenerate pins"
+    )
+
+
 def test_tail_source_unchanged_since_green_verdict():
     """Rotation-policy enforcement (VERDICT r03 item 2): a query may sit
     in the ungraded TAIL only while the source that earned its recorded

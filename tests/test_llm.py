@@ -240,3 +240,22 @@ def test_multimodal_resize_geometry(spark, docs):
         assert r["payload_hex"] == (
             src[doc_id]["payload"][:expect_len].hex().upper()
         )
+
+
+def test_multimodal_resize_null_payload_stays_null(spark):
+    """A NULL blob is missing data, not a zero-byte image: n_bytes and
+    payload_hex must come back NULL (the oracle's md5(NULL) agrees),
+    while the doc_id-derived geometry stays populated."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id long, text string"
+    )
+    blobs = multimodal.attach_media_blobs(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.resize_media(blobs, 128, 128).collect()}
+    assert out[1]["n_bytes"] is None
+    assert out[1]["payload_hex"] is None
+    assert out[1]["new_width"] == int(
+        (1 % 640 + 16) * min(128 / (1 % 640 + 16), 128 / (1 % 480 + 16), 1.0)
+    )
+    assert out[2]["n_bytes"] is not None
+    assert out[2]["payload_hex"]

@@ -75,6 +75,38 @@ def test_zero_weight_rows_cost_nothing(spark):
     assert got[3] == (10, False)
 
 
+def test_null_level_rows_sort_last_not_dropped(spark):
+    # a NULL level (e.g. null quality score) must neither vanish from the
+    # output (the carry join is an inner equi-join — null keys never
+    # match) nor jump the queue: it lands in a +inf worst level, after
+    # every non-null level has consumed its budget.
+    df = spark.createDataFrame(
+        [(1, 0.9, 5), (2, None, 5), (3, 0.1, 5)],
+        "id long, score double, w long",
+    )
+    out = ordered_budget_select(
+        df,
+        level=F.floor((F.lit(1.0) - F.col("score")) * 8).cast("long"),
+        order=[F.desc("score"), F.asc("id")],
+        weight_col="w",
+        budget=11,
+    )
+    got = {r["id"]: (r["cum_before"], r["selected"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3}, "null-level row was dropped"
+    assert got[1] == (0, True)
+    assert got[3] == (5, True)
+    assert got[2] == (10, True)   # last in line, still inside budget
+    out2 = ordered_budget_select(
+        df,
+        level=F.floor((F.lit(1.0) - F.col("score")) * 8).cast("long"),
+        order=[F.desc("score"), F.asc("id")],
+        weight_col="w",
+        budget=10,
+    )
+    got2 = {r["id"]: r["selected"] for r in out2.collect()}
+    assert got2 == {1: True, 3: True, 2: False}
+
+
 def test_passage_chunking_covers_all_tokens(spark):
     # the chunk expression used by passage_dup_stats: non-overlapping
     # W-word slices, short tail kept

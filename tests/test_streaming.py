@@ -215,6 +215,28 @@ def test_translate_ksql():
     assert "GROUP BY window(ts, '1 minute')," in sql
 
 
+def test_translate_ksql_global_windowed_agg():
+    """A WINDOW clause with no GROUP BY (legal ksql: global windowed
+    aggregate) must still group by the window — silently dropping it
+    would compute an unwindowed global aggregate instead."""
+    sql, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM weather "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) EMIT CHANGES",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "GROUP BY window(ts, '5 minute')" in sql
+    # and with a trailing clause the GROUP BY lands before it
+    sql2, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM weather "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) LIMIT 10",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "GROUP BY window(ts, '5 minute')" in sql2
+    assert sql2.upper().index("GROUP BY") < sql2.upper().index("LIMIT")
+
+
 def test_ksql_front_door_continuous(spark):
     """EMIT CHANGES over a streaming view deploys a persistent query
     readable as the table name (setup-ksqldb-correct.sh:93-146)."""

@@ -111,8 +111,31 @@ def current_fingerprints() -> dict[str, str]:
     }
 
 
+def infra_fingerprint() -> str:
+    """Fingerprint of the shared loader/session semantics every TAIL
+    query flows through. The EXCLUDED_MODULES carve-out keeps catalog/
+    session edits from cascading into every per-query pin (most edits
+    there are comment/conf-plumbing noise), but a SEMANTIC loader change
+    (e.g. the r04 all-NTZ timestamp cast in catalog._normalize_nanos)
+    still silently rides under old green verdicts. This separate pin
+    covers exactly the semantics-bearing pieces: _normalize_nanos,
+    load_table, ensure_session_confs, and SessionConfig.to_conf — a
+    change here voids ALL TAIL evidence at once and must be accompanied
+    by a full oracle sweep (tools/check_correctness.py) before re-pinning."""
+    from sparkksqldbbenchmark_spark import catalog, session
+
+    parts = [
+        inspect.getsource(catalog._normalize_nanos),
+        inspect.getsource(catalog.load_table),
+        inspect.getsource(catalog.ensure_session_confs),
+        inspect.getsource(session.SessionConfig.to_conf),
+    ]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 if __name__ == "__main__":
     print("TAIL_SOURCE_SHA256 = {")
     for name, h in current_fingerprints().items():
         print(f'    "{name}": "{h}",')
     print("}")
+    print(f'INFRA_SOURCE_SHA256 = "{infra_fingerprint()}"')
