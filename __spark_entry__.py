@@ -169,7 +169,14 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 # query's implementing source is byte-identical to the version its
 # recorded green verdict graded (a changed implementation must rotate
 # back into the head — the r03 ngram_jaccard lesson).
+# Round-5 rotation. INTO the head:
+#   multimodal_decode_roundtrip — NEW: genuine PNG/WAV codec round-trip
+#                             (llm/codecs.py), analytic oracle
+# OUT of the head (r04 green, implementation unchanged since):
+#   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
+#                             the q3/q18/q21 head rows
 TAIL: tuple[str, ...] = (
+    "tpch_q10_returned_items",
     "session_window_agg",
     "latency_percentiles",
     "dedup_clusters",

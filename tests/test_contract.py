@@ -46,6 +46,7 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "tpch_q10_returned_items": "b297c7aedd4c7b7a",
     "session_window_agg": "958aeb73f54fc5bc",
     "latency_percentiles": "730709de52b987de",
     "dedup_clusters": "b0a03168fca85ff6",

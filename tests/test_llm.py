@@ -242,6 +242,51 @@ def test_multimodal_resize_geometry(spark, docs):
         )
 
 
+def test_png_codec_roundtrip_all_filters():
+    """encode_png cycles filter types 0-4 per scanline; decode must
+    reproduce every byte (gray and RGB) — a stub or partial unfilter
+    implementation cannot pass."""
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    for d in (0, 2, 88, 123456):
+        w, h = d % 16 + 4, d % 12 + 4
+        rows = [
+            bytes((d + 7 * x + 13 * y) % 256 for x in range(w))
+            for y in range(h)
+        ]
+        assert codecs.decode_png(codecs.encode_png(rows)) == (w, h, 1, rows)
+    rgb = [bytes((y * 31 + i) % 256 for i in range(30)) for y in range(9)]
+    assert codecs.decode_png(codecs.encode_png(rgb, channels=3)) == (
+        10, 9, 3, rgb,
+    )
+
+
+def test_png_codec_rejects_corruption_and_unsupported():
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    png = bytearray(codecs.encode_png([b"\x01\x02\x03", b"\x04\x05\x06"]))
+    png[-6] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(codecs.UnsupportedMediaError, match="CRC"):
+        codecs.decode_png(bytes(png))
+    with pytest.raises(codecs.UnsupportedMediaError, match="not a PNG"):
+        codecs.decode_png(b"JFIF....")
+
+
+def test_wav_codec_roundtrip_and_decode_blob_dispatch():
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    s = [(7 * 31 + i * 17) % 65536 - 32768 for i in range(25)]
+    assert codecs.decode_wav(codecs.encode_wav(s)) == (8000, 1, s)
+    st = multimodal.decode_blob(codecs.encode_wav(s), "audio")
+    assert st["codec"] == "wav" and st["unit_sum"] == sum(s)
+    st2 = multimodal.decode_blob(
+        codecs.encode_png([bytes([10, 20]), bytes([30, 40])]), "image"
+    )
+    assert st2["codec"] == "png" and st2["unit_sum"] == 100
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(b"\xff\xd8\xffJPEG", "image")
+
+
 def test_multimodal_resize_null_payload_stays_null(spark):
     """A NULL blob is missing data, not a zero-byte image: n_bytes and
     payload_hex must come back NULL (the oracle's md5(NULL) agrees),
