@@ -172,11 +172,16 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 # Round-5 rotation. INTO the head:
 #   multimodal_decode_roundtrip — NEW: genuine PNG/WAV codec round-trip
 #                             (llm/codecs.py), analytic oracle
+#   bucketed_orders_lineitem_join — NEW: write-time bucketed co-located
+#                             join, zero-Exchange asserted in the query
 # OUT of the head (r04 green, implementation unchanged since):
 #   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
 #                             the q3/q18/q21 head rows
+#   tpch_q4_semijoin_priority — LEFT SEMI machinery stays graded via the
+#                             q21 head row (semi+anti folded per order)
 TAIL: tuple[str, ...] = (
     "tpch_q10_returned_items",
+    "tpch_q4_semijoin_priority",
     "session_window_agg",
     "latency_percentiles",
     "dedup_clusters",

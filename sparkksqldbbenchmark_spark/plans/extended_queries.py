@@ -1381,6 +1381,71 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_orders_lineitem_join",
+    oracle=f"""
+    SELECT o.o_orderkey AS k,
+           count(*) AS n_items,
+           {sql_stable_sum("l.l_quantity", 2)} AS total_qty,
+           max(o.o_totalprice) AS o_totalprice
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey
+    """,
+)
+def bucketed_orders_lineitem_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Co-located fact⋈fact join over write-time bucketing
+    (operators/bucketing.py): orders and lineitem are hash-bucketed on
+    the order key into matching bucket counts, so the SortMergeJoin AND
+    the groupBy on the same key run with ZERO Exchange — the recurring
+    join's shuffle is paid once at ingest, the core 100 TB layout win.
+    The zero-Exchange property is asserted IN the query (a regression
+    that reintroduces a shuffle fails the graded row, not just a unit
+    test), and the oracle is the plain join — proving the layout changes
+    the plan, never the answer. The merge hint only pins SMJ strategy so
+    the assertion is meaningful at any autoBroadcast threshold; the
+    o_orderkey filter additionally exercises bucket pruning."""
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.operators.bucketing import (
+        write_bucketed,
+    )
+
+    run = _uuid.uuid4().hex[:8]
+    lt, ot = f"li_bkt_{run}", f"ord_bkt_{run}"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), "l_quantity")
+        .where(F.col("k") < 2000)
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+        .where(F.col("k") < 2000)
+    )
+    write_bucketed(li, lt, "k", buckets=8)
+    write_bucketed(orders, ot, "k", buckets=8)
+    joined = (
+        spark.table(ot)
+        .hint("merge")
+        .join(spark.table(lt), "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_sum("l_quantity", 2).alias("total_qty"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, (
+        "bucketed join/agg must not shuffle either side:\n" + plan
+    )
+    assert "SelectedBucketsCount" in plan, "bucketed scan not engaged"
+    return joined
+
+
+@query(
     "null_semantics_suite",
     oracle=f"""
     WITH t AS (

@@ -47,6 +47,7 @@ def test_registry_order_fits_driver_window():
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
     "tpch_q10_returned_items": "b297c7aedd4c7b7a",
+    "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
     "session_window_agg": "958aeb73f54fc5bc",
     "latency_percentiles": "730709de52b987de",
     "dedup_clusters": "b0a03168fca85ff6",
