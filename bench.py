@@ -123,15 +123,28 @@ def main() -> None:
     avro_path = probe_avro_path(spark)
     print(f"  avro codec path: {avro_path}", file=sys.stderr)
 
-    m = run_latency_benchmark(spark, run_seconds=20)
+    # Median-of-3 runs, each started ON a window boundary: the per-run
+    # average at ~100 samples carries ±6% window-phase/alignment noise
+    # (r03→r04 drift, VERDICT r04 item 5); the start alignment removes
+    # the phase component and the element-wise median across runs
+    # removes one-off scheduler hiccups without averaging them in.
+    import statistics
+
+    runs = [run_latency_benchmark(spark, run_seconds=20) for _ in range(3)]
+    m = sorted(runs, key=lambda r: r.avg_ms)[1]  # median run, for /metrics
+    med = lambda vals: statistics.median(vals)  # noqa: E731
     streaming_latency = {
-        "avg_ms": round(m.avg_ms, 2),
-        "p50_ms": m.p50_ms,
-        "p95_ms": m.p95_ms,
-        "p99_ms": m.p99_ms,
-        "stddev_ms": round(m.stddev_ms, 2),
-        "samples": m.sample_count,
-        "config": "10s window, 2s trigger, 200 rows/s, update mode",
+        "avg_ms": round(med([m.avg_ms for m in runs]), 2),
+        "p50_ms": med([m.p50_ms for m in runs]),
+        "p95_ms": med([m.p95_ms for m in runs]),
+        "p99_ms": med([m.p99_ms for m in runs]),
+        "stddev_ms": round(med([m.stddev_ms for m in runs]), 2),
+        "samples": sum(m.sample_count for m in runs),
+        "runs": [round(m.avg_ms, 2) for m in runs],
+        "config": (
+            "10s window, 2s trigger, 200 rows/s, update mode; "
+            "median of 3 window-boundary-aligned runs"
+        ),
     }
     print(f"  streaming e2e: {streaming_latency}", file=sys.stderr)
 

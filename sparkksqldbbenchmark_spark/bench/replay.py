@@ -55,6 +55,24 @@ def weather_rate_stream(
     )
 
 
+def _sleep_to_window_boundary(window_duration: str) -> None:
+    """Block until the wall clock crosses the next tumbling-window
+    boundary (windows are epoch-aligned). Starting the replay mid-window
+    shifts how much residence time the first produced rows accumulate
+    before their window closes — measured as up to ±6% drift on the run
+    AVERAGE at 100 samples (r03→r04) with no change in p95/p99/σ.
+    Pinning the start phase removes that alignment noise from
+    round-over-round comparisons."""
+    m = __import__("re").match(r"(\d+)\s*second", window_duration)
+    if not m:
+        return
+    period = int(m.group(1))
+    now = time.time()
+    boundary = (int(now // period) + 1) * period
+    # guard tiny negatives from clock math; cap one full period
+    time.sleep(min(max(boundary - now, 0.0), period))
+
+
 def run_latency_benchmark(
     spark: SparkSession,
     *,
@@ -62,9 +80,14 @@ def run_latency_benchmark(
     window_duration: str = "10 seconds",
     trigger_interval: str = "2 seconds",
     run_seconds: int = 20,
+    align_start: bool = True,
 ) -> LatencyMetrics:
     """Run the pipeline for `run_seconds`, collect per-emission latency
-    points sink-side, return reference-convention metrics."""
+    points sink-side, return reference-convention metrics. With
+    `align_start` the stream starts on a window boundary so every run
+    measures the same window phase."""
+    if align_start:
+        _sleep_to_window_boundary(window_duration)
     stream = weather_rate_stream(spark, rows_per_second=rows_per_second)
     agged = tumbling_window_agg(
         stream,
