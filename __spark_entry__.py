@@ -174,14 +174,35 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             (llm/codecs.py), analytic oracle
 #   bucketed_orders_lineitem_join — NEW: write-time bucketed co-located
 #                             join, zero-Exchange asserted in the query
+#   tpch_q8_market_share      — NEW: seven-table star → conditional-ratio
+#                             share per year (all dims broadcast)
+#   tpch_q13_customer_distribution — NEW: filter-in-join LEFT OUTER +
+#                             histogram-of-counts double aggregate
+#   tpch_q15_top_supplier     — NEW: reused aggregate "view" + max-equality
+#                             cut + broadcast enrichment
+#   hopping_window_agg        — NEW: sliding-window batch twin (Expand ×2,
+#                             constant replication), explicit-window oracle
 # OUT of the head (r04 green, implementation unchanged since):
 #   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
 #                             the q3/q18/q21 head rows
 #   tpch_q4_semijoin_priority — LEFT SEMI machinery stays graded via the
 #                             q21 head row (semi+anti folded per order)
+#   tpch_q7_volume_shipping — join-chain + year-bucket machinery stays
+#                             graded via the new q8 head row
+#   tpch_q14_promo_revenue  — conditional-ratio aggregate machinery stays
+#                             graded via the new q8 head row
+#   tpch_q22_antijoin_segments — LEFT ANTI machinery stays graded via the
+#                             q21 head row
+#   approx_quantiles_bounded — sketch-quantile machinery stays graded via
+#                             latency_nearest_rank_percentiles +
+#                             approx_count_distinct head rows
 TAIL: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q4_semijoin_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q22_antijoin_segments",
+    "approx_quantiles_bounded",
     "session_window_agg",
     "latency_percentiles",
     "dedup_clusters",

@@ -1381,6 +1381,241 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           {sql_stable_sum(
+               "CASE WHEN supp_nation = 'NATION_3' THEN volume"
+               " ELSE 0 END", 2)} AS nation_volume,
+           {sql_stable_sum("volume", 2)} AS total_volume,
+           {sql_stable_sum(
+               "CASE WHEN supp_nation = 'NATION_3' THEN volume"
+               " ELSE 0 END", 2)} / {sql_stable_sum("volume", 2)}
+               AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: a seven-table join star
+    reduced to a conditional-ratio aggregate per year. All six dimension
+    legs (orders excepted) are broadcast — at any scale region/nation/
+    part/supplier/customer are dwarfed by lineitem — so the only shuffle
+    is lineitem⋈orders on the order key, then a tiny per-year aggregate.
+    The share divides two stable decimal sums in one IEEE op, identical
+    cross-engine. (Dates/type values adapted to the synthetic domain;
+    the reference shape is unchanged.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "AMERICA"
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    cust_nat = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        ),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nat), o.o_custkey == cust_nat.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    nation_vol = stable_sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+        .otherwise(F.lit(0.0)),
+        2,
+    )
+    total_vol = stable_sum("volume", 2)
+    return flat.groupBy("o_year").agg(
+        nation_vol.alias("nation_volume"),
+        total_vol.alias("total_volume"),
+        (nation_vol / total_vol).alias("mkt_share"),
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join with the filter INSIDE the join condition (a customer whose
+    every order is urgent must still appear with count 0 — pushing the
+    predicate below the join would drop them), then a histogram of
+    counts: two chained aggregations where the second's input is already
+    tiny. The join and the first groupBy share the o_custkey/c_custkey
+    partitioning, so the plan is one real shuffle of orders plus a
+    constant-size recount. count(o_orderkey) counts only non-null
+    matches per outer-join semantics. (Priority filter stands in for the
+    reference's comment NOT LIKE — o_comment is not in the synthetic
+    schema; the shape is unchanged.)"""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey)
+        & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_stable_sum("l_extendedprice * (1 - l_discount)", 2)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier by quarterly revenue: the "view"
+    pattern. The revenue aggregate is built ONCE and used twice (rows +
+    its own max) — in Spark the reused subplan is one DataFrame object,
+    so the exchange under it is reused rather than recomputed; the max
+    is a 1-row aggregate broadcast back as the filter, and the supplier
+    enrichment broadcasts the dim. Revenue uses the stable decimal sum,
+    so the equality cut against the max lands identically cross-engine
+    (raw double sums would make 'equal to max' engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), revenue.total_revenue == mx.mx
+    ).select("supplier_no", "total_revenue")
+    return top.join(
+        F.broadcast(s), top.supplier_no == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "hopping_window_agg",
+    oracle=f"""
+    WITH e AS (
+        SELECT time_bucket(INTERVAL 5 MINUTES, ts)
+                   - (r.i * INTERVAL 5 MINUTES) AS ws,
+               event_type, value
+        FROM events, range(0, 2) r(i)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 10 MINUTES, '%Y-%m-%d %H:%M:%S')
+               AS window_end,
+           event_type,
+           count(*) AS message_count,
+           {sql_stable_sum("value", 2)} AS sum_value
+    FROM e
+    GROUP BY 1, 2, 3
+    """,
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate, batch twin of ksql's WINDOW
+    HOPPING (SIZE 10 MINUTES, ADVANCE BY 5 MINUTES): every event lands
+    in size/advance = 2 overlapping epoch-aligned windows. Spark's
+    window(ts, size, slide) compiles this to a single Expand (2 rows per
+    input) feeding one partial+final hash aggregate — replication factor
+    is the constant size/advance, never data-dependent, so the shape
+    costs exactly 2× a tumbling window at any scale. The oracle builds
+    the same two windows per row via an explicit range(0,2) cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return ev.groupBy(w.alias("window"), "event_type").agg(
+        F.count(F.lit(1)).alias("message_count"),
+        stable_sum("value", 2).alias("sum_value"),
+    ).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "event_type",
+        "message_count",
+        "sum_value",
+    )
+
+
+@query(
     "bucketed_orders_lineitem_join",
     oracle=f"""
     SELECT o.o_orderkey AS k,

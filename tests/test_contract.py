@@ -48,6 +48,10 @@ def test_registry_order_fits_driver_window():
 TAIL_SOURCE_SHA256 = {
     "tpch_q10_returned_items": "b297c7aedd4c7b7a",
     "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
+    "tpch_q7_volume_shipping": "b498f9cbce94dc7e",
+    "tpch_q14_promo_revenue": "e22b43aa96611f9a",
+    "tpch_q22_antijoin_segments": "71bca33b34df0a11",
+    "approx_quantiles_bounded": "54ed7efb93b06359",
     "session_window_agg": "958aeb73f54fc5bc",
     "latency_percentiles": "730709de52b987de",
     "dedup_clusters": "b0a03168fca85ff6",
