@@ -182,7 +182,23 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             cut + broadcast enrichment
 #   hopping_window_agg        — NEW: sliding-window batch twin (Expand ×2,
 #                             constant replication), explicit-window oracle
+#   dedup_incremental_vs_corpus — NEW: new-batch vs historical-corpus LSH
+#                             lookup (never corpus⋈corpus)
+#   dedup_exact / dedup_simhash / dedup_clusters — rotated BACK in:
+#                             llm/dedup.py changed this round (LSH front
+#                             half factored into lsh_banded_buckets for
+#                             the incremental path); values verified
+#                             unchanged locally, but the policy is
+#                             re-grade on any implementing-source change
 # OUT of the head (r04 green, implementation unchanged since):
+#   pivot_hourly_by_type    — Expand machinery stays graded via
+#                             grouping_sets_report + hopping head rows
+#   unpivot_measure_summary — same Expand family
+#   correlated_above_avg_orders — decorrelated agg+join-back machinery
+#                             stays graded via q15/q18/q21 head rows
+#   streaming_static_enrich — stream-static broadcast machinery stays
+#                             graded via the other five streaming head
+#                             rows
 #   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
 #                             the q3/q18/q21 head rows
 #   tpch_q4_semijoin_priority — LEFT SEMI machinery stays graded via the
@@ -197,6 +213,10 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             latency_nearest_rank_percentiles +
 #                             approx_count_distinct head rows
 TAIL: tuple[str, ...] = (
+    "pivot_hourly_by_type",
+    "unpivot_measure_summary",
+    "correlated_above_avg_orders",
+    "streaming_static_enrich",
     "tpch_q10_returned_items",
     "tpch_q4_semijoin_priority",
     "tpch_q7_volume_shipping",
@@ -205,8 +225,6 @@ TAIL: tuple[str, ...] = (
     "approx_quantiles_bounded",
     "session_window_agg",
     "latency_percentiles",
-    "dedup_clusters",
-    "dedup_simhash",
     "value_counts",
     "station_enrichment_join",
     "group_by_sum_consumption",
@@ -226,7 +244,6 @@ TAIL: tuple[str, ...] = (
     "time_rollup_hierarchy",
     "streaming_update_mode_final",
     "region_zone_lookup",
-    "dedup_exact",
     "text_lang_id",
     "top_k_values",
     "correlation_matrix",

@@ -75,7 +75,7 @@ def with_minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_banded_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -83,27 +83,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
-    candidate-filtered through b LSH bands of k/b minhash rows each."""
+) -> tuple[DataFrame, DataFrame]:
+    """LSH front half shared by the pairwise and incremental dedups:
+    returns (shingle_side, buckets) where shingle_side is the
+    checkpointed (id, shingles) projection and buckets is the exploded
+    (id, band_idx, bh) band-bucket frame.
+
+    explode → codegen'd md5 → groupBy-min signature. Higher-order-function
+    lambdas are interpreted per element in Spark; the explode/aggregate
+    shape keeps every hash inside whole-stage codegen and computes all k
+    mins as partial aggregates under ONE shuffle on the doc id (~3.5×
+    faster at sf0.1, and the idiomatic plan at 100 TB). Values are
+    identical to with_minhash_signature (same universal-hash family).
+
+    ONE tokenize/shingle pass for the whole pipeline: the (id, shingles)
+    projection is materialized once and feeds both the signature stage
+    and the candidate-verify joins downstream. Shingling (regex tokenize
+    + n-gram assembly + distinct) is the dominant per-row cost, so
+    computing it twice — full corpus for signatures, candidates again
+    for verify — was the top remaining cost in this pipeline. At
+    cluster scale the same sharing is a persist(DISK_ONLY)/checkpoint
+    of the projection, amortized across both consumers."""
     rows = num_hashes // bands
-    # explode → codegen'd md5 → groupBy-min signature. Higher-order-function
-    # lambdas are interpreted per element in Spark; the explode/aggregate
-    # shape keeps every hash inside whole-stage codegen and computes all k
-    # mins as partial aggregates under ONE shuffle on the doc id (~3.5×
-    # faster at sf0.1, and the idiomatic plan at 100 TB). Values are
-    # identical to with_minhash_signature (same universal-hash family).
     from sparkksqldbbenchmark_spark.llm.hashing import _BMUL, _P31
 
-    # ONE tokenize/shingle pass for the whole pipeline: the (id, shingles)
-    # projection is materialized once and feeds both the signature stage
-    # and the candidate-verify joins below. Shingling (regex tokenize +
-    # n-gram assembly + distinct) is the dominant per-row cost, so
-    # computing it twice — full corpus for signatures, candidates again
-    # for verify — was the top remaining cost in this pipeline. At
-    # cluster scale the same sharing is a persist(DISK_ONLY)/checkpoint
-    # of the projection, amortized across both consumers.
     shingle_side = _with_shingles(df, text_col, id_col, shingle_n)
     shingle_side = shingle_side.localCheckpoint(eager=True)
     ex = shingle_side.select(
@@ -142,10 +145,32 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    exploded = banded.select(
+    buckets = banded.select(
         F.col(id_col), F.explode(band_arr).alias("e")
     ).select(id_col, "e.band_idx", "e.bh")
+    return shingle_side, buckets
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
+    candidate-filtered through b LSH bands of k/b minhash rows each."""
+    shingle_side, exploded = lsh_banded_buckets(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
     left = exploded.select(
         F.col(id_col).alias("doc_a"), "band_idx", "bh"
     )
@@ -181,6 +206,81 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard_sim", jac)
         .where(F.col("jaccard_sim") >= threshold)
         .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+def incremental_lsh_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: best near-duplicate in a HISTORICAL corpus for
+    each doc of a NEW batch — the production shape where every crawl/
+    ingest round is checked against everything already kept, without
+    ever re-pairing the corpus against itself. Returns
+    (new_id, match_id, jaccard_sim): the corpus match with maximal
+    verified Jaccard ≥ threshold (ties → smallest corpus id); new docs
+    with no match produce no row (they are the keepers).
+
+    Scale shape: the corpus side's (id, band_idx, bh) buckets — 4×
+    ~50 B rows per document, independent of text size — are exactly
+    what a deployment PERSISTS between rounds (a bucket store keyed on
+    (band, hash)), so each incremental round computes signatures only
+    for the new batch and joins it against the stored buckets: cost
+    scales with the batch, not the corpus. Here both sides derive from
+    the same operators to stay oracle-checkable; only new⋈corpus bucket
+    collisions are joined (never corpus⋈corpus), and the verify join
+    touches candidate docs only."""
+    from pyspark.sql import Window
+
+    new_sh, new_buckets = lsh_banded_buckets(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    corp_sh, corp_buckets = lsh_banded_buckets(
+        corpus_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    cand = (
+        new_buckets.select(F.col(id_col).alias("new_id"), "band_idx", "bh")
+        .join(
+            corp_buckets.select(
+                F.col(id_col).alias("match_id"), "band_idx", "bh"
+            ),
+            on=["band_idx", "bh"],
+        )
+        .select("new_id", "match_id")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    verified = cand.join(
+        new_sh.select(
+            F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a")
+        ),
+        "new_id",
+    ).join(
+        corp_sh.select(
+            F.col(id_col).alias("match_id"), F.col("shingles").alias("sh_b")
+        ),
+        "match_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    scored = verified.withColumn("jaccard_sim", inter / union).where(
+        F.col("jaccard_sim") >= threshold
+    )
+    best = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard_sim"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select("new_id", "match_id", "jaccard_sim")
     )
 
 

@@ -81,6 +81,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id")
 
 
+def _incremental_oracle(
+    k: int = 16, bands: int = 4, n: int = 3,
+    threshold: float = 0.5, split: int = 250,
+) -> str:
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    inter = "len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))"
+    jac = (
+        f"CAST({inter} AS DOUBLE) / CAST(len(sa.shingles)"
+        f" + len(sb.shingles) - {inter} AS DOUBLE)"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id >= {split} AND b.doc_id < {split}
+    ), scored AS (
+        SELECT new_id, match_id, {jac} AS jaccard_sim
+        FROM cand
+        JOIN sh sa ON cand.new_id = sa.doc_id
+        JOIN sh sb ON cand.match_id = sb.doc_id
+        WHERE {jac} >= {threshold}
+    )
+    SELECT new_id, match_id, jaccard_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY new_id
+            ORDER BY jaccard_sim DESC, match_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """
+
+
+@query("dedup_incremental_vs_corpus", oracle=_incremental_oracle())
+def dedup_incremental_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup (llm/dedup.incremental_lsh_matches): the new
+    batch (doc_id ≥ 250) is checked for near-duplicates against the
+    historical corpus (doc_id < 250) — each new doc's best corpus match
+    by verified Jaccard, via new⋈corpus LSH bucket collisions only
+    (never corpus⋈corpus). The production round persists the corpus-side
+    band buckets between ingests, so per-round cost scales with the
+    batch, not the corpus (see operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_lsh_matches(
+        docs.where(F.col("doc_id") >= 250),
+        docs.where(F.col("doc_id") < 250),
+        "text",
+        "doc_id",
+    )
+
+
 def _simhash_oracle(bits: int = 32, bands: int = 4, max_h: int = 3) -> str:
     width = bits // bands
     toks = sql_tokens("text")

@@ -46,6 +46,10 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "pivot_hourly_by_type": "4b330c4c55bad914",
+    "unpivot_measure_summary": "77fb725ce85c418b",
+    "correlated_above_avg_orders": "839fd003d0980810",
+    "streaming_static_enrich": "ee3d39a426f2a18a",
     "tpch_q10_returned_items": "b297c7aedd4c7b7a",
     "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
     "tpch_q7_volume_shipping": "b498f9cbce94dc7e",
@@ -54,8 +58,6 @@ TAIL_SOURCE_SHA256 = {
     "approx_quantiles_bounded": "54ed7efb93b06359",
     "session_window_agg": "958aeb73f54fc5bc",
     "latency_percentiles": "730709de52b987de",
-    "dedup_clusters": "b0a03168fca85ff6",
-    "dedup_simhash": "9182f1f534c22f2d",
     "value_counts": "77901eddede1bfe4",
     "station_enrichment_join": "41cc5c343e720dd5",
     "group_by_sum_consumption": "6daa6057b01b979b",
@@ -75,7 +77,6 @@ TAIL_SOURCE_SHA256 = {
     "time_rollup_hierarchy": "89cc8cd950222e2f",
     "streaming_update_mode_final": "dc7c477191421541",
     "region_zone_lookup": "9f66a6df1060f2be",
-    "dedup_exact": "80fc22965040b2e3",
     "text_lang_id": "43d81e9a93902bda",
     "top_k_values": "d386676c518380cd",
     "correlation_matrix": "e044c5edb25f8831",

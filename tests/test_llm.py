@@ -242,6 +242,29 @@ def test_multimodal_resize_geometry(spark, docs):
         )
 
 
+def test_incremental_lsh_matches_directional_best(spark):
+    """incremental_lsh_matches: finds each new doc's best corpus match,
+    never pairs corpus docs with each other, and drops new docs with no
+    near-duplicate."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " again"), (3, "totally unrelated words "
+          "about spark shuffles and parquet row groups here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, "nothing in common with anything at all "
+          "zebra quantum pickle umbrella seventeen")],
+        "doc_id long, text string",
+    )
+    got = {r["new_id"]: r for r in dedup.incremental_lsh_matches(
+        new, corpus, "text", "doc_id").collect()}
+    assert set(got) == {10}          # doc 11 has no match → no row
+    assert got[10]["match_id"] == 1  # exact copy beats near-copy; tie→min id
+    assert got[10]["jaccard_sim"] == 1.0
+
+
 def test_png_codec_roundtrip_all_filters():
     """encode_png cycles filter types 0-4 per scanline; decode must
     reproduce every byte (gray and RGB) — a stub or partial unfilter
