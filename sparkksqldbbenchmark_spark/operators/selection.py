@@ -36,6 +36,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantile_levels(
+    df: DataFrame,
+    priority_col: str,
+    *,
+    n_levels: int = 64,
+    relative_error: float = 0.001,
+) -> Column:
+    """Derive the ``level`` expression for :func:`ordered_budget_select`
+    from approximate quantiles of the priority column — the production
+    form at 100 TB, where a fixed grid over an unknown score
+    distribution would put most of the corpus into a handful of levels
+    (and the biggest level back onto one reducer). approxQuantile is the
+    GK sketch: one pass, driver receives only n_levels−1 doubles.
+
+    Returns level(x) = #cuts ≥ x for DESCENDING priority order (higher
+    score ⇒ numerically smaller level; equal scores share a level), so
+    the monotonicity contract of ordered_budget_select holds by
+    construction — and because the operator's OUTPUT is level-invariant
+    for any monotone level, approximation error in the cuts only moves
+    bucket BOUNDARIES (balance), never the selection result. NULL
+    priorities yield a NULL level, which the operator sends to the
+    worst (+inf) bucket."""
+    qs = [i / n_levels for i in range(1, n_levels)]
+    cuts = df.approxQuantile(priority_col, qs, relative_error)
+    cut_arr = F.array(*[F.lit(float(c)) for c in sorted(cuts)])
+    # O(n_levels) filter per row; at 64 levels this is noise next to the
+    # window aggregation it feeds.
+    return F.when(
+        F.col(priority_col).isNotNull(),
+        F.size(F.filter(cut_arr, lambda c: c >= F.col(priority_col))),
+    ).cast("long")
+
+
 def ordered_budget_select(
     df: DataFrame,
     *,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from sparkksqldbbenchmark_spark.operators.selection import (
     ordered_budget_select,
+    quantile_levels,
 )
 
 
@@ -73,6 +74,45 @@ def test_zero_weight_rows_cost_nothing(spark):
     assert got[1] == (0, True)
     assert got[2] == (0, True)   # zero-weight predecessor adds nothing
     assert got[3] == (10, False)
+
+
+def test_quantile_levels_match_fixed_grid_output(spark):
+    """Level-invariance, end to end: the selection OUTPUT must be
+    identical whether levels come from the fixed grid or from
+    approx-quantile cuts of the actual score distribution — the
+    quantile form only rebalances buckets. Uses a skewed (squared)
+    score distribution where a fixed grid would crowd one level."""
+    rows = [
+        (i, (((i * 13) % 97) / 97.0) ** 2, (i * 7) % 50 + 1)
+        for i in range(500)
+    ]
+    df = _frame(spark, rows)
+    kwargs = dict(
+        order=[F.desc("score"), F.asc("id")],
+        weight_col="w",
+        budget=3000,
+    )
+    fixed = ordered_budget_select(
+        df,
+        level=F.floor((F.lit(1.0) - F.col("score")) * 8).cast("long"),
+        **kwargs,
+    )
+    quant = ordered_budget_select(
+        df, level=quantile_levels(df, "score", n_levels=16), **kwargs
+    )
+    to_map = lambda d: {  # noqa: E731
+        r["id"]: (r["cum_before"], r["selected"]) for r in d.collect()
+    }
+    got_q = to_map(quant)
+    assert got_q == to_map(fixed) == _expected(rows, budget=3000)
+    # and the monotonicity contract holds on the actual cuts
+    lv = df.select(
+        "id", "score", quantile_levels(df, "score", n_levels=16).alias("lv")
+    ).collect()
+    by_score = sorted(lv, key=lambda r: -r["score"])
+    assert all(
+        a["lv"] <= b["lv"] for a, b in zip(by_score, by_score[1:])
+    )
 
 
 def test_null_level_rows_sort_last_not_dropped(spark):
