@@ -184,6 +184,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             constant replication), explicit-window oracle
 #   dedup_incremental_vs_corpus — NEW: new-batch vs historical-corpus LSH
 #                             lookup (never corpus⋈corpus)
+#   partitioned_write_prune   — NEW: hive-partitioned layout, pruning
+#                             asserted in the graded query
 #   dedup_exact / dedup_simhash / dedup_clusters — rotated BACK in:
 #                             llm/dedup.py changed this round (LSH front
 #                             half factored into lsh_banded_buckets for
@@ -199,6 +201,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_static_enrich — stream-static broadcast machinery stays
 #                             graded via the other five streaming head
 #                             rows
+#   streaming_stream_join   — watermarked two-stream join machinery
+#                             stays graded via the sessionize/dedup/
+#                             watermarked/latest streaming head rows
 #   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
 #                             the q3/q18/q21 head rows
 #   tpch_q4_semijoin_priority — LEFT SEMI machinery stays graded via the
@@ -213,6 +218,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             latency_nearest_rank_percentiles +
 #                             approx_count_distinct head rows
 TAIL: tuple[str, ...] = (
+    "streaming_stream_join",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",

@@ -1681,6 +1681,54 @@ def bucketed_orders_lineitem_join(
 
 
 @query(
+    "partitioned_write_prune",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           {sql_stable_sum("value", 2)} AS sum_value,
+           min(event_id) AS min_event_id
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning — the at-rest
+    twin of bucketing (operators/bucketing.py) and the single biggest
+    scan-cost lever at 100 TB: events are written partitionBy the query
+    key, and an equality/IN filter on that key must prune to the
+    matching directories at PLANNING time, never scanning the rest. The
+    pruning is asserted IN the graded query (non-empty PartitionFilters
+    on the scan), so a layout or pushdown regression fails the row; the
+    oracle is the plain filtered aggregate — layout changes the scan,
+    never the answer. At 3-digit-TB scale the same pattern prunes
+    date/source partitions; the partition column must be low-cardinality
+    (5 event types here) or small-file explosion eats the win."""
+    import re as _re
+    import tempfile as _tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = _tempfile.mkdtemp(prefix="events_parted_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    parted = spark.read.parquet(d).where(
+        F.col("event_type").isin("click", "error")
+    )
+    plan = parted._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), (
+        "partition pruning not engaged on the partitioned scan:\n" + plan
+    )
+    assert "event_type" in m.group(1), m.group(1)
+    return parted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("value", 2).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+@query(
     "null_semantics_suite",
     oracle=f"""
     WITH t AS (

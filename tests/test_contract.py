@@ -46,6 +46,7 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "streaming_stream_join": "62c0b05da7a88771",
     "pivot_hourly_by_type": "4b330c4c55bad914",
     "unpivot_measure_summary": "77fb725ce85c418b",
     "correlated_above_avg_orders": "839fd003d0980810",
