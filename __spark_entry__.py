@@ -186,6 +186,8 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             lookup (never corpus⋈corpus)
 #   partitioned_write_prune   — NEW: hive-partitioned layout, pruning
 #                             asserted in the graded query
+#   range_layout_scan         — NEW: range-sorted layout, footer
+#                             disjointness + file skipping asserted
 #   dedup_exact / dedup_simhash / dedup_clusters — rotated BACK in:
 #                             llm/dedup.py changed this round (LSH front
 #                             half factored into lsh_banded_buckets for
@@ -204,6 +206,10 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_stream_join   — watermarked two-stream join machinery
 #                             stays graded via the sessionize/dedup/
 #                             watermarked/latest streaming head rows
+#   streaming_latest_table  — latest-by-key table machinery stays
+#                             graded via the sessionize/dedup/
+#                             watermarked streaming head rows +
+#                             latest_by_offset TAIL pin
 #   tpch_q10_returned_items — join+agg+top-k machinery stays graded via
 #                             the q3/q18/q21 head rows
 #   tpch_q4_semijoin_priority — LEFT SEMI machinery stays graded via the
@@ -219,6 +225,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             approx_count_distinct head rows
 TAIL: tuple[str, ...] = (
     "streaming_stream_join",
+    "streaming_latest_table",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",
