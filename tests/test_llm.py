@@ -284,6 +284,34 @@ def test_png_codec_roundtrip_all_filters():
     )
 
 
+def test_png_codec_roundtrip_property():
+    """Property: ANY 8-bit grayscale image round-trips bit-exactly
+    through encode_png/decode_png — random dimensions and pixel content,
+    so the filter arithmetic can't overfit the deterministic fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 18),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip(w, h, seed):
+        rows = [
+            bytes(
+                (seed + 97 * x + 31 * y + (x * y) // 3) % 256
+                for x in range(w)
+            )
+            for y in range(h)
+        ]
+        assert codecs.decode_png(codecs.encode_png(rows)) == (w, h, 1, rows)
+
+    roundtrip()
+
+
 def test_png_codec_rejects_corruption_and_unsupported():
     from sparkksqldbbenchmark_spark.llm import codecs
 
