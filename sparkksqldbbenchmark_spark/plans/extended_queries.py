@@ -1736,7 +1736,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(event_id) AS min_id,
            max(event_id) AS max_id
     FROM events
-    WHERE event_id BETWEEN 1000 AND 1999
+    WHERE event_id BETWEEN 100 AND 299
     """,
 )
 def range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1764,14 +1764,14 @@ def range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = sorted(file_range_stats(d, "event_id"), key=lambda s: s[1])
     for (_, _, prev_max), (_, cur_min, _) in zip(stats, stats[1:]):
         assert cur_min > prev_max, "file ranges overlap: " + repr(stats)
-    touched = [s for s in stats if s[1] <= 1999 and s[2] >= 1000]
+    touched = [s for s in stats if s[1] <= 299 and s[2] >= 100]
     assert 0 < len(touched) < len(stats), (
         "range query should overlap a strict subset of files: "
         + repr(stats)
     )
     return (
         spark.read.parquet(d)
-        .where(F.col("event_id").between(1000, 1999))
+        .where(F.col("event_id").between(100, 299))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             stable_sum("value", 2).alias("sum_value"),
