@@ -188,6 +188,10 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             asserted in the graded query
 #   range_layout_scan         — NEW: range-sorted layout, footer
 #                             disjointness + file skipping asserted
+#   deterministic_corpus_shuffle — NEW: reproducible training-order
+#                             permutation via the leveled prefix-sum
+#                             (global-window oracle, no global window
+#                             in the plan)
 #   dedup_exact / dedup_simhash / dedup_clusters — rotated BACK in:
 #                             llm/dedup.py changed this round (LSH front
 #                             half factored into lsh_banded_buckets for
@@ -206,6 +210,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_stream_join   — watermarked two-stream join machinery
 #                             stays graded via the sessionize/dedup/
 #                             watermarked/latest streaming head rows
+#   latency_nearest_rank_percentiles — nearest-rank machinery stays
+#                             graded via the latency_percentiles TAIL
+#                             pin + approx_quantiles certification
 #   streaming_latest_table  — latest-by-key table machinery stays
 #                             graded via the sessionize/dedup/
 #                             watermarked streaming head rows +
@@ -226,6 +233,7 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 TAIL: tuple[str, ...] = (
     "streaming_stream_join",
     "streaming_latest_table",
+    "latency_nearest_rank_percentiles",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",

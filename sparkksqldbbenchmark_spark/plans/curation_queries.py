@@ -745,3 +745,47 @@ def fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.cast("long").alias("edit_distance"),
         (dist <= _FUZZY_MAXD).alias("is_near_dup"),
     )
+
+
+@query(
+    "deterministic_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def deterministic_corpus_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reproducible corpus shuffle — the training-order permutation:
+    every doc gets a global position in md5(doc_id) order, identical on
+    every run/engine (re-runs of a training job must see the same data
+    order; rand() cannot provide that). The oracle states the semantics
+    as a global ORDER BY row_number; the Spark plan must NOT do that — a
+    global window drags 10^11 rows through ONE reducer. Instead the
+    hash's first byte range-buckets the order (monotone prefix of the
+    sort key, 256 parallel levels) and the position is the same
+    distributed prefix-sum as packing/budget-selection: per-level
+    parallel rank + a 256-row carry broadcast
+    (operators/selection.ordered_budget_select with unit weight —
+    cum_before IS the exclusive global rank). One data shuffle at any
+    corpus size."""
+    from sparkksqldbbenchmark_spark.operators.selection import (
+        ordered_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked = ordered_budget_select(
+        docs.withColumn("__one", F.lit(1)),
+        level=F.expr("cast(conv(substring(__h, 1, 2), 16, 10) as long)"),
+        order=[F.asc("__h"), F.asc("doc_id")],
+        weight_col="__one",
+        budget=1,  # budget unused; cum_before is the rank
+        cum_col="shuffle_pos",
+    )
+    return ranked.select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
