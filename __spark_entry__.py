@@ -188,6 +188,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             asserted in the graded query
 #   range_layout_scan         — NEW: range-sorted layout, footer
 #                             disjointness + file skipping asserted
+#   dynamic_partition_pruning_join — NEW: join-driven runtime pruning
+#                             (dim-side filter broadcast into the fact
+#                             scan's PartitionFilters), asserted in-query
 #   deterministic_corpus_shuffle — NEW: reproducible training-order
 #                             permutation via the leveled prefix-sum
 #                             (global-window oracle, no global window
@@ -210,6 +213,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_stream_join   — watermarked two-stream join machinery
 #                             stays graded via the sessionize/dedup/
 #                             watermarked/latest streaming head rows
+#   approx_count_distinct   — HLL-vs-exact certification stays covered
+#                             by the kmv_distinct_sketch TAIL pin and
+#                             its own r04 green row
 #   latency_nearest_rank_percentiles — nearest-rank machinery stays
 #                             graded via the latency_percentiles TAIL
 #                             pin + approx_quantiles certification
@@ -234,6 +240,7 @@ TAIL: tuple[str, ...] = (
     "streaming_stream_join",
     "streaming_latest_table",
     "latency_nearest_rank_percentiles",
+    "approx_count_distinct",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",

@@ -1729,6 +1729,63 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dynamic_partition_pruning_join",
+    oracle=f"""
+    WITH dim(etype, weight) AS (
+        VALUES ('click', 1.0), ('error', 2.0), ('view', 3.0),
+               ('signup', 4.0), ('purchase', 5.0)
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           {sql_stable_sum("e.value", 2)} AS sum_value
+    FROM events e
+    JOIN dim ON e.event_type = dim.etype
+    WHERE dim.weight < 2.5
+    GROUP BY e.event_type
+    """,
+)
+def dynamic_partition_pruning_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning — the join-DRIVEN pruning lever static
+    filters can't reach: the fact table is partitioned on the join key,
+    the filter lives on the DIM side only, and at runtime Spark
+    broadcasts the filtered dim's keys as a subquery INTO the fact
+    scan's PartitionFilters, so only matching partitions are read. This
+    is the date-dimension pattern at 100 TB ("fiscal Q3" lives in the
+    dim; the fact prunes to those date partitions without any literal
+    date filter). Engagement is asserted IN the graded query
+    (dynamicpruningexpression on the partitioned scan); the oracle is
+    the plain join — pruning changes what's read, never the answer."""
+    import tempfile as _tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = _tempfile.mkdtemp(prefix="events_dpp_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", 2.0), ("view", 3.0),
+         ("signup", 4.0), ("purchase", 5.0)],
+        "etype string, weight double",
+    ).where(F.col("weight") < 2.5)
+    joined = (
+        fact.join(dim, fact.event_type == dim.etype)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("value", 2).alias("sum_value"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, (
+        "dynamic partition pruning not engaged:\n" + plan
+    )
+    return joined
+
+
+@query(
     "range_layout_scan",
     oracle=f"""
     SELECT count(*) AS n_rows,

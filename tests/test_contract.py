@@ -49,6 +49,7 @@ TAIL_SOURCE_SHA256 = {
     "streaming_stream_join": "62c0b05da7a88771",
     "streaming_latest_table": "ea759cad93d985c1",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
+    "approx_count_distinct": "d67fab316c388d17",
     "pivot_hourly_by_type": "4b330c4c55bad914",
     "unpivot_measure_summary": "77fb725ce85c418b",
     "correlated_above_avg_orders": "839fd003d0980810",
