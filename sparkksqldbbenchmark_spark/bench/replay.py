@@ -63,10 +63,21 @@ def _sleep_to_window_boundary(window_duration: str) -> None:
     AVERAGE at 100 samples (r03→r04) with no change in p95/p99/σ.
     Pinning the start phase removes that alignment noise from
     round-over-round comparisons."""
-    m = __import__("re").match(r"(\d+)\s*second", window_duration)
+    m = __import__("re").match(
+        r"(\d+)\s*(second|minute|hour)", window_duration.strip(), flags=2
+    )
     if not m:
+        import warnings
+
+        warnings.warn(
+            f"cannot parse window_duration {window_duration!r}; replay "
+            "start NOT aligned to a window boundary",
+            stacklevel=2,
+        )
         return
-    period = int(m.group(1))
+    period = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600,
+    }[m.group(2).lower()]
     now = time.time()
     boundary = (int(now // period) + 1) * period
     # guard tiny negatives from clock math; cap one full period

@@ -111,7 +111,11 @@ def encode_png(rows: list[bytes], *, channels: int = 1) -> bytes:
 def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Decode a PNG into (width, height, channels, scanlines). Real
     decode path: chunk walk with CRC check, inflate, unfilter (all five
-    filter types). Supports 8-bit gray/RGB non-interlaced only."""
+    filter types). Supports 8-bit gray/RGB non-interlaced only. EVERY
+    malformed-input failure — truncated chunk, bad CRC, missing IHDR,
+    corrupt deflate stream — surfaces as UnsupportedMediaError, never a
+    raw struct/zlib exception (the contract decode_media_stats' batch
+    error handling relies on)."""
     if not data.startswith(PNG_MAGIC):
         raise UnsupportedMediaError("not a PNG")
     pos, width = len(PNG_MAGIC), 0
@@ -120,6 +124,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise UnsupportedMediaError(f"truncated {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -127,6 +133,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise UnsupportedMediaError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise UnsupportedMediaError("malformed IHDR")
             width, height, depth, ctype, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -141,7 +149,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
+    if not channels:
+        raise UnsupportedMediaError("missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise UnsupportedMediaError(f"corrupt IDAT stream: {exc}") from exc
     stride, bpp = width * channels, channels
     if len(raw) != (stride + 1) * height:
         raise UnsupportedMediaError("inflated size mismatch")
@@ -199,7 +212,9 @@ def encode_wav(
 
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode RIFF PCM → (sample_rate, channels, samples). 16-bit only."""
+    """Decode RIFF PCM → (sample_rate, channels, samples). 16-bit only.
+    Malformed input (short fmt chunk, truncated/odd-length data chunk)
+    raises UnsupportedMediaError, never a raw struct.error."""
     if not data.startswith(RIFF_MAGIC) or data[8:12] != b"WAVE":
         raise UnsupportedMediaError("not a RIFF/WAVE file")
     pos = 12
@@ -209,7 +224,11 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise UnsupportedMediaError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise UnsupportedMediaError("short fmt chunk")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -218,6 +237,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
                     f"unsupported WAV fmt={audio_fmt} bits={bits}"
                 )
         elif tag == b"data":
+            if len(body) % 2:
+                raise UnsupportedMediaError("odd-length 16-bit data chunk")
             samples = list(struct.unpack(f"<{len(body) // 2}h", body))
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if not sample_rate:

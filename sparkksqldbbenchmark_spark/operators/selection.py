@@ -87,16 +87,30 @@ def ordered_budget_select(
     in-level window re-applies the full ``order`` so the composition is
     exactly the global order.
 
-    A NULL ``level`` (e.g. a null quality score) is coalesced to +inf so
-    the row lands in a worst-priority level that sorts last — it still
-    flows through the carry join (a null key would silently vanish from
-    the inner equi-join) and is only selected if budget remains after
-    every non-null level.
+    A NULL ``level`` (e.g. a null quality score) is coalesced to a
+    type-matched worst-priority sentinel (+inf for floating levels, the
+    integral max for integer levels — preserving exact integer identity;
+    a blanket double cast would merge distinct levels above 2^53) so the
+    row sorts last but still flows through the carry join (a null key
+    would silently vanish from the inner equi-join) and is only selected
+    if budget remains after every non-null level. Non-numeric level
+    expressions are rejected loudly: silently funnelling every row into
+    one bucket would recreate the single-reducer global window this
+    operator exists to avoid.
     """
-    b = df.withColumn(
-        "__level",
-        F.coalesce(level.cast("double"), F.lit(float("inf"))),
-    )
+    b = df.withColumn("__level", level)
+    ltype = dict(b.dtypes)["__level"]
+    if ltype in ("double", "float"):
+        sentinel = F.lit(float("inf")).cast(ltype)
+    elif ltype in ("tinyint", "smallint", "int", "bigint"):
+        bits = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}[ltype]
+        sentinel = F.lit(2 ** (bits - 1) - 1).cast(ltype)
+    else:
+        raise ValueError(
+            f"level expression must be numeric (got {ltype}); map it to "
+            "a numeric bucket (e.g. a hash or ordinal) first"
+        )
+    b = b.withColumn("__level", F.coalesce(F.col("__level"), sentinel))
     in_level = (
         Window.partitionBy("__level")
         .orderBy(*order)

@@ -1380,6 +1380,33 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Stable per-(query, scale-factor) scratch path for layout queries:
+    repeated invocations OVERWRITE the same location instead of leaking
+    a fresh mkdtemp per run — graded rows re-run every round/sweep, so
+    per-run temp dirs accumulate without bound."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+
+
+def _reset_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table AND clear its leftover warehouse directory.
+    The in-memory catalog forgets tables across sessions while their
+    files persist, so a fixed-name saveAsTable in a fresh session would
+    otherwise trip over the orphaned location."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    shutil.rmtree(os.path.join(wh.path, name.lower()), ignore_errors=True)
+
+
 @query(
     "tpch_q8_market_share",
     oracle=f"""
@@ -1641,14 +1668,16 @@ def bucketed_orders_lineitem_join(
     the plan, never the answer. The merge hint only pins SMJ strategy so
     the assertion is meaningful at any autoBroadcast threshold; the
     o_orderkey filter additionally exercises bucket pruning."""
-    import uuid as _uuid
+    import hashlib as _hashlib
 
     from sparkksqldbbenchmark_spark.operators.bucketing import (
         write_bucketed,
     )
 
-    run = _uuid.uuid4().hex[:8]
-    lt, ot = f"li_bkt_{run}", f"ord_bkt_{run}"
+    # fixed per-sf names, overwritten each run (not uuid-per-run: graded
+    # rows execute every round/sweep and would leak two tables each time)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lt, ot = f"graded_li_bkt_{tag}", f"graded_ord_bkt_{tag}"
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("k"), "l_quantity")
@@ -1659,6 +1688,8 @@ def bucketed_orders_lineitem_join(
         .select(F.col("o_orderkey").alias("k"), "o_totalprice")
         .where(F.col("k") < 2000)
     )
+    _reset_managed_table(spark, lt)
+    _reset_managed_table(spark, ot)
     write_bucketed(li, lt, "k", buckets=8)
     write_bucketed(orders, ot, "k", buckets=8)
     joined = (
@@ -1705,12 +1736,11 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     date/source partitions; the partition column must be low-cardinality
     (5 event types here) or small-file explosion eats the win."""
     import re as _re
-    import tempfile as _tempfile
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    d = _tempfile.mkdtemp(prefix="events_parted_")
+    d = _scratch_dir("events_parted", sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
     parted = spark.read.parquet(d).where(
         F.col("event_type").isin("click", "error")
@@ -1757,12 +1787,10 @@ def dynamic_partition_pruning_join(
     date filter). Engagement is asserted IN the graded query
     (dynamicpruningexpression on the partitioned scan); the oracle is
     the plain join — pruning changes what's read, never the answer."""
-    import tempfile as _tempfile
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    d = _tempfile.mkdtemp(prefix="events_dpp_")
+    d = _scratch_dir("events_dpp", sf_dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
     fact = spark.read.parquet(d)
     dim = spark.createDataFrame(
@@ -1808,15 +1836,13 @@ def range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes which files a scan must touch, never the answer. Third leg
     of the at-rest layout triple with `bucketed_orders_lineitem_join`
     (hash bucketing) and `partitioned_write_prune` (hive pruning)."""
-    import tempfile as _tempfile
-
     from sparkksqldbbenchmark_spark.operators.layout import (
         file_range_stats,
         write_range_sorted,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    d = _tempfile.mkdtemp(prefix="events_range_")
+    d = _scratch_dir("events_range", sf_dir)
     write_range_sorted(ev, d, "event_id", num_files=8)
     stats = sorted(file_range_stats(d, "event_id"), key=lambda s: s[1])
     for (_, _, prev_max), (_, cur_min, _) in zip(stats, stats[1:]):

@@ -96,6 +96,30 @@ def translate_ksql(
     # WINDOW TUMBLING (SIZE 1 MINUTES) → prepend window(ts, '1 minutes')
     # to the GROUP BY list (ksql puts the window clause before GROUP BY;
     # Spark expresses it as a grouping expression).
+    def _top_level_tail_pos(text: str) -> int:
+        """Insertion point for a top-level GROUP BY: before the first
+        HAVING/ORDER BY/LIMIT at paren depth 0 (a LIMIT inside a
+        derived-table subquery must not attract the clause), else at the
+        end of the statement body (before any trailing ';')."""
+        depth = 0
+        up = text.upper()
+        i = 0
+        while i < len(up):
+            c = up[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(r"\b(HAVING|ORDER\s+BY|LIMIT)\b", up[i:])
+                if m and (i == 0 or not up[i - 1].isalnum()):
+                    return i
+            i += 1
+        body = text.rstrip()
+        while body.endswith(";"):
+            body = body[:-1].rstrip()
+        return len(body)
+
     def _prepend_group_expr(text: str, span: tuple[int, int], expr: str) -> str:
         text = text[: span[0]] + text[span[1]:]
         if re.search(r"\bGROUP\s+BY\b", text, flags=re.I):
@@ -108,12 +132,11 @@ def translate_ksql(
             )
         # Global windowed aggregate (legal ksql: WINDOW clause, no GROUP
         # BY keys) — the window itself is the only grouping expression.
-        # Insert GROUP BY before any trailing HAVING/ORDER BY/LIMIT so
-        # the window is never silently dropped into an unwindowed agg.
-        tail = re.search(
-            r"\b(HAVING|ORDER\s+BY|LIMIT)\b", text, flags=re.I
-        )
-        pos = tail.start() if tail else len(text.rstrip())
+        # Insert GROUP BY at the TOP LEVEL of the statement, before any
+        # depth-0 HAVING/ORDER BY/LIMIT and before a trailing ';', so the
+        # window is never silently dropped into an unwindowed agg and the
+        # clause never lands inside a subquery.
+        pos = _top_level_tail_pos(text)
         return f"{text[:pos].rstrip()} GROUP BY {expr} {text[pos:]}"
 
     m = re.search(

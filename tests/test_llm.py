@@ -321,6 +321,17 @@ def test_png_codec_rejects_corruption_and_unsupported():
         codecs.decode_png(bytes(png))
     with pytest.raises(codecs.UnsupportedMediaError, match="not a PNG"):
         codecs.decode_png(b"JFIF....")
+    # malformed input must NEVER leak raw struct/zlib errors
+    whole = bytes(codecs.encode_png([b"\x01\x02\x03"]))
+    # cut inside the IDAT body (magic 8 + IHDR chunk 25 → IDAT at 33)
+    with pytest.raises(codecs.UnsupportedMediaError, match="truncated"):
+        codecs.decode_png(whole[:43])
+    with pytest.raises(codecs.UnsupportedMediaError, match="missing IHDR"):
+        codecs.decode_png(codecs.PNG_MAGIC)
+    wav = bytearray(codecs.encode_wav([1, 2, 3]))
+    wav[-2:] = b"\x00"  # odd-length data chunk... truncated payload
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_wav(bytes(wav))
 
 
 def test_wav_codec_roundtrip_and_decode_blob_dispatch():

@@ -235,6 +235,25 @@ def test_translate_ksql_global_windowed_agg():
     )
     assert "GROUP BY window(ts, '5 minute')" in sql2
     assert sql2.upper().index("GROUP BY") < sql2.upper().index("LIMIT")
+    # a LIMIT inside a derived-table subquery must NOT attract the
+    # GROUP BY — it belongs at the top level, after the subquery
+    sql3, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM (SELECT * FROM weather LIMIT 5) w "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) EMIT CHANGES",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "LIMIT 5) w" in sql3, sql3
+    assert sql3.upper().index("GROUP BY") > sql3.upper().index("LIMIT")
+    # a trailing semicolon must stay after the inserted clause
+    sql4, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM weather "
+        "WINDOW TUMBLING (SIZE 5 MINUTES);",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert sql4.rstrip().endswith(";"), sql4
+    assert "GROUP BY window(ts, '5 minute')" in sql4.split(";")[0]
 
 
 def test_ksql_front_door_continuous(spark):
