@@ -191,6 +191,11 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   dynamic_partition_pruning_join — NEW: join-driven runtime pruning
 #                             (dim-side filter broadcast into the fact
 #                             scan's PartitionFilters), asserted in-query
+#   tpch_q2/q9/q11/q16/q20      — NEW: the five partsupp-dependent
+#                             TPC-H shapes over the DETERMINISTIC
+#                             derived partsupp view (same formula in
+#                             Spark and the oracle CTE) — completes
+#                             all 22 TPC-H query shapes
 #   deterministic_corpus_shuffle — NEW: reproducible training-order
 #                             permutation via the leveled prefix-sum
 #                             (global-window oracle, no global window
@@ -213,6 +218,18 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_stream_join   — watermarked two-stream join machinery
 #                             stays graded via the sessionize/dedup/
 #                             watermarked/latest streaming head rows
+#   scalar_function_suite   — F-suite machinery pinned; siblings
+#                             datetime_parse_suite / dirty_data TAIL
+#                             pins cover the parse family
+#   tpch_q1_pricing_summary — scan+agg machinery graded via q9/q8 and
+#                             weather_window_agg head rows
+#   tpch_q3_shipping_priority — broadcast-dim + big-join machinery
+#                             graded via q2/q18/q20/q21 head rows
+#   streaming_sessionize    — stateful session machinery pinned by
+#                             test_stateful; dedup/static-enrich-family
+#                             rows r04-green
+#   streaming_watermarked_append — watermark machinery graded r04;
+#                             streaming_window_agg TAIL pin + tests
 #   approx_count_distinct   — HLL-vs-exact certification stays covered
 #                             by the kmv_distinct_sketch TAIL pin and
 #                             its own r04 green row
@@ -241,6 +258,11 @@ TAIL: tuple[str, ...] = (
     "streaming_latest_table",
     "latency_nearest_rank_percentiles",
     "approx_count_distinct",
+    "scalar_function_suite",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "streaming_sessionize",
+    "streaming_watermarked_append",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",

@@ -1380,6 +1380,65 @@ def grouped_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema has no partsupp table, so the five
+# TPC-H shapes that need it (q2/q9/q11/q16/q20) run over a DETERMINISTIC
+# partsupp VIEW derived from the given part × supplier tables — each part
+# carries 4 pseudo-random suppliers with formula-derived supplycost/availqty,
+# computed identically (same integer arithmetic) on the Spark side and in the
+# DuckDB oracle CTE, exactly like the synthetic media blobs derive from
+# doc_id. Inputs remain the driver-provided parquet only.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    ps0 AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey * 397 + i * 7919) % n AS ps_suppkey
+        FROM part, (SELECT count(*) AS n FROM supplier) nsupp,
+             range(0, 4) r(i)
+    ), partsupp AS (
+        SELECT DISTINCT ps_partkey, ps_suppkey,
+               ((ps_partkey * 31 + ps_suppkey * 17) % 9000 + 1000) / 100.0
+                   AS ps_supplycost,
+               (ps_partkey * 13 + ps_suppkey) % 9999 + 1 AS ps_availqty
+        FROM ps0
+    )
+"""
+
+# supplycost as a scalar function of the key pair (q9 applies it directly
+# to lineitem rows — at scale that is a projection, not a join)
+_SUPPLYCOST = "(({pk} * 31 + {sk} * 17) % 9000 + 1000) / 100.0"
+
+
+def _partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the derived partsupp view (see _PARTSUPP_SQL)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    # scalar domain size; a metadata-scale count, mirrored by the
+    # oracle's (SELECT count(*) FROM supplier)
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    ps0 = part.select(
+        "p_partkey",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    )
+    sk = (F.col("p_partkey") * 397 + F.col("i").cast("long") * 7919) % n_supp
+    return (
+        ps0.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+        )
+        .dropDuplicates(["ps_partkey", "ps_suppkey"])
+        .withColumn(
+            "ps_supplycost",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9000
+             + 1000) / 100.0,
+        )
+        .withColumn(
+            "ps_availqty",
+            (F.col("ps_partkey") * 13 + F.col("ps_suppkey")) % 9999 + 1,
+        )
+    )
+
+
 def _scratch_dir(name: str, sf_dir: str) -> str:
     """Stable per-(query, scale-factor) scratch path for layout queries:
     repeated invocations OVERWRITE the same location instead of leaking
@@ -1709,6 +1768,323 @@ def bucketed_orders_lineitem_join(
     )
     assert "SelectedBucketsCount" in plan, "bucketed scan not engaged"
     return joined
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    min_cost AS (
+        SELECT ps_partkey, min(ps_supplycost) AS mc
+        FROM eligible GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, e.ps_supplycost
+    FROM eligible e
+    JOIN min_cost m
+      ON e.ps_partkey = m.ps_partkey AND e.ps_supplycost = m.mc
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — cheapest supplier per part: the correlated
+    min-subquery decorrelated into a per-part min aggregate joined back
+    on (part, exact cost). The region-filtered supplier dim broadcasts
+    into the derived partsupp; the min aggregate and the join-back share
+    the ps_partkey partitioning; top-100 compiles to
+    TakeOrderedAndProject. Cost equality is safe because supplycost is a
+    2-dp decimal-derived double, bit-identical cross-engine (a raw
+    aggregated double would make 'equal to min' engine-dependent).
+    Runs over the deterministic derived partsupp (see _PARTSUPP_SQL)."""
+    ps = _partsupp_view(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_type")
+    region_supp = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eligible = ps.join(
+        F.broadcast(region_supp), ps.ps_suppkey == region_supp.s_suppkey
+    )
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    best = eligible.join(
+        min_cost,
+        (eligible.ps_partkey == min_cost.ps_partkey)
+        & (eligible.ps_supplycost == min_cost.mc),
+    ).drop(min_cost.ps_partkey)
+    return (
+        best.join(F.broadcast(p), best.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_type", "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"),
+            F.asc("s_name"), F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nation,
+           CAST(o_year AS INTEGER) AS o_year,
+           {sql_stable_sum("amount", 2)} AS profit
+    FROM (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - ({_SUPPLYCOST.format(pk="l.l_partkey",
+                                          sk="l.l_suppkey")})
+                     * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by nation and year: revenue
+    minus supply cost over a part-name LIKE slice. The supplycost here
+    is the derived deterministic attribute of (partkey, suppkey) — at
+    any scale that makes the costing step a pure PROJECTION on lineitem
+    (no partsupp join at all), which is exactly how a derived pricing
+    attribute should execute; part/supplier/nation broadcast, so the
+    only shuffle is lineitem⋈orders plus the tiny (nation, year) agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplycost = (
+        (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 9000 + 1000
+    ) / 100.0
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - supplycost * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        stable_sum("amount", 2).alias("profit")
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    filtered AS (
+        SELECT ps.ps_partkey,
+               ps.ps_supplycost * ps.ps_availqty AS v
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        WHERE s.s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'
+        )
+    ),
+    total AS (
+        SELECT {sql_stable_sum("v", 2)} AS t FROM filtered
+    )
+    SELECT f.ps_partkey, {sql_stable_sum("f.v", 2)} AS stock_value
+    FROM filtered f, total
+    GROUP BY f.ps_partkey, total.t
+    HAVING {sql_stable_sum("f.v", 2)} > 0.002 * total.t
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — stock-value share against a global total: the
+    scalar-subquery-in-HAVING pattern. The per-part aggregate and the
+    single-row total come from the SAME filtered frame (one shuffle
+    feeds both; the total is a broadcast crossJoin back), and both sides
+    of the > cut use the identical stable decimal sum so the fraction
+    boundary is bit-deterministic cross-engine. Runs over the derived
+    partsupp; nation filter keeps the supplier side broadcastable."""
+    ps = _partsupp_view(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    filtered = ps.join(
+        F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    per_part = filtered.groupBy("ps_partkey").agg(
+        stable_sum("v", 2).alias("stock_value")
+    )
+    total = filtered.agg(stable_sum("v", 2).alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("stock_value") > 0.002 * F.col("t"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape — supplier counts per part attribute with a
+    NOT-IN supplier exclusion: the anti-join feeding a count-distinct.
+    The excluded-supplier set (negative account balance stands in for
+    the reference's complaint-comment LIKE — the synthetic schema has no
+    s_comment) is tiny → broadcast LEFT ANTI; part attributes broadcast
+    onto the derived partsupp; the count-distinct plans as the standard
+    two-phase (keys+suppkey, then keys) expand-free aggregate."""
+    ps = _partsupp_view(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    kept = ps.join(F.broadcast(bad_supp), "ps_suppkey", "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               {sql_stable_sum("l_quantity", 2)} AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    qualifying AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN shipped lq
+          ON lq.l_partkey = ps.ps_partkey
+         AND lq.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND ps.ps_availqty > 0.5 * lq.q
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+    """,
+)
+def tpch_q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape — suppliers overstocked on a part line: the
+    doubly-nested IN with a correlated half-sum threshold, decorrelated
+    into: per-(part, supplier) shipped quantity aggregate (exact decimal
+    sum so the 0.5× cut is bit-deterministic), inner-joined to the
+    derived partsupp (the join IS the correlation; pairs with no
+    shipments drop out, matching the original's NULL-comparison
+    exclusion), filtered on availqty > q/2, then a LEFT SEMI into
+    supplier. One lineitem shuffle on the pair key; part-name slice and
+    nation enrichment broadcast."""
+    ps = _partsupp_view(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red_parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select(F.col("p_partkey").alias("ps_partkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        stable_sum("l_quantity", 2).alias("q")
+    )
+    qualifying = (
+        ps.join(F.broadcast(red_parts), "ps_partkey")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == shipped.l_partkey)
+            & (F.col("ps_suppkey") == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi"
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
 
 
 @query(

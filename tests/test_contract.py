@@ -50,6 +50,11 @@ TAIL_SOURCE_SHA256 = {
     "streaming_latest_table": "ea759cad93d985c1",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
+    "scalar_function_suite": "91f0c9ccaa1809b6",
+    "tpch_q1_pricing_summary": "c64c3d71557e2d36",
+    "tpch_q3_shipping_priority": "062812549e6a05ad",
+    "streaming_sessionize": "2f6b1ff238e1a3ea",
+    "streaming_watermarked_append": "af4355a081b5fd63",
     "pivot_hourly_by_type": "4b330c4c55bad914",
     "unpivot_measure_summary": "77fb725ce85c418b",
     "correlated_above_avg_orders": "839fd003d0980810",
