@@ -150,3 +150,32 @@ def test_interpolate_linear_semantics(spark):
         interpolate_linear(df, ["k"], "ts", "v").explain("simple")
     plan = buf.getvalue()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_derived_partsupp_invariants(spark):
+    """The derived partsupp view (plans/extended_queries._partsupp_view)
+    must be a well-formed relation: suppkeys inside the supplier domain,
+    at most 4 distinct suppliers per part, unique (part, supp) pairs,
+    and cost/availqty exactly matching the documented formulas (the same
+    arithmetic the oracle CTE replays)."""
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.plans.extended_queries import (
+        _partsupp_view,
+    )
+    from tests.conftest import SF_DIR
+
+    ps = _partsupp_view(spark, SF_DIR)
+    n_supp = load_table(spark, SF_DIR, "supplier").count()
+    rows = ps.collect()
+    assert rows
+    pairs = {(r["ps_partkey"], r["ps_suppkey"]) for r in rows}
+    assert len(pairs) == len(rows), "duplicate (part, supp) pairs"
+    per_part = ps.groupBy("ps_partkey").count().agg(F.max("count")).collect()
+    assert per_part[0][0] <= 4
+    for r in rows[:200]:
+        pk, sk = r["ps_partkey"], r["ps_suppkey"]
+        assert 0 <= sk < n_supp
+        assert r["ps_supplycost"] == ((pk * 31 + sk * 17) % 9000 + 1000) / 100.0
+        assert r["ps_availqty"] == (pk * 13 + sk) % 9999 + 1
