@@ -100,6 +100,13 @@ def ordered_budget_select(
     """
     b = df.withColumn("__level", level)
     ltype = dict(b.dtypes)["__level"]
+    if ltype.startswith("decimal"):
+        # coarsening distinct levels is always safe (the operator is
+        # level-invariant for any monotone coarsening), so a decimal
+        # level rides the double path; only bucket BALANCE could change
+        # for decimals beyond double precision, never the result
+        b = b.withColumn("__level", F.col("__level").cast("double"))
+        ltype = "double"
     if ltype in ("double", "float"):
         sentinel = F.lit(float("inf")).cast(ltype)
     elif ltype in ("tinyint", "smallint", "int", "bigint"):

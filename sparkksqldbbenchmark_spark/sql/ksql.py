@@ -100,19 +100,36 @@ def translate_ksql(
         """Insertion point for a top-level GROUP BY: before the first
         HAVING/ORDER BY/LIMIT at paren depth 0 (a LIMIT inside a
         derived-table subquery must not attract the clause), else at the
-        end of the statement body (before any trailing ';')."""
+        end of the statement body (before any trailing ';'). The scan
+        skips single-quoted string literals (a ')' inside a literal must
+        not corrupt the depth counter) and treats '_' as a word
+        character (LIMIT inside `total_limit` is not a keyword)."""
         depth = 0
         up = text.upper()
         i = 0
+
+        def _wordch(c: str) -> bool:
+            return c.isalnum() or c == "_"
+
         while i < len(up):
             c = up[i]
-            if c == "(":
+            if c == "'":
+                # skip the literal; '' is the escaped quote
+                i += 1
+                while i < len(up):
+                    if up[i] == "'":
+                        if i + 1 < len(up) and up[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
             elif depth == 0:
-                m = re.match(r"\b(HAVING|ORDER\s+BY|LIMIT)\b", up[i:])
-                if m and (i == 0 or not up[i - 1].isalnum()):
+                m = re.match(r"(HAVING|ORDER\s+BY|LIMIT)(?![A-Za-z0-9_])", up[i:])
+                if m and (i == 0 or not _wordch(up[i - 1])):
                     return i
             i += 1
         body = text.rstrip()

@@ -254,6 +254,22 @@ def test_translate_ksql_global_windowed_agg():
     )
     assert sql4.rstrip().endswith(";"), sql4
     assert "GROUP BY window(ts, '5 minute')" in sql4.split(";")[0]
+    # keyword substrings inside snake_case identifiers are NOT clauses
+    sql5, _ = translate_ksql(
+        "SELECT SUM(x) AS total_limit FROM t "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) EMIT CHANGES",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "total_limit FROM t GROUP BY window(ts, '5 minute')" in sql5, sql5
+    # parens inside string literals must not corrupt the depth scan
+    sql6, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM t WHERE note = ':-)' "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) LIMIT 3",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert sql6.upper().index("GROUP BY") < sql6.upper().index("LIMIT 3"), sql6
 
 
 def test_ksql_front_door_continuous(spark):
