@@ -1410,17 +1410,28 @@ _PARTSUPP_SQL = """
 _SUPPLYCOST = "(({pk} * 31 + {sk} * 17) % 9000 + 1000) / 100.0"
 
 
-_N_SUPP_CACHE: dict[str, int] = {}
+_N_SUPP_CACHE: dict[tuple, int] = {}
 
 
 def _n_supp(spark: SparkSession, sf_dir: str) -> int:
-    """Supplier-domain size, memoized per sf_dir: the scalar is needed
-    at view-CONSTRUCTION time (the modulus in the suppkey formula), and
-    without the memo every q2/q11/q16/q20 plan build — including
-    plan-only audit paths — would re-run the count job."""
-    if sf_dir not in _N_SUPP_CACHE:
-        _N_SUPP_CACHE[sf_dir] = load_table(spark, sf_dir, "supplier").count()
-    return _N_SUPP_CACHE[sf_dir]
+    """Supplier-domain size, memoized per (sf_dir, file identity): the
+    scalar is needed at view-CONSTRUCTION time (the modulus in the
+    suppkey formula), and without the memo every q2/q11/q16/q20 plan
+    build — including plan-only audit paths — would re-run the count
+    job. The file mtime/size in the key invalidates the memo if the
+    parquet is regenerated in-place mid-process (the oracle recounts
+    live; a stale modulus would silently diverge from it)."""
+    import os
+
+    p = os.path.join(sf_dir, "supplier.parquet")
+    try:
+        st = os.stat(p)
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, None, None)
+    if key not in _N_SUPP_CACHE:
+        _N_SUPP_CACHE[key] = load_table(spark, sf_dir, "supplier").count()
+    return _N_SUPP_CACHE[key]
 
 
 def _partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,10 +1465,13 @@ def _partsupp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scratch_tag(spark: SparkSession, sf_dir: str) -> str:
     """Scratch identity = (scale factor, Spark application). Keyed on
-    the app id so CONCURRENT sessions never clobber each other's files
-    mid-read, while repeated runs inside one session overwrite the same
-    location — bounded to one artifact per (query, sf) per application
-    instead of one per run."""
+    the app id so concurrently-running APPLICATIONS never clobber each
+    other's files mid-read (sessions forked via newSession() share an
+    app id and are the caller's own concurrency domain), while repeated
+    runs inside one application overwrite the same location — bounded to
+    one artifact per (query, sf) per application instead of one per run.
+    Artifacts of FINISHED applications are reaped by _gc_stale_siblings
+    (age-based), so cross-process accumulation stays bounded too."""
     import hashlib
     import re as _re
 
@@ -1465,32 +1479,71 @@ def _scratch_tag(spark: SparkSession, sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_" + app
 
 
+_SCRATCH_TTL_S = 6 * 3600
+
+
+def _gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
+    """Remove `parent`/`prefix`* entries other than `keep` whose mtime is
+    older than the TTL — dead scratch from finished applications. Live
+    concurrent runs are minutes-long, far inside the 6 h TTL, so this
+    never races an active reader; errors are ignored (another process
+    may be reaping the same entry)."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    cutoff = time.time() - _SCRATCH_TTL_S
+    for e in entries:
+        p = os.path.join(parent, e)
+        if e.startswith(prefix) and p != keep:
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def _scratch_dir(name: str, spark: SparkSession, sf_dir: str) -> str:
     """Stable per-(query, sf, app) scratch path for layout queries:
     repeated invocations in a session OVERWRITE the same location
     instead of leaking a fresh mkdtemp per run — graded rows re-run
-    every round/sweep, so per-run temp dirs accumulate without bound."""
+    every round/sweep, so per-run temp dirs accumulate without bound.
+    Stale siblings from finished applications are reaped on entry."""
     import os
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_{name}_{_scratch_tag(spark, sf_dir)}",
+    parent = tempfile.gettempdir()
+    d = os.path.join(
+        parent, f"spark_graft_{name}_{_scratch_tag(spark, sf_dir)}"
     )
+    _gc_stale_siblings(parent, f"spark_graft_{name}_", d)
+    return d
 
 
-def _reset_managed_table(spark: SparkSession, name: str) -> None:
+def _reset_managed_table(
+    spark: SparkSession, name: str, gc_prefix: str | None = None
+) -> None:
     """Drop a managed table AND clear its leftover warehouse directory.
     The in-memory catalog forgets tables across sessions while their
     files persist, so a fixed-name saveAsTable in a fresh session would
-    otherwise trip over the orphaned location."""
+    otherwise trip over the orphaned location. With ``gc_prefix``, also
+    reap same-prefix warehouse dirs from finished applications (the
+    app-id-tagged names accumulate one pair per driver process
+    otherwise)."""
     import os
     import shutil
     from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    shutil.rmtree(os.path.join(wh.path, name.lower()), ignore_errors=True)
+    target = os.path.join(wh.path, name.lower())
+    shutil.rmtree(target, ignore_errors=True)
+    if gc_prefix:
+        _gc_stale_siblings(wh.path, gc_prefix.lower(), target)
 
 
 @query(
@@ -1774,8 +1827,8 @@ def bucketed_orders_lineitem_join(
         .select(F.col("o_orderkey").alias("k"), "o_totalprice")
         .where(F.col("k") < 2000)
     )
-    _reset_managed_table(spark, lt)
-    _reset_managed_table(spark, ot)
+    _reset_managed_table(spark, lt, gc_prefix="graded_li_bkt_")
+    _reset_managed_table(spark, ot, gc_prefix="graded_ord_bkt_")
     write_bucketed(li, lt, "k", buckets=8)
     write_bucketed(orders, ot, "k", buckets=8)
     joined = (

@@ -96,64 +96,74 @@ def translate_ksql(
     # WINDOW TUMBLING (SIZE 1 MINUTES) → prepend window(ts, '1 minutes')
     # to the GROUP BY list (ksql puts the window clause before GROUP BY;
     # Spark expresses it as a grouping expression).
-    def _top_level_tail_pos(text: str) -> int:
-        """Insertion point for a top-level GROUP BY: before the first
-        HAVING/ORDER BY/LIMIT at paren depth 0 (a LIMIT inside a
-        derived-table subquery must not attract the clause), else at the
-        end of the statement body (before any trailing ';'). The scan
-        skips single-quoted string literals (a ')' inside a literal must
-        not corrupt the depth counter) and treats '_' as a word
-        character (LIMIT inside `total_limit` is not a keyword)."""
+    def _find_top_level(text: str, pattern: str) -> "re.Match | None":
+        """First match of `pattern` at paren depth 0, scanning the
+        ORIGINAL text (never an upper() copy — case mapping can change
+        string length, e.g. 'ß' → 'SS', misaligning every index) with
+        case-insensitive matching. The scan skips single-quoted string
+        literals ('' escape honored), backtick-quoted identifiers, and
+        `--` line comments, so parens or keyword lookalikes inside any
+        of them can neither corrupt the depth counter nor match; a
+        keyword substring inside a snake_case identifier is rejected by
+        the word-character guards on both sides."""
         depth = 0
-        up = text.upper()
         i = 0
+        rx = re.compile(pattern + r"(?![A-Za-z0-9_])", re.I)
 
         def _wordch(c: str) -> bool:
             return c.isalnum() or c == "_"
 
-        while i < len(up):
-            c = up[i]
+        while i < len(text):
+            c = text[i]
             if c == "'":
-                # skip the literal; '' is the escaped quote
                 i += 1
-                while i < len(up):
-                    if up[i] == "'":
-                        if i + 1 < len(up) and up[i + 1] == "'":
+                while i < len(text):
+                    if text[i] == "'":
+                        if i + 1 < len(text) and text[i + 1] == "'":
                             i += 2
                             continue
                         break
                     i += 1
+            elif c == "`":
+                i += 1
+                while i < len(text) and text[i] != "`":
+                    i += 1
+            elif c == "-" and text[i : i + 2] == "--":
+                while i < len(text) and text[i] != "\n":
+                    i += 1
+                continue
             elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
             elif depth == 0:
-                m = re.match(r"(HAVING|ORDER\s+BY|LIMIT)(?![A-Za-z0-9_])", up[i:])
-                if m and (i == 0 or not _wordch(up[i - 1])):
-                    return i
+                m = rx.match(text, i)
+                if m and (i == 0 or not _wordch(text[i - 1])):
+                    return m
             i += 1
-        body = text.rstrip()
-        while body.endswith(";"):
-            body = body[:-1].rstrip()
-        return len(body)
+        return None
 
     def _prepend_group_expr(text: str, span: tuple[int, int], expr: str) -> str:
         text = text[: span[0]] + text[span[1]:]
-        if re.search(r"\bGROUP\s+BY\b", text, flags=re.I):
-            return re.sub(
-                r"\bGROUP\s+BY\b",
-                f"GROUP BY {expr},",
-                text,
-                count=1,
-                flags=re.I,
-            )
+        # only a TOP-LEVEL GROUP BY owns the window — a GROUP BY inside
+        # a derived-table subquery must not attract it
+        g = _find_top_level(text, r"GROUP\s+BY")
+        if g is not None:
+            return f"{text[: g.start()]}GROUP BY {expr},{text[g.end():]}"
         # Global windowed aggregate (legal ksql: WINDOW clause, no GROUP
         # BY keys) — the window itself is the only grouping expression.
         # Insert GROUP BY at the TOP LEVEL of the statement, before any
         # depth-0 HAVING/ORDER BY/LIMIT and before a trailing ';', so the
         # window is never silently dropped into an unwindowed agg and the
         # clause never lands inside a subquery.
-        pos = _top_level_tail_pos(text)
+        t = _find_top_level(text, r"(HAVING|ORDER\s+BY|LIMIT)")
+        if t is not None:
+            pos = t.start()
+        else:
+            body = text.rstrip()
+            while body.endswith(";"):
+                body = body[:-1].rstrip()
+            pos = len(body)
         return f"{text[:pos].rstrip()} GROUP BY {expr} {text[pos:]}"
 
     m = re.search(

@@ -147,6 +147,29 @@ def test_null_level_rows_sort_last_not_dropped(spark):
     assert got2 == {1: True, 3: True, 2: False}
 
 
+def test_decimal_level_rides_double_path(spark):
+    """A decimal-typed level expression must work (it rode the blanket
+    double cast before the typed-sentinel rework): same output as the
+    double-grid form, and a NULL decimal level still lands last."""
+    df = spark.createDataFrame(
+        [(1, 0.9, 5), (2, None, 5), (3, 0.1, 5)],
+        "id long, score double, w long",
+    )
+    dec_level = (
+        F.floor((F.lit(1.0) - F.col("score")) * 8)
+        .cast("decimal(10,2)")
+    )
+    out = ordered_budget_select(
+        df,
+        level=dec_level,
+        order=[F.desc("score"), F.asc("id")],
+        weight_col="w",
+        budget=11,
+    )
+    got = {r["id"]: (r["cum_before"], r["selected"]) for r in out.collect()}
+    assert got == {1: (0, True), 3: (5, True), 2: (10, True)}
+
+
 def test_passage_chunking_covers_all_tokens(spark):
     # the chunk expression used by passage_dup_stats: non-overlapping
     # W-word slices, short tail kept

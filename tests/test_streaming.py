@@ -270,6 +270,33 @@ def test_translate_ksql_global_windowed_agg():
         offset_col="offset",
     )
     assert sql6.upper().index("GROUP BY") < sql6.upper().index("LIMIT 3"), sql6
+    # a GROUP BY inside a derived-table subquery must not attract the
+    # window — only the top-level GROUP BY (or its absence) does
+    sql7, _ = translate_ksql(
+        "SELECT s, COUNT(*) AS c FROM "
+        "(SELECT k AS s FROM t GROUP BY k) "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) GROUP BY s EMIT CHANGES",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "(SELECT k AS s FROM t GROUP BY k)" in sql7, sql7
+    assert "GROUP BY window(ts, '5 minute'), s" in sql7, sql7
+    # non-ASCII case-mapping (ß→SS) must not shift the insertion point
+    sql8, _ = translate_ksql(
+        "SELECT COUNT(*) AS c FROM t WHERE city = 'Straße' "
+        "WINDOW TUMBLING (SIZE 5 MINUTES) LIMIT 5",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert "GROUP BY window(ts, '5 minute') LIMIT 5" in sql8, sql8
+    # backtick identifiers and -- comments must not corrupt the scan
+    sql9, _ = translate_ksql(
+        "SELECT `a)b` AS x, COUNT(*) AS c FROM t -- apply limit later\n"
+        "WINDOW TUMBLING (SIZE 5 MINUTES) LIMIT 3",
+        ts_col="ts",
+        offset_col="offset",
+    )
+    assert sql9.upper().index("GROUP BY") < sql9.upper().rindex("LIMIT 3"), sql9
 
 
 def test_ksql_front_door_continuous(spark):
