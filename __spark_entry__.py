@@ -196,6 +196,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #                             derived partsupp view (same formula in
 #                             Spark and the oracle CTE) — completes
 #                             all 22 TPC-H query shapes
+#   streaming_hopping_agg     — NEW: sliding-window stateful agg in
+#                             true streaming form (2 state entries
+#                             per row), complete-mode final state
 #   deterministic_corpus_shuffle — NEW: reproducible training-order
 #                             permutation via the leveled prefix-sum
 #                             (global-window oracle, no global window
@@ -218,6 +221,9 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   streaming_stream_join   — watermarked two-stream join machinery
 #                             stays graded via the sessionize/dedup/
 #                             watermarked/latest streaming head rows
+#   similarity_ann_lsh      — hyperplane-LSH machinery stays graded
+#                             via similarity_ivf_topk + topk_cosine
+#                             head rows (llm/similarity untouched)
 #   scalar_function_suite   — F-suite machinery pinned; siblings
 #                             datetime_parse_suite / dirty_data TAIL
 #                             pins cover the parse family
@@ -258,6 +264,7 @@ TAIL: tuple[str, ...] = (
     "streaming_latest_table",
     "latency_nearest_rank_percentiles",
     "approx_count_distinct",
+    "similarity_ann_lsh",
     "scalar_function_suite",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

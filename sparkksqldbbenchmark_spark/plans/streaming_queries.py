@@ -452,3 +452,61 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_to_memory(agged, name, output_mode="complete")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "streaming_hopping_agg",
+    oracle=f"""
+    WITH e AS (
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts)
+                   - (r.i * INTERVAL 30 MINUTES) AS ws,
+               event_type, value
+        FROM events, range(0, 2) r(i)
+    )
+    SELECT strftime(ws, {_FMT}) AS window_start,
+           strftime(ws + INTERVAL 1 HOUR, {_FMT}) AS window_end,
+           event_type,
+           count(*) AS message_count,
+           {sql_stable_sum("value", 2)} AS sum_value
+    FROM e
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows in TRUE streaming form: window(ts, 1h, 30m) in a
+    stateful aggregation — the sliding-window state layout where every
+    arriving row updates TWO windows' state entries (size/advance), the
+    shape ksql's WINDOW HOPPING deploys continuously. availableNow run
+    to completion in complete mode; the final state must hash-match the
+    relational oracle that builds both epoch-aligned windows per row
+    explicitly. State size is (#open windows × groups), exactly 2× the
+    tumbling layout at any scale — constant-factor, never
+    data-dependent."""
+    from sparkksqldbbenchmark_spark.functions.stable import stable_sum
+
+    stream = _read_events_stream(spark, sf_dir)
+    agged = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("window"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("message_count"),
+            stable_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "event_type",
+            "message_count",
+            "sum_value",
+        )
+    )
+    name = f"stream_hop_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)

@@ -50,6 +50,7 @@ TAIL_SOURCE_SHA256 = {
     "streaming_latest_table": "ea759cad93d985c1",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
+    "similarity_ann_lsh": "6fd3c22775e1f57d",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "c64c3d71557e2d36",
     "tpch_q3_shipping_priority": "062812549e6a05ad",
