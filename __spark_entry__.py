@@ -42,7 +42,7 @@ except ImportError:
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
 # The driver grades at most the FIRST 50 registered queries per round.
-# Order is therefore part of the contract. With 112 registered queries the
+# Order is therefore part of the contract. With 113 registered queries the
 # policy is ROTATION: every query must hold a driver-graded row from SOME
 # round, so queries that have never been graded take head slots and the
 # displaced TAIL is drawn from queries that are already green in a prior
