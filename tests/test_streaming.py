@@ -299,6 +299,57 @@ def test_translate_ksql_global_windowed_agg():
     assert sql9.upper().index("GROUP BY") < sql9.upper().rindex("LIMIT 3"), sql9
 
 
+def test_translate_ksql_insertion_fuzz():
+    """Property: for a windowed no-GROUP-BY query with arbitrary
+    depth-0 noise (string literals with parens/keywords, backtick
+    identifiers, comments, snake_case keyword lookalikes, non-ASCII),
+    the inserted GROUP BY always lands at the top level: after every
+    subquery close-paren and before any top-level LIMIT."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    noise = st.sampled_from([
+        "'lim(it'", "':-)'", "'it''s'", "`weird)col`", "total_limit",
+        "'Straße'", "x_having", "'GROUP BY fake'", "(SELECT 1 LIMIT 2) s",
+    ])
+
+    @settings(max_examples=60, deadline=None)
+    @given(parts=st.lists(noise, min_size=0, max_size=4),
+           top_limit=st.booleans())
+    def check(parts, top_limit):
+        mid = ", ".join(parts)
+        sel = f"SELECT COUNT(*) AS c{', ' + mid if mid else ''} FROM t "
+        q = sel + "WINDOW TUMBLING (SIZE 5 MINUTES)"
+        if top_limit:
+            q += " LIMIT 7"
+        sql, _ = translate_ksql(q, ts_col="ts", offset_col="offset")
+        assert sql.count("GROUP BY window(ts, '5 minute')") == 1, sql
+        gb = sql.index("GROUP BY window")
+        # never inside parens: literal/backtick-aware depth must be 0
+        # at the insertion point
+        depth, i = 0, 0
+        while i < gb:
+            c = sql[i]
+            if c == "'":
+                i += 1
+                while i < gb and sql[i] != "'":
+                    i += 1
+            elif c == "`":
+                i += 1
+                while i < gb and sql[i] != "`":
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        assert depth == 0, sql
+        if top_limit:
+            assert gb < sql.rindex("LIMIT 7"), sql
+
+    check()
+
+
 def test_ksql_front_door_continuous(spark):
     """EMIT CHANGES over a streaming view deploys a persistent query
     readable as the table name (setup-ksqldb-correct.sh:93-146)."""

@@ -294,6 +294,63 @@ def main() -> None:
             f"({n_dup_chunks:,} duplicated chunk instances, "
             f"{int(docs_n / chunk_s):,} docs/s)"
         )
+
+        # incremental dedup: a 10% "new batch" checked against the other
+        # 90% as the historical corpus — per-round cost must scale with
+        # the batch, not the corpus (only new⋈corpus bucket collisions
+        # are joined). The planted dup pairs are id-adjacent so none
+        # straddle the split (0 matches expected); the measurement is
+        # the directional bucket-join cost, recall is oracle-graded at
+        # test scale (dedup_incremental_vs_corpus).
+        from sparkksqldbbenchmark_spark.llm.dedup import (
+            incremental_lsh_matches,
+        )
+
+        split_at = int(docs_n * 0.9)
+        t0 = time.time()
+        n_matches = incremental_lsh_matches(
+            docs.where(F.col("doc_id") >= split_at),
+            docs.where(F.col("doc_id") < split_at),
+            "text",
+            "doc_id",
+        ).count()
+        incr_s = time.time() - t0
+        print(
+            f"docs={docs_n:,} incremental_dedup={incr_s:.1f}s "
+            f"({n_matches:,} new-batch matches, batch={docs_n - split_at:,})"
+        )
+
+        # deterministic corpus shuffle: global rank via the leveled
+        # prefix sum — one data shuffle + 256-row carry at any size;
+        # verify the permutation is total (n distinct positions).
+        from sparkksqldbbenchmark_spark.operators.selection import (
+            ordered_budget_select,
+        )
+
+        t0 = time.time()
+        hashed = docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+        ).withColumn("__one", F.lit(1))
+        ranked = ordered_budget_select(
+            hashed,
+            level=F.expr(
+                "cast(conv(substring(__h, 1, 2), 16, 10) as long)"
+            ),
+            order=[F.asc("__h"), F.asc("doc_id")],
+            weight_col="__one",
+            budget=1,
+            cum_col="shuffle_pos",
+        )
+        n_pos = ranked.agg(
+            F.countDistinct("shuffle_pos").alias("p")
+        ).collect()[0]["p"]
+        shuf_s = time.time() - t0
+        assert n_pos == docs_n, (n_pos, docs_n)
+        print(
+            f"docs={docs_n:,} det_shuffle={shuf_s:.1f}s "
+            f"({int(docs_n / shuf_s):,} docs/s, total permutation)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
