@@ -143,7 +143,17 @@ def main() -> None:
         "runs": [round(m.avg_ms, 2) for m in runs],
         "config": (
             "10s window, 2s trigger, 200 rows/s, update mode; "
-            "median of 3 window-boundary-aligned runs"
+            "median of 3 window-boundary-aligned runs. NOTE: aligned "
+            "starts measure the full-window phase, whose structural "
+            "floor is 6.0s (update-mode emissions land 2/4/6/8/10s "
+            "after each window opens; avg = 6.0s + per-trigger "
+            "overhead). Unaligned runs (r04 and earlier, and the "
+            "reference's own min=1353ms point) start mid-window, so "
+            "the first window's rows arrive late in it and emit with "
+            "artificially small latencies, deflating the run average "
+            "below the floor; "
+            "p50/p95/p99/stddev are phase-invariant and directly "
+            "comparable to BASELINE.md"
         ),
     }
     print(f"  streaming e2e: {streaming_latency}", file=sys.stderr)

@@ -62,7 +62,14 @@ def _sleep_to_window_boundary(window_duration: str) -> None:
     before their window closes — measured as up to ±6% drift on the run
     AVERAGE at 100 samples (r03→r04) with no change in p95/p99/σ.
     Pinning the start phase removes that alignment noise from
-    round-over-round comparisons."""
+    round-over-round comparisons.
+
+    Measured floor (r05, interleaved 3×3 at shuffle partitions 10 vs
+    32, local[32]): aligned avg is 6.19-6.27 s for BOTH settings —
+    per-trigger overhead on this tiny state is ~0.2 s and partition
+    count is not a lever; the 6.0 s remainder is update-mode window
+    residence (emissions at +2/4/6/8/10 s), irreducible without
+    changing the reference's window/trigger geometry."""
     m = __import__("re").match(
         r"(\d+)\s*(second|minute|hour)", window_duration.strip(), flags=2
     )
