@@ -1,0 +1,449 @@
+"""Round-6 staging area: fully-built, oracle-verified queries that are
+NOT yet registered with the driver-graded registry.
+
+Why a separate module: the driver grades exactly the first 50 entries of
+``__spark_entry__.queries()`` and this round's 50-slot head is already
+committed (every slot holds a query awaiting its first green row —
+displacing one would leave it ungraded, violating the rotation contract
+in tests/test_contract.py). New work therefore lands here with a
+MODULE-LOCAL registry; tests/test_next_round.py runs the same
+Spark-vs-DuckDB comparison the driver runs, so each staged query is
+already verified green before it rotates into the graded head next
+round (swap ``staged_query`` for ``plans.registry.query``, import the
+module from ``__spark_entry__``, and move freshly-green head rows to
+TAIL with pins).
+
+Design notes per query live in the docstrings; every one follows the
+repo-wide cross-engine determinism rules (functions/stable.py,
+llm/hashing.py): integer or exact-decimal arithmetic wherever a value is
+compared, libm only where both engines are correctly-rounded (IEEE
+division), md5-based hashing for anything pseudo-random.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.functions.stable import (
+    sql_stable_avg,
+    stable_avg,
+)
+from sparkksqldbbenchmark_spark.llm.hashing import (
+    spark_md5_int,
+    spark_tokens,
+    sql_md5_int,
+    sql_tokens,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STAGED: dict[str, QueryFn] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
+    """Module-local twin of plans.registry.query — keeps staged work out
+    of the driver's grading window until deliberately rotated in."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED[name] = fn
+        STAGED_ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- chunking --
+
+_CHUNK_W = 200  # chunk width (chars)
+_CHUNK_S = 150  # stride (chars) → 50-char overlap between neighbors
+
+_CHUNK_N = f"cast(ceil(greatest(length(text), 1) / {_CHUNK_S}.0) as int)"
+
+
+@staged_query(
+    "doc_chunk_stride",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(len(substring(text, CAST(k * {_CHUNK_S} + 1 AS INT),
+                              {_CHUNK_W})) AS BIGINT) AS chunk_len,
+           md5(substring(text, CAST(k * {_CHUNK_S} + 1 AS INT),
+               {_CHUNK_W})) AS chunk_hash
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(greatest(len(text), 1)
+                                         / {_CHUNK_S}.0) AS BIGINT))) AS k
+        FROM documents
+    )
+    """,
+)
+def doc_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the standard prep step that
+    turns long documents into fixed-width training sequences with stride
+    overlap (width 200 chars, stride 150 → 50-char overlap).
+
+    Scale shape: explode(sequence(...)) + substring is a NARROW map-side
+    plan — zero shuffles, output rows ∝ input bytes / stride, and the
+    substring runs inside whole-stage codegen. At 100 TB this is a pure
+    scan→write pipeline; chunk_hash (md5) doubles as the join key for
+    downstream chunk-level dedup (passage_dup_stats pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_CHUNK_N} - 1)")).alias("__k"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("__k").cast("long").alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"cast(length(substring(text, cast(chunk_idx * {_CHUNK_S} + 1 "
+            f"as int), {_CHUNK_W})) as bigint)"
+        ).alias("chunk_len"),
+        F.expr(
+            f"md5(substring(text, cast(chunk_idx * {_CHUNK_S} + 1 as int), "
+            f"{_CHUNK_W}))"
+        ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------- tf-idf --
+
+
+@staged_query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({sql_tokens("lower(text)")}) AS term
+        FROM documents
+    ), tf AS (
+        SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS df_sources FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT source) AS n_sources FROM documents
+    ), scored AS (
+        SELECT tf.source, tf.term, tf.tf, dfreq.df_sources,
+               tf.tf * (n.n_sources - dfreq.df_sources + 1) AS score,
+               row_number() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY tf.tf * (n.n_sources - dfreq.df_sources + 1)
+                            DESC, tf.term
+               ) AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tf, df_sources, score, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: top-5 by a rarity-weighted term
+    frequency, score = tf × (N − df + 1) with N = #sources and df =
+    #sources containing the term.
+
+    The weight is the integer-exact monotone stand-in for tf-idf's
+    log(N/df): both rank rare-term-heavy sources identically, but the
+    integer form is bit-identical across engines (libm log differs in
+    last ulps between implementations, and a 1-ulp difference at a
+    rounding boundary would flip a rank). Tie-break on term ASC makes
+    row_number deterministic.
+
+    Scale shape: tokenize+explode (narrow) → (source,term) partial-agg
+    shuffle → term-keyed df shuffle → tf⋈df join on term → row_number
+    windowed per source. The df relation is vocab-sized (heavy-tail
+    pruning: WHERE tf > 1 would cap it); the per-source window is the
+    top-k pattern ordering.py uses — no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr(spark_tokens("lower(text)"))).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_sources"))
+    n = docs.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_sources") - F.col("df_sources") + 1),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("source", "term", "tf", "df_sources", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------- funnel --
+
+
+@staged_query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+           (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): a user
+    advances a stage only with an event strictly AFTER their previous
+    stage's first event — the classic product-analytics funnel that a
+    naive per-type EXISTS gets wrong (it ignores ordering).
+
+    Scale shape: three user_id-keyed aggregates chained by inner joins on
+    user_id — every shuffle is on the same key, so one hash partitioning
+    is reused across all stages (co-partitioned joins, no re-shuffle);
+    stage frames shrink monotonically. The four final counts are scalar
+    aggregates crossed via broadcast — constant-size frames.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("users_total"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("viewed"))))
+        .crossJoin(
+            F.broadcast(c.agg(F.count("*").alias("clicked_after_view")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count("*").alias("purchased_after_click")))
+        )
+    )
+
+
+# --------------------------------------------------------------- cohorts --
+
+
+@staged_query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        FROM events GROUP BY 1
+    ), enriched AS (
+        SELECT e.user_id,
+               CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+               CAST(floor(date_diff('day',
+                    CAST(date_trunc('week', f.first_d) AS DATE),
+                    CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM enriched GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by the ISO week of
+    their first event (both engines' date_trunc('week') is
+    Monday-aligned), counted distinct per whole-week offset since that
+    cohort week started. Integer day arithmetic end-to-end.
+
+    Scale shape: one user_id shuffle for first-event dates, reused by the
+    events⋈firsts join (same key — co-partitioned, no second exchange on
+    the big side), then a (cohort, offset)-keyed distinct-count whose
+    partial aggregation collapses each user to one row per (cohort,
+    offset) map-side. Cohort keys are bounded (weeks × offsets), so the
+    final shuffle is tiny regardless of input size.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    enriched = e.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_d"))
+        .cast("date")
+        .alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.col("d"), F.date_trunc("week", F.col("first_d")).cast("date")
+            )
+            / 7.0
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return enriched.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+# ------------------------------------------------------- mixture resample --
+
+# weight(srcN) = 1 + (N mod 3) ∈ {1,2,3}; acceptance threshold =
+# weight·1e6 div 3 compared against a 1e6-bucket md5 hash of doc_id —
+# deterministic, reproducible sampling with zero data movement.
+_SPARK_W = "(1 + cast(regexp_extract(source, '(\\\\d+)', 1) as int) % 3)"
+_SQL_W = "(1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3)"
+
+
+@staged_query(
+    "domain_mixture_resample",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN {sql_md5_int("CAST(doc_id AS VARCHAR)")} % 1000000
+                         < {_SQL_W} * 1000000 // 3
+                    THEN 1 ELSE 0 END) AS n_kept,
+           max({_SQL_W} * 1000000 // 3) AS keep_threshold
+    FROM documents GROUP BY 1
+    """,
+)
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling: each source domain gets a
+    target weight (here 1 + src_index mod 3, standing in for a DoReMi /
+    heuristic mixture table) and documents are kept iff a uniform 1e6-
+    bucket hash of doc_id falls under weight·1e6 div 3 — i.e. domains are
+    down-sampled to 1/3, 2/3, or full rate, reproducibly (same doc set on
+    every run and every engine, no RNG).
+
+    Scale shape: the keep decision is a scan-side expression (md5 +
+    integer compare, whole-stage codegen, zero shuffle); only the
+    per-domain audit counts aggregate — bounded by #domains. The same
+    predicate dropped into any scan is the production filter form;
+    changing the mixture = changing a broadcast weight table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_md5_int("cast(doc_id as string)")) % 1000000
+    thr = F.expr(f"{_SPARK_W} * 1000000 div 3")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(h < thr, 1).otherwise(0)).alias("n_kept"),
+        F.max(thr).alias("keep_threshold"),
+    )
+
+
+# ------------------------------------------------------------- winsorize --
+
+
+@staged_query(
+    "winsorized_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), cuts AS (
+        SELECT event_type,
+               min(CASE WHEN rn - 1 = least(CAST(floor(n * 0.05) AS BIGINT),
+                                            n - 1) OR
+                             rn - 1 = least(CAST(floor(n * 0.95) AS BIGINT),
+                                            n - 1)
+                        THEN value END) AS p05,
+               max(CASE WHEN rn - 1 = least(CAST(floor(n * 0.05) AS BIGINT),
+                                            n - 1) OR
+                             rn - 1 = least(CAST(floor(n * 0.95) AS BIGINT),
+                                            n - 1)
+                        THEN value END) AS p95
+        FROM ranked GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           max(c.p05) AS p05,
+           max(c.p95) AS p95,
+           {sql_stable_avg("least(greatest(e.value, c.p05), c.p95)")}
+               AS winsorized_mean
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY 1
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group statistics: clamp each event_type's
+    values to its own exact nearest-rank [p05, p95] (the same floor(n·p)
+    index convention as the latency monitor, bench/latency.py:47), then
+    average the clamped values — winsorization, the standard guard
+    before feeding heavy-tailed quality scores into selection thresholds.
+
+    Cross-engine determinism: the cut values are EXISTING data points
+    (nearest-rank, never interpolated) so both engines clamp identically;
+    the mean uses the exact-decimal stable_avg scheme.
+
+    Scale shape: one sort-shuffle per group partition for the ranked
+    CTE (row_number over event_type), a broadcast of the #groups-sized
+    cuts table back onto the scan, and a partial-agg reduction. At 100 TB
+    the per-group sort is the cost — the approx_quantiles_bounded query
+    is the sketch-based alternative when exactness is negotiable.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    wp = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wp.orderBy("value")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    is_cut = (
+        F.col("rn") - 1
+        == F.least(F.floor(F.col("n") * 0.05).cast("long"), F.col("n") - 1)
+    ) | (
+        F.col("rn") - 1
+        == F.least(F.floor(F.col("n") * 0.95).cast("long"), F.col("n") - 1)
+    )
+    cuts = (
+        ranked.where(is_cut)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p05"), F.max("value").alias("p95"))
+    )
+    clamped = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest("value", F.col("p05")), F.col("p95")).alias("cv"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+        stable_avg("cv").alias("winsorized_mean"),
+    )
