@@ -36,7 +36,9 @@ from sparkksqldbbenchmark_spark.llm.hashing import (
     spark_md5_int,
     spark_tokens,
     sql_md5_int,
+    sql_minhash_sig,
     sql_tokens,
+    sql_word_shingles,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -446,4 +448,238 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p05").alias("p05"),
         F.max("p95").alias("p95"),
         stable_avg("cv").alias("winsorized_mean"),
+    )
+
+
+# ----------------------------------------------------- rolling active set --
+
+
+@staged_query(
+    "rolling_7day_active_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM days
+    ), expanded AS (
+        SELECT DISTINCT user_id, d + CAST(k AS INT) AS active_day
+        FROM days CROSS JOIN range(0, 7) t(k)
+    )
+    SELECT e.active_day, count(DISTINCT e.user_id) AS wau
+    FROM expanded e CROSS JOIN bounds b
+    WHERE e.active_day BETWEEN b.lo AND b.hi
+    GROUP BY 1
+    """,
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per calendar day — the sliding
+    distinct-count that window functions cannot express (COUNT(DISTINCT)
+    over a moving frame is unsupported in every engine).
+
+    The scalable form is the EXPLODE trick: a user active on day d
+    contributes to the active sets of days d..d+6, so emit those 7
+    (user, day) rows, de-dup, and count per day — turning an O(n·w)
+    sliding recount into one narrow 7× row expansion plus an ordinary
+    partial-agg distinct count keyed by day. At 100 TB the expansion
+    happens map-side after a (user, day) de-dup that collapses each
+    user's events to ≤1 row per day first, so the 7× applies to
+    user-days, not raw events. Day keys are bounded → final shuffle tiny.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = e.distinct()
+    bounds = F.broadcast(
+        days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    )
+    expanded = (
+        days.select(
+            "user_id",
+            F.explode(F.expr("sequence(0, 6)")).alias("k"),
+            "d",
+        )
+        .select(
+            "user_id", F.date_add(F.col("d"), F.col("k")).alias("active_day")
+        )
+        .distinct()
+    )
+    return (
+        expanded.crossJoin(bounds)
+        .where(F.col("active_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("active_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# ------------------------------------------------------- containment dup --
+
+_CONT_K, _CONT_BANDS, _CONT_N, _CONT_THR = 16, 4, 3, 0.6
+_CONT_ROWS = _CONT_K // _CONT_BANDS
+
+
+def _containment_oracle() -> str:
+    sh = sql_word_shingles("text", _CONT_N)
+    inter = (
+        "len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", _CONT_K)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{_CONT_ROWS}+1 : b*{_CONT_ROWS}+{_CONT_ROWS}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {_CONT_BANDS}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({inter} AS DOUBLE)
+             / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE)
+             AS containment
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE CAST({inter} AS DOUBLE)
+             / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE)
+          >= {_CONT_THR}
+    """
+
+
+@staged_query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) over word
+    3-shingles — catches subset/quote relationships (a short doc embedded
+    in a longer one) that symmetric Jaccard under-scores because the
+    union is dominated by the longer doc. The standard companion metric
+    to MinHash-Jaccard in corpus dedup.
+
+    Candidates come from the SAME banded minhash-LSH front half as
+    dedup_minhash_lsh (llm/dedup.lsh_banded_buckets — one shingle pass,
+    codegen'd md5 minhash under one shuffle, band-bucket self-join, never
+    all-pairs); only the verify metric differs. Note containment-biased
+    recall wants per-length band tuning at scale; the pigeonhole analysis
+    in docs/DESIGN_100TB.md applies unchanged.
+    """
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_side, exploded = lsh_banded_buckets(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=_CONT_K,
+        bands=_CONT_BANDS,
+        shingle_n=_CONT_N,
+    )
+    left = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
+    right = exploded.select(F.col("doc_id").alias("doc_b"), "band_idx", "bh")
+    cand = (
+        left.join(right, on=["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.join(
+        shingle_side.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        shingle_side.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    return (
+        verified.withColumn("containment", cont)
+        .where(F.col("containment") >= _CONT_THR)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+# -------------------------------------------------- quality CDF normalize --
+
+
+def _quality_cdf_oracle() -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        sql_quality_score,
+    )
+
+    return """
+    WITH scored AS (
+        SELECT doc_id, source, __QUALITY__ AS quality_score FROM documents
+    ), bucketed AS (
+        SELECT doc_id, source, quality_score,
+               CAST(floor(quality_score * 100.0) AS BIGINT) AS bucket
+        FROM scored
+    ), hist AS (
+        SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY 1
+    ), cdf AS (
+        SELECT bucket,
+               sum(cnt) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+               sum(cnt) OVER () AS n
+        FROM hist
+    )
+    SELECT b.doc_id, b.source, b.bucket,
+           CAST(c.cum AS DOUBLE) / CAST(c.n AS DOUBLE) AS cdf_pct
+    FROM bucketed b JOIN cdf c ON b.bucket = c.bucket
+    """.replace(
+        "__QUALITY__", sql_quality_score("text")
+    )
+
+
+@staged_query("quality_cdf_normalize", oracle=_quality_cdf_oracle())
+def quality_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-CDF quantile normalization of the composite quality
+    score: bucket every document into a fixed 0.01-wide score bucket,
+    build the global CDF over the (bounded, ≤ ~120-row) bucket histogram,
+    and assign each document its bucket's cumulative fraction — the
+    scalable sketch of quantile normalization used to make per-source
+    quality thresholds comparable ("keep the global top 30%") without a
+    global sort.
+
+    Scale shape: scoring and bucketing are scan-side codegen; the
+    histogram is one bounded-key aggregation; the running sum runs over a
+    CONSTANT-size frame (the histogram, single partition by design —
+    same class as the prefix-sum carries in operators/packing.py); the
+    CDF maps back onto the scan via broadcast join. Contrast with
+    percent_rank over a global window, which would single-partition the
+    full corpus — the anti-pattern this query exists to avoid.
+    """
+    from sparkksqldbbenchmark_spark.llm.text import with_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_scores(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    bucketed = scored.withColumn(
+        "bucket", F.floor(F.col("quality_score") * 100.0).cast("long")
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select(
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return bucketed.join(F.broadcast(cdf), "bucket").select(
+        "doc_id",
+        "source",
+        "bucket",
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
+            "cdf_pct"
+        ),
     )
