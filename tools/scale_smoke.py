@@ -351,6 +351,116 @@ def main() -> None:
             f"({int(docs_n / shuf_s):,} docs/s, total permutation)"
         )
 
+        # --- staged round-6 operators (plans/next_round.py shapes) ---
+
+        # sliding-window chunking: narrow explode+substring, zero
+        # shuffles — must run at scan speed.
+        t0 = time.time()
+        n_chunks = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "sequence(0, cast(ceil(greatest(length(text), 1)"
+                        " / 150.0) as int) - 1)"
+                    )
+                ).alias("k"),
+                "text",
+            )
+            .select(
+                F.expr(
+                    "md5(substring(text, cast(k * 150 + 1 as int), 200))"
+                ).alias("h")
+            )
+            .count()
+        )
+        chunkop_s = time.time() - t0
+        print(
+            f"docs={docs_n:,} chunk_stride={chunkop_s:.1f}s "
+            f"({n_chunks:,} chunks, {int(docs_n / chunkop_s):,} docs/s)"
+        )
+
+        # rolling 7-day active users via the explode trick: user-day
+        # de-dup first, then the 7× expansion on user-days only.
+        t0 = time.time()
+        udays = events.select(
+            "user_id", F.to_date("ts").alias("dd")
+        ).distinct()
+        wau_rows = (
+            udays.select(
+                "user_id",
+                F.explode(F.expr("sequence(0, 6)")).alias("k"),
+                "dd",
+            )
+            .select(
+                "user_id",
+                F.date_add(F.col("dd"), F.col("k")).alias("active_day"),
+            )
+            .distinct()
+            .groupBy("active_day")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .count()
+        )
+        wau_s = time.time() - t0
+        print(
+            f"rows={n:,} rolling_wau={wau_s:.1f}s "
+            f"({wau_rows} days, {int(n / wau_s):,} rows/s)"
+        )
+
+        # rarity-weighted tf top-terms: tokenize explode → two
+        # partial-agg shuffles → term join → per-group top-k window.
+        t0 = time.time()
+        toks_df = cdocs.select(
+            F.col("lang").alias("src"),
+            F.explode(F.expr(toks)).alias("term"),
+        )
+        tf = toks_df.groupBy("src", "term").agg(F.count("*").alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        from pyspark.sql import Window as W
+
+        topterms = (
+            tf.join(dfreq, "term")
+            .withColumn("score", F.col("tf") * (F.lit(6) - F.col("df")))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("src").orderBy(
+                        F.col("score").desc(), F.col("term")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 5)
+            .count()
+        )
+        tfidf_s = time.time() - t0
+        print(
+            f"docs={docs_n:,} tfidf_topterms={tfidf_s:.1f}s "
+            f"({topterms} rows, {int(docs_n / tfidf_s):,} docs/s)"
+        )
+
+        # histogram-CDF normalization: scan-side bucketing + bounded
+        # histogram prefix sum + broadcast join-back.
+        t0 = time.time()
+        bl = docs.withColumn(
+            "bucket",
+            F.floor(F.length("text").cast("double") / 10.0).cast("long"),
+        )
+        hist = bl.groupBy("bucket").agg(F.count("*").alias("cnt"))
+        wcum = W.orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cdf = hist.select(
+            "bucket",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(W.partitionBy()).alias("nn"),
+        )
+        n_cdf = bl.join(F.broadcast(cdf), "bucket").count()
+        cdfop_s = time.time() - t0
+        print(
+            f"docs={docs_n:,} cdf_normalize={cdfop_s:.1f}s "
+            f"({n_cdf:,} rows, {int(docs_n / cdfop_s):,} docs/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
