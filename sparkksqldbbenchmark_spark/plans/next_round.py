@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from sparkksqldbbenchmark_spark.catalog import load_table
 from sparkksqldbbenchmark_spark.functions.stable import (
     sql_stable_avg,
+    sql_stable_sum,
     stable_avg,
 )
 from sparkksqldbbenchmark_spark.llm.hashing import (
@@ -683,3 +684,266 @@ def quality_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cdf_pct"
         ),
     )
+
+
+# ------------------------------------------------- at-rest layout: Z-order --
+
+
+_SV = sql_stable_sum("value", 2)
+_SP = sql_stable_sum("l.l_extendedprice", 2)
+
+
+@staged_query(
+    "zorder_layout_scan",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           min(event_id) AS min_x,
+           max(user_id) AS max_y,
+           {_SV} AS sum_value
+    FROM events
+    WHERE event_id BETWEEN ((SELECT max(event_id) FROM events) * 10) // 100
+                       AND ((SELECT max(event_id) FROM events) * 35) // 100
+      AND user_id BETWEEN ((SELECT max(user_id) FROM events) * 10) // 100
+                      AND ((SELECT max(user_id) FROM events) * 35) // 100
+    """,
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional layout, graded — the
+    fourth leg of the at-rest layout family (hash bucketing / hive
+    partitioning / 1-D range sort, all already graded): events are
+    clustered along the interleaved-bit curve over (event_id, user_id),
+    so every output file covers a rectangle-ish TILE of the 2-D plane
+    and parquet footer min/max stats are tight on BOTH dims. The graded
+    assertions, read from the written footers (the same stats any
+    engine's planner consults): a 2-D box touches a strict subset of
+    files, and at least one file that OVERLAPS the box's event_id range
+    is skipped purely by its user_id stats — the skip a 1-D
+    event_id-sorted layout can never produce (each of its files spans
+    the full user_id range). Delta/Iceberg `OPTIMIZE ZORDER BY` is this
+    construction; at 100 TB it is the difference between "filter on the
+    second dim reads everything" and proportional scan cost. The oracle
+    is the plain box aggregate: layout moves scan cost, never answers."""
+    from sparkksqldbbenchmark_spark.operators.layout import (
+        file_range_stats,
+        write_zordered,
+    )
+    from sparkksqldbbenchmark_spark.plans.extended_queries import (
+        _scratch_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    d = _scratch_dir("events_zorder", spark, sf_dir)
+    write_zordered(ev, d, "event_id", "user_id", bits=8, num_files=8)
+
+    xmax, ymax = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    x_lo, x_hi = (xmax * 10) // 100, (xmax * 35) // 100
+    y_lo, y_hi = (ymax * 10) // 100, (ymax * 35) // 100
+
+    xs = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "event_id")}
+    ys = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "user_id")}
+    x_overlap = {f for f, (lo, hi) in xs.items() if lo <= x_hi and hi >= x_lo}
+    box_overlap = {
+        f
+        for f in x_overlap
+        if ys[f][0] <= y_hi and ys[f][1] >= y_lo
+    }
+    assert 0 < len(box_overlap) < len(xs), (
+        f"2-D box should touch a strict subset: {len(box_overlap)}/{len(xs)}"
+    )
+    assert box_overlap < x_overlap, (
+        "no file was skipped by second-dim stats — layout is not "
+        f"multi-dimensional: x_overlap={sorted(x_overlap)} "
+        f"box={sorted(box_overlap)}"
+    )
+
+    from sparkksqldbbenchmark_spark.functions.stable import stable_sum
+
+    return (
+        spark.read.parquet(d)
+        .where(
+            F.col("event_id").between(x_lo, x_hi)
+            & F.col("user_id").between(y_lo, y_hi)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_x"),
+            F.max("user_id").alias("max_y"),
+            stable_sum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------- ANN recall certificate --
+
+
+def _ann_recall_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _planes_values,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_dot("q.vec", "c.vec", dim)}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rank
+            FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq}
+        ) WHERE rank <= {k}
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM normed n, {_planes_values(4, dim)}
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT n.vec_id, n.vec, n.norm, b.bucket
+        FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    ), ann AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_dot("q.vec", "c.vec", dim)}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rank
+            FROM nb q JOIN nb c
+              ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq}
+        ) WHERE rank <= {k}
+    )
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS hits,
+           CAST(count(a.cand_id) * 100 / {k} AS BIGINT) AS recall_pct
+    FROM exact e
+    LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@staged_query("ann_recall_certified", oracle=_ann_recall_oracle())
+def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k certificate for the approximate similarity path — the
+    measurement that justifies shipping LSH instead of brute force at
+    100 TB: run the exact cosine top-k (the O(|Q|·n·d) baseline, fine
+    for a sampled query set) and the hyperplane-LSH top-k over the SAME
+    vectors, then score per-query |ANN ∩ exact| / k. Both legs are
+    independently oracle-green rows already (`similarity_topk_cosine`,
+    `similarity_ann_lsh`); this row grades the JOIN of the two — the
+    number a production pipeline monitors to catch bucket-collapse or
+    plane-drift regressions. Integer recall (hits, percent) keeps the
+    comparison exact cross-engine. At scale the exact leg runs on a
+    fixed query SAMPLE (|Q| bounded), so the certificate costs
+    O(|Q|·n·d) — linear in corpus size, constant in its square."""
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    exact = similarity.cosine_topk(emb).select("query_id", "cand_id")
+    ann = similarity.ann_lsh_topk(emb).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits") * 100 / F.lit(k)).cast("long").alias("recall_pct"),
+        )
+    )
+
+
+# ---------------------------------------------- runtime bloom-filter join --
+
+
+@staged_query(
+    "bloom_semijoin_pushdown",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {_SP} AS sum_price,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pushdown — the row-level twin of dynamic
+    partition pruning (already graded) and the third runtime-filter
+    lever at 100 TB: when a selective dim-side filter feeds a SHUFFLE
+    join (dim too big to broadcast, fact not partitioned on the key),
+    Spark builds a Bloom filter from the filtered dim keys and injects
+    `might_contain(...)` into the fact scan, so ~96% of fact rows die
+    BEFORE the shuffle instead of after it. The graded query pins the
+    injection (bloom_filter_agg + might_contain in the optimized plan)
+    under in-query confs sized for the sandbox's tiny inputs (prod
+    defaults only trigger at >10 GB application-side scans — exactly
+    the regime the engine targets); confs are restored before return
+    so the frozen plan is the only thing the setting touched. The
+    oracle is the plain filtered join: the filter moves work, never
+    answers (false positives are re-checked by the join itself)."""
+    from sparkksqldbbenchmark_spark.functions.stable import stable_sum
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved: dict[str, str | None] = {}
+    for key in confs:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        dim = o.where(F.col("o_orderpriority") == "1-URGENT")
+        out = (
+            l.join(dim, l.l_orderkey == dim.o_orderkey)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                stable_sum("l_extendedprice", 2).alias("sum_price"),
+                F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+            )
+        )
+        # Materializing the (lazy-val-cached) optimized plan inside the
+        # conf window freezes the injection into this DataFrame's
+        # QueryExecution; the assertion reads the same snapshot.
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+            "runtime bloom filter not injected:\n" + plan
+        )
+        return out
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
