@@ -66,3 +66,65 @@ def test_max_records_per_file_splits_keep_disjointness(spark):
             assert cur_min > prev_max
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_code_is_bit_interleave():
+    """Morton code ground truth on a handful of hand-computed points."""
+    from pyspark.sql import SparkSession
+
+    from sparkksqldbbenchmark_spark.operators.layout import zorder_code
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+    def ref(x: int, y: int, bits: int = 8) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 0), (0, 255), (170, 85)]
+    df = spark.createDataFrame(pts, "x int, y int").withColumn(
+        "z", zorder_code(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.z == ref(r.x, r.y), (r.x, r.y, r.z, ref(r.x, r.y))
+
+
+def test_zorder_layout_skips_on_both_dims(spark):
+    """Every file's footer rect is a subset of the plane; a 2-D box must
+    skip at least one file on EACH dim's stats, and the filtered answer
+    must equal the plain-table answer."""
+    from sparkksqldbbenchmark_spark.operators.layout import write_zordered
+
+    d = tempfile.mkdtemp(prefix="layout_zorder_")
+    try:
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_zordered(ev, d, "event_id", "user_id", bits=8, num_files=8)
+        xs = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "event_id")}
+        ys = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "user_id")}
+        assert len(xs) == 8
+        xmax = max(hi for _, hi in xs.values())
+        ymax = max(hi for _, hi in ys.values())
+        x_lo, x_hi = (xmax * 10) // 100, (xmax * 35) // 100
+        y_lo, y_hi = (ymax * 10) // 100, (ymax * 35) // 100
+        x_skip = [f for f, (lo, hi) in xs.items() if hi < x_lo or lo > x_hi]
+        y_skip = [f for f, (lo, hi) in ys.items() if hi < y_lo or lo > y_hi]
+        assert x_skip, "no file skippable on dim x: " + repr(xs)
+        assert y_skip, "no file skippable on dim y: " + repr(ys)
+        box = (
+            F.col("event_id").between(x_lo, x_hi)
+            & F.col("user_id").between(y_lo, y_hi)
+        )
+        want = ev.where(box).agg(F.count(F.lit(1)), F.sum("value")).collect()[0]
+        got = (
+            spark.read.parquet(d)
+            .where(box)
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect()[0]
+        )
+        assert tuple(got) == tuple(want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

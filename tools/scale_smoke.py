@@ -461,9 +461,90 @@ def main() -> None:
             f"({n_cdf:,} rows, {int(docs_n / cdfop_s):,} docs/s)"
         )
 
+        # --- staged round-6: z-order write + 2-D box scan ---
+        from sparkksqldbbenchmark_spark.operators.layout import (
+            file_range_stats,
+            write_zordered,
+        )
+
+        t0 = time.time()
+        zd = d + "_zorder"
+        write_zordered(
+            events.select("event_id", "user_id", "value"),
+            zd,
+            "event_id",
+            "user_id",
+            bits=8,
+            num_files=32,
+        )
+        zw_s = time.time() - t0
+        t0 = time.time()
+        xs = {f: r for f, *r in file_range_stats(zd, "event_id")}
+        ys = {f: r for f, *r in file_range_stats(zd, "user_id")}
+        box = (F.col("event_id").between(n // 10, int(n * 0.35))
+               & F.col("user_id").between(150, 525))
+        n_box = spark.read.parquet(zd).where(box).count()
+        zq_s = time.time() - t0
+        x_over = {f for f, (lo, hi) in xs.items()
+                  if lo <= int(n * 0.35) and hi >= n // 10}
+        b_over = {f for f in x_over
+                  if ys[f][0] <= 525 and ys[f][1] >= 150}
+        print(
+            f"rows={n:,} zorder_write={zw_s:.1f}s "
+            f"({int(n / zw_s):,} rows/s) box_scan={zq_s:.1f}s "
+            f"({n_box:,} rows, files {len(b_over)}/{len(xs)} touched, "
+            f"{len(x_over) - len(b_over)} skipped by 2nd dim)"
+        )
+
+        # --- staged round-6: runtime bloom-filter join, off vs on ---
+        # a realistic dim TABLE (materialized once, 1500 rows) —
+        # keeping it a distinct() over the fact would make the bloom
+        # build re-scan the whole fact and charge the filter for it.
+        dim_path = d + "_dim"
+        (
+            events.select("user_id").distinct()
+            .where(F.col("user_id") % 20 == 0)  # 5% of users
+            .coalesce(1)
+            .write.mode("overwrite").parquet(dim_path)
+        )
+        dim = spark.read.parquet(dim_path)
+        bloom_confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k, None) for k in bloom_confs}
+        try:
+            times = {}
+            for mode in ("off", "on"):
+                bloom_confs[
+                    "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                ] = "true" if mode == "on" else "false"
+                for k, v in bloom_confs.items():
+                    spark.conf.set(k, v)
+                t0 = time.time()
+                nj = events.join(dim, "user_id").count()
+                times[mode] = time.time() - t0
+            print(
+                f"rows={n:,} bloom_join off={times['off']:.1f}s "
+                f"on={times['on']:.1f}s ({nj:,} joined rows, "
+                f"5% selective dim)"
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
+        shutil.rmtree(d + "_zorder", ignore_errors=True)
+        shutil.rmtree(d + "_dim", ignore_errors=True)
 
 
 if __name__ == "__main__":
