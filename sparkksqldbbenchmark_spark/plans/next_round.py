@@ -947,3 +947,148 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, old)
+
+
+# ------------------------------------------- chained stateful streaming --
+
+
+@staged_query(
+    "streaming_chained_window_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 2 HOUR, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS message_count,
+           {SS} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING max(time_bucket(INTERVAL 2 HOUR, ts)) + INTERVAL 2 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+    """.replace("{SS}", sql_stable_sum("value", 2)),
+)
+def streaming_chained_window_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO stateful window aggregations chained in ONE streaming query —
+    the multi-stateful-operator pipeline Spark supports natively since
+    3.5 (and the reason a metrics rollup no longer needs two jobs + an
+    intermediate topic): a 30-minute tumbling pre-aggregate feeds a
+    2-hour re-aggregate keyed on `window(window, ...)`, both stateful,
+    one checkpoint. Append mode + watermark drive BOTH state stores'
+    eviction; the final emitted set is exactly the 2-hour windows the
+    final watermark (max event time − 90 min) closed, which the oracle
+    recomputes relationally — the same closed-set rule the graded
+    `streaming_watermarked_append` row pins for one operator, here
+    proven through a two-deep stateful chain. At scale the pre-aggregate
+    shrinks the second shuffle to |30-min windows × groups| rows — the
+    partial-aggregation idea applied across stateful stages. The inner
+    2-dp sums are exact decimals, so re-summing them equals the oracle's
+    one-shot sum over raw rows (functions/stable.py)."""
+    from sparkksqldbbenchmark_spark.functions.stable import stable_sum
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    stream = _read_events_stream(spark, sf_dir).withWatermark(
+        "ts", "90 minutes"
+    )
+    inner = stream.groupBy(
+        F.window("ts", "30 minutes").alias("window"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("inner_count"),
+        stable_sum("value", 2).alias("inner_sum"),
+    )
+    outer = (
+        inner.groupBy(
+            F.window(F.col("window"), "2 hours").alias("window2"),
+            "event_type",
+        )
+        .agg(
+            F.sum("inner_count").alias("message_count"),
+            stable_sum("inner_sum", 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window2.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "message_count",
+            "sum_value",
+        )
+    )
+    import uuid
+
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(outer, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+# ------------------------------------------ cross-source dup contamination --
+
+
+def _cross_source_oracle() -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN da.source <= db.source
+                                    THEN p.doc_a ELSE p.doc_b END)
+                AS BIGINT) AS n_docs_a
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@staged_query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the contamination AUDIT built on
+    the near-dup pair machinery: label each verified minhash-LSH pair
+    with its endpoints' source fields and aggregate to an
+    upper-triangular (source_a ≤ source_b) matrix of pair counts plus
+    the distinct count of the lower-source endpoint docs. This is how a
+    corpus owner finds "web scrape X is 40% re-crawl of dump Y" or
+    leakage from an eval source into training — per-PAIR grain stays
+    bounded by the LSH candidate set (never n²), and the two doc-id
+    joins broadcast only the doc→source projection. The distinct-doc
+    tiebreak (endpoint of the lexicographically smaller source) keeps
+    the count well-defined when both endpoints share a source."""
+    from sparkksqldbbenchmark_spark.llm import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "doc_a", "source": "src_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src).withColumnsRenamed(
+                {"doc_id": "doc_b", "source": "src_b"}
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.when(F.col("src_a") <= F.col("src_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("low_doc"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("low_doc").alias("n_docs_a"),
+        )
+    )
