@@ -183,66 +183,3 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-
-
-def running_totals_tws(
-    df: DataFrame,
-    *,
-    key_col: str = "user_id",
-    value_col: str = "value_c",
-) -> DataFrame:
-    """Per-key running totals via `transformWithStateInPandas` — the
-    Spark-4 arbitrary-state API (StatefulProcessor + typed ValueState)
-    that supersedes applyInPandasWithState: named state variables with
-    their own schemas, explicit timers, and initial-state support. This
-    operator keeps one (count, sum) ValueState per key and emits the
-    key's updated totals once per micro-batch that touches it — the
-    continuously-maintained TABLE shape (ksql's non-windowed aggregate)
-    expressed through the new API. `value_col` is expected to be an
-    INTEGER measure (cents, not dollars: cross-batch float accumulation
-    would drift with arrival order; integer cents keep the running sum
-    exact and the final state order-independent — functions/stable.py).
-
-    Scale: state is (2 longs + overhead) per key, partitioned by the
-    grouping key; Arrow moves each micro-batch's rows per key in one or
-    more chunks. The state store (incl. RocksDB provider) bounds memory
-    the same way as the built-in aggregates."""
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessorHandle,
-    )
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "cnt BIGINT, sm BIGINT"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            cnt, sm = 0, 0
-            if self._totals.exists():
-                cnt, sm = self._totals.get()
-            for pdf in rows:
-                cnt += int(len(pdf))
-                sm += int(pdf[value_col].sum())
-            self._totals.update((cnt, sm))
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "event_count": [cnt],
-                    "total_c": [sm],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    return df.groupBy(key_col).transformWithStateInPandas(
-        RunningTotals(),
-        outputStructType=(
-            f"{key_col} bigint, event_count bigint, total_c bigint"
-        ),
-        outputMode="Update",
-        timeMode="None",
-    )

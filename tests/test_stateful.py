@@ -157,7 +157,7 @@ def test_running_totals_transform_with_state(spark):
             "(absent in this container; operator code import-checked)"
         )
     from sparkksqldbbenchmark_spark.catalog import load_table
-    from sparkksqldbbenchmark_spark.streaming.stateful import (
+    from sparkksqldbbenchmark_spark.streaming.tws import (
         running_totals_tws,
     )
     from tests.conftest import SF_DIR
