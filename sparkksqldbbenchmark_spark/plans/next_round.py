@@ -1092,3 +1092,69 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("low_doc").alias("n_docs_a"),
         )
     )
+
+
+# ----------------------------------------------------- SCD-2 dimension --
+
+
+@staged_query(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change stream — the
+    standard warehouse pattern for "what was this user's state at time
+    T": collapse consecutive equal attribute values per key (change
+    detection via lag), then stamp each surviving change with its
+    validity interval [valid_from, valid_to) via lead, a version
+    counter, and the open-ended is_current marker. ONE shuffle on the
+    key; both window passes share the (user_id × event_id) sort, so
+    Catalyst plans a single Sort under both Window operators. At 100 TB
+    the key-partitioned window is embarrassingly parallel (no global
+    order), and the change-compression pass shrinks the dimension to
+    |changes| rows before the interval stamping. The deterministic
+    event_id tiebreak makes versions reproducible under equal
+    timestamps."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -128,3 +128,45 @@ def test_zorder_layout_skips_on_both_dims(spark):
         assert tuple(got) == tuple(want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_code_property_random_points(spark):
+    """Hypothesis: the codegen Morton interleave equals the Python bit
+    reference on arbitrary in-range points, and is a bijection on the
+    [0,256)² grid (distinct points → distinct codes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkksqldbbenchmark_spark.operators.layout import zorder_code
+
+    def ref(x: int, y: int, bits: int = 8) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def check(pts):
+        df = spark.createDataFrame(pts, "x int, y int").withColumn(
+            "z", zorder_code(F.col("x"), F.col("y"))
+        )
+        rows = df.collect()
+        codes = {}
+        for r in rows:
+            assert r.z == ref(r.x, r.y), (r.x, r.y, r.z)
+            prev = codes.setdefault(r.z, (r.x, r.y))
+            assert prev == (r.x, r.y), "collision: " + repr(
+                (prev, (r.x, r.y))
+            )
+
+    check()
