@@ -130,6 +130,11 @@ def write_zordered(
     b = df.agg(
         F.min(dim_x), F.max(dim_x), F.min(dim_y), F.max(dim_y)
     ).collect()[0]
+    if b[0] is None:
+        raise ValueError(
+            "write_zordered: input DataFrame is empty (or the z-order "
+            f"dims {dim_x!r}/{dim_y!r} are all NULL) — nothing to cluster"
+        )
     xmin, xmax, ymin, ymax = (int(v) for v in b)
     n = 1 << bits
 

@@ -737,12 +737,15 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scratch_dir("events_zorder", spark, sf_dir)
     write_zordered(ev, d, "event_id", "user_id", bits=8, num_files=8)
 
-    xmax, ymax = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
-    x_lo, x_hi = (xmax * 10) // 100, (xmax * 35) // 100
-    y_lo, y_hi = (ymax * 10) // 100, (ymax * 35) // 100
-
+    # bounds come from the freshly-written parquet footers — the same
+    # stats the skipping assertions read; a separate max() aggregate
+    # would re-scan the table a third time for numbers already on disk
     xs = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "event_id")}
     ys = {f: (lo, hi) for f, lo, hi in file_range_stats(d, "user_id")}
+    xmax = max(hi for _, hi in xs.values())
+    ymax = max(hi for _, hi in ys.values())
+    x_lo, x_hi = (xmax * 10) // 100, (xmax * 35) // 100
+    y_lo, y_hi = (ymax * 10) // 100, (ymax * 35) // 100
     x_overlap = {f for f, (lo, hi) in xs.items() if lo <= x_hi and hi >= x_lo}
     box_overlap = {
         f
@@ -828,7 +831,7 @@ def _ann_recall_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
     )
     SELECT e.query_id,
            CAST(count(a.cand_id) AS BIGINT) AS hits,
-           CAST(count(a.cand_id) * 100 / {k} AS BIGINT) AS recall_pct
+           CAST(count(a.cand_id) * 100 // {k} AS BIGINT) AS recall_pct
     FROM exact e
     LEFT JOIN ann a
       ON e.query_id = a.query_id AND e.cand_id = a.cand_id
@@ -865,7 +868,12 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "hits",
-            (F.col("hits") * 100 / F.lit(k)).cast("long").alias("recall_pct"),
+            # floor division on BOTH sides: DuckDB CAST(double) rounds
+            # while Spark cast('long') truncates, so a k that does not
+            # divide 100 would otherwise diverge
+            F.expr(f"CAST(hits * 100 DIV {k} AS BIGINT)").alias(
+                "recall_pct"
+            ),
         )
     )
 
@@ -933,12 +941,19 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
             )
         )
-        # Materializing the (lazy-val-cached) optimized plan inside the
-        # conf window freezes the injection into this DataFrame's
-        # QueryExecution; the assertion reads the same snapshot.
-        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # Materializing the (lazy-val-cached) EXECUTED plan inside the
+        # conf window freezes both optimization and physical planning
+        # into this DataFrame's QueryExecution — forcing only the
+        # optimized plan would let physical planning happen after the
+        # finally block restores the broadcast threshold, silently
+        # planning the very broadcast join this row exists to avoid.
+        plan = out._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan and "bloom_filter_agg" in plan, (
             "runtime bloom filter not injected:\n" + plan
+        )
+        assert "BroadcastHashJoin" not in plan, (
+            "dim side was broadcast — not the shuffle-join regime this "
+            "row grades:\n" + plan
         )
         return out
     finally:

@@ -68,27 +68,25 @@ def test_max_records_per_file_splits_keep_disjointness(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_zorder_code_is_bit_interleave():
+def _morton_ref(x: int, y: int, bits: int = 8) -> int:
+    """Python ground truth for zorder_code's bit interleave."""
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_code_is_bit_interleave(spark):
     """Morton code ground truth on a handful of hand-computed points."""
-    from pyspark.sql import SparkSession
-
     from sparkksqldbbenchmark_spark.operators.layout import zorder_code
-
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-
-    def ref(x: int, y: int, bits: int = 8) -> int:
-        out = 0
-        for i in range(bits):
-            out |= ((x >> i) & 1) << (2 * i)
-            out |= ((y >> i) & 1) << (2 * i + 1)
-        return out
 
     pts = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 0), (0, 255), (170, 85)]
     df = spark.createDataFrame(pts, "x int, y int").withColumn(
         "z", zorder_code(F.col("x"), F.col("y"))
     )
     for r in df.collect():
-        assert r.z == ref(r.x, r.y), (r.x, r.y, r.z, ref(r.x, r.y))
+        assert r.z == _morton_ref(r.x, r.y), (r.x, r.y, r.z)
 
 
 def test_zorder_layout_skips_on_both_dims(spark):
@@ -139,13 +137,6 @@ def test_zorder_code_property_random_points(spark):
 
     from sparkksqldbbenchmark_spark.operators.layout import zorder_code
 
-    def ref(x: int, y: int, bits: int = 8) -> int:
-        out = 0
-        for i in range(bits):
-            out |= ((x >> i) & 1) << (2 * i)
-            out |= ((y >> i) & 1) << (2 * i + 1)
-        return out
-
     @settings(max_examples=8, deadline=None)
     @given(
         st.lists(
@@ -163,7 +154,7 @@ def test_zorder_code_property_random_points(spark):
         rows = df.collect()
         codes = {}
         for r in rows:
-            assert r.z == ref(r.x, r.y), (r.x, r.y, r.z)
+            assert r.z == _morton_ref(r.x, r.y), (r.x, r.y, r.z)
             prev = codes.setdefault(r.z, (r.x, r.y))
             assert prev == (r.x, r.y), "collision: " + repr(
                 (prev, (r.x, r.y))

@@ -180,13 +180,15 @@ def test_running_totals_transform_with_state(spark):
     # update mode appends one row per (key, touching batch); the final
     # totals are the LAST emission per key
     emitted = spark.table(name)
+    from pyspark.sql.window import Window
+
     final = (
         emitted.withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("user_id")
-                .orderBy(F.col("event_count").desc())
+                Window.partitionBy("user_id").orderBy(
+                    F.col("event_count").desc()
+                )
             ),
         )
         .where(F.col("rn") == 1)
