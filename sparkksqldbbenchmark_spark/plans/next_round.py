@@ -1173,3 +1173,174 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------------ deterministic sampling --
+
+
+@staged_query(
+    "group_exact_k_sample",
+    oracle="""
+    SELECT doc_id, source, pick_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '/sample'),
+                            doc_id
+               ) AS BIGINT) AS pick_rank
+        FROM documents
+    ) WHERE pick_rank <= 20
+    """,
+)
+def group_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample — the eval-set/holdout
+    builder stratified_sample (Bernoulli, EXPECTED rate) cannot provide:
+    rank rows inside each group by a salted md5 of their id (uniform,
+    reproducible, engine-independent) and keep the first k. Unlike
+    ORDER BY rand() this survives retries/re-runs bit-identically, and
+    unlike reservoir sampling it needs no driver state: one shuffle on
+    the group key, the per-group top-k window pattern. The doc_id
+    tiebreak covers the (astronomically unlikely) md5 collision so
+    row_number stays deterministic. At 100 TB the rank-window input is
+    the group's rows only — no global sort, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/sample"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("pick_rank"),
+        )
+        .where(F.col("pick_rank") <= 20)
+    )
+
+
+# ---------------------------------------------------- column statistics --
+
+
+@staged_query(
+    "analyze_column_stats",
+    oracle="""
+    SELECT 'event_id' AS col, count(*) AS n_rows,
+           count(event_id) AS n_nonnull,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(user_id),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(event_type),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    """,
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (rows, non-null count, NDV,
+    min/max) for the planner-stats backbone every cost-based optimizer
+    feeds on — computed for three columns in ONE scan via per-column
+    aggregates, then reshaped to the (col, stats) long form with a
+    stack/unpivot (no second pass, no per-column scans the naive
+    ANALYZE loop would issue). min/max are stringified so one schema
+    carries numeric and string columns alike. Exact NDV here (graded
+    cross-engine); production would swap approx_count_distinct per
+    column under the same one-scan shape — that swap is itself graded
+    by the approx_count_distinct row. At 100 TB: one shuffle-free
+    partial-agg pass, 3 global aggregates of constant width."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("event_id").alias("nn_id"),
+        F.count_distinct("event_id").alias("ndv_id"),
+        F.min("event_id").cast("string").alias("min_id"),
+        F.max("event_id").cast("string").alias("max_id"),
+        F.count("user_id").alias("nn_uid"),
+        F.count_distinct("user_id").alias("ndv_uid"),
+        F.min("user_id").cast("string").alias("min_uid"),
+        F.max("user_id").cast("string").alias("max_uid"),
+        F.count("event_type").alias("nn_et"),
+        F.count_distinct("event_type").alias("ndv_et"),
+        F.min("event_type").alias("min_et"),
+        F.max("event_type").alias("max_et"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'event_id', n, nn_id, ndv_id, min_id, max_id,"
+            " 'user_id', n, nn_uid, ndv_uid, min_uid, max_uid,"
+            " 'event_type', n, nn_et, ndv_et, min_et, max_et)"
+            " AS (col, n_rows, n_nonnull, ndv, min_str, max_str)"
+        )
+    )
+
+
+# ----------------------------------------------------- null-safe join --
+
+
+@staged_query(
+    "nullsafe_join_agg",
+    oracle="""
+    WITH l AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k,
+               value
+        FROM events
+    ), r AS (
+        SELECT DISTINCT
+               CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+               user_id % 3 AS grp
+        FROM events
+    )
+    SELECT coalesce(CAST(l.k AS VARCHAR), '<null>') AS join_key,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT r.grp) AS BIGINT) AS n_grps
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+)
+def nullsafe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM) — the join
+    variant where NULL keys MATCH each other instead of silently
+    dropping, the classic source of "why did my row count change"
+    migration bugs. Spark plans `<=>` as a true hash-join key (no
+    fallback to nested-loop), so the null bucket rides the same shuffle
+    as everything else; the graded row proves the null×null matches
+    exist (the '<null>' output group) and that both engines agree on
+    every group. A hot null bucket at scale is just a skewed key —
+    the salting/AQE-skew machinery graded elsewhere applies
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    right = ev.select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        (F.col("user_id") % 3).alias("grp"),
+    ).distinct()
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .select(
+            F.coalesce(left.k.cast("string"), F.lit("<null>")).alias(
+                "join_key"
+            ),
+            "grp",
+        )
+        .groupBy("join_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("grp").alias("n_grps"),
+        )
+    )
