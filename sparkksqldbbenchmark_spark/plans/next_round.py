@@ -1344,3 +1344,64 @@ def nullsafe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("grp").alias("n_grps"),
         )
     )
+
+
+# --------------------------------------------------------- CDC apply --
+
+
+@staged_query(
+    "cdc_snapshot_apply",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id AS key,
+               event_id,
+               value,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'U'
+                    ELSE 'I' END AS op
+        FROM events
+    ), latest AS (
+        SELECT key,
+               max_by(op, event_id) AS last_op,
+               max_by(value, event_id) AS last_value,
+               max(event_id) AS last_event_id,
+               count(*) AS n_changes
+        FROM ops GROUP BY key
+    )
+    SELECT key, last_value, last_event_id, n_changes
+    FROM latest
+    WHERE last_op <> 'D'
+    """,
+)
+def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot apply — the MERGE that turns a
+    change stream (insert/update/delete ops) into the current table
+    state: one max_by aggregate per key picks the latest op in change
+    order, keys whose final op is a delete drop out, everything else
+    materializes its latest value. This is the Debezium/Delta-merge
+    pattern reduced to its scale-safe core: ONE shuffle on the key,
+    no iterative apply, no sort of the full history — max_by's
+    partial aggregation keeps only (op, value, id) triples per key per
+    partition. Ops are derived deterministically from event_id residues
+    (10% deletes, ~30% updates) so both engines see the identical
+    change stream. The n_changes count proves the full history was
+    consumed, not just the winning row."""
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("user_id").alias("key"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    latest = ops.groupBy("key").agg(
+        F.max_by("op", "event_id").alias("last_op"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return latest.where(F.col("last_op") != "D").select(
+        "key", "last_value", "last_event_id", "n_changes"
+    )
