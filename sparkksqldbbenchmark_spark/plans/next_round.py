@@ -1252,8 +1252,12 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries numeric and string columns alike. Exact NDV here (graded
     cross-engine); production would swap approx_count_distinct per
     column under the same one-scan shape — that swap is itself graded
-    by the approx_count_distinct row. At 100 TB: one shuffle-free
-    partial-agg pass, 3 global aggregates of constant width."""
+    by the approx_count_distinct row. Shuffle honesty: the EXACT NDVs
+    are what shuffle here (each count_distinct expands its column's
+    distinct values through the exchange — see this row in
+    docs/SHUFFLE_AUDIT.md); the production approx swap collapses that
+    to mergeable constant-size HLL sketches, making the pass
+    effectively scan-bound. Still one scan either way."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1288,9 +1292,7 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nullsafe_join_agg",
     oracle="""
     WITH l AS (
-        SELECT event_id,
-               CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k,
-               value
+        SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
         FROM events
     ), r AS (
         SELECT DISTINCT
@@ -1318,11 +1320,9 @@ def nullsafe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.select(
-        "event_id",
         F.when(F.col("event_id") % 7 == 0, F.lit(None))
         .otherwise(F.col("user_id"))
         .alias("k"),
-        "value",
     )
     right = ev.select(
         F.when(F.col("user_id") % 5 == 0, F.lit(None))
