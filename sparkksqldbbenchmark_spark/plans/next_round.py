@@ -1405,3 +1405,72 @@ def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("last_op") != "D").select(
         "key", "last_value", "last_event_id", "n_changes"
     )
+
+
+@staged_query(
+    "streaming_cdc_latest",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id AS key,
+               event_id,
+               value,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'U'
+                    ELSE 'I' END AS op
+        FROM events
+    ), latest AS (
+        SELECT key,
+               max_by(op, event_id) AS last_op,
+               max_by(value, event_id) AS last_value,
+               max(event_id) AS last_event_id
+        FROM ops GROUP BY key
+    )
+    SELECT key, last_value, last_event_id
+    FROM latest
+    WHERE last_op <> 'D'
+    """,
+)
+def streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC snapshot maintained as a STREAM — cdc_snapshot_apply's
+    continuous twin: the change feed flows through a stateful max_by
+    aggregate (latest op/value per key in change order), and the
+    delete filter applies to the aggregate's continuously-updated
+    output, so a key vanishes from the materialization the moment its
+    latest change is a delete and reappears if a later insert arrives.
+    Complete-mode memory sink holds exactly the final snapshot, which
+    must hash-match the batch merge — stream-batch equivalence, the
+    same argument every streaming row here rides on. State per key is
+    three scalars; the filter is stateless post-aggregate. This is the
+    Debezium→materialized-table topology with the merge expressed as
+    aggregation instead of per-row MERGE INTO."""
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    stream = _read_events_stream(spark, sf_dir)
+    ops = stream.select(
+        F.col("user_id").alias("key"),
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    latest = (
+        ops.groupBy("key")
+        .agg(
+            F.max_by("op", "event_id").alias("last_op"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .where(F.col("last_op") != "D")
+        .select("key", "last_value", "last_event_id")
+    )
+    import uuid
+
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(latest, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
