@@ -1,17 +1,15 @@
-"""Round-6 staging area: fully-built, oracle-verified queries that are
-NOT yet registered with the driver-graded registry.
+"""Round-6 graduated queries: the 20 queries staged (and locally
+DuckDB-verified at sf0.001/0.01/0.1) during round 5, now registered with
+the driver-graded registry per docs/ROTATION_R6.md.
 
-Why a separate module: the driver grades exactly the first 50 entries of
-``__spark_entry__.queries()`` and this round's 50-slot head is already
-committed (every slot holds a query awaiting its first green row —
-displacing one would leave it ungraded, violating the rotation contract
-in tests/test_contract.py). New work therefore lands here with a
-MODULE-LOCAL registry; tests/test_next_round.py runs the same
-Spark-vs-DuckDB comparison the driver runs, so each staged query is
-already verified green before it rotates into the graded head next
-round (swap ``staged_query`` for ``plans.registry.query``, import the
-module from ``__spark_entry__``, and move freshly-green head rows to
-TAIL with pins).
+Layout/runtime-filter levers: zorder_layout_scan, bloom_semijoin_pushdown,
+analyze_column_stats. Analytics shapes: funnel_conversion, cohort_retention,
+rolling_7day_active_users, winsorized_stats, tfidf_top_terms,
+nullsafe_join_agg, group_exact_k_sample. Curation/LLM-pipeline:
+doc_chunk_stride, domain_mixture_resample, dedup_containment,
+dedup_cross_source_matrix, quality_cdf_normalize, ann_recall_certified.
+CDC/SCD: scd2_dimension_build, cdc_snapshot_apply, streaming_cdc_latest,
+streaming_chained_window_agg.
 
 Design notes per query live in the docstrings; every one follows the
 repo-wide cross-engine determinism rules (functions/stable.py,
@@ -41,23 +39,9 @@ from sparkksqldbbenchmark_spark.llm.hashing import (
     sql_tokens,
     sql_word_shingles,
 )
+from sparkksqldbbenchmark_spark.plans.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-STAGED: dict[str, QueryFn] = {}
-STAGED_ORACLE: dict[str, str] = {}
-
-
-def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
-    """Module-local twin of plans.registry.query — keeps staged work out
-    of the driver's grading window until deliberately rotated in."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        STAGED[name] = fn
-        STAGED_ORACLE[name] = oracle
-        return fn
-
-    return deco
 
 
 # ------------------------------------------------------------- chunking --
@@ -68,7 +52,7 @@ _CHUNK_S = 150  # stride (chars) → 50-char overlap between neighbors
 _CHUNK_N = f"cast(ceil(greatest(length(text), 1) / {_CHUNK_S}.0) as int)"
 
 
-@staged_query(
+@query(
     "doc_chunk_stride",
     oracle=f"""
     SELECT doc_id,
@@ -122,7 +106,7 @@ def doc_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- tf-idf --
 
 
-@staged_query(
+@query(
     "tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
@@ -195,7 +179,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- funnel --
 
 
-@staged_query(
+@query(
     "funnel_conversion",
     oracle="""
     WITH v AS (
@@ -265,7 +249,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- cohorts --
 
 
-@staged_query(
+@query(
     "cohort_retention",
     oracle="""
     WITH firsts AS (
@@ -325,11 +309,22 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight(srcN) = 1 + (N mod 3) ∈ {1,2,3}; acceptance threshold =
 # weight·1e6 div 3 compared against a 1e6-bucket md5 hash of doc_id —
 # deterministic, reproducible sampling with zero data movement.
-_SPARK_W = "(1 + cast(regexp_extract(source, '(\\\\d+)', 1) as int) % 3)"
-_SQL_W = "(1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3)"
+# try_cast + coalesce on BOTH sides: on a digit-less source value a plain
+# cast diverges cross-engine (Spark cast('' as int) → NULL and the row is
+# silently never kept; DuckDB CAST('' AS INT) hard-errors). try_cast makes
+# the degenerate case defined and identical: weight defaults to 1 (keep
+# at the lowest 1/3 rate) instead of NULL/error.
+_SPARK_W = (
+    "(1 + coalesce(try_cast(regexp_extract(source, '(\\\\d+)', 1) as int), 0)"
+    " % 3)"
+)
+_SQL_W = (
+    "(1 + COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT), 0)"
+    " % 3)"
+)
 
 
-@staged_query(
+@query(
     "domain_mixture_resample",
     oracle=f"""
     SELECT source,
@@ -368,7 +363,7 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- winsorize --
 
 
-@staged_query(
+@query(
     "winsorized_stats",
     oracle=f"""
     WITH ranked AS (
@@ -455,7 +450,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- rolling active set --
 
 
-@staged_query(
+@query(
     "rolling_7day_active_users",
     oracle="""
     WITH days AS (
@@ -553,7 +548,7 @@ def _containment_oracle() -> str:
     """
 
 
-@staged_query("dedup_containment", oracle=_containment_oracle())
+@query("dedup_containment", oracle=_containment_oracle())
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) over word
     3-shingles — catches subset/quote relationships (a short doc embedded
@@ -640,7 +635,7 @@ def _quality_cdf_oracle() -> str:
     )
 
 
-@staged_query("quality_cdf_normalize", oracle=_quality_cdf_oracle())
+@query("quality_cdf_normalize", oracle=_quality_cdf_oracle())
 def quality_cdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-CDF quantile normalization of the composite quality
     score: bucket every document into a fixed 0.01-wide score bucket,
@@ -693,7 +688,7 @@ _SV = sql_stable_sum("value", 2)
 _SP = sql_stable_sum("l.l_extendedprice", 2)
 
 
-@staged_query(
+@query(
     "zorder_layout_scan",
     oracle=f"""
     SELECT count(*) AS n_rows,
@@ -839,7 +834,7 @@ def _ann_recall_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
     """
 
 
-@staged_query("ann_recall_certified", oracle=_ann_recall_oracle())
+@query("ann_recall_certified", oracle=_ann_recall_oracle())
 def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k certificate for the approximate similarity path — the
     measurement that justifies shipping LSH instead of brute force at
@@ -881,7 +876,7 @@ def ann_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- runtime bloom-filter join --
 
 
-@staged_query(
+@query(
     "bloom_semijoin_pushdown",
     oracle=f"""
     SELECT count(*) AS n_rows,
@@ -917,6 +912,11 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE reads its own threshold at RUNTIME re-optimization; without
+        # this pin the initial sort-merge join could still flip to
+        # broadcast when the query executes, silently voiding the
+        # plan-shape claim below even though the answer is unaffected
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter."
         "creationSideThreshold": "100MB",
@@ -941,12 +941,15 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
             )
         )
-        # Materializing the (lazy-val-cached) EXECUTED plan inside the
-        # conf window freezes both optimization and physical planning
-        # into this DataFrame's QueryExecution — forcing only the
-        # optimized plan would let physical planning happen after the
-        # finally block restores the broadcast threshold, silently
-        # planning the very broadcast join this row exists to avoid.
+        # Execute INSIDE the conf window and assert on the POST-execution
+        # plan: freezing only the pre-execution executedPlan() is not
+        # enough under AQE — the printed plan is the initial one inside
+        # AdaptiveSparkPlan, and runtime re-optimization (which reads the
+        # session conf at execution time) could still swap the sort-merge
+        # join for a broadcast after the finally block restores the
+        # thresholds. Collecting here means the adaptive final plan below
+        # is the plan that actually produced the graded rows.
+        rows = out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan and "bloom_filter_agg" in plan, (
             "runtime bloom filter not injected:\n" + plan
@@ -955,7 +958,9 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim side was broadcast — not the shuffle-join regime this "
             "row grades:\n" + plan
         )
-        return out
+        # 1-row aggregate, re-wrapped so the driver's later collect sees
+        # exactly the rows the asserted execution produced
+        return spark.createDataFrame(rows, out.schema)
     finally:
         for key, old in saved.items():
             if old is None:
@@ -967,7 +972,7 @@ def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- chained stateful streaming --
 
 
-@staged_query(
+@query(
     "streaming_chained_window_agg",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 2 HOUR, ts),
@@ -1061,7 +1066,7 @@ def _cross_source_oracle() -> str:
     """
 
 
-@staged_query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+@query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix — the contamination AUDIT built on
     the near-dup pair machinery: label each verified minhash-LSH pair
@@ -1112,7 +1117,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- SCD-2 dimension --
 
 
-@staged_query(
+@query(
     "scd2_dimension_build",
     oracle="""
     WITH ordered AS (
@@ -1178,7 +1183,7 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ deterministic sampling --
 
 
-@staged_query(
+@query(
     "group_exact_k_sample",
     oracle="""
     SELECT doc_id, source, pick_rank FROM (
@@ -1221,7 +1226,7 @@ def group_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- column statistics --
 
 
-@staged_query(
+@query(
     "analyze_column_stats",
     oracle="""
     SELECT 'event_id' AS col, count(*) AS n_rows,
@@ -1288,7 +1293,7 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- null-safe join --
 
 
-@staged_query(
+@query(
     "nullsafe_join_agg",
     oracle="""
     WITH l AS (
@@ -1349,7 +1354,7 @@ def nullsafe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- CDC apply --
 
 
-@staged_query(
+@query(
     "cdc_snapshot_apply",
     oracle="""
     WITH ops AS (
@@ -1407,7 +1412,7 @@ def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@staged_query(
+@query(
     "streaming_cdc_latest",
     oracle="""
     WITH ops AS (

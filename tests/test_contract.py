@@ -46,6 +46,26 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "weather_window_agg_sql": "10e3d40e4c64ae71",
+    "ksql_windowed_table": "64684741c0b2fe4e",
+    "dedup_exact": "09a09b18864441e0",
+    "dedup_simhash": "4cfa97525bd1b860",
+    "dedup_clusters": "6a3d68f7f765a34a",
+    "dedup_ngram_jaccard": "626fdf3ec0b8ce7c",
+    "tpch_q18_large_orders": "cd0cf27370953e38",
+    "tpch_q19_disjunctive_predicates": "8191c41b4ef248ea",
+    "tpch_q13_customer_distribution": "34db0404576d76bc",
+    "tpch_q15_top_supplier": "ccadd422857763b3",
+    "hopping_window_agg": "b3ea9bedc02d5b4c",
+    "rank_function_suite": "fb4148baa60ed348",
+    "null_semantics_suite": "669fd86afcec8932",
+    "grouping_sets_report": "fe04e9691ec10b4d",
+    "linear_interpolation_gapfill": "050d076993da4ecd",
+    "pii_scrub_stats": "0de4676ab6e22b39",
+    "sequence_packing_manifest": "f1f5e1b418da0dcd",
+    "passage_dup_stats": "bf1b4b80d0e66322",
+    "fuzzy_dedup_levenshtein": "5183024505069499",
+    "grouped_array_collect": "04eb26ed4fe8301b",
     "streaming_stream_join": "62c0b05da7a88771",
     "streaming_latest_table": "ea759cad93d985c1",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",

@@ -1,10 +1,13 @@
-"""Oracle verification for the round-6 staging area (plans/next_round.py).
+"""Oracle verification for the round-6 graduated queries
+(plans/round6_queries.py — formerly the next_round.py staging area).
 
-Runs every staged query on Spark and its DuckDB oracle twin over the same
+Runs every round-6 query on Spark and its DuckDB oracle twin over the same
 sf0.001 parquet, comparing row count, sorted column names, and the
 order-insensitive canonical value hash — the identical procedure
-tools/check_correctness.py replicates from the driver. A staged query is
-rotation-ready only when it passes here.
+tools/check_correctness.py replicates from the driver. Kept after
+graduation so the newest registry cohort stays locally pinned at
+multiple scale factors (CHECK_SF_DIR), plus the SCD-2/CDC invariant
+tests that go beyond what the value-hash oracle can express.
 """
 
 from __future__ import annotations
@@ -19,9 +22,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from check_correctness import TABLES, canon_rows  # noqa: E402
 
-from sparkksqldbbenchmark_spark.plans.next_round import (  # noqa: E402
-    STAGED,
-    STAGED_ORACLE,
+import sparkksqldbbenchmark_spark.plans.round6_queries  # noqa: E402,F401
+from sparkksqldbbenchmark_spark.plans.registry import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+)
+
+ROUND6 = (
+    "doc_chunk_stride",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "cohort_retention",
+    "domain_mixture_resample",
+    "winsorized_stats",
+    "rolling_7day_active_users",
+    "dedup_containment",
+    "quality_cdf_normalize",
+    "zorder_layout_scan",
+    "ann_recall_certified",
+    "bloom_semijoin_pushdown",
+    "streaming_chained_window_agg",
+    "dedup_cross_source_matrix",
+    "scd2_dimension_build",
+    "group_exact_k_sample",
+    "analyze_column_stats",
+    "nullsafe_join_agg",
+    "cdc_snapshot_apply",
+    "streaming_cdc_latest",
 )
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
@@ -38,18 +65,18 @@ def duck():
     con.close()
 
 
-def test_every_staged_query_has_oracle():
-    assert set(STAGED) == set(STAGED_ORACLE)
-    assert STAGED, "staging area unexpectedly empty"
+def test_every_round6_query_registered_with_oracle():
+    missing = [n for n in ROUND6 if n not in QUERIES or n not in ORACLE]
+    assert not missing, f"round-6 queries missing from registry: {missing}"
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED[name](spark, SF_DIR)
+@pytest.mark.parametrize("name", sorted(ROUND6))
+def test_round6_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(STAGED_ORACLE[name])
+    res = duck.execute(ORACLE[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 
@@ -75,7 +102,7 @@ def test_scd2_intervals_partition_each_keys_timeline(spark):
     the next version's valid_from — the timeline partitions cleanly."""
     from collections import defaultdict
 
-    rows = STAGED["scd2_dimension_build"](spark, SF_DIR).collect()
+    rows = QUERIES["scd2_dimension_build"](spark, SF_DIR).collect()
     by_key = defaultdict(list)
     for r in rows:
         by_key[r.user_id].append(r)
@@ -93,10 +120,7 @@ def test_scd2_intervals_partition_each_keys_timeline(spark):
 def test_cdc_consumes_full_history_and_drops_deleted_keys(spark):
     """CDC invariants: n_changes over surviving + deleted keys accounts
     for every change row, and no surviving key's last op is a delete."""
-    import duckdb
-    import os
-
-    res = STAGED["cdc_snapshot_apply"](spark, SF_DIR)
+    res = QUERIES["cdc_snapshot_apply"](spark, SF_DIR)
     surviving = res.collect()
     con = duckdb.connect()
     con.execute(

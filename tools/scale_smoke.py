@@ -351,7 +351,7 @@ def main() -> None:
             f"({int(docs_n / shuf_s):,} docs/s, total permutation)"
         )
 
-        # --- staged round-6 operators (plans/next_round.py shapes) ---
+        # --- round-6 operators (plans/round6_queries.py shapes) ---
 
         # sliding-window chunking: narrow explode+substring, zero
         # shuffles — must run at scan speed.
