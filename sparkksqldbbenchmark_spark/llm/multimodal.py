@@ -5,10 +5,11 @@ codec work is per-blob imperative logic DataFrame expressions can't
 express.
 
 The container has no PIL/ffmpeg, but `decode_blob` carries a GENUINE
-pure-Python decode for PNG and RIFF-PCM WAV (llm/codecs.py — zlib
-inflate + full scanline unfiltering / RIFF chunk parse); formats beyond
-those two still raise NotImplementedError. `fake_decode` remains the
-deterministic stand-in for the opaque-payload plumbing queries.
+pure-Python decode for PNG, baseline JPEG and RIFF-PCM WAV
+(llm/codecs.py — zlib inflate + full scanline unfiltering / marker walk
++ Huffman + IDCT / RIFF chunk parse); formats beyond those three still
+raise NotImplementedError. `fake_decode` remains the deterministic
+stand-in for the opaque-payload plumbing queries.
 Everything Spark-side — schema, binary handling, Arrow batch shape,
 partitioning — is identical between the real and stand-in paths:
 swapping in a PIL/ffmpeg call changes no plan.
@@ -80,12 +81,13 @@ def attach_media_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_blob(payload: bytes, media_type: str) -> dict:
-    """The real codec hook. PNG and RIFF-PCM blobs get a GENUINE
-    pure-Python decode (llm/codecs.py: chunk walk, zlib inflate,
-    scanline unfiltering incl. Paeth / RIFF fmt+data parse) — formats
-    with no pure-Python decoder available in this container (JPEG,
-    video) still raise NotImplementedError; production deployments
-    extend the dispatch with PIL/ffmpeg.
+    """The real codec hook. PNG, baseline-JPEG and RIFF-PCM blobs get a
+    GENUINE pure-Python decode (llm/codecs.py: chunk walk + zlib inflate
+    + scanline unfiltering incl. Paeth / marker walk + Huffman + DPCM +
+    dequant + IDCT / RIFF fmt+data parse) — formats with no pure-Python
+    decoder available in this container (video containers) still raise
+    NotImplementedError; production deployments extend the dispatch with
+    ffmpeg.
 
     Returns a uniform stats dict: codec, width/height (images; None for
     audio), sample_rate (audio; None for images), n_units (pixels×
@@ -105,6 +107,13 @@ def decode_blob(payload: bytes, media_type: str) -> dict:
             "n_units": w * h * ch,
             "unit_sum": sum(sum(r) for r in rows),
         }
+    if payload.startswith(codecs.JPEG_MAGIC):
+        w, h, rows = codecs.decode_jpeg(payload)
+        return {
+            "codec": "jpeg", "width": w, "height": h, "sample_rate": None,
+            "n_units": w * h,
+            "unit_sum": sum(sum(r) for r in rows),
+        }
     if payload.startswith(codecs.RIFF_MAGIC):
         rate, ch, samples = codecs.decode_wav(payload)
         return {
@@ -114,8 +123,8 @@ def decode_blob(payload: bytes, media_type: str) -> dict:
         }
     raise NotImplementedError(
         f"no pure-Python decoder for media_type={media_type!r} "
-        "(payload is neither PNG nor RIFF/WAVE); production deployments "
-        "extend decode_blob with PIL/ffmpeg"
+        "(payload is not PNG, JPEG or RIFF/WAVE); production deployments "
+        "extend decode_blob with ffmpeg"
     )
 
 
@@ -250,24 +259,39 @@ DECODE_STATS_SCHEMA = StructType(
 
 
 def _synth_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic real-format media for a doc id: even ids get an
-    8-bit grayscale PNG (pixel(x,y) = (id + 7x + 13y) mod 256, dims from
-    id residues), odd ids a 16-bit PCM WAV (sample(i) = (31·id + 17i)
-    mod 2^16 − 2^15). Content is a pure function of the id, so oracles
-    can recompute every decoded statistic analytically without a
-    decoder."""
+    """Deterministic real-format media for a doc id, cycling all three
+    genuine codecs: id % 3 == 0 → 8-bit grayscale PNG (pixel(x,y) =
+    (id + 7x + 13y) mod 256, dims from id residues); == 1 → 16-bit PCM
+    WAV (sample(i) = (31·id + 17i) mod 2^16 − 2^15); == 2 → baseline
+    grayscale JPEG of block-constant 8×8 tiles (tile(bx,by) = (id +
+    11·bx + 29·by) mod 256) — block-constant content with the DC-exact
+    default quant table round-trips EXACTLY through the lossy DCT path
+    (llm/codecs.encode_jpeg), so the decoded statistics stay a pure
+    integer function of the id and oracles can recompute every value
+    analytically without a decoder."""
     from sparkksqldbbenchmark_spark.llm import codecs
 
-    if doc_id % 2 == 0:
+    m = doc_id % 3
+    if m == 0:
         w, h = doc_id % 16 + 4, doc_id % 12 + 4
         rows = [
             bytes((doc_id + 7 * x + 13 * y) % 256 for x in range(w))
             for y in range(h)
         ]
         return "image", codecs.encode_png(rows)
-    n = doc_id % 50 + 10
-    samples = [(doc_id * 31 + i * 17) % 65536 - 32768 for i in range(n)]
-    return "audio", codecs.encode_wav(samples)
+    if m == 1:
+        n = doc_id % 50 + 10
+        samples = [(doc_id * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+        return "audio", codecs.encode_wav(samples)
+    bw, bh = doc_id % 4 + 2, doc_id % 3 + 2
+    rows = [
+        bytes(
+            (doc_id + 11 * (x // 8) + 29 * (y // 8)) % 256
+            for x in range(bw * 8)
+        )
+        for y in range(bh * 8)
+    ]
+    return "image", codecs.encode_jpeg(rows)
 
 
 def synth_media_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

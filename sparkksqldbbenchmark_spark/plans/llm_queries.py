@@ -804,31 +804,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id,
-               doc_id % 2 = 0 AS is_img,
+               doc_id % 3 AS fmt,
                doc_id % 16 + 4 AS w,
                doc_id % 12 + 4 AS h,
-               doc_id % 50 + 10 AS n
+               doc_id % 50 + 10 AS n,
+               (doc_id % 4 + 2) * 8 AS jw,
+               (doc_id % 3 + 2) * 8 AS jh
         FROM documents WHERE doc_id < 400
     ), s AS (
-        SELECT doc_id, is_img, w, h, n,
-               CAST(CASE WHEN is_img THEN w * h ELSE n END AS BIGINT)
-                   AS n_units,
-               CAST(CASE WHEN is_img THEN
+        SELECT doc_id, fmt, w, h, n, jw, jh,
+               CAST(CASE fmt WHEN 0 THEN w * h
+                             WHEN 1 THEN n
+                             ELSE jw * jh END AS BIGINT) AS n_units,
+               CAST(CASE fmt WHEN 0 THEN
                         list_sum(flatten(list_transform(range(0, h), y ->
                             list_transform(range(0, w), x ->
                                 (doc_id + 7 * x + 13 * y) % 256))))
-                    ELSE
+                    WHEN 1 THEN
                         list_sum(list_transform(range(0, n), i ->
                             (doc_id * 31 + i * 17) % 65536 - 32768))
+                    ELSE
+                        64 * list_sum(flatten(list_transform(
+                            range(0, jh // 8), yb ->
+                            list_transform(range(0, jw // 8), xb ->
+                                (doc_id + 11 * xb + 29 * yb) % 256))))
                     END AS BIGINT) AS unit_sum
         FROM base
     )
     SELECT doc_id,
-           CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
-           CASE WHEN is_img THEN 'png' ELSE 'wav' END AS codec,
-           CAST(CASE WHEN is_img THEN w END AS INTEGER) AS width,
-           CAST(CASE WHEN is_img THEN h END AS INTEGER) AS height,
-           CAST(CASE WHEN NOT is_img THEN 8000 END AS INTEGER)
+           CASE WHEN fmt = 1 THEN 'audio' ELSE 'image' END AS media_type,
+           CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                    ELSE 'jpeg' END AS codec,
+           CAST(CASE fmt WHEN 0 THEN w WHEN 2 THEN jw END AS INTEGER)
+               AS width,
+           CAST(CASE fmt WHEN 0 THEN h WHEN 2 THEN jh END AS INTEGER)
+               AS height,
+           CAST(CASE WHEN fmt = 1 THEN 8000 END AS INTEGER)
                AS sample_rate,
            n_units,
            unit_sum,
@@ -839,17 +850,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip (llm/codecs.py + multimodal.decode_blob):
-    each doc id is synthesized into a genuine PNG (even ids — encoder
-    cycles all five scanline filters, so decode exercises Sub/Up/Average/
-    Paeth unfiltering, zlib inflate and CRC checks) or a RIFF 16-bit PCM
-    WAV (odd ids), then decoded back through the actual format parsers
-    and reduced to per-blob statistics. The pixel/sample content is a
-    pure function of the id, so the oracle recomputes every decoded
-    value analytically — a wrong filter implementation, stride, or
-    sign convention shifts unit_sum and fails the hash. Both stages run
-    in one mapInPandas pass chain over Arrow batches; blobs never leave
-    the executors, and only fixed-size stats reach the result — the
-    100 TB shape for media pipelines."""
+    each doc id is synthesized into a genuine PNG (id % 3 == 0 — the
+    encoder cycles all five scanline filters, so decode exercises
+    Sub/Up/Average/Paeth unfiltering, zlib inflate and CRC checks), a
+    RIFF 16-bit PCM WAV (== 1), or a baseline grayscale JPEG (== 2 —
+    marker walk, DQT/DHT table construction from the stream, Huffman +
+    DPCM + EXTEND entropy decode, dequant + 2-D IDCT; block-constant
+    tiles with the DC-exact quant table make the lossy path round-trip
+    exactly), then decoded back through the actual format parsers and
+    reduced to per-blob statistics. The pixel/sample content is a pure
+    function of the id, so the oracle recomputes every decoded value
+    analytically — a wrong filter implementation, stride, Huffman
+    table, or sign convention shifts unit_sum and fails the hash. Both
+    stages run in one mapInPandas pass chain over Arrow batches; blobs
+    never leave the executors, and only fixed-size stats reach the
+    result — the 100 TB shape for media pipelines."""
     from sparkksqldbbenchmark_spark.llm import multimodal
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)

@@ -345,8 +345,81 @@ def test_wav_codec_roundtrip_and_decode_blob_dispatch():
         codecs.encode_png([bytes([10, 20]), bytes([30, 40])]), "image"
     )
     assert st2["codec"] == "png" and st2["unit_sum"] == 100
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now dispatches to the real decoder — a garbage body is
+    # a decode failure, not an unimplemented format
+    with pytest.raises(codecs.UnsupportedMediaError):
         multimodal.decode_blob(b"\xff\xd8\xffJPEG", "image")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(b"\x00\x00\x00\x18ftypmp42", "video")
+
+
+def test_jpeg_codec_block_constant_exact_roundtrip():
+    """Block-constant tiles with the DC-exact default quant table (DC
+    step 8 divides 8·(v−128)) must survive the lossy DCT path EXACTLY —
+    the property the graded decode row's analytic oracle relies on."""
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    for doc_id in (2, 5, 8, 11, 92, 227):
+        bw, bh = doc_id % 4 + 2, doc_id % 3 + 2
+        rows = [
+            bytes(
+                (doc_id + 11 * (x // 8) + 29 * (y // 8)) % 256
+                for x in range(bw * 8)
+            )
+            for y in range(bh * 8)
+        ]
+        w, h, dec = codecs.decode_jpeg(codecs.encode_jpeg(rows))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert dec == rows, f"doc_id={doc_id} not exact"
+
+
+def test_jpeg_codec_lossy_roundtrip_bounded_error():
+    """Full AC path (nonzero coefficients, ZRL runs, EXTEND sign
+    decode, byte stuffing): with an all-ones quant table the only loss
+    is coefficient rounding, so max pixel error must stay ≤ 2; odd
+    (non-multiple-of-8) dims exercise edge padding + crop."""
+    import hashlib
+
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    for w, h in ((8, 8), (24, 16), (17, 13), (40, 33)):
+        rows = [
+            bytes(
+                hashlib.md5(f"{w * h}/{x}/{y}".encode()).digest()[0]
+                for x in range(w)
+            )
+            for y in range(h)
+        ]
+        dw, dh, dec = codecs.decode_jpeg(
+            codecs.encode_jpeg(rows, quant=[1] * 64)
+        )
+        assert (dw, dh) == (w, h)
+        err = max(
+            abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb)
+        )
+        assert err <= 2, f"{w}x{h}: near-lossless error {err}"
+
+
+def test_jpeg_codec_rejects_corruption_and_unsupported():
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    good = codecs.encode_jpeg([bytes(range(16)) for _ in range(16)])
+    with pytest.raises(codecs.UnsupportedMediaError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x89PNG....")
+    with pytest.raises(codecs.UnsupportedMediaError, match="truncated"):
+        codecs.decode_jpeg(good[:40])
+    # flip SOF0 into SOF2 (progressive) — scan for the marker
+    prog = bytearray(good)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(codecs.UnsupportedMediaError, match="progressive"):
+        codecs.decode_jpeg(bytes(prog))
+    # truncate inside the entropy stream (drop EOI + trailing bytes)
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_jpeg(good[:-8])
+    # decode_blob dispatch for a real JPEG
+    st = multimodal.decode_blob(good, "image")
+    assert st["codec"] == "jpeg" and st["n_units"] == 256
 
 
 def test_multimodal_resize_null_payload_stays_null(spark):
