@@ -13,6 +13,16 @@ does not ship — the equivalence test (test_stateful.py) skips with a
 reason here and runs wherever protobuf exists; the
 applyInPandasWithState operators remain the in-sandbox-proven
 custom-state path.
+
+Closing the gap in-sandbox was investigated (round 6) and is
+IMPOSSIBLE without an install: pyspark's generated
+`sql/streaming/proto/StateMessage_pb2.py` imports the full protobuf
+runtime (descriptor_pool, runtime_version, internal.builder) with
+serialized descriptors — a minimal shim can't satisfy it, installs are
+off-limits, and re-implementing the protobuf runtime (~10k LoC) is far
+out of scope. Re-check `import google.protobuf` each round; the test
+un-skips itself with zero code change the moment the environment
+provides it.
 """
 
 from __future__ import annotations

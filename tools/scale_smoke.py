@@ -496,7 +496,7 @@ def main() -> None:
             f"{len(x_over) - len(b_over)} skipped by 2nd dim)"
         )
 
-        # --- staged round-6: runtime bloom-filter join, off vs on ---
+        # --- round-6: runtime bloom-filter join, off vs on ---
         # a realistic dim TABLE (materialized once, 1500 rows) —
         # keeping it a distinct() over the fact would make the bloom
         # build re-scan the whole fact and charge the filter for it.
@@ -508,6 +508,16 @@ def main() -> None:
             .write.mode("overwrite").parquet(dim_path)
         )
         dim = spark.read.parquet(dim_path)
+        # The fact must carry a payload THROUGH the shuffle: a bare
+        # join().count() lets Catalyst prune every column but the key,
+        # so neither mode serializes any payload and the filter has
+        # nothing to save (measured: off≈on at 100M in that shape).
+        # sum(length(payload)) after the join keeps the column alive —
+        # the bloom filter's win is exactly the payload bytes it stops
+        # from entering the exchange.
+        fact = events.withColumn(
+            "payload", F.expr("repeat(cast(event_id as string), 8)")
+        )
         bloom_confs = {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
@@ -518,20 +528,42 @@ def main() -> None:
         }
         saved = {k: spark.conf.get(k, None) for k in bloom_confs}
         try:
-            times = {}
-            for mode in ("off", "on"):
-                bloom_confs[
-                    "spark.sql.optimizer.runtime.bloomFilter.enabled"
-                ] = "true" if mode == "on" else "false"
-                for k, v in bloom_confs.items():
-                    spark.conf.set(k, v)
-                t0 = time.time()
-                nj = events.join(dim, "user_id").count()
-                times[mode] = time.time() - t0
+            # Interleave alternating-order off/on pairs and report the
+            # median: a single off-then-on pair hands the 'on' run the
+            # 'off' run's page-cache/JIT warm-up, biasing the ratio
+            # (the ordering flaw the r05 shuffle-partition comparison
+            # already avoids).
+            import statistics
+
+            times: dict[str, list[float]] = {"off": [], "on": []}
+            nj = 0
+            for order in (("off", "on"), ("on", "off"), ("off", "on")):
+                for mode in order:
+                    bloom_confs[
+                        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                    ] = "true" if mode == "on" else "false"
+                    for k, v in bloom_confs.items():
+                        spark.conf.set(k, v)
+                    t0 = time.time()
+                    row = (
+                        fact.join(dim, "user_id")
+                        .agg(
+                            F.count(F.lit(1)).alias("nj"),
+                            F.sum(F.length("payload")).alias("pb"),
+                        )
+                        .collect()[0]
+                    )
+                    nj = row["nj"]
+                    times[mode].append(time.time() - t0)
+            t_off = statistics.median(times["off"])
+            t_on = statistics.median(times["on"])
             print(
-                f"rows={n:,} bloom_join off={times['off']:.1f}s "
-                f"on={times['on']:.1f}s ({nj:,} joined rows, "
-                f"5% selective dim)"
+                f"rows={n:,} bloom_join off={t_off:.1f}s "
+                f"on={t_on:.1f}s ({nj:,} joined rows, 5% selective dim, "
+                f"~{row['pb'] // max(nj, 1)} B payload through the "
+                f"shuffle; median of 3 alternating-order pairs — "
+                f"off={[round(t, 1) for t in times['off']]} "
+                f"on={[round(t, 1) for t in times['on']]})"
             )
         finally:
             for k, v in saved.items():
