@@ -130,20 +130,36 @@ def write_zordered(
     b = df.agg(
         F.min(dim_x), F.max(dim_x), F.min(dim_y), F.max(dim_y)
     ).collect()[0]
-    if b[0] is None:
-        raise ValueError(
-            "write_zordered: input DataFrame is empty (or the z-order "
-            f"dims {dim_x!r}/{dim_y!r} are all NULL) — nothing to cluster"
-        )
+    # check EVERY bound, naming the offending dim: min(dim_x) non-NULL
+    # with dim_y all-NULL would otherwise hit int(None) as a bare
+    # TypeError two lines down (ADVICE r05)
+    for val, label in zip(b, (dim_x, dim_x, dim_y, dim_y)):
+        if val is None:
+            raise ValueError(
+                f"write_zordered: z-order dim {label!r} has no non-NULL "
+                "values (empty input or all-NULL column) — nothing to "
+                "cluster"
+            )
     xmin, xmax, ymin, ymax = (int(v) for v in b)
     n = 1 << bits
 
     def bucket(col: str, lo: int, hi: int) -> Column:
+        # Per-row NULLs in either dim would make the whole z-code NULL
+        # (a NULL range-partition sort key, NULLS-FIRST by accident).
+        # Pin the NULL dim to bucket 0 explicitly: the row keeps its
+        # real bucket on the OTHER dim (locality there is preserved),
+        # the write never produces a NULL sort key, and footer min/max
+        # stay truthful — parquet stats ignore NULLs, and range
+        # predicates drop NULL rows anyway, so skipping by either dim's
+        # stats remains correct.
         span = max(hi - lo + 1, 1)
-        return F.least(
-            F.lit(n - 1),
-            F.floor((F.col(col) - F.lit(lo)) * n / F.lit(span)),
-        ).cast("int")
+        return F.coalesce(
+            F.least(
+                F.lit(n - 1),
+                F.floor((F.col(col) - F.lit(lo)) * n / F.lit(span)),
+            ).cast("int"),
+            F.lit(0),
+        )
 
     coded = df.withColumn(
         "__z",

@@ -161,3 +161,42 @@ def test_zorder_code_property_random_points(spark):
             )
 
     check()
+
+
+def test_zorder_null_dims_named_error_and_row_nulls_pinned(spark, tmp_path):
+    """All-NULL dim → ValueError naming the dim (not a bare TypeError);
+    per-row NULLs in either dim cluster deterministically into the
+    lowest z-range instead of producing NULL sort keys (ADVICE r05)."""
+    import pytest
+
+    from sparkksqldbbenchmark_spark.operators.layout import write_zordered
+
+    # dim_y entirely NULL, dim_x populated — must name dim_y
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "x int, y int"
+    )
+    with pytest.raises(ValueError, match="'y'"):
+        write_zordered(df, str(tmp_path / "z1"), "x", "y")
+
+    # scattered per-row NULLs: the write succeeds with no NULL sort
+    # keys, every row survives, and range scans on either dim return
+    # exactly what the unclustered data would (NULL-dim rows take
+    # bucket 0 on the NULL dim but keep their real bucket on the other
+    # dim, so per-file footer stats stay truthful)
+    rows = [(i, None if i % 7 == 0 else i * 3) for i in range(200)]
+    df2 = spark.createDataFrame(rows, "x int, y int")
+    out = str(tmp_path / "z2")
+    write_zordered(df2, out, "x", "y", num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    expect_x = sorted(
+        (x, y) for x, y in rows if 50 <= x <= 120
+    )
+    got_x = sorted(
+        (r.x, r.y)
+        for r in back.where("x BETWEEN 50 AND 120").collect()
+    )
+    assert got_x == expect_x
+    expect_y = sorted((x, y) for x, y in rows if y is not None and y >= 300)
+    got_y = sorted((r.x, r.y) for r in back.where("y >= 300").collect())
+    assert got_y == expect_y
