@@ -1,0 +1,945 @@
+"""Round-7 staging area: fully-built, oracle-verified queries that are
+NOT yet registered with the driver-graded registry.
+
+Why a separate module: the driver grades exactly the first 50 entries of
+``__spark_entry__.queries()`` and this round's 50-slot head is already
+committed (every slot holds a query awaiting a fresh green row —
+displacing one would leave it ungraded, violating the rotation contract
+in tests/test_contract.py). New work therefore lands here with a
+MODULE-LOCAL registry; tests/test_next_round.py runs the same
+Spark-vs-DuckDB comparison the driver runs, so each staged query is
+already verified green before it rotates into the graded head next
+round (swap ``staged_query`` for ``plans.registry.query``, import the
+module from ``__spark_entry__``, and move freshly-green head rows to
+TAIL with pins — mechanics as executed in round 6, see
+plans/round6_queries.py history).
+
+Round-7 themes: engine/SQL surface still uncovered after round 6 —
+batch gaps-and-islands sessionization, table diff / reconciliation and
+merge-on-read (completing the CDC family), deterministic weighted
+sampling, higher-order array functions, JSON extraction, RANGE interval
+window frames, calendar-spine densification, recursive CTEs (Spark 4
+WITH RECURSIVE), AQE partition-coalescing plan assertion, bitmap
+activity aggregates, ties-aware top-k, and two new streaming semantics
+(dropDuplicatesWithinWatermark, watermarked stream-stream LEFT OUTER).
+
+Design notes per query live in the docstrings; every one follows the
+repo-wide cross-engine determinism rules (functions/stable.py,
+llm/hashing.py): integer or exact-decimal arithmetic wherever a value is
+compared, libm only where both engines are correctly-rounded (IEEE
+division), md5-based hashing for anything pseudo-random.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STAGED: dict[str, QueryFn] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
+    """Module-local twin of plans.registry.query — keeps staged work out
+    of the driver's grading window until deliberately rotated in."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED[name] = fn
+        STAGED_ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# -------------------------------------------------- batch sessionization --
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+
+@staged_query(
+    "batch_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+        SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {_GAP_US}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sess AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in BATCH — the offline twin of the
+    graded streaming session window: a new session starts wherever the
+    gap to the previous event of the same user exceeds 30 minutes
+    (lag + flag), session ids are the running sum of the flags, then one
+    aggregate per (user, session). The event_id tiebreak makes the
+    within-user order total, so session boundaries are reproducible
+    under equal timestamps; gap compare is exact integer microseconds.
+
+    Scale shape: ONE shuffle on user_id; the lag window, the running-sum
+    window and the final aggregate all share the (user_id × ts) sort, so
+    Catalyst plans a single Sort under both Window operators and the
+    aggregate is partial-aggregated on the same partitioning. No global
+    order anywhere — per-user timelines are embarrassingly parallel,
+    exactly how a 100 TB clickstream sessionizes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(w)
+            ).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > _GAP_US
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+# ------------------------------------------------ table diff / reconcile --
+
+
+@staged_query(
+    "table_diff_reconciliation",
+    oracle="""
+    WITH t AS (SELECT max(event_id) * 7 // 10 AS cut FROM events),
+    a AS (
+        SELECT user_id, max_by(value, event_id) AS val
+        FROM events, t WHERE event_id <= t.cut GROUP BY 1
+    ),
+    b AS (
+        SELECT user_id, max_by(value, event_id) AS val
+        FROM events WHERE event_id % 17 <> 0 GROUP BY 1
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS key,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.val IS DISTINCT FROM b.val THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.val AS old_value,
+           b.val AS new_value
+    FROM a FULL JOIN b ON a.user_id = b.user_id
+    """,
+)
+def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table diff — the reconciliation audit run after every
+    migration/backfill ("did the new pipeline produce the same table?"):
+    two snapshots of latest-value-per-key state (A = as of a 70% event
+    cut, B = a sibling system that dropped every 17th event), full-outer
+    joined on the key with NULL-safe value comparison, each key labeled
+    added / removed / changed / unchanged. IS DISTINCT FROM (Spark
+    `<=>` negated) keeps NULL values honest — a NULL→value transition
+    is 'changed', not silently 'unchanged'.
+
+    Scale shape: two max_by aggregates (one shuffle each on the same
+    key) and a co-partitioned full-outer join that reuses that
+    partitioning — three exchanges total, all keyed on user_id, no
+    broadcast needed at any size because the join is key-aligned. The
+    pass-through `value` doubles avoid any float arithmetic — both
+    engines compare the same stored bits."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.max("event_id") * 7 / 10).cast("long").alias("cut"))
+    a = (
+        ev.join(F.broadcast(cut))
+        .where(F.col("event_id") <= F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("val"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 17 != 0)
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("val"))
+    )
+    a2 = a.select(F.col("user_id").alias("ka"), F.col("val").alias("old_value"))
+    b2 = b.select(F.col("user_id").alias("kb"), F.col("val").alias("new_value"))
+    joined = a2.join(b2, a2.ka == b2.kb, "full_outer")
+    return joined.select(
+        F.coalesce("ka", "kb").alias("key"),
+        F.when(F.col("ka").isNull(), F.lit("added"))
+        .when(F.col("kb").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_value").eqNullSafe(F.col("new_value")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_value",
+        "new_value",
+    )
+
+
+# ---------------------------------------------------- merge-on-read view --
+
+
+@staged_query(
+    "merge_on_read_upsert",
+    oracle="""
+    WITH t AS (SELECT max(event_id) * 6 // 10 AS cut FROM events),
+    base AS (
+        SELECT user_id AS key, max_by(value, event_id) AS val
+        FROM events, t WHERE event_id <= t.cut GROUP BY 1
+    ),
+    delta AS (
+        SELECT user_id AS key,
+               max_by(CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END,
+                      event_id) AS last_op,
+               max_by(value, event_id) AS last_val,
+               count(*) AS n_delta
+        FROM events, t WHERE event_id > t.cut GROUP BY 1
+    )
+    SELECT coalesce(b.key, d.key) AS key,
+           CASE WHEN d.key IS NOT NULL THEN d.last_val
+                ELSE b.val END AS current_value,
+           CASE WHEN d.key IS NULL THEN 'base' ELSE 'delta' END
+               AS provenance,
+           coalesce(d.n_delta, 0) AS n_delta
+    FROM base b FULL JOIN delta d ON b.key = d.key
+    WHERE d.key IS NULL OR d.last_op <> 'D'
+    """,
+)
+def merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read resolution — the Hudi/Delta MoR read path reduced to
+    its relational core: a BASE snapshot (latest value per key up to a
+    60% event cut) plus a DELTA log (every later event, 'D' delete on
+    each 11th id, else upsert), resolved at read time: the latest delta
+    op wins per key, a final delete drops the key, untouched keys read
+    through from base. Completes the CDC family (cdc_snapshot_apply is
+    the one-source fold; this is the two-source merge every lakehouse
+    table format performs on query).
+
+    Scale shape: base and delta aggregates each shuffle once on the key
+    and the full-outer join reuses the same partitioning — co-aligned,
+    no re-shuffle of the big side. max_by partial aggregation keeps the
+    delta fold to one (op, value, id) triple per key per partition; the
+    provenance/n_delta columns prove the merge consumed the log rather
+    than just reading base."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.max("event_id") * 6 / 10).cast("long").alias("cut"))
+    evc = ev.join(F.broadcast(cut))
+    base = (
+        evc.where(F.col("event_id") <= F.col("cut"))
+        .groupBy(F.col("user_id").alias("bkey"))
+        .agg(F.max_by("value", "event_id").alias("val"))
+    )
+    delta = (
+        evc.where(F.col("event_id") > F.col("cut"))
+        .groupBy(F.col("user_id").alias("dkey"))
+        .agg(
+            F.max_by(
+                F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+                "event_id",
+            ).alias("last_op"),
+            F.max_by("value", "event_id").alias("last_val"),
+            F.count(F.lit(1)).alias("n_delta"),
+        )
+    )
+    joined = base.join(delta, base.bkey == delta.dkey, "full_outer")
+    return joined.where(
+        F.col("dkey").isNull() | (F.col("last_op") != "D")
+    ).select(
+        F.coalesce("bkey", "dkey").alias("key"),
+        F.when(F.col("dkey").isNotNull(), F.col("last_val"))
+        .otherwise(F.col("val"))
+        .alias("current_value"),
+        F.when(F.col("dkey").isNull(), F.lit("base"))
+        .otherwise(F.lit("delta"))
+        .alias("provenance"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+    )
+
+
+# --------------------------------------------- deterministic weighted top --
+
+
+@staged_query(
+    "weighted_sample_priority",
+    oracle="""
+    SELECT doc_id, weight, priority FROM (
+        SELECT doc_id,
+               CAST(1 + doc_id % 5 AS BIGINT) AS weight,
+               CAST(CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || '/wsample'), 1, 12)
+                    AS BIGINT) AS DOUBLE)
+                   / CAST(1 + doc_id % 5 AS DOUBLE) AS priority
+        FROM documents
+    ) ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling via priority ordering (the
+    hash-keyed variant of priority/sequential Poisson sampling): each
+    doc draws a reproducible uniform key from md5(id), divides by its
+    weight, and the global smallest-priority k survive — heavier docs
+    get proportionally smaller priorities, so selection probability
+    scales with weight, yet the sample is bit-identical across runs,
+    engines and retries (no RNG). The stand-in weight 1 + id % 5 models
+    a quality/importance score.
+
+    Cross-engine: the 48-bit hash prefix and the weight are exact
+    integers; the single division is IEEE-correctly-rounded in both
+    engines, and the doc_id tiebreak totalizes the order.
+
+    Scale shape: scan-side expression + global top-k — Spark plans
+    TakeOrderedAndProject (per-partition heaps, driver merge of k×P
+    rows), never a global sort. The same predicate-ized form (priority
+    < threshold from a quantile sketch) is the streaming-friendly
+    variant when k is a rate, not a count."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (1 + F.col("doc_id") % 5).cast("long")
+    hash48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/wsample"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            weight.alias("weight"),
+            (hash48 / weight.cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+# ------------------------------------------- higher-order function suite --
+
+
+@staged_query(
+    "hof_function_suite",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tok,
+           CAST(len(list_filter(t, x -> len(x) > 5)) AS INTEGER)
+               AS n_long,
+           CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+                AS BIGINT) AS total_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) > 0
+                AS BOOLEAN) AS has_digit,
+           CAST(len(list_filter(t, x -> len(x) > 12)) = 0 AS BOOLEAN)
+               AS all_short,
+           CAST(coalesce(list_sum(list_transform(range(1, len(t) + 1),
+                    i -> CASE WHEN t[CAST(i AS INT)]
+                                   = t[CAST(len(t) - i + 1 AS INT)]
+                              THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS sym_matches
+    FROM toks
+    """,
+)
+def hof_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function suite — one graded row covering the
+    lambda-expression surface (transform / filter / aggregate / exists /
+    forall / zip_with) the way scalar_function_suite covers scalars:
+    tokenize each document once, then derive token count, long-token
+    count (filter), total token length (aggregate fold), digit presence
+    (exists), a bounded-length invariant (forall), and a
+    position-symmetric match count (zip_with against the reversed
+    array). The DuckDB twin expresses the same values through
+    list_filter/list_transform/list_sum — different surface syntax,
+    identical integer semantics, which is the point: HOF results are
+    engine-portable data, not Spark trivia.
+
+    Scale shape: entirely scan-side, zero shuffles — every lambda runs
+    inside whole-stage codegen over the array column without
+    exploding rows (contrast tfidf_top_terms, which explodes because it
+    must aggregate ACROSS documents). The 100 TB form of per-document
+    feature extraction."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(spark_tokens("lower(text)"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.size(F.filter(t, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.expr(
+            f"aggregate({spark_tokens('lower(text)')}, 0L,"
+            " (a, x) -> a + length(x))"
+        ).alias("total_len"),
+        F.exists(t, lambda x: x.rlike("[0-9]")).alias("has_digit"),
+        F.forall(t, lambda x: F.length(x) <= 12).alias("all_short"),
+        F.expr(
+            f"aggregate(zip_with({spark_tokens('lower(text)')},"
+            f" reverse({spark_tokens('lower(text)')}),"
+            " (a, b) -> IF(a = b, 1L, 0L)), 0L, (acc, v) -> acc + v)"
+        ).alias("sym_matches"),
+    )
+
+
+# ---------------------------------------------------- JSON extraction --
+
+
+@staged_query(
+    "json_extract_suite",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS INTEGER) AS min_k,
+           CAST(max(k) AS INTEGER) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS ndv_k
+    FROM parsed GROUP BY 1
+    """,
+)
+def json_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction — the events table's `props`
+    column is a JSON string (the shape every eventing system ships);
+    this row grades BOTH Spark access paths against DuckDB's JSON
+    extension: `from_json` with an explicit schema feeds the sum (typed
+    struct field), `get_json_object` path extraction feeds min/max/NDV —
+    identical integers either way, proving the two APIs agree with each
+    other and with another engine.
+
+    Scale shape: JSON parsing is scan-side codegen (Jackson inside the
+    JVM, no Python); one partial-aggregated shuffle on the bounded
+    event_type key. At 100 TB the real lever is parsing ONCE per row
+    (the single from_json struct) rather than per field — which is why
+    the sum deliberately rides the struct path; a schema with all
+    needed fields amortizes the parse across every downstream column."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k_path").alias("n_with_k"),
+        F.sum("k_struct").alias("sum_k"),
+        F.min("k_path").alias("min_k"),
+        F.max("k_path").alias("max_k"),
+        F.count_distinct("k_path").alias("ndv_k"),
+    )
+
+
+# ------------------------------------------- RANGE interval window frame --
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@staged_query(
+    "range_interval_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS trailing_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_DAY_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the sliding aggregate keyed by VALUE
+    distance, not row count: per user, the sum/count of events in the
+    trailing 24 hours of each event. ROWS frames (already graded in
+    window_function_suite) cannot express this; RANGE over exact
+    integer microseconds can, and peers with equal timestamps enter the
+    frame together in both engines by definition of RANGE. Value cents
+    use floor() on both sides (Spark's double→long cast truncates while
+    DuckDB's rounds — the one cast divergence this repo documents).
+
+    Scale shape: one shuffle on user_id, per-user sort, then Spark's
+    WindowExec computes the moving frame with two pointers over the
+    sorted run — O(n) per partition, state = the frame's rows. At
+    100 TB this is the standard trailing-exposure/velocity feature
+    (fraud, rate limiting) computed without self-join explosion — the
+    naive events⋈events ON ts BETWEEN form is quadratic per hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_DAY_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+# -------------------------------------------- calendar spine gap filling --
+
+
+@staged_query(
+    "calendar_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT t.day::DATE AS day, et.event_type
+        FROM bounds, unnest(generate_series(bounds.lo, bounds.hi,
+                                            INTERVAL 1 DAY)) t(day)
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.day,
+           coalesce(d.n, 0) AS n_events,
+           CAST(coalesce(d.cents, 0) AS BIGINT) AS sum_cents
+    FROM spine s
+    LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def calendar_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: a (day × event_type) spine spanning
+    the observed date range, left-joined onto daily aggregates with
+    explicit zeros for silent days — the reshape every time-series
+    model and dashboard needs ("no rows" must become "zero", or
+    downstream windows silently skip gaps). Companion to
+    linear_interpolation_gapfill, which fills VALUES; this fills the
+    GRID.
+
+    Scale shape: the daily aggregate is one partial-aggregated shuffle
+    to a bounded (days × types) key space; the spine is generated from
+    a 1-row bounds aggregate (broadcast) and sequence()/explode — tiny
+    by construction — and the final join broadcasts the AGGREGATED side
+    only if small, else shuffles bounded keys. Nothing here scales with
+    raw row count except the first aggregate scan."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias(
+                "day"
+            ),
+        )
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("cents", F.lit(0)).alias("sum_cents"),
+    )
+
+
+# ------------------------------------------------------- recursive CTE --
+
+
+@staged_query(
+    "recursive_cte_closure",
+    oracle="""
+    WITH RECURSIVE anc(node, cur, depth) AS (
+        SELECT DISTINCT user_id, user_id, 0 FROM events
+        UNION ALL
+        SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1
+    )
+    SELECT node,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(cur) AS BIGINT) AS path_sum
+    FROM anc GROUP BY 1
+    """,
+)
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE transitive closure (Spark 4 `WITH RECURSIVE`) —
+    walk each user id up the implicit binary-tree hierarchy (parent =
+    id div 2) to the root, emitting every ancestor level; then per node
+    the depth and the sum over its ancestor chain. This is the
+    org-chart / category-tree / BOM-explosion query shape SQL engines
+    historically forced into iterative driver loops; both engines now
+    evaluate the same fixpoint declaratively.
+
+    Scale shape: each recursion step is a NARROW map over the previous
+    frontier (cur div 2) unioned into the accumulator — no shuffles
+    inside the loop, one final partial-aggregated shuffle on node. The
+    iteration count is log2(max id) ≈ tens, independent of row count;
+    the frontier shrinks as chains hit the root. The integer-division
+    hierarchy keeps the recursion finite and engine-exact — the WHERE
+    cur > 1 guard terminates id 0/1 chains identically."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__rec_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, cur, depth) AS (
+            SELECT DISTINCT user_id, user_id, 0 FROM __rec_events
+            UNION ALL
+            SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT node,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(cur) AS BIGINT) AS path_sum
+        FROM anc GROUP BY node
+        """
+    )
+
+
+# --------------------------------------- AQE partition coalescing (plan) --
+
+
+@staged_query(
+    "aqe_coalesce_partitions",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def aqe_coalesce_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition coalescing, plan-asserted — the fourth runtime
+    re-planning lever graded here (after DPP, the Bloom join and AQE's
+    skew handling pinned in test_skew): a deliberately over-partitioned
+    shuffle (spark.sql.shuffle.partitions=200 against a 5-key
+    aggregate) must be COALESCED at runtime by
+    spark.sql.adaptive.coalescePartitions into a handful of post-shuffle
+    partitions, or a 1000-executor job wastes a task launch per empty
+    partition — the classic too-many-reducers tax that static tuning
+    can't fix across heterogeneous stages. Executed inside the conf
+    window (the bloom row's lesson: AQE decisions happen at execution
+    time); the assertion reads the post-execution adaptive plan for the
+    coalesced AQEShuffleRead. The oracle is the plain aggregate —
+    runtime re-planning moves tasks, never answers."""
+    ev = load_table(spark, sf_dir, "events")
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": "200",
+    }
+    saved: dict[str, str | None] = {}
+    for key in confs:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        out = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan, (
+            "AQE did not coalesce the over-partitioned shuffle:\n" + plan
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+# ------------------------------------------------- bitmap day activity --
+
+
+@staged_query(
+    "bitmap_day_activity",
+    oracle="""
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    days AS (
+        SELECT user_id,
+               date_diff('day', b.d0, CAST(ts AS DATE)) AS day_idx
+        FROM events, b
+        WHERE date_diff('day', b.d0, CAST(ts AS DATE)) BETWEEN 0 AND 62
+    )
+    SELECT user_id,
+           CAST(bit_or(1::BIGINT << CAST(day_idx AS INT)) AS BIGINT)
+               AS bitmap,
+           CAST(bit_count(bit_or(1::BIGINT << CAST(day_idx AS INT)))
+                AS INTEGER) AS active_days,
+           CAST(min(day_idx) AS INTEGER) AS first_day,
+           CAST(max(day_idx) AS INTEGER) AS last_day
+    FROM days GROUP BY 1
+    """,
+)
+def bitmap_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap activity index: each user's first-63-days activity packed
+    into ONE int64 via bit_or(1 << day_index) — the roaring-bitmap idea
+    at its smallest, and the standard trick for cheap retention/streak
+    arithmetic downstream (popcount = active days, AND of two users'
+    bitmaps = co-activity, shifts = streaks) without re-touching the
+    event data. bit_count cross-checks against min/max day indexes; the
+    63-day cap keeps the shift in-range for a signed 64-bit lane and is
+    the documented scope (wider ranges chain multiple lanes, same
+    algebra).
+
+    Scale shape: the day-index derivation rides a broadcast 1-row min
+    aggregate; bit_or is a tiny mergeable partial aggregate (8 bytes of
+    state per user per partition — the cheapest distinct-ish structure
+    there is), so the single user_id shuffle moves one long per user
+    per partition regardless of event count."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    days = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .where(F.col("day_idx").between(0, 62))
+    )
+    # shiftleft's python wrapper takes only a literal shift — the SQL
+    # form accepts a column
+    bitmap = F.bit_or(F.expr("shiftleft(1L, day_idx)"))
+    return days.groupBy("user_id").agg(
+        bitmap.alias("bitmap"),
+        F.bit_count(bitmap).alias("active_days"),
+        F.min("day_idx").alias("first_day"),
+        F.max("day_idx").alias("last_day"),
+    )
+
+
+# ------------------------------------------------ top-k per group, ties --
+
+
+@staged_query(
+    "topk_per_group_ties",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT event_type, day, n,
+               rank() OVER (PARTITION BY event_type ORDER BY n DESC)
+                   AS rnk
+        FROM daily
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-aware per-group top-k — rank() ≤ k, which KEEPS every row
+    tied at the boundary, versus the exactly-k row_number() cut already
+    graded (group_exact_k_sample): the semantics reporting actually
+    wants ("top 3 busiest days" where four days tie for third must show
+    all four). Because ranks are computed from exact integer counts and
+    ALL tied rows are included, the result set is deterministic without
+    any tiebreak column — the property row_number() can only get from
+    an explicit total order.
+
+    Scale shape: bounded-key daily aggregate (one shuffle), rank window
+    over the small aggregated frame partitioned by group — the window
+    never touches raw events. Same top-k-window pattern as
+    tfidf_top_terms; the only difference under the hood is rank() vs
+    row_number() frame semantics, which is exactly what this row
+    pins."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        daily.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "day", "n", "rnk")
+    )
+
+
+# ------------------------------------- streaming: dedup within watermark --
+
+
+@staged_query(
+    "streaming_dropdup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def streaming_dropdup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-state streaming dedup
+    (Spark 3.5+): where the graded streaming_dedup_distinct_keys row
+    holds every seen key forever, this operator evicts a key's dedup
+    state once the watermark passes it, trading unbounded memory for a
+    "duplicates arrive within the delay" contract — the shape an
+    at-least-once Kafka ingest actually needs at 100 TB (redeliveries
+    cluster near the original send; keys never stop arriving). The
+    duplicate feed is synthesized by unioning the event stream with
+    itself — every event arrives exactly twice in the same run — and
+    the deduped append-mode output must equal the batch table row for
+    row: the row count alone fails if even one duplicate survives (2×
+    rows) or one eviction fires early (missing rows)."""
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    one = _read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    two = _read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = one.unionByName(two).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    name = f"stream_ddww_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+# ------------------------------------- streaming: LEFT OUTER stream join --
+
+
+@staged_query(
+    "streaming_stream_left_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR AS w)
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE c.event_id IS NOT NULL
+       OR v.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution query
+    that must also report the views that NEVER converted. Outer
+    semantics under streaming are watermark-driven: a view emits its
+    NULL-click row only once the engine can PROVE no matching click
+    will arrive, i.e. the global watermark (min across both inputs of
+    max event time − 2 h delay) has passed the view's one-hour match
+    window. The oracle replays exactly that closed-set rule
+    relationally: matched pairs unconditionally, unmatched views iff
+    view_ts + 1 h < final watermark — the same argument the graded
+    streaming_watermarked_append row pins for aggregates, extended to
+    join state. Views still inside the window at end-of-stream are
+    HELD, not emitted — streaming outer joins trade completeness at the
+    tail for never emitting a retractable row.
+
+    Scale shape: both sides shuffle on user_id (co-located match), state
+    bounded by watermark − range on each side; the NULL-emission scan
+    is the state-eviction pass the engine already does."""
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    views = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+            "lag_us"
+        ),
+    )
+    name = f"stream_ljoin_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
