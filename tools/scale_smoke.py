@@ -572,6 +572,77 @@ def main() -> None:
                 else:
                     spark.conf.set(k, v)
 
+        # --- staged round-7 operator shapes (plans/next_round.py) ---
+        # batch sessionization: the per-user sort-window chain (lag →
+        # running sum → aggregate) — the heaviest new shape (full
+        # per-key sort of the event set)
+        t0 = time.time()
+        wse = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.lag(
+            F.unix_micros(F.col("ts"))
+        ).over(wse)
+        sess_n = (
+            events.withColumn(
+                "is_new",
+                F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+                .otherwise(0),
+            )
+            .withColumn(
+                "session_id",
+                F.sum("is_new").over(
+                    wse.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        sess_s = time.time() - t0
+        print(
+            f"rows={n:,} batch_sessionize={sess_s:.1f}s "
+            f"({sess_n:,} sessions, {int(n / sess_s):,} rows/s)"
+        )
+
+        # trailing-24h RANGE frame per user: two-pointer moving frame
+        # over the same per-user sort
+        t0 = time.time()
+        wr = (
+            W.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(-24 * 3600 * 1_000_000, 0)
+        )
+        rng_n = (
+            events.select(
+                "event_id",
+                F.count(F.lit(1)).over(wr).alias("n24"),
+            ).count()
+        )
+        rng_s = time.time() - t0
+        print(
+            f"rows={n:,} range_24h_window={rng_s:.1f}s "
+            f"({int(n / rng_s):,} rows/s)"
+        )
+
+        # bitmap day activity: 8-byte mergeable partial-agg state
+        t0 = time.time()
+        d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+        bm_n = (
+            events.crossJoin(F.broadcast(d0))
+            .select(
+                "user_id",
+                F.datediff(F.to_date("ts"), F.col("d0")).alias("di"),
+            )
+            .where(F.col("di").between(0, 62))
+            .groupBy("user_id")
+            .agg(F.bit_or(F.expr("shiftleft(1L, di)")).alias("bm"))
+            .count()
+        )
+        bm_s = time.time() - t0
+        print(
+            f"rows={n:,} bitmap_activity={bm_s:.1f}s "
+            f"({bm_n:,} users, {int(n / bm_s):,} rows/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
