@@ -33,7 +33,7 @@ def main() -> None:
     spark = get_spark(
         SessionConfig(
             app_name="scale-smoke",
-            extra={"spark.driver.memory": "24g"},
+            extra={"spark.driver.memory": "48g"},
         )
     )
     d = tempfile.mkdtemp(prefix="scale_events_")
@@ -508,6 +508,10 @@ def main() -> None:
             .write.mode("overwrite").parquet(dim_path)
         )
         dim = spark.read.parquet(dim_path)
+        # free executor memory from the earlier measurements before the
+        # only payload-bearing shuffle in the file (the off-mode join
+        # moves ~6 GB of row payload at 100M rows)
+        spark.catalog.clearCache()
         # The fact must carry a payload THROUGH the shuffle: a bare
         # join().count() lets Catalyst prune every column but the key,
         # so neither mode serializes any payload and the filter has
