@@ -615,22 +615,27 @@ def main() -> None:
             .orderBy(F.unix_micros("ts"))
             .rangeBetween(-24 * 3600 * 1_000_000, 0)
         )
+        # consume the windowed value — a bare count() lets Catalyst
+        # prune the unused window entirely (measured: "452M rows/s")
         rng_n = (
             events.select(
                 "event_id",
                 F.count(F.lit(1)).over(wr).alias("n24"),
-            ).count()
+            )
+            .agg(F.sum("n24"))
+            .collect()[0][0]
         )
         rng_s = time.time() - t0
         print(
             f"rows={n:,} range_24h_window={rng_s:.1f}s "
-            f"({int(n / rng_s):,} rows/s)"
+            f"({int(n / rng_s):,} rows/s, sum_n24={rng_n:,})"
         )
 
         # bitmap day activity: 8-byte mergeable partial-agg state
         t0 = time.time()
         d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
-        bm_n = (
+        # same pruning hazard: consume the bitmaps via popcount-sum
+        bm = (
             events.crossJoin(F.broadcast(d0))
             .select(
                 "user_id",
@@ -639,8 +644,13 @@ def main() -> None:
             .where(F.col("di").between(0, 62))
             .groupBy("user_id")
             .agg(F.bit_or(F.expr("shiftleft(1L, di)")).alias("bm"))
-            .count()
+            .agg(
+                F.count(F.lit(1)).alias("nu"),
+                F.sum(F.bit_count("bm")).alias("days"),
+            )
+            .collect()[0]
         )
+        bm_n = bm["nu"]
         bm_s = time.time() - t0
         print(
             f"rows={n:,} bitmap_activity={bm_s:.1f}s "
