@@ -1238,3 +1238,82 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1000000000L ELSE 9223372036854775807L END)"
         ).alias("safe_mul"),
     )
+
+
+# --------------------------------------------- IVF recall certificate --
+
+
+def _ivf_recall_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _ivf_oracle,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_dot("q.vec", "c.vec", dim)}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rank
+            FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq}
+        ) WHERE rank <= {k}
+    ), ivf AS (
+        SELECT query_id, cand_id FROM ({_ivf_oracle()}) t
+    )
+    SELECT e.query_id,
+           CAST(count(i.cand_id) AS BIGINT) AS hits,
+           CAST(count(i.cand_id) * 100 // {k} AS BIGINT) AS recall_pct
+    FROM exact e
+    LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@staged_query("ivf_recall_certified", oracle=_ivf_recall_oracle())
+def ivf_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k certificate for the IVF approximate path — the companion
+    to the graduated `ann_recall_certified` row (which certifies the
+    hyperplane-LSH leg): exact cosine top-k joined against the IVF
+    (coarse-quantizer, nprobe=1) top-k, scored per query as
+    |IVF ∩ exact| / k. With both certificates graded, BOTH approximate
+    retrieval families carry a production-monitorable quality number —
+    the difference between "fast" and "fast and known-good". IVF recall
+    is structurally sensitive to cell-boundary effects (a true neighbor
+    in the adjacent cell is invisible at nprobe=1), which is exactly
+    the degradation this row would surface if centroid training drifted.
+
+    Scale shape: the IVF leg is cell-local (the bucket join the graded
+    row pins); the exact leg runs over the bounded query sample — the
+    certificate costs O(|Q|·n·d), linear in corpus size."""
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    exact = similarity.cosine_topk(emb).select("query_id", "cand_id")
+    ivf = similarity.ivf_topk(emb).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"CAST(hits * 100 DIV {k} AS BIGINT)").alias(
+                "recall_pct"
+            ),
+        )
+    )
