@@ -122,3 +122,65 @@ def test_weighted_sample_rate_scales_with_weight(spark):
     light = by_w.get(1, 0) + by_w.get(2, 0)
     heavy = by_w.get(4, 0) + by_w.get(5, 0)
     assert heavy > light, f"weighted sample not weight-monotone: {by_w}"
+
+
+def test_setop_multiset_algebra(spark, duck):
+    """|INTERSECT ALL| + |EXCEPT ALL| must equal |view multiset| (the
+    defining partition of a multiset difference), and the DISTINCT
+    forms must be set-projections of the ALL forms."""
+    rows = STAGED["setop_suite"](spark, SF_DIR).collect()
+    # at tiny SFs some variants are legitimately empty (every view user
+    # also clicks → EXCEPT is {}), so default missing ops to []
+    by_op: dict[str, list[int]] = {
+        k: [] for k in ("intersect_all", "except_all", "intersect", "except")
+    }
+    for r in rows:
+        by_op[r.op].append(r.user_id)
+    n_views = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'view'"
+    ).fetchone()[0]
+    assert len(by_op["intersect_all"]) + len(by_op["except_all"]) == n_views
+    assert set(by_op["intersect"]) == set(by_op["intersect_all"])
+    assert set(by_op["except"]) <= set(by_op["except_all"])
+    assert not (set(by_op["intersect"]) & set(by_op["except"]))
+
+
+def test_bitmap_popcount_equals_distinct_days(spark, duck):
+    """bit_count(bitmap) must equal the exact distinct-day count per
+    user — the bitmap is lossless within its 63-day scope."""
+    rows = STAGED["bitmap_day_activity"](spark, SF_DIR).collect()
+    exact = dict(
+        duck.execute("""
+            WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+            SELECT user_id, count(DISTINCT CAST(ts AS DATE))
+            FROM events, b
+            WHERE date_diff('day', b.d0, CAST(ts AS DATE))
+                  BETWEEN 0 AND 62
+            GROUP BY 1
+        """).fetchall()
+    )
+    assert rows and len(rows) == len(exact)
+    for r in rows:
+        assert r.active_days == exact[r.user_id], r.user_id
+        assert r.first_day <= r.last_day
+        # the first/last set bits of the bitmap agree with min/max
+        assert (r.bitmap >> r.first_day) & 1
+        assert (r.bitmap >> r.last_day) & 1
+        assert r.bitmap >> (r.last_day + 1) == 0
+
+
+def test_ignore_nulls_carry_is_forward_fill(spark):
+    """last_value IGNORE NULLS over the running frame must equal a
+    hand-rolled forward-fill of the purchase marks per user."""
+    rows = STAGED["lag_lead_ignore_nulls"](spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, evs in by_user.items():
+        evs.sort(key=lambda r: r.event_id)
+        carry = None
+        for r in evs:
+            if r.p_cents is not None:
+                carry = r.p_cents
+            assert r.carry_cents == carry, (user, r.event_id)
