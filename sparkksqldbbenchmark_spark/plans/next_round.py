@@ -394,10 +394,13 @@ def hof_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer semantics, which is the point: HOF results are
     engine-portable data, not Spark trivia.
 
-    Scale shape: entirely scan-side, zero shuffles — every lambda runs
-    inside whole-stage codegen over the array column without
-    exploding rows (contrast tfidf_top_terms, which explodes because it
-    must aggregate ACROSS documents). The 100 TB form of per-document
+    Scale shape: entirely scan-side, zero shuffles — a single narrow
+    Project over the scan, no row explosion (contrast tfidf_top_terms,
+    which explodes because it must aggregate ACROSS documents). Honest
+    plan note: lambda-bearing Projects are excluded from whole-stage
+    codegen in Spark (the plan pins a plain Project over ColumnarToRow);
+    the lambdas are still JVM-evaluated expressions — narrow-ness, not
+    WSCG membership, is what makes this the 100 TB form of per-document
     feature extraction."""
     from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
 

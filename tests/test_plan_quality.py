@@ -159,3 +159,68 @@ def test_budget_selection_carry_is_bounded(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_sessionize_shares_one_sort_and_one_exchange(spark):
+    """batch_sessionize's docstring claim, pinned: the lag window, the
+    running-sum window and the final aggregate ride ONE user_id
+    exchange and ONE per-user sort (Catalyst collapses the shared
+    window spec)."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["batch_sessionize"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window ") == 2  # lag pass + running-sum pass
+
+
+def test_range_window_single_exchange_no_selfjoin(spark):
+    """The trailing-24h RANGE frame must be a window computation, never
+    the quadratic events-join-events-on-ts-BETWEEN rewrite."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["range_interval_window"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "RangeFrame" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Global top-k by priority compiles to TakeOrderedAndProject —
+    per-partition heaps, never a global sort-then-limit."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["weighted_sample_priority"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_hof_suite_is_shuffle_free_narrow(spark):
+    """Every higher-order lambda stays scan-side: no exchange, no join,
+    no aggregate — a single narrow Project over the scan. (Note the
+    honest limit: lambda-bearing Projects are NOT whole-stage-codegen
+    candidates in Spark — the plan shows a plain Project over
+    ColumnarToRow — but the expressions are still JVM-evaluated;
+    narrow-ness, not WSCG, is the scale property here.)"""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    df = STAGED["hof_function_suite"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert "Project" in plan
