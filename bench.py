@@ -40,7 +40,13 @@ def stage_bench_layout(spark, sf_dir: str, files: int = 32) -> str:
     import glob
     import tempfile
 
+    import atexit
+    import shutil
+
     staged = tempfile.mkdtemp(prefix="bench_layout_")
+    # the staging dir holds a full copy of documents — remove it when the
+    # bench process exits, or repeated runs leak a table copy per run
+    atexit.register(shutil.rmtree, staged, ignore_errors=True)
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p)
         if name == "documents.parquet":
@@ -51,7 +57,9 @@ def stage_bench_layout(spark, sf_dir: str, files: int = 32) -> str:
                 .parquet(os.path.join(staged, name))
             )
         else:
-            os.symlink(p, os.path.join(staged, name))
+            # abspath: a relative SPARK_GRAFT_SF_DIR would otherwise
+            # create dangling symlinks inside the staging dir
+            os.symlink(os.path.abspath(p), os.path.join(staged, name))
     return staged
 
 

@@ -576,6 +576,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
             raise UnsupportedMediaError(
                 f"expected marker at {pos}, got 0x{data[pos]:02X}"
             )
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise UnsupportedMediaError("trailing fill bytes, no marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -599,7 +604,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                 quants[tq] = list(body[off + 1 : off + 65])
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 8:
+            # 6 header bytes + 3 per component (we require 1 component)
+            if len(body) < 9:
                 raise UnsupportedMediaError("short SOF0")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]

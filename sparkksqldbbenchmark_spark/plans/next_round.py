@@ -405,20 +405,24 @@ def hof_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.expr(spark_tokens("lower(text)"))
+    # tokenize ONCE into a projected column: lambda Projects sit outside
+    # whole-stage codegen, so codegen CSE cannot collapse repeated
+    # regexp_extract_all calls — inlining the tokenizer per output
+    # column would re-scan every document's text up to five times
+    t = F.col("__t")
     return docs.select(
+        "doc_id", F.expr(spark_tokens("lower(text)")).alias("__t")
+    ).select(
         "doc_id",
         F.size(t).alias("n_tok"),
         F.size(F.filter(t, lambda x: F.length(x) > 5)).alias("n_long"),
         F.expr(
-            f"aggregate({spark_tokens('lower(text)')}, 0L,"
-            " (a, x) -> a + length(x))"
+            "aggregate(__t, 0L, (a, x) -> a + length(x))"
         ).alias("total_len"),
         F.exists(t, lambda x: x.rlike("[0-9]")).alias("has_digit"),
         F.forall(t, lambda x: F.length(x) <= 12).alias("all_short"),
         F.expr(
-            f"aggregate(zip_with({spark_tokens('lower(text)')},"
-            f" reverse({spark_tokens('lower(text)')}),"
+            "aggregate(zip_with(__t, reverse(__t),"
             " (a, b) -> IF(a = b, 1L, 0L)), 0L, (acc, v) -> acc + v)"
         ).alias("sym_matches"),
     )

@@ -439,3 +439,25 @@ def test_multimodal_resize_null_payload_stays_null(spark):
     )
     assert out[2]["n_bytes"] is not None
     assert out[2]["payload_hex"]
+
+
+def test_jpeg_fill_bytes_and_short_sof(spark=None):
+    """T.81 B.1.1.2 fill bytes before a marker are legal and must not
+    break the marker walk; a truncated SOF0 surfaces as
+    UnsupportedMediaError, never a raw IndexError (review findings)."""
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    rows = [bytes(range(16)) for _ in range(16)]
+    good = codecs.encode_jpeg(rows)
+    # insert one fill 0xFF before the DQT marker
+    i = good.index(b"\xff\xdb")
+    padded = good[:i] + b"\xff" + good[i:]
+    # fill bytes must be transparent: padded decodes exactly like the
+    # unpadded stream (the default table is lossy on this gradient, so
+    # compare decode-to-decode, not decode-to-source)
+    assert codecs.decode_jpeg(padded) == codecs.decode_jpeg(good)
+    # SOF0 body truncated to 8 bytes (missing the quant-table id byte)
+    j = good.index(b"\xff\xc0")
+    trunc = good[: j + 2] + b"\x00\x0a" + good[j + 4 : j + 4 + 8]
+    with pytest.raises(codecs.UnsupportedMediaError, match="short SOF0"):
+        codecs.decode_jpeg(trunc)
