@@ -12,7 +12,10 @@ reads/writes canonical RIFF PCM (fmt + data chunks, 16-bit
 little-endian). The JPEG codec implements baseline sequential JFIF per
 ITU-T T.81: forward/inverse 2-D DCT, quantization, zigzag, canonical
 Huffman (Annex K luminance tables) with DPCM DC prediction and 0xFF
-byte stuffing.
+byte stuffing — grayscale and 4:2:0 YCbCr color (interleaved MCUs, 2×2
+chroma subsampling with exact integer averaging, JFIF color
+conversions with a pinned rounding/order contract the decode oracle
+replays in SQL).
 
 Scope (honestly bounded): PNG color types 0 (grayscale) and 2 (RGB),
 bit depth 8, non-interlaced; JPEG baseline sequential, 8-bit grayscale,
@@ -467,80 +470,224 @@ def _dequant_idct(zzcoeffs: list[int], quant: list[int]) -> list[int]:
     return out
 
 
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF RGB→YCbCr with floor(x+0.5) rounding and 0..255 clamping.
+    The operation ORDER is part of the contract: the decode-roundtrip
+    oracle replays these exact left-associated IEEE expressions in SQL,
+    so do not re-associate the arithmetic."""
+    y = _clamp8(int(_math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+    cb = _clamp8(
+        int(_math.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))
+    )
+    cr = _clamp8(
+        int(_math.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5))
+    )
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF YCbCr→RGB, same rounding/clamping/order contract as the
+    forward transform."""
+    r = _clamp8(int(_math.floor(y + 1.402 * (cr - 128) + 0.5)))
+    g = _clamp8(
+        int(
+            _math.floor(
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+            )
+        )
+    )
+    b = _clamp8(int(_math.floor(y + 1.772 * (cb - 128) + 0.5)))
+    return r, g, b
+
+
+def _encode_block_stream(
+    writer: "_BitWriter",
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized zigzag block; returns the new DC
+    predictor."""
+    diff = zz[0] - pred
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return zz[0]
+
+
+def _plane_block(
+    plane: list[list[int]], x0: int, y0: int
+) -> list[int]:
+    """Level-shifted 8x8 block from a plane, edge-replicated."""
+    h = len(plane)
+    w = len(plane[0])
+    out = []
+    for y in range(8):
+        row = plane[min(y0 + y, h - 1)]
+        for x in range(8):
+            out.append(row[min(x0 + x, w - 1)] - 128)
+    return out
+
+
 def encode_jpeg(
-    rows: list[bytes], *, quant: list[int] | None = None
+    rows: list[bytes],
+    *,
+    channels: int = 1,
+    quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
 ) -> bytes:
-    """Encode 8-bit grayscale scanlines as a baseline sequential JFIF:
-    SOI / APP0 / DQT / SOF0 / DHT×2 / SOS / entropy-coded MCUs / EOI.
-    Edge-replicated padding to 8×8 blocks; Annex K Huffman tables; DPCM
-    DC prediction; 0xFF stuffing. `quant` is a 64-entry zigzag-order
-    table (default: DC step 8 — exact for block-constant content — and
-    uniform AC step 16)."""
+    """Encode 8-bit scanlines as baseline sequential JFIF. channels=1:
+    grayscale, one component, 8x8 MCUs. channels=3: interleaved-RGB
+    input, YCbCr color with 4:2:0 chroma subsampling — 16x16 MCUs of
+    four Y blocks plus one Cb and one Cr block, chroma averaged 2x2
+    with exact integer rounding ((sum+2)//4), separate luma/chroma
+    quant tables (ids 0/1), shared Huffman tables (legal: components
+    may reference the same table slot). Annex K Huffman tables; DPCM DC
+    prediction per component; 0xFF stuffing. `quant` is the 64-entry
+    zigzag luma table (default: DC step 8 — exact for block-constant
+    content — and uniform AC step 16); `chroma_quant` defaults to the
+    same."""
     if not rows:
         raise ValueError("empty image")
-    height, width = len(rows), len(rows[0])
-    if any(len(r) != width for r in rows):
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    height, width = len(rows), len(rows[0]) // channels
+    if any(len(r) != width * channels for r in rows):
         raise ValueError("ragged scanlines")
     quant = list(quant) if quant is not None else list(_DEFAULT_QUANT)
-    if len(quant) != 64 or not all(1 <= q <= 255 for q in quant):
-        raise ValueError("quant table must be 64 entries in 1..255")
+    cquant = (
+        list(chroma_quant) if chroma_quant is not None else list(quant)
+    )
+    for q in (quant, cquant):
+        if len(q) != 64 or not all(1 <= v <= 255 for v in q):
+            raise ValueError("quant table must be 64 entries in 1..255")
 
     dc_codes = _huff_encode_table(_DC_BITS, _DC_VALS)
     ac_codes = _huff_encode_table(_AC_BITS, _AC_VALS)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
     writer = _BitWriter()
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = []
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                row = rows[sy]
-                for x in range(8):
-                    block.append(row[min(bx * 8 + x, width - 1)] - 128)
-            zz = _fdct_quant(block, quant)
-            diff = zz[0] - pred
-            pred = zz[0]
-            size, bits = _magnitude(diff)
-            code, length = dc_codes[size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    writer.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(zz[i])
-                code, length = ac_codes[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(bits, size)
-                run = 0
-            if last_nz != 63:
-                code, length = ac_codes[0x00]  # EOB
-                writer.write(code, length)
+
+    if channels == 1:
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        plane = [list(r) for r in rows]
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = _fdct_quant(
+                    _plane_block(plane, bx * 8, by * 8), quant
+                )
+                pred = _encode_block_stream(
+                    writer, zz, pred, dc_codes, ac_codes
+                )
+        sof_comps = bytes((1, 0x11, 0))
+        sos_comps = bytes((1, 1, 0x00))
+        dqt = bytes((0x00,)) + bytes(quant)
+        ncomp = 1
+    else:
+        # full-resolution YCbCr planes
+        yp: list[list[int]] = []
+        cbp_full: list[list[int]] = []
+        crp_full: list[list[int]] = []
+        for r in rows:
+            yr, cbr, crr = [], [], []
+            for x in range(width):
+                yy, cb, cr = rgb_to_ycbcr(
+                    r[3 * x], r[3 * x + 1], r[3 * x + 2]
+                )
+                yr.append(yy)
+                cbr.append(cb)
+                crr.append(cr)
+            yp.append(yr)
+            cbp_full.append(cbr)
+            crp_full.append(crr)
+        # 2x2 average subsample (exact integer rounding), over the
+        # edge-replicated even-dimension extension
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+
+        def sub(plane: list[list[int]]) -> list[list[int]]:
+            out = []
+            for sy in range(ch):
+                row = []
+                y0, y1 = 2 * sy, min(2 * sy + 1, height - 1)
+                for sx in range(cw):
+                    x0, x1 = 2 * sx, min(2 * sx + 1, width - 1)
+                    ssum = (
+                        plane[y0][x0]
+                        + plane[y0][x1]
+                        + plane[y1][x0]
+                        + plane[y1][x1]
+                    )
+                    row.append((ssum + 2) // 4)
+                out.append(row)
+            return out
+
+        cbp, crp = sub(cbp_full), sub(crp_full)
+        mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+        preds = {"y": 0, "cb": 0, "cr": 0}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        zz = _fdct_quant(
+                            _plane_block(
+                                yp, mx * 16 + bx * 8, my * 16 + by * 8
+                            ),
+                            quant,
+                        )
+                        preds["y"] = _encode_block_stream(
+                            writer, zz, preds["y"], dc_codes, ac_codes
+                        )
+                for name, plane in (("cb", cbp), ("cr", crp)):
+                    zz = _fdct_quant(
+                        _plane_block(plane, mx * 8, my * 8), cquant
+                    )
+                    preds[name] = _encode_block_stream(
+                        writer, zz, preds[name], dc_codes, ac_codes
+                    )
+        sof_comps = bytes((1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+        sos_comps = bytes((3, 1, 0x00, 2, 0x00, 3, 0x00))
+        dqt = bytes((0x00,)) + bytes(quant) + bytes((0x01,)) + bytes(cquant)
+        ncomp = 3
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
     app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\0\0"
-    dqt = bytes((0x00,)) + bytes(quant)
-    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    sof0 = struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps
     dht = (
         bytes((0x00,)) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
-    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    sos = sos_comps + bytes((0, 63, 0))
     return (
         JPEG_MAGIC
         + seg(0xE0, app0)
@@ -553,15 +700,19 @@ def encode_jpeg(
     )
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Decode a baseline sequential grayscale JPEG → (width, height,
-    scanlines). Real decode path: marker walk, DQT/DHT table
-    construction from the stream, Huffman + DPCM + EXTEND entropy
-    decode with 0xFF00 un-stuffing, dequantization, de-zigzag, 2-D
-    IDCT, level shift and clamp, edge-padding crop. Progressive /
-    multi-component / 16-bit-table files raise UnsupportedMediaError;
-    every malformed-input failure surfaces as UnsupportedMediaError,
-    never a raw struct/index error."""
+def decode_jpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Decode a baseline sequential JPEG → (width, height, channels,
+    scanlines): 8-bit grayscale (1×8×8 MCUs) or YCbCr color with
+    sampling factors up to 2×2 (4:2:0/4:2:2/4:4:0/4:4:4 — the decoder
+    is driven by the SOF0 sampling factors, planes upsampled by pixel
+    replication, then converted back to interleaved RGB). Real decode
+    path: marker walk with T.81 fill-byte handling, DQT/DHT table
+    construction from the stream, per-component Huffman + DPCM + EXTEND
+    entropy decode of interleaved MCUs with 0xFF00 un-stuffing,
+    dequantization, de-zigzag, 2-D IDCT, level shift/clamp,
+    edge-padding crop. Progressive / 12-bit / >2× sampling files raise
+    UnsupportedMediaError; every malformed-input failure surfaces as
+    UnsupportedMediaError, never a raw struct/index error."""
     if not data.startswith(JPEG_MAGIC):
         raise UnsupportedMediaError("not a JPEG")
     pos = 2
@@ -569,8 +720,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = 0
-    comp_q = comp_id = 0
-    scan: tuple[int, int, int] | None = None  # (dc id, ac id, data pos)
+    comps: list[dict] = []  # SOF order: {id, h, v, tq}
+    scan: tuple[list[tuple[int, int, int]], int] | None = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedMediaError(
@@ -604,20 +755,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                 quants[tq] = list(body[off + 1 : off + 65])
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
-            # 6 header bytes + 3 per component (we require 1 component)
-            if len(body) < 9:
+            if len(body) < 6:
                 raise UnsupportedMediaError("short SOF0")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]
             )
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise UnsupportedMediaError(
-                    f"only 8-bit grayscale supported (precision="
-                    f"{precision} components={ncomp})"
+                    f"unsupported SOF0 precision={precision} "
+                    f"components={ncomp}"
                 )
-            comp_id, sampling, comp_q = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise UnsupportedMediaError("subsampling unsupported")
+            if len(body) < 6 + 3 * ncomp:
+                raise UnsupportedMediaError("short SOF0")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                samp = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                h, v = samp >> 4, samp & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
+                    raise UnsupportedMediaError(
+                        f"sampling factor {h}x{v} unsupported"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            if ncomp == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                raise UnsupportedMediaError(
+                    "subsampled single-component frame"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
@@ -638,57 +802,106 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 off += 17 + nvals
         elif marker == 0xDA:  # SOS
-            if len(body) < 6 or body[0] != 1:
-                raise UnsupportedMediaError("only single-scan grayscale")
-            if body[1] != comp_id:
-                raise UnsupportedMediaError("scan references unknown component")
-            scan = (body[2] >> 4, body[2] & 0x0F, pos + seglen)
+            if not comps:
+                raise UnsupportedMediaError("SOS before SOF0")
+            if len(body) < 1 + 2 * len(comps) + 3 or body[0] != len(comps):
+                raise UnsupportedMediaError(
+                    "scan component count mismatch"
+                )
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
+            order: list[tuple[int, int, int]] = []  # (comp idx, dc, ac)
+            for ci in range(len(comps)):
+                cid = body[1 + 2 * ci]
+                tabs = body[2 + 2 * ci]
+                if cid not in by_id:
+                    raise UnsupportedMediaError(
+                        "scan references unknown component"
+                    )
+                order.append((by_id[cid], tabs >> 4, tabs & 0x0F))
+            scan = (order, pos + seglen)
             break  # entropy data follows; stop the marker walk
         pos += seglen
     if not width or scan is None:
         raise UnsupportedMediaError("missing SOF0/SOS")
-    if comp_q not in quants:
-        raise UnsupportedMediaError("missing quant table")
-    dc_id, ac_id, dpos = scan
-    if dc_id not in dc_tables or ac_id not in ac_tables:
-        raise UnsupportedMediaError("missing Huffman table")
-    quant = quants[comp_q]
-    dc_table, ac_table = dc_tables[dc_id], ac_tables[ac_id]
+    order, dpos = scan
+    for c in comps:
+        if c["tq"] not in quants:
+            raise UnsupportedMediaError("missing quant table")
+    for _, dc_id, ac_id in order:
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise UnsupportedMediaError("missing Huffman table")
 
-    reader = _BitReader(data, dpos)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = [bytearray(bw * 8) for _ in range(bh * 8)]
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            size = reader.read_symbol(dc_table)
-            pred += _extend(reader.read_bits(size), size)
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                sym = reader.read_symbol(ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise UnsupportedMediaError(
-                            f"invalid AC symbol 0x{sym:02X}"
-                        )
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise UnsupportedMediaError("AC run past block end")
-                zz[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            block = _dequant_idct(zz, quant)
-            for y in range(8):
-                row = padded[by * 8 + y]
-                base = y * 8
-                for x in range(8):
-                    row[bx * 8 + x] = block[base + x]
-    return width, height, [
-        bytes(padded[y][:width]) for y in range(height)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: list[list[bytearray]] = [
+        [
+            bytearray(mcux * 8 * c["h"])
+            for _ in range(mcuy * 8 * c["v"])
+        ]
+        for c in comps
     ]
+    preds = [0] * len(comps)
+    reader = _BitReader(data, dpos)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, dc_id, ac_id in order:
+                c = comps[ci]
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        zz = [0] * 64
+                        size = reader.read_symbol(dc_tables[dc_id])
+                        preds[ci] += _extend(reader.read_bits(size), size)
+                        zz[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            sym = reader.read_symbol(ac_tables[ac_id])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise UnsupportedMediaError(
+                                        f"invalid AC symbol 0x{sym:02X}"
+                                    )
+                                i += 16  # ZRL
+                                continue
+                            i += run
+                            if i > 63:
+                                raise UnsupportedMediaError(
+                                    "AC run past block end"
+                                )
+                            zz[i] = _extend(reader.read_bits(size), size)
+                            i += 1
+                        block = _dequant_idct(zz, quants[c["tq"]])
+                        px = (mx * c["h"] + bh_) * 8
+                        py = (my * c["v"] + bv) * 8
+                        for y in range(8):
+                            row = planes[ci][py + y]
+                            base = y * 8
+                            for x in range(8):
+                                row[px + x] = block[base + x]
+
+    if len(comps) == 1:
+        return width, height, 1, [
+            bytes(planes[0][y][:width]) for y in range(height)
+        ]
+    # upsample chroma by pixel replication to luma resolution, convert
+    sx = [hmax // c["h"] for c in comps]
+    sy = [vmax // c["v"] for c in comps]
+    rows_out: list[bytes] = []
+    for y in range(height):
+        row = bytearray(width * 3)
+        yrow = planes[0][y // sy[0]]
+        cbrow = planes[1][y // sy[1]]
+        crrow = planes[2][y // sy[2]]
+        for x in range(width):
+            r, g, b = ycbcr_to_rgb(
+                yrow[x // sx[0]], cbrow[x // sx[1]], crrow[x // sx[2]]
+            )
+            row[3 * x] = r
+            row[3 * x + 1] = g
+            row[3 * x + 2] = b
+        rows_out.append(bytes(row))
+    return width, height, 3, rows_out

@@ -108,10 +108,10 @@ def decode_blob(payload: bytes, media_type: str) -> dict:
             "unit_sum": sum(sum(r) for r in rows),
         }
     if payload.startswith(codecs.JPEG_MAGIC):
-        w, h, rows = codecs.decode_jpeg(payload)
+        w, h, ch, rows = codecs.decode_jpeg(payload)
         return {
             "codec": "jpeg", "width": w, "height": h, "sample_rate": None,
-            "n_units": w * h,
+            "n_units": w * h * ch,
             "unit_sum": sum(sum(r) for r in rows),
         }
     if payload.startswith(codecs.RIFF_MAGIC):
@@ -259,19 +259,22 @@ DECODE_STATS_SCHEMA = StructType(
 
 
 def _synth_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic real-format media for a doc id, cycling all three
-    genuine codecs: id % 3 == 0 → 8-bit grayscale PNG (pixel(x,y) =
-    (id + 7x + 13y) mod 256, dims from id residues); == 1 → 16-bit PCM
-    WAV (sample(i) = (31·id + 17i) mod 2^16 − 2^15); == 2 → baseline
-    grayscale JPEG of block-constant 8×8 tiles (tile(bx,by) = (id +
-    11·bx + 29·by) mod 256) — block-constant content with the DC-exact
-    default quant table round-trips EXACTLY through the lossy DCT path
-    (llm/codecs.encode_jpeg), so the decoded statistics stay a pure
-    integer function of the id and oracles can recompute every value
-    analytically without a decoder."""
+    """Deterministic real-format media for a doc id, cycling all four
+    genuine codec paths: id % 4 == 0 → 8-bit grayscale PNG (pixel(x,y)
+    = (id + 7x + 13y) mod 256, dims from id residues); == 1 → 16-bit
+    PCM WAV (sample(i) = (31·id + 17i) mod 2^16 − 2^15); == 2 →
+    baseline grayscale JPEG of block-constant 8×8 tiles (tile(bx,by) =
+    (id + 11·bx + 29·by) mod 256); == 3 → baseline 4:2:0 COLOR JPEG of
+    block-constant 16×16 RGB tiles. Block-constant content with the
+    DC-exact default quant tables round-trips EXACTLY through the lossy
+    DCT path — for color the decoded pixels equal the double YCbCr
+    conversion of the tile constants (rgb_to_ycbcr ∘ ycbcr_to_rgb,
+    deterministic IEEE arithmetic the oracle replays in SQL) — so every
+    decoded statistic stays a pure function of the id and oracles can
+    recompute it analytically without a decoder."""
     from sparkksqldbbenchmark_spark.llm import codecs
 
-    m = doc_id % 3
+    m = doc_id % 4
     if m == 0:
         w, h = doc_id % 16 + 4, doc_id % 12 + 4
         rows = [
@@ -283,15 +286,30 @@ def _synth_payload(doc_id: int) -> tuple[str, bytes]:
         n = doc_id % 50 + 10
         samples = [(doc_id * 31 + i * 17) % 65536 - 32768 for i in range(n)]
         return "audio", codecs.encode_wav(samples)
-    bw, bh = doc_id % 4 + 2, doc_id % 3 + 2
+    if m == 2:
+        bw, bh = doc_id % 5 + 2, doc_id % 3 + 2
+        rows = [
+            bytes(
+                (doc_id + 11 * (x // 8) + 29 * (y // 8)) % 256
+                for x in range(bw * 8)
+            )
+            for y in range(bh * 8)
+        ]
+        return "image", codecs.encode_jpeg(rows)
+    tw, th = (doc_id % 6) // 2 + 1, (doc_id % 9) // 3 + 1
     rows = [
         bytes(
-            (doc_id + 11 * (x // 8) + 29 * (y // 8)) % 256
-            for x in range(bw * 8)
+            v
+            for x in range(tw * 16)
+            for v in (
+                (doc_id + 7 * (x // 16) + 13 * (y // 16)) % 256,
+                (doc_id * 3 + 11 * (x // 16) + 5 * (y // 16)) % 256,
+                (doc_id * 7 + 17 * (x // 16) + 3 * (y // 16)) % 256,
+            )
         )
-        for y in range(bh * 8)
+        for y in range(th * 16)
     ]
-    return "image", codecs.encode_jpeg(rows)
+    return "image", codecs.encode_jpeg(rows, channels=3)
 
 
 def synth_media_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -804,41 +804,81 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id,
-               doc_id % 3 AS fmt,
+               doc_id % 4 AS fmt,
                doc_id % 16 + 4 AS w,
                doc_id % 12 + 4 AS h,
                doc_id % 50 + 10 AS n,
-               (doc_id % 4 + 2) * 8 AS jw,
-               (doc_id % 3 + 2) * 8 AS jh
+               (doc_id % 5 + 2) * 8 AS gw,
+               (doc_id % 3 + 2) * 8 AS gh,
+               ((doc_id % 6) // 2 + 1) * 16 AS jw,
+               ((doc_id % 9) // 3 + 1) * 16 AS jh
         FROM documents WHERE doc_id < 400
+    ), ctile AS (
+        SELECT b.doc_id,
+               (b.doc_id + 7 * tx.i + 13 * ty.i) % 256 AS r,
+               (b.doc_id * 3 + 11 * tx.i + 5 * ty.i) % 256 AS g,
+               (b.doc_id * 7 + 17 * tx.i + 3 * ty.i) % 256 AS bl
+        FROM base b,
+             unnest(range(0, b.jw // 16)) tx(i),
+             unnest(range(0, b.jh // 16)) ty(i)
+        WHERE b.fmt = 3
+    ), cconv AS (
+        -- forward JFIF RGB->YCbCr, literal-for-literal the codec's
+        -- left-associated IEEE expressions (llm/codecs.rgb_to_ycbcr)
+        SELECT doc_id,
+               GREATEST(0, LEAST(255, FLOOR(
+                   0.299 * r + 0.587 * g + 0.114 * bl + 0.5))) AS y,
+               GREATEST(0, LEAST(255, FLOOR(
+                   -0.168736 * r - 0.331264 * g + 0.5 * bl
+                   + 128.0 + 0.5))) AS cb,
+               GREATEST(0, LEAST(255, FLOOR(
+                   0.5 * r - 0.418688 * g - 0.081312 * bl
+                   + 128.0 + 0.5))) AS cr
+        FROM ctile
+    ), cback AS (
+        SELECT doc_id,
+               GREATEST(0, LEAST(255, FLOOR(
+                   y + 1.402 * (cr - 128) + 0.5))) AS r2,
+               GREATEST(0, LEAST(255, FLOOR(
+                   y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                   + 0.5))) AS g2,
+               GREATEST(0, LEAST(255, FLOOR(
+                   y + 1.772 * (cb - 128) + 0.5))) AS b2
+        FROM cconv
+    ), csum AS (
+        SELECT doc_id, CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS s
+        FROM cback GROUP BY doc_id
     ), s AS (
-        SELECT doc_id, fmt, w, h, n, jw, jh,
-               CAST(CASE fmt WHEN 0 THEN w * h
-                             WHEN 1 THEN n
-                             ELSE jw * jh END AS BIGINT) AS n_units,
-               CAST(CASE fmt WHEN 0 THEN
-                        list_sum(flatten(list_transform(range(0, h), y ->
-                            list_transform(range(0, w), x ->
-                                (doc_id + 7 * x + 13 * y) % 256))))
+        SELECT b.*,
+               CAST(CASE b.fmt WHEN 0 THEN b.w * b.h
+                               WHEN 1 THEN b.n
+                               WHEN 2 THEN b.gw * b.gh
+                               ELSE b.jw * b.jh * 3 END AS BIGINT)
+                   AS n_units,
+               CAST(CASE b.fmt WHEN 0 THEN
+                        list_sum(flatten(list_transform(range(0, b.h),
+                            y -> list_transform(range(0, b.w), x ->
+                                (b.doc_id + 7 * x + 13 * y) % 256))))
                     WHEN 1 THEN
-                        list_sum(list_transform(range(0, n), i ->
-                            (doc_id * 31 + i * 17) % 65536 - 32768))
-                    ELSE
+                        list_sum(list_transform(range(0, b.n), i ->
+                            (b.doc_id * 31 + i * 17) % 65536 - 32768))
+                    WHEN 2 THEN
                         64 * list_sum(flatten(list_transform(
-                            range(0, jh // 8), yb ->
-                            list_transform(range(0, jw // 8), xb ->
-                                (doc_id + 11 * xb + 29 * yb) % 256))))
+                            range(0, b.gh // 8), yb ->
+                            list_transform(range(0, b.gw // 8), xb ->
+                                (b.doc_id + 11 * xb + 29 * yb) % 256))))
+                    ELSE cs.s
                     END AS BIGINT) AS unit_sum
-        FROM base
+        FROM base b LEFT JOIN csum cs ON b.doc_id = cs.doc_id
     )
     SELECT doc_id,
            CASE WHEN fmt = 1 THEN 'audio' ELSE 'image' END AS media_type,
            CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
                     ELSE 'jpeg' END AS codec,
-           CAST(CASE fmt WHEN 0 THEN w WHEN 2 THEN jw END AS INTEGER)
-               AS width,
-           CAST(CASE fmt WHEN 0 THEN h WHEN 2 THEN jh END AS INTEGER)
-               AS height,
+           CAST(CASE fmt WHEN 0 THEN w WHEN 2 THEN gw
+                         WHEN 3 THEN jw END AS INTEGER) AS width,
+           CAST(CASE fmt WHEN 0 THEN h WHEN 2 THEN gh
+                         WHEN 3 THEN jh END AS INTEGER) AS height,
            CAST(CASE WHEN fmt = 1 THEN 8000 END AS INTEGER)
                AS sample_rate,
            n_units,
@@ -850,21 +890,25 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip (llm/codecs.py + multimodal.decode_blob):
-    each doc id is synthesized into a genuine PNG (id % 3 == 0 — the
+    each doc id is synthesized into a genuine PNG (id % 4 == 0 — the
     encoder cycles all five scanline filters, so decode exercises
     Sub/Up/Average/Paeth unfiltering, zlib inflate and CRC checks), a
-    RIFF 16-bit PCM WAV (== 1), or a baseline grayscale JPEG (== 2 —
+    RIFF 16-bit PCM WAV (== 1), a baseline grayscale JPEG (== 2 —
     marker walk, DQT/DHT table construction from the stream, Huffman +
-    DPCM + EXTEND entropy decode, dequant + 2-D IDCT; block-constant
-    tiles with the DC-exact quant table make the lossy path round-trip
-    exactly), then decoded back through the actual format parsers and
-    reduced to per-blob statistics. The pixel/sample content is a pure
-    function of the id, so the oracle recomputes every decoded value
-    analytically — a wrong filter implementation, stride, Huffman
-    table, or sign convention shifts unit_sum and fails the hash. Both
-    stages run in one mapInPandas pass chain over Arrow batches; blobs
-    never leave the executors, and only fixed-size stats reach the
-    result — the 100 TB shape for media pipelines."""
+    DPCM + EXTEND entropy decode, dequant + 2-D IDCT), or a baseline
+    4:2:0 COLOR JPEG (== 3 — three-component interleaved MCUs, chroma
+    subsampling/upsampling and both YCbCr conversions on top of the
+    grayscale machinery), then decoded back through the actual format
+    parsers and reduced to per-blob statistics. Block-constant tiles
+    with DC-exact quant tables make the lossy DCT path round-trip
+    exactly, and for color the decoded pixels equal the double JFIF
+    conversion of the tile constants — which the oracle replays in SQL
+    literal-for-literal (cconv/cback CTEs), so every decoded value is
+    recomputed analytically: a wrong filter, stride, Huffman table,
+    sampling factor, or conversion constant shifts unit_sum and fails
+    the hash. Both stages run in one mapInPandas pass chain over Arrow
+    batches; blobs never leave the executors, and only fixed-size
+    stats reach the result — the 100 TB shape for media pipelines."""
     from sparkksqldbbenchmark_spark.llm import multimodal
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)

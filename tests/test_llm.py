@@ -368,8 +368,8 @@ def test_jpeg_codec_block_constant_exact_roundtrip():
             )
             for y in range(bh * 8)
         ]
-        w, h, dec = codecs.decode_jpeg(codecs.encode_jpeg(rows))
-        assert (w, h) == (bw * 8, bh * 8)
+        w, h, ch, dec = codecs.decode_jpeg(codecs.encode_jpeg(rows))
+        assert (w, h, ch) == (bw * 8, bh * 8, 1)
         assert dec == rows, f"doc_id={doc_id} not exact"
 
 
@@ -390,10 +390,10 @@ def test_jpeg_codec_lossy_roundtrip_bounded_error():
             )
             for y in range(h)
         ]
-        dw, dh, dec = codecs.decode_jpeg(
+        dw, dh, ch, dec = codecs.decode_jpeg(
             codecs.encode_jpeg(rows, quant=[1] * 64)
         )
-        assert (dw, dh) == (w, h)
+        assert (dw, dh, ch) == (w, h, 1)
         err = max(
             abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb)
         )
@@ -461,3 +461,77 @@ def test_jpeg_fill_bytes_and_short_sof(spark=None):
     trunc = good[: j + 2] + b"\x00\x0a" + good[j + 4 : j + 4 + 8]
     with pytest.raises(codecs.UnsupportedMediaError, match="short SOF0"):
         codecs.decode_jpeg(trunc)
+
+
+def test_jpeg_color_block_constant_exact_roundtrip():
+    """4:2:0 color: block-constant 16×16 RGB tiles survive the FULL
+    pipeline (RGB→YCbCr, 2×2 subsample, DCT, Huffman, decode, upsample,
+    YCbCr→RGB) landing exactly on the double-converted tile constants —
+    the property the graded decode row's cconv/cback oracle CTEs
+    replay in SQL."""
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    for doc_id in (3, 7, 11, 19, 227):
+        tw, th = (doc_id % 6) // 2 + 1, (doc_id % 9) // 3 + 1
+        rows = [
+            bytes(
+                v
+                for x in range(tw * 16)
+                for v in (
+                    (doc_id + 7 * (x // 16) + 13 * (y // 16)) % 256,
+                    (doc_id * 3 + 11 * (x // 16) + 5 * (y // 16)) % 256,
+                    (doc_id * 7 + 17 * (x // 16) + 3 * (y // 16)) % 256,
+                )
+            )
+            for y in range(th * 16)
+        ]
+        w, h, ch, dec = codecs.decode_jpeg(
+            codecs.encode_jpeg(rows, channels=3)
+        )
+        assert (w, h, ch) == (tw * 16, th * 16, 3)
+        exp = [
+            bytes(
+                v
+                for x in range(tw * 16)
+                for v in codecs.ycbcr_to_rgb(
+                    *codecs.rgb_to_ycbcr(
+                        rows[y][3 * x],
+                        rows[y][3 * x + 1],
+                        rows[y][3 * x + 2],
+                    )
+                )
+            )
+            for y in range(th * 16)
+        ]
+        assert dec == exp, f"doc_id={doc_id} color not exact"
+
+
+def test_jpeg_color_lossy_luma_bounded_error():
+    """Gray-in-RGB noise (R=G=B → constant chroma) through the color
+    path with all-ones quant tables: chroma survives subsampling
+    losslessly and luma error stays ≤ 3 — exercises the interleaved
+    MCU decode, upsampling and both conversions on non-constant
+    content; odd dims exercise MCU padding + crop."""
+    import hashlib
+
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    for w, h in ((16, 16), (24, 17), (33, 20)):
+        rows = [
+            bytes(
+                hashlib.md5(f"{w}/{x}/{y}".encode()).digest()[0]
+                for x in range(w)
+                for _ in range(3)
+            )
+            for y in range(h)
+        ]
+        dw, dh, ch, dec = codecs.decode_jpeg(
+            codecs.encode_jpeg(
+                rows, channels=3, quant=[1] * 64, chroma_quant=[1] * 64
+            )
+        )
+        assert (dw, dh, ch) == (w, h, 3)
+        err = max(
+            abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb)
+        )
+        assert err <= 3, f"{w}x{h}: color near-lossless error {err}"
