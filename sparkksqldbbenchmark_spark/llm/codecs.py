@@ -18,12 +18,13 @@ conversions with a pinned rounding/order contract the decode oracle
 replays in SQL).
 
 Scope (honestly bounded): PNG color types 0 (grayscale) and 2 (RGB),
-bit depth 8, non-interlaced; JPEG baseline sequential, 8-bit grayscale,
-single scan (no progressive, no chroma subsampling) — the shapes
-synthetic fixtures and most ML-pipeline thumbnails use. Anything else
-raises UnsupportedMediaError, and `multimodal.decode_blob` keeps
-raising NotImplementedError for formats with no pure-Python decoder
-here (video containers).
+bit depth 8, non-interlaced; JPEG baseline sequential, 8-bit, single
+interleaved scan, grayscale or YCbCr color with sampling factors up to
+2×2 (the encoder emits grayscale or 4:2:0) — no progressive, no
+12-bit, no restart-interval segmentation. Anything else raises
+UnsupportedMediaError, and `multimodal.decode_blob` keeps raising
+NotImplementedError for formats with no pure-Python decoder here
+(video containers).
 
 These run inside mapInPandas batches (Arrow-fed bytes columns): per-blob
 imperative work is exactly the Python-path boundary the engine documents
@@ -257,17 +258,20 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
 
 # --------------------------------------------------------------- JPEG --
 #
-# Baseline sequential JFIF (ITU-T T.81), 8-bit grayscale, one scan:
+# Baseline sequential JFIF (ITU-T T.81), 8-bit, one interleaved scan:
 # forward/inverse 2-D DCT, uniform quantization, zigzag, canonical
 # Huffman entropy coding with the Annex K luminance tables, 0xFF byte
-# stuffing, DPCM DC prediction. The decoder is table-driven from the
-# DHT/DQT segments in the stream (it assumes nothing the file doesn't
-# declare), so it reads any single-component baseline JPEG within the
-# declared scope; color/progressive/subsampled files raise
+# stuffing, DPCM DC prediction; grayscale and YCbCr color (sampling
+# factors up to 2×2 on decode; the encoder emits 4:2:0). The decoder is
+# table-driven from the DHT/DQT segments in the stream (it assumes
+# nothing the file doesn't declare); progressive/12-bit files raise
 # UnsupportedMediaError. JPEG is lossy in general, but a block-constant
 # image with a DC quant step dividing 8·(v−128) round-trips EXACTLY
 # (only the DC coefficient is nonzero and its quantization is
-# remainder-free) — the property the oracle-graded decode row uses.
+# remainder-free) — the property the oracle-graded decode row uses,
+# extended for color by tiles constant per 16×16 MCU (chroma averaging
+# of a constant is exact, and the double JFIF conversion is replayed by
+# the oracle with explicit DOUBLE casts).
 
 JPEG_MAGIC = b"\xff\xd8"
 
@@ -477,8 +481,10 @@ def _clamp8(v: int) -> int:
 def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
     """JFIF RGB→YCbCr with floor(x+0.5) rounding and 0..255 clamping.
     The operation ORDER is part of the contract: the decode-roundtrip
-    oracle replays these exact left-associated IEEE expressions in SQL,
-    so do not re-associate the arithmetic."""
+    oracle replays these left-associated IEEE expressions in SQL with
+    every literal cast to DOUBLE (DuckDB's bare decimals would evaluate
+    exactly and diverge in FLOOR) — do not re-associate the arithmetic
+    on either side."""
     y = _clamp8(int(_math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
     cb = _clamp8(
         int(_math.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))

@@ -823,27 +823,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(0, b.jh // 16)) ty(i)
         WHERE b.fmt = 3
     ), cconv AS (
-        -- forward JFIF RGB->YCbCr, literal-for-literal the codec's
-        -- left-associated IEEE expressions (llm/codecs.rgb_to_ycbcr)
+        -- forward JFIF RGB->YCbCr, operation-for-operation the codec's
+        -- left-associated expressions (llm/codecs.rgb_to_ycbcr). Every
+        -- literal is cast to DOUBLE: DuckDB would otherwise evaluate
+        -- 0.299 * r in exact DECIMAL arithmetic, which differs from the
+        -- codec's IEEE doubles by 1 in FLOOR on thousands of RGB
+        -- triples (latent divergence outside the current tile domain)
         SELECT doc_id,
                GREATEST(0, LEAST(255, FLOOR(
-                   0.299 * r + 0.587 * g + 0.114 * bl + 0.5))) AS y,
+                   CAST(0.299 AS DOUBLE) * r
+                   + CAST(0.587 AS DOUBLE) * g
+                   + CAST(0.114 AS DOUBLE) * bl + 0.5))) AS y,
                GREATEST(0, LEAST(255, FLOOR(
-                   -0.168736 * r - 0.331264 * g + 0.5 * bl
+                   CAST(-0.168736 AS DOUBLE) * r
+                   - CAST(0.331264 AS DOUBLE) * g
+                   + CAST(0.5 AS DOUBLE) * bl
                    + 128.0 + 0.5))) AS cb,
                GREATEST(0, LEAST(255, FLOOR(
-                   0.5 * r - 0.418688 * g - 0.081312 * bl
+                   CAST(0.5 AS DOUBLE) * r
+                   - CAST(0.418688 AS DOUBLE) * g
+                   - CAST(0.081312 AS DOUBLE) * bl
                    + 128.0 + 0.5))) AS cr
         FROM ctile
     ), cback AS (
         SELECT doc_id,
                GREATEST(0, LEAST(255, FLOOR(
-                   y + 1.402 * (cr - 128) + 0.5))) AS r2,
+                   y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r2,
                GREATEST(0, LEAST(255, FLOOR(
-                   y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                   y - CAST(0.344136 AS DOUBLE) * (cb - 128)
+                   - CAST(0.714136 AS DOUBLE) * (cr - 128)
                    + 0.5))) AS g2,
                GREATEST(0, LEAST(255, FLOOR(
-                   y + 1.772 * (cb - 128) + 0.5))) AS b2
+                   y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b2
         FROM cconv
     ), csum AS (
         SELECT doc_id, CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS s
