@@ -25,6 +25,16 @@ Deterministic scheme used by every oracle-checked aggregate:
 
 Decimal partial aggregation stays inside whole-stage codegen and shuffles
 one partial sum per group per partition — the right plan at 100 TB too.
+
+A third pitfall, discovered in round 6 (the JPEG color-conversion
+oracle): a bare decimal LITERAL like `0.299 * r` is typed DOUBLE by
+Spark but DECIMAL by DuckDB, so the DuckDB side computes exact decimal
+arithmetic while Spark computes IEEE — FLOOR of the two diverges by 1
+on thousands of inputs. Rule: any oracle literal that multiplies or
+offsets DATA values must be written `CAST(0.299 AS DOUBLE)` on the
+DuckDB side (verified exhaustively for the JFIF conversions over all
+256³ inputs). Integer-valued literals (128.0, 0.5) are exact in both
+representations and may stay bare.
 """
 
 from __future__ import annotations

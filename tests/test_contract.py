@@ -52,13 +52,13 @@ TAIL_SOURCE_SHA256 = {
     "dedup_simhash": "4cfa97525bd1b860",
     "dedup_clusters": "6a3d68f7f765a34a",
     "dedup_ngram_jaccard": "626fdf3ec0b8ce7c",
-    "tpch_q18_large_orders": "cd0cf27370953e38",
-    "tpch_q19_disjunctive_predicates": "8191c41b4ef248ea",
+    "tpch_q18_large_orders": "7f44c9dbd30c0cdf",
+    "tpch_q19_disjunctive_predicates": "d2fc0f582dfcdd52",
     "tpch_q13_customer_distribution": "34db0404576d76bc",
-    "tpch_q15_top_supplier": "ccadd422857763b3",
-    "hopping_window_agg": "b3ea9bedc02d5b4c",
+    "tpch_q15_top_supplier": "35a9bd732aac48c5",
+    "hopping_window_agg": "d3398c77535f24f7",
     "rank_function_suite": "fb4148baa60ed348",
-    "null_semantics_suite": "669fd86afcec8932",
+    "null_semantics_suite": "823041f910e7ac52",
     "grouping_sets_report": "fe04e9691ec10b4d",
     "linear_interpolation_gapfill": "050d076993da4ecd",
     "pii_scrub_stats": "0de4676ab6e22b39",
@@ -72,36 +72,36 @@ TAIL_SOURCE_SHA256 = {
     "approx_count_distinct": "d67fab316c388d17",
     "similarity_ann_lsh": "6fd3c22775e1f57d",
     "scalar_function_suite": "91f0c9ccaa1809b6",
-    "tpch_q1_pricing_summary": "c64c3d71557e2d36",
-    "tpch_q3_shipping_priority": "062812549e6a05ad",
+    "tpch_q1_pricing_summary": "f54c3968bfa4f348",
+    "tpch_q3_shipping_priority": "ee02e8eba0f4e659",
     "streaming_sessionize": "2f6b1ff238e1a3ea",
     "streaming_watermarked_append": "af4355a081b5fd63",
-    "pivot_hourly_by_type": "4b330c4c55bad914",
-    "unpivot_measure_summary": "77fb725ce85c418b",
-    "correlated_above_avg_orders": "839fd003d0980810",
-    "streaming_static_enrich": "ee3d39a426f2a18a",
-    "tpch_q10_returned_items": "b297c7aedd4c7b7a",
+    "pivot_hourly_by_type": "2e1792039f38f357",
+    "unpivot_measure_summary": "67586f8f74675978",
+    "correlated_above_avg_orders": "c93beabc2a862670",
+    "streaming_static_enrich": "03ec413dad8befee",
+    "tpch_q10_returned_items": "d84d82fc9ebde6b5",
     "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
-    "tpch_q7_volume_shipping": "b498f9cbce94dc7e",
-    "tpch_q14_promo_revenue": "e22b43aa96611f9a",
-    "tpch_q22_antijoin_segments": "71bca33b34df0a11",
+    "tpch_q7_volume_shipping": "12ca103870c73bc9",
+    "tpch_q14_promo_revenue": "8c11c2bc02052242",
+    "tpch_q22_antijoin_segments": "4960ba7b1a4e9e1d",
     "approx_quantiles_bounded": "54ed7efb93b06359",
     "session_window_agg": "958aeb73f54fc5bc",
-    "latency_percentiles": "730709de52b987de",
+    "latency_percentiles": "d1aad1de2b6302ed",
     "value_counts": "77901eddede1bfe4",
-    "station_enrichment_join": "41cc5c343e720dd5",
-    "group_by_sum_consumption": "6daa6057b01b979b",
-    "validity_filter": "dc7bdf37ab5fb6bd",
+    "station_enrichment_join": "71710f1cc5925ea5",
+    "group_by_sum_consumption": "884571c07dcfb90c",
+    "validity_filter": "058154a455290ee4",
     "numeric_projection_summary": "e7ca50f8469d3141",
     "count_distinct_stations": "48371d26e62bd910",
     "latest_by_rownumber": "780a1e09f354d759",
-    "weather_window_agg_by_station": "6056a265e99a141c",
+    "weather_window_agg_by_station": "21fe01649bff0da8",
     "streaming_union_window_agg": "6a00b93b4b1e7758",
     "latest_by_offset": "7e309fbf1a7caa32",
     "argmax_station": "1a117b3f0ee6725b",
-    "streaming_window_agg": "1084464fda6034a4",
-    "tpch_q6_selective_scan": "455060503f6aebc5",
-    "tpch_q5_join_chain": "5a02adf132f9f215",
+    "streaming_window_agg": "8deae1ab10334a93",
+    "tpch_q6_selective_scan": "4fabef06b3159167",
+    "tpch_q5_join_chain": "af4119ec48874759",
     "text_fingerprint": "73475d3a3e413a14",
     "dirty_data_parsing": "dd8d04068d76f6ec",
     "time_rollup_hierarchy": "89cc8cd950222e2f",
@@ -110,23 +110,23 @@ TAIL_SOURCE_SHA256 = {
     "text_lang_id": "43d81e9a93902bda",
     "top_k_values": "d386676c518380cd",
     "correlation_matrix": "e044c5edb25f8831",
-    "price_prediction_pipeline": "c876f5ae1066d720",
+    "price_prediction_pipeline": "fc2da9e30016df5e",
     "flag_derivation_dropna": "5975c2e85d92f56b",
     "window_function_suite": "4af6a3771eb6902e",
     "kmv_distinct_sketch": "63dbb472efa588b6",
     "embedding_quantization": "ae3a2207f42032f8",
     "skewed_agg_salted": "72a35cfc5c0d93c7",
-    "skewed_join_replicated": "465ade223ec248eb",
-    "cube_rollup_report": "6604fd8c1b273082",
+    "skewed_join_replicated": "07ca83a5bed97cf9",
+    "cube_rollup_report": "a6b4dfb9488990d5",
     "vocab_top_tokens": "13fcc84ed6eea3fd",
     "datetime_parse_suite": "8ed31ca6b8b2125d",
     "text_token_counts": "235f83939aa24c03",
     "stratified_sample": "6d7192037e5e3fc1",
     "hash_split_assignment": "3347ccd4ebc979d0",
     "text_repetition_ratio": "8463170c6768af92",
-    "union_streams_agg": "0a3661b025a8e5f4",
+    "union_streams_agg": "61e8fd3254b80609",
     "asof_join_latest_view": "0ba68b007cd74fe1",
-    "per_station_accumulation": "1e9bbdddc7ab4bc5",
+    "per_station_accumulation": "05cc7a087ecf6321",
     "range_join_shipment_windows": "7f950454653b21cb",
     "text_quality_scores": "c9148936e55f74b7",
 }
