@@ -20,8 +20,9 @@ replays in SQL).
 Scope (honestly bounded): PNG color types 0 (grayscale) and 2 (RGB),
 bit depth 8, non-interlaced; JPEG baseline sequential, 8-bit, single
 interleaved scan, grayscale or YCbCr color with sampling factors up to
-2×2 (the encoder emits grayscale or 4:2:0) — no progressive, no
-12-bit, no restart-interval segmentation. Anything else raises
+2×2 (the encoder emits grayscale or 4:2:0), restart-interval (DRI/
+RSTn) segmentation on both encode and decode — no progressive, no
+12-bit. Anything else raises
 UnsupportedMediaError, and `multimodal.decode_blob` keeps raising
 NotImplementedError for formats with no pure-Python decoder here
 (video containers).
@@ -372,6 +373,12 @@ class _BitWriter:
         while self._n:
             self.write(1, 1)
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit an RSTn marker (markers are not
+        stuffed)."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (n % 8)))
+
 
 class _BitReader:
     """MSB-first reader with 0xFF00 un-stuffing; raises on markers."""
@@ -421,6 +428,29 @@ class _BitReader:
     def marker_pos(self) -> int:
         """Byte position after discarding any partial byte (scan end)."""
         return self._pos
+
+    def expect_restart(self, n: int) -> None:
+        """Consume an RSTn marker between restart intervals (T.81
+        E.2.4): discard the partial byte, skip fill bytes, require the
+        expected modulo-8 restart marker."""
+        self._acc = 0
+        self._n = 0
+        while (
+            self._pos + 1 < len(self._d)
+            and self._d[self._pos] == 0xFF
+            and self._d[self._pos + 1] == 0xFF
+        ):
+            self._pos += 1  # fill bytes before the marker
+        if (
+            self._pos + 1 >= len(self._d)
+            or self._d[self._pos] != 0xFF
+            or self._d[self._pos + 1] != 0xD0 + (n % 8)
+        ):
+            got = self._d[self._pos : self._pos + 2].hex()
+            raise UnsupportedMediaError(
+                f"expected restart marker RST{n % 8}, got 0x{got}"
+            )
+        self._pos += 2
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -570,6 +600,7 @@ def encode_jpeg(
     channels: int = 1,
     quant: list[int] | None = None,
     chroma_quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit scanlines as baseline sequential JFIF. channels=1:
     grayscale, one component, 8x8 MCUs. channels=3: interleaved-RGB
@@ -601,12 +632,30 @@ def encode_jpeg(
     ac_codes = _huff_encode_table(_AC_BITS, _AC_VALS)
     writer = _BitWriter()
 
+    rst_count = 0
+
+    def maybe_restart(mcu_index: int, preds_reset) -> None:
+        nonlocal rst_count
+        if restart_interval and mcu_index and (
+            mcu_index % restart_interval == 0
+        ):
+            writer.restart(rst_count)
+            rst_count += 1
+            preds_reset()
+
     if channels == 1:
         bw, bh = (width + 7) // 8, (height + 7) // 8
         plane = [list(r) for r in rows]
         pred = 0
+        mcu_index = 0
         for by in range(bh):
             for bx in range(bw):
+                def _reset():
+                    nonlocal pred
+                    pred = 0
+
+                maybe_restart(mcu_index, _reset)
+                mcu_index += 1
                 zz = _fdct_quant(
                     _plane_block(plane, bx * 8, by * 8), quant
                 )
@@ -658,8 +707,14 @@ def encode_jpeg(
         cbp, crp = sub(cbp_full), sub(crp_full)
         mcux, mcuy = (width + 15) // 16, (height + 15) // 16
         preds = {"y": 0, "cb": 0, "cr": 0}
+        mcu_index = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                maybe_restart(
+                    mcu_index,
+                    lambda: preds.update({"y": 0, "cb": 0, "cr": 0}),
+                )
+                mcu_index += 1
                 for by in range(2):
                     for bx in range(2):
                         zz = _fdct_quant(
@@ -694,12 +749,18 @@ def encode_jpeg(
         + bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = sos_comps + bytes((0, 63, 0))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         JPEG_MAGIC
         + seg(0xE0, app0)
         + seg(0xDB, dqt)
         + seg(0xC0, sof0)
         + seg(0xC4, dht)
+        + dri
         + seg(0xDA, sos)
         + bytes(writer.out)
         + b"\xff\xd9"
@@ -726,6 +787,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = 0
+    restart_interval = 0
     comps: list[dict] = []  # SOF order: {id, h, v, tq}
     scan: tuple[list[tuple[int, int, int]], int] | None = None
     while pos + 2 <= len(data):
@@ -793,6 +855,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise UnsupportedMediaError(
                 f"non-baseline SOF 0xFF{marker:02X} (progressive/extended)"
             )
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(body) != 2:
+                raise UnsupportedMediaError("malformed DRI")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             off = 0
             while off < len(body):
@@ -850,8 +916,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     ]
     preds = [0] * len(comps)
     reader = _BitReader(data, dpos)
+    mcu_index = 0
+    rst_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            # T.81 E.2.4 restart intervals: an RSTn marker byte-aligns
+            # the stream and resets every DC predictor
+            if restart_interval and mcu_index and (
+                mcu_index % restart_interval == 0
+            ):
+                reader.expect_restart(rst_count)
+                rst_count += 1
+                preds = [0] * len(comps)
+            mcu_index += 1
             for ci, dc_id, ac_id in order:
                 c = comps[ci]
                 for bv in range(c["v"]):

@@ -535,3 +535,40 @@ def test_jpeg_color_lossy_luma_bounded_error():
             abs(a - b) for ra, rb in zip(rows, dec) for a, b in zip(ra, rb)
         )
         assert err <= 3, f"{w}x{h}: color near-lossless error {err}"
+
+
+def test_jpeg_restart_intervals_transparent_and_validated():
+    """DRI/RSTn segmentation (common in real camera/encoder output):
+    restart markers byte-align the stream and reset DC predictors, and
+    must be fully transparent to decoded pixels in both grayscale and
+    color; a wrong-sequence restart marker is a decode error."""
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    rows = [
+        bytes((7 + 11 * (x // 8) + 29 * (y // 8)) % 256 for x in range(40))
+        for y in range(24)
+    ]
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(rows))
+    for ri in (1, 2, 5):
+        seg = codecs.encode_jpeg(rows, restart_interval=ri)
+        assert codecs.decode_jpeg(seg) == plain
+    # corrupt the first restart marker's index → sequence error
+    seg = bytearray(codecs.encode_jpeg(rows, restart_interval=1))
+    i = seg.index(b"\xff\xd0")
+    seg[i + 1] = 0xD4
+    with pytest.raises(codecs.UnsupportedMediaError, match="restart"):
+        codecs.decode_jpeg(bytes(seg))
+    # color path
+    crows = [
+        bytes(
+            v
+            for x in range(32)
+            for v in ((x // 16 * 90) % 256, 30, (y // 16 * 50) % 256)
+        )
+        for y in range(32)
+    ]
+    cplain = codecs.decode_jpeg(codecs.encode_jpeg(crows, channels=3))
+    cseg = codecs.decode_jpeg(
+        codecs.encode_jpeg(crows, channels=3, restart_interval=1)
+    )
+    assert cseg == cplain
