@@ -1324,3 +1324,111 @@ def ivf_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- product quantization (PQ) --
+
+
+def _pq_oracle(
+    subspaces: int = 8,
+    sub_dim: int = 8,
+    num_centroids: int = 8,
+    lloyd_iters: int = 2,
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.pq import _sql_sub_dot as _sub_dot
+
+    d = sub_dim
+    rounds = ""
+    prev = "c0"
+    for i in range(1, lloyd_iters + 1):
+        rounds += f""", a{i} AS (
+        SELECT vid, s, centroid_id, svec FROM (
+            SELECT t.vid, t.s, c.centroid_id, t.svec,
+                   row_number() OVER (
+                       PARTITION BY t.vid, t.s
+                       ORDER BY t.vv - 2.0 * ({_sub_dot("t.svec", "c.cvec", d)})
+                                + c.cc,
+                                c.centroid_id
+                   ) AS rn
+            FROM sl t JOIN {prev} c ON t.s = c.s
+        ) WHERE rn = 1
+    ), m{i} AS (
+        SELECT s, centroid_id, r.i AS pos,
+               CAST(SUM(CAST(FLOOR(svec[CAST(r.i AS INT)] * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mv
+        FROM a{i}, range(1, {d + 1}) r(i)
+        GROUP BY s, centroid_id, r.i
+    ), c{i} AS (
+        SELECT s, centroid_id, cvec,
+               {_sub_dot("cvec", "cvec", d)} AS cc
+        FROM (
+            SELECT s, centroid_id, list(mv ORDER BY pos) AS cvec
+            FROM m{i} GROUP BY s, centroid_id
+        )
+    )"""
+        prev = f"c{i}"
+    return f"""
+    WITH base AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+        FROM embeddings
+    ), sliced AS (
+        SELECT vid, CAST(si.i AS INT) AS s,
+               dvec[CAST(si.i * {d} + 1 AS INT)
+                    : CAST(si.i * {d} + {d} AS INT)] AS svec
+        FROM base, unnest(range(0, {subspaces})) si(i)
+    ), sl AS (
+        SELECT vid, s, svec, {_sub_dot("svec", "svec", d)} AS vv
+        FROM sliced
+    ), c0 AS (
+        SELECT s, vid AS centroid_id, svec AS cvec, vv AS cc
+        FROM sl WHERE vid < {num_centroids}
+    ){rounds}, fin AS (
+        SELECT vid, s, centroid_id, dist2 FROM (
+            SELECT t.vid, t.s, c.centroid_id,
+                   t.vv - 2.0 * ({_sub_dot("t.svec", "c.cvec", d)}) + c.cc
+                       AS dist2,
+                   row_number() OVER (
+                       PARTITION BY t.vid, t.s
+                       ORDER BY t.vv - 2.0 * ({_sub_dot("t.svec", "c.cvec", d)})
+                                + c.cc,
+                                c.centroid_id
+                   ) AS rn
+            FROM sl t JOIN {prev} c ON t.s = c.s
+        ) WHERE rn = 1
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           count(*) AS n_vectors,
+           CAST(count(DISTINCT centroid_id) AS BIGINT) AS used_centroids,
+           CAST(SUM(CAST(FLOOR(dist2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_err_nano,
+           CAST(MAX(CAST(FLOOR(dist2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS max_err_nano
+    FROM fin GROUP BY s
+    """
+
+
+@staged_query("pq_quantization_error", oracle=_pq_oracle())
+def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training + error audit
+    (llm/pq.py) — the embedding-compression scheme behind IVF-PQ
+    billion-vector indexes: 8 subspaces × 8 dims, an 8-entry L2 Lloyd
+    codebook per subspace (24 bits per 64-dim vector, ~340× smaller
+    than float32), graded on the per-subspace statistics a production
+    pipeline monitors: vector counts, codebook utilization (dead
+    entries waste bits), and total/max quantization error in exact
+    integer nano-units. Completes the compression family next to the
+    graded scalar int8 row (embedding_quantization): scalar quant
+    bounds each COMPONENT's error; PQ trades that for far higher
+    compression with data-adapted codebooks. The oracle replays the
+    full deterministic training — seeded init, two Lloyd rounds with
+    expanded-L2 assignment and integer-nano-quantized re-centering —
+    relationally, so a single drifted centroid component or tie-break
+    flips the hash. The certificate-style companion
+    (ann_recall_certified / ivf_recall_certified) covers retrieval
+    quality; this row covers representation quality."""
+    from sparkksqldbbenchmark_spark.llm.pq import pq_quantization_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_quantization_error(emb)

@@ -184,3 +184,28 @@ def test_ignore_nulls_carry_is_forward_fill(spark):
             if r.p_cents is not None:
                 carry = r.p_cents
             assert r.carry_cents == carry, (user, r.event_id)
+
+
+def test_pq_training_reduces_error_and_codes_in_range(spark):
+    """Lloyd training must not increase total quantization error vs the
+    untrained (seed) codebooks, and codebook utilization stays within
+    [1, k] — the monotone-improvement property of k-means."""
+    from sparkksqldbbenchmark_spark.llm.pq import pq_quantization_error
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    trained = {
+        r.subspace: r
+        for r in pq_quantization_error(emb, lloyd_iters=2).collect()
+    }
+    seeds = {
+        r.subspace: r
+        for r in pq_quantization_error(emb, lloyd_iters=0).collect()
+    }
+    assert set(trained) == set(seeds) == set(range(8))
+    for s in trained:
+        assert 1 <= trained[s].used_centroids <= 8
+        assert trained[s].total_err_nano <= seeds[s].total_err_nano, (
+            s,
+            trained[s].total_err_nano,
+            seeds[s].total_err_nano,
+        )
