@@ -1432,3 +1432,169 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_quantization_error(emb)
+
+
+# ------------------------------------------- ANSI ordered-set percentiles --
+
+
+@staged_query(
+    "ansi_percentile_suite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc
+    FROM events GROUP BY 1
+    """,
+)
+def ansi_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates — percentile_cont (linear
+    interpolation) and percentile_disc (existing-value) WITHIN GROUP,
+    the SQL:2003 surface this repo's earlier percentile rows
+    deliberately avoided in favor of nearest-rank conventions. Graded
+    because the INTERPOLATION arithmetic itself turns out to be
+    engine-portable: both engines compute the same IEEE lerp at the
+    same rank fractions (verified bit-for-bit on this data, including
+    non-terminating cases like 112.01000000000003). The
+    nearest-rank/histogram plans remain the scale path (no per-group
+    sort); this row pins the ANSI semantics themselves.
+
+    Scale shape: sort-based aggregate per group — fine to ~1e9 rows per
+    group, and the graded groups are the 5 bounded event types;
+    approx_percentile (graded elsewhere) is the mergeable swap when
+    exactness is negotiable."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__pct_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                   AS p50_disc
+        FROM __pct_events GROUP BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------- text normalization --
+
+
+@staged_query(
+    "text_normalization_suite",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                   '\s+', ' ', 'g'),
+                   '[^a-z0-9 .,;:!?''-]', '', 'g')) AS clean
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_hash,
+           CAST(len(clean) AS BIGINT) AS clean_len,
+           md5(regexp_replace(clean, '[0-9]+', '0', 'g')) AS masked_hash,
+           CAST(len(regexp_extract_all(clean, '[0-9]+')) AS BIGINT)
+               AS n_numbers
+    FROM norm
+    """,
+)
+def text_normalization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Text normalization for corpus prep — the cleaning pass that
+    precedes hashing/dedup in every pipeline: lowercase, collapse
+    whitespace runs, strip characters outside a retained class, trim;
+    plus digit masking (every number run → '0'), the standard
+    canonicalization before near-dup hashing so "version 2" and
+    "version 3" collide. Results are md5s of the normalized text, so
+    any regex-engine divergence in class handling fails the gate.
+
+    Portability finding, discovered staging this row: pattern
+    BACKREFERENCES (\b(\w+) \1\b for repeated words) are
+    Java-regex-only — DuckDB's RE2 silently matches NOTHING on a
+    backreference pattern (no error, input returned unchanged), so a
+    repeated-word lane is untestable cross-engine and the repo's
+    portable normalization surface deliberately excludes it; a
+    relational lag-over-tokens form covers that need instead
+    (scd2-style change compression).
+
+    Scale shape: pure scan-side regex chains in codegen, zero
+    shuffles — the same cost class as the graded PII scrub."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"\s+", " "),
+            r"[^a-z0-9 .,;:!?'-]",
+            "",
+        )
+    )
+    return docs.select("doc_id", clean.alias("__clean")).select(
+        "doc_id",
+        F.md5("__clean").alias("clean_hash"),
+        F.length("__clean").cast("long").alias("clean_len"),
+        F.md5(F.regexp_replace("__clean", r"[0-9]+", "0")).alias(
+            "masked_hash"
+        ),
+        F.size(F.expr("regexp_extract_all(__clean, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_numbers"),
+    )
+
+
+# ----------------------------------------------------------- URL parsing --
+
+
+@staged_query(
+    "url_parse_suite",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                   || '&p=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def url_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — host/path/query/parameter extraction over a
+    deterministic synthesized URL column, the web-corpus prep step
+    behind domain-level mixture weights and dedup-by-page. Spark's side
+    uses the dedicated parse_url function (HOST/PATH/QUERY and keyed
+    QUERY extraction); DuckDB has no URL parser, so the oracle derives
+    the same fields with anchored regexes — two entirely different
+    mechanisms agreeing value-for-value is the point (parse_url is a
+    thin codegen'd parser, not magic).
+
+    Scale shape: scan-side string functions, zero shuffles; at corpus
+    scale the host column feeds straight into the graded
+    domain_mixture_resample / cross-source machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
