@@ -3,7 +3,7 @@ scheme for billion-vector ANN indexes (IVF-PQ): split each d-dim vector
 into m subvectors, train a small k-centroid codebook per subspace with
 L2 Lloyd iterations, and represent every vector by m small codes
 (m·log2(k) bits — 8 subspaces × 8 centroids = 3 bits/subspace = 24 bits
-per 64-dim float32 vector here, a ~340× compression). Search-side ADC
+per 64-dim float32 vector here, an ~85× compression). Search-side ADC
 (asymmetric distance computation) sums per-subspace lookup tables; this
 module trains the codebooks and measures the thing a production
 pipeline monitors: per-subspace quantization error.

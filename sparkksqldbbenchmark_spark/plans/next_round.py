@@ -1414,7 +1414,7 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook training + error audit
     (llm/pq.py) — the embedding-compression scheme behind IVF-PQ
     billion-vector indexes: 8 subspaces × 8 dims, an 8-entry L2 Lloyd
-    codebook per subspace (24 bits per 64-dim vector, ~340× smaller
+    codebook per subspace (24 bits per 64-dim vector, ~85× smaller
     than float32), graded on the per-subspace statistics a production
     pipeline monitors: vector counts, codebook utilization (dead
     entries waste bits), and total/max quantization error in exact
@@ -1490,7 +1490,7 @@ def ansi_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),
-                   '\s+', ' ', 'g'),
+                   '[\t\n\x0B\f\r ]+', ' ', 'g'),
                    '[^a-z0-9 .,;:!?''-]', '', 'g')) AS clean
         FROM documents
     )
@@ -1524,9 +1524,13 @@ def text_normalization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure scan-side regex chains in codegen, zero
     shuffles — the same cost class as the graded PII scrub."""
     docs = load_table(spark, sf_dir, "documents")
+    # explicit whitespace class instead of \s: Java's \s includes
+    # vertical tab (\x0B) while RE2's does not — the one class the two
+    # engines define differently (review finding; \x0B never occurs in
+    # the fixtures, but the contract must hold by construction)
     clean = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower("text"), r"\s+", " "),
+            F.regexp_replace(F.lower("text"), "[\t\n\x0B\f\r ]+", " "),
             r"[^a-z0-9 .,;:!?'-]",
             "",
         )
