@@ -3,7 +3,14 @@
 Runs every queries() entry on Spark at sf0.01 and its oracle_sql() twin on
 DuckDB over the same parquet, then compares row count, sorted column names,
 and an order-insensitive value hash (rows canonicalized to strings, floats
-via repr of round-trip float()). Run: python tools/check_correctness.py [names...]
+via repr of round-trip float()).
+
+Run: python tools/check_correctness.py [names...]
+     python tools/check_correctness.py --staged [names...]   # plans/next_round.py
+The --staged form runs the round-N+1 staging area (plans/next_round.py)
+through the identical comparison, so "verified at CHECK_SF_DIR" claims
+use one harness everywhere (tests/test_next_round.py wraps the same
+procedure in pytest).
 """
 
 from __future__ import annotations
@@ -85,6 +92,11 @@ def type_warnings(name, sdf, ocols, otypes) -> list[str]:
 def main() -> int:
     import __spark_entry__ as mod
 
+    args = sys.argv[1:]
+    staged = "--staged" in args
+    if staged:
+        args = [a for a in args if a != "--staged"]
+
     if os.environ.get("CHECK_VANILLA"):
         # Replicate the driver's session: no engine confs at build time
         # (Spark 4 ANSI mode ON, 200 shuffle partitions). Queries must
@@ -106,9 +118,17 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = mod.queries()
-    oracles = mod.oracle_sql()
-    only = set(sys.argv[1:])
+    if staged:
+        from sparkksqldbbenchmark_spark.plans.next_round import (
+            STAGED,
+            STAGED_ORACLE,
+        )
+
+        qs, oracles = dict(STAGED), dict(STAGED_ORACLE)
+    else:
+        qs = mod.queries()
+        oracles = mod.oracle_sql()
+    only = set(args)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
