@@ -143,3 +143,41 @@ def test_cdc_consumes_full_history_and_drops_deleted_keys(spark):
     con.close()
     assert sum(r.n_changes for r in surviving) + deleted_changes[0] == total_rows
     assert len(surviving) + deleted_changes[1] == n_keys
+
+
+def test_funnel_stages_monotone(spark):
+    """Ordered funnel counts must shrink monotonically: total users ≥
+    viewers ≥ ordered clickers ≥ ordered purchasers (each stage
+    requires the previous stage's event strictly earlier)."""
+    r = QUERIES["funnel_conversion"](spark, SF_DIR).collect()[0]
+    assert (
+        r.users_total
+        >= r.viewed
+        >= r.clicked_after_view
+        >= r.purchased_after_click
+    )
+    assert r.viewed > 0
+
+
+def test_cohort_week_zero_covers_every_cohort(spark):
+    """Every cohort has a week-0 row (a user is active in the week of
+    their own first event by definition), and no offset is negative."""
+    rows = QUERIES["cohort_retention"](spark, SF_DIR).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.week_offset >= 0, r
+        by_cohort.setdefault(r.cohort_week, set()).add(r.week_offset)
+    assert by_cohort
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} missing week-0 row"
+
+
+def test_recall_certificates_bounded(spark):
+    """recall_pct ∈ [0, 100] with hits ≤ k for both certificate rows —
+    and LSH recall is structurally ≥ 0 with hits consistent."""
+    for name in ("ann_recall_certified",):
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.hits <= 5
+            assert r.recall_pct == r.hits * 100 // 5
