@@ -9,6 +9,7 @@ uses them:
     → benchmark decontamination audit        (llm/decontam)
     → deterministic train/val/test split     (operators/sampling)
     → sequence packing into context windows  (operators/packing)
+    → embedding-index certificates           (llm/similarity + llm/pq)
 
 Each stage prints wall-clock + row counts. Run:
 
@@ -138,6 +139,40 @@ def main() -> None:
         f"[6] sequence packing: {stats['tokens']:,} tokens -> "
         f"{stats['packs']:,} packs of 2048 ({stats['straddlers']} docs "
         f"straddle) ({time.time() - t0:.1f}s)"
+    )
+
+    # Embedding-side quality certificates: retrieval recall for the
+    # approximate index and representation error for the compressed
+    # codes — the two numbers a production vector pipeline monitors.
+    from sparkksqldbbenchmark_spark.llm import similarity
+    from sparkksqldbbenchmark_spark.llm.pq import pq_quantization_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    exact = similarity.cosine_topk(emb).select("query_id", "cand_id")
+    ann = similarity.ann_lsh_topk(emb).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    rec = (
+        exact.join(ann, ["query_id", "cand_id"], "left")
+        .agg(
+            (F.count("hit") * 100 / F.count(F.lit(1)))
+            .cast("int")
+            .alias("recall_pct")
+        )
+        .collect()[0]
+    )
+    pq = pq_quantization_error(emb).agg(
+        F.sum("n_vectors").alias("nv"),
+        F.sum("total_err_nano").alias("err"),
+        F.min("used_centroids").alias("min_used"),
+    ).collect()[0]
+    print(
+        f"[7] index certificates: LSH recall@5 {rec['recall_pct']}% vs "
+        f"exact; PQ codebooks quantize {pq['nv']:,} subvectors with "
+        f"mean err {pq['err'] / max(pq['nv'], 1) / 1e9:.4f} "
+        f"(min utilization {pq['min_used']}/8 entries) "
+        f"({time.time() - t0:.1f}s)"
     )
     print(f"TOTAL {time.time() - t_all:.1f}s")
 
