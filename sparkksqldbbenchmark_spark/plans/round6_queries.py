@@ -329,10 +329,10 @@ _SQL_W = (
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN {sql_md5_int("CAST(doc_id AS VARCHAR)")} % 1000000
+           CAST(sum(CASE WHEN {sql_md5_int("CAST(doc_id AS VARCHAR)")} % 1000000
                          < {_SQL_W} * 1000000 // 3
-                    THEN 1 ELSE 0 END) AS n_kept,
-           max({_SQL_W} * 1000000 // 3) AS keep_threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(max({_SQL_W} * 1000000 // 3) AS BIGINT) AS keep_threshold
     FROM documents GROUP BY 1
     """,
 )

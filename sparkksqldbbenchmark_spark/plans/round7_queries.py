@@ -1,27 +1,18 @@
-"""Round-7 staging area: fully-built, oracle-verified queries that are
-NOT yet registered with the driver-graded registry.
+"""Round-7 graduated queries: the 25 queries staged (and locally
+DuckDB-verified at sf0.001/0.01/0.1) during round 6, now registered with
+the driver-graded registry per docs/ROTATION_R7.md.
 
-Why a separate module: the driver grades exactly the first 50 entries of
-``__spark_entry__.queries()`` and this round's 50-slot head is already
-committed (every slot holds a query awaiting a fresh green row —
-displacing one would leave it ungraded, violating the rotation contract
-in tests/test_contract.py). New work therefore lands here with a
-MODULE-LOCAL registry; tests/test_next_round.py runs the same
-Spark-vs-DuckDB comparison the driver runs, so each staged query is
-already verified green before it rotates into the graded head next
-round (swap ``staged_query`` for ``plans.registry.query``, import the
-module from ``__spark_entry__``, and move freshly-green head rows to
-TAIL with pins — mechanics as executed in round 6, see
-plans/round6_queries.py history).
-
-Round-7 themes: engine/SQL surface still uncovered after round 6 —
-batch gaps-and-islands sessionization, table diff / reconciliation and
-merge-on-read (completing the CDC family), deterministic weighted
-sampling, higher-order array functions, JSON extraction, RANGE interval
-window frames, calendar-spine densification, recursive CTEs (Spark 4
-WITH RECURSIVE), AQE partition-coalescing plan assertion, bitmap
-activity aggregates, ties-aware top-k, and two new streaming semantics
-(dropDuplicatesWithinWatermark, watermarked stream-stream LEFT OUTER).
+Engine/SQL surface: batch gaps-and-islands sessionization, table diff /
+reconciliation, merge-on-read upsert (completing the CDC family),
+deterministic weighted sampling, higher-order array functions, JSON
+extraction, RANGE interval window frames, calendar-spine densification,
+recursive CTEs (Spark 4 WITH RECURSIVE), AQE partition-coalescing plan
+assertion, bitmap activity aggregates, ties-aware top-k, INTERSECT/
+EXCEPT set ops, FILTER clauses, IGNORE NULLS navigation, LISTAGG,
+posexplode, try_* arithmetic, ANSI percentile_cont/disc, text
+normalization, URL parsing. Streaming: dropDuplicatesWithinWatermark,
+watermarked stream-stream LEFT OUTER. LLM-pipeline: IVF recall@k
+certificate, product-quantization error audit (llm/pq.py).
 
 Design notes per query live in the docstrings; every one follows the
 repo-wide cross-engine determinism rules (functions/stable.py,
@@ -39,22 +30,9 @@ from pyspark.sql import functions as F
 
 from sparkksqldbbenchmark_spark.catalog import load_table
 
+from sparkksqldbbenchmark_spark.plans.registry import query
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-STAGED: dict[str, QueryFn] = {}
-STAGED_ORACLE: dict[str, str] = {}
-
-
-def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
-    """Module-local twin of plans.registry.query — keeps staged work out
-    of the driver's grading window until deliberately rotated in."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        STAGED[name] = fn
-        STAGED_ORACLE[name] = oracle
-        return fn
-
-    return deco
 
 
 # -------------------------------------------------- batch sessionization --
@@ -62,7 +40,7 @@ def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
 
 
-@staged_query(
+@query(
     "batch_sessionize",
     oracle=f"""
     WITH ordered AS (
@@ -143,7 +121,7 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ table diff / reconcile --
 
 
-@staged_query(
+@query(
     "table_diff_reconciliation",
     oracle="""
     WITH t AS (SELECT max(event_id) * 7 // 10 AS cut FROM events),
@@ -215,7 +193,7 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- merge-on-read view --
 
 
-@staged_query(
+@query(
     "merge_on_read_upsert",
     oracle="""
     WITH t AS (SELECT max(event_id) * 6 // 10 AS cut FROM events),
@@ -297,7 +275,7 @@ def merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- deterministic weighted top --
 
 
-@staged_query(
+@query(
     "weighted_sample_priority",
     oracle="""
     SELECT doc_id, weight, priority FROM (
@@ -355,7 +333,7 @@ def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- higher-order function suite --
 
 
-@staged_query(
+@query(
     "hof_function_suite",
     oracle="""
     WITH toks AS (
@@ -431,7 +409,7 @@ def hof_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- JSON extraction --
 
 
-@staged_query(
+@query(
     "json_extract_suite",
     oracle="""
     WITH parsed AS (
@@ -485,7 +463,7 @@ def json_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAY_US = 24 * 3600 * 1_000_000
 
 
-@staged_query(
+@query(
     "range_interval_window",
     oracle=f"""
     SELECT event_id, user_id,
@@ -531,7 +509,7 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- calendar spine gap filling --
 
 
-@staged_query(
+@query(
     "calendar_spine_gapfill",
     oracle="""
     WITH bounds AS (
@@ -601,7 +579,7 @@ def calendar_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- recursive CTE --
 
 
-@staged_query(
+@query(
     "recursive_cte_closure",
     oracle="""
     WITH RECURSIVE anc(node, cur, depth) AS (
@@ -651,7 +629,7 @@ def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- AQE partition coalescing (plan) --
 
 
-@staged_query(
+@query(
     "aqe_coalesce_partitions",
     oracle="""
     SELECT event_type,
@@ -715,7 +693,7 @@ def aqe_coalesce_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- bitmap day activity --
 
 
-@staged_query(
+@query(
     "bitmap_day_activity",
     oracle="""
     WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
@@ -775,7 +753,7 @@ def bitmap_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ top-k per group, ties --
 
 
-@staged_query(
+@query(
     "topk_per_group_ties",
     oracle="""
     WITH daily AS (
@@ -821,7 +799,7 @@ def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- streaming: dedup within watermark --
 
 
-@staged_query(
+@query(
     "streaming_dropdup_within_watermark",
     oracle="""
     SELECT event_id, user_id, event_type FROM events
@@ -868,7 +846,7 @@ def streaming_dropdup_within_watermark(
 # ------------------------------------- streaming: LEFT OUTER stream join --
 
 
-@staged_query(
+@query(
     "streaming_stream_left_join",
     oracle="""
     WITH v AS (SELECT user_id, event_id, ts FROM events
@@ -955,7 +933,7 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- set-op suite --
 
 
-@staged_query(
+@query(
     "setop_suite",
     oracle="""
     WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
@@ -1004,7 +982,7 @@ def setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- FILTER-clause aggs --
 
 
-@staged_query(
+@query(
     "filter_clause_agg",
     oracle="""
     SELECT event_type,
@@ -1053,7 +1031,7 @@ def filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------- IGNORE NULLS window carries --
 
 
-@staged_query(
+@query(
     "lag_lead_ignore_nulls",
     oracle="""
     WITH marked AS (
@@ -1113,7 +1091,7 @@ def lag_lead_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- ordered listagg --
 
 
-@staged_query(
+@query(
     "listagg_ordered",
     oracle="""
     WITH ranked AS (
@@ -1164,7 +1142,7 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ positional explode --
 
 
-@staged_query(
+@query(
     "posexplode_tokens",
     oracle="""
     WITH toks AS (
@@ -1200,7 +1178,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ try_* arithmetic --
 
 
-@staged_query(
+@query(
     "try_arithmetic_suite",
     oracle="""
     SELECT event_id,
@@ -1288,7 +1266,7 @@ def _ivf_recall_oracle(nq: int = 10, k: int = 5, dim: int = 64) -> str:
     """
 
 
-@staged_query("ivf_recall_certified", oracle=_ivf_recall_oracle())
+@query("ivf_recall_certified", oracle=_ivf_recall_oracle())
 def ivf_recall_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k certificate for the IVF approximate path — the companion
     to the graduated `ann_recall_certified` row (which certifies the
@@ -1409,7 +1387,7 @@ def _pq_oracle(
     """
 
 
-@staged_query("pq_quantization_error", oracle=_pq_oracle())
+@query("pq_quantization_error", oracle=_pq_oracle())
 def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook training + error audit
     (llm/pq.py) — the embedding-compression scheme behind IVF-PQ
@@ -1437,7 +1415,7 @@ def pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- ANSI ordered-set percentiles --
 
 
-@staged_query(
+@query(
     "ansi_percentile_suite",
     oracle="""
     SELECT event_type,
@@ -1484,7 +1462,7 @@ def ansi_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- text normalization --
 
 
-@staged_query(
+@query(
     "text_normalization_suite",
     oracle=r"""
     WITH norm AS (
@@ -1551,7 +1529,7 @@ def text_normalization_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- URL parsing --
 
 
-@staged_query(
+@query(
     "url_parse_suite",
     oracle="""
     WITH u AS (

@@ -46,6 +46,31 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "doc_chunk_stride": "160123a3a414bada",
+    "tfidf_top_terms": "567d4e95754bbb4c",
+    "funnel_conversion": "2d2f0c6f917743c9",
+    "cohort_retention": "224402cd27db5072",
+    "winsorized_stats": "9bb616eb63404a09",
+    "rolling_7day_active_users": "d9a4f04ed5aaa18e",
+    "quality_cdf_normalize": "d53a9ccd3fdb56c6",
+    "group_exact_k_sample": "575d73ef00aa56f8",
+    "analyze_column_stats": "2a9fef378d3187d3",
+    "nullsafe_join_agg": "62c314988a240edb",
+    "multimodal_frame_sample": "8ed576cb67ec3f98",
+    "multimodal_resize": "669c1f8e027a62b3",
+    "multimodal_feature_extract": "2de2937d97b3b4d8",
+    "tpch_q9_product_profit": "5f678cc3b755e07f",
+    "tpch_q16_supplier_part_counts": "8c20945ecf349181",
+    "tpch_q11_important_stock": "f7918ae47048c74d",
+    "dedup_embedding_cosine": "6d24a0a0ff8b74f7",
+    "similarity_ivf_topk": "fc4811612c9739c5",
+    "streaming_hopping_agg": "ab48e79560515bf8",
+    "streaming_dedup_distinct_keys": "4c73f606d124ff2b",
+    "decontam_ngram_overlap": "01f1694c5aee338f",
+    "deterministic_corpus_shuffle": "9457a847934fd5c2",
+    "tpch_q8_market_share": "d3f952ad6bf41056",
+    "tpch_q21_waiting_suppliers": "1f556ef2ebead709",
+    "cdc_snapshot_apply": "bbcd3d0d9c1385c9",
     "weather_window_agg_sql": "10e3d40e4c64ae71",
     "ksql_windowed_table": "64684741c0b2fe4e",
     "dedup_exact": "09a09b18864441e0",
@@ -130,6 +155,7 @@ TAIL_SOURCE_SHA256 = {
     "range_join_shipment_windows": "7f950454653b21cb",
     "text_quality_scores": "c9148936e55f74b7",
 }
+INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
 
 
 # Shared-infrastructure pin (ADVICE r04, tools/tail_hash.py:68 carve-out

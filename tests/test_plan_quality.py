@@ -166,10 +166,10 @@ def test_sessionize_shares_one_sort_and_one_exchange(spark):
     running-sum window and the final aggregate ride ONE user_id
     exchange and ONE per-user sort (Catalyst collapses the shared
     window spec)."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
     plan = (
-        STAGED["batch_sessionize"](spark, SF_DIR)
+        QUERIES["batch_sessionize"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -182,10 +182,10 @@ def test_sessionize_shares_one_sort_and_one_exchange(spark):
 def test_range_window_single_exchange_no_selfjoin(spark):
     """The trailing-24h RANGE frame must be a window computation, never
     the quadratic events-join-events-on-ts-BETWEEN rewrite."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
     plan = (
-        STAGED["range_interval_window"](spark, SF_DIR)
+        QUERIES["range_interval_window"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -198,10 +198,10 @@ def test_range_window_single_exchange_no_selfjoin(spark):
 def test_weighted_sample_is_take_ordered(spark):
     """Global top-k by priority compiles to TakeOrderedAndProject —
     per-partition heaps, never a global sort-then-limit."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
     plan = (
-        STAGED["weighted_sample_priority"](spark, SF_DIR)
+        QUERIES["weighted_sample_priority"](spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -217,9 +217,9 @@ def test_hof_suite_is_shuffle_free_narrow(spark):
     candidates in Spark — the plan shows a plain Project over
     ColumnarToRow — but the expressions are still JVM-evaluated;
     narrow-ness, not WSCG, is the scale property here.)"""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
-    df = STAGED["hof_function_suite"](spark, SF_DIR)
+    df = QUERIES["hof_function_suite"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan and "Aggregate" not in plan

@@ -1,11 +1,14 @@
-"""Oracle verification for the round-7 staging area (plans/next_round.py).
+"""Oracle verification for the round-7 graduated queries
+(plans/round7_queries.py — formerly the next_round.py staging area).
 
-Runs every staged query on Spark and its DuckDB oracle twin over the same
+Runs every round-7 query on Spark and its DuckDB oracle twin over the same
 sf0.001 parquet, comparing row count, sorted column names, and the
 order-insensitive canonical value hash — the identical procedure
-tools/check_correctness.py replicates from the driver. A staged query is
-rotation-ready only when it passes here (and at sf0.01/sf0.1 via
-CHECK_SF_DIR).
+tools/check_correctness.py replicates from the driver. Kept after
+graduation so the newest registry cohort stays locally pinned at
+multiple scale factors (CHECK_SF_DIR), plus the sessionize/table-diff/
+weighted-sample/setop/bitmap/ignore-nulls/PQ invariant tests that go
+beyond what the value-hash oracle can express.
 """
 
 from __future__ import annotations
@@ -20,9 +23,38 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from check_correctness import TABLES, canon_rows  # noqa: E402
 
-from sparkksqldbbenchmark_spark.plans.next_round import (  # noqa: E402
-    STAGED,
-    STAGED_ORACLE,
+import sparkksqldbbenchmark_spark.plans.round7_queries  # noqa: E402,F401
+from sparkksqldbbenchmark_spark.plans.registry import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+)
+
+ROUND7 = (
+    "batch_sessionize",
+    "table_diff_reconciliation",
+    "merge_on_read_upsert",
+    "weighted_sample_priority",
+    "hof_function_suite",
+    "json_extract_suite",
+    "range_interval_window",
+    "calendar_spine_gapfill",
+    "recursive_cte_closure",
+    "aqe_coalesce_partitions",
+    "bitmap_day_activity",
+    "topk_per_group_ties",
+    "streaming_dropdup_within_watermark",
+    "streaming_stream_left_join",
+    "setop_suite",
+    "filter_clause_agg",
+    "lag_lead_ignore_nulls",
+    "listagg_ordered",
+    "posexplode_tokens",
+    "try_arithmetic_suite",
+    "ivf_recall_certified",
+    "pq_quantization_error",
+    "ansi_percentile_suite",
+    "text_normalization_suite",
+    "url_parse_suite",
 )
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
@@ -39,18 +71,18 @@ def duck():
     con.close()
 
 
-def test_every_staged_query_has_oracle():
-    assert set(STAGED) == set(STAGED_ORACLE)
-    assert STAGED, "staging area unexpectedly empty"
+def test_every_round7_query_registered_with_oracle():
+    missing = [n for n in ROUND7 if n not in QUERIES or n not in ORACLE]
+    assert not missing, f"round-7 queries missing from registry: {missing}"
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED[name](spark, SF_DIR)
+@pytest.mark.parametrize("name", sorted(ROUND7))
+def test_round7_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(STAGED_ORACLE[name])
+    res = duck.execute(ORACLE[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 
@@ -75,7 +107,7 @@ def test_sessionize_gap_invariant(spark):
     session boundaries of the same user the gap is > 30 min — the
     defining gaps-and-islands property, checked independently of the
     value-hash oracle."""
-    rows = STAGED["batch_sessionize"](spark, SF_DIR).collect()
+    rows = QUERIES["batch_sessionize"](spark, SF_DIR).collect()
     by_user: dict[int, list] = {}
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r)
@@ -92,7 +124,7 @@ def test_sessionize_gap_invariant(spark):
 def test_table_diff_statuses_partition_keyspace(spark):
     """Every key appears exactly once, and the four statuses are
     consistent with old/new NULL-ness."""
-    rows = STAGED["table_diff_reconciliation"](spark, SF_DIR).collect()
+    rows = QUERIES["table_diff_reconciliation"](spark, SF_DIR).collect()
     keys = [r.key for r in rows]
     assert len(keys) == len(set(keys))
     for r in rows:
@@ -112,7 +144,7 @@ def test_weighted_sample_rate_scales_with_weight(spark):
     share (coarse monotonicity — the statistical contract of priority
     sampling — while the exact membership stays pinned by the oracle
     hash)."""
-    sample = STAGED["weighted_sample_priority"](spark, SF_DIR).collect()
+    sample = QUERIES["weighted_sample_priority"](spark, SF_DIR).collect()
     by_w: dict[int, int] = {}
     for r in sample:
         by_w[r.weight] = by_w.get(r.weight, 0) + 1
@@ -128,7 +160,7 @@ def test_setop_multiset_algebra(spark, duck):
     """|INTERSECT ALL| + |EXCEPT ALL| must equal |view multiset| (the
     defining partition of a multiset difference), and the DISTINCT
     forms must be set-projections of the ALL forms."""
-    rows = STAGED["setop_suite"](spark, SF_DIR).collect()
+    rows = QUERIES["setop_suite"](spark, SF_DIR).collect()
     # at tiny SFs some variants are legitimately empty (every view user
     # also clicks → EXCEPT is {}), so default missing ops to []
     by_op: dict[str, list[int]] = {
@@ -148,7 +180,7 @@ def test_setop_multiset_algebra(spark, duck):
 def test_bitmap_popcount_equals_distinct_days(spark, duck):
     """bit_count(bitmap) must equal the exact distinct-day count per
     user — the bitmap is lossless within its 63-day scope."""
-    rows = STAGED["bitmap_day_activity"](spark, SF_DIR).collect()
+    rows = QUERIES["bitmap_day_activity"](spark, SF_DIR).collect()
     exact = dict(
         duck.execute("""
             WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
@@ -172,7 +204,7 @@ def test_bitmap_popcount_equals_distinct_days(spark, duck):
 def test_ignore_nulls_carry_is_forward_fill(spark):
     """last_value IGNORE NULLS over the running frame must equal a
     hand-rolled forward-fill of the purchase marks per user."""
-    rows = STAGED["lag_lead_ignore_nulls"](spark, SF_DIR).collect()
+    rows = QUERIES["lag_lead_ignore_nulls"](spark, SF_DIR).collect()
     by_user: dict[int, list] = {}
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r)

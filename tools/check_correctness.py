@@ -7,7 +7,8 @@ via repr of round-trip float()).
 
 Run: python tools/check_correctness.py [names...]
      python tools/check_correctness.py --staged [names...]   # plans/next_round.py
-The --staged form runs the round-N+1 staging area (plans/next_round.py)
+The --staged form runs the round-N+1 staging area (plans/next_round.py,
+when one exists; the round-7 cohort graduated to plans/round7_queries.py)
 through the identical comparison, so "verified at CHECK_SF_DIR" claims
 use one harness everywhere (tests/test_next_round.py wraps the same
 procedure in pytest).
@@ -76,16 +77,33 @@ _DUCK_TYPES = {
 }
 
 
+# Machine-width integer classes whose values stringify identically as
+# Python ints — cross-engine drift WITHIN this set is driver-safe
+# (evidence: rank_function_suite was driver-graded GREEN in r04 with
+# spark=i32 vs duck=i64 on two columns). Everything OUTSIDE it fails:
+# the r06 red row domain_mixture_resample was DuckDB HUGEINT (i128),
+# which does NOT survive dataframe conversion losslessly (pandas maps
+# HUGEINT to float64, so 666 hashes as "666.0").
+_SAFE_INT_CLASSES = {"i8", "i16", "i32", "i64"}
+
+
 def type_warnings(name, sdf, ocols, otypes) -> list[str]:
-    """Warn (not fail) when a column's type class differs across engines —
-    the driver's schema comparison may be stricter than name-only."""
+    """FAIL when a column's type class differs across engines in a way the
+    driver's value hasher can see (r06 lesson: domain_mixture_resample
+    went red on DuckDB HUGEINT vs Spark BIGINT with identical values).
+    Drift within the machine-width integer family is allowed — see
+    _SAFE_INT_CLASSES; anything else returned here is counted as a
+    failure by main()."""
     warns = []
     sd = dict(sdf.dtypes)
     for col, duck_t in zip(ocols, otypes):
         st = _SPARK_TYPES.get(sd.get(col, "?"), sd.get(col, "?"))
         dt = _DUCK_TYPES.get(duck_t, duck_t)
-        if col in sd and st != dt:
-            warns.append(f"  TYPE? {name}.{col}: spark={st} duck={dt}")
+        if col not in sd or st == dt:
+            continue
+        if st in _SAFE_INT_CLASSES and dt in _SAFE_INT_CLASSES:
+            continue
+        warns.append(f"  TYPE-FAIL {name}.{col}: spark={st} duck={dt}")
     return warns
 
 
@@ -119,10 +137,14 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     if staged:
-        from sparkksqldbbenchmark_spark.plans.next_round import (
-            STAGED,
-            STAGED_ORACLE,
-        )
+        try:
+            from sparkksqldbbenchmark_spark.plans.next_round import (
+                STAGED,
+                STAGED_ORACLE,
+            )
+        except ImportError:
+            print("no staging area (plans/next_round.py) — nothing to check")
+            return 0
 
         qs, oracles = dict(STAGED), dict(STAGED_ORACLE)
     else:
@@ -153,9 +175,10 @@ def main() -> int:
             desc = con.execute(
                 f"DESCRIBE {oracles[name]}"
             ).fetchall()
-            for w in type_warnings(
+            twarns = type_warnings(
                 name, sdf, [r[0] for r in desc], [r[1] for r in desc]
-            ):
+            )
+            for w in twarns:
                 print(w)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
@@ -163,6 +186,9 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        if twarns:
+            ok = False
+            msgs.append(f"type-class drift ({len(twarns)} column(s), see above)")
         if len(srows) != len(orows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(orows)}")
