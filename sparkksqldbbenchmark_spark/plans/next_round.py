@@ -320,3 +320,522 @@ def groupby_all_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces would scan orders three times)."""
     _view(spark, sf_dir, "orders")
     return spark.sql(STAGED_ORACLE["groupby_all_unpivot_sql"])
+
+
+# ---------------------------------------------------- map-typed columns --
+
+
+@staged_query(
+    "map_function_suite",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'click' THEN c END)
+                AS BIGINT) AS n_click,
+           CAST(count(*) AS INTEGER) AS n_types,
+           list_sort(list(event_type)) AS types,
+           CAST(sum(c * 2) AS BIGINT) AS double_total,
+           CAST(sum(CASE WHEN c >= 10 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_ge10
+    FROM per
+    WHERE user_id < 200
+    GROUP BY user_id
+    """,
+)
+def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns end to end: per-user event-type count maps are
+    BUILT (`map_from_entries` over collected entries), ACCESSED
+    (`element_at` — NULL on a missing key, the lenient lookup),
+    INSPECTED (`map_keys` sorted, `size`), and TRANSFORMED
+    (`transform_values` lambda, `map_filter` predicate). The oracle
+    computes every derived value relationally — map semantics graded
+    against plain SQL, the same proof pattern the HOF suite uses.
+
+    Emitted columns are scalar lookups and SORTED key arrays only: map
+    internal ordering is engine-private, so no raw map ever reaches the
+    comparator (the same discipline collect_set rows use).
+
+    Scale shape: one partial-aggregated shuffle to (user, type) counts,
+    a second keyed on user to assemble the map — both on uniform keys;
+    per-user maps are bounded by |event types| (5), so state per group
+    is constant. Lambdas over maps are JVM codegen, not UDFs."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.element_at("m", F.lit("click")).alias("n_click"),
+        F.size("m").alias("n_types"),
+        F.sort_array(F.map_keys("m")).alias("types"),
+        F.expr(
+            "aggregate(map_values(transform_values(m, (k, v) -> v * 2)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("double_total"),
+        F.size(F.expr("map_filter(m, (k, v) -> v >= 10)")).alias("n_ge10"),
+    )
+
+
+# ------------------------------------------------------ array algebra --
+
+
+@staged_query(
+    "array_algebra_suite",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:10] AS a,
+               string_split(text, ' ')[-10:] AS b
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(a)) AS INTEGER) AS n_distinct_a,
+           list_sort(list_distinct(list_intersect(a, b))) AS inter_sorted,
+           CAST(len(list_distinct(list_concat(a, b)))
+                AS INTEGER) AS n_union,
+           CAST(len(list_filter(list_distinct(a),
+                                x -> NOT list_contains(b, x)))
+                AS INTEGER) AS n_except,
+           CAST(len(flatten([a, b])) AS INTEGER) AS flat_n,
+           CAST(coalesce(list_position(a, 'the'), 0) AS INTEGER)
+               AS pos_the,
+           len(list_intersect(a, b)) > 0 AS has_overlap
+    FROM t
+    """,
+)
+def array_algebra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over token arrays: array_distinct /
+    array_intersect / array_union / array_except / flatten /
+    array_position / arrays_overlap, graded against DuckDB's list
+    functions. Set-valued outputs are sorted before emission (set ops
+    define CONTENT, not order — both engines return implementation
+    order) and set sizes otherwise; the first-10 / last-10 token slices
+    give every doc two genuinely overlapping operand arrays.
+
+    Scale shape: all pure scan-side expression work — zero shuffles,
+    zero joins; array lambdas and set ops are JVM codegen over the
+    token arrays. The doc_id < 300 slice bounds the graded rowset; the
+    plan is a single narrow Project at any scale."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    t = docs.select(
+        "doc_id",
+        F.expr("slice(split(text, ' '), 1, 10)").alias("a"),
+        F.expr("slice(split(text, ' '), -10, 10)").alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.array_distinct("a")).alias("n_distinct_a"),
+        F.sort_array(F.array_distinct(F.array_intersect("a", "b"))).alias(
+            "inter_sorted"
+        ),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_except"),
+        F.size(F.flatten(F.array("a", "b"))).alias("flat_n"),
+        F.expr("array_position(a, 'the')").cast("int").alias("pos_the"),
+        F.arrays_overlap("a", "b").alias("has_overlap"),
+    )
+
+
+# ------------------------------------------- generator null semantics --
+
+
+@staged_query(
+    "explode_outer_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           x -> len(x) >= 8) AS l
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT t.doc_id,
+           CAST(u.ord - 1 AS INTEGER) AS pos,
+           u.e AS tok
+    FROM t LEFT JOIN LATERAL (
+        SELECT unnest(l) AS e,
+               unnest(generate_series(1, len(l))) AS ord
+    ) u ON TRUE
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL semantics: `posexplode_outer` must PRESERVE rows
+    whose array is empty (emitting NULL pos/tok) where plain explode
+    drops them — the LEFT-JOIN-shaped generator. The filter keeps only
+    ≥8-char tokens so a meaningful fraction of docs genuinely explode
+    to nothing; the oracle replays the same semantics with DuckDB's
+    LEFT JOIN LATERAL unnest (zipped with generate_series for the
+    ordinal, 1-based → 0-based to match Spark's pos).
+
+    Scale shape: Generate(outer=true) is a narrow streaming operator —
+    no shuffle, no join in the Spark plan (the LATERAL in the oracle is
+    DuckDB's spelling, not Spark's plan); output row count is
+    sum(len)+|empty| and each input row expands locally."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    t = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> length(x) >= 8)").alias("l"),
+    )
+    return t.select(
+        "doc_id",
+        F.posexplode_outer("l").alias("pos", "tok"),
+    )
+
+
+@staged_query(
+    "inline_struct_explode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ')[1:5] AS l
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           u.e AS tok,
+           CAST(len(u.e) AS INTEGER) AS tok_len
+    FROM t, LATERAL (SELECT unnest(l) AS e) u
+    """,
+)
+def inline_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`inline` — the struct-array generator: transform tokens into an
+    array<struct<tok, tok_len>> and explode it to COLUMNS in one step
+    (explode would yield a single struct column needing a second
+    projection). The oracle unnests the source list and recomputes the
+    struct fields relationally.
+
+    Scale shape: same narrow Generate operator as explode — the struct
+    construction is codegen inside the transform lambda, the inline
+    flattening is projection, no shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(slice(split(text, ' '), 1, 5),"
+            " x -> struct(x AS tok, CAST(length(x) AS INT) AS tok_len))"
+        ).alias("structs"),
+    )
+    return t.select("doc_id", F.expr("inline(structs)"))
+
+
+# ----------------------------------------------------- regexp breadth --
+
+
+@staged_query(
+    "regexp_suite2",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '([a-z]{6,})', 1))
+                AS INTEGER) AS n_long,
+           list_sort(list_distinct(
+               regexp_extract_all(text, '([a-z]{8,})', 1))) AS long_toks,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}'))
+                AS INTEGER) AS n_vowel_pairs,
+           len(regexp_replace(text, 's[a-z]+', 'X', 'g')) AS len_replaced,
+           regexp_matches(text, '\\bspark\\b') AS mentions_spark
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def regexp_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp breadth beyond extract/replace basics: `regexp_extract_all`
+    (all matches, as an array — sorted-distinct before emission since
+    only CONTENT is portable), `regexp_count` (graded against DuckDB's
+    len(extract_all) since DuckDB has no count form), global
+    regexp_replace (DuckDB needs the explicit 'g' flag for Spark's
+    replace-all default — a real cross-engine trap, documented here),
+    and word-boundary `rlike`. Patterns stay in the RE2∩Java-regex
+    intersection (classes, bounded reps, \\b) — the backreference
+    divergence is graded by text_normalization_suite.
+
+    Scale shape: all scan-side codegen over the text column; zero
+    shuffles. Regex cost is linear per row and embarrassingly parallel
+    — at 100 TB this is purely scan-bound, the ideal operator shape."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[a-z]{6,}')")
+        .cast("int")
+        .alias("n_long"),
+        F.sort_array(
+            F.array_distinct(F.expr("regexp_extract_all(text, '([a-z]{8,})', 1)"))
+        ).alias("long_toks"),
+        F.expr("regexp_count(text, '[aeiou]{2}')")
+        .cast("int")
+        .alias("n_vowel_pairs"),
+        F.length(F.regexp_replace("text", "s[a-z]+", "X")).alias(
+            "len_replaced"
+        ),
+        F.col("text").rlike(r"\bspark\b").alias("mentions_spark"),
+    )
+
+
+# ----------------------------------------------------- string breadth --
+
+
+@staged_query(
+    "string_suite2",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           rpad(substr(c_mktsegment, 1, 3), 6, '.') AS seg_cell,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat('*', CAST(c_nationkey % 5 AS INTEGER)) AS stars,
+           CAST(strpos(c_name, '0') AS INTEGER) AS first_zero,
+           left(c_name, 8) AS name_left,
+           right(c_name, 4) AS name_right,
+           CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS bucket_chr,
+           concat(substr(c_name, 1, 8), '@@',
+                  substr(c_name, 11)) AS name_overlaid
+    FROM customer WHERE c_custkey < 400
+    """,
+)
+def string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth round two: split_part, translate,
+    lpad/rpad, reverse, repeat, instr/strpos, left/right, ascii, chr,
+    and overlay — `overlay` graded against DuckDB's substr-splice
+    because DuckDB lacks the SQL-standard OVERLAY (the one asymmetry in
+    this suite; the splice is the defining identity of overlay).
+
+    Scale shape: pure scan-side codegen, zero shuffles — the
+    c_custkey < 400 slice only bounds graded output size."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.expr("split_part(c_name, '#', 2)").alias("cust_num"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
+            "seg_translated"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
+            "key_padded"
+        ),
+        F.rpad(F.expr("substr(c_mktsegment, 1, 3)"), 6, ".").alias(
+            "seg_cell"
+        ),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.expr("repeat('*', CAST(c_nationkey % 5 AS INT))").alias("stars"),
+        F.expr("instr(c_name, '0')").cast("int").alias("first_zero"),
+        F.expr("left(c_name, 8)").alias("name_left"),
+        F.expr("right(c_name, 4)").alias("name_right"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.expr("chr(65 + c_custkey % 26)").alias("bucket_chr"),
+        F.expr("overlay(c_name PLACING '@@' FROM 9 FOR 2)").alias(
+            "name_overlaid"
+        ),
+    )
+
+
+# ----------------------------------------------------- bitwise algebra --
+
+
+@staged_query(
+    "bitwise_suite",
+    oracle="""
+    SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
+           CAST(sum(bit_count(event_id)) AS BIGINT) AS total_bits,
+           CAST(sum(event_id & 255) AS BIGINT) AS sum_low_byte,
+           CAST(sum(event_id | 4096) AS BIGINT) AS sum_or,
+           CAST(sum(xor(event_id, 1365)) AS BIGINT) AS sum_xor,
+           CAST(sum(event_id << 2) AS BIGINT) AS sum_shl,
+           CAST(sum(event_id >> 3) AS BIGINT) AS sum_shr,
+           CAST(bit_and(event_id) AS BIGINT) AS agg_and,
+           CAST(bit_or(event_id % 1024) AS BIGINT) AS agg_or,
+           CAST(bit_xor(event_id) AS BIGINT) AS agg_xor
+    FROM events
+    GROUP BY 1
+    """,
+)
+def bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise algebra, scalar and aggregate: &, |, xor, shifts and
+    bit_count row-side; bit_and / bit_or / bit_xor as aggregates.
+    Cross-engine syntax is a genuine minefield graded here: Spark's
+    `^` is XOR while DuckDB's `^` is POWER (the oracle uses xor());
+    Spark spells shifts shiftleft/shiftright, DuckDB << / >> — same
+    two's-complement semantics underneath, proven by the value hash.
+
+    Scale shape: one partial-aggregated shuffle on a 16-value key; the
+    bitwise aggregates are algebraic (partials compose), so map-side
+    combine absorbs everything — identical shape to any sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.col("event_id") % 16).alias("bucket")
+    ).agg(
+        F.sum(F.bit_count("event_id")).alias("total_bits"),
+        F.sum(F.col("event_id").bitwiseAND(255)).alias("sum_low_byte"),
+        F.sum(F.col("event_id").bitwiseOR(4096)).alias("sum_or"),
+        F.sum(F.col("event_id").bitwiseXOR(1365)).alias("sum_xor"),
+        F.sum(F.shiftleft(F.col("event_id"), 2)).alias("sum_shl"),
+        F.sum(F.shiftright(F.col("event_id"), 3)).alias("sum_shr"),
+        F.bit_and("event_id").alias("agg_and"),
+        F.bit_or(F.col("event_id") % 1024).alias("agg_or"),
+        F.bit_xor("event_id").alias("agg_xor"),
+    )
+
+
+# ------------------------------------------- datetime interval algebra --
+
+
+@staged_query(
+    "interval_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_90d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS due_3mo,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           CAST((year(o_orderdate) - 1995) * 12
+                + (month(o_orderdate) - 1) AS INTEGER) AS months_since,
+           dayofweek(CAST(o_orderdate AS DATE)) % 7 + 1 AS dow
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def interval_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime interval arithmetic: +INTERVAL day/month (calendar-aware
+    month addition with end-of-month clamping), last_day, date_trunc to
+    quarter/week boundaries, day difference from an epoch, whole-month
+    difference (spelled in year/month integer arithmetic — Spark's
+    months_between is fractional, DuckDB's date_diff('month') counts
+    boundary crossings; the explicit form is the only one with a single
+    cross-engine meaning, which IS the finding this row documents), and
+    day-of-week (DuckDB dayofweek is 0=Sunday, Spark 1=Sunday — the
+    oracle normalizes).
+
+    Engine-bug finding (staging caught it): DuckDB 1.0.0 conflates two
+    different INTERVAL additions over the SAME timestamp operand —
+    `ts + INTERVAL 90 DAY` and `ts + INTERVAL 3 MONTH` in one SELECT
+    both evaluate to +90 days (faulty common-subexpression match on the
+    interval constant). The oracle sidesteps it by adding the months to
+    the DATE-cast operand, which also pins that month addition is
+    day-preserving on dates, not 30-day arithmetic.
+
+    Scale shape: scan-side codegen, zero shuffles; date arithmetic on
+    the int32 days-since-epoch representation."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 90).alias("due_90d"),
+        F.add_months(d, 3).alias("due_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias(
+            "quarter_start"
+        ),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        (
+            (F.year(d) - 1995) * 12 + (F.month(d) - 1)
+        ).cast("int").alias("months_since"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+# ------------------------------------------ per-key sequence densify --
+
+
+@staged_query(
+    "sequence_densify_per_key",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1
+        FROM events WHERE user_id < 50 GROUP BY 1
+    ), spine AS (
+        SELECT s.user_id, CAST(g.d AS DATE) AS day
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.d0, s.d1,
+                                          INTERVAL 1 DAY)) AS d
+        ) g
+    ), active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id < 50
+    )
+    SELECT sp.user_id, sp.day,
+           a.day IS NOT NULL AS was_active
+    FROM spine sp LEFT JOIN active a
+        ON sp.user_id = a.user_id AND sp.day = a.day
+    """,
+)
+def sequence_densify_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key calendar densification: each user's own [first, last]
+    activity span is expanded to one row per day via the `sequence()`
+    array constructor + explode — the per-entity spine (the global-grid
+    twin is calendar_spine_gapfill). Left-joining distinct activity
+    days marks gaps — the fuel for per-user streak/churn features.
+
+    Scale shape: span aggregation and the activity dedup both key on
+    user_id, and Catalyst reuses that one partitioning for the final
+    join — the explode expands |span_days| rows per user LOCALLY
+    between the shuffles (no cross-partition movement for the spine).
+    Span length is bounded by the data's time window, not its row
+    count, so expansion is constant-factor at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return spine.join(active, ["user_id", "day"], "left_outer").select(
+        spine.user_id,
+        spine.day,
+        active.day.isNotNull().alias("was_active"),
+    )
+
+
+# --------------------------------------------- width_bucket histogram --
+
+
+@staged_query(
+    "width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500 THEN 11
+                     ELSE floor(value * 10 / 500) + 1 END
+                AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(floor(value * 100)) AS BIGINT) AS min_cents,
+           CAST(max(floor(value * 100)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via `width_bucket(v, 0, 500, 10)` — the
+    SQL-standard binning function (bucket 0 = underflow, n+1 =
+    overflow). DuckDB lacks width_bucket, so the oracle replays its
+    defining arithmetic (floor(v·n/(hi−lo))+1 with boundary clamps) —
+    which is exactly what the function computes, making the identity
+    the graded claim. Per-bucket min/max in integer cents certify the
+    bucket boundaries, not just the counts.
+
+    Scale shape: the bucket id is scan-side codegen; one
+    partial-aggregated shuffle on a 12-value key. This is the
+    braindead-simple distributed histogram — contrast with the exact
+    nearest-rank percentile row which needs the cumulative pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("width_bucket(value, 0, 500, 10)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.floor(F.col("value") * 100)).alias("min_cents"),
+        F.max(F.floor(F.col("value") * 100)).alias("max_cents"),
+    )
