@@ -839,3 +839,482 @@ def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.floor(F.col("value") * 100)).alias("min_cents"),
         F.max(F.floor(F.col("value") * 100)).alias("max_cents"),
     )
+
+
+# ------------------------------------------- sketch aggregate suite --
+
+
+@staged_query(
+    "hll_bitmap_sketch_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS bitmap_distinct,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def hll_bitmap_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two modern distinct-count sketches Spark 4 ships natively,
+    certified against the exact count in one row: the Apache
+    DataSketches HLL (`hll_sketch_agg` → `hll_sketch_estimate`, graded
+    as a ≤5% certificate — the approx_count_distinct grading pattern)
+    and the RoaringBitmap-style exact bitmap (`bitmap_bucket_number` /
+    `bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count`,
+    graded for EQUALITY because bitmaps are lossless). The bitmap path
+    buckets ids into 32768-bit pages keyed by (event_type, bucket) so
+    arbitrary id ranges work, then sums per-page popcounts.
+
+    Scale shape: both sketches are algebraic aggregates with tiny
+    mergeable partials (HLL registers / bitmap pages) — map-side
+    combine absorbs the row volume, the shuffle carries kilobytes per
+    key. At 100 TB the bitmap pages also make distinct counts
+    COMPOSABLE across time partitions (bit_or of pages), which is why
+    bitmap_day_activity is graded separately; this row certifies the
+    primitives."""
+    ev = load_table(spark, sf_dir, "events")
+    pages = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("pg"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("page_count")
+    )
+    bitmap = pages.groupBy("event_type").agg(
+        F.sum("page_count").alias("bitmap_distinct")
+    )
+    hll = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"),
+    )
+    return hll.join(bitmap, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "bitmap_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct")) * 100
+            <= F.col("exact_distinct") * 5
+        ).alias("hll_within_5pct"),
+    )
+
+
+# ----------------------------------------- exact-dyadic EMA smoothing --
+
+
+def _ema_terms(prefix: str, n: int = 16) -> str:
+    """sum of lag(v_cents, i) * 2^(n-1-i) for i in 0..n-1 — the trailing
+    exponentially-weighted sum in PURE INTEGER arithmetic (weights are
+    powers of two, values integer cents), identical in any engine."""
+    terms = [
+        f"coalesce(lag({prefix}, {i}) OVER w, 0) * {1 << (15 - i)}"
+        for i in range(n)
+    ]
+    return " + ".join(terms)
+
+
+@staged_query(
+    "ema_dyadic_decay",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_cents
+        FROM events WHERE user_id < 30
+    )
+    SELECT user_id, event_id,
+           CAST({_ema_terms("v_cents")} AS BIGINT) AS ema_weighted,
+           CAST(({_ema_terms("v_cents")}) AS DOUBLE) / 65536.0 AS ema
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def ema_dyadic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average — the classic quality-signal smoother
+    that resists distributed evaluation because EMA's recurrence is
+    non-associative. Two levers make it exact AND parallel here: (a)
+    truncate the tail at 16 terms (decay 1/2 ⇒ the dropped tail is
+    < 2^-16 of the signal), turning the recurrence into a fixed
+    trailing weighted sum; (b) keep everything in INTEGER arithmetic —
+    values in cents, weights 2^15..2^0 — so partial order cannot
+    produce float drift, then divide by 2^16 once at the end (a power
+    of two: the division is EXACT in IEEE doubles, so even the double
+    column hashes identically cross-engine).
+
+    Scale shape: one hash exchange on user_id; all 16 lag terms ride
+    ONE window (same spec ⇒ one Window operator, one sort) — the
+    moving-average discipline window_function_suite pinned, here with
+    geometric weights."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    terms = None
+    for i in range(16):
+        term = F.coalesce(F.lag("v_cents", i).over(w), F.lit(0)) * (
+            1 << (15 - i)
+        )
+        terms = term if terms is None else terms + term
+    return t.select(
+        "user_id",
+        "event_id",
+        terms.alias("ema_weighted"),
+        (terms.cast("double") / F.lit(65536.0)).alias("ema"),
+    )
+
+
+# -------------------------------------------- share-of-total report --
+
+
+@staged_query(
+    "ratio_to_report_share",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars * 1000000
+                // sum(n_chars) OVER (PARTITION BY source)
+                AS BIGINT) AS share_ppm,
+           CAST(n_chars * 1000000 // sum(n_chars) OVER ()
+                AS BIGINT) AS global_ppm
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def ratio_to_report_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (Oracle's RATIO_TO_REPORT): each document's
+    fraction of its source's characters and of the global corpus, in
+    integer parts-per-million (floor division — no float ratio ever
+    reaches the comparator). The unordered window sum is the one window
+    shape the suite had not graded: no ORDER BY, so every row in the
+    partition sees the SAME total (a broadcast-style aggregate inside
+    window syntax).
+
+    Scale shape: the per-source share is one hash exchange; the GLOBAL
+    share is the single-partition trap — here the graded slice is
+    bounded, and the 100 TB form replaces `OVER ()` with a 1-row
+    aggregate broadcast-joined back (the pattern tfidf/funnel rows
+    pin), which Catalyst produces the same numbers for. The row grades
+    the SEMANTICS; the design note is the rewrite."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "CAST(n_chars * 1000000 DIV sum(n_chars)"
+            " OVER (PARTITION BY source) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST(n_chars * 1000000 DIV sum(n_chars) OVER () AS BIGINT)"
+        ).alias("global_ppm"),
+    )
+
+
+# -------------------------------- largest-remainder quota apportionment --
+
+
+@staged_query(
+    "mixture_quota_largest_remainder",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS c FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT sum(c) AS t, sum(10000 * c // (SELECT sum(c) FROM counts))
+                   AS base_sum
+        FROM counts
+    ), quotas AS (
+        SELECT source, c,
+               10000 * c // t AS base_quota,
+               10000 * c % t AS remainder,
+               row_number() OVER (ORDER BY 10000 * c % t DESC, source)
+                   AS rem_rank,
+               10000 - base_sum AS r
+        FROM counts, tot
+    )
+    SELECT source,
+           CAST(c AS BIGINT) AS n_docs,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(CASE WHEN rem_rank <= r THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(base_quota + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END
+                AS BIGINT) AS final_quota
+    FROM quotas
+    """,
+)
+def mixture_quota_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder apportionment — the standard way to split a
+    global sample budget (here 10,000 docs) across sources proportional
+    to their sizes with NO fractional quotas and an EXACT total: floor
+    quotas first, then award the leftover seats to the largest
+    remainders (ties to the lexicographically first source, making the
+    allocation fully deterministic). This is the planning half of
+    mixture resampling: domain_mixture_resample grades the scan-side
+    keep-predicate; this row grades computing the per-domain targets
+    themselves (sum(final_quota) = budget exactly — the property
+    floor-only or rounding allocations violate).
+
+    Scale shape: one partial-aggregated count shuffle; everything after
+    operates on the |sources|-row frame (bounded ≪ data), where the
+    single-partition window is a constant-size frame — the shuffle
+    audit's allowed class."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 10000
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()
+    quotas = (
+        counts.withColumn("t", F.sum("c").over(w_all))
+        .withColumn("base_quota", F.expr(f"{budget} * c DIV t"))
+        .withColumn("remainder", F.expr(f"{budget} * c % t"))
+        .withColumn("base_sum", F.sum("base_quota").over(w_all))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("remainder"), F.asc("source"))
+            ),
+        )
+        .withColumn("r", F.lit(budget) - F.col("base_sum"))
+    )
+    return quotas.select(
+        "source",
+        F.col("c").alias("n_docs"),
+        "base_quota",
+        F.when(F.col("rem_rank") <= F.col("r"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rem_rank") <= F.col("r"), 1).otherwise(0)
+        ).alias("final_quota"),
+    )
+
+
+# ------------------------------------- log2 token-length histogram --
+
+
+@staged_query(
+    "token_length_log_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    )
+    SELECT CAST(floor(log2(n_tok)) AS BIGINT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM t WHERE n_tok > 0
+    GROUP BY 1
+    """,
+)
+def token_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the standard corpus
+    length profile (token counts span orders of magnitude; linear bins
+    waste resolution). floor(log2(n)) is cross-engine exact: log2 of a
+    power of two is correctly rounded to the exact integer in every
+    IEEE libm, and between powers the value is nowhere near an integer
+    boundary, so floor never straddles an ulp. Per-bucket min/max
+    certify the bucket EDGES are bit-identical, not just the counts.
+
+    Scale shape: scan-side split+size+log2, one partial-aggregated
+    shuffle on a ~7-value key — the same braindead-parallel histogram
+    shape as width_bucket, on the log scale corpora actually need."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    return t.groupBy(
+        F.floor(F.log2("n_tok")).alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+
+
+# ------------------------------------------------ ANN MRR certificate --
+
+
+def _ann_mrr_oracle(num_planes: int = 4, nq: int = 10, k: int = 5,
+                    dim: int = 64) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _planes_values,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, vec, sqrt({_sql_dot("vec", "vec", dim)}) AS norm
+        FROM base
+    ), exact1 AS (
+        SELECT query_id, cand_id AS top1_cand FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_dot("q.vec", "c.vec", dim)}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rank
+            FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq}
+        ) WHERE rank = 1
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM normed n, {_planes_values(num_planes, dim)}
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT n.vec_id, n.vec, n.norm, b.bucket
+        FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    ), ann AS (
+        SELECT query_id, cand_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_dot("q.vec", "c.vec", dim)}
+                                / (q.norm * c.norm) DESC, c.vec_id
+                   ) AS rank
+            FROM nb q JOIN nb c
+              ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+            WHERE q.vec_id < {nq}
+        ) WHERE rank <= {k}
+    )
+    SELECT e.query_id,
+           e.top1_cand,
+           a.rank IS NOT NULL AS found,
+           CAST(coalesce(1000000 // a.rank, 0) AS BIGINT) AS rr_micro
+    FROM exact1 e
+    LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.top1_cand = a.cand_id
+    """
+
+
+@staged_query("ann_mrr_certified", oracle=_ann_mrr_oracle())
+def ann_mrr_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware ANN certificate: recall@k (already graded) says the
+    true neighbors APPEAR; MRR says they appear EARLY — the metric that
+    catches an index returning the right set in a scrambled order,
+    which recall cannot see. Per query: the exact cosine top-1 (the
+    single most important neighbor), its rank in the hyperplane-LSH
+    top-k list, and the reciprocal rank in integer micro-units
+    (1000000 DIV rank — floor division on both engines so no float
+    ratio reaches the comparator; 0 when the true neighbor was missed).
+    The fleet average of rr_micro is the MRR a retrieval dashboard
+    plots; emitting per-query rows keeps the certificate auditable.
+
+    Scale shape: both legs are the already-audited similarity plans
+    (bounded broadcast query sets; the LSH leg replaces the n² join
+    with a bucket join). The certificate itself joins two k·|Q|-row
+    frames — negligible at any scale."""
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact1 = (
+        similarity.cosine_topk(emb)
+        .where(F.col("rank") == 1)
+        .select("query_id", F.col("cand_id").alias("top1_cand"))
+    )
+    ann = similarity.ann_lsh_topk(emb).select(
+        "query_id", F.col("cand_id").alias("top1_cand"), "rank"
+    )
+    return exact1.join(ann, ["query_id", "top1_cand"], "left").select(
+        "query_id",
+        "top1_cand",
+        F.col("rank").isNotNull().alias("found"),
+        F.coalesce(
+            F.expr("1000000 DIV rank"), F.lit(0)
+        ).alias("rr_micro"),
+    )
+
+
+# ------------------------------------- near-dup graph degree audit --
+
+
+def _dup_degree_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    ), deg AS (
+        SELECT doc, count(*) AS degree FROM (
+            SELECT doc_a AS doc FROM cand
+            UNION ALL
+            SELECT doc_b AS doc FROM cand
+        ) GROUP BY doc
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           count(*) AS n_docs,
+           CAST(min(doc) AS BIGINT) AS min_doc
+    FROM deg GROUP BY 1
+    """
+
+
+@staged_query("dup_graph_degree_stats", oracle=_dup_degree_oracle())
+def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate-graph degree audit — the health check run
+    BEFORE trusting an LSH dedup at scale: the degree distribution of
+    the candidate-pair graph exposes bucket collapse (a degenerate band
+    hash puts thousands of docs in one bucket → a hub node with huge
+    degree → the verify join quadratically explodes). Per degree: how
+    many docs have exactly that many candidate partners, plus the
+    smallest such doc id for drill-down. A healthy corpus shows a
+    rapidly decaying histogram; a poisoned hash function shows mass at
+    high degree — THE early-warning signal for the n² blowup.
+
+    Scale shape: reuses the audited lsh_banded_buckets front half (one
+    doc-keyed exchange for signatures, one bucket-keyed for the
+    self-join); the degree aggregate keys on doc_id (uniform), the
+    histogram on the small degree domain. Nothing new shuffles at
+    scale beyond what dedup itself already pays."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    deg = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc").alias("min_doc"),
+    )
