@@ -1318,3 +1318,259 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc").alias("min_doc"),
     )
+
+
+# --------------------------------- streaming: FULL OUTER stream join --
+
+
+@staged_query(
+    "streaming_stream_full_outer_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        FROM v JOIN c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    unmatched_v AS (
+        SELECT v.user_id, v.event_id AS view_id,
+               CAST(NULL AS BIGINT) AS click_id
+        FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ) AND v.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    ),
+    unmatched_c AS (
+        SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id,
+               c.event_id AS click_id
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ) AND c.ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_v
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+)
+def streaming_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the
+    streaming join-mode family (inner graded r04, LEFT OUTER r07): both
+    the views that never converted AND the clicks with no preceding
+    view must surface, each under its own watermark-driven closed-set
+    rule. A view's NULL row emits once view_ts + 1 h (its match-window
+    upper bound) passes the global watermark; a click's NULL row emits
+    once click_ts itself passes it (any view it could match has
+    view_ts ≤ click_ts, and arrivals below the watermark are
+    impossible). The oracle replays BOTH eviction rules relationally —
+    matched pairs unconditionally, each side's unmatched rows gated on
+    its own closure predicate — the left-join oracle's argument run in
+    both directions.
+
+    Scale shape: both sides shuffle on user_id; per-side state is
+    bounded by (watermark delay + match range); NULL emission is the
+    state-eviction scan the engine performs anyway. Same cost model as
+    the inner join — outer-ness only changes what eviction EMITS."""
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    views = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+    )
+    name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+# ----------------------------------- streaming: session window agg --
+
+
+@staged_query(
+    "streaming_session_window_agg",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                         > 1800000000
+                         OR lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SESSION windows — `session_window(ts, gap)` inside a
+    streaming aggregation, the stateful operator that MERGES windows as
+    events arrive (an event landing between two open sessions closer
+    than the gap fuses them — state is dynamic-width, unlike
+    tumbling/hopping whose windows are fixed). Complete-mode
+    availableNow run; the memory sink then holds the final merged
+    sessions, which must equal batch gaps-and-islands sessionization
+    (30-min gap) exactly — window.start = first event, window.end =
+    last event + gap. The oracle is that relational replay (the same
+    lag → running-sum island construction batch_sessionize graded,
+    plus the +gap end-point convention session_window defines).
+
+    Scale shape: state shuffles on user_id; per-key state is the OPEN
+    sessions only (merge on arrival, numEventsInWindow-free); the
+    documented production form adds a watermark so closed sessions
+    evict — complete mode here is what makes the memory-sink result a
+    deterministic batch-equal set in one availableNow pass."""
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    ev = _read_events_stream(spark, sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(sess, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+# ------------------------------------------ as-of join with tolerance --
+
+
+@staged_query(
+    "asof_tolerance_join",
+    oracle="""
+    WITH px AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS px_cents
+        FROM events WHERE event_type = 'view'
+    ), want AS (
+        SELECT user_id, event_id, ts
+        FROM events WHERE event_type = 'click' AND user_id < 100
+    )
+    SELECT w.user_id, w.event_id,
+           CASE WHEN p.ts >= w.ts - INTERVAL 1 HOUR
+                THEN p.px_cents END AS asof_px_cents,
+           CASE WHEN p.ts >= w.ts - INTERVAL 1 HOUR
+                THEN CAST(epoch_us(w.ts) - epoch_us(p.ts) AS BIGINT)
+           END AS staleness_us
+    FROM want w ASOF LEFT JOIN px p
+      ON w.user_id = p.user_id AND p.ts <= w.ts
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    `tolerance=`): each click picks the latest same-user view price
+    at-or-before it, but a match staler than 1 hour is rejected to NULL
+    — the data-quality guard every production as-of pipeline needs
+    (a quote from last week must not price today's trade). Graded
+    against DuckDB's native ASOF LEFT JOIN with the tolerance applied
+    as a post-predicate — semantically exactly "match, then reject
+    stale", which is why the custom operator applies it the same way
+    rather than pre-filtering the right side (pre-filtering would
+    promote the SECOND-latest row into a match, the classic
+    tolerance-implementation bug this row exists to pin).
+
+    Scale shape: rides the audited one-shuffle union-tag asof_join
+    (sort by (ts, tag) per key + one last-non-null carry window — no
+    inequality join, no broadcast); the tolerance is a scan-side CASE
+    over the carried timestamp. user_id < 100 bounds the graded
+    output."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).alias("px_cents"),
+    )
+    want = ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 100)
+    ).select("user_id", "event_id", "ts")
+    carried = asof_join(
+        want,
+        px.withColumn("asof_ts", F.col("ts")),
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["px_cents", "asof_ts"],
+    )
+    fresh = F.col("asof_ts") >= F.col("ts") - F.expr("interval 1 hour")
+    return carried.select(
+        "user_id",
+        "event_id",
+        F.when(fresh, F.col("px_cents")).alias("asof_px_cents"),
+        F.when(
+            fresh, F.unix_micros("ts") - F.unix_micros("asof_ts")
+        ).alias("staleness_us"),
+    )
