@@ -657,6 +657,76 @@ def main() -> None:
             f"({bm_n:,} users, {int(n / bm_s):,} rows/s)"
         )
 
+        # --- staged round-8 operator shapes (plans/next_round.py) ---
+        # TWAP: lead() per user + integer integral aggregate — the
+        # per-key sort is shared between the window and the aggregate
+        t0 = time.time()
+        wt = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seg = events.select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("vc"),
+            F.unix_micros("ts").alias("t0c"),
+            F.lead(F.unix_micros("ts")).over(wt).alias("t1c"),
+        ).where(F.col("t1c").isNotNull())
+        twap = (
+            seg.groupBy("user_id")
+            .agg(
+                F.expr(
+                    "CAST(sum(vc * (t1c - t0c)) DIV sum(t1c - t0c)"
+                    " AS BIGINT)"
+                ).alias("twap")
+            )
+            .agg(F.count(F.lit(1)), F.sum("twap"))
+            .collect()[0]
+        )
+        twap_s = time.time() - t0
+        print(
+            f"rows={n:,} time_weighted_avg={twap_s:.1f}s "
+            f"({twap[0]:,} keys, {int(n / twap_s):,} rows/s)"
+        )
+
+        # 16-term dyadic EMA: 16 lag() expressions over ONE window —
+        # consume the weighted sums so the window is not pruned
+        t0 = time.time()
+        terms = None
+        for i in range(16):
+            term = F.coalesce(
+                F.lag(F.floor(F.col("value") * 100), i).over(wt),
+                F.lit(0),
+            ) * (1 << (15 - i))
+            terms = term if terms is None else terms + term
+        ema_sum = (
+            events.select(terms.alias("w"))
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        ema_s = time.time() - t0
+        print(
+            f"rows={n:,} ema_dyadic={ema_s:.1f}s "
+            f"({int(n / ema_s):,} rows/s, checksum={ema_sum})"
+        )
+
+        # HLL + bitmap distinct sketches: kilobyte partials per key —
+        # should track the plain count-distinct shape
+        t0 = time.time()
+        sk = (
+            events.groupBy("event_type")
+            .agg(
+                F.expr(
+                    "hll_sketch_estimate(hll_sketch_agg(user_id))"
+                ).alias("est"),
+                F.count_distinct("user_id").alias("exact"),
+            )
+            .agg(F.sum("est"), F.sum("exact"))
+            .collect()[0]
+        )
+        sk_s = time.time() - t0
+        print(
+            f"rows={n:,} hll_sketch_agg={sk_s:.1f}s "
+            f"({int(n / sk_s):,} rows/s, est_sum={int(sk[0])},"
+            f" exact_sum={sk[1]})"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
