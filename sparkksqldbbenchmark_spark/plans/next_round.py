@@ -1967,3 +1967,77 @@ def observe_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_null_props", int(vals["n_null_props"])),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+@staged_query(
+    "streaming_session_window_append",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                         > 1800000000
+                         OR lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), agg AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg WHERE session_end < (SELECT w FROM wm)
+    """,
+)
+def streaming_session_window_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked session windows in APPEND mode — the production form
+    of the complete-mode row staged alongside: a session emits exactly
+    once, when the watermark proves it can no longer grow (no event can
+    arrive within the gap of its last event). The closed-set rule:
+    emit iff session_end (= last event + gap) < final watermark
+    (max event time − 2 h delay); later sessions are HELD in state, not
+    emitted — the same trade the outer-join rows pin, here for the
+    MERGING window operator whose state width is dynamic. The oracle
+    replays gaps-and-islands sessionization and applies the eviction
+    predicate relationally.
+
+    Scale shape: state shuffles on user_id and holds only OPEN sessions
+    (closed ones evicted at each watermark advance — this is what
+    bounds memory on an infinite stream, and exactly what the
+    complete-mode twin trades away for batch-equality)."""
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_sessap_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(sess, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
