@@ -188,3 +188,75 @@ def test_hint_strategies_all_planned(spark):
     df = STAGED["hint_join_strategies"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_append_is_closed_subset_of_complete(spark):
+    """Append-mode watermarked sessions must be a SUBSET of the
+    complete-mode (batch-equal) session set, and every emitted session
+    must be provably closed: session_end < max(ts) - 2h."""
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    appended = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in STAGED["streaming_session_window_append"](
+            spark, SF_DIR
+        ).collect()
+    }
+    complete = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in STAGED["streaming_session_window_agg"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert appended, "append mode emitted nothing"
+    assert appended <= complete
+    ev = load_table(spark, SF_DIR, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("interval 2 hours")).alias("w")
+    ).collect()[0].w
+    for (_, _, end, _) in appended:
+        assert end < wm, (end, wm)
+
+
+def test_decimal_strings_have_stable_scale(spark):
+    """Every decimal rendered to string must carry the exact declared
+    scale — the canonical-string contract the oracle relies on."""
+    rows = STAGED["decimal_arithmetic_suite"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(r.total_dec.split(".")[1]) == 2, r.total_dec
+        assert len(r.avg_dec.split(".")[1]) == 6, r.avg_dec
+        assert len(r.tax_dec.split(".")[1]) == 4, r.tax_dec
+
+
+def test_twap_differs_from_plain_mean_somewhere(spark):
+    """TWAP must actually be time-weighted: on bursty event data at
+    least one key's TWAP differs from its unweighted mean (if they all
+    agreed the integral would be vacuous)."""
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    twap = {
+        r.user_id: r.twap_cents
+        for r in STAGED["time_weighted_avg"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").where(
+        (F.col("event_type") == "view") & (F.col("user_id") < 60)
+    )
+    plain = {
+        r.user_id: r.m
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(value * 100) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    assert any(
+        twap[u] != plain[u] for u in twap if u in plain
+    ), "TWAP identical to plain mean for every key"
