@@ -1,0 +1,137 @@
+"""Python DataSource V2 sources (sources/pyds.py): the GeoJSON page
+source must equal the driver-loop twin row for row with one partition
+per page, and the events replay stream must be a deterministic
+exactly-once replay of the parquet (same offsets → same rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.sources.pyds import (
+    EventsReplayStreamReader,
+    register_python_sources,
+)
+from sparkksqldbbenchmark_spark.sources.rest import read_paginated_geojson
+from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def pages_dir():
+    d = tempfile.mkdtemp(prefix="geojson_pages_")
+    pages = []
+    for p in range(3):
+        feats = [
+            {
+                "properties": {
+                    "stationId": f"s{p}_{i}",
+                    "parameterId": "wind",
+                    "value": float(p * 10 + i),
+                    "observed": f"2024-01-0{p + 1}",
+                },
+                "geometry": {"coordinates": [10.0 + i, 55.0 + p]},
+            }
+            for i in range(4)
+        ]
+        # one feature with no stationId — must be skipped, and one with
+        # no geometry — must keep the row with NULL coords
+        feats.append({"properties": {"noStation": True}})
+        feats.append(
+            {"properties": {"stationId": f"g{p}", "value": 1.5}}
+        )
+        page = {"features": feats}
+        pages.append(page)
+        with open(os.path.join(d, f"page-{p:03d}.json"), "w") as fh:
+            json.dump(page, fh)
+    yield d, pages
+
+
+def test_geojson_source_equals_driver_loop(spark, pages_dir):
+    d, pages = pages_dir
+    register_python_sources(spark)
+    df = spark.read.format("geojson_pages").option("path", d).load()
+    got = sorted(
+        (r.stationId, r.value, r.longitude, r.latitude)
+        for r in df.collect()
+    )
+
+    def fetch(offset, limit):
+        i = offset // limit
+        return pages[i] if i < len(pages) else {"features": []}
+
+    twin = read_paginated_geojson(spark, fetch, limit=100)
+    want = sorted(
+        (
+            r.stationId,
+            float(r.value) if r.value is not None else None,
+            r.longitude,
+            r.latitude,
+        )
+        for r in twin.collect()
+    )
+    assert got == want
+    assert len(got) == 3 * 5  # 4 + 1 no-geometry row per page; skipped
+    # one partition per page file — the parallelism contract
+    assert df.rdd.getNumPartitions() == 3
+    # no-geometry row survives with NULL coords
+    assert any(s.startswith("g") and lon is None for s, _, lon, _ in got)
+
+
+def test_events_replay_stream_equals_batch(spark):
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{SF_DIR}/events.parquet")
+        .option("batch_rows", "2000")
+        .load()
+    )
+    agg = stream.groupBy(
+        F.window(F.timestamp_micros("ts_us"), "1 hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+    )
+    name = f"pyds_replay_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agg, name, output_mode="complete")
+    q.stop()
+    got = {
+        (str(r["window"]["start"]), r["n"], r["cents"])
+        for r in spark.table(name).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (str(r["window"]["start"]), r["n"], r["cents"])
+        for r in ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_replay_reader_offsets_are_deterministic():
+    r = EventsReplayStreamReader(f"{SF_DIR}/events.parquet", 1000)
+    assert r.initialOffset() == {"index": 0}
+    latest = r.latestOffset()
+    assert latest["index"] == r.n > 0
+    parts = r.partitions({"index": 0}, latest)
+    # ranges tile [0, n) exactly, each ≤ batch_rows
+    spans = sorted(p.value for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == r.n
+    for (a, b), (c, _) in zip(spans, spans[1:]):
+        assert b == c and b - a <= 1000
+    # same partition read twice yields identical rows (exactly-once
+    # replay contract)
+    rows1 = list(r.read(parts[0]))
+    rows2 = list(r.read(parts[0]))
+    assert rows1 == rows2 and len(rows1) == spans[0][1] - spans[0][0]
