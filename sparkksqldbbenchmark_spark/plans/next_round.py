@@ -2283,3 +2283,115 @@ def python_datasource_geojson_scan(
         F.sum(F.floor(F.col("value") * 100)).alias("cents"),
         F.min(F.col("stationId").cast("long")).alias("min_station"),
     )
+
+
+@staged_query(
+    "python_datasource_sink_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 500
+    GROUP BY 1
+    """,
+)
+def python_datasource_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A CUSTOM SINK on the Python DataSource V2 writer contract
+    (sources/pyds.py `jsonl_pages`): executors write one JSONL file per
+    task and return a commit message; the DRIVER's commit() publishes a
+    manifest naming the complete file set — the exactly-once publish
+    step (a reader honoring the manifest can never observe a partial
+    job; abort() removes orphans). The graded claim is the round trip:
+    documents → custom sink → manifest-driven read-back → aggregate
+    must equal aggregating the source table directly, proving every
+    partition's rows landed exactly once and survived the JSON
+    round-trip losslessly.
+
+    Scale shape: write parallelism = partition count with zero driver
+    data movement (driver sees only KB-scale commit messages); the
+    manifest is the idempotent-publish pattern every lakehouse commit
+    protocol (Iceberg/Delta snapshot manifests) builds on, expressed in
+    the engine's own writer API."""
+    import json
+    import os
+    import tempfile
+
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    ).select("doc_id", "lang", "n_chars")
+    d = tempfile.mkdtemp(prefix="jsonl_sink_")
+    docs.repartition(4).write.format("jsonl_pages").option(
+        "path", d
+    ).mode("append").save()
+    with open(os.path.join(d, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    back = spark.read.json(
+        [os.path.join(d, f) for f in manifest["files"]]
+    )
+    assert back.count() == manifest["rows"]
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ------------------------------------------------------- Python UDTF --
+
+
+@staged_query(
+    "udtf_chunk_documents",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(g.i AS INTEGER) AS chunk_idx,
+           substr(d.text, CAST(g.i AS INTEGER) * 120 + 1, 120) AS chunk
+    FROM documents d, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(ceil(len(d.text) / 120.0) AS INT) - 1)) AS i
+    ) g
+    WHERE d.doc_id < 300
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python USER-DEFINED TABLE FUNCTION (Spark 4 `@udtf`,
+    Arrow-optimized) — the API for row→many-rows logic too imperative
+    for builtin generators: a document chunker yielding fixed 120-char
+    windows with their index, invoked through the SQL LATERAL syntax
+    (`FROM docs, LATERAL chunk_doc(...)`) exactly like a builtin
+    generator. The oracle replays the chunking relationally
+    (generate_series × substr), proving the Python table function's
+    row expansion is value-identical to the declarative form.
+
+    Honest cost note: the builtin-expression chunker
+    (doc_chunk_stride, graded r06) IS the production path — UDTFs pay
+    the Python boundary per row. The surface matters because real
+    pipelines have expansion logic with no builtin twin (parsers,
+    segmenters, tokenizers); this row pins the contract the engine
+    gives them. Scale shape: UDTF evaluation is narrow (no shuffle) and
+    partition-parallel, same as explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk: string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(0, len(text), 120):
+                yield i // 120, text[i : i + 120]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    ).createOrReplaceTempView("docs_to_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM docs_to_chunk d, LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -47,7 +47,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -233,9 +235,91 @@ class EventsReplayStreamReader(DataSourceStreamReader):
 
 
 def register_python_sources(spark) -> None:
-    """Idempotently register both sources on a session."""
-    for src in (GeoJsonPagesDataSource, EventsReplayDataSource):
+    """Idempotently register the sources and the sink on a session."""
+    for src in (
+        GeoJsonPagesDataSource,
+        EventsReplayDataSource,
+        JsonlPagesDataSource,
+    ):
         try:
             spark.dataSource.register(src)
         except Exception:
             pass  # already registered on this session
+
+
+# ------------------------------------------------- JSONL page sink --
+
+
+class JsonlPagesDataSource(DataSource):
+    """Batch SINK writing one JSONL file per partition plus a
+    ``_MANIFEST.json`` on commit — the full DataSourceWriter contract
+    (executor write → WriterCommitMessage → driver commit/abort), which
+    is what makes a custom sink exactly-once: files land under
+    temporary names and only the driver-side commit publishes the
+    manifest naming the complete set, so a reader that honors the
+    manifest never sees a partial job (the _SUCCESS idea, carried in
+    the engine's own commit protocol instead of ad-hoc rename logic).
+
+    Options: ``path`` — output directory.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_pages"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlPagesWriter(self.options["path"], schema)
+
+
+class JsonlPageCommit(WriterCommitMessage):
+    """Per-task commit message: which file the task produced and how
+    many rows it holds (module-level so it pickles executor→driver)."""
+
+    def __init__(self, fname: str, n: int) -> None:
+        self.fname = fname
+        self.n = n
+
+
+class JsonlPagesWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        # runs on executors: one file per task, named by partition id
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.fields, tuple(row)))) + "\n"
+                )
+                n += 1
+        return JsonlPageCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.fname for m in messages if m),
+            "rows": sum(m.n for m in messages if m),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m:
+                try:
+                    _os.remove(_os.path.join(self.path, m.fname))
+                except OSError:
+                    pass

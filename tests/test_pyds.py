@@ -135,3 +135,44 @@ def test_replay_reader_offsets_are_deterministic():
     rows1 = list(r.read(parts[0]))
     rows2 = list(r.read(parts[0]))
     assert rows1 == rows2 and len(rows1) == spans[0][1] - spans[0][0]
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """Manifest names exactly the committed files with the exact row
+    total; abort() removes the orphaned task files."""
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        JsonlPageCommit,
+        JsonlPagesWriter,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    df = spark.range(50).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    ).repartition(3)
+    df.write.format("jsonl_pages").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 50
+    on_disk = sorted(
+        f for f in os.listdir(d) if f.endswith(".jsonl")
+    )
+    assert on_disk == manifest["files"] and len(on_disk) == 3
+    back = spark.read.json([os.path.join(d, f) for f in on_disk])
+    assert back.count() == 50
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(50))
+
+    # abort path: orphan files are removed, manifest untouched
+    orphan = os.path.join(d, "part-99999.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write("{}\n")
+    from pyspark.sql.types import StructType
+
+    w = JsonlPagesWriter(d, StructType([]))
+    w.abort([JsonlPageCommit("part-99999.jsonl", 1)])
+    assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
