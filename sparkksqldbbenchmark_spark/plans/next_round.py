@@ -2395,3 +2395,198 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_to_chunk d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+# ----------------------------------------------- XML codec round-trip --
+
+
+@staged_query(
+    "xml_roundtrip_suite",
+    oracle="""
+    SELECT event_id,
+           event_type AS rt_type,
+           CAST(floor(value * 100) AS BIGINT) AS rt_cents,
+           event_type AS xp_type,
+           CAST(user_id AS VARCHAR) AS xp_user
+    FROM events WHERE event_id < 2000
+    """,
+)
+def xml_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a first-class codec (Spark 4 ships spark-xml in core):
+    rows are ENCODED with `to_xml(struct(...))`, then read back two
+    independent ways — `from_xml` with an explicit schema (the typed
+    path) and the `xpath_string` function family (the query-language
+    path) — and both must reproduce the original columns exactly (the
+    oracle is the identity: the source columns themselves). Round-trip
+    identity through two different decoders is the strongest
+    self-contained XML-correctness claim the sandbox allows (DuckDB has
+    no XML functions to twin against).
+
+    Scale shape: encode/parse/xpath are all scan-side JVM codegen —
+    zero shuffles; the same cost model as the JSON/variant rows. At
+    100 TB the guidance mirrors JSON's: parse ONCE with a full schema
+    (from_xml), not once per field (xpath)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    xml = ev.select(
+        "event_id",
+        F.expr(
+            "to_xml(struct(event_type AS t,"
+            " CAST(floor(value * 100) AS BIGINT) AS c,"
+            " user_id AS u))"
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.expr("from_xml(x, 't STRING, c BIGINT, u BIGINT')").alias("s"),
+        F.expr("xpath_string(x, '/ROW/t')").alias("xp_type"),
+        F.expr("xpath_string(x, '/ROW/u')").alias("xp_user"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("s.t").alias("rt_type"),
+        F.col("s.c").alias("rt_cents"),
+        "xp_type",
+        "xp_user",
+    )
+
+
+# ----------------------------------------------- CSV line codec --
+
+
+@staged_query(
+    "csv_line_codec_suite",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS rt_seg,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS rt_cents,
+           CAST(c_nationkey AS BIGINT) AS m_nation,
+           CAST(c_custkey % 10 AS BIGINT) AS m_shard
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def csv_line_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-line and key-value-line codecs as expressions: `to_csv` a
+    struct → `from_csv` it back with a schema (the embedded-CSV-column
+    shape: logs carrying CSV payloads inside another format), and
+    `str_to_map` over a synthesized 'k:v,k:v' properties string — both
+    decoded values must reproduce the source columns (identity oracle).
+    The map path pulls scalar lookups only, since map ordering is
+    engine-private.
+
+    Scale shape: pure scan-side codegen, zero shuffles. Same production
+    note as JSON/XML: from_csv once with the full schema beats
+    re-splitting per field."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    enc = c.select(
+        "c_custkey",
+        F.expr(
+            "to_csv(struct(c_mktsegment,"
+            " CAST(floor(c_acctbal * 100) AS BIGINT)))"
+        ).alias("line"),
+        F.concat(
+            F.lit("nation:"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(",shard:"),
+            (F.col("c_custkey") % 10).cast("string"),
+        ).alias("props"),
+    )
+    return enc.select(
+        "c_custkey",
+        F.expr("from_csv(line, 'seg STRING, cents BIGINT')").alias("s"),
+        F.expr("str_to_map(props, ',', ':')").alias("m"),
+    ).select(
+        "c_custkey",
+        F.col("s.seg").alias("rt_seg"),
+        F.col("s.cents").alias("rt_cents"),
+        F.element_at("m", F.lit("nation")).cast("long").alias("m_nation"),
+        F.element_at("m", F.lit("shard")).cast("long").alias("m_shard"),
+    )
+
+
+# ------------------------------------------- checksum / encodings --
+
+
+@staged_query(
+    "checksum_encoding_suite",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           hex(doc_id) AS id_hex,
+           to_base(doc_id + 1, 2) AS id_bin,
+           CAST(8 * strlen(text) AS BIGINT) AS text_bits,
+           lower(hex(doc_id * 31 + 7)) AS derived_hex
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def checksum_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksums and radix encodings with cross-engine twins: md5 and
+    sha2-256 content digests (the fingerprints every dedup/integrity
+    pipeline keys on — the dedup family already USES md5; this row
+    grades the digest surface itself), hex encoding, and base-2
+    rendering via `conv` graded against DuckDB's `to_base`. bit_length
+    twins against 8×strlen (ASCII corpus). Spark's xxhash64/crc32 exist
+    but have no DuckDB twin — they are deliberately absent here and
+    covered by the repo's own hash-expression builders instead.
+
+    Scale shape: scan-side digest computation, zero shuffles — digest
+    cost is memory-bandwidth-bound and embarrassingly parallel, the
+    same profile as the text suite."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.upper(F.hex("doc_id")).alias("id_hex"),
+        F.expr("conv(CAST(doc_id + 1 AS STRING), 10, 2)").alias("id_bin"),
+        F.bit_length("text").cast("long").alias("text_bits"),
+        F.lower(F.hex(F.col("doc_id") * 31 + 7)).alias("derived_hex"),
+    )
+
+
+# ------------------------------------------- approx top-k certified --
+
+
+@staged_query(
+    "approx_topk_certified",
+    oracle="""
+    SELECT event_type AS item,
+           count(*) AS approx_count,
+           count(*) AS exact_count,
+           TRUE AS count_exact
+    FROM events GROUP BY 1
+    """,
+)
+def approx_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` — the heavy-hitters sketch (space-saving style)
+    Spark 4 ships natively — certified against exact counts: with the
+    domain under the sketch's tracking capacity the sketch is PROVABLY
+    exact, so every (item, count) it returns must equal the exact
+    group-by (the certificate joins them and asserts equality — the
+    approx_count_distinct/HLL grading pattern). k is set to the full
+    domain so ties cannot make set membership ambiguous.
+
+    Scale shape: one mergeable sketch partial per partition (bounded by
+    tracked-item capacity, independent of row count) versus the exact
+    path's full group-by — at 100 TB the sketch answers "top sources /
+    top URLs / top tokens" from kilobytes of state where the exact
+    answer needs a full shuffle; the certificate documents exactly when
+    its counts can be trusted as exact (domain ≤ capacity)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 5)").alias("top")
+    ).select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("approx_count"),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return sk.join(exact, "item").select(
+        "item",
+        "approx_count",
+        "exact_count",
+        (F.col("approx_count") == F.col("exact_count")).alias(
+            "count_exact"
+        ),
+    )
