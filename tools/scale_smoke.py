@@ -727,6 +727,52 @@ def main() -> None:
             f" exact_sum={sk[1]})"
         )
 
+        # multiway series fold, two plans: N-scan join fold (the graded
+        # J1 shape) vs 1-scan pivot fold (staged hourly_series_pivot_fold)
+        # — consume the merged values so neither plan is pruned
+        def consume(df):
+            cols = [
+                F.sum(F.coalesce(F.col(c), F.lit(0.0)))
+                for c in ("cv", "vv", "ev")
+            ]
+            return df.agg(*cols).collect()[0]
+
+        t0 = time.time()
+        def series(et, alias):
+            return (
+                events.where(F.col("event_type") == et)
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.avg("value").alias(alias))
+                .select(F.col("window.start").alias("dt"), alias)
+            )
+        j = (
+            series("click", "cv")
+            .join(series("view", "vv"), "dt", "full_outer")
+            .join(series("error", "ev"), "dt", "full_outer")
+        )
+        consume(j)
+        join_s = time.time() - t0
+
+        t0 = time.time()
+        pv = (
+            events.where(F.col("event_type").isin("click", "view", "error"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.avg("value").alias("v"))
+            .groupBy(F.col("w.start").alias("dt"))
+            .pivot("event_type", ["click", "view", "error"])
+            .agg(F.first("v"))
+            .withColumnRenamed("click", "cv")
+            .withColumnRenamed("view", "vv")
+            .withColumnRenamed("error", "ev")
+        )
+        consume(pv)
+        pivot_s = time.time() - t0
+        print(
+            f"rows={n:,} series_fold join={join_s:.1f}s (3 scans) "
+            f"pivot={pivot_s:.1f}s (1 scan) — "
+            f"{join_s / pivot_s:.2f}x"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
