@@ -1060,36 +1060,15 @@ def mixture_quota_largest_remainder(
     operates on the |sources|-row frame (bounded ≪ data), where the
     single-partition window is a constant-size frame — the shuffle
     audit's allowed class."""
+    from sparkksqldbbenchmark_spark.operators.apportion import (
+        largest_remainder_quotas,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    budget = 10000
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    w_all = Window.partitionBy()
-    quotas = (
-        counts.withColumn("t", F.sum("c").over(w_all))
-        .withColumn("base_quota", F.expr(f"{budget} * c DIV t"))
-        .withColumn("remainder", F.expr(f"{budget} * c % t"))
-        .withColumn("base_sum", F.sum("base_quota").over(w_all))
-        .withColumn(
-            "rem_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("remainder"), F.asc("source"))
-            ),
-        )
-        .withColumn("r", F.lit(budget) - F.col("base_sum"))
-    )
-    return quotas.select(
-        "source",
-        F.col("c").alias("n_docs"),
-        "base_quota",
-        F.when(F.col("rem_rank") <= F.col("r"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("extra"),
-        (
-            F.col("base_quota")
-            + F.when(F.col("rem_rank") <= F.col("r"), 1).otherwise(0)
-        ).alias("final_quota"),
-    )
+    return largest_remainder_quotas(
+        counts, "source", "c", budget=10000
+    ).withColumnRenamed("weight", "n_docs")
 
 
 # ------------------------------------- log2 token-length histogram --
