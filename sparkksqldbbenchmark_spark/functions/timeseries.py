@@ -1,0 +1,54 @@
+"""Exact time-series smoothers: trailing dyadic EMA and time-weighted
+average, as reusable column builders.
+
+Both are built to be EXACT in distributed execution (see the staged
+query docstrings for the full argument): the EMA truncates the
+geometric tail at ``terms`` lags with decay 1/2 so everything is
+integer arithmetic until one final power-of-two division (exact in IEEE
+doubles); the TWAP is a step-function integral in integer
+value-units × microseconds with a floor division at the end. Property
+tests in tests/test_timeseries.py pin both against brute-force Python
+references on hypothesis-generated series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+
+def dyadic_ema_weighted(
+    value_col: str, order_window: Window, *, terms: int = 16
+) -> Column:
+    """Trailing exponentially-weighted sum with decay 1/2 over the last
+    ``terms`` rows of ``order_window``: sum of lag(v, i) * 2^(terms-1-i),
+    missing lags as 0. All integer — divide by 2^terms (exactly
+    representable) for the conventional EMA value."""
+    acc: Column | None = None
+    for i in range(terms):
+        term = F.coalesce(F.lag(value_col, i).over(order_window), F.lit(0)) * (
+            1 << (terms - 1 - i)
+        )
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
+def time_weighted_avg_agg(
+    value_col: str, t0_col: str, t1_col: str
+) -> list[Column]:
+    """Aggregate columns for a TWAP over pre-computed hold intervals
+    [t0, t1): (n_segments, vt_sum, t_sum, twap) — twap = Σ v·Δt DIV Σ Δt
+    in the value units of ``value_col``. Rows with NULL t1 (the last
+    observation per key) must be filtered by the caller — the open
+    interval has no defined weight."""
+    dt = F.col(t1_col) - F.col(t0_col)
+    return [
+        F.count(t1_col).alias("n_segments"),
+        F.sum(F.col(value_col) * dt).alias("vt_sum"),
+        F.sum(dt).alias("t_sum"),
+        F.expr(
+            f"CAST(sum({value_col} * ({t1_col} - {t0_col}))"
+            f" DIV sum({t1_col} - {t0_col}) AS BIGINT)"
+        ).alias("twap"),
+    ]

@@ -951,13 +951,12 @@ def ema_dyadic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).alias("v_cents"),
     )
+    from sparkksqldbbenchmark_spark.functions.timeseries import (
+        dyadic_ema_weighted,
+    )
+
     w = Window.partitionBy("user_id").orderBy("event_id")
-    terms = None
-    for i in range(16):
-        term = F.coalesce(F.lag("v_cents", i).over(w), F.lit(0)) * (
-            1 << (15 - i)
-        )
-        terms = term if terms is None else terms + term
+    terms = dyadic_ema_weighted("v_cents", w, terms=16)
     return t.select(
         "user_id",
         "event_id",
@@ -1761,15 +1760,14 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t0"),
         F.lead(F.unix_micros("ts")).over(w).alias("t1"),
     ).where(F.col("t1").isNotNull())
-    return seg.groupBy("user_id").agg(
-        F.count("t1").alias("n_segments"),
-        F.sum(F.col("v_cents") * (F.col("t1") - F.col("t0"))).alias(
-            "vt_sum"
-        ),
-        F.sum(F.col("t1") - F.col("t0")).alias("t_sum"),
-        F.expr(
-            "CAST(sum(v_cents * (t1 - t0)) DIV sum(t1 - t0) AS BIGINT)"
-        ).alias("twap_cents"),
+    from sparkksqldbbenchmark_spark.functions.timeseries import (
+        time_weighted_avg_agg,
+    )
+
+    return (
+        seg.groupBy("user_id")
+        .agg(*time_weighted_avg_agg("v_cents", "t0", "t1"))
+        .withColumnRenamed("twap", "twap_cents")
     )
 
 
