@@ -2567,3 +2567,71 @@ def approx_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_exact"
         ),
     )
+
+
+@staged_query(
+    "streaming_observe_metrics",
+    oracle="""
+    SELECT 'n_rows' AS metric, count(*) AS value FROM events
+    UNION ALL
+    SELECT 'cents', CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                         AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'n_click', CAST(sum(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def streaming_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`observe()` on a STREAMING query — the per-micro-batch audit
+    channel: named metrics attach to the stream and surface in each
+    batch's StreamingQueryProgress (`observedMetrics`), which is how a
+    production pipeline alerts on per-batch row counts / null rates /
+    checksums WITHOUT a second stateful aggregation competing with the
+    real one. The graded claim: the SUM of the per-batch observed
+    metrics over the whole availableNow run equals DuckDB aggregating
+    the source directly — i.e. the observation channel saw every row
+    exactly once across all batches (the batch observe row's claim,
+    extended over micro-batch boundaries).
+
+    Scale shape: observed metrics are accumulator partials merged per
+    batch — no state store, no extra shuffle; the progress JSON is the
+    driver-side metric plumbing (same class as the bench's progress
+    collection, mirroring the reference's monitor)."""
+    import json
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    ev = _read_events_stream(spark, sf_dir)
+    observed = ev.observe(
+        "audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("n_click"),
+    )
+    agg = observed.groupBy("event_type").count()
+    name = f"sobs_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agg, name, output_mode="complete")
+    mets = [
+        m
+        for m in (
+            json.loads(p.json).get("observedMetrics", {}).get("audit")
+            for p in q.recentProgress
+        )
+        if m
+    ]
+    q.stop()
+    totals = {
+        "n_rows": sum(int(m["n_rows"]) for m in mets),
+        "cents": sum(int(m["cents"]) for m in mets),
+        "n_click": sum(int(m["n_click"]) for m in mets),
+    }
+    return spark.createDataFrame(
+        [(k, v) for k, v in totals.items()], "metric string, value bigint"
+    )
