@@ -38,17 +38,27 @@ def time_weighted_avg_agg(
     value_col: str, t0_col: str, t1_col: str
 ) -> list[Column]:
     """Aggregate columns for a TWAP over pre-computed hold intervals
-    [t0, t1): (n_segments, vt_sum, t_sum, twap) — twap = Σ v·Δt DIV Σ Δt
-    in the value units of ``value_col``. Rows with NULL t1 (the last
-    observation per key) must be filtered by the caller — the open
-    interval has no defined weight."""
+    [t0, t1): (n_segments, vt_sum, t_sum). Apply :func:`twap_col` after
+    the aggregate for twap = Σ v·Δt DIV Σ Δt in the value units of
+    ``value_col``. Rows with NULL t1 (the last observation per key)
+    must be filtered by the caller — the open interval has no defined
+    weight.
+
+    The sums are built ONCE from Column objects (no SQL-string
+    interpolation of caller identifiers — ADVICE r07: non-identifier or
+    keyword-shadowing column names used to break the f-string expr, and
+    the twap column recomputed both sums, free to drift if one site was
+    edited)."""
     dt = F.col(t1_col) - F.col(t0_col)
     return [
         F.count(t1_col).alias("n_segments"),
         F.sum(F.col(value_col) * dt).alias("vt_sum"),
         F.sum(dt).alias("t_sum"),
-        F.expr(
-            f"CAST(sum({value_col} * ({t1_col} - {t0_col}))"
-            f" DIV sum({t1_col} - {t0_col}) AS BIGINT)"
-        ).alias("twap"),
     ]
+
+
+def twap_col() -> Column:
+    """Truncating integer division of the module-fixed aliases produced
+    by :func:`time_weighted_avg_agg` — identifiers under this module's
+    control, so the expr is injection- and keyword-safe."""
+    return F.expr("CAST(`vt_sum` DIV `t_sum` AS BIGINT)")

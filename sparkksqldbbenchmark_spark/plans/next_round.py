@@ -1762,12 +1762,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("t1").isNotNull())
     from sparkksqldbbenchmark_spark.functions.timeseries import (
         time_weighted_avg_agg,
+        twap_col,
     )
 
     return (
         seg.groupBy("user_id")
         .agg(*time_weighted_avg_agg("v_cents", "t0", "t1"))
-        .withColumnRenamed("twap", "twap_cents")
+        .withColumn("twap_cents", twap_col())
     )
 
 
@@ -2617,16 +2618,35 @@ def streaming_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = observed.groupBy("event_type").count()
     name = f"sobs_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agg, name, output_mode="complete")
+    # recentProgress is a RING BUFFER capped by numRecentProgressUpdates
+    # (default 100): a run with more micro-batches would silently drop
+    # the earliest batches' metrics and undercount (ADVICE r07). Raise
+    # the cap for the run and ASSERT we stayed under it, so the "saw
+    # every row exactly once" total is provably complete.
+    cap_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_cap = spark.conf.get(cap_key, None)
+    spark.conf.set(cap_key, "10000")
+    try:
+        q = run_to_memory(agg, name, output_mode="complete")
+        progresses = list(q.recentProgress)
+        q.stop()
+    finally:
+        if prev_cap is None:
+            spark.conf.unset(cap_key)
+        else:
+            spark.conf.set(cap_key, prev_cap)
+    assert len(progresses) < 10000, (
+        f"{len(progresses)} progress updates reached the ring-buffer cap;"
+        " per-batch observed metrics may have been dropped"
+    )
     mets = [
         m
         for m in (
             json.loads(p.json).get("observedMetrics", {}).get("audit")
-            for p in q.recentProgress
+            for p in progresses
         )
         if m
     ]
-    q.stop()
     totals = {
         "n_rows": sum(int(m["n_rows"]) for m in mets),
         "cents": sum(int(m["cents"]) for m in mets),

@@ -160,7 +160,10 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-through `value` doubles avoid any float arithmetic — both
     engines compare the same stored bits."""
     ev = load_table(spark, sf_dir, "events")
-    cut = ev.agg((F.max("event_id") * 7 / 10).cast("long").alias("cut"))
+    # Integer DIV, not float `/` + cast: the oracle computes max*7//10
+    # exactly, and double division truncated can cross an integer
+    # boundary for quotients >~1e15 (ADVICE r07).
+    cut = ev.agg(F.expr("max(event_id) * 7 DIV 10").alias("cut"))
     a = (
         ev.join(F.broadcast(cut))
         .where(F.col("event_id") <= F.col("cut"))
@@ -236,7 +239,8 @@ def merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     provenance/n_delta columns prove the merge consumed the log rather
     than just reading base."""
     ev = load_table(spark, sf_dir, "events")
-    cut = ev.agg((F.max("event_id") * 6 / 10).cast("long").alias("cut"))
+    # Exact integer DIV to match the oracle's max*6//10 (ADVICE r07).
+    cut = ev.agg(F.expr("max(event_id) * 6 DIV 10").alias("cut"))
     evc = ev.join(F.broadcast(cut))
     base = (
         evc.where(F.col("event_id") <= F.col("cut"))

@@ -273,10 +273,12 @@ class JsonlPagesDataSource(DataSource):
     """Batch SINK writing one JSONL file per partition plus a
     ``_MANIFEST.json`` on commit — the full DataSourceWriter contract
     (executor write → WriterCommitMessage → driver commit/abort), which
-    is what makes a custom sink exactly-once: files land under
-    temporary names and only the driver-side commit publishes the
-    manifest naming the complete set, so a reader that honors the
-    manifest never sees a partial job (the _SUCCESS idea, carried in
+    is what makes a custom sink exactly-once: each task ATTEMPT writes
+    to an attempt-unique name, the commit message names the winning
+    attempt's file, and only the driver-side commit publishes the
+    manifest naming the complete winning set (sweeping loser-attempt
+    files), so a reader that honors the manifest never sees a partial
+    job or a file two attempts raced on (the _SUCCESS idea, carried in
     the engine's own commit protocol instead of ad-hoc rename logic).
 
     Options: ``path`` — output directory.
@@ -305,14 +307,23 @@ class JsonlPagesWriter(DataSourceWriter):
         self.fields = [f.name for f in schema.fields]
 
     def write(self, iterator):
-        # runs on executors: one file per task, named by partition id
+        # Runs on executors: one file per task ATTEMPT. The name embeds
+        # taskAttemptId (unique across retries/speculative attempts of
+        # the same partition), so two attempts never race on one file —
+        # the commit message carries the winning attempt's name and
+        # commit() publishes exactly that set (ADVICE r07: a plain
+        # part-{partitionId} name let a retried attempt overwrite the
+        # winner's bytes after its commit message was recorded).
         import json as _json
         import os as _os
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}.jsonl"
+        ctx = TaskContext.get()
+        fname = (
+            f"part-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}"
+            ".jsonl"
+        )
         n = 0
         with open(_os.path.join(self.path, fname), "w") as fh:
             for row in iterator:
@@ -323,11 +334,23 @@ class JsonlPagesWriter(DataSourceWriter):
         return JsonlPageCommit(fname, n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json as _json
         import os as _os
 
+        winners = sorted(m.fname for m in messages if m)
+        # Sweep files from losing attempts (retry/speculation) whose
+        # commit messages Spark discarded — the manifest names only the
+        # winning attempts, so the directory matches the manifest.
+        keep = set(winners)
+        for f in _glob.glob(_os.path.join(self.path, "part-*.jsonl")):
+            if _os.path.basename(f) not in keep:
+                try:
+                    _os.remove(f)
+                except OSError:
+                    pass
         manifest = {
-            "files": sorted(m.fname for m in messages if m),
+            "files": winners,
             "rows": sum(m.n for m in messages if m),
         }
         with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:

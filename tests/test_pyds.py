@@ -166,13 +166,28 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
     assert back.count() == 50
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(50))
 
+    # task attempts write to attempt-unique names: a retried or
+    # speculative attempt can never race the winner on one file
+    assert all("-attempt-" in f for f in on_disk)
+
+    # commit path: files from LOSING attempts (commit message discarded
+    # by Spark) are swept so the directory matches the manifest
+    from pyspark.sql.types import StructType
+
+    loser = os.path.join(d, "part-00000-attempt-9999.jsonl")
+    with open(loser, "w") as fh:
+        fh.write("{}\n")
+    w = JsonlPagesWriter(d, StructType([]))
+    w.commit([JsonlPageCommit(f, 1) for f in on_disk])
+    assert not os.path.exists(loser)
+    assert sorted(
+        f for f in os.listdir(d) if f.endswith(".jsonl")
+    ) == on_disk
+
     # abort path: orphan files are removed, manifest untouched
     orphan = os.path.join(d, "part-99999.jsonl")
     with open(orphan, "w") as fh:
         fh.write("{}\n")
-    from pyspark.sql.types import StructType
-
-    w = JsonlPagesWriter(d, StructType([]))
     w.abort([JsonlPageCommit("part-99999.jsonl", 1)])
     assert not os.path.exists(orphan)
     assert os.path.exists(os.path.join(d, "_MANIFEST.json"))

@@ -66,6 +66,7 @@ def test_dyadic_ema_matches_bruteforce(spark, series):
 def test_twap_matches_bruteforce(spark, points):
     from sparkksqldbbenchmark_spark.functions.timeseries import (
         time_weighted_avg_agg,
+        twap_col,
     )
 
     points = sorted(points)
@@ -74,7 +75,11 @@ def test_twap_matches_bruteforce(spark, points):
     seg = df.withColumn("t1", F.lead("t0").over(w)).where(
         F.col("t1").isNotNull()
     )
-    row = seg.agg(*time_weighted_avg_agg("v", "t0", "t1")).collect()[0]
+    row = (
+        seg.agg(*time_weighted_avg_agg("v", "t0", "t1"))
+        .withColumn("twap", twap_col())
+        .collect()[0]
+    )
     vt = sum(
         v * (points[i + 1][0] - t)
         for i, (t, v) in enumerate(points[:-1])
