@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import re
 import sys
 import time
 
@@ -67,6 +68,16 @@ _SPARK_TYPES = {
     "timestamp": "ts", "date": "date", "binary": "bin",
     "array<double>": "f64[]", "array<float>": "f32[]",
     "array<bigint>": "i64[]", "array<string>": "str[]",
+    # Parametric/exotic classes (r07 verdict item 3: extend BEFORE the
+    # decimal/variant/interval suites graduate). These must NEVER reach
+    # the driver's value hasher raw — DECIMAL stringification depends on
+    # (p,s) result-typing rules that differ per engine, VARIANT/JSON and
+    # INTERVAL stringify in engine-specific syntax. The graded queries
+    # cast each to a canonical STRING/DATE/INT; any raw escapee below
+    # normalizes to a class that can only TYPE-FAIL cross-engine.
+    "variant": "variant",
+    "interval day to second": "interval-dt",
+    "interval year to month": "interval-ym",
 }
 _DUCK_TYPES = {
     "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
@@ -74,7 +85,31 @@ _DUCK_TYPES = {
     "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date", "BLOB": "bin",
     "DOUBLE[]": "f64[]", "FLOAT[]": "f32[]", "BIGINT[]": "i64[]",
     "VARCHAR[]": "str[]",
+    "JSON": "json",           # DuckDB's closest VARIANT analogue
+    "INTERVAL": "interval",   # never equal to Spark's two interval classes
 }
+
+_DEC_RE_SPARK = re.compile(r"^decimal\((\d+),(\d+)\)$")
+_DEC_RE_DUCK = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
+def _norm_spark_type(t: str) -> str:
+    m = _DEC_RE_SPARK.match(t)
+    if m:
+        return f"dec({m.group(1)},{m.group(2)})"
+    if t.startswith("interval"):  # catch any other interval qualifier
+        return _SPARK_TYPES.get(t, f"interval:{t}")
+    return _SPARK_TYPES.get(t, t)
+
+
+def _norm_duck_type(t: str) -> str:
+    m = _DEC_RE_DUCK.match(t)
+    if m:
+        # Same (p,s) on both engines → same unscaled rendering → safe.
+        # Different (p,s) normalizes differently and TYPE-FAILs: the
+        # scale is visible in the string form ('1.50' vs '1.500000').
+        return f"dec({m.group(1)},{m.group(2)})"
+    return _DUCK_TYPES.get(t, t)
 
 
 # Machine-width integer classes whose values stringify identically as
@@ -97,8 +132,8 @@ def type_warnings(name, sdf, ocols, otypes) -> list[str]:
     warns = []
     sd = dict(sdf.dtypes)
     for col, duck_t in zip(ocols, otypes):
-        st = _SPARK_TYPES.get(sd.get(col, "?"), sd.get(col, "?"))
-        dt = _DUCK_TYPES.get(duck_t, duck_t)
+        st = _norm_spark_type(sd.get(col, "?"))
+        dt = _norm_duck_type(duck_t)
         if col not in sd or st == dt:
             continue
         if st in _SAFE_INT_CLASSES and dt in _SAFE_INT_CLASSES:
