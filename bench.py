@@ -121,26 +121,41 @@ def main() -> None:
     run_dir = stage_bench_layout(spark, SF_DIR)
     print(f"  bench layout staged at {run_dir}", file=sys.stderr)
 
+    # Best-of-3 per query, with the three measurement ROUNDS interleaved
+    # round-robin across the whole headline set rather than 3 back-to-back
+    # runs per query: a sustained external load burst (the r07 +4.9%
+    # drift — 9 of 12 queries up with zero plan changes, cpu_peak 1811 →
+    # 2220%) covers all consecutive samples of a query, so per-query min
+    # alone can't reject it; spreading each query's samples minutes apart
+    # lets the min dodge any burst shorter than a full round. The min is
+    # the repeatable cost of the plan (a single sample can also eat a GC
+    # pause / codegen compile).
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    rows_of: dict[str, int] = {}
+    for rnd in range(3):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            df = fn(spark, run_dir)
+            rows_of[name] = df.count()
+            samples[name].append(time.time() - t0)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
+        if not samples[name]:
             continue
-        # best-of-3: one measurement can eat a GC pause / codegen compile
-        # (and at sub-second query times two samples still drift); the min
-        # is the repeatable cost of the plan
-        times = []
-        n = 0
-        for _ in range(3):
-            t0 = time.time()
-            df = fn(spark, run_dir)
-            n = df.count()
-            times.append(time.time() - t0)
-        dt = min(times)
+        dt = min(samples[name])
+        spread = max(samples[name]) - dt
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"  {name}: {dt:.2f}s (+{spread:.2f}s spread over 3 rounds,"
+            f" {rows_of[name]} rows)",
+            file=sys.stderr,
+        )
 
     # input-throughput of the core query: events rows consumed per second
     # (the reference's consumer is rate-capped at 5000 offsets/trigger and
@@ -235,6 +250,21 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                # per-query max-min over the 3 interleaved rounds: the
+                # observable noise floor of THIS run's environment —
+                # compare any round-over-round per-query "regression"
+                # against it before calling it real
+                "query_spread": {
+                    n: round(max(v) - min(v), 3)
+                    for n, v in samples.items()
+                    if v
+                },
+                "headline_methodology": (
+                    "best-of-3 per query, measurement rounds interleaved "
+                    "round-robin across the headline set (samples of one "
+                    "query spread minutes apart so a load burst shorter "
+                    "than a full round cannot bias all of them)"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "core_query_rows_per_sec": core_rows_per_sec,
                 "streaming_e2e_latency": streaming_latency,

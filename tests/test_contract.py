@@ -46,6 +46,39 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "hof_function_suite": "9547fa2e0431fc11",
+    "json_extract_suite": "4581d317b490362f",
+    "posexplode_tokens": "084d6b339deb7286",
+    "try_arithmetic_suite": "48e1b76dd34b0607",
+    "listagg_ordered": "c42dfc532c008450",
+    "filter_clause_agg": "d00c4111112edf96",
+    "lag_lead_ignore_nulls": "c5de554241dac685",
+    "range_interval_window": "43f1e598fae2d59c",
+    "calendar_spine_gapfill": "a8c3493571ebea2f",
+    "recursive_cte_closure": "a92da7c3ed10ee73",
+    "aqe_coalesce_partitions": "0a60cf9bad706210",
+    "bitmap_day_activity": "e7df208b08957f76",
+    "topk_per_group_ties": "ea597c12e6dcd8b0",
+    "weighted_sample_priority": "138b829ccd9ebcd1",
+    "batch_sessionize": "8c26097136687036",
+    "setop_suite": "eae179ce1b49a2ab",
+    "url_parse_suite": "5f3b3aec56355046",
+    "text_normalization_suite": "71c0e51a80d5e2ed",
+    "ansi_percentile_suite": "fe58238491e6433f",
+    "ivf_recall_certified": "1cf3ca2a92948345",
+    "pq_quantization_error": "86c7d59205f6d1c7",
+    "streaming_dropdup_within_watermark": "2ce0de9f5e54c1be",
+    "streaming_stream_left_join": "651cb3350fa488a7",
+    "dedup_incremental_vs_corpus": "a2e104a2e9b1aab0",
+    "dedup_containment": "fe57c94a954c0384",
+    "dedup_cross_source_matrix": "c39e91736f004d47",
+    "dedup_keep_best": "ee97ad570131032f",
+    "domain_mixture_resample": "599681a9f19dc80a",
+    "partitioned_write_prune": "1423017b20c63fa0",
+    "range_layout_scan": "f00c7a3babc6277d",
+    "zorder_layout_scan": "6f980ce0831a4345",
+    "bloom_semijoin_pushdown": "4b15a831b77b9951",
+    "ann_recall_certified": "a46c24dc0d2afee0",
     "doc_chunk_stride": "160123a3a414bada",
     "tfidf_top_terms": "567d4e95754bbb4c",
     "funnel_conversion": "2d2f0c6f917743c9",
@@ -155,6 +188,7 @@ TAIL_SOURCE_SHA256 = {
     "range_join_shipment_windows": "7f950454653b21cb",
     "text_quality_scores": "c9148936e55f74b7",
 }
+INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
 INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
 
 

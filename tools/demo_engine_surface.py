@@ -35,7 +35,8 @@ def main() -> None:
     spark = get_spark(SessionConfig(app_name="surface-demo"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round8_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     t_all = time.time()
 
