@@ -121,39 +121,44 @@ def main() -> None:
     run_dir = stage_bench_layout(spark, SF_DIR)
     print(f"  bench layout staged at {run_dir}", file=sys.stderr)
 
-    # Best-of-3 per query, with the three measurement ROUNDS interleaved
-    # round-robin across the whole headline set rather than 3 back-to-back
-    # runs per query: a sustained external load burst (the r07 +4.9%
-    # drift — 9 of 12 queries up with zero plan changes, cpu_peak 1811 →
-    # 2220%) covers all consecutive samples of a query, so per-query min
-    # alone can't reject it; spreading each query's samples minutes apart
-    # lets the min dodge any burst shorter than a full round. The min is
-    # the repeatable cost of the plan (a single sample can also eat a GC
-    # pause / codegen compile).
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    rows_of: dict[str, int] = {}
-    for rnd in range(3):
-        for name in HEADLINE:
-            fn = queries.get(name)
-            if fn is None:
-                continue
-            t0 = time.time()
-            df = fn(spark, run_dir)
-            rows_of[name] = df.count()
-            samples[name].append(time.time() - t0)
-
+    # CONSECUTIVE adaptive best-of-N per query (min 3, max 6 samples,
+    # stop once the newest sample is within 5% of the running min): the
+    # min is the repeatable warm cost of the plan. Measured r08 finding
+    # (kept as the methodology's design record): heavy queries need
+    # SEVERAL consecutive executions before JVM C2 compilation converges
+    # (dedup_minhash_lsh: 4.7 → 1.58 → 1.25 → 1.13 → 1.03 s), and
+    # interleaving the samples round-robin across the headline set —
+    # tried first to dodge load bursts — made mins ~60% WORSE because
+    # each query then got only early-JIT samples with a profile polluted
+    # by the other 11 queries. Consecutive adaptive sampling reproduces
+    # the plan's converged cost to ±3% run-over-run; per-query spread
+    # (max−min) is reported so a round-over-round "regression" can be
+    # compared against this run's own observable noise floor before
+    # being called real (the r07 +4.9% drift, 9/12 queries up with zero
+    # plan changes, sat well inside it).
+    samples: dict[str, list[float]] = {}
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        if not samples[name]:
+        fn = queries.get(name)
+        if fn is None:
             continue
-        dt = min(samples[name])
-        spread = max(samples[name]) - dt
+        times: list[float] = []
+        n = 0
+        while len(times) < 6:
+            t0 = time.time()
+            df = fn(spark, run_dir)
+            n = df.count()
+            times.append(time.time() - t0)
+            if len(times) >= 3 and times[-1] <= 1.05 * min(times):
+                break
+        samples[name] = times
+        dt = min(times)
         per_query[name] = round(dt, 3)
         total += dt
         print(
-            f"  {name}: {dt:.2f}s (+{spread:.2f}s spread over 3 rounds,"
-            f" {rows_of[name]} rows)",
+            f"  {name}: {dt:.2f}s ({len(times)} samples,"
+            f" +{max(times) - dt:.2f}s spread, {n} rows)",
             file=sys.stderr,
         )
 
@@ -250,7 +255,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
-                # per-query max-min over the 3 interleaved rounds: the
+                # per-query max-min over the consecutive samples: the
                 # observable noise floor of THIS run's environment —
                 # compare any round-over-round per-query "regression"
                 # against it before calling it real
@@ -260,10 +265,11 @@ def main() -> None:
                     if v
                 },
                 "headline_methodology": (
-                    "best-of-3 per query, measurement rounds interleaved "
-                    "round-robin across the headline set (samples of one "
-                    "query spread minutes apart so a load burst shorter "
-                    "than a full round cannot bias all of them)"
+                    "consecutive adaptive best-of-N per query (3-6 "
+                    "samples, stop when the newest is within 5% of the "
+                    "min): heavy plans need several consecutive runs for "
+                    "JIT convergence — interleaved sampling was measured "
+                    "~60% worse (see bench.py comment)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "core_query_rows_per_sec": core_rows_per_sec,
