@@ -545,3 +545,438 @@ def video_mjpeg_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = synth_video_blobs(docs)
     return frame_stats_plan(blobs, every_n=1)
+
+
+# ------------------------------------------- SQL session variables --
+
+
+@staged_query(
+    "sql_scripting_variables",
+    oracle="""
+    WITH t AS (SELECT max(o_orderkey) * 6 // 10 AS cut FROM orders)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM orders, t WHERE o_orderkey <= t.cut
+    GROUP BY 1
+    """,
+)
+def sql_scripting_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL
+    scripting): DECLARE OR REPLACE VARIABLE, SET VARIABLE from a scalar
+    subquery (the data-driven cut every parameterized report computes
+    first), then EXECUTE IMMEDIATE running dynamic SQL with a ?
+    placeholder bound from the variable via USING — the engine-native
+    form of the prepare/bind loop every BI layer implements ad hoc. The
+    oracle inlines the same cut as a CTE.
+
+    Scale shape: the variable holds ONE scalar on the driver; the
+    parameterized query plans identically to its static twin (same
+    scan + bounded-key hash agg — binding happens before optimization,
+    so pushdown sees a literal)."""
+    _view(spark, sf_dir, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_cut BIGINT DEFAULT 0")
+    spark.sql(
+        "SET VARIABLE v_cut = (SELECT max(o_orderkey) * 6 DIV 10"
+        " FROM orders)"
+    )
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey <= ? GROUP BY 1'
+           USING v_cut"""
+    )
+
+
+# ----------------------------------- IDENTIFIER + parameterized sql --
+
+
+@staged_query(
+    "identifier_parameterized_query",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def identifier_parameterized_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IDENTIFIER() clause with named query parameters
+    (spark.sql(sql, args=...)): table AND column names arrive as BOUND
+    PARAMETERS, not string-spliced SQL — the injection-safe form of
+    dynamic reporting over a table/column chosen at runtime (the
+    IDENTIFIER contract rejects anything that is not a valid
+    identifier, unlike f-string templating). The oracle is the static
+    query the binding resolves to.
+
+    Scale shape: identical plan to the static query — IDENTIFIER
+    resolution happens at analysis time, so column pruning and
+    pushdown see ordinary references."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """SELECT IDENTIFIER(:seg_col) AS segment,
+                  count(*) AS n_customers,
+                  CAST(sum(CAST(floor(IDENTIFIER(:bal_col) * 100)
+                                AS BIGINT)) AS BIGINT) AS balance_cents
+           FROM IDENTIFIER(:tbl)
+           GROUP BY 1""",
+        args={
+            "tbl": "customer",
+            "seg_col": "c_mktsegment",
+            "bal_col": "c_acctbal",
+        },
+    )
+
+
+# --------------------------------------------------- SQL pipe syntax --
+
+
+@staged_query(
+    "pipe_syntax_suite",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-06-01'
+    GROUP BY 1, 2
+    HAVING count(*) > 10
+    """,
+)
+def pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>`): the linear FROM-first query form
+    — WHERE, EXTEND (computed column), AGGREGATE ... GROUP BY, and a
+    post-aggregation WHERE standing in for HAVING — each stage reading
+    top-to-bottom in dataflow order. The oracle is the equivalent
+    nested standard-SQL form; value-identical results pin that the pipe
+    parser lowers to the same plan, not a variant semantics.
+
+    Scale shape: pure syntax — Catalyst sees the same logical plan as
+    the standard form (scan-side shipdate pushdown, bounded-key hash
+    agg, one exchange)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """FROM lineitem
+           |> WHERE l_shipdate >= DATE '1995-06-01'
+           |> EXTEND CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  AS price_cents
+           |> AGGREGATE count(*) AS n_items,
+                  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+                  CAST(max(l_quantity) AS BIGINT) AS max_qty
+                  GROUP BY l_returnflag, l_linestatus
+           |> WHERE n_items > 10
+           |> SELECT l_returnflag, l_linestatus, n_items, total_cents,
+                  max_qty"""
+    )
+
+
+# ------------------------------------------- SQL table function (UDTF) --
+
+
+@staged_query(
+    "sql_table_function_lateral",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 250
+      AND floor(o.o_totalprice * 100) >= 10000000
+    """,
+)
+def sql_table_function_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SQL-defined TABLE function (CREATE TEMPORARY FUNCTION ...
+    RETURNS TABLE ... RETURN SELECT — the declarative sibling of the
+    Python UDTF row), invoked per-row via LATERAL correlation: each
+    customer's row binds the function's arguments. The oracle is the
+    join the decorrelation must collapse to — value-identical output
+    pins that the function-call semantics are exactly inline-expansion,
+    not a row-at-a-time re-execution.
+
+    Scale shape: Catalyst inlines the SQL function body and
+    decorrelates the LATERAL into an ordinary equi-join (customer keys
+    shuffled against orders, dim side broadcastable) — the whole point
+    of SQL-defined functions over external UDTFs at 100 TB: the body
+    stays inside the optimizer."""
+    _view(spark, sf_dir, "customer", "orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION orders_over(
+               cust BIGINT, cut_cents BIGINT)
+           RETURNS TABLE (o_orderkey BIGINT, price_cents BIGINT)
+           RETURN SELECT o_orderkey,
+                         CAST(floor(o_totalprice * 100) AS BIGINT)
+                  FROM orders
+                  WHERE o_custkey = cust
+                    AND floor(o_totalprice * 100) >= cut_cents"""
+    )
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+           FROM customer c, LATERAL orders_over(c.c_custkey, 10000000) t
+           WHERE c.c_custkey < 250"""
+    )
+
+
+# --------------------------------------------- JSON codec round-trip --
+
+
+@staged_query(
+    "json_roundtrip_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(j, '$.uid') AS BIGINT) AS uid_back,
+           json_extract_string(j, '$.et') AS type_back,
+           CAST(json_extract(j, '$.cents') AS BIGINT) AS cents_back,
+           CAST(json_array_length(json_extract(j, '$.tags'))
+                AS INTEGER) AS n_tags,
+           CAST(json_extract(j, '$.tags[0]') AS BIGINT) AS first_tag
+    FROM (
+        SELECT event_id,
+               to_json({
+                   uid: user_id,
+                   et: event_type,
+                   cents: CAST(floor(value * 100) AS BIGINT),
+                   tags: [user_id % 7, user_id % 3]
+               }) AS j
+        FROM events WHERE event_id < 4000
+    )
+    """,
+)
+def json_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON codec round-trip — the third embedded-codec twin (XML and
+    CSV line codecs are staged siblings): pack typed columns into a
+    struct, serialize with to_json, then recover every field through
+    from_json with a schema obtained from schema_of_json on a sampled
+    literal (the infer-once-parse-everywhere pattern real pipelines
+    use for semi-structured columns). Values — not the JSON text —
+    are compared: each engine's serializer may differ in key order or
+    whitespace, but round-tripped VALUES must be identical; the oracle
+    re-extracts with DuckDB's JSON path functions.
+
+    Scale shape: all JVM expression codegen (to_json/from_json are
+    Jackson under codegen, no Python), zero shuffles — scan-side
+    transform of a bounded slice."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") < 4000
+    )
+    packed = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("et"),
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+                F.array(
+                    F.col("user_id") % 7, F.col("user_id") % 3
+                ).alias("tags"),
+            )
+        ).alias("j"),
+    )
+    sample = (
+        '{"uid": 1, "et": "x", "cents": 1, "tags": [1, 2]}'
+    )
+    schema = F.schema_of_json(F.lit(sample))
+    back = packed.select(
+        "event_id", F.from_json("j", schema).alias("s")
+    )
+    return back.select(
+        "event_id",
+        F.col("s.uid").alias("uid_back"),
+        F.col("s.et").alias("type_back"),
+        F.col("s.cents").alias("cents_back"),
+        F.size("s.tags").alias("n_tags"),
+        F.element_at("s.tags", 1).alias("first_tag"),
+    )
+
+
+# ------------------------------------- n-gram LM familiarity scoring --
+
+
+@staged_query(
+    "ngram_lm_familiarity",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM tok WHERE len(t) >= 2
+    ), train AS (
+        SELECT bg, count(*) AS corpus_n FROM big
+        WHERE doc_id % 10 != 0 GROUP BY 1
+    ), score AS (
+        SELECT doc_id, bg FROM big WHERE doc_id % 10 = 0
+    )
+    SELECT s.doc_id,
+           count(*) AS n_bigrams,
+           count(t.corpus_n) AS n_known,
+           CAST(sum(coalesce(t.corpus_n, 0)) AS BIGINT) AS familiarity
+    FROM score s LEFT JOIN train t USING (bg)
+    GROUP BY 1
+    """,
+)
+def ngram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring, the two-phase train/score
+    topology (the relational core of KenLM-style corpus filtering):
+    TRAIN — count every token bigram over the 90% training slice (one
+    shuffle keyed on bigram); SCORE — join each held-out document's
+    bigrams against the trained counts and aggregate per document
+    (n_bigrams, n_known = bigrams seen in training, familiarity = total
+    training occurrences). Low familiarity flags out-of-domain or
+    garbage text — the quality signal perplexity provides, kept in
+    EXACT integers (no log/float: libm log is not cross-engine
+    reproducible, and monotone transforms preserve the ranking a
+    filter actually consumes).
+
+    Scale shape: two shuffles on the bigram key (train aggregate, score
+    join — both uniform content keys), one on doc_id for the final
+    fold. The trained model stays distributed (never collected); at
+    100 TB the count table is orders of magnitude smaller than the
+    corpus and AQE can still broadcast it when the training slice is
+    narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)").alias("t"),
+    ).where(F.expr("size(t) >= 2"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    train = (
+        bigrams.where(F.col("doc_id") % 10 != 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("corpus_n"))
+    )
+    score = bigrams.where(F.col("doc_id") % 10 == 0)
+    return (
+        score.join(train, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("corpus_n").alias("n_known"),
+            F.sum(F.coalesce("corpus_n", F.lit(0)))
+            .cast("long")
+            .alias("familiarity"),
+        )
+    )
+
+
+# ------------------------------------ exact-substring span detection --
+
+_KG = 8  # tokens per k-gram window
+
+
+@staged_query(
+    "exact_substring_spans",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, g.i AS pos,
+               (('0x' || substring(md5(
+                    array_to_string(t[g.i:g.i + {_KG - 1}], ' ')
+                ), 1, 15))::BIGINT) AS h
+        FROM tok, LATERAL (
+            SELECT unnest(range(1, len(t) - {_KG - 2})) AS i) g
+        WHERE len(t) >= {_KG}
+    ), freq AS (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
+    ), shared AS (
+        SELECT p.doc_id, p.pos FROM pos p
+        JOIN freq f USING (h) WHERE f.nd >= 2
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM shared
+    ), spans AS (
+        SELECT doc_id, grp, count(*) AS span_kg FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(span_kg) AS BIGINT) AS n_shared_pos,
+           count(*) AS n_spans,
+           CAST(max(span_kg) + {_KG - 1} AS BIGINT)
+               AS longest_span_tokens
+    FROM spans GROUP BY 1
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection at TOKEN-POSITION grain —
+    the span-level operator behind exact-substring training-data dedup
+    (find every maximal run of >= 8 consecutive tokens that also
+    appears verbatim in another document), one level finer than the
+    chunk/doc-grain rows (passage_dup_stats, dedup_containment): slide
+    an 8-token window over each document, hash each window (md5 60-bit,
+    the repo's cross-engine hash), mark positions whose window occurs
+    in >= 2 distinct documents, and merge CONSECUTIVE shared positions
+    into maximal spans with the gaps-and-islands construction
+    (pos - row_number() is constant within a run). Per document:
+    total shared windows, span count, and the longest shared span in
+    tokens.
+
+    Scale shape: one shuffle on the window hash for the document-
+    frequency aggregate, one hash join back (same key — the exchange
+    is reusable), one doc_id-keyed window+fold. Never materializes doc
+    pairs (the n^2 trap); the hash join is content-keyed and uniform.
+    At 100 TB this is the standard suffix-free approximation of
+    Lee-et-al exact-substring dedup, at the window resolution the
+    downstream span-excision actually uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)").alias("t"),
+    ).where(F.expr(f"size(t) >= {_KG}"))
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_KG - 1}),"
+                f" i -> struct(i AS pos,"
+                f" cast(conv(substring(md5(concat_ws(' ',"
+                f" slice(t, i, {_KG}))), 1, 15), 16, 10) as bigint)"
+                f" AS h))"
+            )
+        ).alias("pk"),
+    ).select("doc_id", F.col("pk.pos").alias("pos"), F.col("pk.h").alias("h"))
+    freq = pos.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    shared = (
+        pos.join(freq.where(F.col("nd") >= 2), "h")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = shared.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span_kg")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("span_kg").cast("long").alias("n_shared_pos"),
+        F.count(F.lit(1)).alias("n_spans"),
+        (F.max("span_kg") + (_KG - 1)).cast("long").alias(
+            "longest_span_tokens"
+        ),
+    )
