@@ -773,6 +773,93 @@ def main() -> None:
             f"{join_s / pivot_s:.2f}x"
         )
 
+        # --- staged round-9 operator shapes (plans/next_round.py) ---
+        # Both are document-grain text operators; build n/10 synthetic
+        # docs of 24 vocab tokens each (vocab 5k — windows genuinely
+        # collide across docs, like a real near-dup corpus).
+        docs_n = max(n // 10, 1)
+        docs = spark.range(docs_n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "transform(sequence(0, 23),"
+                " i -> concat('w', (id * 7 + i * i) % 5000))"
+            ).alias("t"),
+        )
+
+        # n-gram LM familiarity: train bigram counts on 90%, score 10%
+        t0 = time.time()
+        big = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        train = (
+            big.where(F.col("doc_id") % 10 != 0)
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        lm = (
+            big.where(F.col("doc_id") % 10 == 0)
+            .join(train, "bg", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce("cn", F.lit(0))).alias("fam"))
+            .agg(F.count(F.lit(1)).alias("nd"), F.sum("fam"))
+            .collect()[0]
+        )
+        lm_s = time.time() - t0
+        n_big = docs_n * 23
+        print(
+            f"rows={n:,} ngram_lm_familiarity={lm_s:.1f}s "
+            f"({docs_n:,} docs, {n_big:,} bigrams, "
+            f"{int(n_big / lm_s):,} bigrams/s)"
+        )
+
+        # exact-substring spans: 8-token window hash -> doc-frequency
+        # -> join back -> gaps-and-islands span merge
+        t0 = time.time()
+        pos = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7), i ->"
+                    " struct(i AS pos, cast(conv(substring(md5("
+                    "concat_ws(' ', slice(t, i, 8))), 1, 15), 16, 10)"
+                    " as bigint) AS h))"
+                )
+            ).alias("pk"),
+        ).select("doc_id", "pk.pos", "pk.h")
+        freq = pos.groupBy("h").agg(
+            F.count_distinct("doc_id").alias("nd")
+        )
+        shared = pos.join(freq.where(F.col("nd") >= 2), "h").select(
+            "doc_id", "pos"
+        )
+        wq = W.partitionBy("doc_id").orderBy("pos")
+        spans = (
+            shared.withColumn(
+                "grp", F.col("pos") - F.row_number().over(wq)
+            )
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("kg"))
+            .agg(
+                F.count(F.lit(1)).alias("spans"),
+                F.sum("kg").alias("pos_total"),
+            )
+            .collect()[0]
+        )
+        spans_s = time.time() - t0
+        n_win = docs_n * 17
+        print(
+            f"rows={n:,} exact_substring_spans={spans_s:.1f}s "
+            f"({docs_n:,} docs, {n_win:,} windows, "
+            f"{spans['spans']:,} spans, {int(n_win / spans_s):,} win/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
