@@ -1343,3 +1343,156 @@ def streaming_foreachbatch_exactly_once(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+# ----------------------- custom Python STREAMING sink round-trip --
+
+
+@staged_query(
+    "python_datasource_stream_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def python_datasource_stream_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A custom Python STREAMING sink (DataSourceStreamWriter,
+    sources/pyds.py `JsonlStreamWriter`) — completes the Python
+    DataSource V2 surface: batch source, batch sink, streaming source,
+    and now the streaming WRITE contract Spark actually drives
+    (per-batch executor writes → commit messages → driver
+    commit(messages, batchId) publishing a _BATCH_{id}.json manifest).
+    The graded claim is the exactly-once round trip: stream the events
+    table (availableNow) through the custom sink, read back ONLY what
+    the per-batch manifests name, and the aggregate must equal
+    aggregating the source directly — every batch published once,
+    nothing outside a manifest visible.
+
+    Scale shape: executor-parallel writes (driver sees KB commit
+    messages), one manifest write per micro-batch — the idempotent
+    commit-by-batch-id protocol every lakehouse streaming writer
+    formalizes, here expressed through the engine's own stream-writer
+    API."""
+    import glob
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = tempfile.mkdtemp(prefix="pystreamsink_")
+    ckpt = tempfile.mkdtemp(prefix="pystreamckpt_")
+    ev = _read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        ev.writeStream.format("jsonl_pages")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"pss_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_BATCH_*.json")))
+    assert manifests, "streaming sink published no batch manifests"
+    files, total = [], 0
+    for mp in manifests:
+        with open(mp) as fh:
+            m = json.load(fh)
+        files += [os.path.join(out, f) for f in m["files"]]
+        total += m["rows"]
+    back = spark.read.json(files)
+    assert back.count() == total
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
+
+
+# --------------------------------------------- mapInArrow boundary --
+
+
+@staged_query(
+    "mapinarrow_token_stats",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(text) AS n_chars,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents WHERE doc_id < 2000
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the RecordBatch-native Python boundary (one level
+    below mapInPandas: no pandas conversion at all, pyarrow.compute
+    kernels straight over Arrow buffers). Per-document character and
+    whitespace-token counts are computed with vectorized Arrow kernels
+    (utf8_length, count_substring_regex) and graded value-for-value
+    against the relational oracle — an extension-surface row like the
+    applyInPandas z-score: it grades the BOUNDARY, while production
+    paths keep using JVM expressions for anything expressions can say.
+
+    Scale shape: Arrow batches stream executor-side with zero
+    row-at-a-time Python and zero pandas materialization — the
+    cheapest possible Python hop when a C++-backed kernel (here
+    pyarrow's RE2 regex) does the work; the downstream aggregate is a
+    bounded-key JVM fold."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000
+    ).select("doc_id", "lang", "text")
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            tb = pa.table(batch)
+            yield pa.record_batch(
+                {
+                    "lang": tb["lang"].combine_chunks(),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(tb["text"].combine_chunks()),
+                        pa.int64(),
+                    ),
+                    "n_tokens": pc.cast(
+                        pc.count_substring_regex(
+                            tb["text"].combine_chunks(), pattern=r"\S+"
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    stats = docs.mapInArrow(
+        batches, "lang string, n_chars long, n_tokens long"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -291,6 +292,11 @@ class JsonlPagesDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return JsonlPagesWriter(self.options["path"], schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        # same source name serves as a STREAMING sink: per-batch
+        # manifests instead of the single job manifest
+        return JsonlStreamWriter(self.options["path"], schema)
+
 
 class JsonlPageCommit(WriterCommitMessage):
     """Per-task commit message: which file the task produced and how
@@ -357,6 +363,72 @@ class JsonlPagesWriter(DataSourceWriter):
             _json.dump(manifest, fh)
 
     def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m:
+                try:
+                    _os.remove(_os.path.join(self.path, m.fname))
+                except OSError:
+                    pass
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING twin of JsonlPagesWriter — the DataSourceStreamWriter
+    contract (executor write → commit message → per-BATCH driver
+    commit): each micro-batch's tasks write attempt-unique JSONL files,
+    and commit(messages, batchId) publishes ``_BATCH_{batchId}.json``
+    naming exactly the winning attempts' files with the batch row
+    total. A manifest-honoring reader unions the per-batch manifests —
+    it can never observe a partial batch, a file two attempts raced
+    on, or an aborted epoch (abort removes the losing files it knows
+    about; unreferenced stragglers are invisible to the reader by
+    construction, the streaming analogue of the batch sink's sweep).
+
+    Combined with a deterministic replayable source this is
+    exactly-once end-to-end: a restarted batch rewrites attempt-unique
+    files and REPLACES the manifest for its batchId — re-delivery
+    changes which files are named, never how many rows are visible."""
+
+    def __init__(self, path: str, schema: StructType) -> None:
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = (
+            f"stream-part-{ctx.partitionId():05d}"
+            f"-attempt-{ctx.taskAttemptId()}.jsonl"
+        )
+        n = 0
+        with open(_os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.fields, tuple(row)))) + "\n"
+                )
+                n += 1
+        return JsonlPageCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.fname for m in messages if m),
+            "rows": sum(m.n for m in messages if m),
+        }
+        with open(
+            _os.path.join(self.path, f"_BATCH_{batchId}.json"), "w"
+        ) as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
         import os as _os
 
         for m in messages:

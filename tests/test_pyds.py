@@ -191,3 +191,68 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
     w.abort([JsonlPageCommit("part-99999.jsonl", 1)])
     assert not os.path.exists(orphan)
     assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+
+
+def test_jsonl_stream_sink_batch_manifests(spark, tmp_path):
+    """The streaming writer publishes a _BATCH_{id}.json manifest per
+    micro-batch naming exactly the files its winning attempts wrote;
+    abort removes known attempt files and leaves manifests alone."""
+    from pyspark.sql.types import StructType
+
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        JsonlPageCommit,
+        JsonlStreamWriter,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    d = str(tmp_path / "sout")
+    os.makedirs(d)
+    src = str(tmp_path / "ssrc")
+    spark.range(40).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS bucket"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, bucket string")
+        .parquet(src)
+        .repartition(2)
+        .writeStream.format("jsonl_pages")
+        .option("path", d)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .queryName("sink_contract_test")
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+
+    manifests = sorted(
+        f for f in os.listdir(d) if f.startswith("_BATCH_")
+    )
+    assert manifests, "no batch manifests published"
+    named, rows = [], 0
+    for mf in manifests:
+        with open(os.path.join(d, mf)) as fh:
+            m = json.load(fh)
+        named += m["files"]
+        rows += m["rows"]
+    assert rows == 40
+    assert all("-attempt-" in f for f in named)
+    on_disk = {f for f in os.listdir(d) if f.endswith(".jsonl")}
+    assert set(named) <= on_disk
+    back = spark.read.json([os.path.join(d, f) for f in named])
+    assert back.count() == 40
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(40))
+
+    # abort path: known attempt files removed, manifests untouched
+    w = JsonlStreamWriter(d, StructType([]))
+    orphan = os.path.join(d, "stream-part-00099-attempt-7.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write("{}\n")
+    w.abort(
+        [JsonlPageCommit("stream-part-00099-attempt-7.jsonl", 1)], 99
+    )
+    assert not os.path.exists(orphan)
+    assert sorted(
+        f for f in os.listdir(d) if f.startswith("_BATCH_")
+    ) == manifests
