@@ -941,45 +941,13 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (the n^2 trap); the hash join is content-keyed and uniform.
     At 100 TB this is the standard suffix-free approximation of
     Lee-et-al exact-substring dedup, at the window resolution the
-    downstream span-excision actually uses."""
+    downstream span-excision actually uses. Core in
+    llm/substring.shared_span_stats (corner cases pinned by
+    tests/test_substring.py against a brute-force reference)."""
+    from sparkksqldbbenchmark_spark.llm.substring import shared_span_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)").alias("t"),
-    ).where(F.expr(f"size(t) >= {_KG}"))
-    pos = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {_KG - 1}),"
-                f" i -> struct(i AS pos,"
-                f" cast(conv(substring(md5(concat_ws(' ',"
-                f" slice(t, i, {_KG}))), 1, 15), 16, 10) as bigint)"
-                f" AS h))"
-            )
-        ).alias("pk"),
-    ).select("doc_id", F.col("pk.pos").alias("pos"), F.col("pk.h").alias("h"))
-    freq = pos.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
-    shared = (
-        pos.join(freq.where(F.col("nd") >= 2), "h")
-        .select("doc_id", "pos")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = shared.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w)
-    )
-    spans = isl.groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).alias("span_kg")
-    )
-    return spans.groupBy("doc_id").agg(
-        F.sum("span_kg").cast("long").alias("n_shared_pos"),
-        F.count(F.lit(1)).alias("n_spans"),
-        (F.max("span_kg") + (_KG - 1)).cast("long").alias(
-            "longest_span_tokens"
-        ),
-    )
+    return shared_span_stats(docs, "text", "doc_id", k=_KG)
 
 
 # ---------------------------------------- state-store reader (ops) --

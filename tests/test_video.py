@@ -92,3 +92,25 @@ def test_frame_stride_sampling(spark):
     assert sampled
     assert set(sampled) == {k for k in full if k[1] % 2 == 0}
     assert all(full[k] == v for k, v in sampled.items())
+
+
+def test_container_transparency_random_frames():
+    """The AVI container must return the EXACT JPEG bitstreams it was
+    given (container transparency — lossiness lives only inside the
+    codec), across varying frame counts and sizes, including odd-length
+    frames that need RIFF even-padding."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(10):
+        w8, h8 = rng.randint(1, 4), rng.randint(1, 3)
+        frames = []
+        for _f in range(rng.randint(1, 6)):
+            rows = [
+                bytes(rng.randrange(256) for _ in range(w8 * 8))
+                for _ in range(h8 * 8)
+            ]
+            frames.append(encode_jpeg(rows))
+        avi = encode_avi_mjpeg(frames, fps=rng.choice([10, 25, 30]))
+        _w, _h, _fps, back = decode_avi_mjpeg(avi)
+        assert back == frames
