@@ -1464,3 +1464,190 @@ def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_total"),
         F.sum("n_tokens").cast("long").alias("tokens_total"),
     )
+
+
+# ------------------------------------------- AQE skew-join splitting --
+
+
+@staged_query(
+    "aqe_skew_join_split",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+               event_id AS rid
+        FROM events WHERE event_id % 97 = 0
+    )
+    SELECT CAST(l.k % 8 AS BIGINT) AS bucket,
+           count(*) AS n_pairs,
+           CAST(sum(l.cents) AS BIGINT) AS cents_sum,
+           CAST(sum(r.rid) AS BIGINT) AS rid_sum,
+           CAST(count(*) * 64 AS BIGINT) AS pad_bytes
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY 1
+    """,
+)
+def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join splitting, plan-asserted — the FIFTH runtime
+    re-planning lever graded as a query (after DPP, the Bloom join,
+    runtime coalescing, and the salting twins): half of all events are
+    folded onto ONE join key (the planted hot key every real workload
+    has: the null-ish user, the default tenant), and AQE must detect
+    the oversized shuffle partition at runtime and SPLIT it across
+    tasks (SortMergeJoin(isSkewJoin=true), hot-side sub-ranges joined
+    against a replicated right side) — the adaptive alternative to the
+    hand-salting operators in operators/skew.py, with zero query
+    rewrite. Asserted on the post-execution adaptive plan via a tree
+    walk reading the join's isSkewJoin flag (the string form does not
+    render it), inside a save/restore conf window that scales the
+    detection thresholds to the test corpus (256 MB defaults are tuned
+    for clusters; the RULE is identical). An incompressible
+    deterministic payload (sha2 of event_id) rides the shuffle so
+    byte-level skew exists as it would at 100 TB — and is consumed in
+    the output (pad_bytes), or column pruning would strip it and with
+    it the skew (a measured staging lesson: repeated-constant pads
+    compress to nothing and defeat detection).
+
+    Second staging lesson, kept for the 100 TB note: AQE splits a
+    skewed partition at MAP-OUTPUT granularity (sub-ranges of mapper
+    outputs), so a hot partition fed by a SINGLE mapper — exactly what
+    a one-file test corpus produces — cannot be split and is not even
+    counted skewed. The upstream repartition(16) below gives the join
+    exchange multiple mappers, the shape any real cluster has
+    thousands of; it changes plan topology only, never values.
+
+    The oracle is the plain join — splitting moves TASKS, never
+    answers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 3 == 0, 0).otherwise(F.col("user_id"))
+    left = ev.repartition(16).select(
+        k.alias("k"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.sha2(F.col("event_id").cast("string"), 256).alias("pad"),
+    )
+    right = ev.where(F.col("event_id") % 97 == 0).select(
+        k.alias("k"), F.col("event_id").alias("rid")
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8kb",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8kb",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for key in confs:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        out = (
+            left.hint("merge")
+            .join(right.hint("merge"), "k")
+            .groupBy((F.col("k") % 8).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+                F.sum("rid").cast("long").alias("rid_sum"),
+                F.sum(F.length("pad")).cast("long").alias("pad_bytes"),
+            )
+        )
+        rows = out.collect()
+
+        def _find_skew(node) -> bool:
+            name = node.getClass().getSimpleName()
+            if "SortMergeJoin" in name and node.isSkewJoin():
+                return True
+            if "QueryStage" in name:
+                return _find_skew(node.plan())
+            return any(
+                _find_skew(node.children().apply(i))
+                for i in range(node.children().size())
+            )
+
+        adaptive = out._jdf.queryExecution().executedPlan()
+        assert _find_skew(adaptive.executedPlan()), (
+            "AQE did not split the skewed join partition"
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+# ------------------------------------------- in-memory columnar cache --
+
+
+@staged_query(
+    "inmemory_cache_scan",
+    oracle="""
+    WITH sub AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderkey < 30000
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM sub
+    GROUP BY 1
+    """,
+)
+def inmemory_cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-memory columnar cache (df.cache) as a graded operator:
+    a projected slice is cached, materialized once, and the graded
+    aggregate must then read from InMemoryTableScan — asserted on the
+    plan — with values identical to the uncached oracle (the cache is
+    a placement decision, never a semantic one). unpersist() in a
+    finally block keeps the graded run from leaking executor memory
+    into subsequent queries.
+
+    Scale shape: the cache stores compressed columnar batches
+    partition-local (no shuffle to build from an existing
+    partitioning); at 100 TB caching is for REUSED intermediate frames
+    (the iterative-algorithm working set — e.g. the k-means assignment
+    frame in llm/similarity's IVF trainer), never a default — a
+    one-pass query is cheaper re-scanned than double-materialized.
+    Spilled blocks degrade to disk per StorageLevel MEMORY_AND_DISK,
+    so the assertion holds at any size."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 30000)
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            "o_orderkey",
+        )
+    )
+    cached = o.cache()
+    try:
+        cached.count()  # materialize the columnar batches
+        out = cached.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, (
+            "aggregate did not read from the in-memory cache:\n" + plan
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        cached.unpersist()
