@@ -1540,6 +1540,12 @@ def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3.0",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # skew is RELATIVE to the median post-shuffle partition: at 4
+        # shuffle partitions the non-hot keys concentrate into 3 fat
+        # partitions and the hot one is no longer 3x the median — pin
+        # the width so the planted skew is detectable under any
+        # harness session (32 = the engine/bench default)
+        "spark.sql.shuffle.partitions": "32",
     }
     saved: dict[str, str | None] = {}
     for key in confs:
