@@ -1657,3 +1657,73 @@ def inmemory_cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         cached.unpersist()
+
+
+# ------------------------------- temperature-flattened mixture quotas --
+
+
+@staged_query(
+    "temperature_mixture_quota",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS c,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT sum(w) AS t, sum(10000 * w // (SELECT sum(w) FROM counts))
+                   AS base_sum
+        FROM counts
+    ), quotas AS (
+        SELECT source, c, w,
+               10000 * w // t AS base_quota,
+               10000 * w % t AS remainder,
+               row_number() OVER (ORDER BY 10000 * w % t DESC, source)
+                   AS rem_rank,
+               10000 - base_sum AS r
+        FROM counts, tot
+    )
+    SELECT source,
+           CAST(c AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS w_temp,
+           CAST(base_quota + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END
+                AS BIGINT) AS final_quota
+    FROM quotas
+    """,
+)
+def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture quotas (alpha = 0.5): weight each
+    source by floor(sqrt(count)) instead of its raw count before the
+    largest-remainder apportionment — the standard alpha-sampling
+    technique for multilingual/multi-domain training mixes, boosting
+    minority sources relative to proportional sampling without going
+    fully uniform. Exactness argument: IEEE-754 sqrt is CORRECTLY
+    ROUNDED (unlike log/exp — the general alpha=p/q power is not
+    cross-engine-safe, which is exactly why the graded form pins
+    alpha = 0.5), so floor(sqrt(n)) is bit-identical in both engines
+    and everything downstream is the integer apportionment machinery
+    (operators/apportion.py) with its sum(quota) = budget guarantee.
+
+    Scale shape: identical to mixture_quota_largest_remainder — one
+    partial-aggregated count shuffle, then |sources|-row constant-size
+    frames."""
+    from sparkksqldbbenchmark_spark.operators.apportion import (
+        largest_remainder_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    weights = counts.select(
+        "source",
+        "c",
+        F.floor(F.sqrt(F.col("c"))).cast("long").alias("w_temp"),
+    )
+    quotas = largest_remainder_quotas(weights, "source", "w_temp", 10000)
+    return (
+        quotas.join(weights.select("source", "c"), "source")
+        .select(
+            "source",
+            F.col("c").cast("long").alias("n_docs"),
+            F.col("weight").alias("w_temp"),
+            "final_quota",
+        )
+    )
