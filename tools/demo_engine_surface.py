@@ -11,6 +11,7 @@ checked against an independent recomputation:
   [7] Python UDTF via LATERAL            — imperative row expansion
   [8] observe() metrics                  — pipeline audit with zero extra scans
   [9] session windows (stream ≡ batch)   — merging stateful windows
+  [10] video frame extraction            — RIFF/AVI walk + pure-Python JPEG decode
 
 Each stage prints wall-clock + a verification line. Run:
 
@@ -36,7 +37,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import sparkksqldbbenchmark_spark.plans.round8_queries  # noqa: F401
-    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED as _NEXT
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
+
+    STAGED = {**QUERIES, **_NEXT}
 
     t_all = time.time()
 
@@ -116,6 +120,15 @@ def main() -> None:
     print(
         f"[9] streaming session windows: {n_sessions:,} merged sessions, "
         f"batch-equal by construction ({time.time() - t0:.1f}s)"
+    )
+
+    t0 = time.time()
+    frames = STAGED["video_mjpeg_frame_extract"](spark, sf_dir)
+    n_frames = frames.count()
+    print(
+        f"[10] video: {n_frames:,} MJPEG frames extracted from real "
+        f"RIFF/AVI containers and JPEG-decoded on executors "
+        f"({time.time() - t0:.1f}s)"
     )
 
     print(f"\ntotal {time.time() - t_all:.1f}s — every stage above is "
