@@ -1727,3 +1727,97 @@ def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_quota",
         )
     )
+
+
+# ---------------------------------------- pandas API on Spark --
+
+
+@staged_query(
+    "pandas_api_on_spark_agg",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pandas_api_on_spark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (`pyspark.pandas`) graded value-for-value:
+    the same groupby-aggregate written as idiomatic pandas
+    (`psdf.groupby("lang").agg(...)`) must equal the relational oracle —
+    the migration surface that lets a pandas codebase (like the
+    reference's price-prediction notebook) run distributed without a
+    rewrite. The aggregation executes on the Spark backend (a plain
+    hash aggregate — no driver materialization; `to_spark()` hands the
+    lazy frame back to the engine).
+
+    Scale shape: identical plan to the DataFrame form — pandas-on-Spark
+    lowers groupby/agg to Catalyst; the distributed-sequence index cost
+    is avoided entirely because the aggregate never materializes an
+    index."""
+    import pyspark.pandas as ps  # noqa: F401 — registers the API
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    psdf = docs.pandas_api()
+    out = psdf.groupby("lang").agg(
+        n_docs=("doc_id", "count"),
+        chars_total=("n_chars", "sum"),
+        first_doc=("doc_id", "min"),
+    )
+    return (
+        out.reset_index()
+        .to_spark()
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("chars_total").cast("long").alias("chars_total"),
+            F.col("first_doc").cast("long").alias("first_doc"),
+        )
+    )
+
+
+# ------------------------------------------------- stat crosstab --
+
+
+@staged_query(
+    "stat_crosstab_matrix",
+    oracle="""
+    SELECT event_type AS event_type_bucket,
+           CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "0",
+           CAST(sum(CASE WHEN user_id % 5 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "1",
+           CAST(sum(CASE WHEN user_id % 5 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "2",
+           CAST(sum(CASE WHEN user_id % 5 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "3",
+           CAST(sum(CASE WHEN user_id % 5 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS "4"
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stat_crosstab_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameStatFunctions.crosstab — the exact contingency table
+    (pair frequency matrix) as one reshaped frame, graded against the
+    defining CASE-pivot. Crosstab is the two-variable audit every
+    dataset card carries (label × source, type × shard); Spark computes
+    it with one pair-count aggregate and a driver-side reshape of the
+    BOUNDED distinct-pair set (documented contract: both columns'
+    cardinalities must be small — here 5 types x 5 buckets).
+
+    Scale shape: one partial-aggregated count over (type, bucket) —
+     25 groups; the reshape touches only the group frame, never data
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("bucket")
+    )
+    ct = ev.stat.crosstab("event_type", "bucket")
+    return ct.select(
+        "event_type_bucket",
+        *[F.col(f"`{i}`").cast("long").alias(str(i)) for i in range(5)],
+    )
