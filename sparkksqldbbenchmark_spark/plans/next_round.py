@@ -1821,3 +1821,143 @@ def stat_crosstab_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type_bucket",
         *[F.col(f"`{i}`").cast("long").alias(str(i)) for i in range(5)],
     )
+
+
+# ---------------------------------------------- Luhn / PII checksums --
+
+
+def _luhn_sum_sql(s: str) -> str:
+    """Unrolled Luhn mod-10 sum of a 16-digit string column expression —
+    IDENTICAL SQL text for Spark and DuckDB (substring + CAST + CASE),
+    so the oracle recomputes the checksum from its definition while
+    Spark's side uses the builtin. Digits at odd distance from the
+    check digit double (folded: 2d - 9 when 2d > 9)."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substring({s}, {i}, 1) AS INT)"
+        if (16 - i) % 2 == 1:  # doubled positions
+            terms.append(
+                f"(CASE WHEN {d} > 4 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+_CARD = (
+    "lpad(CAST(event_id * 7919 % 1000000000000000 AS STRING), 15, '0')"
+)
+
+
+@staged_query(
+    "luhn_pii_check",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, {_CARD} AS payload FROM events
+    ), withchk AS (
+        SELECT event_id,
+               payload || CAST(
+                   CASE WHEN event_id % 2 = 0
+                        THEN (10 - {_luhn_sum_sql("payload || '0'")}
+                              % 10) % 10
+                        ELSE ((10 - {_luhn_sum_sql("payload || '0'")}
+                               % 10) % 10 + 1) % 10
+                   END AS STRING) AS card
+        FROM base
+    )
+    SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
+           count(*) AS n_cards,
+           CAST(sum(CASE WHEN {_luhn_sum_sql("card")} % 10 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM withchk
+    GROUP BY 1
+    """,
+)
+def luhn_pii_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`luhn_check` (Spark 3.5) — the mod-10 checksum that separates
+    plausible payment-card numbers from random digit strings, which is
+    what makes a PII scrubber PRECISE (llm/pii.py's regex finds
+    16-digit runs; Luhn validation keeps invoice/tracking numbers out
+    of the redaction): deterministic 16-digit fixtures are built so
+    exactly the even event_ids carry a correct check digit, Spark
+    validates with the BUILTIN, and the DuckDB oracle recomputes the
+    checksum from its unrolled definition — builtin ≡ definition, per
+    value. (The Spark side computes the check digit with the same
+    shared SQL text the oracle uses; only the final validation uses
+    luhn_check.)
+
+    Scale shape: scan-side codegen arithmetic, one bounded-key
+    aggregate — shuffle-free until the 10-row fold."""
+    _view(spark, sf_dir, "events")
+    payload_chk = _luhn_sum_sql("payload || '0'")
+    chk = f"(10 - {payload_chk} % 10) % 10"
+    return spark.sql(
+        f"""WITH base AS (
+            SELECT event_id, {_CARD} AS payload FROM events
+        ), withchk AS (
+            SELECT event_id,
+                   payload || CAST(
+                       CASE WHEN event_id % 2 = 0 THEN {chk}
+                            ELSE ({chk} + 1) % 10
+                       END AS STRING) AS card
+            FROM withchk_src
+        )
+        SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
+               count(*) AS n_cards,
+               CAST(sum(CASE WHEN luhn_check(card) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid
+        FROM withchk
+        GROUP BY 1""".replace("withchk_src", "base")
+    )
+
+
+# ------------------------------------------------- array mutations --
+
+
+@staged_query(
+    "array_mutation_suite",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ')[1:4] AS l
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           l[1:1] || ['INS'] || l[2:] AS inserted,
+           list_append(l, 'END') AS appended,
+           list_prepend('START', l) AS prepended,
+           list_filter(l, x -> x != l[1]) AS removed,
+           list_filter(list_transform(l, x -> nullif(x, l[2])),
+                       x -> x IS NOT NULL) AS compacted
+    FROM t
+    """,
+)
+def array_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array mutation breadth (Spark 3.4/3.5 additions): array_insert
+    at a position, array_append / array_prepend, array_remove (all
+    occurrences of a value), and array_compact (NULL removal) — each
+    graded against its defining DuckDB list-algebra construction
+    (insert = slice ++ singleton ++ rest; remove = filter-not-equal on
+    a NULL-free array; compact = filter-not-null after a nullif
+    transform plants the NULLs). These are the building blocks of
+    array-typed feature engineering (token-list edits, tag-set
+    maintenance) that would otherwise fall to explode/re-collect — a
+    shuffle — or a Python UDF.
+
+    Scale shape: pure scan-side codegen over the array values, zero
+    shuffles; the doc_id slice bounds graded output size only."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    t = docs.select(
+        "doc_id", F.expr("slice(split(text, ' '), 1, 4)").alias("l")
+    )
+    return t.select(
+        "doc_id",
+        F.expr("array_insert(l, 2, 'INS')").alias("inserted"),
+        F.expr("array_append(l, 'END')").alias("appended"),
+        F.expr("array_prepend(l, 'START')").alias("prepended"),
+        F.expr("array_remove(l, element_at(l, 1))").alias("removed"),
+        F.expr(
+            "array_compact(transform(l, x -> nullif(x, element_at(l, 2))))"
+        ).alias("compacted"),
+    )
