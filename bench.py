@@ -162,6 +162,37 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Extended (non-headline) timings for the newest operator families:
+    # best-of-2 each, separately reported so the 12-query headline wall
+    # stays comparable round-over-round. Staged rows ride along when a
+    # staging area exists.
+    extended_names = [
+        "hourly_series_pivot_fold",
+        "streaming_session_window_agg",
+        "exact_substring_spans",
+        "ngram_lm_familiarity",
+        "video_mjpeg_frame_extract",
+    ]
+    ext_funcs = dict(queries)
+    try:
+        from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+        ext_funcs.update(STAGED)
+    except ImportError:
+        pass
+    extended: dict[str, float] = {}
+    for name in extended_names:
+        fn = ext_funcs.get(name)
+        if fn is None:
+            continue
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, run_dir).count()
+            times.append(time.time() - t0)
+        extended[name] = round(min(times), 3)
+        print(f"  extended {name}: {extended[name]:.2f}s", file=sys.stderr)
+
     # input-throughput of the core query: events rows consumed per second
     # (the reference's consumer is rate-capped at 5000 offsets/trigger and
     # its producer sustains ~100-200 msg/s — BASELINE.md)
@@ -273,6 +304,7 @@ def main() -> None:
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "core_query_rows_per_sec": core_rows_per_sec,
+                "extended_queries": extended,
                 "streaming_e2e_latency": streaming_latency,
                 "resources": resources,
                 "avro_codec_path": avro_path,
