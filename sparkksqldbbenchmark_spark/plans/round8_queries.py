@@ -319,7 +319,7 @@ def groupby_all_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(CASE WHEN event_type = 'click' THEN c END)
                 AS BIGINT) AS n_click,
            CAST(count(*) AS INTEGER) AS n_types,
-           list_sort(list(event_type)) AS types,
+           array_to_string(list_sort(list(event_type)), '|') AS types,
            CAST(sum(c * 2) AS BIGINT) AS double_total,
            CAST(sum(CASE WHEN c >= 10 THEN 1 ELSE 0 END)
                 AS INTEGER) AS n_ge10
@@ -337,9 +337,12 @@ def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes every derived value relationally — map semantics graded
     against plain SQL, the same proof pattern the HOF suite uses.
 
-    Emitted columns are scalar lookups and SORTED key arrays only: map
-    internal ordering is engine-private, so no raw map ever reaches the
-    comparator (the same discipline collect_set rows use).
+    Emitted columns are scalar lookups and the SORTED key list serialized
+    to a pipe-joined string: map internal ordering is engine-private and
+    array-typed payloads are not a result-contract type (the driver's
+    hash comparator cannot canonicalize them — the r04
+    grouped_array_collect lesson, re-learned in r08 by this very row), so
+    no raw map OR array ever reaches the comparator.
 
     Scale shape: one partial-aggregated shuffle to (user, type) counts,
     a second keyed on user to assemble the map — both on uniform keys;
@@ -358,7 +361,7 @@ def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.element_at("m", F.lit("click")).alias("n_click"),
         F.size("m").alias("n_types"),
-        F.sort_array(F.map_keys("m")).alias("types"),
+        F.array_join(F.sort_array(F.map_keys("m")), "|").alias("types"),
         F.expr(
             "aggregate(map_values(transform_values(m, (k, v) -> v * 2)),"
             " 0L, (acc, v) -> acc + v)"
@@ -381,7 +384,9 @@ def map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(list_distinct(a)) AS INTEGER) AS n_distinct_a,
-           list_sort(list_distinct(list_intersect(a, b))) AS inter_sorted,
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_intersect(a, b))), '|'),
+               '') AS inter_sorted,
            CAST(len(list_distinct(list_concat(a, b)))
                 AS INTEGER) AS n_union,
            CAST(len(list_filter(list_distinct(a),
@@ -398,10 +403,13 @@ def array_algebra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra over token arrays: array_distinct /
     array_intersect / array_union / array_except / flatten /
     array_position / arrays_overlap, graded against DuckDB's list
-    functions. Set-valued outputs are sorted before emission (set ops
-    define CONTENT, not order — both engines return implementation
-    order) and set sizes otherwise; the first-10 / last-10 token slices
-    give every doc two genuinely overlapping operand arrays.
+    functions. Set-valued outputs are sorted AND serialized to a
+    pipe-joined string before emission (set ops define CONTENT, not
+    order — both engines return implementation order — and array-typed
+    columns are not a result-contract type: the driver's hash comparator
+    cannot canonicalize them) and set sizes otherwise; the first-10 /
+    last-10 token slices give every doc two genuinely overlapping
+    operand arrays.
 
     Scale shape: all pure scan-side expression work — zero shuffles,
     zero joins; array lambdas and set ops are JVM codegen over the
@@ -416,9 +424,9 @@ def array_algebra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         F.size(F.array_distinct("a")).alias("n_distinct_a"),
-        F.sort_array(F.array_distinct(F.array_intersect("a", "b"))).alias(
-            "inter_sorted"
-        ),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect("a", "b"))), "|"
+        ).alias("inter_sorted"),
         F.size(F.array_union("a", "b")).alias("n_union"),
         F.size(F.array_except("a", "b")).alias("n_except"),
         F.size(F.flatten(F.array("a", "b"))).alias("flat_n"),
@@ -481,8 +489,9 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '([a-z]{6,})', 1))
                 AS INTEGER) AS n_long,
-           list_sort(list_distinct(
-               regexp_extract_all(text, '([a-z]{8,})', 1))) AS long_toks,
+           coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(text, '([a-z]{8,})', 1))), '|'), '')
+               AS long_toks,
            CAST(len(regexp_extract_all(text, '[aeiou]{2}'))
                 AS INTEGER) AS n_vowel_pairs,
            len(regexp_replace(text, 's[a-z]+', 'X', 'g')) AS len_replaced,
@@ -492,8 +501,10 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def regexp_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp breadth beyond extract/replace basics: `regexp_extract_all`
-    (all matches, as an array — sorted-distinct before emission since
-    only CONTENT is portable), `regexp_count` (graded against DuckDB's
+    (all matches, as an array — sorted-distinct AND pipe-joined to a
+    string before emission, since only CONTENT is portable and raw
+    array columns are not a result-contract type), `regexp_count`
+    (graded against DuckDB's
     len(extract_all) since DuckDB has no count form), global
     regexp_replace (DuckDB needs the explicit 'g' flag for Spark's
     replace-all default — a real cross-engine trap, documented here),
@@ -510,8 +521,13 @@ def regexp_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regexp_count(text, '[a-z]{6,}')")
         .cast("int")
         .alias("n_long"),
-        F.sort_array(
-            F.array_distinct(F.expr("regexp_extract_all(text, '([a-z]{8,})', 1)"))
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(
+                    F.expr("regexp_extract_all(text, '([a-z]{8,})', 1)")
+                )
+            ),
+            "|",
         ).alias("long_toks"),
         F.expr("regexp_count(text, '[aeiou]{2}')")
         .cast("int")

@@ -188,10 +188,6 @@ TAIL_SOURCE_SHA256 = {
     "range_join_shipment_windows": "7f950454653b21cb",
     "text_quality_scores": "c9148936e55f74b7",
 }
-INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
-INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
-
-
 # Shared-infrastructure pin (ADVICE r04, tools/tail_hash.py:68 carve-out
 # gap): loader/session semantics every TAIL query flows through. A change
 # here voids ALL TAIL evidence at once — run the full oracle sweep
@@ -240,6 +236,41 @@ def test_tail_source_unchanged_since_green_verdict():
         f"verdict: {sorted(stale)} — rotate them into the head for "
         f"re-grading"
     )
+
+
+def test_container_type_gate_rejects_planted_array_column(spark):
+    """The r04/r08 failure class: a raw array/map/struct output column
+    crashes the driver's hash comparator (pandas `unhashable type`).
+    tools/check_correctness.py now fails any head or staged query whose
+    result schema carries one — this test pins that the gate actually
+    fires on planted container columns of each kind, and stays silent on
+    the serialized boundary form (array_join / to_json)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import container_columns
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(3)
+    planted = base.select(
+        "id",
+        F.array(F.lit("a"), F.lit("b")).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("x")).alias("st"),
+    )
+    flagged = container_columns(planted)
+    assert len(flagged) == 3 and all(
+        f.split(":")[0] in {"arr", "m", "st"} for f in flagged
+    ), flagged
+
+    serialized = planted.select(
+        "id",
+        F.array_join("arr", "|").alias("arr"),
+        F.to_json("m").alias("m"),
+        F.to_json("st").alias("st"),
+    )
+    assert container_columns(serialized) == []
 
 
 def test_entry_is_registered_flagship(spark):

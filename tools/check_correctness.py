@@ -112,6 +112,29 @@ def _norm_duck_type(t: str) -> str:
     return _DUCK_TYPES.get(t, t)
 
 
+# Container result types the driver's comparator cannot grade: its
+# canonicalizer sorts a pandas frame of the rows, and pandas hashing of
+# list/dict cells raises `TypeError: unhashable type` (r04
+# grouped_array_collect, re-learned r08 by map_function_suite /
+# array_algebra_suite / regexp_suite2). Container payloads are an
+# internal representation only — every graded query must serialize them
+# (sorted + array_join / to_json) at the query boundary. This gate makes
+# the local replica AT LEAST as strict as the driver: a head or staged
+# query emitting a raw container column fails here before it can reach
+# a grading round.
+_CONTAINER_PREFIXES = ("array<", "map<", "struct<")
+
+
+def container_columns(sdf) -> list[str]:
+    """Columns of a Spark DataFrame whose type the driver's hash
+    comparator cannot canonicalize (top-level array/map/struct)."""
+    return [
+        f"{col}:{dtype}"
+        for col, dtype in sdf.dtypes
+        if dtype.startswith(_CONTAINER_PREFIXES)
+    ]
+
+
 # Machine-width integer classes whose values stringify identically as
 # Python ints — cross-engine drift WITHIN this set is driver-safe
 # (evidence: rank_function_suite was driver-graded GREEN in r04 with
@@ -197,6 +220,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        bad_cols = container_columns(sdf)
+        if bad_cols:
+            print(
+                f"FAIL {name}: container-typed result column(s) the "
+                f"driver's comparator cannot hash: {bad_cols} — serialize "
+                f"at the query boundary (sorted + array_join / to_json)"
+            )
             failures += 1
             continue
         if name not in oracles:
