@@ -136,6 +136,16 @@ def main() -> None:
     # compared against this run's own observable noise floor before
     # being called real (the r07 +4.9% drift, 9/12 queries up with zero
     # plan changes, sat well inside it).
+    # One discarded full execution of the first headline query before any
+    # sample is recorded: the range/parquet warm-up above spins the JVM
+    # but not the window-aggregate codepath, so the first query otherwise
+    # absorbs session/JIT warm-up that later queries amortize (r08:
+    # weather_window_agg 0.417 → 1.005 s purely from running first under
+    # the consecutive sampler).
+    first = queries.get(HEADLINE[0])
+    if first is not None:
+        first(spark, run_dir).count()
+
     samples: dict[str, list[float]] = {}
     per_query: dict[str, float] = {}
     total = 0.0
@@ -150,7 +160,12 @@ def main() -> None:
             df = fn(spark, run_dir)
             n = df.count()
             times.append(time.time() - t0)
-            if len(times) >= 3 and times[-1] <= 1.05 * min(times):
+            # converged = the NEWEST sample no longer improves on the min
+            # of the PRIOR samples by >5%. Comparing against min(times)
+            # including the newest (the r08 form) is trivially true for
+            # any still-decreasing series — it cut every improving query
+            # off at exactly 3 samples, inflating reported mins.
+            if len(times) >= 3 and times[-1] >= 0.95 * min(times[:-1]):
                 break
         samples[name] = times
         dt = min(times)
@@ -296,10 +311,11 @@ def main() -> None:
                     if v
                 },
                 "headline_methodology": (
-                    "consecutive adaptive best-of-N per query (3-6 "
-                    "samples, stop when the newest is within 5% of the "
-                    "min): heavy plans need several consecutive runs for "
-                    "JIT convergence — interleaved sampling was measured "
+                    "one discarded warm-up execution, then consecutive "
+                    "adaptive best-of-N per query (3-6 samples, stop when "
+                    "the newest no longer improves the prior min by >5%): "
+                    "heavy plans need several consecutive runs for JIT "
+                    "convergence — interleaved sampling was measured "
                     "~60% worse (see bench.py comment)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

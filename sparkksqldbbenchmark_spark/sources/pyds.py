@@ -290,7 +290,7 @@ class JsonlPagesDataSource(DataSource):
         return "jsonl_pages"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return JsonlPagesWriter(self.options["path"], schema)
+        return JsonlPagesWriter(self.options["path"], schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         # same source name serves as a STREAMING sink: per-batch
@@ -308,18 +308,28 @@ class JsonlPageCommit(WriterCommitMessage):
 
 
 class JsonlPagesWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: StructType) -> None:
+    def __init__(self, path: str, schema: StructType, overwrite: bool) -> None:
+        import uuid as _uuid
+
         self.path = path
         self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        # Per-JOB id, minted once on the driver and shipped inside the
+        # pickled writer to every task: scopes this job's file names —
+        # and, in append mode, its loser-attempt sweep — so a second
+        # save into the same directory can never delete a previous
+        # job's committed data files (the append-became-truncate bug).
+        self.job_id = _uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         # Runs on executors: one file per task ATTEMPT. The name embeds
-        # taskAttemptId (unique across retries/speculative attempts of
-        # the same partition), so two attempts never race on one file —
-        # the commit message carries the winning attempt's name and
-        # commit() publishes exactly that set (ADVICE r07: a plain
-        # part-{partitionId} name let a retried attempt overwrite the
-        # winner's bytes after its commit message was recorded).
+        # the job id plus taskAttemptId (unique across retries/
+        # speculative attempts of the same partition), so two attempts
+        # never race on one file — the commit message carries the
+        # winning attempt's name and commit() publishes exactly that set
+        # (ADVICE r07: a plain part-{partitionId} name let a retried
+        # attempt overwrite the winner's bytes after its commit message
+        # was recorded).
         import json as _json
         import os as _os
 
@@ -327,8 +337,8 @@ class JsonlPagesWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         fname = (
-            f"part-{ctx.partitionId():05d}-attempt-{ctx.taskAttemptId()}"
-            ".jsonl"
+            f"part-{self.job_id}-{ctx.partitionId():05d}"
+            f"-attempt-{ctx.taskAttemptId()}.jsonl"
         )
         n = 0
         with open(_os.path.join(self.path, fname), "w") as fh:
@@ -345,22 +355,35 @@ class JsonlPagesWriter(DataSourceWriter):
         import os as _os
 
         winners = sorted(m.fname for m in messages if m)
-        # Sweep files from losing attempts (retry/speculation) whose
-        # commit messages Spark discarded — the manifest names only the
-        # winning attempts, so the directory matches the manifest.
         keep = set(winners)
-        for f in _glob.glob(_os.path.join(self.path, "part-*.jsonl")):
+        # Sweep files from losing attempts (retry/speculation) whose
+        # commit messages Spark discarded — the manifest names only
+        # committed files, so the directory matches the manifest.
+        # OVERWRITE sweeps everything outside the winning set (the save
+        # replaces the dataset); APPEND sweeps only THIS job's prefix —
+        # prior jobs' committed files are data, not losers.
+        sweep_glob = (
+            "part-*.jsonl"
+            if self.overwrite
+            else f"part-{self.job_id}-*.jsonl"
+        )
+        for f in _glob.glob(_os.path.join(self.path, sweep_glob)):
             if _os.path.basename(f) not in keep:
                 try:
                     _os.remove(f)
                 except OSError:
                     pass
-        manifest = {
-            "files": winners,
-            "rows": sum(m.n for m in messages if m),
-        }
-        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
-            _json.dump(manifest, fh)
+        files, rows = winners, sum(m.n for m in messages if m)
+        manifest_path = _os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and _os.path.exists(manifest_path):
+            # append mode: the manifest is the reader's source of truth,
+            # so it must keep naming prior jobs' committed files
+            with open(manifest_path) as fh:
+                prev = _json.load(fh)
+            files = sorted(set(prev.get("files", [])) | set(files))
+            rows += prev.get("rows", 0)
+        with open(manifest_path, "w") as fh:
+            _json.dump({"files": files, "rows": rows}, fh)
 
     def abort(self, messages) -> None:
         import os as _os

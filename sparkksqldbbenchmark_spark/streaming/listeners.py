@@ -12,6 +12,15 @@ Listener events are delivered asynchronously on a separate dispatch
 thread; `collect_observed_metrics` therefore joins on the TERMINATION
 event (with a timeout) before returning, so callers never race the
 tail of the event stream.
+
+The listener is registered BEFORE the query starts (so no early batch
+is missed), which opens a window where events arrive while the target
+query id is still unknown. Progress rows are therefore buffered keyed
+by their progress id and filtered to the target id once it is pinned,
+and termination events seen before the id is known are held as PENDING
+and re-checked after pinning — without this, a concurrent query
+carrying the same observation name would pollute the rows, and any
+other query's termination would fire ``done`` prematurely.
 """
 
 from __future__ import annotations
@@ -25,7 +34,9 @@ from pyspark.sql.streaming import StreamingQueryListener
 class ObservedMetricsListener(StreamingQueryListener):
     """Accumulates the named observation's metrics row per progress
     event for one query id; set ``done`` fires on that query's
-    termination event."""
+    termination event. Events arriving before the target id is pinned
+    via :meth:`pin_query_id` are buffered per query id (progress) or
+    held pending (termination) and resolved at pin time."""
 
     def __init__(self, observation_name: str) -> None:
         self.observation_name = observation_name
@@ -33,25 +44,47 @@ class ObservedMetricsListener(StreamingQueryListener):
         self.rows: list[dict] = []
         self.done = threading.Event()
         self._lock = threading.Lock()
+        self._buffered: dict[str, list[dict]] = {}
+        self._pending_terminations: set[str] = set()
+
+    def pin_query_id(self, query_id: str) -> None:
+        """Declare the target query: adopt its buffered progress rows,
+        drop every other query's, and honor a termination event that
+        raced ahead of the pin."""
+        with self._lock:
+            self.query_id = query_id
+            self.rows.extend(self._buffered.pop(query_id, []))
+            self._buffered.clear()
+            if query_id in self._pending_terminations:
+                self.done.set()
+            self._pending_terminations.clear()
 
     def onQueryStarted(self, event) -> None:
         pass
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        if self.query_id is not None and str(p.id) != self.query_id:
-            return
         m = (p.observedMetrics or {}).get(self.observation_name)
-        if m is not None:
-            with self._lock:
+        if m is None:
+            return
+        with self._lock:
+            pid = str(p.id)
+            if self.query_id is None:
+                self._buffered.setdefault(pid, []).append(m.asDict())
+            elif pid == self.query_id:
                 self.rows.append(m.asDict())
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
-        if self.query_id is None or str(event.id) == self.query_id:
-            self.done.set()
+        with self._lock:
+            eid = str(event.id)
+            if self.query_id is None:
+                # target unknown yet: hold as pending, re-checked at pin
+                self._pending_terminations.add(eid)
+            elif eid == self.query_id:
+                self.done.set()
 
 
 def collect_observed_metrics(
@@ -69,7 +102,7 @@ def collect_observed_metrics(
     spark.streams.addListener(listener)
     try:
         q = start_query()
-        listener.query_id = str(q.id)
+        listener.pin_query_id(str(q.id))
         q.awaitTermination(await_seconds)
         q.stop()
         # stop() is async w.r.t. the listener bus: join on the

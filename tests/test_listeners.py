@@ -47,6 +47,61 @@ def test_listener_totals_equal_direct_aggregate(spark, tmp_path):
     assert sum(int(b["id_sum"]) for b in batches) == sum(range(5000))
 
 
+def test_listener_pre_pin_race_window():
+    """Events delivered BEFORE the target query id is known (the listener
+    registers before start_query() returns): a foreign query's progress
+    must not pollute the rows, a foreign termination must not fire
+    ``done``, and the target's own raced-ahead progress + termination
+    must be adopted at pin time. Pure event-object test — no Spark."""
+    from types import SimpleNamespace
+
+    from sparkksqldbbenchmark_spark.streaming.listeners import (
+        ObservedMetricsListener,
+    )
+
+    class Metric:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    def progress_event(qid, n):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id=qid, observedMetrics={"audit": Metric({"n_rows": n})}
+            )
+        )
+
+    lsn = ObservedMetricsListener("audit")
+    # race window: target id unknown, two queries emit progress
+    lsn.onQueryProgress(progress_event("target-q", 10))
+    lsn.onQueryProgress(progress_event("other-q", 99))
+    # a foreign termination during the window must stay pending-only
+    lsn.onQueryTerminated(SimpleNamespace(id="other-q"))
+    assert not lsn.done.is_set()
+
+    lsn.pin_query_id("target-q")
+    assert lsn.rows == [{"n_rows": 10}]  # target buffered row adopted
+    assert not lsn.done.is_set()  # other-q's termination discarded
+
+    # post-pin: foreign events ignored, target events honored
+    lsn.onQueryProgress(progress_event("other-q", 7))
+    lsn.onQueryProgress(progress_event("target-q", 20))
+    lsn.onQueryTerminated(SimpleNamespace(id="other-q"))
+    assert not lsn.done.is_set()
+    lsn.onQueryTerminated(SimpleNamespace(id="target-q"))
+    assert lsn.done.is_set()
+    assert lsn.rows == [{"n_rows": 10}, {"n_rows": 20}]
+
+    # the raced-ahead TARGET termination variant: pending at pin → done
+    lsn2 = ObservedMetricsListener("audit")
+    lsn2.onQueryTerminated(SimpleNamespace(id="target-q"))
+    assert not lsn2.done.is_set()
+    lsn2.pin_query_id("target-q")
+    assert lsn2.done.is_set()
+
+
 def test_listener_scopes_to_its_own_query(spark, tmp_path):
     """Two observed queries running in the same session: each
     collection sees only its own query's batches."""

@@ -177,7 +177,7 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
     loser = os.path.join(d, "part-00000-attempt-9999.jsonl")
     with open(loser, "w") as fh:
         fh.write("{}\n")
-    w = JsonlPagesWriter(d, StructType([]))
+    w = JsonlPagesWriter(d, StructType([]), overwrite=True)
     w.commit([JsonlPageCommit(f, 1) for f in on_disk])
     assert not os.path.exists(loser)
     assert sorted(
@@ -191,6 +191,45 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
     w.abort([JsonlPageCommit("part-99999.jsonl", 1)])
     assert not os.path.exists(orphan)
     assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+
+
+def test_jsonl_sink_append_preserves_prior_jobs(spark, tmp_path):
+    """mode('append') twice into one directory: the second job's
+    loser-attempt sweep is scoped to its own job-id prefix, so the
+    first job's committed data files survive and the manifest unions
+    both jobs (previously the sweep deleted every part file it did not
+    itself write — append silently truncated). mode('overwrite') then
+    replaces the whole dataset, files and manifest alike."""
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    d = str(tmp_path / "out_append")
+    os.makedirs(d)
+
+    def save(lo, hi, mode):
+        spark.range(lo, hi).selectExpr("id").repartition(2).write.format(
+            "jsonl_pages"
+        ).option("path", d).mode(mode).save()
+
+    save(0, 30, "append")
+    save(30, 50, "append")
+    with open(os.path.join(d, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    on_disk = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+    assert manifest["rows"] == 50
+    assert manifest["files"] == on_disk and len(on_disk) == 4
+    back = spark.read.json([os.path.join(d, f) for f in on_disk])
+    assert back.count() == 50
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(50))
+
+    save(100, 110, "overwrite")
+    with open(os.path.join(d, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    on_disk = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+    assert manifest["rows"] == 10
+    assert manifest["files"] == on_disk and len(on_disk) == 2
 
 
 def test_jsonl_stream_sink_batch_manifests(spark, tmp_path):
