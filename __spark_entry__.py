@@ -53,6 +53,11 @@ try:
 except ImportError:
     pass
 
+try:
+    import sparkksqldbbenchmark_spark.plans.round9_queries  # noqa: F401
+except ImportError:
+    pass
+
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
 # The driver grades at most the FIRST 50 registered queries per round.
@@ -505,7 +510,145 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   ann_recall_certified    — hyperplane-LSH recall certificate; the
 #                             ann_mrr_certified head row grades the
 #                             same index family rank-aware
+# Round-9 rotation (docs/ROTATION_R9.md; CORRECTNESS_r08.json was 47/50
+# — the three reds were the array-output serialization defect, fixed
+# this round). INTO the head from plans/round9_queries.py (formerly
+# next_round.py — every one DuckDB-verified at sf0.001/0.01/0.1 by the
+# staging tests while staged in round 8): all 33 staged queries —
+#   inline_struct_explode, string_suite2, bitwise_suite,
+#   width_bucket_histogram, ratio_to_report_share,
+#   token_length_log_histogram, pivot_dynamic_two_pass,
+#   csv_line_codec_suite, checksum_encoding_suite,
+#   video_mjpeg_frame_extract, sql_scripting_variables,
+#   identifier_parameterized_query, pipe_syntax_suite,
+#   sql_table_function_lateral, json_roundtrip_suite,
+#   ngram_lm_familiarity, exact_substring_spans,
+#   state_store_reader_audit, partition_overwrite_backfill,
+#   schema_evolution_mergeschema, orc_roundtrip_scan,
+#   streaming_foreachbatch_exactly_once,
+#   python_datasource_stream_sink_roundtrip, mapinarrow_token_stats,
+#   aqe_skew_join_split, inmemory_cache_scan, temperature_mixture_quota,
+#   pandas_api_on_spark_agg, stat_crosstab_matrix, luhn_pii_check,
+#   array_mutation_suite, try_function_suite2, char_octet_length_suite
+# STAYING in the head (17 = 50 − 33):
+#   map_function_suite / array_algebra_suite / regexp_suite2 — the r08
+#     RED rows (raw array output columns crashed the driver's hash
+#     comparator); fixed this round by array_join at the query boundary
+#     (the r04 grouped_array_collect precedent) and MUST re-grade
+#   similarity_topk_cosine — r08 flagged a 3.6× bench regression; the
+#     fixed sampler re-measured the mapInPandas twin ~2× FASTER than
+#     codegen at sf0.1 and 10× (llm/similarity.py docstring carries the
+#     numbers), headline unchanged, but the docstring edit voids the
+#     source pin so it re-grades in the head
+#   observe_metrics_suite / streaming_observe_metrics — implementing
+#     source changed this round (streaming/listeners.py pre-pin race
+#     fix, ADVICE r08); policy: re-grade on any implementing-source
+#     change
+#   python_datasource_geojson_scan / python_datasource_stream_agg /
+#   python_datasource_sink_roundtrip — implementing source changed this
+#     round (sources/pyds.py append-sweep fix, ADVICE r08); same policy
+#   weather_window_agg (the reference flagship + entry()),
+#   multiway_timejoin_ffill, dedup_minhash_lsh,
+#   multimodal_decode_roundtrip, curation_pipeline, sequence_packing,
+#   token_budget_selection, streaming_chained_window_agg — the
+#     reference-parity + LLM-pipeline flagship rows the verdict reads
+#     first
+# OUT of the head (all r08 green, implementing source unchanged since —
+# pinned below via TAIL_SOURCE_SHA256). The ROTATION_R9 plan held some
+# of these for a second graded round, but graduating all 33 staged rows
+# (the verdict's own top-3 item) costs exactly these slots; each keeps
+# its green r08 row as TAIL evidence:
+#   bucketed_orders_lineitem_join — write-time bucketed co-located join;
+#     zero-Exchange assertion also pinned by test_bucketing
+#   tpch_q2_min_cost_supplier / tpch_q20_potential_promotion — the
+#     derived-partsupp family, green r05–r08 across five siblings
+#   dynamic_partition_pruning_join — runtime-pruning flagship, 4th green
+#     round; layout-lever family fully TAIL-pinned
+#   scd2_dimension_build / streaming_cdc_latest / table_diff_
+#     reconciliation / merge_on_read_upsert — the CDC family, all
+#     re-graded green in r08 after the DIV fix
+#   lateral_topn_per_key — LATERAL decorrelation machinery re-graded via
+#     the sql_table_function_lateral head row
+#   sql_macro_suite — SQL-defined-routine machinery re-graded via the
+#     sql_scripting_variables / identifier_parameterized_query head rows
+#   variant_extract_suite — parse-extract path re-graded via the
+#     json_roundtrip_suite head row; VARIANT machinery type-gate-pinned
+#   collation_group_suite / groupby_all_unpivot_sql — SQL-surface rows;
+#     pipe_syntax_suite + pivot_dynamic_two_pass head rows grade fresh
+#     parser/reshape surface
+#   explode_outer_semantics — Generate family re-graded via the
+#     inline_struct_explode head row
+#   interval_datetime_suite — documented-engine-bug row; datetime
+#     machinery TAIL-pinned broadly, width_bucket head row grades the
+#     binning arithmetic
+#   sequence_densify_per_key — per-key spine; calendar_spine TAIL pin +
+#     the width_bucket_histogram head row
+#   hll_bitmap_sketch_suite — hash-fn surface re-graded via the
+#     checksum_encoding_suite head row; sketch certificates stay via
+#     approx_topk/ann_recall pins
+#   ema_dyadic_decay / time_weighted_avg — navigation/agg machinery;
+#     ratio_to_report_share head row grades the window-agg form
+#   mixture_quota_largest_remainder — largest-remainder machinery
+#     re-graded via the temperature_mixture_quota head row (same
+#     apportion core, alpha-flattened weights)
+#   ann_mrr_certified — rank-aware certificate green r08; the
+#     similarity_topk_cosine head row keeps the family graded (the
+#     similarity.py docstring edit is re-pinned under the
+#     unchanged-semantics rule with the full sweep green)
+#   dup_graph_degree_stats — dup-graph algebra; minhash flagship stays
+#   streaming_stream_full_outer_join / streaming_session_window_agg /
+#   streaming_session_window_append — stateful join/session machinery
+#     keeps three graded siblings (chained window agg head row +
+#     foreachBatch exactly-once + PyDS stream sink graduates)
+#   asof_tolerance_join — as-of machinery pinned by test_timeseries;
+#     joins.py untouched
+#   robust_zscore_applyinpandas — applyInPandas surface; the
+#     mapinarrow_token_stats head row grades the adjacent Arrow boundary
+#   decimal_arithmetic_suite — exact-arithmetic path re-graded via the
+#     try_function_suite2 head row (try_divide/try_to_timestamp forms)
+#   hint_join_strategies — plan-assertion surface re-graded via the
+#     aqe_skew_join_split + inmemory_cache_scan head rows
+#   hourly_series_pivot_fold — pivot fold re-graded via
+#     pivot_dynamic_two_pass (discovered-values form)
+#   udtf_chunk_documents — UDTF surface green r08; chunking machinery
+#     also pinned via doc_chunk_stride/passage TAIL pins
+#   xml_roundtrip_suite — codec family keeps json_roundtrip (head) +
+#     csv_line_codec (head) graded
+#   approx_topk_certified — certificate family; checksum + ann pins
 TAIL: tuple[str, ...] = (
+    "bucketed_orders_lineitem_join",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_potential_promotion",
+    "dynamic_partition_pruning_join",
+    "scd2_dimension_build",
+    "streaming_cdc_latest",
+    "table_diff_reconciliation",
+    "merge_on_read_upsert",
+    "lateral_topn_per_key",
+    "sql_macro_suite",
+    "variant_extract_suite",
+    "collation_group_suite",
+    "groupby_all_unpivot_sql",
+    "explode_outer_semantics",
+    "interval_datetime_suite",
+    "sequence_densify_per_key",
+    "hll_bitmap_sketch_suite",
+    "ema_dyadic_decay",
+    "mixture_quota_largest_remainder",
+    "ann_mrr_certified",
+    "dup_graph_degree_stats",
+    "streaming_stream_full_outer_join",
+    "streaming_session_window_agg",
+    "streaming_session_window_append",
+    "asof_tolerance_join",
+    "robust_zscore_applyinpandas",
+    "time_weighted_avg",
+    "decimal_arithmetic_suite",
+    "hint_join_strategies",
+    "hourly_series_pivot_fold",
+    "udtf_chunk_documents",
+    "xml_roundtrip_suite",
+    "approx_topk_certified",
     "hof_function_suite",
     "json_extract_suite",
     "posexplode_tokens",

@@ -148,8 +148,14 @@ def cosine_topk(
     and the Python→JVM boundary carries k rows per (partition, query),
     not n·num_queries scored pairs. This is the one deliberate Python
     surface in the similarity family (brief-sanctioned for brute-force
-    cosine): measured ~2× over the codegen twin at sf0.1, and the gap
-    widens with corpus size since per-pair work is matrix-shaped.
+    cosine): measured head-to-head under the fixed consecutive sampler
+    (discarded warm-up, prior-min stop rule) it is 0.47 s vs the codegen
+    twin's 0.92 s at sf0.1 (2k×64 vectors) and 0.68 s vs 1.21 s at a
+    10×-union corpus (20k vectors) — a stable ~2× at both scales, since
+    per-pair work is matrix-shaped. (The r08 bench's 1.517 s reading was
+    a sampling artifact: the then-broken stop condition cut every
+    still-improving series at 3 samples, keeping only early-JIT
+    numbers.)
 
     Numeric contract: bit-identical values to cosine_topk_codegen and
     the DuckDB list_reduce oracle. The fold accumulates one product term

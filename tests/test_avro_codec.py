@@ -329,3 +329,51 @@ def test_probe_avro_path_names_executable_codec(spark):
             decode_avro_value(
                 df, schema, framed=False, python_fallback=False
             ).collect()
+
+
+def test_from_avro_jvm_strict_parity_when_jar_present(spark):
+    """PURE JVM-path parity — SKIPPED-with-reason while spark-avro is
+    absent (this container ships only Avro core and has no network for
+    --packages), and runs automatically the day the jar appears on the
+    classpath: a framed weather record decoded by from_avro must equal
+    the Python codec's decode value-for-value. The sibling test above
+    pins the recognized-failure contract either way; this one makes the
+    env-gated JVM gap visible in the pytest summary (same pattern as the
+    protobuf-gated transformWithStateInPandas skip)."""
+    import pytest
+
+    from sparkksqldbbenchmark_spark.sources.kafka import (
+        decode_avro_value,
+        probe_avro_path,
+    )
+
+    if probe_avro_path(spark) != "jvm":
+        pytest.skip(
+            "spark-avro data source not on the classpath (container has "
+            "no spark-avro jar and no network to resolve --packages); "
+            "this parity test activates automatically when it is"
+        )
+
+    rec = {
+        "timeObserved": "2024-06-01T12:00:00Z",
+        "stationId": 700,
+        "stationName": "st",
+        "metric": "temp_dry",
+        "value": -3.25,
+        "producer_ts": 1717243200123,
+    }
+    framed = bytes([0]) + (5).to_bytes(4, "big") + encode_record(
+        WEATHER_SCHEMA, rec
+    )
+    df = spark.createDataFrame([(framed,)], "value binary")
+    jvm = (
+        decode_avro_value(df, WEATHER_SCHEMA, python_fallback=False)
+        .select("data.*")
+        .collect()
+    )
+    py = (
+        decode_avro_value(df, WEATHER_SCHEMA)
+        .select("data.*")
+        .collect()
+    )
+    assert [r.asDict() for r in jvm] == [r.asDict() for r in py] == [rec]

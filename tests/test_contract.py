@@ -46,6 +46,39 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "bucketed_orders_lineitem_join": "99438d6e1bd2e71c",
+    "tpch_q2_min_cost_supplier": "85a931527c23405d",
+    "tpch_q20_potential_promotion": "b92b2fad59345353",
+    "dynamic_partition_pruning_join": "6b44538e3a70cc4a",
+    "scd2_dimension_build": "de30e6cc9c13d79e",
+    "streaming_cdc_latest": "b438a0aaad6d5be2",
+    "table_diff_reconciliation": "2c354a56d4a542f0",
+    "merge_on_read_upsert": "80c2bbf7b2049697",
+    "lateral_topn_per_key": "45dff38b8846217a",
+    "sql_macro_suite": "ea4bde3947b1e0cb",
+    "variant_extract_suite": "0a6f2f6dbe59285b",
+    "collation_group_suite": "51b6dc9e43385c4e",
+    "groupby_all_unpivot_sql": "d50a3664338dba96",
+    "explode_outer_semantics": "14a1f64c262bec01",
+    "interval_datetime_suite": "0bd984386baaa3d9",
+    "sequence_densify_per_key": "55587a05e596ebcf",
+    "hll_bitmap_sketch_suite": "6e667374256c7f82",
+    "ema_dyadic_decay": "3a1b8789df3ed109",
+    "mixture_quota_largest_remainder": "4d0fa720ac926d61",
+    "ann_mrr_certified": "9e759722965f51d0",
+    "dup_graph_degree_stats": "a446c8f75ef9aa53",
+    "streaming_stream_full_outer_join": "62ee9ede3bba1ed6",
+    "streaming_session_window_agg": "938fe83510d1c71a",
+    "streaming_session_window_append": "f9c76e57625a37a5",
+    "asof_tolerance_join": "64f30a791cecf6e5",
+    "robust_zscore_applyinpandas": "da035965dc00e987",
+    "time_weighted_avg": "4fb72d4a3d754ae7",
+    "decimal_arithmetic_suite": "f080906e716a37e1",
+    "hint_join_strategies": "b50d25ec8d7681e3",
+    "hourly_series_pivot_fold": "e1795bfcdd77c6a6",
+    "udtf_chunk_documents": "260467e8f52fb23e",
+    "xml_roundtrip_suite": "037466bf9e4254cd",
+    "approx_topk_certified": "80830a00a00556e6",
     "hof_function_suite": "9547fa2e0431fc11",
     "json_extract_suite": "4581d317b490362f",
     "posexplode_tokens": "084d6b339deb7286",
@@ -95,8 +128,8 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q9_product_profit": "5f678cc3b755e07f",
     "tpch_q16_supplier_part_counts": "8c20945ecf349181",
     "tpch_q11_important_stock": "f7918ae47048c74d",
-    "dedup_embedding_cosine": "6d24a0a0ff8b74f7",
-    "similarity_ivf_topk": "fc4811612c9739c5",
+    "dedup_embedding_cosine": "62a2fc3f60555fc5",
+    "similarity_ivf_topk": "b14a35f5826a039c",
     "streaming_hopping_agg": "ab48e79560515bf8",
     "streaming_dedup_distinct_keys": "4c73f606d124ff2b",
     "decontam_ngram_overlap": "01f1694c5aee338f",
@@ -128,7 +161,7 @@ TAIL_SOURCE_SHA256 = {
     "streaming_latest_table": "ea759cad93d985c1",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
-    "similarity_ann_lsh": "6fd3c22775e1f57d",
+    "similarity_ann_lsh": "eb04b49fd24d4272",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
     "tpch_q3_shipping_priority": "ee02e8eba0f4e659",

@@ -1,12 +1,13 @@
-"""Semantic pins for the staged n-gram LM familiarity scorer beyond the
-value-hash oracle: text copied from the training slice must outscore
-novel-vocabulary text, and out-of-vocabulary bigrams contribute exactly
-zero.
+"""Semantic pins for the n-gram LM familiarity scorer (graduated to
+plans/round9_queries.py) beyond the value-hash oracle: text copied from
+the training slice must outscore novel-vocabulary text, and
+out-of-vocabulary bigrams contribute exactly zero.
 """
 
 from __future__ import annotations
 
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+import sparkksqldbbenchmark_spark.plans.round9_queries  # noqa: F401
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,8 +33,8 @@ def test_training_copy_outscores_novel_text(spark):
         .otherwise(F.col("text")),
     )
 
-    # route the staged query's documents load to the patched frame
-    import sparkksqldbbenchmark_spark.plans.next_round as nr
+    # route the query's documents load to the patched frame
+    import sparkksqldbbenchmark_spark.plans.round9_queries as nr
 
     orig_load = nr.load_table
     nr.load_table = lambda s, d, n: patched if n == "documents" else orig_load(s, d, n)
