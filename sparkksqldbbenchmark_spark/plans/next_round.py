@@ -1,4 +1,4 @@
-"""Round-9 staging area: fully-built, oracle-verified queries that are
+"""Round-10 staging area: fully-built, oracle-verified queries that are
 NOT yet registered with the driver-graded registry.
 
 Why a separate module: the driver grades exactly the first 50 entries of
@@ -11,14 +11,8 @@ Spark-vs-DuckDB comparison the driver runs, so each staged query is
 already verified green before it rotates into the graded head next
 round (swap ``staged_query`` for ``plans.registry.query``, import the
 module from ``__spark_entry__``, and move freshly-green head rows to
-TAIL with pins -- mechanics as executed in rounds 6-8, see
-plans/round6_queries.py .. round8_queries.py history).
-
-Current residents: the nine machinery-sibling rows held back from the
-round-8 graduation per docs/ROTATION_R8.md (42 staged > 33 free slots;
-each has graded siblings covering its machinery, so NEW-surface rows
-took the head slots) -- they stay verified here at three scale factors
-and graduate in round 9 -- plus new round-8 staging below them.
+TAIL with pins -- mechanics as executed in rounds 6-9, see
+plans/round6_queries.py .. round9_queries.py history).
 
 Design notes per query live in the docstrings; every one follows the
 repo-wide cross-engine determinism rules (functions/stable.py,
@@ -62,2013 +56,835 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 # ===================================================================
-# Held back from the round-8 graduation (docs/ROTATION_R8.md): graded
-# siblings cover each one's machinery; they graduate in round 9.
+# Round-9 staging: new-surface operators for the round-10 graduation.
 # ===================================================================
 
-@staged_query(
-    "inline_struct_explode",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ')[1:5] AS l
-        FROM documents WHERE doc_id < 400
-    )
-    SELECT doc_id,
-           u.e AS tok,
-           CAST(len(u.e) AS INTEGER) AS tok_len
-    FROM t, LATERAL (SELECT unnest(l) AS e) u
-    """,
-)
-def inline_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`inline` — the struct-array generator: transform tokens into an
-    array<struct<tok, tok_len>> and explode it to COLUMNS in one step
-    (explode would yield a single struct column needing a second
-    projection). The oracle unnests the source list and recomputes the
-    struct fields relationally.
-
-    Scale shape: same narrow Generate operator as explode — the struct
-    construction is codegen inside the transform lambda, the inline
-    flattening is projection, no shuffle anywhere."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
-    t = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(slice(split(text, ' '), 1, 5),"
-            " x -> struct(x AS tok, CAST(length(x) AS INT) AS tok_len))"
-        ).alias("structs"),
-    )
-    return t.select("doc_id", F.expr("inline(structs)"))
-
-
-# ----------------------------------------------------- string breadth --
+# ------------------------------------------------ BM25 retrieval --
 
 
 @staged_query(
-    "string_suite2",
+    "bm25_odds_retrieval",
     oracle="""
-    SELECT c_custkey,
-           split_part(c_name, '#', 2) AS cust_num,
-           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
-           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-           rpad(substr(c_mktsegment, 1, 3), 6, '.') AS seg_cell,
-           reverse(c_mktsegment) AS seg_rev,
-           repeat('*', CAST(c_nationkey % 5 AS INTEGER)) AS stars,
-           CAST(strpos(c_name, '0') AS INTEGER) AS first_zero,
-           left(c_name, 8) AS name_left,
-           right(c_name, 4) AS name_right,
-           CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
-           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS bucket_chr,
-           concat(substr(c_name, 1, 8), '@@',
-                  substr(c_name, 11)) AS name_overlaid
-    FROM customer WHERE c_custkey < 400
-    """,
-)
-def string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-function breadth round two: split_part, translate,
-    lpad/rpad, reverse, repeat, instr/strpos, left/right, ascii, chr,
-    and overlay — `overlay` graded against DuckDB's substr-splice
-    because DuckDB lacks the SQL-standard OVERLAY (the one asymmetry in
-    this suite; the splice is the defining identity of overlay).
-
-    Scale shape: pure scan-side codegen, zero shuffles — the
-    c_custkey < 400 slice only bounds graded output size."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
-    return c.select(
-        "c_custkey",
-        F.expr("split_part(c_name, '#', 2)").alias("cust_num"),
-        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
-            "seg_translated"
-        ),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
-            "key_padded"
-        ),
-        F.rpad(F.expr("substr(c_mktsegment, 1, 3)"), 6, ".").alias(
-            "seg_cell"
-        ),
-        F.reverse("c_mktsegment").alias("seg_rev"),
-        F.expr("repeat('*', CAST(c_nationkey % 5 AS INT))").alias("stars"),
-        F.expr("instr(c_name, '0')").cast("int").alias("first_zero"),
-        F.expr("left(c_name, 8)").alias("name_left"),
-        F.expr("right(c_name, 4)").alias("name_right"),
-        F.ascii("c_mktsegment").alias("seg_ascii"),
-        F.expr("chr(65 + c_custkey % 26)").alias("bucket_chr"),
-        F.expr("overlay(c_name PLACING '@@' FROM 9 FOR 2)").alias(
-            "name_overlaid"
-        ),
-    )
-
-
-# ----------------------------------------------------- bitwise algebra --
-
-
-@staged_query(
-    "bitwise_suite",
-    oracle="""
-    SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
-           CAST(sum(bit_count(event_id)) AS BIGINT) AS total_bits,
-           CAST(sum(event_id & 255) AS BIGINT) AS sum_low_byte,
-           CAST(sum(event_id | 4096) AS BIGINT) AS sum_or,
-           CAST(sum(xor(event_id, 1365)) AS BIGINT) AS sum_xor,
-           CAST(sum(event_id << 2) AS BIGINT) AS sum_shl,
-           CAST(sum(event_id >> 3) AS BIGINT) AS sum_shr,
-           CAST(bit_and(event_id) AS BIGINT) AS agg_and,
-           CAST(bit_or(event_id % 1024) AS BIGINT) AS agg_or,
-           CAST(bit_xor(event_id) AS BIGINT) AS agg_xor
-    FROM events
-    GROUP BY 1
-    """,
-)
-def bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise algebra, scalar and aggregate: &, |, xor, shifts and
-    bit_count row-side; bit_and / bit_or / bit_xor as aggregates.
-    Cross-engine syntax is a genuine minefield graded here: Spark's
-    `^` is XOR while DuckDB's `^` is POWER (the oracle uses xor());
-    Spark spells shifts shiftleft/shiftright, DuckDB << / >> — same
-    two's-complement semantics underneath, proven by the value hash.
-
-    Scale shape: one partial-aggregated shuffle on a 16-value key; the
-    bitwise aggregates are algebraic (partials compose), so map-side
-    combine absorbs everything — identical shape to any sum."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        (F.col("event_id") % 16).alias("bucket")
-    ).agg(
-        F.sum(F.bit_count("event_id")).alias("total_bits"),
-        F.sum(F.col("event_id").bitwiseAND(255)).alias("sum_low_byte"),
-        F.sum(F.col("event_id").bitwiseOR(4096)).alias("sum_or"),
-        F.sum(F.col("event_id").bitwiseXOR(1365)).alias("sum_xor"),
-        F.sum(F.shiftleft(F.col("event_id"), 2)).alias("sum_shl"),
-        F.sum(F.shiftright(F.col("event_id"), 3)).alias("sum_shr"),
-        F.bit_and("event_id").alias("agg_and"),
-        F.bit_or(F.col("event_id") % 1024).alias("agg_or"),
-        F.bit_xor("event_id").alias("agg_xor"),
-    )
-
-
-# --------------------------------------------- width_bucket histogram --
-
-
-@staged_query(
-    "width_bucket_histogram",
-    oracle="""
-    SELECT CAST(CASE WHEN value < 0 THEN 0
-                     WHEN value >= 500 THEN 11
-                     ELSE floor(value * 10 / 500) + 1 END
-                AS BIGINT) AS bucket,
-           count(*) AS n,
-           CAST(min(floor(value * 100)) AS BIGINT) AS min_cents,
-           CAST(max(floor(value * 100)) AS BIGINT) AS max_cents
-    FROM events
-    GROUP BY 1
-    """,
-)
-def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram via `width_bucket(v, 0, 500, 10)` — the
-    SQL-standard binning function (bucket 0 = underflow, n+1 =
-    overflow). DuckDB lacks width_bucket, so the oracle replays its
-    defining arithmetic (floor(v·n/(hi−lo))+1 with boundary clamps) —
-    which is exactly what the function computes, making the identity
-    the graded claim. Per-bucket min/max in integer cents certify the
-    bucket boundaries, not just the counts.
-
-    Scale shape: the bucket id is scan-side codegen; one
-    partial-aggregated shuffle on a 12-value key. This is the
-    braindead-simple distributed histogram — contrast with the exact
-    nearest-rank percentile row which needs the cumulative pass."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.expr("width_bucket(value, 0, 500, 10)").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.floor(F.col("value") * 100)).alias("min_cents"),
-        F.max(F.floor(F.col("value") * 100)).alias("max_cents"),
-    )
-
-
-# -------------------------------------------- share-of-total report --
-
-
-@staged_query(
-    "ratio_to_report_share",
-    oracle="""
-    SELECT doc_id, source, n_chars,
-           CAST(n_chars * 1000000
-                // sum(n_chars) OVER (PARTITION BY source)
-                AS BIGINT) AS share_ppm,
-           CAST(n_chars * 1000000 // sum(n_chars) OVER ()
-                AS BIGINT) AS global_ppm
-    FROM documents WHERE doc_id < 300
-    """,
-)
-def ratio_to_report_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share-of-total (Oracle's RATIO_TO_REPORT): each document's
-    fraction of its source's characters and of the global corpus, in
-    integer parts-per-million (floor division — no float ratio ever
-    reaches the comparator). The unordered window sum is the one window
-    shape the suite had not graded: no ORDER BY, so every row in the
-    partition sees the SAME total (a broadcast-style aggregate inside
-    window syntax).
-
-    Scale shape: the per-source share is one hash exchange; the GLOBAL
-    share is the single-partition trap — here the graded slice is
-    bounded, and the 100 TB form replaces `OVER ()` with a 1-row
-    aggregate broadcast-joined back (the pattern tfidf/funnel rows
-    pin), which Catalyst produces the same numbers for. The row grades
-    the SEMANTICS; the design note is the rewrite."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.expr(
-            "CAST(n_chars * 1000000 DIV sum(n_chars)"
-            " OVER (PARTITION BY source) AS BIGINT)"
-        ).alias("share_ppm"),
-        F.expr(
-            "CAST(n_chars * 1000000 DIV sum(n_chars) OVER () AS BIGINT)"
-        ).alias("global_ppm"),
-    )
-
-
-# ------------------------------------- log2 token-length histogram --
-
-
-@staged_query(
-    "token_length_log_histogram",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
-        FROM documents
-    )
-    SELECT CAST(floor(log2(n_tok)) AS BIGINT) AS log2_bucket,
-           count(*) AS n_docs,
-           CAST(min(n_tok) AS BIGINT) AS min_tok,
-           CAST(max(n_tok) AS BIGINT) AS max_tok
-    FROM t WHERE n_tok > 0
-    GROUP BY 1
-    """,
-)
-def token_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log2-bucketed document-length histogram — the standard corpus
-    length profile (token counts span orders of magnitude; linear bins
-    waste resolution). floor(log2(n)) is cross-engine exact: log2 of a
-    power of two is correctly rounded to the exact integer in every
-    IEEE libm, and between powers the value is nowhere near an integer
-    boundary, so floor never straddles an ulp. Per-bucket min/max
-    certify the bucket EDGES are bit-identical, not just the counts.
-
-    Scale shape: scan-side split+size+log2, one partial-aggregated
-    shuffle on a ~7-value key — the same braindead-parallel histogram
-    shape as width_bucket, on the log scale corpora actually need."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
-    ).where(F.col("n_tok") > 0)
-    return t.groupBy(
-        F.floor(F.log2("n_tok")).alias("log2_bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_tok").cast("long").alias("min_tok"),
-        F.max("n_tok").cast("long").alias("max_tok"),
-    )
-
-
-# ---------------------------------------------- dynamic (discovered) pivot --
-
-
-@staged_query(
-    "pivot_dynamic_two_pass",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
-                AS BIGINT) AS click,
-           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
-                AS BIGINT) AS error,
-           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
-                AS BIGINT) AS purchase,
-           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
-                AS BIGINT) AS signup,
-           CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
-                AS BIGINT) AS view
-    FROM events GROUP BY 1
-    """,
-)
-def pivot_dynamic_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic pivot — `pivot(col)` WITHOUT an explicit value list, the
-    form analysts reach for when the category set isn't known up front.
-    Spark implements it as two passes: a distinct-scan of the pivot
-    column (collected to the driver, capped by
-    spark.sql.pivotMaxValues) and then the same Expand aggregate the
-    explicit-values form plans. The oracle hand-writes the CASE columns
-    for the discovered set, proving discovery + pivot ≡ explicit
-    conditional aggregation. Columns come out value-sorted, making the
-    schema deterministic.
-
-    Scale shape: the discovery pass is a partial-aggregated distinct on
-    a LOW-cardinality column (its whole premise) — cheap but a real
-    extra scan and a driver-side collect, which is exactly why the
-    explicit-values form (pivot_hourly_by_type, graded r04) is the
-    production recommendation; this row grades the convenience form's
-    semantics and documents its cost honestly."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type")
-        .agg(F.count(F.lit(1)))
-        .select(
-            "day",
-            *[
-                F.coalesce(F.col(c), F.lit(0)).alias(c)
-                for c in ("click", "error", "purchase", "signup", "view")
-            ],
-        )
-    )
-
-
-# ----------------------------------------------- CSV line codec --
-
-
-@staged_query(
-    "csv_line_codec_suite",
-    oracle="""
-    SELECT c_custkey,
-           c_mktsegment AS rt_seg,
-           CAST(floor(c_acctbal * 100) AS BIGINT) AS rt_cents,
-           CAST(c_nationkey AS BIGINT) AS m_nation,
-           CAST(c_custkey % 10 AS BIGINT) AS m_shard
-    FROM customer WHERE c_custkey < 500
-    """,
-)
-def csv_line_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV-line and key-value-line codecs as expressions: `to_csv` a
-    struct → `from_csv` it back with a schema (the embedded-CSV-column
-    shape: logs carrying CSV payloads inside another format), and
-    `str_to_map` over a synthesized 'k:v,k:v' properties string — both
-    decoded values must reproduce the source columns (identity oracle).
-    The map path pulls scalar lookups only, since map ordering is
-    engine-private.
-
-    Scale shape: pure scan-side codegen, zero shuffles. Same production
-    note as JSON/XML: from_csv once with the full schema beats
-    re-splitting per field."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
-    enc = c.select(
-        "c_custkey",
-        F.expr(
-            "to_csv(struct(c_mktsegment,"
-            " CAST(floor(c_acctbal * 100) AS BIGINT)))"
-        ).alias("line"),
-        F.concat(
-            F.lit("nation:"),
-            F.col("c_nationkey").cast("string"),
-            F.lit(",shard:"),
-            (F.col("c_custkey") % 10).cast("string"),
-        ).alias("props"),
-    )
-    return enc.select(
-        "c_custkey",
-        F.expr("from_csv(line, 'seg STRING, cents BIGINT')").alias("s"),
-        F.expr("str_to_map(props, ',', ':')").alias("m"),
-    ).select(
-        "c_custkey",
-        F.col("s.seg").alias("rt_seg"),
-        F.col("s.cents").alias("rt_cents"),
-        F.element_at("m", F.lit("nation")).cast("long").alias("m_nation"),
-        F.element_at("m", F.lit("shard")).cast("long").alias("m_shard"),
-    )
-
-
-# ------------------------------------------- checksum / encodings --
-
-
-@staged_query(
-    "checksum_encoding_suite",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS text_md5,
-           sha256(text) AS text_sha256,
-           hex(doc_id) AS id_hex,
-           to_base(doc_id + 1, 2) AS id_bin,
-           CAST(8 * strlen(text) AS BIGINT) AS text_bits,
-           lower(hex(doc_id * 31 + 7)) AS derived_hex
-    FROM documents WHERE doc_id < 500
-    """,
-)
-def checksum_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checksums and radix encodings with cross-engine twins: md5 and
-    sha2-256 content digests (the fingerprints every dedup/integrity
-    pipeline keys on — the dedup family already USES md5; this row
-    grades the digest surface itself), hex encoding, and base-2
-    rendering via `conv` graded against DuckDB's `to_base`. bit_length
-    twins against 8×strlen (ASCII corpus). Spark's xxhash64/crc32 exist
-    but have no DuckDB twin — they are deliberately absent here and
-    covered by the repo's own hash-expression builders instead.
-
-    Scale shape: scan-side digest computation, zero shuffles — digest
-    cost is memory-bandwidth-bound and embarrassingly parallel, the
-    same profile as the text suite."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return d.select(
-        "doc_id",
-        F.md5("text").alias("text_md5"),
-        F.sha2("text", 256).alias("text_sha256"),
-        F.upper(F.hex("doc_id")).alias("id_hex"),
-        F.expr("conv(CAST(doc_id + 1 AS STRING), 10, 2)").alias("id_bin"),
-        F.bit_length("text").cast("long").alias("text_bits"),
-        F.lower(F.hex(F.col("doc_id") * 31 + 7)).alias("derived_hex"),
-    )
-
-
-# ===================================================================
-# New round-8 staging: queries built this round, graduating round 9.
-# ===================================================================
-
-
-@staged_query(
-    "video_mjpeg_frame_extract",
-    oracle="""
-    WITH docs AS (
+    WITH d AS (
         SELECT doc_id,
-               doc_id % 3 + 1 AS bw,
-               doc_id % 2 + 1 AS bh,
-               doc_id % 4 + 2 AS nf
-        FROM documents WHERE doc_id < 150
+               len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'join')) AS tf_join,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'hash')) AS tf_hash,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'scan')) AS tf_scan,
+               len(list_filter(string_split(text, ' '),
+                               x -> x = 'vector')) AS tf_vector
+        FROM documents
     ),
-    frames AS (
-        SELECT doc_id, bw, bh, g.f
-        FROM docs, LATERAL (
-            SELECT unnest(generate_series(0, nf - 1)) AS f) g
-    ),
-    tiles AS (
-        SELECT doc_id, f, bw, bh,
-               64 * ((doc_id + 11 * bx.x + 29 * by.y + 37 * f) % 256)
-                   AS tsum
-        FROM frames,
-             LATERAL (SELECT unnest(generate_series(0, bw - 1)) AS x) bx,
-             LATERAL (SELECT unnest(generate_series(0, bh - 1)) AS y) by
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_join,
+               CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_hash,
+               CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_scan,
+               CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_vector
+        FROM d
     )
     SELECT doc_id,
-           CAST(f AS INTEGER) AS frame_idx,
-           CAST(bw * 8 AS INTEGER) AS width,
-           CAST(bh * 8 AS INTEGER) AS height,
-           CAST(sum(tsum) AS BIGINT) AS pixel_sum
-    FROM tiles
-    GROUP BY doc_id, f, bw, bh
+           CAST(dl AS INTEGER) AS dl,
+           CAST(tf_join AS INTEGER) AS tf_join,
+           (((n_docs - df_join + 0.5) / (df_join + 0.5))
+            * ((tf_join * 2.2)
+               / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+           + (((n_docs - df_hash + 0.5) / (df_hash + 0.5))
+              * ((tf_hash * 2.2)
+                 / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+           + (((n_docs - df_scan + 0.5) / (df_scan + 0.5))
+              * ((tf_scan * 2.2)
+                 / (tf_scan + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+           + (((n_docs - df_vector + 0.5) / (df_vector + 0.5))
+              * ((tf_vector * 2.2)
+                 / (tf_vector + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+           AS bm25_odds
+    FROM d, corpus
+    WHERE doc_id < 300
     """,
 )
-def video_mjpeg_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VIDEO as a real modality (closes the last honest multimodal gap,
-    VERDICT r07 item 8): deterministic MJPEG-in-AVI fixtures are built
-    per document — each frame a genuine baseline JPEG, wrapped in a real
-    RIFF/AVI container (hdrl/movi/idx1, llm/video.py) — then FULLY
-    decoded back: container chunk walk with header/index cross-checks,
-    then Huffman+IDCT JPEG decode of every frame, one output row per
-    frame. Block-constant 8x8 tiles with DC-exact quant round-trip
-    exactly through the lossy path, so the oracle recomputes every
-    frame's pixel_sum analytically from doc_id alone — the decoder
-    cannot shortcut: a single wrong DCT coefficient or a skipped frame
-    breaks the hash.
+def bm25_odds_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring over the corpus for a fixed 4-term query
+    (k1=1.2, b=0.75) — the classic lexical ranker a training-data
+    pipeline uses for retrieval-based filtering/decontamination. The
+    IDF uses the raw odds form (N−df+0.5)/(df+0.5) WITHOUT the log:
+    log is monotone, so ranking is identical, and ln is the one libm
+    call whose last-ulp rounding Spark (Java Math.log, 1-ulp license)
+    and DuckDB (glibc) do not contractually agree on — every operation
+    here (integer adds, same-literal doubles, IEEE *, /) is
+    correctly-rounded-identical cross-engine, per the repo determinism
+    rules. Term scores sum in fixed left-to-right order in BOTH
+    engines (float + is order-sensitive).
 
-    Scale shape: the video blobs are synthesized AND decoded inside one
-    mapInPandas stage — bytes never shuffle, never visit the driver;
-    only the fixed-width per-frame stats rows leave Python. At 100 TB
-    this is the canonical frame-extraction topology: row-grain
-    parallelism across videos, codec work pinned to executors, with
-    the downstream relational aggregate JVM-side."""
-    from sparkksqldbbenchmark_spark.llm.video import (
-        frame_stats_plan,
-        synth_video_blobs,
-    )
+    Scale shape: one scan computes per-doc (dl, tf_t); ONE single-row
+    corpus aggregate (N, Σdl, df_t) broadcast back as a literal-free
+    cross join (BroadcastNestedLoopJoin over one row — the constant-
+    carry pattern every certificate row uses); scoring is scan-side
+    codegen. No shuffle of the corpus, no UDF; at 100 TB the corpus
+    stats are one treeAggregate-shaped reduction.
 
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 150
-    )
-    blobs = synth_video_blobs(docs)
-    return frame_stats_plan(blobs, every_n=1)
-
-
-# ------------------------------------------- SQL session variables --
-
-
-@staged_query(
-    "sql_scripting_variables",
-    oracle="""
-    WITH t AS (SELECT max(o_orderkey) * 6 // 10 AS cut FROM orders)
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS price_cents
-    FROM orders, t WHERE o_orderkey <= t.cut
-    GROUP BY 1
-    """,
-)
-def sql_scripting_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL
-    scripting): DECLARE OR REPLACE VARIABLE, SET VARIABLE from a scalar
-    subquery (the data-driven cut every parameterized report computes
-    first), then EXECUTE IMMEDIATE running dynamic SQL with a ?
-    placeholder bound from the variable via USING — the engine-native
-    form of the prepare/bind loop every BI layer implements ad hoc. The
-    oracle inlines the same cut as a CTE.
-
-    Scale shape: the variable holds ONE scalar on the driver; the
-    parameterized query plans identically to its static twin (same
-    scan + bounded-key hash agg — binding happens before optimization,
-    so pushdown sees a literal)."""
-    _view(spark, sf_dir, "orders")
-    spark.sql("DECLARE OR REPLACE VARIABLE v_cut BIGINT DEFAULT 0")
-    spark.sql(
-        "SET VARIABLE v_cut = (SELECT max(o_orderkey) * 6 DIV 10"
-        " FROM orders)"
-    )
-    return spark.sql(
-        """EXECUTE IMMEDIATE
-           'SELECT o_orderpriority,
-                   count(*) AS n_orders,
-                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
-                        AS BIGINT) AS price_cents
-            FROM orders WHERE o_orderkey <= ? GROUP BY 1'
-           USING v_cut"""
-    )
-
-
-# ----------------------------------- IDENTIFIER + parameterized sql --
-
-
-@staged_query(
-    "identifier_parameterized_query",
-    oracle="""
-    SELECT c_mktsegment AS segment,
-           count(*) AS n_customers,
-           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-               AS balance_cents
-    FROM customer
-    GROUP BY 1
-    """,
-)
-def identifier_parameterized_query(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The IDENTIFIER() clause with named query parameters
-    (spark.sql(sql, args=...)): table AND column names arrive as BOUND
-    PARAMETERS, not string-spliced SQL — the injection-safe form of
-    dynamic reporting over a table/column chosen at runtime (the
-    IDENTIFIER contract rejects anything that is not a valid
-    identifier, unlike f-string templating). The oracle is the static
-    query the binding resolves to.
-
-    Scale shape: identical plan to the static query — IDENTIFIER
-    resolution happens at analysis time, so column pruning and
-    pushdown see ordinary references."""
-    _view(spark, sf_dir, "customer")
-    return spark.sql(
-        """SELECT IDENTIFIER(:seg_col) AS segment,
-                  count(*) AS n_customers,
-                  CAST(sum(CAST(floor(IDENTIFIER(:bal_col) * 100)
-                                AS BIGINT)) AS BIGINT) AS balance_cents
-           FROM IDENTIFIER(:tbl)
-           GROUP BY 1""",
-        args={
-            "tbl": "customer",
-            "seg_col": "c_mktsegment",
-            "bal_col": "c_acctbal",
-        },
-    )
-
-
-# --------------------------------------------------- SQL pipe syntax --
-
-
-@staged_query(
-    "pipe_syntax_suite",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_items,
-           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS total_cents,
-           CAST(max(l_quantity) AS BIGINT) AS max_qty
-    FROM lineitem
-    WHERE l_shipdate >= DATE '1995-06-01'
-    GROUP BY 1, 2
-    HAVING count(*) > 10
-    """,
-)
-def pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL pipe syntax (Spark 4 `|>`): the linear FROM-first query form
-    — WHERE, EXTEND (computed column), AGGREGATE ... GROUP BY, and a
-    post-aggregation WHERE standing in for HAVING — each stage reading
-    top-to-bottom in dataflow order. The oracle is the equivalent
-    nested standard-SQL form; value-identical results pin that the pipe
-    parser lowers to the same plan, not a variant semantics.
-
-    Scale shape: pure syntax — Catalyst sees the same logical plan as
-    the standard form (scan-side shipdate pushdown, bounded-key hash
-    agg, one exchange)."""
-    _view(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """FROM lineitem
-           |> WHERE l_shipdate >= DATE '1995-06-01'
-           |> EXTEND CAST(floor(l_extendedprice * 100) AS BIGINT)
-                  AS price_cents
-           |> AGGREGATE count(*) AS n_items,
-                  CAST(sum(price_cents) AS BIGINT) AS total_cents,
-                  CAST(max(l_quantity) AS BIGINT) AS max_qty
-                  GROUP BY l_returnflag, l_linestatus
-           |> WHERE n_items > 10
-           |> SELECT l_returnflag, l_linestatus, n_items, total_cents,
-                  max_qty"""
-    )
-
-
-# ------------------------------------------- SQL table function (UDTF) --
-
-
-@staged_query(
-    "sql_table_function_lateral",
-    oracle="""
-    SELECT c.c_custkey,
-           o.o_orderkey,
-           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_cents
-    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    WHERE c.c_custkey < 250
-      AND floor(o.o_totalprice * 100) >= 10000000
-    """,
-)
-def sql_table_function_lateral(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """A SQL-defined TABLE function (CREATE TEMPORARY FUNCTION ...
-    RETURNS TABLE ... RETURN SELECT — the declarative sibling of the
-    Python UDTF row), invoked per-row via LATERAL correlation: each
-    customer's row binds the function's arguments. The oracle is the
-    join the decorrelation must collapse to — value-identical output
-    pins that the function-call semantics are exactly inline-expansion,
-    not a row-at-a-time re-execution.
-
-    Scale shape: Catalyst inlines the SQL function body and
-    decorrelates the LATERAL into an ordinary equi-join (customer keys
-    shuffled against orders, dim side broadcastable) — the whole point
-    of SQL-defined functions over external UDTFs at 100 TB: the body
-    stays inside the optimizer."""
-    _view(spark, sf_dir, "customer", "orders")
-    spark.sql(
-        """CREATE OR REPLACE TEMPORARY FUNCTION orders_over(
-               cust BIGINT, cut_cents BIGINT)
-           RETURNS TABLE (o_orderkey BIGINT, price_cents BIGINT)
-           RETURN SELECT o_orderkey,
-                         CAST(floor(o_totalprice * 100) AS BIGINT)
-                  FROM orders
-                  WHERE o_custkey = cust
-                    AND floor(o_totalprice * 100) >= cut_cents"""
-    )
-    return spark.sql(
-        """SELECT c.c_custkey, t.o_orderkey, t.price_cents
-           FROM customer c, LATERAL orders_over(c.c_custkey, 10000000) t
-           WHERE c.c_custkey < 250"""
-    )
-
-
-# --------------------------------------------- JSON codec round-trip --
-
-
-@staged_query(
-    "json_roundtrip_suite",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(j, '$.uid') AS BIGINT) AS uid_back,
-           json_extract_string(j, '$.et') AS type_back,
-           CAST(json_extract(j, '$.cents') AS BIGINT) AS cents_back,
-           CAST(json_array_length(json_extract(j, '$.tags'))
-                AS INTEGER) AS n_tags,
-           CAST(json_extract(j, '$.tags[0]') AS BIGINT) AS first_tag
-    FROM (
-        SELECT event_id,
-               to_json({
-                   uid: user_id,
-                   et: event_type,
-                   cents: CAST(floor(value * 100) AS BIGINT),
-                   tags: [user_id % 7, user_id % 3]
-               }) AS j
-        FROM events WHERE event_id < 4000
-    )
-    """,
-)
-def json_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON codec round-trip — the third embedded-codec twin (XML and
-    CSV line codecs are staged siblings): pack typed columns into a
-    struct, serialize with to_json, then recover every field through
-    from_json with a schema obtained from schema_of_json on a sampled
-    literal (the infer-once-parse-everywhere pattern real pipelines
-    use for semi-structured columns). Values — not the JSON text —
-    are compared: each engine's serializer may differ in key order or
-    whitespace, but round-tripped VALUES must be identical; the oracle
-    re-extracts with DuckDB's JSON path functions.
-
-    Scale shape: all JVM expression codegen (to_json/from_json are
-    Jackson under codegen, no Python), zero shuffles — scan-side
-    transform of a bounded slice."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_id") < 4000
-    )
-    packed = ev.select(
-        "event_id",
-        F.to_json(
-            F.struct(
-                F.col("user_id").alias("uid"),
-                F.col("event_type").alias("et"),
-                F.floor(F.col("value") * 100).cast("long").alias("cents"),
-                F.array(
-                    F.col("user_id") % 7, F.col("user_id") % 3
-                ).alias("tags"),
-            )
-        ).alias("j"),
-    )
-    sample = (
-        '{"uid": 1, "et": "x", "cents": 1, "tags": [1, 2]}'
-    )
-    schema = F.schema_of_json(F.lit(sample))
-    back = packed.select(
-        "event_id", F.from_json("j", schema).alias("s")
-    )
-    return back.select(
-        "event_id",
-        F.col("s.uid").alias("uid_back"),
-        F.col("s.et").alias("type_back"),
-        F.col("s.cents").alias("cents_back"),
-        F.size("s.tags").alias("n_tags"),
-        F.element_at("s.tags", 1).alias("first_tag"),
-    )
-
-
-# ------------------------------------- n-gram LM familiarity scoring --
-
-
-@staged_query(
-    "ngram_lm_familiarity",
-    oracle=r"""
-    WITH tok AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
-        FROM documents
-    ), big AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(t)),
-                      i -> t[i] || ' ' || t[i+1])) AS bg
-        FROM tok WHERE len(t) >= 2
-    ), train AS (
-        SELECT bg, count(*) AS corpus_n FROM big
-        WHERE doc_id % 10 != 0 GROUP BY 1
-    ), score AS (
-        SELECT doc_id, bg FROM big WHERE doc_id % 10 = 0
-    )
-    SELECT s.doc_id,
-           count(*) AS n_bigrams,
-           count(t.corpus_n) AS n_known,
-           CAST(sum(coalesce(t.corpus_n, 0)) AS BIGINT) AS familiarity
-    FROM score s LEFT JOIN train t USING (bg)
-    GROUP BY 1
-    """,
-)
-def ngram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram language-model quality scoring, the two-phase train/score
-    topology (the relational core of KenLM-style corpus filtering):
-    TRAIN — count every token bigram over the 90% training slice (one
-    shuffle keyed on bigram); SCORE — join each held-out document's
-    bigrams against the trained counts and aggregate per document
-    (n_bigrams, n_known = bigrams seen in training, familiarity = total
-    training occurrences). Low familiarity flags out-of-domain or
-    garbage text — the quality signal perplexity provides, kept in
-    EXACT integers (no log/float: libm log is not cross-engine
-    reproducible, and monotone transforms preserve the ranking a
-    filter actually consumes).
-
-    Scale shape: two shuffles on the bigram key (train aggregate, score
-    join — both uniform content keys), one on doc_id for the final
-    fold. The trained model stays distributed (never collected); at
-    100 TB the count table is orders of magnitude smaller than the
-    corpus and AQE can still broadcast it when the training slice is
-    narrow."""
+    Reference basis: extends the text-analysis family (SURVEY §2 LLM
+    extensions, tf-idf row) to the BM25 ranking function."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = "split(text, ' ')"
+    d = docs.select(
         "doc_id",
-        F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)").alias("t"),
-    ).where(F.expr("size(t) >= 2"))
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat_ws(' ', element_at(t, i),"
-                " element_at(t, i + 1)))"
-            )
-        ).alias("bg"),
+        F.expr(f"size({toks})").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, x -> x = '{t}'))").alias(f"tf_{t}")
+            for t in ("join", "hash", "scan", "vector")
+        ],
     )
-    train = (
-        bigrams.where(F.col("doc_id") % 10 != 0)
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("corpus_n"))
-    )
-    score = bigrams.where(F.col("doc_id") % 10 == 0)
-    return (
-        score.join(train, "bg", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count("corpus_n").alias("n_known"),
-            F.sum(F.coalesce("corpus_n", F.lit(0)))
+    corpus = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
             .cast("long")
-            .alias("familiarity"),
+            .alias(f"df_{t}")
+            for t in ("join", "hash", "scan", "vector")
+        ],
+    )
+
+    def term(t: str) -> str:
+        return (
+            f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * ((tf_{t} * 2.2)"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
+        )
+
+    score = " + ".join(term(t) for t in ("join", "hash", "scan", "vector"))
+    return (
+        d.crossJoin(F.broadcast(corpus))
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.col("dl").cast("int").alias("dl"),
+            F.col("tf_join").cast("int").alias("tf_join"),
+            F.expr(score).alias("bm25_odds"),
         )
     )
 
 
-# ------------------------------------ exact-substring span detection --
-
-_KG = 8  # tokens per k-gram window
+# ------------------------------------- interval union coverage --
 
 
 @staged_query(
-    "exact_substring_spans",
-    oracle=rf"""
-    WITH tok AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
-        FROM documents
-    ), pos AS (
-        SELECT doc_id, g.i AS pos,
-               (('0x' || substring(md5(
-                    array_to_string(t[g.i:g.i + {_KG - 1}], ' ')
-                ), 1, 15))::BIGINT) AS h
-        FROM tok, LATERAL (
-            SELECT unnest(range(1, len(t) - {_KG - 2})) AS i) g
-        WHERE len(t) >= {_KG}
-    ), freq AS (
-        SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
-    ), shared AS (
-        SELECT p.doc_id, p.pos FROM pos p
-        JOIN freq f USING (h) WHERE f.nd >= 2
-    ), isl AS (
-        SELECT doc_id, pos,
-               pos - row_number() OVER (
-                   PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM shared
-    ), spans AS (
-        SELECT doc_id, grp, count(*) AS span_kg FROM isl GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           CAST(sum(span_kg) AS BIGINT) AS n_shared_pos,
-           count(*) AS n_spans,
-           CAST(max(span_kg) + {_KG - 1} AS BIGINT)
-               AS longest_span_tokens
-    FROM spans GROUP BY 1
-    """,
-)
-def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication detection at TOKEN-POSITION grain —
-    the span-level operator behind exact-substring training-data dedup
-    (find every maximal run of >= 8 consecutive tokens that also
-    appears verbatim in another document), one level finer than the
-    chunk/doc-grain rows (passage_dup_stats, dedup_containment): slide
-    an 8-token window over each document, hash each window (md5 60-bit,
-    the repo's cross-engine hash), mark positions whose window occurs
-    in >= 2 distinct documents, and merge CONSECUTIVE shared positions
-    into maximal spans with the gaps-and-islands construction
-    (pos - row_number() is constant within a run). Per document:
-    total shared windows, span count, and the longest shared span in
-    tokens.
-
-    Scale shape: one shuffle on the window hash for the document-
-    frequency aggregate, one hash join back (same key — the exchange
-    is reusable), one doc_id-keyed window+fold. Never materializes doc
-    pairs (the n^2 trap); the hash join is content-keyed and uniform.
-    At 100 TB this is the standard suffix-free approximation of
-    Lee-et-al exact-substring dedup, at the window resolution the
-    downstream span-excision actually uses. Core in
-    llm/substring.shared_span_stats (corner cases pinned by
-    tests/test_substring.py against a brute-force reference)."""
-    from sparkksqldbbenchmark_spark.llm.substring import shared_span_stats
-
-    docs = load_table(spark, sf_dir, "documents")
-    return shared_span_stats(docs, "text", "doc_id", k=_KG)
-
-
-# ---------------------------------------- state-store reader (ops) --
-
-
-@staged_query(
-    "state_store_reader_audit",
+    "interval_coverage_sweep",
     oracle="""
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents_sum
-    FROM events
-    GROUP BY 1
+    WITH iv AS (
+        SELECT user_id, ts, event_id,
+               ts + to_microseconds((event_id % 7 + 1) * 60000000) AS te
+        FROM events WHERE user_id < 300
+    ),
+    sweep AS (
+        SELECT user_id, ts, te,
+               max(te) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(GREATEST(CAST(0 AS BIGINT), date_diff('microsecond',
+                    GREATEST(ts, coalesce(prev_max_end, ts)), te)))
+                AS BIGINT) AS covered_us
+    FROM sweep
+    GROUP BY user_id
     """,
 )
-def state_store_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The State Data Source reader (Spark 4 `format("statestore")`) —
-    the ops surface that opens a streaming checkpoint's STATE STORE as
-    a DataFrame: run an availableNow stateful aggregation to a
-    checkpoint, then read the persisted state back OFFLINE and prove it
-    equals aggregating the source directly. This is how production
-    debugging inspects state without touching the running query
-    (skew hunting, corruption triage, migration audits); the
-    `state-metadata` twin is asserted in-query (operator name and
-    batch range).
+def interval_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (the sweep-line classic): each event opens
+    an interval [ts, ts + (event_id%7+1) minutes]; per user, the total
+    covered time merges overlaps EXACTLY — sort by start, running max of
+    end over the PRECEDING rows, and each interval contributes only the
+    part past that running max. One window + one aggregate replaces the
+    quadratic self-join form. All arithmetic is integer microseconds of
+    DIFFERENCES (end − clamped start), so the value is timezone-
+    representation-proof: an engine-level epoch offset shifts both
+    operands equally. The (ts, event_id) window order carries an
+    explicit tiebreak — max-over-prefix is order-sensitive under ties
+    and engines disagree on default tie order.
 
-    Scale shape: the state read is partition-parallel over the store's
-    own layout (one task per state partition, no shuffle to read);
-    the graded aggregate fold is keyed on the bounded event_type."""
-    import tempfile
-    import uuid
+    Scale shape: one hash exchange on user_id, then a sort-window and a
+    partial+final aggregate inside the same partitioning (Catalyst
+    reuses the exchange — no second shuffle). Per-user interval counts
+    are bounded; no global sort, no cross join. The 100 TB form is
+    identical: coverage is per-key algebra.
 
-    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
-        _read_events_stream,
+    Reference basis: extends the time-series family (gap-fill, sessions,
+    TWAP) with interval-union measure — the machine-utilization /
+    speaker-overlap / GPU-occupancy query shape."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    iv = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, (event_id % 7 + 1) * 60)"
+        ).alias("te"),
     )
-
-    ckpt = tempfile.mkdtemp(prefix="sstate_")
-    ev = _read_events_stream(spark, sf_dir)
-    agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
-            "cents_sum"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("prev_max_end", F.max("te").over(w))
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.unix_micros("te")
+        - F.unix_micros(
+            F.greatest("ts", F.coalesce("prev_max_end", "ts"))
         ),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(f"ssr_{uuid.uuid4().hex[:8]}")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
-
-    md = spark.read.format("state-metadata").load(ckpt).collect()
-    assert len(md) == 1 and md[0].operatorName == "stateStoreSave", md
-    assert md[0].maxBatchId >= 0
-
-    state = spark.read.format("statestore").load(ckpt)
-    # the state VALUE struct carries the aggregation BUFFER's physical
-    # field names (`count`, `sum`), not the query's output aliases —
-    # exactly the kind of internal detail this ops surface exposes
-    return state.select(
-        F.col("key.event_type").alias("event_type"),
-        F.col("value.count").alias("n_events"),
-        F.col("value.sum").alias("cents_sum"),
+    return sweep.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(contrib).cast("long").alias("covered_us"),
     )
 
 
-# ------------------------------ dynamic partition overwrite backfill --
+# ------------------------------------- count-min sketch certificate --
 
 
 @staged_query(
-    "partition_overwrite_backfill",
+    "countmin_heavy_hitters",
     oracle="""
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CASE WHEN event_type = 'click'
-                         THEN CAST(floor(value * 100) AS BIGINT) * 2
-                         ELSE CAST(floor(value * 100) AS BIGINT) END)
-                AS BIGINT) AS cents_sum
-    FROM events
-    GROUP BY 1
+    WITH rows_w AS (
+        SELECT event_type,
+               r.i,
+               (('0x' || substring(md5(event_type || '#cms' || r.i), 1, 15))
+                   ::BIGINT) % 16 AS bucket
+        FROM events, (SELECT unnest([0, 1, 2]) AS i) r
+    ),
+    counters AS (
+        SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM rows_w GROUP BY i, bucket
+    ),
+    truth AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+        FROM events GROUP BY event_type
+    ),
+    keyed AS (
+        SELECT t.event_type, t.true_n, r.i,
+               (('0x' || substring(md5(t.event_type || '#cms' || r.i), 1, 15))
+                   ::BIGINT) % 16 AS bucket
+        FROM truth t, (SELECT unnest([0, 1, 2]) AS i) r
+    )
+    SELECT k.event_type,
+           min(k.true_n) AS true_n,
+           min(c.c) AS est_n,
+           min(c.c) >= min(k.true_n) AS never_underestimates
+    FROM keyed k JOIN counters c ON k.i = c.i AND k.bucket = c.bucket
+    GROUP BY k.event_type
     """,
 )
-def partition_overwrite_backfill(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Dynamic partition overwrite — THE backfill primitive at 100 TB:
-    rewrite exactly the partitions present in the incoming frame and
-    leave every other partition's files untouched (static mode would
-    truncate the whole table). A hive-partitioned copy of events is
-    laid down, then ONE partition (event_type='click') is backfilled
-    with corrected values (cents doubled) under
-    partitionOverwriteMode=dynamic; the graded read proves the
-    corrected partition AND the untouched ones — and an in-query
-    assertion pins that the non-target partition directories kept
-    their original files (inode-level proof only the 'click' partition
-    was rewritten).
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3 rows × w=16 counters) built distributed,
+    then CERTIFIED against exact counts: est(key) = min over rows of the
+    counter at that key's bucket, and the sketch's one-sided guarantee
+    (never underestimates) is asserted as a graded column. Hashes are
+    the repo's cross-engine md5-int (llm/hashing.py) mod w, so Spark and
+    the oracle build bit-identical sketches. This is the
+    streaming/merge-friendly frequency sketch (counters add under
+    union) that complements the HLL/KMV cardinality and GK quantile
+    certificate rows.
 
-    Scale shape: the overwrite plans as a write of the new partition's
-    rows only — data movement proportional to the backfill, not the
-    table; reads after the swap prune on the partition column as
-    before."""
-    import os
-    import tempfile
+    Scale shape: the sketch build is ONE partial+final aggregate over
+    (row, bucket) — d·w = 48 cells total regardless of input size, the
+    textbook map-side-combine shape (each partition folds its rows into
+    48 cells before the exchange). The certificate join is over ≤48
+    cells × |keys| — broadcast-sized. At 100 TB the sketch is a
+    constant-size treeReduce; the exact-truth side exists only for the
+    certificate, exactly like the HLL/ANN recall rows.
 
-    target = tempfile.mkdtemp(prefix="dynpart_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(target)
-
-    def files_of(part: str) -> set:
-        d = os.path.join(target, f"event_type={part}")
-        return {
-            (f, os.path.getmtime(os.path.join(d, f)))
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        }
-
-    before_view = files_of("view")
-    fixed = ev.where(F.col("event_type") == "click").withColumn(
-        "cents", F.col("cents") * 2
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fixed.write.mode("overwrite").partitionBy("event_type").parquet(
-            target
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    assert files_of("view") == before_view, (
-        "dynamic overwrite touched a partition outside the backfill"
-    )
-    back = spark.read.parquet(target)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").cast("long").alias("cents_sum"),
-    )
-
-
-# ---------------------------------------- parquet schema evolution --
-
-
-@staged_query(
-    "schema_evolution_mergeschema",
-    oracle="""
-    WITH unioned AS (
-        SELECT event_id, user_id, NULL AS cents
-        FROM events WHERE event_id % 2 = 0
-        UNION ALL
-        SELECT event_id, NULL AS user_id,
-               CAST(floor(value * 100) AS BIGINT) AS cents
-        FROM events WHERE event_id % 2 = 1
-    )
-    SELECT count(*) AS n_rows,
-           count(user_id) AS n_with_user,
-           count(cents) AS n_with_cents,
-           CAST(sum(coalesce(user_id, 0)) AS BIGINT) AS user_sum,
-           CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents_sum
-    FROM unioned
-    """,
-)
-def schema_evolution_mergeschema(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Parquet schema evolution via mergeSchema — the read-side contract
-    every long-lived 100 TB table depends on: an old writer emitted
-    (event_id, user_id), a newer writer adds a column and drops another
-    (event_id, cents); a single mergeSchema read must present the
-    UNIFIED schema with NULLs where a file predates a column. The
-    oracle replays the union with explicit NULL projections. In-query
-    assertion: the merged schema is exactly the 3-column union, and a
-    non-merged read of either subdir sees only its own columns.
-
-    Scale shape: schema merge happens at planning time over file
-    footers (the driver reads footers, not data); the scan itself
-    stays columnar with per-file projection — files missing a column
-    produce NULL vectors without any rewrite. The alternative the
-    operator replaces — rewriting history to the new schema — is a
-    full-table write."""
-    import os
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="schevo_")
+    Reference basis: extends the sketch family (SURVEY §2 A-extensions:
+    kmv_distinct_sketch, hll_bitmap, approx_topk) with the frequency
+    sketch."""
     ev = load_table(spark, sf_dir, "events")
-    ev.where(F.col("event_id") % 2 == 0).select(
-        "event_id", "user_id"
-    ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
-    ev.where(F.col("event_id") % 2 == 1).select(
-        "event_id",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    d, w = 3, 16
 
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(base, "v1"), os.path.join(base, "v2")
+    def bucket(prefix: str, i: int) -> str:
+        return (
+            f"cast(conv(substring(md5(concat({prefix}, '#cms', '{i}')),"
+            f" 1, 15), 16, 10) as bigint) % {w}"
+        )
+
+    rows_w = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(bucket("event_type", i)).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("event_type", "rb.i", "rb.bucket")
+    counters = rows_w.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    assert sorted(merged.columns) == ["cents", "event_id", "user_id"]
-    v1_only = spark.read.parquet(os.path.join(base, "v1"))
-    assert sorted(v1_only.columns) == ["event_id", "user_id"]
-
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("user_id").alias("n_with_user"),
-        F.count("cents").alias("n_with_cents"),
-        F.sum(F.coalesce("user_id", F.lit(0))).cast("long").alias(
-            "user_sum"
-        ),
-        F.sum(F.coalesce("cents", F.lit(0))).cast("long").alias(
-            "cents_sum"
-        ),
+    truth = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    keyed = truth.select(
+        "event_type",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(bucket("event_type", i)).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("event_type", "true_n", "rb.i", "rb.bucket")
+    return (
+        keyed.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.min("true_n").alias("true_n"),
+            F.min("c").alias("est_n"),
+            (F.min("c") >= F.min("true_n")).alias("never_underestimates"),
+        )
     )
 
 
-# ------------------------------------------------- ORC file format --
+# --------------------------------------- merkle range digests (sync) --
 
 
 @staged_query(
-    "orc_roundtrip_scan",
+    "merkle_range_digest",
     oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS price_cents,
-           CAST(min(o_orderkey) AS BIGINT) AS min_key
-    FROM orders WHERE o_orderkey < 5000
-    GROUP BY 1
+    WITH a AS (
+        SELECT o_orderkey % 16 AS part,
+               CAST(count(*) AS BIGINT) AS n_a,
+               bit_xor(('0x' || substring(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' || o_orderpriority), 1, 15))
+                   ::BIGINT) AS digest_a
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT o_orderkey % 16 AS part,
+               CAST(count(*) AS BIGINT) AS n_b,
+               bit_xor(('0x' || substring(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   CASE WHEN o_orderkey = 42 THEN 'X'
+                        ELSE o_orderstatus END || '|' ||
+                   o_orderpriority), 1, 15))::BIGINT) AS digest_b
+        FROM orders GROUP BY 1
+    )
+    SELECT a.part, a.n_a, b.n_b,
+           (a.digest_a = b.digest_b) AS digests_match
+    FROM a JOIN b ON a.part = b.part
     """,
 )
-def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC as a second columnar source/sink format (S-row sibling of
-    the parquet paths): write a typed slice as ORC, read it back, and
-    grade the aggregate against the parquet-sourced oracle — proving
-    the round trip preserves every value bit-for-bit across the format
-    boundary. In-query assertion: the ORC scan's plan carries the
-    pushed filter (ORC predicate pushdown works like parquet's).
+def merkle_range_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level anti-entropy digests — the replica-reconciliation
+    primitive: each side folds every row into a 60-bit md5-int and
+    XOR-aggregates per partition (XOR is commutative/associative/self-
+    inverse, so the digest is row-order-free and two replicas differing
+    in ANY row differ in that partition's digest with probability
+    1−2^−60). Side B plants one modified row (order 42's status), so
+    exactly one partition reports digests_match=false — the query both
+    BUILDS the digests and demonstrates the sync decision they drive
+    (re-transfer only mismatched partitions). Complements
+    table_diff_reconciliation: that row diffs ROWS at full width; this
+    one localizes WHICH partition to diff, reading 16 bigints instead
+    of a second full-table exchange.
 
-    Scale shape: ORC keeps the same columnar virtues (stripe-level
-    min/max skipping, dictionary encoding, vectorized read), so the
-    scan plan is interchangeable with parquet — which is the point:
-    an engine claiming 100 TB generality cannot be format-locked."""
-    import tempfile
+    Scale shape: one partial+final aggregate per side (map-side XOR
+    folding to 16 cells per partition before the exchange), then a
+    16×16 join — broadcast-trivial. At 100 TB each replica produces its
+    digest table with one scan and ships kilobytes; only mismatched
+    ranges pay the row-level diff. bit_xor/md5 are JVM codegen.
 
-    d = tempfile.mkdtemp(prefix="orc_")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") < 5000
+    Reference basis: ops-surface extension of the CDC/diff family
+    (SURVEY §2 extensions: table_diff_reconciliation, cdc rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_hash = (
+        "cast(conv(substring(md5(concat("
+        "cast(o_orderkey as string), '|', cast(o_custkey as string), '|', "
+        "{status}, '|', o_orderpriority)), 1, 15), 16, 10) as bigint)"
+    )
+    a = orders.groupBy((F.col("o_orderkey") % 16).alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.expr(
+            f"bit_xor({row_hash.format(status='o_orderstatus')})"
+        ).alias("digest_a"),
+    )
+    b_status = "CASE WHEN o_orderkey = 42 THEN 'X' ELSE o_orderstatus END"
+    b = orders.groupBy((F.col("o_orderkey") % 16).alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.expr(f"bit_xor({row_hash.format(status=b_status)})").alias(
+            "digest_b"
+        ),
+    )
+    return a.join(b, "part").select(
+        "part",
+        "n_a",
+        "n_b",
+        (F.col("digest_a") == F.col("digest_b")).alias("digests_match"),
+    )
+
+
+# --------------------------------------- lag-k autocorrelation (ACF) --
+
+
+@staged_query(
+    "acf_lag_autocorr",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type, value AS x,
+               lag(value, 1) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lagged WHERE y IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ((n * sxy) - (sx * sy))
+           / (sqrt((n * sxx) - (sx * sx))
+              * sqrt((n * syy) - (sy * sy))) AS acf1
+    FROM sums
+    """,
+)
+def acf_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (the ACF building block of
+    seasonality/trend diagnostics): pair each value with its
+    predecessor in (ts, event_id) order, then Pearson r over the pairs.
+    The five sufficient sums accumulate in exact DECIMAL(38,6)
+    (functions/stable.py scheme: 2-dp inputs → 4-dp products → exact,
+    associative, partition-order-proof) and only the FINAL closed form
+    runs in doubles — every op (−, ×, IEEE /, sqrt) correctly rounded,
+    so the float result is bit-identical cross-engine, the same proof
+    correlation_matrix carries. Window tiebreak on event_id: lag under
+    ts ties is otherwise engine-dependent.
+
+    Scale shape: one hash exchange on event_type, window + partial+final
+    aggregate inside the same partitioning (exchange reused). Sums are
+    five decimals per group — constant state. ACF at lag k is the same
+    plan with lag(k); at 100 TB this is exchange-once, scan-bound.
+
+    Reference basis: extends the reference's correlation matrix
+    (notebook pipeline, SURVEY §2 A6) from cross-series to
+    within-series (temporal) correlation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.lag("value", 1).over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    dec = "decimal(38,6)"
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (
+            ((F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy")))
+            / (
+                F.sqrt((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx")))
+                * F.sqrt((F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy")))
+            )
+        ).alias("acf1"),
+    )
+
+
+# --------------------------------------------- skyline / pareto front --
+
+
+@staged_query(
+    "pareto_frontier_skyline",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey < 4000
+    ),
+    price_groups AS (
+        SELECT o_totalprice AS price, max(o_orderdate) AS gd
+        FROM t GROUP BY 1
+    ),
+    strict_prefix AS (
+        SELECT price,
+               max(gd) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_date_cheaper
+        FROM price_groups
+    )
+    SELECT t.o_orderkey,
+           (s.best_date_cheaper IS NULL
+            OR t.o_orderdate >= s.best_date_cheaper) AS on_frontier
+    FROM t JOIN strict_prefix s ON t.o_totalprice = s.price
+    """,
+)
+def pareto_frontier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): an order is dominated iff some
+    STRICTLY cheaper order has a STRICTLY later date; the frontier is
+    computed in one pass over the distinct-price groups — group to
+    (price, max date), running max of date over the strictly-preceding
+    price groups (ROWS frame over distinct groups = strict dominance,
+    sidestepping the RANGE-frame-exclusive-of-current gap in both
+    engines), then each order compares its date against the best date
+    among cheaper orders. Replaces the O(n²) NOT-EXISTS dominance scan
+    with sort+prefix-max — the standard 2-D skyline algorithm,
+    expressed relationally.
+
+    Scale shape: one aggregate to distinct prices (partial combine), a
+    window over the price groups (far smaller than the fact side), and
+    one join back on price — the join key is the window side's own
+    grouping key so AQE broadcasts it when small. No cross join
+    anywhere. Higher-dimension skylines decompose into the same
+    prefix-extrema passes per sort order.
+
+    Reference basis: new query shape for the ordering/top-k family
+    (SURVEY §2.6) — frontier selection rather than single-key top-k."""
+    t = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 4000
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+    groups = t.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("gd")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    strict = groups.select(
+        "price", F.max("gd").over(w).alias("best_date_cheaper")
+    )
+    return t.join(
+        F.broadcast(strict), t.o_totalprice == strict.price
     ).select(
         "o_orderkey",
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    o.write.mode("overwrite").orc(d)
-    back = spark.read.orc(d).where(F.col("o_orderkey") < 5000)
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").cast("long").alias("price_cents"),
-        F.min("o_orderkey").cast("long").alias("min_key"),
+        (
+            F.col("best_date_cheaper").isNull()
+            | (F.col("o_orderdate") >= F.col("best_date_cheaper"))
+        ).alias("on_frontier"),
     )
 
 
-# ------------------------------ foreachBatch exactly-once file sink --
+# ------------------------------------------------ geospatial family --
+# The synthetic tables carry no coordinates, so sites and points derive
+# deterministic integer micro-degree positions from their keys via the
+# cross-engine md5-int (the same derived-data pattern as the partsupp
+# view and the synthetic media blobs) — the SAME formula in the Spark
+# plan and the oracle CTE, so inputs remain the driver parquet only.
+# Integer micro-degrees keep every distance/binning step exact.
+
+
+def _spark_udeg(expr: str, salt: str) -> str:
+    return (
+        f"(cast(conv(substring(md5(concat('geo{salt}', "
+        f"cast({expr} as string))), 1, 15), 16, 10) as bigint)"
+        f" % 180000001) - 90000000"
+    )
+
+
+def _sql_udeg(expr: str, salt: str) -> str:
+    return (
+        f"((('0x' || substring(md5('geo{salt}' || "
+        f"CAST({expr} AS VARCHAR)), 1, 15))::BIGINT)"
+        f" % 180000001) - 90000000"
+    )
 
 
 @staged_query(
-    "streaming_foreachbatch_exactly_once",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents_sum
-    FROM events
-    GROUP BY 1
+    "geo_nearest_site_join",
+    oracle=f"""
+    WITH sites AS (
+        SELECT s_suppkey AS site_id,
+               {_sql_udeg('s_suppkey', 'lat')} AS slat,
+               {_sql_udeg('s_suppkey', 'lon')} AS slon
+        FROM supplier WHERE s_suppkey < 40
+    ),
+    pts AS (
+        SELECT event_id,
+               {_sql_udeg('event_id', 'lat')} AS plat,
+               {_sql_udeg('event_id', 'lon')} AS plon
+        FROM events WHERE event_id < 5000
+    ),
+    scored AS (
+        SELECT p.event_id, s.site_id,
+               (p.plat - s.slat) * (p.plat - s.slat)
+               + (p.plon - s.slon) * (p.plon - s.slon) AS d2
+        FROM pts p, sites s
+    ),
+    best AS (
+        SELECT event_id, min(d2) AS best_d2 FROM scored GROUP BY 1
+    )
+    SELECT s.event_id,
+           min(s.site_id) AS nearest_site,
+           min(b.best_d2) AS best_d2
+    FROM scored s JOIN best b
+      ON s.event_id = b.event_id AND s.d2 = b.best_d2
+    GROUP BY s.event_id
     """,
 )
-def streaming_foreachbatch_exactly_once(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """foreachBatch with an IDEMPOTENT batch-addressed sink — the
-    standard exactly-once recipe over an at-least-once channel: each
-    micro-batch lands at a path keyed by its batchId with overwrite
-    semantics, so REDELIVERY of a batch (restart replaying the last
-    un-committed batch — simulated in-query by re-writing batch 0 over
-    itself) changes nothing. The graded read unions every batch
-    directory and must equal aggregating the source directly: no batch
-    lost, no batch doubled — the T10 contract graded value-for-value
-    instead of unit-tested.
+def geo_nearest_site_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment — the geospatial enrichment join (assign
+    each point to its closest facility/station): points × a broadcast
+    site dimension, squared planar distance in integer micro-degrees
+    (exact bigint algebra, no libm trig — the haversine refinement only
+    reorders near-ties at continental scale and would cost cross-engine
+    sin/cos parity), argmin per point via a lexicographic (d2, site_id)
+    struct-min so distance ties break deterministically toward the
+    smaller site id; the oracle computes the identical argmin by
+    min-join-back.
 
-    Scale shape: the sink is a plain distributed parquet write per
-    batch (executor-parallel, no driver data); idempotence comes from
-    the deterministic batch→path mapping, the same mechanism every
-    lakehouse streaming writer (Delta/Iceberg commit-by-batch-id)
-    formalizes."""
-    import os
-    import tempfile
-    import uuid
+    Scale shape: the site dimension broadcasts (dimensions are small by
+    nature — the reference's station lookup is the same shape) and the
+    argmin folds in a partial+final aggregate keyed on the point id —
+    the scored pairs never shuffle at |sites| replication. With large
+    site sets the geohash_bucket_stats cell id becomes the pre-filter
+    (points only score sites in neighboring cells) — the same
+    bucket-pruning shape as the LSH/IVF similarity rows.
 
-    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
-        _read_events_stream,
-    )
-
-    out = tempfile.mkdtemp(prefix="febsink_")
-    ckpt = tempfile.mkdtemp(prefix="febckpt_")
-    ev = _read_events_stream(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-
-    def write_batch(df, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
+    Reference basis: SURVEY §2 J2/J3 (station dict-lookup enrichment)
+    generalized to metric nearest-neighbor."""
+    sites = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 40)
+        .select(
+            F.col("s_suppkey").alias("site_id"),
+            F.expr(_spark_udeg("s_suppkey", "lat")).alias("slat"),
+            F.expr(_spark_udeg("s_suppkey", "lon")).alias("slon"),
         )
-
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .queryName(f"feb_{uuid.uuid4().hex[:8]}")
-        .start()
     )
-    q.awaitTermination(120)
-    q.stop()
-
-    batch_dirs = sorted(
-        d for d in os.listdir(out) if d.startswith("batch_id=")
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 5000)
+        .select(
+            "event_id",
+            F.expr(_spark_udeg("event_id", "lat")).alias("plat"),
+            F.expr(_spark_udeg("event_id", "lon")).alias("plon"),
+        )
     )
-    assert batch_dirs, "no batches written"
-
-    # simulate at-least-once REDELIVERY: a second run with a LOST
-    # checkpoint replays every batch from the deterministic source
-    # through the same idempotent writer — each batch directory is
-    # overwritten with identical content, so totals must not move
-    # (the failure mode this pattern guards against is a plain append
-    # sink, which would double every row here)
-    ckpt2 = tempfile.mkdtemp(prefix="febckpt2_")
-    q2 = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt2)
-        .trigger(availableNow=True)
-        .queryName(f"feb_{uuid.uuid4().hex[:8]}")
-        .start()
+    scored = pts.crossJoin(F.broadcast(sites)).select(
+        "event_id",
+        "site_id",
+        (
+            (F.col("plat") - F.col("slat")) * (F.col("plat") - F.col("slat"))
+            + (F.col("plon") - F.col("slon"))
+            * (F.col("plon") - F.col("slon"))
+        ).alias("d2"),
     )
-    q2.awaitTermination(120)
-    q2.stop()
-    assert sorted(
-        d for d in os.listdir(out) if d.startswith("batch_id=")
-    ) == batch_dirs, "redelivery changed the batch set"
-
-    back = spark.read.parquet(
-        *[os.path.join(out, d) for d in batch_dirs]
+    return (
+        scored.groupBy("event_id")
+        .agg(F.min(F.struct("d2", "site_id")).alias("m"))
+        .select(
+            "event_id",
+            F.col("m.site_id").alias("nearest_site"),
+            F.col("m.d2").alias("best_d2"),
+        )
     )
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").cast("long").alias("cents_sum"),
-    )
-
-
-# ----------------------- custom Python STREAMING sink round-trip --
 
 
 @staged_query(
-    "python_datasource_stream_sink_roundtrip",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents_sum
-    FROM events
-    GROUP BY 1
+    "geohash_bucket_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, user_id,
+               {_sql_udeg('event_id', 'lat')} AS plat,
+               {_sql_udeg('event_id', 'lon')} AS plon
+        FROM events
+    ),
+    q AS (
+        SELECT event_id, user_id,
+               ((plat + 90000000) * 16) // 180000001 AS qlat,
+               ((plon + 90000000) * 16) // 180000001 AS qlon
+        FROM pts
+    ),
+    cells AS (
+        SELECT event_id, user_id,
+               ((qlat & 1) * 2 + (qlon & 1))
+               + (((qlat >> 1) & 1) * 2 + ((qlon >> 1) & 1)) * 4
+               + (((qlat >> 2) & 1) * 2 + ((qlon >> 2) & 1)) * 16
+               + (((qlat >> 3) & 1) * 2 + ((qlon >> 3) & 1)) * 64 AS cell
+        FROM q
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM cells GROUP BY cell
     """,
 )
-def python_datasource_stream_sink_roundtrip(
+def geohash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-style spatial binning: quantize lat/lon micro-degrees to
+    4 bits each and INTERLEAVE the bits (Z-order / Morton code — the
+    actual geohash construction) into an 8-bit cell id, then per-cell
+    density stats. Bit interleaving makes prefix truncation = spatial
+    zoom-out, which is why geohash cells serve as partition keys,
+    join-pruning buckets (geo_nearest_site_join's scale path), and
+    range-readable spatial layout (the same locality argument as the
+    zorder_layout_scan row, here in its geographic home). Pure integer
+    bit algebra — exact cross-engine.
+
+    Scale shape: scan-side codegen to the cell id, one partial+final
+    aggregate on it; count(DISTINCT user) expands to the standard
+    two-phase distinct. Cell ids are uniform under the md5-derived
+    coordinates, so no skew; real-world hot cells would take the
+    salting path skewed_agg_salted grades.
+
+    Reference basis: the reference is a weather-station system (GeoJSON
+    coordinates per station, sources/rest.py) — this is the spatial
+    aggregation its data model implies, over derived coordinates."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(_spark_udeg("event_id", "lat")).alias("plat"),
+        F.expr(_spark_udeg("event_id", "lon")).alias("plon"),
+    )
+    q = pts.select(
+        "event_id",
+        "user_id",
+        F.expr("(plat + 90000000) * 16 DIV 180000001").alias("qlat"),
+        F.expr("(plon + 90000000) * 16 DIV 180000001").alias("qlon"),
+    )
+    cells = q.select(
+        "user_id",
+        F.expr(
+            "((qlat & 1) * 2 + (qlon & 1))"
+            " + (((qlat >> 1) & 1) * 2 + ((qlon >> 1) & 1)) * 4"
+            " + (((qlat >> 2) & 1) * 2 + ((qlon >> 2) & 1)) * 16"
+            " + (((qlat >> 3) & 1) * 2 + ((qlon >> 3) & 1)) * 64"
+        ).alias("cell"),
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------- Python DataSource filter pushdown --
+
+
+@staged_query(
+    "python_datasource_filter_pushdown",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id >= 120 AND event_id < 870 AND event_type <> 'click'
+    GROUP BY event_type
+    """,
+)
+def python_datasource_filter_pushdown(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """A custom Python STREAMING sink (DataSourceStreamWriter,
-    sources/pyds.py `JsonlStreamWriter`) — completes the Python
-    DataSource V2 surface: batch source, batch sink, streaming source,
-    and now the streaming WRITE contract Spark actually drives
-    (per-batch executor writes → commit messages → driver
-    commit(messages, batchId) publishing a _BATCH_{id}.json manifest).
-    The graded claim is the exactly-once round trip: stream the events
-    table (availableNow) through the custom sink, read back ONLY what
-    the per-batch manifests name, and the aggregate must equal
-    aggregating the source directly — every batch published once,
-    nothing outside a manifest visible.
+    """Python DataSource FILTER PUSHDOWN (Spark 4.1
+    DataSourceReader.pushFilters): the events_pushdown source absorbs
+    the event_id range predicates and prunes whole input partitions
+    before any row is read, while the event_type predicate — which it
+    declines — comes back to Spark to apply post-scan (the two-sided
+    pushFilters contract). The query ASSERTS the pruning physically
+    happened: the reader drops one marker file per partition actually
+    read, and with rows_per_part=100 the [120, 870) range must touch
+    exactly 8 partitions regardless of scale factor — at sf0.01 that is
+    8 of 100 partitions (92% of the scan skipped), the number a file
+    count proves the way the layout rows prove pruning via inodes. Also
+    asserts the absorbed-bounds manifest, and that partition edges are
+    CLIPPED to the bounds (rows outside the accepted range must never
+    reach Spark — Spark does not re-apply filters the source accepted).
 
-    Scale shape: executor-parallel writes (driver sees KB commit
-    messages), one manifest write per micro-batch — the idempotent
-    commit-by-batch-id protocol every lakehouse streaming writer
-    formalizes, here expressed through the engine's own stream-writer
-    API."""
-    import glob
-    import json
-    import os
-    import tempfile
-    import uuid
+    Scale shape: this IS the scale lever — predicate transport into the
+    source turns a full-corpus scan into O(selected range) IO; at
+    100 TB a time/id-range query over a custom source (REST backlog,
+    object-store manifest) reads only matching shards. The conf gate
+    (spark.sql.python.filterPushdown.enabled) is set at call time, the
+    session-self-adapting pattern every query uses via
+    catalog.ensure_session_confs.
 
-    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
-        _read_events_stream,
-    )
+    Reference basis: the reference's paginated ingest (dmi wind.py)
+    re-fetches full pages and filters client-side; this is the
+    DataSource-native upgrade of SURVEY §2 S11."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
     from sparkksqldbbenchmark_spark.sources.pyds import (
         register_python_sources,
     )
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register_python_sources(spark)
-    out = tempfile.mkdtemp(prefix="pystreamsink_")
-    ckpt = tempfile.mkdtemp(prefix="pystreamckpt_")
-    ev = _read_events_stream(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    q = (
-        ev.writeStream.format("jsonl_pages")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .queryName(f"pss_{uuid.uuid4().hex[:8]}")
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
-
-    manifests = sorted(glob.glob(os.path.join(out, "_BATCH_*.json")))
-    assert manifests, "streaming sink published no batch manifests"
-    files, total = [], 0
-    for mp in manifests:
-        with open(mp) as fh:
-            m = json.load(fh)
-        files += [os.path.join(out, f) for f in m["files"]]
-        total += m["rows"]
-    back = spark.read.json(files)
-    assert back.count() == total
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").cast("long").alias("cents_sum"),
-    )
-
-
-# --------------------------------------------- mapInArrow boundary --
-
-
-@staged_query(
-    "mapinarrow_token_stats",
-    oracle=r"""
-    WITH per_doc AS (
-        SELECT lang,
-               len(text) AS n_chars,
-               len(regexp_extract_all(text, '\S+')) AS n_tokens
-        FROM documents WHERE doc_id < 2000
-    )
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS chars_total,
-           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
-    FROM per_doc
-    GROUP BY 1
-    """,
-)
-def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`mapInArrow` — the RecordBatch-native Python boundary (one level
-    below mapInPandas: no pandas conversion at all, pyarrow.compute
-    kernels straight over Arrow buffers). Per-document character and
-    whitespace-token counts are computed with vectorized Arrow kernels
-    (utf8_length, count_substring_regex) and graded value-for-value
-    against the relational oracle — an extension-surface row like the
-    applyInPandas z-score: it grades the BOUNDARY, while production
-    paths keep using JVM expressions for anything expressions can say.
-
-    Scale shape: Arrow batches stream executor-side with zero
-    row-at-a-time Python and zero pandas materialization — the
-    cheapest possible Python hop when a C++-backed kernel (here
-    pyarrow's RE2 regex) does the work; the downstream aggregate is a
-    bounded-key JVM fold."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 2000
-    ).select("doc_id", "lang", "text")
-
-    def batches(it):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for batch in it:
-            tb = pa.table(batch)
-            yield pa.record_batch(
-                {
-                    "lang": tb["lang"].combine_chunks(),
-                    "n_chars": pc.cast(
-                        pc.utf8_length(tb["text"].combine_chunks()),
-                        pa.int64(),
-                    ),
-                    "n_tokens": pc.cast(
-                        pc.count_substring_regex(
-                            tb["text"].combine_chunks(), pattern=r"\S+"
-                        ),
-                        pa.int64(),
-                    ),
-                }
-            )
-
-    stats = docs.mapInArrow(
-        batches, "lang string, n_chars long, n_tokens long"
-    )
-    return stats.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("chars_total"),
-        F.sum("n_tokens").cast("long").alias("tokens_total"),
-    )
-
-
-# ------------------------------------------- AQE skew-join splitting --
-
-
-@staged_query(
-    "aqe_skew_join_split",
-    oracle="""
-    WITH l AS (
-        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
-               CAST(floor(value * 100) AS BIGINT) AS cents
-        FROM events
-    ), r AS (
-        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
-               event_id AS rid
-        FROM events WHERE event_id % 97 = 0
-    )
-    SELECT CAST(l.k % 8 AS BIGINT) AS bucket,
-           count(*) AS n_pairs,
-           CAST(sum(l.cents) AS BIGINT) AS cents_sum,
-           CAST(sum(r.rid) AS BIGINT) AS rid_sum,
-           CAST(count(*) * 64 AS BIGINT) AS pad_bytes
-    FROM l JOIN r ON l.k = r.k
-    GROUP BY 1
-    """,
-)
-def aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AQE skew-join splitting, plan-asserted — the FIFTH runtime
-    re-planning lever graded as a query (after DPP, the Bloom join,
-    runtime coalescing, and the salting twins): half of all events are
-    folded onto ONE join key (the planted hot key every real workload
-    has: the null-ish user, the default tenant), and AQE must detect
-    the oversized shuffle partition at runtime and SPLIT it across
-    tasks (SortMergeJoin(isSkewJoin=true), hot-side sub-ranges joined
-    against a replicated right side) — the adaptive alternative to the
-    hand-salting operators in operators/skew.py, with zero query
-    rewrite. Asserted on the post-execution adaptive plan via a tree
-    walk reading the join's isSkewJoin flag (the string form does not
-    render it), inside a save/restore conf window that scales the
-    detection thresholds to the test corpus (256 MB defaults are tuned
-    for clusters; the RULE is identical). An incompressible
-    deterministic payload (sha2 of event_id) rides the shuffle so
-    byte-level skew exists as it would at 100 TB — and is consumed in
-    the output (pad_bytes), or column pruning would strip it and with
-    it the skew (a measured staging lesson: repeated-constant pads
-    compress to nothing and defeat detection).
-
-    Second staging lesson, kept for the 100 TB note: AQE splits a
-    skewed partition at MAP-OUTPUT granularity (sub-ranges of mapper
-    outputs), so a hot partition fed by a SINGLE mapper — exactly what
-    a one-file test corpus produces — cannot be split and is not even
-    counted skewed. The upstream repartition(16) below gives the join
-    exchange multiple mappers, the shape any real cluster has
-    thousands of; it changes plan topology only, never values.
-
-    The oracle is the plain join — splitting moves TASKS, never
-    answers."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.when(F.col("user_id") % 3 == 0, 0).otherwise(F.col("user_id"))
-    left = ev.repartition(16).select(
-        k.alias("k"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.sha2(F.col("event_id").cast("string"), 256).alias("pad"),
-    )
-    right = ev.where(F.col("event_id") % 97 == 0).select(
-        k.alias("k"), F.col("event_id").alias("rid")
-    )
-    confs = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            "8kb",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8kb",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3.0",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        # skew is RELATIVE to the median post-shuffle partition: at 4
-        # shuffle partitions the non-hot keys concentrate into 3 fat
-        # partitions and the hot one is no longer 3x the median — pin
-        # the width so the planted skew is detectable under any
-        # harness session (32 = the engine/bench default)
-        "spark.sql.shuffle.partitions": "32",
-    }
-    saved: dict[str, str | None] = {}
-    for key in confs:
-        try:
-            saved[key] = spark.conf.get(key)
-        except Exception:
-            saved[key] = None
-    try:
-        for key, val in confs.items():
-            spark.conf.set(key, val)
-        out = (
-            left.hint("merge")
-            .join(right.hint("merge"), "k")
-            .groupBy((F.col("k") % 8).alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.sum("cents").cast("long").alias("cents_sum"),
-                F.sum("rid").cast("long").alias("rid_sum"),
-                F.sum(F.length("pad")).cast("long").alias("pad_bytes"),
-            )
-        )
-        rows = out.collect()
-
-        def _find_skew(node) -> bool:
-            name = node.getClass().getSimpleName()
-            if "SortMergeJoin" in name and node.isSkewJoin():
-                return True
-            if "QueryStage" in name:
-                return _find_skew(node.plan())
-            return any(
-                _find_skew(node.children().apply(i))
-                for i in range(node.children().size())
-            )
-
-        adaptive = out._jdf.queryExecution().executedPlan()
-        assert _find_skew(adaptive.executedPlan()), (
-            "AQE did not split the skewed join partition"
-        )
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        for key, old in saved.items():
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
-
-
-# ------------------------------------------- in-memory columnar cache --
-
-
-@staged_query(
-    "inmemory_cache_scan",
-    oracle="""
-    WITH sub AS (
-        SELECT o_orderpriority,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               o_orderkey
-        FROM orders WHERE o_orderkey < 30000
-    )
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(cents) AS BIGINT) AS cents_sum,
-           CAST(max(o_orderkey) AS BIGINT) AS max_key
-    FROM sub
-    GROUP BY 1
-    """,
-)
-def inmemory_cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The in-memory columnar cache (df.cache) as a graded operator:
-    a projected slice is cached, materialized once, and the graded
-    aggregate must then read from InMemoryTableScan — asserted on the
-    plan — with values identical to the uncached oracle (the cache is
-    a placement decision, never a semantic one). unpersist() in a
-    finally block keeps the graded run from leaking executor memory
-    into subsequent queries.
-
-    Scale shape: the cache stores compressed columnar batches
-    partition-local (no shuffle to build from an existing
-    partitioning); at 100 TB caching is for REUSED intermediate frames
-    (the iterative-algorithm working set — e.g. the k-means assignment
-    frame in llm/similarity's IVF trainer), never a default — a
-    one-pass query is cheaper re-scanned than double-materialized.
-    Spilled blocks degrade to disk per StorageLevel MEMORY_AND_DISK,
-    so the assertion holds at any size."""
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") < 30000)
-        .select(
-            "o_orderpriority",
-            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
-                "cents"
-            ),
-            "o_orderkey",
+    scratch = _tempfile.mkdtemp(prefix="pushdown_")
+    df = (
+        spark.read.format("events_pushdown")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("scratch", scratch)
+        .option("rows_per_part", "100")
+        .load()
+        .where(
+            (F.col("event_id") >= 120)
+            & (F.col("event_id") < 870)
+            & (F.col("event_type") != "click")
         )
     )
-    cached = o.cache()
-    try:
-        cached.count()  # materialize the columnar batches
-        out = cached.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("cents").cast("long").alias("cents_sum"),
-            F.max("o_orderkey").cast("long").alias("max_key"),
+    out = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+    rows = out.collect()  # materialize so the markers exist to audit
+
+    markers = sorted(
+        f for f in _os.listdir(scratch) if f.endswith(".marker")
+    )
+    if len(markers) != 8:
+        raise AssertionError(
+            f"pushdown pruning failed: {len(markers)} partitions read, "
+            f"expected 8 for [120, 870) at rows_per_part=100: {markers}"
         )
-        rows = out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan, (
-            "aggregate did not read from the in-memory cache:\n" + plan
-        )
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        cached.unpersist()
+    with open(_os.path.join(scratch, "_pushed.json")) as fh:
+        pushed = _json.load(fh)
+    if (pushed["lo"], pushed["hi"]) != (120, 870):
+        raise AssertionError(f"absorbed bounds wrong: {pushed}")
+    spans = [
+        tuple(int(x) for x in open(
+            _os.path.join(scratch, m)
+        ).read().strip().split(":"))
+        for m in markers
+    ]
+    if min(s[0] for s in spans) != 120 or max(s[1] for s in spans) != 870:
+        raise AssertionError(f"partition edges not clipped: {spans}")
 
-
-# ------------------------------- temperature-flattened mixture quotas --
-
-
-@staged_query(
-    "temperature_mixture_quota",
-    oracle="""
-    WITH counts AS (
-        SELECT source, count(*) AS c,
-               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
-        FROM documents GROUP BY 1
-    ), tot AS (
-        SELECT sum(w) AS t, sum(10000 * w // (SELECT sum(w) FROM counts))
-                   AS base_sum
-        FROM counts
-    ), quotas AS (
-        SELECT source, c, w,
-               10000 * w // t AS base_quota,
-               10000 * w % t AS remainder,
-               row_number() OVER (ORDER BY 10000 * w % t DESC, source)
-                   AS rem_rank,
-               10000 - base_sum AS r
-        FROM counts, tot
-    )
-    SELECT source,
-           CAST(c AS BIGINT) AS n_docs,
-           CAST(w AS BIGINT) AS w_temp,
-           CAST(base_quota + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END
-                AS BIGINT) AS final_quota
-    FROM quotas
-    """,
-)
-def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-flattened mixture quotas (alpha = 0.5): weight each
-    source by floor(sqrt(count)) instead of its raw count before the
-    largest-remainder apportionment — the standard alpha-sampling
-    technique for multilingual/multi-domain training mixes, boosting
-    minority sources relative to proportional sampling without going
-    fully uniform. Exactness argument: IEEE-754 sqrt is CORRECTLY
-    ROUNDED (unlike log/exp — the general alpha=p/q power is not
-    cross-engine-safe, which is exactly why the graded form pins
-    alpha = 0.5), so floor(sqrt(n)) is bit-identical in both engines
-    and everything downstream is the integer apportionment machinery
-    (operators/apportion.py) with its sum(quota) = budget guarantee.
-
-    Scale shape: identical to mixture_quota_largest_remainder — one
-    partial-aggregated count shuffle, then |sources|-row constant-size
-    frames."""
-    from sparkksqldbbenchmark_spark.operators.apportion import (
-        largest_remainder_quotas,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    weights = counts.select(
-        "source",
-        "c",
-        F.floor(F.sqrt(F.col("c"))).cast("long").alias("w_temp"),
-    )
-    quotas = largest_remainder_quotas(weights, "source", "w_temp", 10000)
-    return (
-        quotas.join(weights.select("source", "c"), "source")
-        .select(
-            "source",
-            F.col("c").cast("long").alias("n_docs"),
-            F.col("weight").alias("w_temp"),
-            "final_quota",
-        )
-    )
-
-
-# ---------------------------------------- pandas API on Spark --
-
-
-@staged_query(
-    "pandas_api_on_spark_agg",
-    oracle="""
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS chars_total,
-           CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def pandas_api_on_spark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pandas API on Spark (`pyspark.pandas`) graded value-for-value:
-    the same groupby-aggregate written as idiomatic pandas
-    (`psdf.groupby("lang").agg(...)`) must equal the relational oracle —
-    the migration surface that lets a pandas codebase (like the
-    reference's price-prediction notebook) run distributed without a
-    rewrite. The aggregation executes on the Spark backend (a plain
-    hash aggregate — no driver materialization; `to_spark()` hands the
-    lazy frame back to the engine).
-
-    Scale shape: identical plan to the DataFrame form — pandas-on-Spark
-    lowers groupby/agg to Catalyst; the distributed-sequence index cost
-    is avoided entirely because the aggregate never materializes an
-    index."""
-    import pyspark.pandas as ps  # noqa: F401 — registers the API
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
-    )
-    psdf = docs.pandas_api()
-    out = psdf.groupby("lang").agg(
-        n_docs=("doc_id", "count"),
-        chars_total=("n_chars", "sum"),
-        first_doc=("doc_id", "min"),
-    )
-    return (
-        out.reset_index()
-        .to_spark()
-        .select(
-            "lang",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("chars_total").cast("long").alias("chars_total"),
-            F.col("first_doc").cast("long").alias("first_doc"),
-        )
-    )
-
-
-# ------------------------------------------------- stat crosstab --
-
-
-@staged_query(
-    "stat_crosstab_matrix",
-    oracle="""
-    SELECT event_type AS event_type_bucket,
-           CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS "0",
-           CAST(sum(CASE WHEN user_id % 5 = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS "1",
-           CAST(sum(CASE WHEN user_id % 5 = 2 THEN 1 ELSE 0 END)
-                AS BIGINT) AS "2",
-           CAST(sum(CASE WHEN user_id % 5 = 3 THEN 1 ELSE 0 END)
-                AS BIGINT) AS "3",
-           CAST(sum(CASE WHEN user_id % 5 = 4 THEN 1 ELSE 0 END)
-                AS BIGINT) AS "4"
-    FROM events
-    GROUP BY 1
-    """,
-)
-def stat_crosstab_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrameStatFunctions.crosstab — the exact contingency table
-    (pair frequency matrix) as one reshaped frame, graded against the
-    defining CASE-pivot. Crosstab is the two-variable audit every
-    dataset card carries (label × source, type × shard); Spark computes
-    it with one pair-count aggregate and a driver-side reshape of the
-    BOUNDED distinct-pair set (documented contract: both columns'
-    cardinalities must be small — here 5 types x 5 buckets).
-
-    Scale shape: one partial-aggregated count over (type, bucket) —
-     25 groups; the reshape touches only the group frame, never data
-    rows."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", (F.col("user_id") % 5).alias("bucket")
-    )
-    ct = ev.stat.crosstab("event_type", "bucket")
-    return ct.select(
-        "event_type_bucket",
-        *[F.col(f"`{i}`").cast("long").alias(str(i)) for i in range(5)],
-    )
-
-
-# ---------------------------------------------- Luhn / PII checksums --
-
-
-def _luhn_sum_sql(s: str) -> str:
-    """Unrolled Luhn mod-10 sum of a 16-digit string column expression —
-    IDENTICAL SQL text for Spark and DuckDB (substring + CAST + CASE),
-    so the oracle recomputes the checksum from its definition while
-    Spark's side uses the builtin. Digits at odd distance from the
-    check digit double (folded: 2d - 9 when 2d > 9)."""
-    terms = []
-    for i in range(1, 17):
-        d = f"CAST(substring({s}, {i}, 1) AS INT)"
-        if (16 - i) % 2 == 1:  # doubled positions
-            terms.append(
-                f"(CASE WHEN {d} > 4 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
-            )
-        else:
-            terms.append(d)
-    return "(" + " + ".join(terms) + ")"
-
-
-_CARD = (
-    "lpad(CAST(event_id * 7919 % 1000000000000000 AS STRING), 15, '0')"
-)
-
-
-@staged_query(
-    "luhn_pii_check",
-    oracle=f"""
-    WITH base AS (
-        SELECT event_id, {_CARD} AS payload FROM events
-    ), withchk AS (
-        SELECT event_id,
-               payload || CAST(
-                   CASE WHEN event_id % 2 = 0
-                        THEN (10 - {_luhn_sum_sql("payload || '0'")}
-                              % 10) % 10
-                        ELSE ((10 - {_luhn_sum_sql("payload || '0'")}
-                               % 10) % 10 + 1) % 10
-                   END AS STRING) AS card
-        FROM base
-    )
-    SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
-           count(*) AS n_cards,
-           CAST(sum(CASE WHEN {_luhn_sum_sql("card")} % 10 = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-    FROM withchk
-    GROUP BY 1
-    """,
-)
-def luhn_pii_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`luhn_check` (Spark 3.5) — the mod-10 checksum that separates
-    plausible payment-card numbers from random digit strings, which is
-    what makes a PII scrubber PRECISE (llm/pii.py's regex finds
-    16-digit runs; Luhn validation keeps invoice/tracking numbers out
-    of the redaction): deterministic 16-digit fixtures are built so
-    exactly the even event_ids carry a correct check digit, Spark
-    validates with the BUILTIN, and the DuckDB oracle recomputes the
-    checksum from its unrolled definition — builtin ≡ definition, per
-    value. (The Spark side computes the check digit with the same
-    shared SQL text the oracle uses; only the final validation uses
-    luhn_check.)
-
-    Scale shape: scan-side codegen arithmetic, one bounded-key
-    aggregate — shuffle-free until the 10-row fold."""
-    _view(spark, sf_dir, "events")
-    payload_chk = _luhn_sum_sql("payload || '0'")
-    chk = f"(10 - {payload_chk} % 10) % 10"
-    return spark.sql(
-        f"""WITH base AS (
-            SELECT event_id, {_CARD} AS payload FROM events
-        ), withchk AS (
-            SELECT event_id,
-                   payload || CAST(
-                       CASE WHEN event_id % 2 = 0 THEN {chk}
-                            ELSE ({chk} + 1) % 10
-                       END AS STRING) AS card
-            FROM withchk_src
-        )
-        SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
-               count(*) AS n_cards,
-               CAST(sum(CASE WHEN luhn_check(card) THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_valid
-        FROM withchk
-        GROUP BY 1""".replace("withchk_src", "base")
-    )
-
-
-# ------------------------------------------------- array mutations --
-
-
-@staged_query(
-    "array_mutation_suite",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ')[1:4] AS l
-        FROM documents WHERE doc_id < 300
-    )
-    SELECT doc_id,
-           l[1:1] || ['INS'] || l[2:] AS inserted,
-           list_append(l, 'END') AS appended,
-           list_prepend('START', l) AS prepended,
-           list_filter(l, x -> x != l[1]) AS removed,
-           list_filter(list_transform(l, x -> nullif(x, l[2])),
-                       x -> x IS NOT NULL) AS compacted
-    FROM t
-    """,
-)
-def array_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array mutation breadth (Spark 3.4/3.5 additions): array_insert
-    at a position, array_append / array_prepend, array_remove (all
-    occurrences of a value), and array_compact (NULL removal) — each
-    graded against its defining DuckDB list-algebra construction
-    (insert = slice ++ singleton ++ rest; remove = filter-not-equal on
-    a NULL-free array; compact = filter-not-null after a nullif
-    transform plants the NULLs). These are the building blocks of
-    array-typed feature engineering (token-list edits, tag-set
-    maintenance) that would otherwise fall to explode/re-collect — a
-    shuffle — or a Python UDF.
-
-    Scale shape: pure scan-side codegen over the array values, zero
-    shuffles; the doc_id slice bounds graded output size only."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 300
-    )
-    t = docs.select(
-        "doc_id", F.expr("slice(split(text, ' '), 1, 4)").alias("l")
-    )
-    return t.select(
-        "doc_id",
-        F.expr("array_insert(l, 2, 'INS')").alias("inserted"),
-        F.expr("array_append(l, 'END')").alias("appended"),
-        F.expr("array_prepend(l, 'START')").alias("prepended"),
-        F.expr("array_remove(l, element_at(l, 1))").alias("removed"),
-        F.expr(
-            "array_compact(transform(l, x -> nullif(x, element_at(l, 2))))"
-        ).alias("compacted"),
-    )
-
-
-# ----------------------------------------------- try_* family, round 2 --
-
-
-@staged_query(
-    "try_function_suite2",
-    oracle="""
-    SELECT event_id,
-           TRY_CAST(payload AS INTEGER) AS cast_back,
-           (string_split(event_type, ''))[12] AS oob_char,
-           CAST(try_strptime(payload, '%Y-%m-%d') AS TIMESTAMP)
-               AS bad_ts,
-           CASE WHEN user_id % 7 = 0 THEN NULL
-                ELSE event_id // (user_id % 7) END AS safe_div
-    FROM (
-        SELECT event_id, user_id, event_type,
-               CASE WHEN event_id % 3 = 0
-                    THEN CAST(event_id AS VARCHAR)
-                    ELSE event_type || CAST(event_id AS VARCHAR)
-               END AS payload
-        FROM events WHERE event_id < 5000
-    )
-    """,
-)
-def try_function_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The try_* error-safe family, round two (round one graded
-    try_add/subtract/multiply/divide arithmetic): try_cast on mixed
-    parseable/garbage strings, try_element_at past the end of an array,
-    try_to_timestamp on non-date text, and try_divide by a sometimes-
-    zero denominator — every failure becomes NULL instead of a job
-    abort, the contract that makes ANSI mode deployable over dirty
-    data (fail-fast arithmetic for logic errors, try_* at the
-    ingestion boundary). DuckDB twins: TRY_CAST, out-of-bounds list
-    index (NULL by definition), try_strptime, and a NULLIF-guarded
-    integer division.
-
-    Scale shape: scan-side codegen, zero shuffles; the event_id slice
-    bounds graded output size."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_id") < 5000
-    )
-    src = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.when(
-            F.col("event_id") % 3 == 0,
-            F.col("event_id").cast("string"),
-        )
-        .otherwise(F.concat("event_type", F.col("event_id").cast("string")))
-        .alias("payload"),
-    )
-    return src.select(
-        "event_id",
-        F.expr("try_cast(payload AS INT)").alias("cast_back"),
-        F.expr("try_element_at(split(event_type, ''), 12)").alias(
-            "oob_char"
-        ),
-        F.expr("try_to_timestamp(payload, 'yyyy-MM-dd')").alias("bad_ts"),
-        F.expr("try_divide(event_id, user_id % 7)").cast("long").alias(
-            "safe_div"
-        ),
-    )
-
-
-# ------------------------------------- char vs byte length semantics --
-
-
-@staged_query(
-    "char_octet_length_suite",
-    oracle="""
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS chars_total,
-           CAST(sum(strlen(text)) AS BIGINT) AS bytes_total,
-           CAST(sum(bit_length(text)) AS BIGINT) AS bits_total,
-           CAST(sum(CASE WHEN strlen(text) > length(text)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def char_octet_length_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character vs byte length semantics — the distinction every
-    multilingual corpus audit needs (token budgets count characters or
-    bytes depending on the tokenizer; storage sizing counts UTF-8
-    bytes): length() counts CODE POINTS, octet_length() counts UTF-8
-    bytes, bit_length() = 8x octets; n_multibyte counts documents where
-    they differ (the CJK slice of the corpus). DuckDB twins: length /
-    strlen / bit_length — the engines agree because both define string
-    length over code points and bytes over UTF-8, with no
-    normalization step in either (a grapheme-cluster count would
-    differ; neither engine does it, which is exactly the semantic this
-    row pins).
-
-    Scale shape: scan-side codegen, one bounded-key fold."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).cast("long").alias("chars_total"),
-        F.sum(F.octet_length("text")).cast("long").alias("bytes_total"),
-        F.sum(F.bit_length("text")).cast("long").alias("bits_total"),
-        F.sum(
-            F.when(
-                F.octet_length("text") > F.length("text"), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_multibyte"),
-    )
+    return spark.createDataFrame(rows, out.schema)

@@ -191,67 +191,181 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         ] or [InputPartition((lo, lo))]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         lo, hi = partition.value
-        if hi <= lo:
-            return
-        # row-group-aligned read: decode ONLY the groups overlapping
-        # [lo, hi) and trim the edges — a range touches O(range/group)
-        # groups instead of the whole file, which is what keeps
-        # per-partition IO flat as the backlog file grows (the
-        # "production upgrade" a whole-table slice forfeits)
-        pf = pq.ParquetFile(self.path)
-        cols = ["event_id", "ts", "user_id", "event_type", "value"]
-        pieces = []
-        acc = 0
-        for g in range(pf.metadata.num_row_groups):
-            n = pf.metadata.row_group(g).num_rows
-            g_lo, g_hi = acc, acc + n
-            acc = g_hi
-            if g_hi <= lo:
-                continue
-            if g_lo >= hi:
-                break
-            piece = pf.read_row_group(g, columns=cols)
-            s = max(lo, g_lo) - g_lo
-            e = min(hi, g_hi) - g_lo
-            pieces.append(piece.slice(s, e - s))
-        tbl = pa.concat_tables(pieces)
-        ts = tbl.column("ts").to_pylist()
-        ids = tbl.column("event_id").to_pylist()
-        users = tbl.column("user_id").to_pylist()
-        types = tbl.column("event_type").to_pylist()
-        vals = tbl.column("value").to_pylist()
-        for i in range(len(ids)):
-            t = ts[i]
-            if self.ts_kind == "nanos":
-                # same ns→µs floor truncation catalog._normalize_nanos
-                # applies (and DuckDB's read of the same file)
-                us = t // 1000
-            else:
-                # pyarrow yields naive datetimes for timestamp[us];
-                # reinterpret the wall-clock as a UTC instant, exactly
-                # the loader's NTZ→TIMESTAMP cast under the UTC session
-                import datetime as _dt
-
-                # integer seconds × 1e6 + microseconds: float
-                # .timestamp()*1e6 would round at epoch-µs magnitude
-                us = (
-                    int(
-                        _dt.datetime(
-                            t.year, t.month, t.day, t.hour, t.minute,
-                            t.second, tzinfo=_dt.timezone.utc,
-                        ).timestamp()
-                    )
-                    * 1_000_000
-                    + t.microsecond
-                )
-            yield (ids[i], us, users[i], types[i], vals[i])
+        yield from _events_slice_rows(self.path, self.ts_kind, lo, hi)
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _events_slice_rows(
+    path: str, ts_kind: str, lo: int, hi: int
+) -> Iterator[tuple]:
+    """Rows [lo, hi) of an events parquet as EVENTS_SCHEMA tuples.
+
+    Row-group-aligned read: decode ONLY the groups overlapping [lo, hi)
+    and trim the edges — a range touches O(range/group) groups instead
+    of the whole file, which is what keeps per-partition IO flat as the
+    backlog file grows (the "production upgrade" a whole-table slice
+    forfeits). Shared by the streaming replay reader and the batch
+    pushdown reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if hi <= lo:
+        return
+    pf = pq.ParquetFile(path)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    pieces = []
+    acc = 0
+    for g in range(pf.metadata.num_row_groups):
+        n = pf.metadata.row_group(g).num_rows
+        g_lo, g_hi = acc, acc + n
+        acc = g_hi
+        if g_hi <= lo:
+            continue
+        if g_lo >= hi:
+            break
+        piece = pf.read_row_group(g, columns=cols)
+        s = max(lo, g_lo) - g_lo
+        e = min(hi, g_hi) - g_lo
+        pieces.append(piece.slice(s, e - s))
+    tbl = pa.concat_tables(pieces)
+    ts = tbl.column("ts").to_pylist()
+    ids = tbl.column("event_id").to_pylist()
+    users = tbl.column("user_id").to_pylist()
+    types = tbl.column("event_type").to_pylist()
+    vals = tbl.column("value").to_pylist()
+    for i in range(len(ids)):
+        t = ts[i]
+        if ts_kind == "nanos":
+            # same ns→µs floor truncation catalog._normalize_nanos
+            # applies (and DuckDB's read of the same file)
+            us = t // 1000
+        else:
+            # pyarrow yields naive datetimes for timestamp[us];
+            # reinterpret the wall-clock as a UTC instant, exactly
+            # the loader's NTZ→TIMESTAMP cast under the UTC session
+            import datetime as _dt
+
+            # integer seconds × 1e6 + microseconds: float
+            # .timestamp()*1e6 would round at epoch-µs magnitude
+            us = (
+                int(
+                    _dt.datetime(
+                        t.year, t.month, t.day, t.hour, t.minute,
+                        t.second, tzinfo=_dt.timezone.utc,
+                    ).timestamp()
+                )
+                * 1_000_000
+                + t.microsecond
+            )
+        yield (ids[i], us, users[i], types[i], vals[i])
+
+
+class EventsPushdownDataSource(DataSource):
+    """Batch source over an events parquet with FILTER PUSHDOWN
+    (DataSourceReader.pushFilters, Spark 4.1): range and equality
+    predicates on ``event_id`` are absorbed by the source — accepted
+    filters shrink the row-range partition list (event_id equals the
+    row index in the TESTDATA layout, so range pruning is exact) and
+    everything else is returned to Spark to apply post-scan, per the
+    pushFilters contract.
+
+    Options: ``path`` — the events.parquet file; ``scratch`` — a
+    directory where the reader drops a ``_pushed.json`` manifest of the
+    absorbed bounds and one ``read_{lo}.marker`` per partition actually
+    read, so a caller can ASSERT how much the pushdown pruned (the same
+    evidence pattern the layout rows use via file inodes);
+    ``rows_per_part`` — rows per input partition (default 100).
+
+    Requires ``spark.sql.python.filterPushdown.enabled=true`` (Spark
+    refuses a pushFilters-implementing reader otherwise).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_pushdown"
+
+    def schema(self) -> StructType:
+        return EVENTS_SCHEMA
+
+    def reader(self, schema: StructType) -> "EventsPushdownReader":
+        return EventsPushdownReader(
+            self.options["path"],
+            self.options["scratch"],
+            int(self.options.get("rows_per_part", "100")),
+        )
+
+
+class EventsPushdownReader(DataSourceReader):
+    def __init__(self, path: str, scratch: str, rows_per_part: int) -> None:
+        self.path = path
+        self.scratch = scratch
+        self.rows_per_part = rows_per_part
+        self.n, self.ts_kind = _events_meta(path)
+        self.lo = 0  # inclusive absorbed lower bound on event_id
+        self.hi = self.n  # exclusive absorbed upper bound
+
+    def pushFilters(self, filters):  # -> unsupported filters
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            LessThan,
+            LessThanOrEqual,
+            GreaterThan,
+            GreaterThanOrEqual,
+            EqualTo,
+        )
+        for f in filters:
+            if (
+                isinstance(f, supported)
+                and getattr(f, "attribute", None) == ("event_id",)
+                and isinstance(f.value, int)
+                and not isinstance(f.value, bool)
+            ):
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                else:  # EqualTo
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                continue
+            # everything else (other attributes, IsNotNull, strings…)
+            # goes back to Spark to apply post-scan
+            yield f
+
+        with open(os.path.join(self.scratch, "_pushed.json"), "w") as fh:
+            json.dump({"lo": self.lo, "hi": self.hi}, fh)
+
+    def partitions(self) -> list[InputPartition]:
+        k = self.rows_per_part
+        # clip whole partitions out of the absorbed range: this pruning
+        # (not per-row filtering) is what pushdown buys at scale
+        return [
+            InputPartition((max(s, self.lo), min(s + k, self.hi)))
+            for s in range(0, self.n, k)
+            if s < self.hi and s + k > self.lo
+        ] or [InputPartition((0, 0))]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        if hi > lo:
+            marker = os.path.join(self.scratch, f"read_{lo}.marker")
+            with open(marker, "w") as fh:
+                fh.write(f"{lo}:{hi}\n")
+        yield from _events_slice_rows(self.path, self.ts_kind, lo, hi)
 
 
 def register_python_sources(spark) -> None:
@@ -259,6 +373,7 @@ def register_python_sources(spark) -> None:
     for src in (
         GeoJsonPagesDataSource,
         EventsReplayDataSource,
+        EventsPushdownDataSource,
         JsonlPagesDataSource,
     ):
         try:

@@ -41,13 +41,22 @@ def duck():
 
 
 def test_every_staged_query_has_oracle():
+    # empty is legitimate right after a graduation (rounds 6-9 emptied
+    # the area on rotation); new staging lands here as the round runs
     assert set(STAGED) == set(STAGED_ORACLE)
-    assert STAGED, "staging area unexpectedly empty"
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", sorted(STAGED) or [None])
 def test_staged_query_matches_oracle(spark, duck, name):
+    if name is None:
+        pytest.skip("staging area empty (fresh post-graduation state)")
+    from check_correctness import container_columns
+
     sdf = STAGED[name](spark, SF_DIR)
+    assert container_columns(sdf) == [], (
+        f"{name}: container-typed result column — the driver's comparator "
+        f"cannot hash it; serialize at the query boundary"
+    )
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

@@ -860,6 +860,116 @@ def main() -> None:
             f"{spans['spans']:,} spans, {int(n_win / spans_s):,} win/s)"
         )
 
+        # as-of tolerance join (graded asof_tolerance_join shape): every
+        # event pulls the latest reference reading (every 100th event)
+        # for its user, then the tolerance cut drops stale matches —
+        # union-tag + last-carry, ONE shuffle on the key, no range join
+        from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+        t0 = time.time()
+        ref = (
+            events.where(F.col("event_id") % 100 == 0)
+            .select(
+                "user_id",
+                "ts",
+                F.col("value").alias("ref_value"),
+                F.col("ts").alias("ref_ts"),
+            )
+        )
+        tol = asof_join(
+            events.select("event_id", "user_id", "ts", "value"),
+            ref,
+            on=["user_id"],
+            ts_col="ts",
+            payload_cols=["ref_value", "ref_ts"],
+        )
+        matched = (
+            tol.where(
+                F.col("ref_ts").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros("ref_ts")
+                    <= 600 * 1_000_000
+                )
+            )
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+        asof_s = time.time() - t0
+        print(
+            f"rows={n:,} asof_tolerance_join={asof_s:.1f}s "
+            f"({matched:,} within-tolerance matches, "
+            f"{int(n / asof_s):,} rows/s)"
+        )
+
+        # Python DataSource scan (events_pushdown): full scan+aggregate
+        # through the custom-source read path, then a 1%-range query to
+        # show pushFilters pruning holds at scale. Single-file layout
+        # (the source addresses one parquet; row-range partitions give
+        # the parallelism), n/10 rows so the coalesce(1) write stays
+        # bounded.
+        import os as _os
+        import tempfile as _tempfile
+
+        from sparkksqldbbenchmark_spark.sources.pyds import (
+            register_python_sources,
+        )
+
+        pd_n = max(n // 10, 1)
+        pd_file_dir = _tempfile.mkdtemp(prefix="scale_pushdown_")
+        (
+            spark.read.parquet(d)
+            .where(F.col("event_id") < pd_n)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(pd_file_dir + "/tbl")
+        )
+        one_file = [
+            f
+            for f in _os.listdir(pd_file_dir + "/tbl")
+            if f.endswith(".parquet")
+        ][0]
+        pd_path = pd_file_dir + "/tbl/" + one_file
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        register_python_sources(spark)
+        scratch_full = _tempfile.mkdtemp(prefix="scale_push_full_")
+        rpp = max(pd_n // 64, 1)
+        t0 = time.time()
+        full = (
+            spark.read.format("events_pushdown")
+            .option("path", pd_path)
+            .option("scratch", scratch_full)
+            .option("rows_per_part", str(rpp))
+            .load()
+            .agg(F.count(F.lit(1)), F.sum("user_id"))
+            .collect()[0][0]
+        )
+        pyds_full_s = time.time() - t0
+        scratch_rng = _tempfile.mkdtemp(prefix="scale_push_rng_")
+        t0 = time.time()
+        rng = (
+            spark.read.format("events_pushdown")
+            .option("path", pd_path)
+            .option("scratch", scratch_rng)
+            .option("rows_per_part", str(rpp))
+            .load()
+            .where(F.col("event_id") < pd_n // 100)
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+        pyds_rng_s = time.time() - t0
+        parts_read = len(
+            [f for f in _os.listdir(scratch_rng) if f.endswith(".marker")]
+        )
+        print(
+            f"rows={n:,} pyds_scan full={pyds_full_s:.1f}s "
+            f"({full:,} rows, {int(full / pyds_full_s):,} rows/s) "
+            f"1%-range={pyds_rng_s:.1f}s ({rng:,} rows, "
+            f"{parts_read}/64 partitions read)"
+        )
+        shutil.rmtree(pd_file_dir, ignore_errors=True)
+        shutil.rmtree(scratch_full, ignore_errors=True)
+        shutil.rmtree(scratch_rng, ignore_errors=True)
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
