@@ -888,3 +888,623 @@ def python_datasource_filter_pushdown(
         raise AssertionError(f"partition edges not clipped: {spans}")
 
     return spark.createDataFrame(rows, out.schema)
+
+
+# ------------------------------------------ Benford digit audit --
+
+
+@staged_query(
+    "benford_leading_digit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+        FROM cents
+    ),
+    counted AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counted)
+    SELECT digit, n,
+           CAST((n * 1000000) // t AS BIGINT) AS share_ppm,
+           CAST(CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                END AS BIGINT) AS benford_ppm,
+           CAST(abs((n * 1000000) // t - CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                END) AS BIGINT) AS dev_ppm
+    FROM counted, tot
+    """,
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of a monetary column — the data-quality /
+    fraud screen: distribution of leading significant digits vs the
+    Benford expectation log10(1+1/d). Everything compared is INTEGER:
+    prices recover their exact cent value through DECIMAL(38,6)
+    (2-dp inputs, functions/stable.py), the leading digit comes from
+    the bigint's decimal string (leading significant digit is invariant
+    under the ×100 — no log10, no float formatting, both engines print
+    integers identically), shares are integer ppm by floor division,
+    and the Benford expectations are precomputed ppm literals, so the
+    deviation column is exact. (The chi-square variant just squares
+    these deviations; ppm deviations are the auditable primitive.)
+
+    Scale shape: scan-side digit extraction, one 9-group aggregate, a
+    1-row total broadcast back — constant-size everything past the
+    scan; the same shape at 100 TB.
+
+    Reference basis: extends the data-quality family (validity_filter,
+    dirty_data_parsing, analyze_column_stats) with a distributional
+    audit."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(38,6)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counted.agg(F.sum("n").cast("long").alias("t"))
+    benford = (
+        "CASE digit "
+        "WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 "
+        "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 "
+        "WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END"
+    )
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 DIV t").alias("share_ppm"),
+        F.expr(f"CAST({benford} AS BIGINT)").alias("benford_ppm"),
+        F.expr(f"abs(n * 1000000 DIV t - {benford})").alias("dev_ppm"),
+    )
+
+
+# ----------------------------------------- peak concurrency sweep --
+
+
+@staged_query(
+    "peak_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts,
+               ts + to_microseconds((event_id % 7 + 1) * 60000000) AS te
+        FROM events WHERE user_id < 300
+    ),
+    endpoints AS (
+        SELECT user_id, ts AS p, 1 AS d FROM iv
+        UNION ALL
+        SELECT user_id, te AS p, -1 AS d FROM iv
+    ),
+    running AS (
+        SELECT user_id,
+               sum(d) OVER (
+                   PARTITION BY user_id ORDER BY p, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM endpoints
+    )
+    SELECT user_id,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY user_id
+    """,
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (the other half of sweep-line algebra next to
+    interval_coverage_sweep): explode each interval to a +1 start and a
+    −1 end endpoint via UNION ALL (no generator needed — the relational
+    spelling both engines share), running-sum per user in (time, delta)
+    order, and the max prefix value is the peak number of simultaneously
+    open intervals. The delta tiebreak orders −1 before +1 at equal
+    instants, so touching intervals do not count as concurrent — a
+    semantic choice that must be explicit or engines disagree under
+    ties; the max prefix is invariant to ordering WITHIN an equal
+    (time, delta) class, so no further tiebreak is needed. Pure integer
+    arithmetic.
+
+    Scale shape: 2× row expansion at the scan, one hash exchange on
+    user_id, window + aggregate in the same partitioning. This is the
+    occupancy / max-concurrent-sessions / GPU-slot-peak query; the
+    global (un-keyed) variant takes the repo's chunked prefix-sum
+    machinery (deterministic_corpus_shuffle) instead of a global
+    window.
+
+    Reference basis: sweep-line sibling of interval_coverage_sweep;
+    SURVEY time-series family extension."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    iv = ev.select(
+        "user_id",
+        "ts",
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, (event_id % 7 + 1) * 60)"
+        ).alias("te"),
+    )
+    endpoints = iv.select(
+        "user_id", F.col("ts").alias("p"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", F.col("te").alias("p"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("p", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = endpoints.withColumn("conc", F.sum("d").over(w))
+    return running.groupBy("user_id").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+
+
+# -------------------------------------------- weighted median --
+
+
+@staged_query(
+    "weighted_median_grouped",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               CAST(user_id % 5 + 1 AS BIGINT) AS w
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, value, w,
+               sum(w) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(w) OVER (PARTITION BY event_type) AS tw
+        FROM t
+    )
+    SELECT event_type,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           min(CASE WHEN cw * 2 >= tw THEN value END) AS weighted_median
+    FROM cum GROUP BY event_type
+    """,
+)
+def weighted_median_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the importance-weighted robust center
+    (sample weights, mixture weights, token counts as weights): sort
+    each group by value, accumulate weights, and the weighted median is
+    the first value whose cumulative weight reaches half the total.
+    Lower-weighted-median convention (cw·2 ≥ tw picks the lower value
+    of an even split) stated explicitly — engines' own
+    percentile_cont/disc families disagree on weighted variants, which
+    is why the defining cumulative form is the graded one. Integer
+    weights and comparisons; the median itself is an INPUT value
+    (2-dp), never computed arithmetic — all exact.
+
+    Scale shape: one hash exchange on the group key; both windows (the
+    running sum and the group total) share the same partitioning, so
+    Catalyst plans one exchange + one sort. The min-over-qualifying
+    trick turns threshold selection into a plain aggregate — no second
+    join-back pass. Generalizes to any weighted quantile by replacing
+    the 2 with the quantile's ratio.
+
+    Reference basis: percentile family extension (A4, nearest-rank /
+    GK / lerp rows) to weighted form."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = t.select(
+        "event_type",
+        "value",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("value"))
+        ).alias("weighted_median"),
+    )
+
+
+# -------------------------------------- two-sample KS (binned) --
+
+
+@staged_query(
+    "binned_ks_statistic",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(floor(value) AS BIGINT) AS bin,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               sum(n1) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c1,
+               sum(n2) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c2,
+               sum(n1) OVER () AS t1,
+               sum(n2) OVER () AS t2
+        FROM binned
+    )
+    SELECT CAST(min(t1) AS BIGINT) AS n_click,
+           CAST(min(t2) AS BIGINT) AS n_view,
+           CAST(max(abs(t2 * c1 - t1 * c2)) AS BIGINT) AS d_scaled,
+           CAST(max(abs(t2 * c1 - t1 * c2)) AS DOUBLE)
+               / (CAST(min(t1) AS DOUBLE) * min(t2)) AS ks_d
+    FROM cum
+    """,
+)
+def binned_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the click and view
+    value distributions, in BINNED form: quantize values to unit bins
+    (floor of a 2-dp double is exact), cumulate both histograms over the
+    bin axis, and D = max |F̂₁−F̂₂| — computed as the exact INTEGER
+    max |t₂·c₁ − t₁·c₂| with one IEEE division at the end, so the float
+    is bit-identical cross-engine. Binning is what makes KS scale: the
+    exact pooled-sort form needs a global sort of both samples, while
+    the binned form's window runs over |bins| rows (bounded, here
+    ≤~100) after a partial-aggregated histogram — the same
+    bounded-frame argument the quality-CDF row makes. Distribution
+    drift between two sources/snapshots is THE training-data mixture
+    monitoring test.
+
+    Scale shape: one partial+final histogram aggregate (bins are the
+    only exchange key), a single-partition window over the bounded bin
+    table, a 1-row result. At 100 TB nothing past the scan grows.
+
+    Reference basis: extends the distribution-statistics family
+    (percentiles, winsorized, CDF normalize) with a two-sample test."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    binned = ev.groupBy(
+        F.floor("value").cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = binned.select(
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+        F.sum("n1").over(wt).alias("t1"),
+        F.sum("n2").over(wt).alias("t2"),
+    )
+    return cum.agg(
+        F.min("t1").cast("long").alias("n_click"),
+        F.min("t2").cast("long").alias("n_view"),
+        F.max(F.abs(F.col("t2") * F.col("c1") - F.col("t1") * F.col("c2")))
+        .cast("long")
+        .alias("d_scaled"),
+        (
+            F.max(
+                F.abs(F.col("t2") * F.col("c1") - F.col("t1") * F.col("c2"))
+            ).cast("double")
+            / (F.min("t1").cast("double") * F.min("t2"))
+        ).alias("ks_d"),
+    )
+
+
+# ------------------------------------------------ Gini coefficient --
+
+
+@staged_query(
+    "gini_concentration_by_type",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(38,6)) * 100 AS BIGINT) AS xc,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, xc,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY xc, event_id
+               ) AS i
+        FROM t
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS s0,
+               CAST(sum(i * xc) AS BIGINT) AS s1
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           2 * s1 - (n + 1) * s0 AS gini_num,
+           n * s0 AS gini_den,
+           CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / (n * s0) AS gini
+    FROM sums
+    """,
+)
+def gini_concentration_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini concentration per group — the inequality/imbalance measure
+    (value concentration per source, token-budget share skew): sort each
+    group's values ascending, and G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    (the closed rank form of the Lorenz-curve area). Values recover
+    exact cents through DECIMAL(38,6), ranks come from row_number with
+    an event_id tiebreak, and the numerator/denominator are emitted as
+    EXACT integers alongside the one-division float — Σi·x is invariant
+    to rank permutation among equal values, so the tiebreak only pins
+    engine row order, not the result.
+
+    Scale shape: one hash exchange on the group key, rank window +
+    aggregate in the same partitioning. Integer products stay in
+    bigint range (rank ≤ group rows, cents ≤ 10⁴; sf0.1 ⇒ Σi·x ≈
+    10⁹·10⁴ = 10¹³ ≪ 2⁶³); at larger groups the same formula carries in
+    DECIMAL(38,0).
+
+    Reference basis: distribution-statistics family extension — the
+    concentration complement of the winsorized/CDF rows."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,6)") * 100)
+        .cast("long")
+        .alias("xc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("xc", "event_id")
+    ranked = t.select(
+        "event_type", "xc", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("s0"),
+        F.sum(F.col("i") * F.col("xc")).cast("long").alias("s1"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).alias(
+            "gini_num"
+        ),
+        (F.col("n") * F.col("s0")).alias("gini_den"),
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("s0"))
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------- Markov transition matrix --
+
+
+@staged_query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
+    FROM pairs
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-sequence statistic (and the n-gram LM's
+    state-level cousin): lag each user's (ts, event_id)-ordered event
+    stream one step, count (from, to) pairs, and normalize each row of
+    the matrix to integer ppm by floor division (exact — no float
+    probability crosses the comparator). The lag window carries the
+    event_id tiebreak; without it the pair counts under equal
+    timestamps are engine-dependent.
+
+    Scale shape: one hash exchange on user_id for the lag window, then
+    the pair count re-aggregates to |types|² = 25 cells (partial
+    map-side combine does almost all of it), and the row normalization
+    is a window over those 25 cells. Transition matrices of any
+    sequence corpus (user journeys, token-class streams) take exactly
+    this plan.
+
+    Reference basis: sequence-analytics extension of the sessionize /
+    funnel family."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wrow).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        # integer floor division (DIV), matching the oracle's `//` —
+        # double `/` + cast can round across the integer boundary
+        F.expr("n * 1000000 DIV _den").cast("long").alias("p_ppm"),
+    )
+
+
+# ------------------------------ UDTF with dynamic schema (analyze) --
+
+
+@staged_query(
+    "udtf_dynamic_schema_analyze",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           l[1] AS tok_0,
+           l[2] AS tok_1,
+           l[3] AS tok_2,
+           CAST(len(l) AS INTEGER) AS n_tokens
+    FROM t
+    """,
+)
+def udtf_dynamic_schema_analyze(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` — the DYNAMIC-SCHEMA half
+    of the UDTF contract (udtf_chunk_documents graded the fixed-schema
+    half): the output columns tok_0..tok_{k-1} are computed by
+    analyze() from the CONSTANT argument k at plan time, so one UDTF
+    serves any width without a wrapper per shape — Spark calls
+    analyze() during resolution, pins the schema, and dispatches eval()
+    against it. k=3 here; the oracle spells the same projection
+    statically. Emitted tokens are plain strings (container gate
+    respected by construction).
+
+    Scale shape: UDTFs run per-partition (Arrow-batched in/out), no
+    shuffle introduced; the lateral-join plan is a narrow Generate.
+    Dynamic width is a PLAN-time decision — zero per-row cost.
+
+    Reference basis: completes the UDTF API surface (SURVEY §2.10
+    extension rows)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(row, k):
+            if not k.isConstantExpression:
+                raise ValueError("k must be a constant")
+            width = int(k.value)
+            schema = StructType().add("doc_id", LongType())
+            for i in range(width):
+                schema = schema.add(f"tok_{i}", StringType())
+            schema = schema.add("n_tokens", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, k: int):
+            toks = (row["text"] or "").split(" ")
+            yield (
+                row["doc_id"],
+                *[toks[i] if i < len(toks) else None for i in range(k)],
+                len(toks),
+            )
+
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("docs_for_lead")
+    return spark.sql(
+        """
+        SELECT t.*
+        FROM docs_for_lead d,
+             LATERAL lead_tokens(
+                 named_struct('doc_id', d.doc_id, 'text', d.text), 3) t
+        """
+    )
+
+
+# ----------------------------------- Arrow-optimized scalar UDF --
+
+
+@staged_query(
+    "arrow_scalar_udf_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+               range(1, least(len(text), 40) + 1),
+               i -> unicode(substring(text, i, 1)) * ((i - 1) % 31 + 1)
+           )) AS BIGINT) AS pos_weighted_sum,
+           reverse(upper(substring(text, 1, 12))) AS sig12
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def arrow_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDFs (``udf(..., useArrow=True)``,
+    Spark 4) — the LAST UDF flavor in the surface matrix (pandas_udf,
+    applyInPandas, mapInPandas, mapInArrow, UDTF are all graded):
+    per-row Python logic shipped over Arrow batches instead of pickled
+    rows, here a position-weighted codepoint checksum (exact integer
+    fold) and a string signature, each replayed relationally by the
+    oracle so the Arrow serialization path is graded value-for-value
+    (codepoints, not bytes — the char-vs-byte distinction the
+    char_octet_length row pins).
+
+    Honest cost note (the udtf row's discipline): a builtin-expression
+    twin IS the production path for exactly this logic — the scan-side
+    oracle SQL is that twin. The graded surface matters because real
+    per-row Python (tokenizers, validators) has no builtin spelling;
+    Arrow batching is what keeps it ~10× over pickled UDFs.
+
+    Scale shape: scan-side map, zero shuffles; Arrow batch size bounds
+    executor Python memory."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def pos_weighted_sum(text: str):
+        if text is None:
+            return None
+        return sum(
+            ord(c) * (i % 31 + 1) for i, c in enumerate(text[:40])
+        )
+
+    @udf("string", useArrow=True)
+    def sig12(text: str):
+        if text is None:
+            return None
+        return text[:12].upper()[::-1]
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    return docs.select(
+        "doc_id",
+        pos_weighted_sum("text").alias("pos_weighted_sum"),
+        sig12("text").alias("sig12"),
+    )
