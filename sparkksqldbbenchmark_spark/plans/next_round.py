@@ -1508,3 +1508,416 @@ def arrow_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_weighted_sum("text").alias("pos_weighted_sum"),
         sig12("text").alias("sig12"),
     )
+
+
+# ----------------------------- cogroup().applyInPandas reconcile --
+
+
+@staged_query(
+    "cogroup_applyinpandas_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents_a
+        FROM events WHERE event_id < 8000 GROUP BY event_type
+    ),
+    b AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents_b
+        FROM events WHERE event_id >= 2000 GROUP BY event_type
+    )
+    SELECT coalesce(a.event_type, b.event_type) AS event_type,
+           coalesce(n_a, 0) AS n_a,
+           coalesce(n_b, 0) AS n_b,
+           coalesce(cents_a, 0) - coalesce(cents_b, 0) AS cents_diff
+    FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    """,
+)
+def cogroup_applyinpandas_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``cogroup().applyInPandas`` — the two-sided grouped-map API (the
+    one grouped-Python surface not yet graded): two snapshots of the
+    events table are cogrouped per key and a single Python function
+    receives BOTH sides' pandas frames to reconcile (row counts and an
+    exact cent-sum delta — int64 cents via round(value·100), which is
+    exact for 2-dp doubles). The oracle replays it as two grouped CTEs
+    full-outer joined: cogroup ≡ co-partitioned full outer join at the
+    GROUP grain, which is precisely what the API saves you from hand-
+    writing when the per-key logic grows imperative (drift explanations,
+    per-key model fits).
+
+    Scale shape: both sides hash-exchange once on the key — same as the
+    join they replace; per-key pandas frames bound executor memory by
+    the largest single key (the applyInPandas caveat robust_zscore
+    documents). Arrow moves the batches.
+
+    Reference basis: completes SURVEY §2.10's grouped-Python matrix
+    (applyInPandas / mapInPandas / mapInArrow / UDTF / arrow-UDF all
+    graded)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") < 8000).select("event_type", "value")
+    b = ev.where(F.col("event_id") >= 2000).select("event_type", "value")
+
+    def reconcile(key, pa_df: pd.DataFrame, pb_df: pd.DataFrame):
+        ca = int((pa_df["value"] * 100).round().astype("int64").sum())
+        cb = int((pb_df["value"] * 100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_a": [len(pa_df)],
+                "n_b": [len(pb_df)],
+                "cents_diff": [ca - cb],
+            }
+        )
+
+    return (
+        a.groupBy("event_type")
+        .cogroup(b.groupBy("event_type"))
+        .applyInPandas(
+            reconcile,
+            "event_type string, n_a long, n_b long, cents_diff long",
+        )
+    )
+
+
+# ---------------------------------- applyInArrow group statistics --
+
+
+@staged_query(
+    "applyinarrow_group_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def applyinarrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the zero-pandas grouped-map variant
+    (Spark 4): the Python function receives each group as a RAW
+    pyarrow.Table and answers with one, so columnar kernels
+    (pyarrow.compute) run without the Arrow→pandas→Arrow double
+    conversion applyInPandas pays — the right grouped-Python surface
+    when the logic is expressible in Arrow kernels but not in Spark
+    expressions. Cent sums round value·100 to int64 (exact for 2-dp
+    doubles, same contract as the cogroup row); the oracle is the
+    plain grouped aggregate.
+
+    Scale shape: one hash exchange on the key; per-group Arrow tables
+    bound memory by the largest key. The honest note: for THESE stats
+    the builtin aggregate (the oracle) is the production plan — the
+    surface is graded for the kernels that have no builtin twin
+    (dictionary ops, run-end encodings, tensor reductions).
+
+    Reference basis: SURVEY §2.10 grouped-Python matrix, Arrow-native
+    entry."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+
+    def stats(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0)), "int64"
+        )
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "min_id": [pc.min(tbl.column("event_id")).as_py()],
+                "max_id": [pc.max(tbl.column("event_id")).as_py()],
+                "sum_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, min_id long, max_id long, "
+        "sum_cents long",
+    )
+
+
+# ------------------------------------------ HOF breadth, round 2 --
+
+
+@staged_query(
+    "hof_suite2",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:8] AS a,
+               string_split(text, ' ')[-8:] AS b
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(list_filter(a, x -> len(x) > 6)) > 0 AS any_long,
+           len(list_filter(a, x -> NOT (len(x) > 2))) = 0 AS all_gt2,
+           array_to_string(
+               list_transform(range(1, least(len(a), len(b)) + 1),
+                              i -> a[i] || '_' || b[i]), '|') AS zipped,
+           CAST(list_reduce(list_transform(a, x -> len(x)),
+                            (acc, x) -> acc + x) * 2 AS BIGINT)
+               AS double_len_sum,
+           CAST(len(list_distinct(list_transform(a, x -> len(x))))
+                AS INTEGER) AS n_distinct_lens
+    FROM t
+    """,
+)
+def hof_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function breadth, round two (round one graded
+    transform/filter/aggregate): `exists` / `forall` (the quantifier
+    pair — DuckDB spells them through list_filter emptiness, which IS
+    their definition), `zip_with` (element-wise pairing; the oracle
+    replays it index-based since DuckDB's list_zip yields structs),
+    and `aggregate` with a FINISH lambda (the third lambda slot round
+    one didn't cover — fold then transform the accumulator). Zipped
+    output serialized pipe-joined (container gate); zip_with over
+    unequal lengths is truncated by slicing both sides to 8 tokens and
+    the oracle ranges over least(len,len), pinning the
+    shorter-length semantics explicitly.
+
+    Scale shape: pure scan-side JVM codegen lambdas, zero shuffles —
+    the whole point of HOFs over explode/re-collect.
+
+    Reference basis: SURVEY §2.8 scalar-function surface, array-lambda
+    completion."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    t = docs.select(
+        "doc_id",
+        F.expr("slice(split(text, ' '), 1, 8)").alias("a"),
+        F.expr("slice(split(text, ' '), -8, 8)").alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.expr("exists(a, x -> length(x) > 6)").alias("any_long"),
+        F.expr("forall(a, x -> length(x) > 2)").alias("all_gt2"),
+        F.array_join(
+            F.expr("zip_with(a, b, (x, y) -> concat(x, '_', y))"), "|"
+        ).alias("zipped"),
+        F.expr(
+            "aggregate(a, 0L, (acc, x) -> acc + length(x),"
+            " acc -> acc * 2)"
+        ).alias("double_len_sum"),
+        F.size(
+            F.array_distinct(F.expr("transform(a, x -> length(x))"))
+        ).alias("n_distinct_lens"),
+    )
+
+
+# -------------------------------------- struct field mutation --
+
+
+@staged_query(
+    "struct_field_mutation_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               AS cents,
+           year(o_orderdate) AS order_year,
+           upper(o_orderpriority) AS priority_uc
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def struct_field_mutation_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Struct-column surgery — ``Column.withField`` / ``dropFields``
+    (Spark 3.1+), the API that mutates ONE field of a deep struct
+    without rebuilding the whole literal (the nested-payload editing
+    primitive for event envelopes and feature bundles): build an order
+    envelope struct, ADD two derived fields with withField, DROP the
+    raw price field, then flatten to scalars at the boundary (struct
+    outputs are not a result-contract type — container gate). The
+    oracle computes the surviving fields directly, proving the
+    mutation chain is value-preserving.
+
+    Scale shape: withField/dropFields compile to a single
+    UpdateFields expression — scan-side codegen, no shuffle, and
+    column pruning still reaches the parquet scan through it.
+
+    Reference basis: the reference's payload flattening (P1) works on
+    structs the consumer REBUILDS; this grades the in-place mutation
+    API a Spark-first pipeline uses instead."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 3000
+    )
+    env = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("s"),
+    )
+    mutated = env.select(
+        "o_orderkey",
+        F.col("s")
+        .withField(
+            "cents",
+            (F.col("s.price").cast("decimal(38,6)") * 100).cast("long"),
+        )
+        .withField("order_year", F.year("s.d"))
+        .withField("priority_uc", F.upper("s.prio"))
+        .dropFields("price", "d", "prio")
+        .alias("s"),
+    )
+    return mutated.select(
+        "o_orderkey",
+        F.col("s.status").alias("status"),
+        F.col("s.cents").alias("cents"),
+        F.col("s.order_year").alias("order_year"),
+        F.col("s.priority_uc").alias("priority_uc"),
+    )
+
+
+# ------------------------------------------ named WINDOW clause --
+
+
+@staged_query(
+    "named_window_clause_sql",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100 AS BIGINT))
+                OVER wf AS BIGINT) AS running_cents,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+    FROM events WHERE event_id < 3000
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def named_window_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard named WINDOW clause: one window definition
+    (`WINDOW w AS (...)`) referenced by multiple window functions —
+    graded byte-identical SQL on both engines. Cross-engine parser
+    finding this row pins: the SQL-standard in-place frame extension of
+    a named window (`OVER (w ROWS ...)`) parses in DuckDB but NOT in
+    Spark 4, so the portable spelling is a second named window carrying
+    the frame (`wf AS (... ROWS ...)`), used here on both sides.
+    Running cents accumulate in exact integers (the decimal-cents
+    contract); both named windows must bind to the same
+    partitioning/order for the one-exchange plan.
+
+    Scale shape: all three window functions share one (user_id)
+    partitioning; Catalyst plans a single exchange + sort and evaluates
+    the unordered count in the same pass. Named windows are purely
+    front-end — the plan is identical to the expanded form.
+
+    Reference basis: SQL-surface family (SURVEY §2 A2's ksql/SQL front
+    door; siblings pipe_syntax/groupby_all graduated r9)."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               user_id,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100
+                        AS BIGINT))
+                    OVER wf AS BIGINT) AS running_cents,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_user
+        FROM events WHERE event_id < 3000
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+# --------------------------------- conversation render w/ budget --
+
+
+@staged_query(
+    "conversation_render_budget",
+    oracle="""
+    WITH msgs AS (
+        SELECT user_id, ts, event_id,
+               event_type || ' ' ||
+               CAST(CAST(CAST(value AS DECIMAL(38,6)) * 100 AS BIGINT)
+                    AS VARCHAR) AS msg
+        FROM events WHERE user_id < 100
+    ),
+    budgeted AS (
+        SELECT user_id, ts, event_id, msg,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS turn
+        FROM msgs
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns_kept,
+           string_agg(msg, chr(10) ORDER BY ts, event_id) AS prompt
+    FROM budgeted
+    WHERE turn <= 6
+    GROUP BY user_id
+    """,
+)
+def conversation_render_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversation/prompt assembly under a turn budget — the
+    chat-template rendering step of an LLM data pipeline: each user's
+    events become ordered turns ("type cents" lines, exact integer
+    cents so the rendered text is cross-engine byte-identical), the
+    per-conversation budget keeps the FIRST 6 turns (row_number cut in
+    (ts, event_id) order — truncation must be deterministic or two
+    renders of one corpus differ), and the kept turns serialize to one
+    newline-joined prompt string per conversation. Spark spells the
+    ordered serialization as sort_array(collect_list(struct(...)))
+    → transform → array_join — the order-safe distributed listagg
+    (collect_list alone is partition-order-nondeterministic); the
+    oracle uses DuckDB's ORDER BY-qualified string_agg.
+
+    Scale shape: one hash exchange on the conversation key; the window
+    cut and the collect run in the same partitioning. Per-conversation
+    state is bounded by the budget (6 turns), not the raw turn count —
+    the cut happens BEFORE the collect, which is what keeps reducer
+    memory flat when one conversation has a million events.
+
+    Reference basis: LLM-pipeline extension — the packing/selection
+    family's missing front step (render → then sequence_packing)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    msgs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            (F.col("value").cast("decimal(38,6)") * 100)
+            .cast("long")
+            .cast("string"),
+        ).alias("msg"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = msgs.withColumn("turn", F.row_number().over(w)).where(
+        F.col("turn") <= 6
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "msg"))
+                ),
+                lambda x: x["msg"],
+            ),
+            "\n",
+        ).alias("prompt"),
+    )
