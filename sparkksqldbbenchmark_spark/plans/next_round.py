@@ -1921,3 +1921,207 @@ def conversation_render_budget(
             "\n",
         ).alias("prompt"),
     )
+
+
+# ----------------------------- global sweep via chunked prefix sum --
+
+
+@staged_query(
+    "global_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT ts,
+               ts + to_microseconds((event_id % 7 + 1) * 60000000) AS te
+        FROM events
+    ),
+    endpoints AS (
+        SELECT ts AS p, 1 AS d FROM iv
+        UNION ALL
+        SELECT te AS p, -1 AS d FROM iv
+    ),
+    running AS (
+        SELECT sum(d) OVER (ORDER BY p, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+        FROM endpoints
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+    FROM running
+    """,
+)
+def global_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL peak concurrency — the un-keyed sweep, graded in the
+    CHUNKED two-level form the repo's scale discipline mandates (SURVEY
+    §7 risk 7: never a global window over raw rows): endpoints are
+    bucketed by calendar day, each day computes its LOCAL running sum
+    and (local max, local total) in a day-partitioned window, the
+    per-day totals cumulate in one window over the ~30-row day summary
+    (bounded frame — this is the only ordered pass), and each day's
+    true peak = carry-in + local peak. max(carry + local) over days is
+    the global peak. The ORACLE is the definitional single global
+    window — DuckDB can afford it at oracle scale, which is exactly the
+    point: the distributed plan must equal the naive one.
+
+    Scale shape: one hash exchange on the day bucket; the only
+    single-partition work is the |days|-row summary cumulation — the
+    same leveled prefix-sum as sequence_packing/corpus_shuffle. Peak
+    concurrency of a 100 TB event corpus runs with per-day parallelism.
+
+    Reference basis: sweep-line family, global form — completes
+    interval_coverage_sweep / peak_concurrency_sweep."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "ts",
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, (event_id % 7 + 1) * 60)"
+        ).alias("te"),
+    )
+    endpoints = iv.select(
+        F.col("ts").alias("p"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(F.col("te").alias("p"), F.lit(-1).alias("d"))
+    ).withColumn("day", F.to_date("p"))
+    wl = (
+        Window.partitionBy("day")
+        .orderBy("p", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = endpoints.withColumn("run", F.sum("d").over(wl))
+    day_summary = local.groupBy("day").agg(
+        F.max("run").alias("local_peak"),
+        F.sum("d").alias("local_total"),
+    )
+    wc = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = day_summary.withColumn(
+        "carry", F.coalesce(F.sum("local_total").over(wc), F.lit(0))
+    )
+    n_iv = iv.count()
+    return carried.agg(
+        F.max(F.col("carry") + F.col("local_peak"))
+        .cast("long")
+        .alias("peak_concurrency"),
+        F.lit(n_iv).cast("long").alias("n_intervals"),
+    )
+
+
+# ---------------------------- JSON corrupt-record handling --
+
+
+@staged_query(
+    "json_corrupt_record_handling",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0
+                    THEN '!!not-json' || props
+                    ELSE props END AS payload
+        FROM events WHERE event_id < 5000
+    )
+    SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE CAST(json_extract(payload, '$.k') AS BIGINT)
+           END AS k,
+           (event_id % 97 = 0) AS is_corrupt,
+           CASE WHEN event_id % 97 = 0 THEN payload END AS corrupt_raw
+    FROM raw
+    """,
+)
+def json_corrupt_record_handling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERMISSIVE JSON parsing with a corrupt-record column — the
+    malformed-payload contract for JSON (S5 graded it for CSV): rows
+    are deterministically corrupted (every 97th id gets LEADING
+    garbage — leading, not trailing, because Spark's Jackson-based
+    parser tolerates trailing bytes after a complete JSON value, a
+    leniency divergence this row documents), `from_json` in PERMISSIVE
+    mode parses the rest and routes
+    the broken originals into `columnNameOfCorruptRecord` instead of
+    failing the job — the quarantine-don't-crash semantics a 100 TB
+    ingest needs (FAILFAST is a retry storm, DROPMALFORMED silently
+    loses data; the corrupt column is what makes the bad rows
+    AUDITABLE). The oracle replays the corruption and the routing
+    relationally.
+
+    Scale shape: scan-side from_json codegen, zero shuffles; the
+    corrupt column is NULL for clean rows so it compresses away.
+
+    Reference basis: SURVEY §2 P5 (malformed-row guard) extended to
+    the JSON codec family."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    raw = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("!!not-json"), F.col("props")),
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = raw.select(
+        "event_id",
+        F.from_json(
+            "payload",
+            "k long, _corrupt string",
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+            },
+        ).alias("j"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j._corrupt").isNotNull().alias("is_corrupt"),
+        F.col("j._corrupt").alias("corrupt_raw"),
+    )
+
+
+# ------------------------------------- LIKE quantifier breadth --
+
+
+@staged_query(
+    "like_quantifier_suite",
+    oracle="""
+    SELECT doc_id,
+           (text LIKE '%join%' AND text LIKE '%hash%') AS has_both,
+           (text LIKE '%vector%' OR text LIKE '%batch%') AS has_either,
+           NOT (text LIKE '%window%') AS lacks_window,
+           (upper(text) LIKE '%SCAN%') AS ilike_scan,
+           (text LIKE '%sort%merge%') AS ordered_pair
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def like_quantifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-family quantifiers: Spark's `LIKE ALL (...)` / `LIKE ANY
+    (...)` multi-pattern forms, `NOT LIKE`, `ILIKE` (case-insensitive),
+    and a multi-wildcard ordered pattern — graded against the oracle's
+    definitional AND/OR expansion (DuckDB has no LIKE ALL/ANY, which is
+    the portability note this row documents: the quantifier forms are
+    Spark sugar over conjunction/disjunction, and the expansion is the
+    cross-engine spelling). ILIKE grades against upper() + LIKE, its
+    definition.
+
+    Scale shape: scan-side codegen; multi-pattern LIKE compiles to the
+    same conjunction the oracle spells, and a leading-wildcard pattern
+    is a contains scan — linear per row, embarrassingly parallel.
+
+    Reference basis: SURVEY §2.8 string-predicate breadth (F-suite
+    siblings: regexp rows, string_suite2)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("text LIKE ALL ('%join%', '%hash%')").alias("has_both"),
+        F.expr("text LIKE ANY ('%vector%', '%batch%')").alias(
+            "has_either"
+        ),
+        F.expr("text NOT LIKE '%window%'").alias("lacks_window"),
+        F.expr("text ILIKE '%ScAn%'").alias("ilike_scan"),
+        F.expr("text LIKE '%sort%merge%'").alias("ordered_pair"),
+    )
