@@ -94,17 +94,17 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
     SELECT doc_id,
            CAST(dl AS INTEGER) AS dl,
            CAST(tf_join AS INTEGER) AS tf_join,
-           (((n_docs - df_join + 0.5) / (df_join + 0.5))
-            * ((tf_join * 2.2)
+           (((n_docs - df_join + CAST(0.5 AS DOUBLE)) / (df_join + CAST(0.5 AS DOUBLE)))
+            * ((tf_join * CAST(2.2 AS DOUBLE))
                / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
-           + (((n_docs - df_hash + 0.5) / (df_hash + 0.5))
-              * ((tf_hash * 2.2)
+           + (((n_docs - df_hash + CAST(0.5 AS DOUBLE)) / (df_hash + CAST(0.5 AS DOUBLE)))
+              * ((tf_hash * CAST(2.2 AS DOUBLE))
                  / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
-           + (((n_docs - df_scan + 0.5) / (df_scan + 0.5))
-              * ((tf_scan * 2.2)
+           + (((n_docs - df_scan + CAST(0.5 AS DOUBLE)) / (df_scan + CAST(0.5 AS DOUBLE)))
+              * ((tf_scan * CAST(2.2 AS DOUBLE))
                  / (tf_scan + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
-           + (((n_docs - df_vector + 0.5) / (df_vector + 0.5))
-              * ((tf_vector * 2.2)
+           + (((n_docs - df_vector + CAST(0.5 AS DOUBLE)) / (df_vector + CAST(0.5 AS DOUBLE)))
+              * ((tf_vector * CAST(2.2 AS DOUBLE))
                  / (tf_vector + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
            AS bm25_odds
     FROM d, corpus
@@ -156,8 +156,9 @@ def bm25_odds_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def term(t: str) -> str:
         return (
-            f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
-            f" * ((tf_{t} * 2.2)"
+            f"(((n_docs - df_{t} + CAST(0.5 AS DOUBLE))"
+            f" / (df_{t} + CAST(0.5 AS DOUBLE)))"
+            f" * ((tf_{t} * CAST(2.2 AS DOUBLE))"
             f" / (tf_{t} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
         )
 
