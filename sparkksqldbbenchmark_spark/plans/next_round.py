@@ -2126,3 +2126,155 @@ def like_quantifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("text ILIKE '%ScAn%'").alias("ilike_scan"),
         F.expr("text LIKE '%sort%merge%'").alias("ordered_pair"),
     )
+
+
+# ----------------------------------------------- OLS trend per key --
+
+
+@staged_query(
+    "ols_trend_by_key",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(38,6)) * 100 AS BIGINT) AS yc
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(yc) AS BIGINT) AS sy,
+               CAST(sum(x * yc) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num_cents,
+           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS slope_cents_per_step,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx)) * sx) / n AS intercept_cents
+    FROM sums
+    """,
+)
+def ols_trend_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (closed-form simple linear regression) — the
+    drift detector for metric streams: regress exact cent values against
+    the time RANK (rank, not raw epoch, keeps x small and the sums in
+    bigint), with all five sufficient statistics as EXACT integers
+    (cents ≤ 10⁴, rank ≤ group rows; sf0.1 ⇒ Σx·y ≈ 2·10⁴·10⁴·2·10⁴
+    ≪ 2⁶³). Slope numerator/denominator are emitted exactly; the float
+    slope and intercept are single IEEE divisions/multiplications in a
+    fixed order, so they grade bit-identically — the same
+    sufficient-sums proof the ACF row carries (OLS and ACF share the
+    five-sums skeleton; this row adds the intercept algebra).
+
+    Scale shape: one hash exchange on the series key (rank window +
+    aggregate in the same partitioning); five bigints of state per
+    group. At 100 TB trend detection over millions of series is
+    exchange-once, scan-bound.
+
+    Reference basis: the reference notebook's price_prediction pipeline
+    fits sklearn LinearRegression driver-side (SURVEY §2 notebook
+    section); this is the same estimator as a distributed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("x"),
+        (F.col("value").cast("decimal(38,6)") * 100)
+        .cast("long")
+        .alias("yc"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        "event_type",
+        "n",
+        num.alias("slope_num_cents"),
+        den.alias("slope_den"),
+        slope.alias("slope_cents_per_step"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+        ).alias("intercept_cents"),
+    )
+
+
+# ------------------------------------------- rolling median smooth --
+
+
+@staged_query(
+    "rolling_median_smooth",
+    oracle="""
+    SELECT event_id, event_type,
+           median(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS smooth_val
+    FROM events WHERE event_id < 4000
+    """,
+)
+def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median smoothing — the ROBUST denoiser (a 4-point moving
+    median rejects single-sample spikes a moving average absorbs).
+    Cross-engine operator finding this row pins: DuckDB evaluates
+    `median(...) OVER (... ROWS 3 PRECEDING)` natively (the oracle
+    does), but Spark REJECTS any ordered/framed window for median or
+    percentile (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — so the
+    Spark-first spelling of a small-frame rolling quantile is lag
+    COMPOSITION: gather the frame into an array of lag() values, drop
+    the NULL prefix slots, array_sort, and index the middle (odd width)
+    or average the two middles (even width; (a+b)/2 is one IEEE add
+    and an exact halving). For constant frame width k this is O(k log k)
+    codegen per row with NO Python and no extra shuffle — the correct
+    engine-native form until the frame grows large.
+
+    Scale shape: one hash exchange on the series key; 3 lag expressions
+    share one window sort, the rest is scan-side array codegen —
+    identical cost class to lag/lead at 100 TB. (Quantiles over
+    UNBOUNDED growing frames would be the quadratic trap; bounded
+    frames are the production form.)
+
+    Reference basis: time-series family — the robust twin of the
+    reference's window averaging (A1)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 4000)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    framed = ev.select(
+        "event_id",
+        "event_type",
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.lag("value", 3).over(w),
+                    F.lag("value", 2).over(w),
+                    F.lag("value", 1).over(w),
+                    F.col("value"),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("a"),
+    )
+    n = F.size("a")
+    mid_hi = F.element_at("a", (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at("a", (n / 2).cast("int"))
+    return framed.select(
+        "event_id",
+        "event_type",
+        F.when(n % 2 == 1, F.element_at("a", ((n + 1) / 2).cast("int")))
+        .otherwise((mid_lo + mid_hi) / 2)
+        .alias("smooth_val"),
+    )
