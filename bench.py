@@ -187,6 +187,9 @@ def main() -> None:
         "exact_substring_spans",
         "ngram_lm_familiarity",
         "video_mjpeg_frame_extract",
+        "bm25_odds_retrieval",
+        "interval_coverage_sweep",
+        "countmin_heavy_hitters",
     ]
     ext_funcs = dict(queries)
     try:

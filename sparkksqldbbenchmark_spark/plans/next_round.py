@@ -2278,3 +2278,135 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((mid_lo + mid_hi) / 2)
         .alias("smooth_val"),
     )
+
+
+# -------------------------------- grouped GK quantile certificate --
+
+
+@staged_query(
+    "grouped_gk_quantiles_certified",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           median(value) AS exact_median,
+           true AS within_rank_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_gk_quantiles_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP approximate quantiles certified by their rank-error
+    contract (the global form graded in round 4; grouped is the
+    production shape — one sketch per series): percentile_approx's GK
+    sketch at accuracy=100 guarantees rank error ≤ n/accuracy, so the
+    query computes the RANK of the sketch's median answer inside each
+    group (an exact integer: count of values strictly below, plus ties
+    straddling) and emits whether it sits within n/2 ± (n/100 + ties).
+    The sketch VALUE itself never reaches the comparator (it is
+    engine-specific — DuckDB has no GK twin); what grades is the
+    certificate boolean, which the oracle pins to TRUE per group — a
+    bound violation flips the Spark side to false and hash-fails. The
+    exact median rides along (both engines interpolate the two middle
+    values; one IEEE add + exact halving on 2-dp inputs).
+
+    Scale shape: percentile_approx is a mergeable partial aggregate
+    (constant-size GK state per group per partition); the rank
+    certification is one extra conditional count in the same
+    partial+final pass — zero additional shuffles.
+
+    Reference basis: SURVEY §2 A4 percentile family, grouped-sketch
+    form with the same certificate discipline as
+    approx_count_distinct / approx_topk / ann_recall."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = F.expr("percentile_approx(value, 0.5, 100)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.median("value").alias("exact_median"),
+        approx.alias("apx"),
+    )
+    ranked = (
+        ev.join(F.broadcast(g.select("event_type", "apx")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("apx"), 1).otherwise(0))
+            .cast("long")
+            .alias("below"),
+            F.sum(F.when(F.col("value") == F.col("apx"), 1).otherwise(0))
+            .cast("long")
+            .alias("ties"),
+        )
+    )
+    return g.join(ranked, "event_type").select(
+        "event_type",
+        "n",
+        "exact_median",
+        (
+            (F.col("below") <= F.col("n") / 2 + F.col("n") / 100 + 1)
+            & (
+                F.col("below") + F.col("ties")
+                >= F.col("n") / 2 - F.col("n") / 100 - 1
+            )
+        ).alias("within_rank_bound"),
+    )
+
+
+# --------------------------------------- text format round-trip --
+
+
+@staged_query(
+    "text_format_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(text) AS BIGINT) AS text_len
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def text_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT file format as a first-class source/sink (the last core
+    format untested: parquet/ORC/CSV/JSON/XML all have graded rows):
+    rows serialize to pipe-delimited LINES via write.text, read back
+    with spark.read.text (one `value` column per line), and parse back
+    to typed columns — the log-file / plain-corpus ingestion shape. The
+    oracle recomputes every parsed value from the base table, so the
+    round-trip is proven lossless for the serialized fields (text
+    LENGTH survives; the text itself stays out of the line protocol —
+    embedded delimiters are the csv_line_codec row's territory).
+
+    Scale shape: text write/read is the cheapest scan there is (no
+    footer, no schema — splittable by line); parsing is scan-side
+    split/cast codegen. The honest note: losing types/stats/pushdown
+    is WHY parquet wins at rest — this row grades the format because
+    raw-text corpora are an ingestion reality, not a recommendation.
+
+    Reference basis: SURVEY §2.1 source/format matrix completion."""
+    import tempfile as _tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    out = _tempfile.mkdtemp(prefix="textfmt_") + "/lines"
+    (
+        docs.select(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                "lang",
+                F.col("n_chars").cast("string"),
+                F.length("text").cast("string"),
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), r"\|")
+    return lines.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).cast("long").alias("n_chars"),
+        F.element_at(parts, 4).cast("long").alias("text_len"),
+    )
