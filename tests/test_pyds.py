@@ -295,3 +295,79 @@ def test_jsonl_stream_sink_batch_manifests(spark, tmp_path):
     assert sorted(
         f for f in os.listdir(d) if f.startswith("_BATCH_")
     ) == manifests
+
+
+def test_events_pushdown_reader_bounds_algebra(tmp_path):
+    """pushFilters bound folding without Spark: each supported
+    comparison tightens [lo, hi); unsupported filters come back out;
+    partition clipping honors the bounds. (The end-to-end pruning is
+    graded by the staged python_datasource_filter_pushdown row.)"""
+    import json
+    import os
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        EventsPushdownReader,
+    )
+
+    scratch = str(tmp_path / "push_scratch")
+    os.makedirs(scratch)
+    r = EventsPushdownReader(
+        "/root/testdata/sf0.001/events.parquet", scratch, 100
+    )
+    assert (r.lo, r.hi) == (0, 1000)
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 150),
+                GreaterThan(("event_id",), 199),   # → lo 200
+                LessThanOrEqual(("event_id",), 899),  # → hi 900
+                LessThan(("event_id",), 850),      # → hi 850
+                IsNotNull(("event_id",)),          # no .value — declined
+                StringStartsWith(("event_type",), "cl"),  # declined
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (200, 850)
+    assert {type(f).__name__ for f in unsupported} == {
+        "IsNotNull",
+        "StringStartsWith",
+    }
+    with open(os.path.join(scratch, "_pushed.json")) as fh:
+        assert json.load(fh) == {"lo": 200, "hi": 850}
+    spans = [p.value for p in r.partitions()]
+    assert spans[0] == (200, 300) and spans[-1] == (800, 850)
+    assert all(a >= 200 and b <= 850 for a, b in spans)
+
+    # EqualTo folds to a one-row range
+    r2 = EventsPushdownReader(
+        "/root/testdata/sf0.001/events.parquet", scratch, 100
+    )
+    list(r2.pushFilters([EqualTo(("event_id",), 412)]))
+    assert (r2.lo, r2.hi) == (412, 413)
+    assert [p.value for p in r2.partitions()] == [(412, 413)]
+
+    # contradictory bounds → empty sentinel partition, zero rows
+    r3 = EventsPushdownReader(
+        "/root/testdata/sf0.001/events.parquet", scratch, 100
+    )
+    list(
+        r3.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 900),
+                LessThan(("event_id",), 100),
+            ]
+        )
+    )
+    parts = r3.partitions()
+    assert len(parts) == 1
+    assert list(r3.read(parts[0])) == []
