@@ -37,6 +37,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import sparkksqldbbenchmark_spark.plans.round8_queries  # noqa: F401
+    import sparkksqldbbenchmark_spark.plans.round9_queries  # noqa: F401
     from sparkksqldbbenchmark_spark.plans.next_round import STAGED as _NEXT
     from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
