@@ -2410,3 +2410,131 @@ def text_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 3).cast("long").alias("n_chars"),
         F.element_at(parts, 4).cast("long").alias("text_len"),
     )
+
+
+# ----------------------------------------- map HOFs, round two --
+
+
+@staged_query(
+    "map_hof_suite2",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 150 GROUP BY 1, 2
+    )
+    SELECT user_id,
+           array_to_string(list_sort(list_transform(
+               list(event_type), t -> 'k_' || t)), '|') AS renamed_keys,
+           CAST(sum(c * cents) AS BIGINT) AS zip_dot,
+           CAST(max(CASE WHEN c >= 5 THEN cents END) AS BIGINT)
+               AS max_cents_hot
+    FROM per GROUP BY user_id
+    """,
+)
+def map_hof_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions, round two (round one graded
+    element_at/map_keys/transform_values/map_filter): `transform_keys`
+    (rename every key through a lambda — emitted as the sorted
+    pipe-joined key list), and `map_zip_with` (align TWO maps on their
+    key union and combine per key — here a count-map and a cent-sum map
+    zip to per-key products, folded to a scalar). The oracle computes
+    each derived value relationally from the same per-(user, type)
+    aggregates; map internal order never reaches the comparator.
+
+    Scale shape: same two-level aggregate as round one (partial shuffle
+    to (user, type), second keyed on user); per-user maps bounded by
+    |event types| = 5. All lambdas are JVM codegen.
+
+    Reference basis: completes SURVEY §2.8's map-lambda surface."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 150)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum((F.col("value").cast("decimal(38,6)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("mc"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cents")))
+        ).alias("ms"),
+    )
+    return m.select(
+        "user_id",
+        F.array_join(
+            F.sort_array(
+                F.map_keys(
+                    F.expr("transform_keys(mc, (k, v) -> concat('k_', k))")
+                )
+            ),
+            "|",
+        ).alias("renamed_keys"),
+        F.expr(
+            "aggregate(map_values(map_zip_with(mc, ms,"
+            " (k, c, s) -> c * s)), 0L, (acc, x) -> acc + x)"
+        ).alias("zip_dot"),
+        F.expr(
+            "array_max(map_values(map_filter(map_zip_with(mc, ms,"
+            " (k, c, s) -> IF(c >= 5, s, NULL)), (k, v) -> v IS NOT"
+            " NULL)))"
+        ).alias("max_cents_hot"),
+    )
+
+
+# ----------------------------- unionByName with missing columns --
+
+
+@staged_query(
+    "union_missing_columns_suite",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               AS cents,
+           'orders_v1' AS src
+    FROM orders WHERE o_orderkey < 1500
+    UNION ALL
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(NULL AS BIGINT) AS cents,
+           'orders_v2' AS src
+    FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 2500
+    """,
+)
+def union_missing_columns_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — the schema-drift
+    union (two snapshots of a feed where a column was added/dropped):
+    columns align BY NAME, and a column absent from one side
+    materializes as typed NULLs instead of failing or silently
+    position-shifting (plain UNION's classic corruption when schemas
+    drift). The v2 slice drops the price column; the oracle spells the
+    NULL materialization explicitly. This is the batch twin of
+    schema_evolution_mergeschema (which graded the same drift at the
+    FILE level).
+
+    Scale shape: union is a no-shuffle plan node; the NULL fill is a
+    projection. Nothing here grows with scale.
+
+    Reference basis: SURVEY §2.7 set-op family (U1–U3) under schema
+    evolution."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") < 1500).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice").cast("decimal(38,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.lit("orders_v1").alias("src"),
+    )
+    v2 = o.where(
+        (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 2500)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("orders_v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
