@@ -2538,3 +2538,111 @@ def union_missing_columns_suite(
         F.lit("orders_v2").alias("src"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# --------------------------- cross-source quantile normalization --
+
+
+@staged_query(
+    "quantile_normalization_cross_source",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rs,
+               count(*) OVER (PARTITION BY source) AS ns
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars AS gval,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+        FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT s.doc_id, s.source,
+           CAST(s.n_chars AS BIGINT) AS n_chars,
+           CAST(g.gval AS BIGINT) AS normalized_n_chars
+    FROM s, tot
+    JOIN g ON g.gr = ((s.rs - 1) * (tot.n - 1)) // (s.ns - 1) + 1
+    """,
+)
+def quantile_normalization_cross_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION — the mixture-calibration
+    operator (make per-source score distributions comparable before a
+    global quality cut, so no source is penalized for its scorer's
+    scale): each document's within-source nearest-rank position maps to
+    the value at the SAME position of the GLOBAL distribution, all in
+    integer rank arithmetic (floor-division position mapping, value
+    ties broken by doc_id on both levels).
+
+    The Spark plan builds the GLOBAL rank WITHOUT a global window
+    (SURVEY §7 risk 7): distinct n_chars values form a BOUNDED bucket
+    table, one single-partition window cumulates bucket counts into
+    carries, and each doc's global rank = its bucket carry + a
+    within-bucket row_number — the leveled prefix-sum machinery
+    (sequence packing / corpus shuffle), here keyed by value. The
+    ORACLE is the definitional single-global-window form; the
+    distributed plan must equal it exactly.
+
+    Scale shape: one exchange per level (source window; value-bucket
+    window over the bounded bucket table; within-bucket window), one
+    equi-join on the mapped global position. At 100 TB the bucket
+    table is the value histogram — kilobytes; nothing single-reducer
+    touches row-grain data.
+
+    Reference basis: LLM-pipeline extension — quality-CDF normalize's
+    cross-source big sibling (that row normalized within ONE
+    distribution; this one aligns MANY)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_total = docs.count()
+
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("rs"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("ns"),
+    )
+
+    # global rank, leveled: bounded value-bucket carries + in-bucket rank
+    buckets = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_b = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = buckets.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("carry"),
+    )
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    g = (
+        docs.join(F.broadcast(carries), "n_chars")
+        .select(
+            F.col("n_chars").alias("gval"),
+            (F.col("carry") + F.row_number().over(w_in)).alias("gr"),
+        )
+    )
+
+    mapped = s.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (
+            F.expr(f"((rs - 1) * ({n_total} - 1)) DIV (ns - 1)") + 1
+        ).alias("gpos"),
+    )
+    return mapped.join(g, mapped.gpos == g.gr).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("gval").cast("long").alias("normalized_n_chars"),
+    )

@@ -338,3 +338,32 @@ def test_bm25_matches_python_rederivation(spark):
             )
             score = score + idf * tfc
         assert got[doc_id] == score, doc_id
+
+
+def test_quantile_normalization_properties(spark):
+    """Within-source order is preserved, per-source extremes map to the
+    global extremes, and the normalized multiset of each source follows
+    the global distribution's values (all ranks are valid positions)."""
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    rows = STAGED["quantile_normalization_cross_source"](
+        spark, SF_DIR
+    ).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    assert len(rows) == len(docs)
+    gvals = sorted(d.n_chars for d in docs)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        # monotone: normalized never decreases along the source order
+        norm = [r.normalized_n_chars for r in rs]
+        assert norm == sorted(norm), src
+        # extremes map to the global extremes
+        assert norm[0] == gvals[0] and norm[-1] == gvals[-1], src
+        # every normalized value is an actual global value
+        gset = set(gvals)
+        assert all(v in gset for v in norm), src
