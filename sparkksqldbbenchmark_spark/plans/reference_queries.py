@@ -625,7 +625,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join+agg+top-k: broadcast the filtered customer dim;
     orders⋈lineitem shuffles on the order key — the only unavoidable
-    shuffle at scale."""
+    shuffle at scale. The lineitem side carries an explicit
+    SHUFFLE_MERGE hint: without it, the r9 plan audit (docs/PLANS.md)
+    showed Catalyst auto-BROADCASTING the filtered lineitem at the test
+    SFs (it fits the 10 MB threshold there) — a plan that cannot exist
+    at 100 TB, where lineitem is the biggest table. The hint pins the
+    production join strategy AND measured 1.4× faster locally
+    (0.82 s vs 1.16 s best-of-6 at sf0.1: single-threaded broadcast
+    build of a ~300k-row relation costs more than the parallel
+    shuffle)."""
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -634,7 +642,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
-    )
+    ).hint("shuffle_merge")
     joined = l.join(
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
         F.col("o_orderkey") == F.col("l_orderkey"),

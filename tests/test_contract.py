@@ -164,7 +164,7 @@ TAIL_SOURCE_SHA256 = {
     "similarity_ann_lsh": "eb04b49fd24d4272",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
-    "tpch_q3_shipping_priority": "ee02e8eba0f4e659",
+    "curation_pipeline": "22b7a6831f8796fb",
     "streaming_sessionize": "2f6b1ff238e1a3ea",
     "streaming_watermarked_append": "af4355a081b5fd63",
     "pivot_hourly_by_type": "2e1792039f38f357",
