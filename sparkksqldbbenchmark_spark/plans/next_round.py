@@ -2646,3 +2646,161 @@ def quantile_normalization_cross_source(
         "n_chars",
         F.col("gval").cast("long").alias("normalized_n_chars"),
     )
+
+
+# ------------------------- minhash estimator-error certificate --
+
+
+def _minhash_error_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    inter = (
+        "len(list_filter(sa.shingles,"
+        " s -> list_contains(sb.shingles, s)))"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(range(1, {k} + 1),
+                    j -> ga.sig[j] = gb.sig[j])) AS BIGINT) AS match_k,
+               CAST({inter} AS BIGINT) AS inter_n,
+               CAST(len(sa.shingles) + len(sb.shingles) - {inter}
+                    AS BIGINT) AS union_n
+        FROM cand c
+        JOIN sh sa ON c.id_a = sa.doc_id
+        JOIN sh sb ON c.id_b = sb.doc_id
+        JOIN sigged ga ON c.id_a = ga.doc_id
+        JOIN sigged gb ON c.id_b = gb.doc_id
+    )
+    SELECT id_a, id_b, match_k, inter_n, union_n,
+           abs(CAST(match_k AS DOUBLE) / {k}
+               - CAST(inter_n AS DOUBLE) / union_n) <= 0.35
+               AS within_tolerance
+    FROM pairs
+    """
+
+
+@staged_query(
+    "minhash_estimate_error_certified",
+    oracle=_minhash_error_oracle(),
+)
+def minhash_estimate_error_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATOR-ERROR certificate — the dedup family's missing
+    quality evidence (the ANN rows certify recall/MRR; this certifies
+    the signature math itself): for every LSH candidate pair, the
+    k=16-component signature agreement (the Jaccard ESTIMATE, an
+    integer count) sits next to the EXACT shingle-set Jaccard
+    (integer intersection/union sizes), and the certificate bool pins
+    |est − exact| ≤ 0.35 ≈ 3σ of the k=16 estimator (σ =
+    √(J(1−J)/k) ≤ 0.125). Everything is deterministic given the fixed
+    universal-hash family (llm/hashing.py), so the oracle recomputes
+    the identical signatures and the SAME booleans — a real bound
+    violation would flip a row on the Spark side only and hash-fail.
+
+    Scale shape: the same banded front half as the dedup flagship (two
+    hash exchanges, candidates only on bucket collisions), one extra
+    zip_with over the two k-length signatures per CANDIDATE (not per
+    pair of documents). The certificate is what justifies trusting
+    match_k as the cheap first-pass filter at 100 TB, where exact
+    verification of every candidate is the dominant cost.
+
+    Reference basis: LLM dedup family (SURVEY §2 extensions), estimator
+    quality-certificate form."""
+    from sparkksqldbbenchmark_spark.llm.dedup import (
+        lsh_banded_buckets,
+        with_minhash_signature,
+    )
+
+    k = 16
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_side, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id", num_hashes=k, bands=4
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "bh"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "bh"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sigged = with_minhash_signature(docs, "text", num_hashes=k).select(
+        "doc_id", "sig"
+    )
+    sh = shingle_side.select("doc_id", "shingles")
+    pairs = (
+        cand.join(
+            sigged.select(
+                F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigged.select(
+                F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect("sh_a", "sh_b"))
+    ).cast("long")
+    match_k = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
+    ).cast("long")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        match_k.alias("match_k"),
+        inter.alias("inter_n"),
+        union.alias("union_n"),
+        (
+            F.abs(
+                match_k.cast("double") / k
+                - inter.cast("double") / union
+            )
+            <= 0.35
+        ).alias("within_tolerance"),
+    )
