@@ -2804,3 +2804,136 @@ def minhash_estimate_error_certified(
             <= 0.35
         ).alias("within_tolerance"),
     )
+
+
+# --------------------------- decontamination: max contiguous span --
+
+
+def _max_span_oracle(n: int = 8, split_mod: int = 10) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h8 = sql_md5_int(
+        f"array_to_string(toks[i : i + {n} - 1], ' ')"
+    )
+    return f"""
+    WITH tokd AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    win AS (
+        SELECT doc_id, t.i AS pos,
+               {h8} AS h
+        FROM tokd, LATERAL (
+            SELECT unnest(range(1,
+                greatest(len(toks) - {n} + 1, 1) + 1)) AS i) t
+        WHERE doc_id % {split_mod} != 0
+    ),
+    ev AS (
+        SELECT DISTINCT {h8} AS h
+        FROM tokd, LATERAL (
+            SELECT unnest(range(1,
+                greatest(len(toks) - {n} + 1, 1) + 1)) AS i) t
+        WHERE doc_id % {split_mod} = 0
+    ),
+    hits AS (
+        SELECT w.doc_id, w.pos,
+               w.pos - row_number() OVER (
+                   PARTITION BY w.doc_id ORDER BY w.pos
+               ) AS grp
+        FROM win w JOIN ev ON w.h = ev.h
+    ),
+    spans AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS span_windows
+        FROM hits GROUP BY doc_id, grp
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        FROM win GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows,
+           CAST(coalesce(sum(s.span_windows), 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(max(s.span_windows), 0) + CASE
+                WHEN max(s.span_windows) IS NULL THEN 0
+                ELSE {n} - 1 END AS BIGINT) AS max_span_tokens,
+           coalesce(max(s.span_windows), 0) + CASE
+                WHEN max(s.span_windows) IS NULL THEN 0
+                ELSE {n} - 1 END >= 16 AS contaminated_span
+    FROM tot t LEFT JOIN spans s ON t.doc_id = s.doc_id
+    GROUP BY t.doc_id, t.n_windows
+    """
+
+
+@staged_query("decontam_max_span", oracle=_max_span_oracle())
+def decontam_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by MAX CONTIGUOUS OVERLAP SPAN — the positional
+    upgrade of the graded shingle-overlap fraction (decontam row): a
+    training doc sharing many SCATTERED 8-grams with the eval set is
+    thematically similar, but a LONG CONTIGUOUS run of matched windows
+    is a verbatim leak — the quantity eval-contamination policies
+    actually threshold on. Per training doc: positional 8-token window
+    hashes (cross-engine md5-int) left-semi-matched against the
+    broadcast DISTINCT eval window-hash set, matched positions merged
+    gaps-and-islands (pos − row_number), and the longest island
+    reported in TOKENS (span_windows + 7). contaminated_span pins the
+    ≥16-token policy cut. Eval slice = doc_id % 10 == 0, the repo's
+    standard held-out convention.
+
+    Scale shape: eval hash set broadcasts (eval suites are small by
+    nature — the decontam row's design); the corpus side shuffles ONCE
+    on doc_id for the island window; window hashing is scan-side
+    codegen. The exact_substring_spans machinery, pointed across
+    corpora instead of within one.
+
+    Reference basis: LLM decontamination family — completes fraction
+    (graded r6) with span grain."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    n, split_mod = 8, 10
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    )
+    h8 = spark_md5_int(f"concat_ws(' ', slice(toks, i, {n}))")
+    win_expr = (
+        f"transform(sequence(1, greatest(size(toks) - {n} + 1, 1)),"
+        f" i -> struct(i AS pos, {h8} AS h))"
+    )
+    train = (
+        tokd.where(F.col("doc_id") % split_mod != 0)
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
+    ev = (
+        tokd.where(F.col("doc_id") % split_mod == 0)
+        .select(F.explode(F.expr(win_expr)).alias("w"))
+        .select("w.h")
+        .distinct()
+    )
+    hits = train.join(F.broadcast(ev), "h")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("span_windows"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("span_windows").cast("long").alias("n_hits"),
+            F.max("span_windows").alias("max_windows"),
+        )
+    )
+    tot = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    joined = tot.join(spans, "doc_id", "left")
+    max_tokens = F.when(
+        F.col("max_windows").isNull(), F.lit(0)
+    ).otherwise(F.col("max_windows") + (n - 1))
+    return joined.select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        max_tokens.cast("long").alias("max_span_tokens"),
+        (max_tokens >= 16).alias("contaminated_span"),
+    )

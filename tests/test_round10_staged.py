@@ -367,3 +367,45 @@ def test_quantile_normalization_properties(spark):
         # every normalized value is an actual global value
         gset = set(gvals)
         assert all(v in gset for v in norm), src
+
+
+def test_decontam_max_span_detects_planted_leak(spark):
+    """Plant a verbatim 24-token copy of an EVAL doc's opening inside a
+    TRAINING doc: its max contiguous span must be ≥ 24 tokens and the
+    ≥16-token policy flag must fire; a doc with no eval 8-grams stays
+    at span 0."""
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    eval_text = docs.where("doc_id = 20").collect()[0].text  # 20%10==0
+    leak = " ".join(eval_text.split(" ")[:24])
+    novel = " ".join(f"qzx{i}" for i in range(40))
+    patched = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 11, F.concat_ws(" ", F.lit(novel), F.lit(leak)))
+        .when(F.col("doc_id") == 13, F.lit(novel))
+        .otherwise(F.col("text")),
+    )
+
+    import sparkksqldbbenchmark_spark.plans.next_round as nr
+
+    orig = nr.load_table
+    nr.load_table = (
+        lambda s, d, n: patched if n == "documents" else orig(s, d, n)
+    )
+    try:
+        rows = {
+            r.doc_id: r
+            for r in STAGED["decontam_max_span"](spark, SF_DIR).collect()
+        }
+    finally:
+        nr.load_table = orig
+
+    assert rows[11].max_span_tokens >= 24
+    assert rows[11].contaminated_span
+    assert rows[13].max_span_tokens == 0 and rows[13].n_hits == 0
+    assert not rows[13].contaminated_span
