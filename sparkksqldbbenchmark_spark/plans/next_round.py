@@ -2637,7 +2637,15 @@ def quantile_normalization_cross_source(
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         (
-            F.expr(f"((rs - 1) * ({n_total} - 1)) DIV (ns - 1)") + 1
+            # rs is a 32-bit row_number: the rank product overflows int
+            # past ~46k docs per source (caught by the 1M-doc scale
+            # smoke — ANSI mode would fail the job, non-ANSI silently
+            # corrupts positions); widen BEFORE multiplying
+            F.expr(
+                f"((CAST(rs AS BIGINT) - 1) * ({n_total} - 1))"
+                " DIV (CAST(ns AS BIGINT) - 1)"
+            )
+            + 1
         ).alias("gpos"),
     )
     return mapped.join(g, mapped.gpos == g.gr).select(

@@ -901,6 +901,140 @@ def main() -> None:
             f"{int(n / asof_s):,} rows/s)"
         )
 
+        # round-10 staged operator shapes: BM25 per-doc scoring (scan +
+        # 1-row corpus broadcast), interval-coverage sweep (key window +
+        # agg), and cross-source quantile normalization (leveled global
+        # rank: bounded bucket carries, no global window)
+        docs10 = spark.range(max(n // 10, 1)).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("source"),
+            (F.col("id") % 541 + 60).alias("n_chars"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, 23),"
+                " i -> concat('w', (id * 7 + i * i) % 5000)))"
+            ).alias("text"),
+        )
+        t0 = time.time()
+        toks = "split(text, ' ')"
+        d10 = docs10.select(
+            "doc_id",
+            F.expr(f"size({toks})").alias("dl"),
+            F.expr(f"size(filter({toks}, x -> x = 'w25'))").alias("tf"),
+        )
+        corp = d10.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("df"),
+        )
+        bm = (
+            d10.crossJoin(F.broadcast(corp))
+            .select(
+                F.expr(
+                    "(((n_docs - df + CAST(0.5 AS DOUBLE))"
+                    " / (df + CAST(0.5 AS DOUBLE)))"
+                    " * ((tf * CAST(2.2 AS DOUBLE))"
+                    " / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
+                ).alias("s")
+            )
+            .agg(F.sum("s"))
+            .collect()[0][0]
+        )
+        bm_s = time.time() - t0
+        print(
+            f"rows={n:,} bm25_scoring={bm_s:.1f}s "
+            f"({max(n // 10, 1):,} docs, "
+            f"{int(max(n // 10, 1) / bm_s):,} docs/s)"
+        )
+
+        t0 = time.time()
+        iv = events.select(
+            "user_id",
+            "ts",
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, 0, 0,"
+                " (event_id % 7 + 1) * 60)"
+            ).alias("te"),
+            "event_id",
+        )
+        wsw = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        cov = (
+            iv.withColumn("pm", F.max("te").over(wsw))
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.unix_micros("te")
+                        - F.unix_micros(
+                            F.greatest("ts", F.coalesce("pm", "ts"))
+                        ),
+                    )
+                ).alias("covered_us")
+            )
+            .agg(F.count(F.lit(1)), F.sum("covered_us"))
+            .collect()[0]
+        )
+        cov_s = time.time() - t0
+        print(
+            f"rows={n:,} interval_coverage={cov_s:.1f}s "
+            f"({cov[0]:,} users, {int(n / cov_s):,} rows/s)"
+        )
+
+        t0 = time.time()
+        wq = W.partitionBy("source").orderBy("n_chars", "doc_id")
+        sq = docs10.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(wq).alias("rs"),
+            F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+        )
+        qb = docs10.groupBy("n_chars").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wqb = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+        qcar = qb.select(
+            "n_chars",
+            F.coalesce(F.sum("cnt").over(wqb), F.lit(0)).alias("carry"),
+        )
+        wqi = W.partitionBy("n_chars").orderBy("doc_id")
+        qg = docs10.join(F.broadcast(qcar), "n_chars").select(
+            F.col("n_chars").alias("gval"),
+            (F.col("carry") + F.row_number().over(wqi)).alias("gr"),
+        )
+        nq = docs10.count()
+        qmapped = sq.select(
+            "doc_id",
+            (
+                # CAST BEFORE multiply: 32-bit row_number overflows here
+                # at 1M docs (the bug this smoke caught in the staged
+                # query)
+                F.expr(
+                    f"((CAST(rs AS BIGINT) - 1) * ({nq} - 1))"
+                    " DIV (CAST(ns AS BIGINT) - 1)"
+                )
+                + 1
+            ).alias("gpos"),
+        )
+        qn = (
+            qmapped.join(qg, qmapped.gpos == qg.gr)
+            .agg(F.count(F.lit(1)), F.sum("gval"))
+            .collect()[0]
+        )
+        qn_s = time.time() - t0
+        print(
+            f"rows={n:,} quantile_normalization={qn_s:.1f}s "
+            f"({qn[0]:,} docs mapped, {int(nq / qn_s):,} docs/s)"
+        )
+
         # Python DataSource scan (events_pushdown): full scan+aggregate
         # through the custom-source read path, then a 1%-range query to
         # show pushFilters pruning holds at scale. Single-file layout
