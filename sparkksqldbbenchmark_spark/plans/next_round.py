@@ -2945,3 +2945,121 @@ def decontam_max_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens.cast("long").alias("max_span_tokens"),
         (max_tokens >= 16).alias("contaminated_span"),
     )
+
+
+# ------------------------------------ pack composition audit --
+
+
+def _pack_audit_oracle(capacity: int = 2048, seed: str = "pack-v1") -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    key = sql_md5_int(f"('{seed}:' || CAST(doc_id AS VARCHAR))")
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               {key} AS key
+        FROM documents
+    ), o AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS s
+        FROM t WHERE n_tokens > 0
+    ), seg AS (
+        SELECT doc_id, lang, n_tokens, s,
+               unnest(range(CAST(s // {capacity} AS BIGINT),
+                            CAST((s + n_tokens - 1) // {capacity} + 1
+                                 AS BIGINT))) AS p
+        FROM o
+    ), segt AS (
+        SELECT p AS pack_id, doc_id, lang,
+               CAST(least(s + n_tokens, (p + 1) * {capacity})
+                   - greatest(s, p * {capacity}) AS BIGINT) AS seg_tokens
+        FROM seg
+    ), per_lang AS (
+        SELECT pack_id, lang, CAST(sum(seg_tokens) AS BIGINT) AS lt
+        FROM segt GROUP BY pack_id, lang
+    )
+    SELECT s.pack_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs,
+           CAST(sum(s.seg_tokens) AS BIGINT) AS pack_tokens,
+           CAST((max(pl.max_lt) * 1000000) // sum(s.seg_tokens)
+                AS BIGINT) AS dominant_lang_ppm
+    FROM segt s
+    JOIN (SELECT pack_id, max(lt) AS max_lt FROM per_lang GROUP BY 1) pl
+      ON s.pack_id = pl.pack_id
+    GROUP BY s.pack_id
+    """
+
+
+@staged_query("pack_composition_audit", oracle=_pack_audit_oracle())
+def pack_composition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack COMPOSITION audit — the dataset-card QA step after sequence
+    packing: per 2048-token context window, how many document segments
+    and distinct documents it interleaves, how many languages, its
+    total filled tokens, and the dominant language's token share in
+    integer ppm (the quantity cross-lingual-contamination policies
+    threshold — a pack mixing languages mid-window trains the model on
+    spurious transitions). Built on the SAME pack_manifest operator the
+    loader consumes (segment grain, straddlers split per pack) joined
+    with the document language — the audit and the training input
+    cannot disagree by construction.
+
+    Scale shape: the manifest adds no shuffle beyond pack_offsets' one
+    data exchange + constant carry; the audit re-keys segments on
+    pack_id (second bounded exchange — segments ≈ docs + straddlers)
+    and the per-(pack, lang) max folds in the same aggregation. At
+    100 TB this is the standard two-level aggregate over the manifest.
+
+    Reference basis: LLM packing family (SURVEY §2 extensions) — the
+    missing QA/composition half of sequence_packing + manifest."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
+    from sparkksqldbbenchmark_spark.operators.packing import (
+        pack_manifest,
+        pack_offsets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(spark_tokens("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    packed = pack_offsets(
+        with_tokens, id_col="doc_id", tokens_col="n_tokens", capacity=2048
+    )
+    manifest = pack_manifest(
+        packed, id_col="doc_id", tokens_col="n_tokens", capacity=2048
+    ).join(with_tokens.select("doc_id", "lang"), "doc_id")
+    per_lang = manifest.groupBy("pack_id", "lang").agg(
+        F.sum("seg_tokens").alias("lt")
+    )
+    max_lang = per_lang.groupBy("pack_id").agg(
+        F.max("lt").alias("max_lt")
+    )
+    return (
+        manifest.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("seg_tokens").cast("long").alias("pack_tokens"),
+        )
+        .join(max_lang, "pack_id")
+        .select(
+            "pack_id",
+            "n_segments",
+            "n_docs",
+            "n_langs",
+            "pack_tokens",
+            F.expr("max_lt * 1000000 DIV pack_tokens")
+            .cast("long")
+            .alias("dominant_lang_ppm"),
+        )
+    )
