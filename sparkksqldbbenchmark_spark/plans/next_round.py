@@ -3063,3 +3063,135 @@ def pack_composition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dominant_lang_ppm"),
         )
     )
+
+
+# ------------------------------- collision probability (diversity) --
+
+
+@staged_query(
+    "collision_probability_suite",
+    oracle="""
+    WITH tok AS (
+        SELECT source, u.t AS tok
+        FROM documents, LATERAL (
+            SELECT unnest(string_split(text, ' ')) AS t) u
+    ),
+    cnt AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           CAST((sum(c * c) * 1000000000) // (sum(c) * sum(c))
+                AS BIGINT) AS collision_ppb,
+           CAST(sum(c) * sum(c) AS DOUBLE) / sum(c * c)
+               AS effective_vocab
+    FROM cnt GROUP BY source
+    """,
+)
+def collision_probability_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-distribution DIVERSITY per source without logarithms:
+    the collision probability Σp² (Simpson index / Rényi-2) and its
+    inverse — the EFFECTIVE VOCABULARY size (how many equally-likely
+    tokens would look this diverse) — computed from exact integer token
+    counts: Σc², (Σc)², and their ppb ratio by floor division, plus one
+    IEEE division for the effective-vocab float. Shannon entropy needs
+    ln (the libm call with no cross-engine last-ulp contract, per the
+    repo determinism rules); collision probability orders distributions
+    the same way for the diversity-collapse monitoring this row exists
+    for (mode collapse in generated corpora shows as effective-vocab
+    crashing long before eyeballing does).
+
+    Scale shape: token explode → ONE partial-combined aggregate to
+    (source, token) counts, then a per-source fold — the tf-idf family
+    plan. Integer headroom: c ≤ corpus tokens ≈ 10¹⁰ at 100 TB, c²
+    ≤ 10²⁰ overflows bigint for a GLOBALLY dominant token — the
+    production form lifts sum_sq into DECIMAL(38,0), noted here
+    explicitly (the test corpus peaks at c² ≈ 10⁸).
+
+    Reference basis: text-analysis family (SURVEY §2 LLM extensions) —
+    the diversity complement of vocab_top_tokens / tf-idf."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        F.expr(
+            "sum(c * c) * 1000000000 DIV (sum(c) * sum(c))"
+        )
+        .cast("long")
+        .alias("collision_ppb"),
+        (
+            (F.sum("c") * F.sum("c")).cast("double")
+            / F.sum(F.col("c") * F.col("c"))
+        ).alias("effective_vocab"),
+    )
+
+
+# ------------------------------------------ burstiness (Fano factor) --
+
+
+@staged_query(
+    "fano_burstiness_by_type",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS total,
+           CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT)
+               AS var_num,
+           CAST(count(*) * count(*) AS BIGINT) AS var_den,
+           (CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+            / (count(*) * count(*)))
+           / (CAST(sum(c) AS DOUBLE) / count(*)) AS fano_factor
+    FROM hourly GROUP BY event_type
+    """,
+)
+def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event stream — the Fano factor
+    (variance/mean of per-hour counts): ≈1 for a Poisson arrival
+    process, ≫1 for bursty traffic, the dispersion diagnostic behind
+    capacity planning and anomaly baselines. Hourly counts are exact
+    integers, so the population variance carries as the exact integer
+    pair (N·Σc² − (Σc)², N²) and the Fano float is two IEEE divisions
+    in fixed order — bit-identical cross-engine, the ACF/OLS
+    sufficient-sums proof again (this row completes the trio:
+    autocorrelation, trend, dispersion).
+
+    Scale shape: one partial-combined aggregate to (type, hour) —
+    bounded by keys × hours, not by rows — then a per-type fold over
+    those counts. Scan-bound at any scale.
+
+    Reference basis: time-series statistics family (SURVEY §2
+    extensions)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = F.count(F.lit(1))
+    sc = F.sum("c")
+    scc = F.sum(F.col("c") * F.col("c"))
+    return hourly.groupBy("event_type").agg(
+        n.cast("long").alias("n_hours"),
+        sc.cast("long").alias("total"),
+        (n * scc - sc * sc).cast("long").alias("var_num"),
+        (n * n).cast("long").alias("var_den"),
+        (
+            ((n * scc - sc * sc).cast("double") / (n * n))
+            / (sc.cast("double") / n)
+        ).alias("fano_factor"),
+    )
