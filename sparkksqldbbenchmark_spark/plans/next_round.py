@@ -3195,3 +3195,145 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (sc.cast("double") / n)
         ).alias("fano_factor"),
     )
+
+
+# --------------------------- integer PageRank over the dup graph --
+
+
+def _pagerank_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    iter_tpl = """
+    , r{i} AS (
+        SELECT e.dst AS node,
+               CAST(base.b + (sum(r{p}.rank // deg.d) * 85) // 100
+                    AS BIGINT) AS rank
+        FROM edges e
+        JOIN r{p} ON e.src = r{p}.node
+        JOIN deg ON e.src = deg.node
+        CROSS JOIN base
+        GROUP BY e.dst, base.b
+    )"""
+    iters = "".join(iter_tpl.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ), base AS (
+        SELECT CAST(150000000000 // count(*) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM nodes
+    ), r0 AS (
+        SELECT node, CAST(1000000000000 // base.n_nodes AS BIGINT)
+               AS rank
+        FROM nodes, base
+    ){iters}
+    SELECT r3.node AS doc_id, r3.rank AS pagerank_e12,
+           deg.d AS degree
+    FROM r3 JOIN deg ON r3.node = deg.node
+    """
+
+
+@staged_query("pagerank_dupgraph_3iter", oracle=_pagerank_oracle())
+def pagerank_dupgraph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph — the ITERATIVE-algorithm
+    representative (3 unrolled power iterations, d=0.85): rank flows
+    along LSH-candidate edges, surfacing the documents most central to
+    duplication clusters (the canonical pick a keep-best policy can
+    weight by). Ranks are INTEGER-QUANTIZED in units of 10⁻¹²: the
+    teleport term is 0.15·10¹²÷N by floor division, each neighbor
+    contribution is rank÷degree floored, and damping is ×85÷100 floored
+    — every engine computes the identical integers, where float
+    PageRank would drift per-engine in the order-sensitive neighbor
+    sums (the quantization error, ≤ degree ulps per node per iteration,
+    is orders below any ranking decision). The oracle unrolls the same
+    three iterations as CTEs over the identically-derived edge set.
+
+    Scale shape: each iteration is one join (ranks ⋈ edges on src) +
+    one partial-combined aggregate on dst — the textbook distributed
+    PageRank step; the dup graph is LSH-sparse (candidates only on
+    band collisions), and iteration count is a constant. Spark's plan
+    chains three such steps; at 100 TB each is exchange-once on
+    uniform ids.
+
+    Reference basis: extends the dedup-graph family (connected
+    components, degree stats) with the iterative centrality measure —
+    and proves iterative algorithms ARE oracle-gradeable when unrolled
+    and quantized."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # 3 consumers: fix plan
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = 150000000000 // n_nodes
+    rank = nodes.select(
+        "node", F.lit(1000000000000 // n_nodes).cast("long").alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                rank.withColumnRenamed("node", "src"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV d").alias("c"),
+            )
+        )
+        rank = contrib.groupBy("node").agg(
+            (
+                F.lit(base).cast("long")
+                + F.expr("sum(c) * 85 DIV 100")
+            ).alias("rank")
+        )
+    return rank.join(
+        deg.withColumnRenamed("src", "node"), "node"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("rank").alias("pagerank_e12"),
+        F.col("d").alias("degree"),
+    )

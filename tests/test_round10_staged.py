@@ -409,3 +409,22 @@ def test_decontam_max_span_detects_planted_leak(spark):
     assert rows[11].contaminated_span
     assert rows[13].max_span_tokens == 0 and rows[13].n_hits == 0
     assert not rows[13].contaminated_span
+
+
+def test_pagerank_mass_conservation_and_bounds(spark):
+    """Integer PageRank invariants: every node's rank ≥ the teleport
+    base; total mass stays within floor-rounding loss of 10^12 (floor
+    ops only LOSE mass, < 1 unit per division). Rank-vs-degree ordering
+    is deliberately NOT asserted: the dup graph is a union of symmetric
+    near-clique components, whose stationary ranks are uniform up to
+    floor noise (observed ±2 units at sf0.001) regardless of degree —
+    asserting hub>leaf there tests the noise, not the algorithm."""
+    rows = STAGED["pagerank_dupgraph_3iter"](spark, SF_DIR).collect()
+    assert rows
+    n = len(rows)
+    base = 150_000_000_000 // n
+    total = sum(r.pagerank_e12 for r in rows)
+    assert all(r.pagerank_e12 >= base for r in rows)
+    # mass ≤ 1.0 (floor ops only lose), and within a generous loss bound
+    assert total <= 1_000_000_000_000
+    assert total >= 1_000_000_000_000 * 90 // 100
