@@ -3419,3 +3419,48 @@ def hll_union_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_est_within_5pct"),
         )
     )
+
+
+# -------------------------------------- lateral column aliases --
+
+
+@staged_query(
+    "lateral_column_alias_sql",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               AS cents,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               // 100000 AS price_band,
+           (CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               // 100000) * 2 + year(o_orderdate) % 2 AS band_code
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def lateral_column_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4 SQL): a SELECT item referencing
+    a SIBLING alias defined earlier in the same list (`cents` feeds
+    `price_band` feeds `band_code`) — the deduplication that otherwise
+    forces nested subqueries or repeated expressions. Graded against
+    the fully-expanded oracle (DuckDB also resolves lateral aliases,
+    but the EXPANDED form is the engine-neutral meaning this row pins —
+    alias chains must be pure sugar, value-identical to substitution).
+    Exact integer cents/band arithmetic throughout.
+
+    Scale shape: alias resolution is purely syntactic — Catalyst
+    substitutes the expression tree, producing the identical scan-side
+    codegen Project as the expanded spelling; zero runtime cost.
+
+    Reference basis: SQL-surface family (pipe syntax, GROUP BY ALL,
+    named windows — the modern-SQL ergonomics set)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+                   AS cents,
+               cents DIV 100000 AS price_band,
+               price_band * 2 + year(o_orderdate) % 2 AS band_code
+        FROM orders WHERE o_orderkey < 3000
+        """
+    )
