@@ -3464,3 +3464,114 @@ def lateral_column_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey < 3000
         """
     )
+
+
+# ---------------------- time-series shape signatures (SAX-style) --
+
+
+@staged_query(
+    "series_shape_signature_buckets",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               (hour(ts) // 3) AS seg,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 100
+                    AS BIGINT)) AS BIGINT) AS seg_cents
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT event_type, day, seg, seg_cents,
+               row_number() OVER (
+                   PARTITION BY event_type, day
+                   ORDER BY seg_cents, seg
+               ) AS rk,
+               count(*) OVER (PARTITION BY event_type, day) AS nseg
+        FROM hourly
+    ),
+    words AS (
+        SELECT event_type, day,
+               string_agg(CAST(((rk - 1) * 3) // nseg AS VARCHAR),
+                          '' ORDER BY seg) AS sax_word,
+               CAST(count(*) AS BIGINT) AS n_segments
+        FROM ranked GROUP BY event_type, day
+    )
+    SELECT event_type, day, sax_word, n_segments,
+           CAST(count(*) OVER (PARTITION BY sax_word) AS BIGINT)
+               AS bucket_size
+    FROM words
+    """,
+)
+def series_shape_signature_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series SHAPE signatures for similarity bucketing — the
+    SAX/PAA idea (piecewise aggregation + symbol discretization) in a
+    rank-exact form: each (event_type, day) series aggregates to eight
+    3-hour segment cent-sums (PAA), each segment's symbol is its
+    RANK TERTILE within its own series ((rank−1)·3 ÷ nseg, integer
+    floor — rank discretization replaces the classic z-normalized
+    Gaussian breakpoints, which would hinge on cross-engine float
+    drift in mean/σ), and the 8-symbol word is the series' shape
+    signature. Equal words = candidate similar series — the
+    LSH-bucketing idea transplanted to time series (two series share a
+    word iff their intraday profiles rise and fall in the same rank
+    pattern, amplitude-invariant by construction). bucket_size counts
+    each signature's cohort, the similarity-search candidate set.
+
+    Scale shape: one partial-combined aggregate to (series, segment),
+    a per-series window over ≤8 rows, an ordered string_agg at series
+    grain (sort_array+array_join on the Spark side — order-safe
+    distributed listagg), and a word-keyed window for bucket sizes —
+    every exchange on uniform keys; candidate generation never
+    compares series pairwise, the same never-n² discipline as the
+    dedup family.
+
+    Reference basis: time-series family extension following the
+    retrieved EDBT 2019 line (distributed time-series similarity
+    search); machinery shares the repo's bucketing discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.hour("ts") / 3).cast("int").alias("seg"),
+    ).agg(
+        F.sum((F.col("value").cast("decimal(38,6)") * 100).cast("long"))
+        .cast("long")
+        .alias("seg_cents")
+    )
+    w_rank = Window.partitionBy("event_type", "day").orderBy(
+        "seg_cents", "seg"
+    )
+    w_n = Window.partitionBy("event_type", "day")
+    ranked = hourly.select(
+        "event_type",
+        "day",
+        "seg",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("nseg"),
+    )
+    words = ranked.groupBy("event_type", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "seg",
+                            F.expr("(rk - 1) * 3 DIV nseg").alias("sym"),
+                        )
+                    )
+                ),
+                lambda x: x["sym"].cast("string"),
+            ),
+            "",
+        ).alias("sax_word"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    w_bucket = Window.partitionBy("sax_word")
+    return words.select(
+        "event_type",
+        "day",
+        "sax_word",
+        "n_segments",
+        F.count(F.lit(1)).over(w_bucket).cast("long").alias("bucket_size"),
+    )
