@@ -3575,3 +3575,84 @@ def series_shape_signature_buckets(
         "n_segments",
         F.count(F.lit(1)).over(w_bucket).cast("long").alias("bucket_size"),
     )
+
+
+# ------------------------- custom-sink append semantics audit --
+
+
+@staged_query(
+    "python_datasource_sink_append_audit",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey < 400 THEN 'job1' ELSE 'job2' END AS job
+    FROM orders WHERE o_orderkey < 800
+    """,
+)
+def python_datasource_sink_append_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-mode semantics of the custom JSONL sink, graded end to
+    end: two separate jobs append into ONE directory, and the
+    manifest-driven read-back must return BOTH jobs' rows — the
+    regression this round's review fix closed (the commit sweep used to
+    delete every part file it did not itself write, silently turning
+    the second append into a truncate; the sweep is now scoped to the
+    writing job's file prefix and the manifest unions across jobs).
+    The query writes job1 (keys < 400) then job2 (keys 400–799) via
+    ``mode("append")``, reads back exactly the manifest's files, and
+    the oracle is the plain union — a lost first job halves the
+    rowcount and hash-fails.
+
+    Scale shape: the sink writes one file per task attempt with
+    driver-side commit publishing the winning set (the exactly-once
+    DataSourceWriter contract graded by the sibling roundtrip row);
+    append adds only a manifest merge — no full-directory listing cost
+    beyond the job's own prefix glob.
+
+    Reference basis: SURVEY §2 S13/S16 sink family — the
+    multi-ingest-cycle semantics a daily landing job actually runs."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = _tempfile.mkdtemp(prefix="sink_append_") + "/data"
+    _os.makedirs(out)
+    o = load_table(spark, sf_dir, "orders")
+
+    def job(lo: int, hi: int, tag: str) -> None:
+        (
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.lit(tag).alias("job"),
+            )
+            .repartition(2)
+            .write.format("jsonl_pages")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+
+    job(0, 400, "job1")
+    job(400, 800, "job2")
+
+    with open(_os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [_os.path.join(out, f) for f in manifest["files"]]
+    back = spark.read.json(files)
+    if back.count() != manifest["rows"]:
+        raise AssertionError(
+            f"manifest rows {manifest['rows']} != read-back {back.count()}"
+        )
+    return back.select(
+        F.col("k").cast("long").alias("k"), "status", "job"
+    )
