@@ -46,6 +46,41 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "similarity_topk_cosine": "6001572f26a61cd2",
+    "map_function_suite": "e09b62e1890ef483",
+    "array_algebra_suite": "39ab56f89f11fa47",
+    "regexp_suite2": "4b589577a79a4216",
+    "observe_metrics_suite": "fe0ff54e7f6b9f46",
+    "python_datasource_stream_agg": "ea9d373e98274b39",
+    "python_datasource_geojson_scan": "c3965f800859485b",
+    "python_datasource_sink_roundtrip": "44dae15fb37a837b",
+    "streaming_observe_metrics": "dcf9af260b451471",
+    "inline_struct_explode": "7672ed2280740b8e",
+    "string_suite2": "03e79cf64ccc25d4",
+    "bitwise_suite": "03fd3f5bca48c68f",
+    "width_bucket_histogram": "c0b05c3eb9473fd7",
+    "ratio_to_report_share": "a770a3f58fed141f",
+    "token_length_log_histogram": "1330e4f85cf51d77",
+    "pivot_dynamic_two_pass": "88775852ba553498",
+    "csv_line_codec_suite": "e7d5cf868d354183",
+    "checksum_encoding_suite": "11a3a3407957e831",
+    "sql_scripting_variables": "e8b6a8c4cdefd3f1",
+    "identifier_parameterized_query": "cd8a34308d064ad8",
+    "pipe_syntax_suite": "250b5b2c3c401814",
+    "sql_table_function_lateral": "27f9b2b7ddb6f54f",
+    "json_roundtrip_suite": "86a75de74e49ab71",
+    "partition_overwrite_backfill": "6bb4bb7da8fcb53b",
+    "schema_evolution_mergeschema": "02c217b579075502",
+    "orc_roundtrip_scan": "bfa09f8640cbf1a2",
+    "aqe_skew_join_split": "e734ee2f67c53626",
+    "inmemory_cache_scan": "ef198f68fad9d05b",
+    "temperature_mixture_quota": "73075c1cf62dc081",
+    "pandas_api_on_spark_agg": "29c56b4b1b441971",
+    "stat_crosstab_matrix": "9c9c8c8b8f143636",
+    "luhn_pii_check": "8ac6fc30bc4e3164",
+    "array_mutation_suite": "5950b6999b3f1a49",
+    "try_function_suite2": "28750d09845f83aa",
+    "char_octet_length_suite": "26ae7007543b04a4",
     "bucketed_orders_lineitem_join": "99438d6e1bd2e71c",
     "tpch_q2_min_cost_supplier": "85a931527c23405d",
     "tpch_q20_potential_promotion": "b92b2fad59345353",

@@ -1,4 +1,4 @@
-"""Oracle verification for the round-9 staging area (plans/next_round.py).
+"""Oracle verification for the round-11 staging area (plans/next_round.py).
 
 Runs every staged query on Spark and its DuckDB oracle twin over the same
 sf0.001 parquet, comparing row count, sorted column names, and the

@@ -1,5 +1,7 @@
-"""Invariant tests for the round-10 staged cohort, beyond the value-hash
-oracle (tests/test_next_round.py): each operator's result is re-derived
+"""Invariant tests for the round-10 graduated cohort
+(plans/round10_queries.py — formerly the next_round.py staging area),
+beyond the value-hash oracle (tests/test_round10_queries.py): each
+operator's result is re-derived
 by an INDEPENDENT brute-force twin in plain Python over the collected
 slice — a second witness with none of the SQL machinery shared, the
 same pattern the graduated cohorts carry (session-vs-batch agreement,
@@ -8,7 +10,8 @@ quota exactness, MRR consistency).
 
 from __future__ import annotations
 
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+import sparkksqldbbenchmark_spark.plans.round10_queries  # noqa: F401
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -20,7 +23,7 @@ def test_interval_coverage_matches_bruteforce_merge(spark):
 
     got = {
         r.user_id: (r.n_intervals, r.covered_us)
-        for r in STAGED["interval_coverage_sweep"](spark, SF_DIR).collect()
+        for r in QUERIES["interval_coverage_sweep"](spark, SF_DIR).collect()
     }
     rows = (
         load_table(spark, SF_DIR, "events")
@@ -53,9 +56,9 @@ def test_peak_concurrency_matches_bruteforce(spark):
 
     per_user = {
         r.user_id: r.peak_concurrency
-        for r in STAGED["peak_concurrency_sweep"](spark, SF_DIR).collect()
+        for r in QUERIES["peak_concurrency_sweep"](spark, SF_DIR).collect()
     }
-    g = STAGED["global_peak_concurrency"](spark, SF_DIR).collect()[0]
+    g = QUERIES["global_peak_concurrency"](spark, SF_DIR).collect()[0]
 
     rows = load_table(spark, SF_DIR, "events").select(
         "user_id", "ts", "event_id"
@@ -85,7 +88,7 @@ def test_peak_concurrency_matches_bruteforce(spark):
 
 
 def test_countmin_never_underestimates_and_min_rule(spark):
-    rows = STAGED["countmin_heavy_hitters"](spark, SF_DIR).collect()
+    rows = QUERIES["countmin_heavy_hitters"](spark, SF_DIR).collect()
     assert rows and all(r.never_underestimates for r in rows)
     assert all(r.est_n >= r.true_n for r in rows)
     # total mass conservation: sum of truths == table rows
@@ -98,7 +101,7 @@ def test_countmin_never_underestimates_and_min_rule(spark):
 def test_merkle_digest_localizes_the_planted_row(spark):
     """Exactly one partition mismatches and it is order 42's
     (42 % 16 = 10); counts agree everywhere (same rows, one edited)."""
-    rows = STAGED["merkle_range_digest"](spark, SF_DIR).collect()
+    rows = QUERIES["merkle_range_digest"](spark, SF_DIR).collect()
     assert len(rows) == 16
     bad = [r for r in rows if not r.digests_match]
     assert len(bad) == 1 and bad[0].part == 42 % 16
@@ -110,7 +113,7 @@ def test_weighted_median_matches_bruteforce(spark):
 
     got = {
         r.event_type: (r.total_weight, r.weighted_median)
-        for r in STAGED["weighted_median_grouped"](spark, SF_DIR).collect()
+        for r in QUERIES["weighted_median_grouped"](spark, SF_DIR).collect()
     }
     rows = load_table(spark, SF_DIR, "events").select(
         "event_type", "value", "event_id", "user_id"
@@ -138,7 +141,7 @@ def test_gini_matches_bruteforce(spark):
 
     got = {
         r.event_type: (r.n, r.gini_num, r.gini_den)
-        for r in STAGED["gini_concentration_by_type"](
+        for r in QUERIES["gini_concentration_by_type"](
             spark, SF_DIR
         ).collect()
     }
@@ -164,7 +167,7 @@ def test_binned_ks_matches_bruteforce(spark):
 
     from sparkksqldbbenchmark_spark.catalog import load_table
 
-    r = STAGED["binned_ks_statistic"](spark, SF_DIR).collect()[0]
+    r = QUERIES["binned_ks_statistic"](spark, SF_DIR).collect()[0]
     rows = load_table(spark, SF_DIR, "events").where(
         "event_type IN ('click', 'view')"
     ).select("event_type", "value").collect()
@@ -187,7 +190,7 @@ def test_binned_ks_matches_bruteforce(spark):
 
 
 def test_markov_rows_normalize_and_count(spark):
-    rows = STAGED["markov_transition_matrix"](spark, SF_DIR).collect()
+    rows = QUERIES["markov_transition_matrix"](spark, SF_DIR).collect()
     by_from: dict = {}
     for r in rows:
         by_from.setdefault(r.from_type, []).append(r)
@@ -202,7 +205,7 @@ def test_pareto_frontier_matches_bruteforce_dominance(spark):
 
     got = {
         r.o_orderkey: r.on_frontier
-        for r in STAGED["pareto_frontier_skyline"](spark, SF_DIR).collect()
+        for r in QUERIES["pareto_frontier_skyline"](spark, SF_DIR).collect()
     }
     rows = load_table(spark, SF_DIR, "orders").where(
         "o_orderkey < 4000"
@@ -218,7 +221,7 @@ def test_pareto_frontier_matches_bruteforce_dominance(spark):
 
 def test_geo_nearest_matches_bruteforce(spark):
     from sparkksqldbbenchmark_spark.catalog import load_table
-    from sparkksqldbbenchmark_spark.plans.next_round import _spark_udeg
+    from sparkksqldbbenchmark_spark.plans.round10_queries import _spark_udeg
 
     from pyspark.sql import functions as F
 
@@ -244,7 +247,7 @@ def test_geo_nearest_matches_bruteforce(spark):
     )
     got = {
         r.event_id: (r.nearest_site, r.best_d2)
-        for r in STAGED["geo_nearest_site_join"](spark, SF_DIR).collect()
+        for r in QUERIES["geo_nearest_site_join"](spark, SF_DIR).collect()
     }
     for p in pts:
         best = min(
@@ -258,7 +261,7 @@ def test_geo_nearest_matches_bruteforce(spark):
 
 
 def test_conversation_render_budget_shape(spark):
-    rows = STAGED["conversation_render_budget"](spark, SF_DIR).collect()
+    rows = QUERIES["conversation_render_budget"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 1 <= r.n_turns_kept <= 6
@@ -312,7 +315,7 @@ def test_bm25_matches_python_rederivation(spark):
 
     got = {
         r.doc_id: r.bm25_odds
-        for r in STAGED["bm25_odds_retrieval"](spark, SF_DIR).collect()
+        for r in QUERIES["bm25_odds_retrieval"](spark, SF_DIR).collect()
     }
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text"
@@ -346,7 +349,7 @@ def test_quantile_normalization_properties(spark):
     the global distribution's values (all ranks are valid positions)."""
     from sparkksqldbbenchmark_spark.catalog import load_table
 
-    rows = STAGED["quantile_normalization_cross_source"](
+    rows = QUERIES["quantile_normalization_cross_source"](
         spark, SF_DIR
     ).collect()
     docs = load_table(spark, SF_DIR, "documents").select(
@@ -391,7 +394,7 @@ def test_decontam_max_span_detects_planted_leak(spark):
         .otherwise(F.col("text")),
     )
 
-    import sparkksqldbbenchmark_spark.plans.next_round as nr
+    import sparkksqldbbenchmark_spark.plans.round10_queries as nr
 
     orig = nr.load_table
     nr.load_table = (
@@ -400,7 +403,7 @@ def test_decontam_max_span_detects_planted_leak(spark):
     try:
         rows = {
             r.doc_id: r
-            for r in STAGED["decontam_max_span"](spark, SF_DIR).collect()
+            for r in QUERIES["decontam_max_span"](spark, SF_DIR).collect()
         }
     finally:
         nr.load_table = orig
@@ -419,7 +422,7 @@ def test_pagerank_mass_conservation_and_bounds(spark):
     near-clique components, whose stationary ranks are uniform up to
     floor noise (observed ±2 units at sf0.001) regardless of degree —
     asserting hub>leaf there tests the noise, not the algorithm."""
-    rows = STAGED["pagerank_dupgraph_3iter"](spark, SF_DIR).collect()
+    rows = QUERIES["pagerank_dupgraph_3iter"](spark, SF_DIR).collect()
     assert rows
     n = len(rows)
     base = 150_000_000_000 // n
