@@ -743,3 +743,483 @@ def correlated_nonequi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------- regr_* regression aggregates --
+
+
+@staged_query(
+    "regr_agg_suite",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(event_id % 1000 AS DOUBLE) AS x,
+               CAST(3 * (event_id % 1000) + event_id % 7 AS DOUBLE) AS y
+        FROM events
+    )
+    SELECT event_type,
+           CAST(regr_count(y, x) AS BIGINT) AS n_pts,
+           regr_avgx(y, x) AS avg_x,
+           regr_avgy(y, x) AS avg_y,
+           regr_slope(y, x) AS slope,
+           regr_intercept(y, x) AS intercept,
+           regr_r2(y, x) AS r2
+    FROM pts GROUP BY event_type
+    """,
+)
+def regr_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI regr_* aggregate family (regr_count/avgx/avgy/slope/
+    intercept/r2) — one-pass linear-regression aggregates both engines
+    implement natively. Points are constructed integer-valued
+    (y = 3x + id%7) so every sufficient sum is exactly representable
+    in a double regardless of accumulation order: the averages are
+    bit-identical by construction, and slope/intercept/r2 agree far
+    inside the comparator's 1e-9 rounding even though each engine's
+    one-pass update order differs. Complements ols_trend_by_key (which
+    grades the same math through EXPLICIT exact sufficient sums) by
+    grading the built-in aggregate surface itself.
+
+    Scale shape: partial-combinable aggregates — constant state per
+    (group, aggregate), one shuffle of |groups| rows. Scan-bound.
+
+    Reference basis: SURVEY §2.4 A-family extension (the reference's
+    stddev/correlation rows are the same moment algebra)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.col("event_id") % 1000).cast("double").alias("x"),
+        (3 * (F.col("event_id") % 1000) + F.col("event_id") % 7)
+        .cast("double")
+        .alias("y"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.expr("regr_count(y, x)").cast("long").alias("n_pts"),
+        F.expr("regr_avgx(y, x)").alias("avg_x"),
+        F.expr("regr_avgy(y, x)").alias("avg_y"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("intercept"),
+        F.expr("regr_r2(y, x)").alias("r2"),
+    )
+
+
+# -------------------------------------- aggregate-modifier breadth --
+
+
+@staged_query(
+    "agg_breadth_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 500) AS BIGINT) AS n_high,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 999) AS any_extreme,
+           any_value(upper(event_type)) AS type_upper,
+           CAST(sum(DISTINCT CAST(floor(value * 100) AS BIGINT))
+                AS BIGINT) AS distinct_cents_sum,
+           count(DISTINCT CAST(floor(value * 100) AS BIGINT))
+               AS distinct_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-surface breadth: count_if, bool_and/bool_or,
+    any_value (made deterministic by aggregating a group-constant
+    expression — the only sound use of an otherwise arbitrary-pick
+    aggregate), and DISTINCT-modified sum/count over exact cents.
+    Completes the aggregate-modifier matrix started by
+    filter_clause_agg (FILTER), listagg_ordered (WITHIN GROUP) and
+    the r8 collation rows.
+
+    Scale shape: count_if/bool_* are constant-state partial aggs;
+    the DISTINCT pair adds one dedup exchange on (group, value) —
+    bounded by distinct cents (≤100k) per type, not rows.
+
+    Reference basis: SURVEY §2.4 A7/A9 surface extension."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.expr("count_if(value > 500)").alias("n_high"),
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+        F.expr("bool_or(value > 999)").alias("any_extreme"),
+        F.any_value(F.upper("event_type")).alias("type_upper"),
+        F.sum_distinct(cents).cast("long").alias("distinct_cents_sum"),
+        F.count_distinct(cents).alias("distinct_cents"),
+    )
+
+
+# ------------------------------------ BPE merge-candidate counting --
+
+
+@staged_query(
+    "bpe_pair_merge_candidates",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, len(tok))) AS i
+        ) r
+        WHERE len(tok) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE/WordPiece vocabulary induction: count every
+    adjacent symbol pair inside each whitespace token across the corpus
+    and rank the top merge candidates (count desc, pair asc — the
+    deterministic tie order a reproducible tokenizer build requires).
+    One round of this, iterated, IS tokenizer training; the counting
+    round is the distributed-scale part (the merge table itself is
+    tiny and driver-side in every real implementation).
+
+    Scale shape: explode to pair grain (≈ chars per doc), partial-agg
+    to distinct pairs (bounded by alphabet² ≪ rows), then
+    TakeOrderedAndProject for the top-k — no global sort, no skew
+    (pair counts are Zipfian but the partial agg absorbs hot pairs
+    map-side exactly like any word-count).
+
+    Reference basis: LLM-pipeline extension (SURVEY §2 extensions;
+    sibling of vocab_top_tokens, which ranks whole tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# -------------------------------- vocabulary novelty growth curve --
+
+
+@staged_query(
+    "ngram_novelty_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tris AS (
+        SELECT doc_id,
+               t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+                   || ' ' || t[CAST(i AS INTEGER) + 2] AS tri
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t) - 1)) AS i
+        ) r
+        WHERE len(t) >= 3
+    ),
+    firsts AS (
+        SELECT tri, min(doc_id) AS first_doc FROM tris GROUP BY tri
+    ),
+    buckets AS (
+        SELECT first_doc // 100 AS bucket,
+               count(*) AS new_trigrams
+        FROM firsts GROUP BY 1
+    )
+    SELECT bucket,
+           new_trigrams,
+           CAST(sum(new_trigrams) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS vocab_size
+    FROM buckets
+    """,
+)
+def ngram_novelty_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty / Heaps'-law growth curve: how many NEW word
+    trigrams each 100-document slice contributes, plus the running
+    distinct-trigram vocabulary size. The curve's flattening rate is
+    the standard diagnostic for corpus saturation (more data stops
+    adding novelty) and dedup health (a re-crawled corpus flattens
+    immediately). first-occurrence = min(doc_id) per trigram makes the
+    whole computation one exact aggregate — no sequential scan over
+    documents.
+
+    Scale shape: trigram explode → partial min-agg (bounded by
+    distinct trigrams) → bucket agg (|corpus|/100 rows) → running sum
+    over BUCKET grain. The window is global but its input is bucket
+    rows (≤ |docs|/100), and at 100 TB the same curve is computed at
+    coarser grain (per-shard buckets) with the identical plan — the
+    row count into the window is a knob, not a scaling wall.
+
+    Reference basis: LLM-pipeline extension; sibling of
+    vocab_top_tokens / collision_probability_suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ',"
+                " element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i + 1),"
+                " element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("tri"),
+    )
+    firsts = tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    buckets = firsts.groupBy(
+        (F.col("first_doc") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_trigrams"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.select(
+        "bucket",
+        "new_trigrams",
+        F.sum("new_trigrams").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+# ----------------------------------- score calibration reliability --
+
+
+@staged_query(
+    "score_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#cal'),
+                                   1, 15))::BIGINT % 1000) AS pred_ppk,
+               CASE WHEN n_chars > 900 THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+    SELECT pred_ppk // 100 AS bin,
+           count(*) AS n,
+           CAST(sum(pred_ppk) AS BIGINT) AS pred_ppk_sum,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           (CAST(sum(pred_ppk) AS DOUBLE) / (count(*) * 1000))
+               - (CAST(sum(label) AS DOUBLE) / count(*)) AS calib_gap
+    FROM scored GROUP BY 1
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a quality classifier: bucket a
+    deterministic pseudo-score (cross-engine md5-int, llm/hashing.py)
+    into deciles and compare mean predicted probability against the
+    observed positive rate per bin — the calibration audit every
+    model-scored curation pipeline runs before trusting its scores as
+    sampling weights (miscalibrated scores silently skew the kept
+    corpus). Integer sums carry exactly; the gap is two IEEE divisions
+    in fixed order.
+
+    Scale shape: scan → ten-group partial agg. Nothing else.
+
+    Reference basis: LLM-pipeline extension; consumer side of the
+    quality scores graded since r2 (text_quality_scores)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (
+            F.expr(spark_md5_int("concat(cast(doc_id as string), '#cal')"))
+            % 1000
+        ).alias("pred_ppk"),
+        F.when(F.col("n_chars") > 900, 1).otherwise(0).alias("label"),
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(
+        (F.col("pred_ppk") / 100).cast("long").alias("bin")
+    ).agg(
+        n.alias("n"),
+        F.sum("pred_ppk").cast("long").alias("pred_ppk_sum"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (
+            (F.sum("pred_ppk").cast("double") / (n * 1000))
+            - (F.sum("label").cast("double") / n)
+        ).alias("calib_gap"),
+    )
+
+
+# --------------------- chained stateful: dedup THEN window agg --
+
+
+@staged_query(
+    "streaming_dedup_then_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY 1, 2
+    HAVING max(time_bucket(INTERVAL 1 HOUR, ts)) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+    """,
+)
+def streaming_dedup_then_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO chained stateful operators in one streaming query —
+    dropDuplicates state feeding windowed-aggregation state (the
+    multi-stateful pipeline Spark supports in append mode when every
+    stage shares the watermark): the input is the events stream
+    UNIONed with itself, so every event arrives exactly twice and an
+    un-deduplicated aggregate would double every count — the oracle
+    aggregates the single-copy batch table, so surviving duplicates
+    hash-mismatch loudly. Dedup keys include the event-time column,
+    keeping the dedup state watermark-evictable; append emits exactly
+    the windows the final watermark closes (same closed-window oracle
+    as streaming_watermarked_append).
+
+    Scale shape: two keyed state stores, both hash-partitioned and
+    both bounded by the watermark (dedup state ≈ events inside the
+    delay horizon; window state ≈ open windows × types) — the
+    standard at-least-once-upstream → exactly-once-aggregate topology
+    of every Kafka ingestion pipeline.
+
+    Reference basis: SURVEY §2.9 T-family extension: the reference
+    chains dedup and aggregation as separate ksql queries over an
+    intermediate topic; Spark expresses the whole chain as one
+    incremental plan."""
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    s = _read_events_stream(spark, sf_dir).withWatermark(
+        "ts", "90 minutes"
+    )
+    doubled = s.unionByName(s)
+    deduped = doubled.dropDuplicates(["event_id", "ts"])
+    agged = (
+        deduped.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "cents_sum",
+        )
+    )
+    name = f"stream_ddw_{_uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+# ------------------- partitioned streaming file sink (exactly-once) --
+
+
+@staged_query(
+    "streaming_file_sink_partitioned",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_file_sink_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The built-in STREAMING FILE SINK with partitionBy — the
+    lakehouse landing pattern (stream → hive-partitioned parquet) and
+    its exactly-once mechanism, the _spark_metadata transaction log:
+    readers list files FROM THE LOG, not the directory. Proven
+    in-query by planting an ORPHAN parquet file (a forged duplicate
+    batch, written straight into a partition directory, bypassing the
+    log — the debris a crashed task attempt leaves): the read-back
+    aggregate must equal the source aggregate exactly, i.e. the orphan
+    is invisible. A directory-listing read would double one
+    partition's counts and hash-mismatch.
+
+    Scale shape: executor-parallel partitioned write (one file per
+    task × partition value), KB-sized manifest appended per
+    micro-batch by the driver; the partition layout gives downstream
+    readers pruning on event_type for free. The known 100 TB caveat —
+    metadata-log growth over long-running sinks — is a compaction
+    knob (spark.sql.streaming.fileSink.log.compactInterval), not a
+    plan property.
+
+    Reference basis: SURVEY §2.1 S-family sink extension (the
+    reference lands results in Kafka topics / CSV reports; this is
+    the Spark-native partitioned-lake landing path, graded
+    value-for-value)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="fsink_")
+    ckpt = tempfile.mkdtemp(prefix="fsink_ckpt_")
+    ev = _read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"fsink_{_uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert os.path.isdir(os.path.join(out, "_spark_metadata")), (
+        "file sink wrote no transaction log"
+    )
+
+    # plant the orphan: a forged duplicate batch inside one partition
+    # directory, bypassing the metadata log (crashed-attempt debris)
+    part_dirs = [
+        p for p in os.listdir(out) if p.startswith("event_type=")
+    ]
+    assert part_dirs, "no partition directories written"
+    orphan_dir = os.path.join(out, sorted(part_dirs)[0])
+    spark.createDataFrame(
+        [(999_999_999, 12345)], "event_id long, cents long"
+    ).coalesce(1).write.mode("append").parquet(orphan_dir + "_orphan_tmp")
+    import glob as _glob
+    import shutil as _shutil
+
+    orphan_file = _glob.glob(orphan_dir + "_orphan_tmp/part-*.parquet")[0]
+    _shutil.move(
+        orphan_file, os.path.join(orphan_dir, "part-orphan.parquet")
+    )
+    _shutil.rmtree(orphan_dir + "_orphan_tmp", ignore_errors=True)
+    assert os.path.exists(
+        os.path.join(orphan_dir, "part-orphan.parquet")
+    )
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )

@@ -1104,6 +1104,82 @@ def main() -> None:
         shutil.rmtree(scratch_full, ignore_errors=True)
         shutil.rmtree(scratch_rng, ignore_errors=True)
 
+        # --- round-9 graduate shapes with no multi-scale point yet ---
+        # mapInArrow token stats: the RecordBatch-native Python boundary
+        # at document grain (n/10 docs, same corpus as the LM shapes) —
+        # measures the Arrow hop itself, no pandas, RE2 token counting.
+        t0 = time.time()
+
+        def _arrow_batches(it):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for batch in it:
+                tb = pa.table(batch)
+                yield pa.record_batch(
+                    {
+                        "source": tb["source"].combine_chunks(),
+                        "n_chars": pc.cast(
+                            pc.utf8_length(tb["text"].combine_chunks()),
+                            pa.int64(),
+                        ),
+                        "n_tokens": pc.cast(
+                            pc.count_substring_regex(
+                                tb["text"].combine_chunks(),
+                                pattern=r"\S+",
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+        arrow_stats = (
+            docs10.select("source", "text")
+            .mapInArrow(
+                _arrow_batches, "source string, n_chars long, n_tokens long"
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("nd"),
+                F.sum("n_chars").alias("ch"),
+                F.sum("n_tokens").alias("tk"),
+            )
+            .collect()
+        )
+        arrow_s = time.time() - t0
+        arrow_docs = sum(r.nd for r in arrow_stats)
+        print(
+            f"rows={n:,} mapinarrow_token_stats={arrow_s:.1f}s "
+            f"({arrow_docs:,} docs, {int(arrow_docs / arrow_s):,} docs/s)"
+        )
+
+        # video MJPEG frame extraction: full encode+decode stack inside
+        # mapInPandas at n/10,000 videos (codec work is per-video
+        # constant; the claim to verify is row-grain parallel scaling
+        # of the executor-pinned codec stage, blobs never shuffling).
+        from sparkksqldbbenchmark_spark.llm.video import (
+            frame_stats_plan,
+            synth_video_blobs,
+        )
+
+        vids_n = max(n // 10_000, 10)
+        t0 = time.time()
+        vids = spark.range(vids_n).select(F.col("id").alias("doc_id"))
+        vstats = (
+            frame_stats_plan(synth_video_blobs(vids), every_n=1)
+            .agg(
+                F.count(F.lit(1)).alias("frames"),
+                F.sum("pixel_sum").alias("ps"),
+            )
+            .collect()[0]
+        )
+        video_s = time.time() - t0
+        print(
+            f"rows={n:,} video_mjpeg_frame_extract={video_s:.1f}s "
+            f"({vids_n:,} videos, {vstats['frames']:,} frames, "
+            f"{int(vids_n / video_s):,} videos/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
