@@ -1223,3 +1223,553 @@ def streaming_file_sink_partitioned(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+# ----------------------------------- DataFrame.transpose (Spark 4) --
+
+
+@staged_query(
+    "dataframe_transpose_suite",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM events GROUP BY event_type
+    )
+    SELECT 'n_events' AS metric,
+           CAST(max(CASE WHEN event_type = 'click' THEN n_events END)
+                AS BIGINT) AS click,
+           CAST(max(CASE WHEN event_type = 'error' THEN n_events END)
+                AS BIGINT) AS error,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN n_events END)
+                AS BIGINT) AS purchase,
+           CAST(max(CASE WHEN event_type = 'signup' THEN n_events END)
+                AS BIGINT) AS signup,
+           CAST(max(CASE WHEN event_type = 'view' THEN n_events END)
+                AS BIGINT) AS view
+    FROM m
+    UNION ALL
+    SELECT 'cents_sum',
+           max(CASE WHEN event_type = 'click' THEN cents_sum END),
+           max(CASE WHEN event_type = 'error' THEN cents_sum END),
+           max(CASE WHEN event_type = 'purchase' THEN cents_sum END),
+           max(CASE WHEN event_type = 'signup' THEN cents_sum END),
+           max(CASE WHEN event_type = 'view' THEN cents_sum END)
+    FROM m
+    UNION ALL
+    SELECT 'max_event_id',
+           max(CASE WHEN event_type = 'click' THEN max_event_id END),
+           max(CASE WHEN event_type = 'error' THEN max_event_id END),
+           max(CASE WHEN event_type = 'purchase' THEN max_event_id END),
+           max(CASE WHEN event_type = 'signup' THEN max_event_id END),
+           max(CASE WHEN event_type = 'view' THEN max_event_id END)
+    FROM m
+    """,
+)
+def dataframe_transpose_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0) — rows↔columns over an
+    aggregate: per-type metrics become one column per event type, one
+    row per metric, with the index column's values becoming column
+    NAMES at plan time (transpose must execute the child to learn
+    them — a deliberate eager step, fine over an already-aggregated
+    5-row input). The oracle spells the same reshape as conditional
+    aggregation, so every transposed cell is value-checked. All
+    metrics pre-cast to BIGINT: transpose requires a least common
+    type across the value columns.
+
+    Scale shape: transpose is driver-bounded by |index values| ×
+    |metrics| — legitimate ONLY downstream of an aggregate (exactly
+    this shape: 5×3). The unbounded direction (transposing a fact
+    table) is a modeling error, not an engine path.
+
+    Reference basis: reshape family sibling of pivot/unpivot
+    (SURVEY §2 reshape rows, graded since r4)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
+    # transpose: index column first; metric names arrive in a `key`
+    # column named after the index column's header semantics
+    t = m.transpose(F.col("event_type"))
+    return t.withColumnRenamed("key", "metric")
+
+
+# ------------------------------------------- DataFrame.melt API --
+
+
+@staged_query(
+    "melt_api_reshape",
+    oracle="""
+    SELECT o_orderkey,
+           'price_cents' AS measure,
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT)
+               AS val
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, 'status_code',
+           CAST(ascii(substring(o_orderstatus, 1, 1)) AS BIGINT)
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, 'order_year',
+           CAST(year(o_orderdate) AS BIGINT)
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def melt_api_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.melt`` — the DataFrame-API unpivot (the SQL UNPIVOT
+    surface graded via groupby_all_unpivot_sql in r8; this grades the
+    API twin pandas users reach for): three typed measures melt into
+    (id, measure, val) rows, the oracle re-derives the long form as a
+    UNION ALL expansion. Measures pre-cast to BIGINT — melt, like
+    UNPIVOT, requires a least common value type, and exact cents keep
+    the comparison integral.
+
+    Scale shape: melt compiles to the same Expand node as UNPIVOT —
+    |measures|× row replication, scan-side, no shuffle.
+
+    Reference basis: reshape family (SURVEY §2 pivot/unpivot rows)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 2000
+    )
+    typed = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(38,6)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.ascii(F.substring("o_orderstatus", 1, 1))
+        .cast("long")
+        .alias("status_code"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    return typed.melt(
+        ids=["o_orderkey"],
+        values=["price_cents", "status_code", "order_year"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# --------------------------------- hidden _metadata file columns --
+
+
+@staged_query(
+    "hidden_file_metadata_scan",
+    oracle="""
+    SELECT event_type AS path_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           count(*) > 0 AS file_cols_consistent
+    FROM events GROUP BY 1
+    """,
+)
+def hidden_file_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` struct (Spark 3.4+: file_path,
+    file_name, file_size, file_modification_time) — per-file
+    provenance without a custom source: land events hive-partitioned
+    by type, read back, and rebuild each row's event_type FROM ITS
+    FILE PATH via regexp over _metadata.file_path; grouping by the
+    path-derived type must reproduce the source aggregate exactly
+    (a wrong file→row attribution mis-buckets rows and
+    hash-mismatches). The boolean column additionally pins the
+    consistency contract: every row's _metadata.file_name is a
+    suffix of its file_path and file_size is positive — checked
+    in-aggregate, reported per group.
+
+    Scale shape: _metadata columns are constant-per-split values
+    injected at scan time — zero IO beyond the scan itself; the
+    provenance grouping is an ordinary partial agg. This is the
+    lineage/debugging primitive (which file produced this row?) every
+    100 TB ingest audit leans on.
+
+    Reference basis: S-family source surface extension (SURVEY §2.1);
+    sibling of partitioned_write_prune (r5)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="meta_scan_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+            ).alias("path_type"),
+            "cents",
+            (
+                F.col("_metadata.file_path").endswith(
+                    F.col("_metadata.file_name")
+                )
+                & (F.col("_metadata.file_size") > 0)
+            ).alias("meta_ok"),
+        )
+        .groupBy("path_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.bool_and("meta_ok").alias("file_cols_consistent"),
+        )
+    )
+
+
+# ------------------------------------------ string format breadth --
+
+
+@staged_query(
+    "string_format_suite",
+    oracle="""
+    SELECT event_id,
+           printf('%s-%05d', event_type, event_id) AS tagged,
+           lpad(event_type, 10, '.') AS padded_l,
+           rpad(event_type, 10, '.') AS padded_r,
+           translate(event_type, 'aeiou', 'AEIOU') AS vowel_caps,
+           upper(substring(event_type, 1, 1))
+               || lower(substring(event_type, 2)) AS init_cap,
+           reverse(event_type) AS reversed,
+           repeat(substring(event_type, 1, 2), 3) AS repeated
+    FROM events WHERE event_id < 3000
+    """,
+)
+def string_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting breadth: format_string (printf semantics with
+    width/zero-pad flags), lpad/rpad with custom fill, translate
+    (character mapping), initcap (oracle spells it definitionally —
+    DuckDB has no initcap; single-token inputs make the expansion
+    exact), reverse, repeat. Complements string_suite2 (r9: split/
+    substring index/soundex-adjacent ops) with the FORMATTING half of
+    the F-suite surface.
+
+    Scale shape: scan-side codegen expressions, zero shuffles.
+
+    Reference basis: SURVEY §2.8 scalar-function family (F2-F8
+    string ops)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") < 3000
+    )
+    return ev.select(
+        "event_id",
+        F.format_string("%s-%05d", "event_type", "event_id").alias(
+            "tagged"
+        ),
+        F.lpad("event_type", 10, ".").alias("padded_l"),
+        F.rpad("event_type", 10, ".").alias("padded_r"),
+        F.translate("event_type", "aeiou", "AEIOU").alias("vowel_caps"),
+        F.initcap("event_type").alias("init_cap"),
+        F.reverse("event_type").alias("reversed"),
+        F.repeat(F.substring("event_type", 1, 2), 3).alias("repeated"),
+    )
+
+
+# -------------------- UDTF with TABLE argument + PARTITION BY --
+
+
+@staged_query(
+    "udtf_table_arg_partition_by",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS rn,
+               lag(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS pv
+        FROM events
+    ),
+    marked AS (
+        SELECT event_type, rn,
+               CASE WHEN pv IS NULL OR value <= pv THEN 1 ELSE 0 END
+                   AS brk
+        FROM ordered
+    ),
+    islands AS (
+        SELECT event_type, rn,
+               sum(brk) OVER (
+                   PARTITION BY event_type ORDER BY rn
+               ) AS grp
+        FROM marked
+    ),
+    runs AS (
+        SELECT event_type, grp, count(*) AS run_len
+        FROM islands GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           CAST(max(run_len) AS BIGINT) AS longest_inc_run,
+           CAST(sum(run_len) AS BIGINT) AS n_rows,
+           CAST(sum(run_len) - count(*) AS BIGINT) AS n_increases
+    FROM runs GROUP BY event_type
+    """,
+)
+def udtf_table_arg_partition_by(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polymorphic table function execution contract — a UDTF invoked
+    with ``TABLE(...) PARTITION BY ... ORDER BY ...`` (Spark 3.5+):
+    the engine must deliver each partition's rows to ONE UDTF instance
+    IN ORDER, with terminate() firing once per partition. The UDTF
+    computes inherently sequential statistics (longest strictly-
+    increasing run of `value`, total increase steps) that are wrong
+    under any row reordering or partition split — the gaps-and-islands
+    oracle recomputes them relationally, so the execution contract is
+    graded value-for-value, not asserted.
+
+    Scale shape: the PARTITION BY clause is a real exchange (hash on
+    event_type) + in-partition sort — exactly what the sequential
+    computation requires and no more; Arrow-batched rows stream
+    through Python once. Completes the UDTF matrix: fixed schema (r8),
+    dynamic analyze() (r10 head), and now table-argument partitioning.
+
+    Reference basis: SURVEY §2.10 extension surface."""
+    from pyspark.sql.functions import udtf
+
+    class RunStats:
+        def __init__(self) -> None:
+            self._typ = None
+            self._n = 0
+            self._cur = 0
+            self._best = 0
+            self._inc = 0
+            self._prev = None
+
+        def eval(self, row) -> None:
+            self._typ = row["event_type"]
+            self._n += 1
+            v = row["value"]
+            if self._prev is not None and v > self._prev:
+                self._cur += 1
+                self._inc += 1
+            else:
+                self._cur = 1
+            if self._cur > self._best:
+                self._best = self._cur
+            self._prev = v
+
+        def terminate(self):
+            if self._n:
+                yield (self._typ, self._best, self._n, self._inc)
+
+    spark.udtf.register(
+        "run_stats",
+        udtf(
+            RunStats,
+            returnType=(
+                "event_type string, longest_inc_run bigint,"
+                " n_rows bigint, n_increases bigint"
+            ),
+        ),
+    )
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT * FROM run_stats(
+            TABLE(events) PARTITION BY event_type ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
+# ----------------------------- session windows with DYNAMIC gap --
+
+
+@staged_query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               ts + CASE WHEN event_type = 'error'
+                         THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 10 MINUTE END AS te
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, cents, te,
+               max(te) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, ts, cents, te,
+               CASE WHEN pm IS NULL OR ts >= pm THEN 1 ELSE 0 END AS brk
+        FROM o
+    ),
+    isl AS (
+        SELECT user_id, ts, cents, te,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, cents, te
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS grp
+        FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(te), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM isl GROUP BY user_id, grp
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` with a PER-ROW gap expression (Spark 3.2+) —
+    error events hold the session open 30 minutes, everything else 10:
+    the adaptive-timeout sessionization real funnels use (an error
+    often precedes a slow retry; fixed gaps split those journeys).
+    Each event spans [ts, ts+gap); Spark merges overlapping spans into
+    sessions — the oracle replays exactly that as an interval-union
+    sweep (prefix-max end, break when a span starts at-or-after the
+    running end, [start,end) half-open semantics).
+
+    Scale shape: one shuffle on user_id + in-partition sort — the
+    session merge is a linear pass; state is bounded per key. Same
+    plan family as batch_sessionize (fixed gap, graded r7) with the
+    gap generalized from a constant to an expression.
+
+    Reference basis: SURVEY §2.9 T-family (session windows graded in
+    streaming and batch forms since r2/r8); dynamic gap completes the
+    session-window API surface."""
+    ev = load_table(spark, sf_dir, "events")
+    # dynamic gap takes STRING interval literals (cast internally to
+    # CalendarIntervalType; a DayTimeInterval literal is rejected)
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            "cents_sum",
+        )
+    )
+
+
+# ------------------ principal direction via power iteration --
+
+
+@staged_query(
+    "pca_power_iteration_1d",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, CAST(r.j AS INTEGER) AS j,
+               CAST(floor(CAST(embedding[CAST(r.j AS INTEGER)] AS DOUBLE)
+                          * 1000) AS BIGINT) AS q
+        FROM embeddings, LATERAL (
+            SELECT unnest(range(1, len(embedding) + 1)) AS j
+        ) r
+    ),
+    v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM q),
+    s1 AS (SELECT q.vec_id, sum(q.q * v0.v) AS s
+           FROM q JOIN v0 USING (j) GROUP BY 1),
+    w1 AS (SELECT q.j, sum(q.q * s1.s) AS w
+           FROM q JOIN s1 USING (vec_id) GROUP BY 1),
+    wq1 AS (SELECT j, CAST(floor(CAST(w AS DOUBLE) / 1000000000.0)
+                           AS BIGINT) AS wq FROM w1),
+    n1 AS (SELECT sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm FROM wq1),
+    v1 AS (SELECT j, CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 / nrm)
+                          AS BIGINT) AS v FROM wq1, n1),
+    s2 AS (SELECT q.vec_id, sum(q.q * v1.v) AS s
+           FROM q JOIN v1 USING (j) GROUP BY 1),
+    w2 AS (SELECT q.j, sum(q.q * s2.s) AS w
+           FROM q JOIN s2 USING (vec_id) GROUP BY 1),
+    wq2 AS (SELECT j, CAST(floor(CAST(w AS DOUBLE) / 1000000000.0)
+                           AS BIGINT) AS wq FROM w2),
+    n2 AS (SELECT sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm FROM wq2),
+    v2 AS (SELECT j, CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 / nrm)
+                          AS BIGINT) AS v FROM wq2, n2),
+    s3 AS (SELECT q.vec_id, sum(q.q * v2.v) AS s
+           FROM q JOIN v2 USING (j) GROUP BY 1),
+    w3 AS (SELECT q.j, sum(q.q * s3.s) AS w
+           FROM q JOIN s3 USING (vec_id) GROUP BY 1),
+    wq3 AS (SELECT j, CAST(floor(CAST(w AS DOUBLE) / 1000000000.0)
+                           AS BIGINT) AS wq FROM w3),
+    n3 AS (SELECT sqrt(CAST(sum(wq * wq) AS DOUBLE)) AS nrm FROM wq3),
+    v3 AS (SELECT j, CAST(floor(CAST(wq AS DOUBLE) * 1000000.0 / nrm)
+                          AS BIGINT) AS v FROM wq3, n3)
+    SELECT CAST(j - 1 AS INTEGER) AS j, v AS v_e6 FROM v3
+    """,
+)
+def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal embedding direction via THREE power-iteration steps
+    over the (uncentered) Gram matrix — iterative distributed linear
+    algebra without ever materializing the 64×64 covariance: each step
+    is two matvec aggregations (s = Xv per vector, w = Xᵀs per
+    dimension). Cross-engine exactness by the pagerank recipe:
+    embeddings quantize to integers (floor(x·1000)), every matvec is
+    exact BIGINT arithmetic, and each normalization runs a FIXED
+    deterministic op sequence (int→double cast, divide, sqrt, floor —
+    all IEEE correctly-rounded) so both engines walk bit-identical
+    iterates. The oracle unrolls the three iterations as CTEs.
+
+    Scale shape: per iteration, one |rows|-grain join+agg (s) and one
+    |dims|-grain agg (w); v is 64 rows, always broadcast. At 10¹⁰
+    embeddings this is the standard distributed PCA/top-eigenvector
+    topology (TruncatedSVD's power kernel); iteration count is the
+    driver-side loop, state is one tiny vector — nothing about the
+    plan changes with scale.
+
+    Reference basis: LLM-pipeline extension (embedding analytics
+    family: similarity, quantization, IVF — this adds the spectral
+    primitive)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    v = q.select("j").distinct().select(
+        "j", F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(3):
+        s = (
+            q.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("s"))
+        )
+        w = (
+            q.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("q") * F.col("s")).alias("w"))
+        )
+        wq = w.select(
+            "j",
+            F.floor(F.col("w").cast("double") / F.lit(1000000000.0))
+            .cast("long")
+            .alias("wq"),
+        )
+        norm = wq.agg(
+            F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = wq.crossJoin(F.broadcast(norm)).select(
+            "j",
+            F.floor(F.col("wq").cast("double") * 1000000.0 / F.col("nrm"))
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select("j", F.col("v").alias("v_e6"))
