@@ -1773,3 +1773,294 @@ def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     return v.select("j", F.col("v").alias("v_e6"))
+
+
+# ------------------ Python DataSource SIMPLE stream reader --
+
+
+@staged_query(
+    "python_datasource_simple_stream",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def python_datasource_simple_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SIMPLE Python streaming-reader contract
+    (``SimpleDataSourceStreamReader``, sources/pyds.py
+    `EventsReplaySimpleDataSource`) — the no-partition-planning half of
+    the streaming source API: the DRIVER pulls (rows, nextOffset) pairs
+    and Spark's wrapper handles prefetch, offset bookkeeping and crash
+    replay via readBetweenOffsets. Completes the Python DataSource V2
+    matrix: batch read (geojson), batch read + pushdown, batch sink,
+    partitioned stream read, stream sink — and now the simple stream
+    read. Graded value-for-value: stream the whole events backlog
+    through the simple reader (availableNow), final complete-mode
+    aggregate must equal the batch table's.
+
+    Scale shape: driver-side by DESIGN — the contract for low-volume
+    control/CDC-trickle streams; bulk streams use the partition-based
+    reader (python_datasource_stream_agg, graded r9). Grading both
+    pins that the engine offers the right tool at each volume.
+
+    Reference basis: S-family streaming-source surface (SURVEY §2.1
+    S1/S6 harness substitutions)."""
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.sources.pyds import (
+        register_python_sources,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("events_replay_simple")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    agged = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
+    name = f"simple_stream_{_uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+# ------------------------------- ORDER BY ALL + OFFSET pagination --
+
+
+@staged_query(
+    "order_by_all_offset_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(o_orderdate AS DATE) AS od,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderkey < 30000
+    GROUP BY 1, 2
+    ORDER BY ALL
+    LIMIT 50 OFFSET 100
+    """,
+)
+def order_by_all_offset_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ALL`` + ``LIMIT ... OFFSET`` — the pagination idiom
+    (modern-SQL ergonomics row, sibling of GROUP BY ALL graded in r8):
+    ORDER BY ALL sorts by every select-list column left-to-right, which
+    over a grouped result is a TOTAL order — making OFFSET pagination
+    deterministic, the property this row grades (an OFFSET under a
+    partial order is a lottery). Both engines run the identical text.
+
+    Scale shape: global sort limited by LIMIT+OFFSET — Spark plans
+    TakeOrderedAndProject with k = offset+limit, so the driver
+    materializes 150 rows, not the table. Deep pagination (OFFSET ≫)
+    degrades by construction in ANY engine; keyset pagination is the
+    100 TB answer and is already graded via the rank-cut rows.
+
+    Reference basis: SURVEY §2.6 O-family (sorts/top-k) SQL surface."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS od,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey < 30000
+        GROUP BY 1, 2
+        ORDER BY ALL
+        LIMIT 50 OFFSET 100
+        """
+    )
+
+
+# --------------------------------------- EXECUTE IMMEDIATE --
+
+
+@staged_query(
+    "execute_immediate_sql",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id < 400 AND event_id % 3 = 1
+    GROUP BY 1
+    """,
+)
+def execute_immediate_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): the query text is a
+    VALUE — assembled at runtime and executed with named parameter
+    binding (USING ... AS alias), the safe-templating primitive that
+    replaces string concatenation in orchestration code (parameters
+    bind as typed literals, closing the injection hole). Completes the
+    dynamic-SQL trio: session variables (r9), IDENTIFIER() binding
+    (r9), and now statement-level dynamic execution. The oracle is the
+    statically-spelled equivalent.
+
+    Scale shape: plan-time indirection only — the executed statement
+    compiles to the same aggregate plan as its static twin.
+
+    Reference basis: SQL-surface extension (SURVEY §2 A2 front door:
+    the reference drives everything through ksql strings — dynamic SQL
+    is that workflow made parameter-safe)."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+            'SELECT event_type,
+                    count(*) AS n,
+                    CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM events
+             WHERE user_id < :u AND event_id % :m = 1
+             GROUP BY 1'
+            USING 400 AS u, 3 AS m
+        """
+    )
+
+
+# ----------------------------- running distinct users per type --
+
+
+@staged_query(
+    "running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id,
+               CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day,
+               count(*) AS new_users
+        FROM firsts GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over time — the window frame SQL forbids
+    (no engine supports `count(DISTINCT) OVER (ORDER BY ...)`),
+    expressed the scalable way: a user's contribution reduces to their
+    FIRST appearance day (one aggregate), then daily new-user counts
+    fold into a running sum over day grain. The classic audience-growth
+    / cumulative-reach query, graded value-for-value against the same
+    derivation in DuckDB.
+
+    Scale shape: one (type, user) aggregate — bounded by distinct
+    pairs, partial-combined map-side — then a day-grain window
+    (|days| rows per type, trivially small). The naive alternative
+    (re-counting distincts per day) is O(days × users) and shuffles
+    the fact table once per day; this is the rewrite that makes the
+    query linear. first-appearance machinery shared with
+    cohort_retention (r6) and ngram_novelty_growth (staged).
+
+    Reference basis: SURVEY §2.4/§2.5 window-aggregate family
+    extension."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+# --------------------------------- struct-equality join keys --
+
+
+@staged_query(
+    "struct_equality_join",
+    oracle="""
+    WITH a AS (
+        SELECT user_id % 100 AS ub, event_type, count(*) AS na
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id % 100 AS ub, event_type, count(*) AS nb
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+    )
+    SELECT a.ub AS user_bucket,
+           a.event_type,
+           CAST(a.na AS BIGINT) AS n_even,
+           CAST(b.nb AS BIGINT) AS n_odd,
+           CAST(a.na * b.nb AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.ub = b.ub AND a.event_type = b.event_type
+    """,
+)
+def struct_equality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join keyed on STRUCT equality — one composite `struct(bucket,
+    type)` column on each side instead of a two-column condition:
+    struct comparison is field-wise left-to-right (null-safe per
+    field), so the join must behave exactly like its expanded twin —
+    which is what the oracle spells, proving the struct path adds no
+    semantic drift. Struct keys are how composite join keys travel
+    through APIs that accept ONE key expression (dropDuplicates,
+    joinWith, keyBy-style libraries).
+
+    Scale shape: Catalyst hashes the struct as a single key — same
+    exchange as the multi-column join; both sides pre-aggregated so
+    the join input is |buckets × types| rows, and the pair count is
+    the product of the grouped counts (computing it post-join instead
+    of joining raw rows keeps the plan at aggregate grain — the
+    anti-blow-up rewrite).
+
+    Reference basis: SURVEY §2.3 J-family semantics extension."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(parity: int, cnt: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_id") % 2 == parity)
+            .groupBy(
+                (F.col("user_id") % 100).alias("ub"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .select(
+                F.struct(F.col("ub"), F.col("event_type")).alias("k"),
+                cnt,
+            )
+        )
+
+    a, b = side(0, "na"), side(1, "nb")
+    joined = a.join(b, a["k"] == b["k"])
+    return joined.select(
+        a["k"]["ub"].alias("user_bucket"),
+        a["k"]["event_type"].alias("event_type"),
+        F.col("na").cast("long").alias("n_even"),
+        F.col("nb").cast("long").alias("n_odd"),
+        (F.col("na") * F.col("nb")).cast("long").alias("n_pairs"),
+    )

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -368,11 +369,70 @@ class EventsPushdownReader(DataSourceReader):
         yield from _events_slice_rows(self.path, self.ts_kind, lo, hi)
 
 
+class EventsReplaySimpleDataSource(DataSource):
+    """The SIMPLE streaming-reader contract (SimpleDataSourceStreamReader):
+    no partition planning — the DRIVER pulls rows directly and Spark's
+    wrapper handles prefetch, offset bookkeeping and replay
+    (readBetweenOffsets). The right contract for low-volume control
+    streams (config topics, CDC trickles); the partition-based
+    EventsReplayDataSource above is the scale path and the two share
+    the row-slice machinery.
+
+    Options: ``path`` — the events.parquet file.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay_simple"
+
+    def schema(self) -> StructType:
+        return EVENTS_SCHEMA
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "EventsReplaySimpleStreamReader":
+        return EventsReplaySimpleStreamReader(self.options["path"])
+
+
+class EventsReplaySimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.n, self.ts_kind = _events_meta(path)
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = start["index"]
+        if lo >= self.n:
+            return [], {"index": lo}
+        # one batch carries the whole backlog: the simple contract is
+        # driver-side by design, so partitioning gains nothing here and
+        # a single deterministic batch keeps the replay trivially
+        # exact. MATERIALIZED list, not a generator: the wrapper
+        # pickles the prefetched batch for executor-side replay.
+        return (
+            list(_events_slice_rows(self.path, self.ts_kind, lo, self.n)),
+            {"index": self.n},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(
+            _events_slice_rows(
+                self.path, self.ts_kind, start["index"], end["index"]
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 def register_python_sources(spark) -> None:
     """Idempotently register the sources and the sink on a session."""
     for src in (
         GeoJsonPagesDataSource,
         EventsReplayDataSource,
+        EventsReplaySimpleDataSource,
         EventsPushdownDataSource,
         JsonlPagesDataSource,
     ):
