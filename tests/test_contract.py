@@ -51,9 +51,9 @@ TAIL_SOURCE_SHA256 = {
     "array_algebra_suite": "39ab56f89f11fa47",
     "regexp_suite2": "4b589577a79a4216",
     "observe_metrics_suite": "fe0ff54e7f6b9f46",
-    "python_datasource_stream_agg": "ea9d373e98274b39",
-    "python_datasource_geojson_scan": "c3965f800859485b",
-    "python_datasource_sink_roundtrip": "44dae15fb37a837b",
+    "python_datasource_stream_agg": "918469a83eba7cfc",
+    "python_datasource_geojson_scan": "ea634b9dbe41f465",
+    "python_datasource_sink_roundtrip": "fde49e6c39abf651",
     "streaming_observe_metrics": "dcf9af260b451471",
     "inline_struct_explode": "7672ed2280740b8e",
     "string_suite2": "03e79cf64ccc25d4",
