@@ -2064,3 +2064,148 @@ def struct_equality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_odd"),
         (F.col("na") * F.col("nb")).cast("long").alias("n_pairs"),
     )
+
+
+# -------------------- SemDeDup-style quantized centroid prune --
+
+
+@staged_query(
+    "semdedup_quantized_prune",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, CAST(r.j AS INTEGER) AS j,
+               CAST(floor(CAST(embedding[CAST(r.j AS INTEGER)] AS DOUBLE)
+                          * 100) AS BIGINT) AS q
+        FROM embeddings, LATERAL (
+            SELECT unnest(range(1, len(embedding) + 1)) AS j
+        ) r
+    ),
+    cent AS (
+        SELECT vec_id AS cid, j, q AS cq FROM q WHERE vec_id < 8
+    ),
+    dots AS (
+        SELECT q.vec_id, cent.cid, sum(q.q * cent.cq) AS dot
+        FROM q JOIN cent USING (j)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, cid, dot,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dot DESC, cid
+               ) AS rk
+        FROM dots
+    ),
+    assigned AS (
+        SELECT vec_id, cid, dot AS best_dot
+        FROM ranked WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT a.cid,
+               a.vec_id AS keep_id,
+               b.vec_id AS prune_id,
+               sum(qa.q * qb.q) AS pair_dot
+        FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN q qa ON qa.vec_id = a.vec_id
+        JOIN q qb ON qb.vec_id = b.vec_id AND qb.j = qa.j
+        GROUP BY 1, 2, 3
+    ),
+    pruned AS (
+        SELECT DISTINCT cid, prune_id
+        FROM pairs WHERE pair_dot > 150000
+    )
+    SELECT a.cid AS cluster_id,
+           count(*) AS cluster_size,
+           CAST(coalesce(sum(CASE WHEN p.prune_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_pruned,
+           CAST(count(*) - coalesce(sum(CASE WHEN p.prune_id IS NOT NULL
+                                             THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_kept
+    FROM assigned a
+    LEFT JOIN pruned p
+      ON p.cid = a.cid AND p.prune_id = a.vec_id
+    GROUP BY 1
+    """,
+)
+def semdedup_quantized_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper)
+    re-expressed exactly: cluster embeddings around centroids, then
+    prune all-but-one of every within-cluster semantic-duplicate pair.
+    Cross-engine exact by integer quantization (floor(x·100) per
+    component): centroid assignment is argmax EXACT integer dot
+    product (ties → lowest centroid id, pinned via min_by over a
+    (-dot, cid) pair), duplicate pairs are exact integer dots above an
+    integer threshold, and the keep-rule (lowest vec_id survives) is
+    deterministic. Centroids are the first 8 vectors by vec_id — a
+    deterministic stand-in for k-means (whose float iterations no
+    cross-engine oracle can replay; the PRUNE semantics, not centroid
+    quality, is what this row grades).
+
+    Scale shape: assignment is |vecs|×K dots (K broadcast); the
+    pairwise stage is per-cluster quadratic — EXACTLY the SemDeDup
+    trade, bounded by cluster size: at 10¹⁰ embeddings you raise K so
+    clusters stay ~10³-10⁴ vectors and the n² term stays executor-
+    sized. Never corpus×corpus: the join is gated on cluster id.
+
+    Reference basis: LLM-pipeline extension (dedup family: exact,
+    minhash, simhash, ngram, containment, embedding-cosine — this adds
+    the cluster-then-prune semantic variant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("x").cast("double") * 100).cast("long").alias("q"),
+    )
+    # SQL over a view of the quantized grain: the pairwise stage is a
+    # self-join three deep, where DataFrame lineage tracking rejects
+    # the reuse — SQL names resolve per alias, same plan either way
+    q.createOrReplaceTempView("semdedup_q")
+    return spark.sql(
+        """
+        WITH cent AS (
+            SELECT vec_id AS cid, j, q AS cq
+            FROM semdedup_q WHERE vec_id < 8
+        ),
+        dots AS (
+            SELECT q.vec_id, cent.cid, sum(q.q * cent.cq) AS dot
+            FROM semdedup_q q JOIN cent USING (j)
+            GROUP BY 1, 2
+        ),
+        assigned AS (
+            SELECT vec_id,
+                   min_by(cid, struct(-dot, cid)) AS cid,
+                   max(dot) AS best_dot
+            FROM dots GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT a.cid,
+                   a.vec_id AS keep_id,
+                   b.vec_id AS prune_id,
+                   sum(qa.q * qb.q) AS pair_dot
+            FROM assigned a
+            JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN semdedup_q qa ON qa.vec_id = a.vec_id
+            JOIN semdedup_q qb ON qb.vec_id = b.vec_id AND qb.j = qa.j
+            GROUP BY 1, 2, 3
+        ),
+        pruned AS (
+            SELECT DISTINCT cid, prune_id
+            FROM pairs WHERE pair_dot > 150000
+        )
+        SELECT a.cid AS cluster_id,
+               count(*) AS cluster_size,
+               CAST(coalesce(sum(CASE WHEN p.prune_id IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_pruned,
+               CAST(count(*) - coalesce(sum(CASE WHEN p.prune_id IS NOT
+                                                 NULL THEN 1 ELSE 0 END),
+                                        0) AS BIGINT) AS n_kept
+        FROM assigned a
+        LEFT JOIN pruned p
+          ON p.cid = a.cid AND p.prune_id = a.vec_id
+        GROUP BY 1
+        """
+    )
