@@ -1741,6 +1741,12 @@ def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("j"),
         F.floor(F.col("x").cast("double") * 1000).cast("long").alias("q"),
     )
+    # materialize the quantized matrix ONCE: every iteration consumes q
+    # twice (Xv and Xᵀs), and an unmaterialized lineage re-derives the
+    # posexplode per consumer — 6 redundant scans over 3 iterations
+    # (the iterative-reuse rule: pagerank checkpoints its edges the
+    # same way; at 10¹⁰ embeddings this is a cached/checkpointed table)
+    q = q.localCheckpoint(eager=True)
     v = q.select("j").distinct().select(
         "j", F.lit(1000000).cast("long").alias("v")
     )
@@ -2159,6 +2165,9 @@ def semdedup_quantized_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("j"),
         F.floor(F.col("x").cast("double") * 100).cast("long").alias("q"),
     )
+    # materialize the quantized grain once: four consumers below (the
+    # iterative-reuse rule, same as pagerank's edge checkpoint)
+    q = q.localCheckpoint(eager=True)
     # SQL over a view of the quantized grain: the pairwise stage is a
     # self-join three deep, where DataFrame lineage tracking rejects
     # the reuse — SQL names resolve per alias, same plan either way
