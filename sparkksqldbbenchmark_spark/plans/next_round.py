@@ -2218,3 +2218,425 @@ def semdedup_quantized_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ------------------------------- as-of join, NEAREST direction --
+
+
+@staged_query(
+    "asof_nearest_join",
+    oracle="""
+    WITH ref AS (
+        SELECT user_id, ts AS rts,
+               CAST(floor(value * 100) AS BIGINT) AS rcents
+        FROM events WHERE event_id % 100 = 0
+    ),
+    tagged AS (
+        SELECT user_id, ts, event_id, NULL AS rts, NULL AS rcents,
+               0 AS is_ref
+        FROM events WHERE event_id % 100 <> 0 AND event_id < 20000
+        UNION ALL
+        SELECT user_id, rts AS ts, NULL AS event_id, rts, rcents,
+               1 AS is_ref
+        FROM ref
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, is_ref,
+               max_by(rts, CASE WHEN is_ref = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_ref DESC,
+                                         coalesce(event_id, -1)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS back_ts,
+               max_by(rcents, CASE WHEN is_ref = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_ref DESC,
+                                         coalesce(event_id, -1)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS back_cents,
+               min_by(rts, CASE WHEN is_ref = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_ref DESC,
+                                         coalesce(event_id, -1)
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS fwd_ts,
+               min_by(rcents, CASE WHEN is_ref = 1 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_ref DESC,
+                                         coalesce(event_id, -1)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS fwd_cents
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back_ts IS NULL THEN 'fwd'
+                WHEN fwd_ts IS NULL THEN 'back'
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'back'
+                ELSE 'fwd' END AS side,
+           CASE WHEN back_ts IS NULL THEN fwd_cents
+                WHEN fwd_ts IS NULL THEN back_cents
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts)
+                THEN back_cents ELSE fwd_cents END AS nearest_cents,
+           CASE WHEN back_ts IS NULL
+                THEN epoch_us(fwd_ts) - epoch_us(ts)
+                WHEN fwd_ts IS NULL
+                THEN epoch_us(ts) - epoch_us(back_ts)
+                ELSE least(epoch_us(ts) - epoch_us(back_ts),
+                           epoch_us(fwd_ts) - epoch_us(ts))
+           END AS delta_us
+    FROM filled WHERE is_ref = 0
+    """,
+)
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (completes the as-of matrix:
+    backward r3, tolerance r8 — this picks whichever reference reading
+    is CLOSER in time, ties to the earlier one): the union-tag
+    last-carry trick run in BOTH directions in one sorted pass — carry
+    the latest reference backward-looking AND the next reference
+    forward-looking, then a pure projection picks the nearer side. ONE
+    shuffle on the key, no range join, no per-row subquery — the same
+    plan discipline as the graded as-of rows.
+
+    Scale shape: one hash exchange on user_id + in-partition sort over
+    events∪refs; both carries ride the same sort. The projection is
+    codegen. This is the canonical sensor-alignment topology (align
+    each reading to the nearest calibration sample).
+
+    Reference basis: SURVEY §2.3 as-of family completion (J-extension
+    rows graded since r3)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_id") % 100 == 0).select(
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.floor(F.col("value") * 100).cast("long").alias("rcents"),
+    )
+    left = ev.where(
+        (F.col("event_id") % 100 != 0) & (F.col("event_id") < 20000)
+    ).select("user_id", "ts", "event_id")
+    tagged = left.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("rts"),
+        F.lit(None).cast("long").alias("rcents"),
+        F.lit(0).alias("is_ref"),
+    ).unionByName(
+        ref.select(
+            "user_id",
+            F.col("rts").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            "rts",
+            "rcents",
+            F.lit(1).alias("is_ref"),
+        )
+    )
+    # refs sort BEFORE same-instant events (is_ref DESC): an event at
+    # exactly a reference instant matches it with delta 0 on the
+    # backward side — the tie rule the oracle spells identically
+    order = [
+        F.col("ts"),
+        F.col("is_ref").desc(),
+        F.coalesce("event_id", F.lit(-1)),
+    ]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ref_ts = F.when(F.col("is_ref") == 1, F.col("ts"))
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_ref",
+        F.max_by("rts", ref_ts).over(wb).alias("back_ts"),
+        F.max_by("rcents", ref_ts).over(wb).alias("back_cents"),
+        F.min_by("rts", ref_ts).over(wf).alias("fwd_ts"),
+        F.min_by("rcents", ref_ts).over(wf).alias("fwd_cents"),
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("back_ts")
+    d_fwd = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    pick_back = F.col("back_ts").isNotNull() & (
+        F.col("fwd_ts").isNull() | (d_back <= d_fwd)
+    )
+    return filled.where(F.col("is_ref") == 0).select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.lit("back")).otherwise(F.lit("fwd")).alias(
+            "side"
+        ),
+        F.when(pick_back, F.col("back_cents"))
+        .otherwise(F.col("fwd_cents"))
+        .alias("nearest_cents"),
+        F.when(
+            F.col("back_ts").isNull(), d_fwd
+        )
+        .when(F.col("fwd_ts").isNull(), d_back)
+        .otherwise(F.least(d_back, d_fwd))
+        .alias("delta_us"),
+    )
+
+
+# ----------------------- MAD robust outliers (histogram form) --
+
+
+@staged_query(
+    "mad_robust_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    h1 AS (
+        SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2
+    ),
+    cum1 AS (
+        SELECT event_type, cents, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY cents
+               ) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM h1
+    ),
+    med AS (
+        SELECT event_type, min(cents) AS med
+        FROM cum1 WHERE cum >= (n + 1) // 2 GROUP BY 1
+    ),
+    d AS (
+        SELECT c.event_type, abs(c.cents - med.med) AS dev
+        FROM c JOIN med USING (event_type)
+    ),
+    h2 AS (
+        SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2
+    ),
+    cum2 AS (
+        SELECT event_type, dev, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY dev
+               ) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM h2
+    ),
+    mad AS (
+        SELECT event_type, min(dev) AS mad
+        FROM cum2 WHERE cum >= (n + 1) // 2 GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(max(med.med) AS BIGINT) AS median_cents,
+           CAST(max(mad.mad) AS BIGINT) AS mad_cents,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    estimator that survives 50% contamination where mean±kσ breaks at
+    one bad point: per group, exact nearest-rank median, exact
+    nearest-rank MAD of the deviations, then the 3×MAD outlier count.
+    Everything integer (cents), both medians computed in HISTOGRAM
+    form — count per distinct value, cumulative over the VALUE DOMAIN
+    (≤100k cents), pick the first value whose cumulative count reaches
+    ⌈n/2⌉ — the scale-safe rewrite the r4 nearest-rank row pioneered:
+    no per-row global sort, window input bounded by distinct values,
+    not rows.
+
+    Scale shape: two bounded-domain histogram passes + one broadcast
+    join of the 5-row median/MAD tables back to the scan. Exact
+    robust statistics at any row count.
+
+    Reference basis: SURVEY §2.4 A4/A5 family (percentile/stddev
+    rows); MAD is the robust twin the reference's monitoring would
+    want at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def nearest_rank_median(df: DataFrame, col: str) -> DataFrame:
+        h = df.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("event_type")
+        cum = h.select(
+            "event_type",
+            col,
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        return (
+            cum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"med_{col}"))
+        )
+
+    med = nearest_rank_median(c, "cents").withColumnRenamed(
+        "med_cents", "med"
+    )
+    d = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = nearest_rank_median(d, "dev").withColumnRenamed(
+        "med_dev", "mad"
+    )
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ----------------------- triangle counting on the dup graph --
+
+
+def _triangle_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), node_tris AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ), tri_cnt AS (
+        SELECT node, count(*) AS n_triangles
+        FROM node_tris GROUP BY 1
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM pairs
+            UNION ALL SELECT v FROM pairs
+        ) GROUP BY 1
+    )
+    SELECT deg.node AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tri_cnt.n_triangles, 0) AS BIGINT)
+               AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN (CAST(2 * coalesce(tri_cnt.n_triangles, 0)
+                           AS DOUBLE)) / (deg.d * (deg.d - 1))
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN tri_cnt ON deg.node = tri_cnt.node
+    """
+
+
+@staged_query("dupgraph_triangle_count", oracle=_triangle_oracle())
+def dupgraph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + local clustering coefficients over the
+    near-duplicate graph — the standard audit for whether LSH
+    components are true duplicate CLIQUES (coefficient ≈ 1: one
+    underlying document family) or chained false-positive paths
+    (coefficient ≈ 0: band collisions stitching unrelated docs). The
+    compact-forward algorithm on ordered edges (u<v): join wedges
+    e1(a,b)⋈e2(b,c) and close against e3(a,c) — every triangle counted
+    exactly once, then re-attributed to all three corners.
+
+    Scale shape: wedge join keyed on the shared vertex, closure join
+    on the (a,c) pair — both hash exchanges on vertex/pair keys; the
+    dup graph's degree is bounded by LSH design (banded buckets cap
+    candidate fan-out), which is precisely what keeps the wedge count
+    near-linear here while generic social graphs need degree-ordered
+    compaction (which ordering by doc_id already provides).
+
+    Reference basis: LLM-pipeline extension (dup-graph family:
+    dedup_clusters r4, dup_graph_degree_stats r8, pagerank r10 — this
+    adds the clique-quality audit)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # 4 consumers: fix plan
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = pairs.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    node_tris = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    tri_cnt = node_tris.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.join(tri_cnt, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            (2 * F.coalesce("n_triangles", F.lit(0)).cast("double"))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
