@@ -190,6 +190,9 @@ def main() -> None:
         "bm25_odds_retrieval",
         "interval_coverage_sweep",
         "countmin_heavy_hitters",
+        "pagerank_dupgraph_3iter",
+        "pca_power_iteration_1d",
+        "semdedup_quantized_prune",
     ]
     ext_funcs = dict(queries)
     try:
