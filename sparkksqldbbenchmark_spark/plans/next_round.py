@@ -2640,3 +2640,185 @@ def dupgraph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+# --------------------- Zipf tail mass via dyadic rank buckets --
+
+
+@staged_query(
+    "vocab_dyadic_rank_mass",
+    oracle="""
+    WITH tf AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, count(*) AS n FROM tf GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok) AS r
+        FROM counts
+    )
+    SELECT CAST(length(bin(r)) AS INTEGER) AS rank_bucket,
+           count(*) AS n_tokens,
+           CAST(sum(n) AS BIGINT) AS mass,
+           CAST(min(r) AS BIGINT) AS rank_lo,
+           CAST(max(r) AS BIGINT) AS rank_hi
+    FROM ranked GROUP BY 1
+    """,
+)
+def vocab_dyadic_rank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail diagnostics WITHOUT logarithms: bucket token ranks
+    dyadically (bucket = bit count of the rank — length(bin(r)), exact
+    integers in both engines where log2 would be libm) and report each
+    bucket's token count and occurrence mass. For a Zipf-s corpus the
+    per-bucket mass falls geometrically with a ratio determined by s —
+    so the bucket-mass sequence IS the tail-index readout, computed
+    from exact sums a dashboard can threshold. The standard corpus
+    health check (is the head too heavy? did dedup flatten the tail?).
+
+    Scale shape: token-count aggregate (bounded by vocabulary),
+    one ranking window over the VOCAB (not the corpus — the window
+    input is |distinct tokens|, and at 100 TB rank-by-frequency is
+    still vocab-bounded), then a ≤40-row bucket aggregate.
+
+    Reference basis: LLM-pipeline extension (vocabulary family:
+    vocab_top_tokens r3, collision_probability r10, novelty staged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select("n", F.row_number().over(w).alias("r"))
+    return ranked.groupBy(
+        F.length(F.bin("r")).cast("int").alias("rank_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n").cast("long").alias("mass"),
+        F.min("r").cast("long").alias("rank_lo"),
+        F.max("r").cast("long").alias("rank_hi"),
+    )
+
+
+# ------------------------- k-core decomposition (3 peels) --
+
+
+def _kcore_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    peel_tpl = """
+    , alive{i} AS (
+        SELECT node FROM (
+            SELECT e.src AS node, count(*) AS d
+            FROM edges e
+            JOIN alive{p} a1 ON e.src = a1.node
+            JOIN alive{p} a2 ON e.dst = a2.node
+            GROUP BY 1
+        ) WHERE d >= 2
+    )"""
+    peels = "".join(peel_tpl.format(i=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), alive0 AS (
+        SELECT DISTINCT src AS node FROM edges
+    ){peels}
+    SELECT a0.node AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           a3.node IS NOT NULL AS in_2core_after_3_peels
+    FROM alive0 a0
+    JOIN (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1) deg
+      ON a0.node = deg.node
+    LEFT JOIN alive3 a3 ON a0.node = a3.node
+    """
+
+
+@staged_query("kcore_dupgraph_3peel", oracle=_kcore_oracle())
+def kcore_dupgraph_3peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition of the near-duplicate graph by THREE
+    rounds of degree peeling — nodes whose degree (counted among
+    still-alive nodes) falls below 2 are removed each round. The
+    2-core separates genuine duplicate clusters (cyclic, survive
+    peeling) from chain debris (trees of accidental band collisions,
+    peeled away) — the graph-theoretic version of the clique-quality
+    audit the triangle row grades locally. Exact set semantics,
+    iteration unrolled in the oracle exactly like pagerank's.
+
+    Scale shape: each peel is one join of edges against the alive set
+    (hash exchange on node id) + a degree aggregate — the standard
+    distributed k-core round; 3 rounds is the audit depth (full
+    convergence is a driver-side loop on the same plan at 100 TB, with
+    the alive set shrinking monotonically so later rounds cost less).
+
+    Reference basis: LLM-pipeline extension (dup-graph family:
+    clusters r4, degree stats r8, pagerank r10, triangles staged)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # 8 consumers: fix plan
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg0 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    for _ in range(3):
+        alive_src = alive.select(F.col("node").alias("src"))
+        alive_dst = alive.select(F.col("node").alias("dst"))
+        alive = (
+            edges.join(alive_src, "src")
+            .join(alive_dst, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 2)
+            .select("node")
+        )
+    survivors = alive.withColumn("alive", F.lit(True))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return (
+        nodes.join(deg0, "node")
+        .join(survivors, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("alive", F.lit(False)).alias(
+                "in_2core_after_3_peels"
+            ),
+        )
+    )
