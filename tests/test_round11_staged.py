@@ -361,3 +361,60 @@ def test_running_distinct_users_monotone_and_total(spark):
         cums = [r.cumulative_users for r in rs]
         assert cums == sorted(cums), et
         assert sum(r.new_users for r in rs) == totals[et], et
+
+
+def test_dyadic_rank_mass_matches_counter(spark):
+    from collections import Counter
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    got = {
+        r.rank_bucket: (r.n_tokens, r.mass, r.rank_lo, r.rank_hi)
+        for r in STAGED["vocab_dyadic_rank_mass"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    c: Counter = Counter()
+    for d in docs:
+        c.update(d.text.split(" "))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected: dict = {}
+    for r, (_tok, n) in enumerate(ranked, start=1):
+        b = r.bit_length()
+        t = expected.setdefault(b, [0, 0, r, r])
+        t[0] += 1
+        t[1] += n
+        t[3] = r
+    assert got == {b: tuple(v) for b, v in expected.items()}
+
+
+def test_kcore_peeling_matches_set_replay(spark):
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = {
+        (r.u, r.v)
+        for r in a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    }
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    for _ in range(3):
+        alive = {
+            n for n in alive if len(adj[n] & alive) >= 2
+        }
+    got = {
+        r.doc_id: (r.degree, r.in_2core_after_3_peels)
+        for r in STAGED["kcore_dupgraph_3peel"](spark, SF_DIR).collect()
+    }
+    assert got == {n: (len(adj[n]), n in alive) for n in adj}
