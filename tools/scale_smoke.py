@@ -1180,6 +1180,108 @@ def main() -> None:
             f"{int(vids_n / video_s):,} videos/s)"
         )
 
+        # staged round-11 embedding shapes: the power-iteration matvec
+        # pair (s = Xv, w = Xᵀs) and the SemDeDup centroid assignment
+        # at n/100 synthetic 64-dim integer vectors — the TESTDATA
+        # embeddings table is fixed-size, so the scale question (is
+        # the matvec scan-bound?) needs a synthetic matrix.
+        emb_n = max(n // 100, 1000)
+        qm = (
+            spark.range(emb_n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.explode(F.expr("sequence(0, 63)")).alias("j"),
+            )
+            .select(
+                "vec_id",
+                "j",
+                (
+                    (F.col("vec_id") * 31 + F.col("j") * 17) % 601 - 300
+                ).alias("q"),
+            )
+        )
+        qm = qm.localCheckpoint(eager=True)
+        t0 = time.time()
+        v64 = qm.select("j").distinct().select(
+            "j", F.lit(1_000_000).cast("long").alias("v")
+        )
+        sv = (
+            qm.join(F.broadcast(v64), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("s"))
+        )
+        wv = (
+            qm.join(sv, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("q") * F.col("s")).alias("w"))
+        )
+        wn = wv.count()
+        matvec_s = time.time() - t0
+        print(
+            f"rows={n:,} pca_matvec_pair={matvec_s:.1f}s "
+            f"({emb_n:,} vecs x 64 dims, {wn} w-rows, "
+            f"{int(emb_n / matvec_s):,} vecs/s)"
+        )
+
+        t0 = time.time()
+        centm = qm.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cid"), "j", F.col("q").alias("cq")
+        )
+        assigned_n = (
+            qm.join(F.broadcast(centm), "j")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+            .groupBy("vec_id")
+            .agg(F.expr("min_by(cid, struct(-dot, cid))").alias("cid"))
+            .groupBy("cid")
+            .count()
+            .count()
+        )
+        assign_s = time.time() - t0
+        print(
+            f"rows={n:,} semdedup_assign={assign_s:.1f}s "
+            f"({emb_n:,} vecs -> {assigned_n} clusters, "
+            f"{int(emb_n / assign_s):,} vecs/s)"
+        )
+
+        # staged round-11 graph shape: wedge-join triangle counting on
+        # a synthetic bounded-degree graph (ring + chords: degree ~4,
+        # the LSH-bucketed regime) at n/10 nodes
+        g_n = max(n // 10, 1000)
+        ring = spark.range(g_n).select(
+            F.col("id").alias("u"),
+            ((F.col("id") + 1) % g_n).alias("v"),
+        )
+        chords = spark.range(g_n).where(F.col("id") % 3 == 0).select(
+            F.col("id").alias("u"),
+            ((F.col("id") + 2) % g_n).alias("v"),
+        )
+        gp = (
+            ring.unionByName(chords)
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+        gp = gp.localCheckpoint(eager=True)
+        t0 = time.time()
+        e1 = gp.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = gp.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = gp.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri_n = (
+            e1.join(e2, "b")
+            .join(
+                e3,
+                (F.col("a") == F.col("a3"))
+                & (F.col("c") == F.col("c3")),
+            )
+            .count()
+        )
+        tri_s = time.time() - t0
+        print(
+            f"rows={n:,} triangle_wedge_join={tri_s:.1f}s "
+            f"({g_n:,} nodes, {tri_n:,} triangles, "
+            f"{int(g_n / tri_s):,} nodes/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
