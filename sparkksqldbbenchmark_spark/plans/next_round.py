@@ -2822,3 +2822,266 @@ def kcore_dupgraph_3peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------- binaryFile source format --
+
+
+@staged_query(
+    "binaryfile_source_scan",
+    oracle="""
+    SELECT count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS payload_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def binaryfile_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's whole-file-as-a-row reader
+    (path, modificationTime, length, content), the ingestion front
+    door for the multimodal columns this engine treats as opaque
+    binary: land one file per document (ASCII text bytes, so
+    payload length == n_chars exactly), scan the directory as
+    binaryFile, recover each doc_id from its file NAME, and aggregate
+    count/total-bytes/id-range — every value re-derivable by the
+    oracle from the documents table itself. In-query assertions pin
+    the per-row contract: content length equals the reported length
+    column on every file.
+
+    Scale shape: one row per file, content never leaves the executor
+    that read it (the downstream aggregate ships 8-byte lengths);
+    pathGlobFilter + partition-dir layout give the same pruning levers
+    as any file source. This is exactly how image/audio corpora enter
+    a Spark pipeline before the mapInPandas decode stage (multimodal
+    rows, graded r5-r9).
+
+    Reference basis: S-family source completion (SURVEY §2.1)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="binsrc_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text", "n_chars")
+    )
+    rows = docs.collect()  # 64 small files: driver-side fixture write
+    for r in rows:
+        with open(os.path.join(d, f"doc_{r.doc_id:05d}.txt"), "wb") as fh:
+            fh.write(r.text.encode("ascii"))
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.length("content").alias("content_len"),
+            F.col("length").alias("reported_len"),
+        )
+    )
+    mismatches = back.where(
+        F.col("content_len") != F.col("reported_len")
+    ).count()
+    assert mismatches == 0, "binaryFile length column != content bytes"
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("content_len").cast("long").alias("payload_bytes"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+# ------------------------- quoted multi-line CSV round-trip --
+
+
+@staged_query(
+    "csv_quoted_multiline_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(CAST(len(payload) AS BIGINT)) AS BIGINT)
+               AS payload_chars,
+           CAST(sum(CASE WHEN payload LIKE '%' || chr(10) || '%'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_newline,
+           CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_sum
+    FROM (
+        SELECT doc_id,
+               'line1: ' || substring(text, 1, 40) || chr(10)
+                   || 'line2, "quoted", '
+                   || substring(text, 41, 20) AS payload
+        FROM documents WHERE doc_id < 500
+    )
+    """,
+)
+def csv_quoted_multiline_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CSV quoting edge the reference's PERMISSIVE reader never
+    faces: payloads containing embedded NEWLINES, QUOTES, and the
+    delimiter itself. Written with quoting, read back with
+    ``multiLine=true`` (without it a quoted newline splits one record
+    into two rows) and escaped-quote handling; the aggregate —
+    including an exact count of payloads whose round-tripped value
+    still contains its newline — must match the oracle computing the
+    same from the source table directly. Any quoting/escaping drift
+    changes payload_chars and hash-mismatches.
+
+    Scale shape: multiLine CSV forfeits intra-file split parallelism
+    (records can span arbitrary byte ranges — files become the unit
+    of parallelism), which is WHY columnar formats win at 100 TB;
+    this row pins that the engine is still CORRECT on the legacy
+    format the reference serves (S5/S8-S10 family).
+
+    Reference basis: SURVEY §2.1 S5 malformed/quoting guard,
+    completed for the multi-line case."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="csvml_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("line1: "),
+                F.substring("text", 1, 40),
+                F.lit("\n"),
+                F.lit('line2, "quoted", '),
+                F.substring("text", 41, 20),
+            ).alias("payload"),
+        )
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        # the WRITER trims leading/trailing whitespace by DEFAULT
+        # (ignore*WhiteSpace default true on write, false on read) —
+        # 103 of 500 payloads here end in a space and would silently
+        # shrink by one char before ever reaching the file
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .csv(d)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .schema("doc_id long, payload string")
+        .csv(d)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+        F.sum(
+            F.when(F.col("payload").contains("\n"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_newline"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ----------------------- T5-style span-corruption mask plan --
+
+
+@staged_query(
+    "span_corruption_mask_plan",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id,
+               CAST(r.b AS BIGINT) AS block_idx,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#sc'
+                                       || CAST(r.b AS VARCHAR)), 1, 15))
+                ::BIGINT % 18) AS off
+        FROM d, LATERAL (
+            SELECT unnest(range(0, CAST(n_tokens // 20 AS BIGINT))) AS b
+        ) r
+    )
+    SELECT d.doc_id,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(count(b.block_idx), 0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(count(b.block_idx), 0) * 3 AS BIGINT)
+               AS n_masked,
+           CAST(coalesce(sum(b.block_idx * 20 + b.off), -1) AS BIGINT)
+               AS span_start_sum
+    FROM d LEFT JOIN blocks b USING (doc_id)
+    GROUP BY d.doc_id, d.n_tokens
+    """,
+)
+def span_corruption_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING (the denoising-objective prep
+    step): partition each document into 20-token blocks and mask one
+    3-token span per block at a deterministic md5-derived offset
+    (offset ∈ [0,18) keeps the span inside its block) — exactly a 15%
+    corruption rate with mean span length 3, the T5 defaults, but with
+    ZERO sequential logic: every span is per-block arithmetic, so the
+    plan is one explode + aggregate instead of a per-document scan.
+    The masked-count and span-start checksum are exact integers the
+    oracle recomputes identically.
+
+    Scale shape: explode to block grain (n_tokens/20 per doc),
+    partial-agg back to doc grain. Scan-bound; the downstream
+    consumer (actual token replacement) is a zip_with over the same
+    span list, already graded machinery (HOF rows).
+
+    Reference basis: LLM-pipeline extension (corpus assembly family:
+    packing, budget selection, chunking — this adds the denoising
+    mask planner)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    # sequence(0, -1) DESCENDS in Spark — docs under 20 tokens must be
+    # excluded before the explode, not left to an empty sequence
+    blocks = d.where(F.col("n_tokens") >= 20).select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(0, int(n_tokens div 20) - 1)")
+        ).alias("block_idx"),
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        (
+            F.expr(
+                spark_md5_int(
+                    "concat(cast(doc_id as string), '#sc',"
+                    " cast(block_idx as string))"
+                )
+            )
+            % 18
+        ).alias("off"),
+    )
+    return (
+        d.join(blocks, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("block_idx").cast("long").alias("n_blocks"),
+            (F.count("block_idx") * 3).cast("long").alias("n_masked"),
+            F.coalesce(
+                F.sum(F.col("block_idx") * 20 + F.col("off")), F.lit(-1)
+            )
+            .cast("long")
+            .alias("span_start_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_blocks",
+            "n_masked",
+            "span_start_sum",
+        )
+    )
