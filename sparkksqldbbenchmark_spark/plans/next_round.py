@@ -3085,3 +3085,239 @@ def span_corruption_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_start_sum",
         )
     )
+
+
+# ------------------- checkpoint restart resumes exactly-once --
+
+
+@staged_query(
+    "streaming_checkpoint_restart_resume",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_checkpoint_restart_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-recovery as a GRADED row (T5/T6 semantics the recovery
+    pytest covers unit-wise): run a stateful aggregation over HALF the
+    input (availableNow run 1), STOP — state and offsets land in the
+    checkpoint — then land the second half and RESTART from the same
+    checkpoint (run 2). The resumed query must pick up exactly where
+    run 1 committed: no reprocessing of half 1 (counts would double),
+    no skipping of half 2 (counts would miss) — the final complete-mode
+    state must equal aggregating the whole table in one pass, which is
+    what the oracle computes.
+
+    Scale shape: restart cost is state-store reload (proportional to
+    live state, not history) + offset-log replay of the UNCOMMITTED
+    tail only — the property that makes week-long streaming jobs
+    restartable at 100 TB. Source offsets here are file names; in
+    deployment, Kafka offsets — same commit protocol.
+
+    Reference basis: SURVEY §2.9 T6 (checkpointing), upgraded from
+    pytest coverage to a driver-graded value row."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    src = tempfile.mkdtemp(prefix="ckres_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckres_ckpt_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # land the table as 4 parquet files; first run sees files 1-2 only
+    staging = tempfile.mkdtemp(prefix="ckres_all_")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+    files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(files) == 4
+    for f in files[:2]:
+        shutil.copy(f, src)
+
+    schema = spark.read.parquet(staging).schema
+
+    def agg_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+
+    name1 = f"ckres_{_uuid.uuid4().hex[:8]}"
+    q1 = run_to_memory(
+        agg_stream(), name1, output_mode="complete", checkpoint=ckpt
+    )
+    q1.stop()
+    half_rows = sum(
+        r.n_events for r in spark.table(name1).collect()
+    )
+
+    for f in files[2:]:
+        shutil.copy(f, src)
+
+    name2 = f"ckres_{_uuid.uuid4().hex[:8]}"
+    q2 = run_to_memory(
+        agg_stream(), name2, output_mode="complete", checkpoint=ckpt
+    )
+    q2.stop()
+    out = spark.table(name2)
+    total_rows = sum(r.n_events for r in out.collect())
+    # the restart must have ADDED exactly the second half on top of the
+    # recovered state (catches both double-processing and state loss)
+    assert 0 < half_rows < total_rows, (half_rows, total_rows)
+    return out
+
+
+# -------------------------- nth_value / frame-default traps --
+
+
+@staged_query(
+    "nth_value_window_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(value, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_value,
+           first_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS first_seen,
+           last_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS last_default_frame,
+           last_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_full_frame
+    FROM events WHERE user_id < 50
+    """,
+)
+def nth_value_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + the DEFAULT-FRAME trap, pinned: with an ORDER BY and
+    no frame clause, the ANSI default frame is RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW — so `last_value` over the default frame is
+    just the CURRENT row (the classic window bug), while the explicit
+    full frame gives the partition's true last. Both spellings graded
+    side by side, plus nth_value(2) over the full frame and
+    first_value (where the default frame IS correct). Both engines run
+    the identical ANSI text.
+
+    Scale shape: one window exchange+sort per partition spec — all
+    four functions share the same (user_id | ts,event_id) spec, so
+    Catalyst computes them in a single Window operator pass.
+
+    Reference basis: SURVEY §2.5 W-family completion (navigation
+    functions graded since r3/r8; this pins the frame-default
+    semantics)."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               nth_value(value, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS second_value,
+               first_value(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS first_seen,
+               last_value(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS last_default_frame,
+               last_value(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS last_full_frame
+        FROM events WHERE user_id < 50
+        """
+    )
+
+
+# ----------------------- length-bucketed inference batching --
+
+
+@staged_query(
+    "length_bucketed_batching",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(string_split(text, ' ')) // 8 AS bucket
+        FROM documents
+    ),
+    numbered AS (
+        SELECT doc_id, n_tokens, bucket,
+               (row_number() OVER (
+                   PARTITION BY bucket ORDER BY n_tokens, doc_id
+               ) - 1) // 16 AS batch_idx
+        FROM d
+    )
+    SELECT bucket,
+           CAST(batch_idx AS BIGINT) AS batch_idx,
+           count(*) AS batch_size,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM numbered GROUP BY bucket, batch_idx
+    """,
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching — the serving-side packing
+    problem (training-side packing graded since r3): bucket documents
+    by token-length octile, order within bucket by exact length, cut
+    deterministic batches of 16, and report each batch's PADDING WASTE
+    (batch_size × max_len − Σlen) — the number a serving stack
+    minimizes, since every padded token is wasted FLOPs. Length-sorted
+    bucketing is what turns O(max·n) padding into near-zero; the
+    waste column quantifies it exactly.
+
+    Scale shape: one window per bucket (hash exchange on the bucket
+    key, in-partition sort by length) + batch-grain aggregate. The
+    bucket count scales with max length / 8, keeping partitions
+    uniform; at 10¹⁰ docs the same plan runs per (bucket, shard) with
+    batch ids offset per shard — a knob, not a rewrite.
+
+    Reference basis: LLM-pipeline extension (corpus assembly family:
+    sequence_packing r4, token budget r4, pack audit r10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.size(F.split("text", " ")) / 8)
+        .cast("long")
+        .alias("bucket"),
+    )
+    numbered = d.select(
+        "bucket",
+        "n_tokens",
+        F.expr("(row_number() over (partition by bucket"
+               " order by n_tokens, doc_id) - 1) div 16").alias(
+            "batch_idx"
+        ),
+    )
+    return numbered.groupBy("bucket", "batch_idx").agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
