@@ -107,6 +107,14 @@ def main() -> None:
     # stderr lines and makes round-over-round diffs noisy; the bench
     # prints its own signal.
     spark.sparkContext.setLogLevel("ERROR")
+    # ambient load BEFORE any work starts — the load-context signal the
+    # regression rule reads (an end-of-run reading measures the bench's
+    # own 32-core footprint, not the environment)
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg_start = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        loadavg_start = []
     # A11: sample process-tree CPU/RSS on a fixed cadence for the whole
     # run (reference BenchmarkRunner.scala:96-146)
     from sparkksqldbbenchmark_spark.bench.resources import ResourceSampler
@@ -302,13 +310,16 @@ def main() -> None:
 
     # Load context for the run: the driver's box runs other work, so a
     # round-over-round per-query delta inside THIS run's own observable
-    # spread (query_spread below) or taken under high loadavg is noise,
-    # not a regression — the rule the r08/r09 adjudications applied.
+    # spread (query_spread below) or taken under high ambient loadavg
+    # is noise, not a regression — the rule the r08/r09 adjudications
+    # applied. loadavg = [start-of-run, end-of-run] readings; the START
+    # one is the ambient signal (the end one includes the bench itself).
     try:
         with open("/proc/loadavg") as fh:
-            loadavg = [float(x) for x in fh.read().split()[:3]]
+            loadavg_end = [float(x) for x in fh.read().split()[:3]]
     except OSError:
-        loadavg = []
+        loadavg_end = []
+    loadavg = {"start": loadavg_start, "end": loadavg_end}
 
     full_report = {
         "metric": "headline_queries_total_wall",
