@@ -3321,3 +3321,112 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("padding_waste"),
     )
+
+
+# ------------------- k-means Lloyd step, integer-quantized --
+
+
+@staged_query(
+    "kmeans_lloyd_step_quantized",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, CAST(r.j AS INTEGER) AS j,
+               CAST(floor(CAST(embedding[CAST(r.j AS INTEGER)] AS DOUBLE)
+                          * 100) AS BIGINT) AS q
+        FROM embeddings, LATERAL (
+            SELECT unnest(range(1, len(embedding) + 1)) AS j
+        ) r
+    ),
+    cent AS (
+        SELECT vec_id AS cid, j, q AS cq FROM q WHERE vec_id < 8
+    ),
+    dots AS (
+        SELECT q.vec_id, cent.cid, sum(q.q * cent.cq) AS dot
+        FROM q JOIN cent USING (j)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dot DESC, cid
+               ) AS rk
+        FROM dots
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM ranked WHERE rk = 1
+    ),
+    upd AS (
+        SELECT a.cid, q.j,
+               CAST(sum(q.q) AS BIGINT) AS comp_sum,
+               count(*) AS members
+        FROM assigned a JOIN q ON q.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT cid AS cluster_id,
+           CAST(j - 1 AS INTEGER) AS j,
+           CAST(members AS BIGINT) AS cluster_size,
+           comp_sum,
+           CAST(floor(CAST(comp_sum AS DOUBLE) * 100 / members)
+                AS BIGINT) AS new_centroid_e2
+    FROM upd
+    """,
+)
+def kmeans_lloyd_step_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One full Lloyd (k-means) iteration over embeddings, cross-engine
+    exact: ASSIGN each vector to its argmax-integer-dot centroid (the
+    SemDeDup row's assignment, same tie rule) then UPDATE — each new
+    centroid component is the exact integer component-sum divided by
+    the cluster size in one fixed-order deterministic op sequence
+    (int→double cast, multiply, divide, floor). Iterating this pair IS
+    k-means; one graded step pins both halves value-for-value, and the
+    driver-side loop at 100 TB just replays this plan with the 8×64
+    centroid table swapped per round (the pagerank/PCA iterative
+    recipe a third time — assignment, spectral, now centroids).
+
+    Scale shape: assignment is |vecs|×K broadcast dots; the update is
+    one (cluster, dim)-grain aggregate — K×64 output rows, partial-
+    combined map-side. Scan-bound per iteration.
+
+    Reference basis: LLM-pipeline extension (clustering family:
+    SemDeDup prune staged, IVF centroids graded r7 — this adds the
+    centroid LEARNING step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("x").cast("double") * 100).cast("long").alias("q"),
+    )
+    q = q.localCheckpoint(eager=True)  # assignment + update both scan q
+    cent = q.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "j", F.col("q").alias("cq")
+    )
+    assigned = (
+        q.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cid, struct(-dot, cid))").alias("cid"))
+    )
+    upd = (
+        q.join(assigned, "vec_id")
+        .groupBy("cid", "j")
+        .agg(
+            F.sum("q").cast("long").alias("comp_sum"),
+            F.count(F.lit(1)).alias("members"),
+        )
+    )
+    return upd.select(
+        F.col("cid").alias("cluster_id"),
+        "j",
+        F.col("members").cast("long").alias("cluster_size"),
+        "comp_sum",
+        F.floor(
+            F.col("comp_sum").cast("double") * 100 / F.col("members")
+        )
+        .cast("long")
+        .alias("new_centroid_e2"),
+    )

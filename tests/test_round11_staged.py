@@ -418,3 +418,48 @@ def test_kcore_peeling_matches_set_replay(spark):
         for r in STAGED["kcore_dupgraph_3peel"](spark, SF_DIR).collect()
     }
     assert got == {n: (len(adj[n]), n in alive) for n in adj}
+
+
+def test_kmeans_lloyd_step_matches_bruteforce(spark):
+    import math
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    got = {
+        (r.cluster_id, r.j): (
+            r.cluster_size,
+            r.comp_sum,
+            r.new_centroid_e2,
+        )
+        for r in STAGED["kmeans_lloyd_step_quantized"](
+            spark, SF_DIR
+        ).collect()
+    }
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    q = {
+        r.vec_id: [math.floor(float(x) * 100) for x in r.embedding]
+        for r in rows
+    }
+    cents = {cid: q[cid] for cid in q if cid < 8}
+    assign: dict = {}
+    for vid, vec in q.items():
+        best = max(
+            cents,
+            key=lambda c: (
+                sum(a * b for a, b in zip(vec, cents[c])),
+                -c,
+            ),
+        )
+        assign.setdefault(best, []).append(vid)
+    expected: dict = {}
+    for cid, members in assign.items():
+        for j in range(len(q[members[0]])):
+            s = sum(q[m][j] for m in members)
+            expected[(cid, j)] = (
+                len(members),
+                s,
+                math.floor(float(s) * 100 / len(members)),
+            )
+    assert got == expected
