@@ -3430,3 +3430,253 @@ def kmeans_lloyd_step_quantized(
         .cast("long")
         .alias("new_centroid_e2"),
     )
+
+
+# -------------------- custom stateful streaming top-k per key --
+
+
+@staged_query(
+    "streaming_stateful_topk_per_key",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY floor(value * 100) DESC, event_id
+               ) AS rnk,
+               count(*) OVER (PARTITION BY user_id) AS n_seen
+        FROM events WHERE user_id < 100
+    )
+    SELECT user_id,
+           CAST(rnk AS INTEGER) AS rnk,
+           cents,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(n_seen AS BIGINT) AS n_seen
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def streaming_stateful_topk_per_key(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A CUSTOM stateful streaming operator Spark's built-in aggregates
+    cannot express: per-key incremental TOP-K (value ties broken by
+    event id) maintained in applyInPandasWithState — the state is the
+    current top-3 list plus a seen-count, merged against each
+    micro-batch. The memory sink records every per-batch update; the
+    final state per (key, rank) is recovered via max_by(·, n_seen)
+    exactly like streaming_update_mode_final, and must equal the batch
+    window-rank oracle — top-k is order-insensitive, so ANY batch
+    split yields the same final state (the property that makes the
+    operator exactly-once under replay).
+
+    Scale shape: state is O(k) per key — 3 tuples — regardless of
+    history; the per-batch merge is a bounded sort of (state ∪ batch
+    rows for that key). This is the leaderboard/alerting operator
+    every monitoring stack runs on the stream, third member of the
+    custom-state family (sessionize r2, running totals tws, top-k
+    now).
+
+    Reference basis: SURVEY §2.9 T-family custom-state extension."""
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    ev = _read_events_stream(spark, sf_dir).where(
+        F.col("user_id") < 100
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        top: list[tuple] = []
+        n_seen = 0
+        if state.exists:
+            cents, eids, (n0,) = state.get[0], state.get[1], (state.get[2],)
+            top = list(zip(cents, eids))
+            n_seen = n0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            top.extend(
+                zip(pdf["cents"].tolist(), pdf["event_id"].tolist())
+            )
+            # keep only the current top-3: sort by (cents desc, eid asc)
+            top.sort(key=lambda t: (-t[0], t[1]))
+            top = top[:3]
+        state.update(
+            ([t[0] for t in top], [t[1] for t in top], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(top),
+                "rnk": list(range(1, len(top) + 1)),
+                "cents": [t[0] for t in top],
+                "event_id": [t[1] for t in top],
+                "n_seen": [n_seen] * len(top),
+            }
+        )
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, rnk int, cents long, event_id long,"
+            " n_seen long"
+        ),
+        stateStructType=(
+            "cents array<long>, event_ids array<long>, n_seen long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"topk_state_{_uuid.uuid4().hex[:8]}"
+    q = run_to_memory(updates, name, output_mode="update")
+    q.stop()
+    final = spark.table(name)
+    return (
+        final.groupBy("user_id", "rnk")
+        .agg(
+            F.expr("max_by(cents, n_seen)").alias("cents"),
+            F.expr("max_by(event_id, n_seen)").alias("event_id"),
+            F.max("n_seen").alias("n_seen"),
+        )
+    )
+
+
+# ------------------------ bitmap distinct-count functions --
+
+
+@staged_query(
+    "bitmap_distinct_functions",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(DISTINCT user_id) AS distinct_users_reagg
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap function family (Spark 3.5: bitmap_bucket_number,
+    bitmap_bit_position, bitmap_construct_agg, bitmap_count,
+    bitmap_or_agg) — EXACT distinct counting as mergeable bitmap
+    sketches: per (group, 32k-bucket) bitmaps OR-merge across any
+    regrouping, so the distinct count is computed once and ROLLED UP
+    without rescanning — the exact-count twin of the HLL
+    re-aggregation row (r10). Both the direct count and the
+    merge-then-count path must equal count(DISTINCT) exactly.
+
+    Scale shape: bitmap_construct_agg is a partial-combinable
+    aggregate whose state is a 4 KB bitmap per (group, bucket) —
+    distinct counting with NO shuffle of raw ids beyond the bucketed
+    partial, and downstream rollups reuse the bitmaps instead of the
+    fact table. The production pattern for exact audience dedup at
+    100 TB.
+
+    Reference basis: SURVEY §2.4 A10 (count-distinct) completed with
+    the mergeable-exact path."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH per_bucket AS (
+            SELECT event_type,
+                   bitmap_bucket_number(user_id) AS bkt,
+                   bitmap_construct_agg(bitmap_bit_position(user_id))
+                       AS bm
+            FROM events
+            GROUP BY 1, 2
+        ),
+        direct AS (
+            SELECT event_type,
+                   CAST(sum(bitmap_count(bm)) AS BIGINT)
+                       AS distinct_users
+            FROM per_bucket GROUP BY 1
+        ),
+        remerged AS (
+            -- OR-merge the same bitmaps again (idempotent) and
+            -- re-count: the rollup-without-rescan property
+            SELECT event_type,
+                   CAST(sum(bitmap_count(bm2)) AS BIGINT)
+                       AS distinct_users_reagg
+            FROM (
+                SELECT event_type, bkt, bitmap_or_agg(bm) AS bm2
+                FROM per_bucket GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT d.event_type, d.distinct_users, r.distinct_users_reagg
+        FROM direct d JOIN remerged r USING (event_type)
+        """
+    )
+
+
+# --------------------- WindowGroupLimit top-k pushdown --
+
+
+@staged_query(
+    "window_group_limit_pushdown",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id,
+               rank() OVER (
+                   PARTITION BY event_type
+                   ORDER BY floor(value * 100) DESC, event_id
+               ) AS rnk
+        FROM events
+    )
+    SELECT event_type, cents, CAST(event_id AS BIGINT) AS event_id,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def window_group_limit_pushdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k per group via rank-filter, with the OPTIMIZER LEVER
+    asserted: Spark 3.5's WindowGroupLimit physical rule pushes the
+    `rank <= k` predicate INTO the shuffle — each map task pre-prunes
+    to its local top-k per group before the exchange, so the window
+    sort sees k·|groups| rows per partition instead of everything
+    (the per-group twin of TakeOrderedAndProject). The plan assertion
+    makes the optimization a graded contract, not luck; values graded
+    against the definitional rank filter.
+
+    Scale shape: without the rule, top-5-per-group shuffles the whole
+    fact table into the window sort; with it, each of M map tasks
+    ships ≤ 5·|groups| rows — the difference between O(rows) and
+    O(M·k·groups) through the exchange at 100 TB.
+
+    Reference basis: SURVEY §2.6 O-family (top-k machinery graded
+    since r2; this pins the group-limit optimization)."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    ).withColumn(
+        "rnk",
+        F.rank().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("cents"), F.asc("event_id")
+            )
+        ),
+    )
+    out = ranked.where(F.col("rnk") <= 5).select(
+        "event_type", "cents", "event_id", F.col("rnk").cast("int").alias("rnk")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, (
+        "expected the WindowGroupLimit pushdown in the plan:\n" + plan
+    )
+    return out
