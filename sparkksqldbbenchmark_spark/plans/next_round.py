@@ -3680,3 +3680,185 @@ def window_group_limit_pushdown(
         "expected the WindowGroupLimit pushdown in the plan:\n" + plan
     )
     return out
+
+
+# -------------------- RocksDB state store provider (scale path) --
+
+
+@staged_query(
+    "streaming_rocksdb_state_store",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS message_count,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_rocksdb_state_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The core windowed aggregation executed on the ROCKSDB state
+    store provider — the 100 TB streaming lever: the default
+    HDFS-backed provider keeps every key IN EXECUTOR MEMORY (state is
+    bounded by heap), while RocksDB spills to local SSD with
+    changelog/snapshot checkpointing, which is how week-long jobs with
+    10⁸+ live keys actually run. Same plan, same results — graded
+    value-for-value against the batch oracle — with the provider
+    PROVEN engaged: the query progress must report rocksdb custom
+    metrics (not just the conf echoed back). The conf is restored
+    afterwards so the session's other streaming rows keep the default
+    provider.
+
+    Scale shape: identical logical/physical plan to
+    streaming_window_agg; the provider swap changes the state
+    BACKEND only — which is exactly the claim worth pinning: engine
+    semantics are provider-invariant.
+
+    Reference basis: SURVEY §2.9 T6/T7 state-management surface,
+    upgraded to the production backend."""
+    import uuid as _uuid
+
+    from sparkksqldbbenchmark_spark.plans.streaming_queries import (
+        _read_events_stream,
+    )
+    from sparkksqldbbenchmark_spark.streaming.pipeline import run_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _read_events_stream(spark, sf_dir)
+        agged = (
+            ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("message_count"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents_sum"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "event_type",
+                "message_count",
+                "cents_sum",
+            )
+        )
+        name = f"rocksdb_{_uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="complete")
+        progress = q.lastProgress
+        q.stop()
+        ops = (progress or {}).get("stateOperators") or []
+        rocks_metrics = [
+            m
+            for op in ops
+            for m in (op.get("customMetrics") or {})
+            if m.startswith("rocksdb")
+        ]
+        assert rocks_metrics, (
+            "RocksDB provider not engaged — no rocksdb custom metrics "
+            f"in progress: {progress}"
+        )
+        return spark.table(name)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# ----------------------- rolling 24h cross-correlation --
+
+
+@staged_query(
+    "rolling_correlation_24h",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    framed AS (
+        SELECT h, x, y,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx,
+               sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx,
+               sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM hourly
+        WINDOW w AS (ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS BIGINT)
+               AS var_prod,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy) AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS rolling_corr
+    FROM framed
+    """,
+)
+def rolling_correlation_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour cross-correlation between two event streams
+    (click vs view hourly counts) — the co-movement monitor behind
+    anomaly detection (correlated streams decoupling = incident): all
+    five sufficient sums accumulate over an exact-integer ROWS frame,
+    the correlation is one IEEE division by a correctly-rounded sqrt
+    of an exact integer product — bit-identical cross-engine, the
+    ACF/OLS recipe applied to a SLIDING frame. Exact integer numerator
+    and variance product ride along so the float is auditable.
+
+    Scale shape: hourly pre-aggregation bounds the window input to
+    |hours| rows (the multiway-ffill rule: aggregate to the bucket
+    grain BEFORE any window); the frame itself is constant-size. At
+    100 TB the hourly rollup is the only scan.
+
+    Reference basis: SURVEY §2.4 A6 (correlation matrix, r3) extended
+    to the windowed temporal form."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    cov = n * sxy - sx * sy
+    varp = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        n.cast("long").alias("n"),
+        cov.cast("long").alias("cov_num"),
+        varp.cast("long").alias("var_prod"),
+        F.when(
+            varp > 0,
+            cov.cast("double") / F.sqrt(varp.cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rolling_corr"),
+    )
