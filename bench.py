@@ -371,25 +371,39 @@ def main() -> None:
     # LAST stdout line: a compact summary guaranteed to fit whole inside a
     # 2 kB tail capture — headline dict, streaming percentiles, throughput,
     # load context, and a pointer to the committed full document.
+    print(compact_line(full_report))
+
+
+def compact_line(full_report: dict, limit: int = 1900) -> str:
+    """The driver-facing summary line built from the full report.
+
+    Contract (pinned by tests/test_sources_and_bench.py): valid JSON,
+    single line, ≤ `limit` bytes so a 2 kB stdout tail capture always
+    contains it whole (BENCH r08/r09 were graded "parsed: null" because
+    the full document's head got truncated away), carrying the headline
+    per-query dict, streaming percentiles, throughput, load context and
+    the committed full-report filename. If the per-query dict ever
+    outgrows the budget, it is dropped (the full report still has it).
+    """
     compact = {
-        "metric": "headline_queries_total_wall",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": per_query,
+        "metric": full_report["metric"],
+        "value": full_report["value"],
+        "unit": full_report["unit"],
+        "queries": full_report["queries"],
         "sf": full_report["sf"],
-        "core_query_rows_per_sec": core_rows_per_sec,
+        "core_query_rows_per_sec": full_report["core_query_rows_per_sec"],
         "streaming_e2e_latency": {
-            k: streaming_latency[k]
+            k: full_report["streaming_e2e_latency"][k]
             for k in ("avg_ms", "p50_ms", "p95_ms", "p99_ms", "stddev_ms")
         },
-        "loadavg": loadavg,
+        "loadavg": full_report.get("loadavg", {}),
         "full_report": "BENCH_local.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never exceed the tail capture
+    if len(line) > limit:  # belt-and-braces: never exceed the tail capture
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

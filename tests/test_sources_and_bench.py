@@ -258,3 +258,51 @@ def test_resources_prometheus_text():
     assert "# TYPE benchmark_resource_cpu_avg_pct gauge" in txt
     assert "benchmark_resource_rss_peak_mb 1024.0" in txt
     assert "benchmark_resource_samples 7.0" in txt
+
+
+def test_bench_compact_line_contract():
+    """The driver parses ONLY the last stdout line from a ~2 kB tail
+    capture (BENCH r08/r09 were 'parsed: null' because the full JSON's
+    head truncated away). Pin the emission contract: valid single-line
+    JSON, bounded size even with absurdly many headline queries, and
+    the keys grading needs."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import compact_line
+
+    stream = {
+        "avg_ms": 6203.1, "p50_ms": 6065.0, "p95_ms": 11948.0,
+        "p99_ms": 11968.0, "stddev_ms": 3134.94, "samples": 300,
+        "runs": [1, 2, 3], "config": "x" * 500,
+    }
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 6.5,
+        "unit": "sec",
+        "queries": {f"q{i}": round(0.1 * i, 3) for i in range(12)},
+        "sf": 0.1,
+        "core_query_rows_per_sec": 240963,
+        "streaming_e2e_latency": stream,
+        "loadavg": {"start": [0.9, 2.4, 3.2], "end": [4.2, 4.5, 4.0]},
+        "resources": {"cpu_avg_pct": 455.0},
+        "extended_queries": {f"e{i}": 1.0 for i in range(11)},
+    }
+    line = compact_line(full)
+    assert "\n" not in line
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["value"] == 6.5 and d["sf"] == 0.1
+    assert d["queries"] == full["queries"]
+    assert set(d["streaming_e2e_latency"]) == {
+        "avg_ms", "p50_ms", "p95_ms", "p99_ms", "stddev_ms"
+    }
+    assert d["full_report"] == "BENCH_local.json"
+    # pathological: hundreds of headline queries must still fit by
+    # dropping the per-query dict, never by overflowing the tail
+    full["queries"] = {f"very_long_query_name_{i}": 1.234 for i in range(200)}
+    line2 = compact_line(full)
+    assert len(line2) <= 1900
+    d2 = json.loads(line2)
+    assert "queries" not in d2 and d2["value"] == 6.5
