@@ -3862,3 +3862,148 @@ def rolling_correlation_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rolling_corr"),
     )
+
+
+# ------------------- inter-arrival dyadic histogram --
+
+
+@staged_query(
+    "interarrival_dyadic_histogram",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS d_us
+        FROM events
+    )
+    SELECT CAST(length(bin(greatest(d_us, 1))) AS INTEGER)
+               AS delta_bucket,
+           count(*) AS n_gaps,
+           CAST(sum(d_us) AS BIGINT) AS total_us,
+           CAST(min(d_us) AS BIGINT) AS min_us,
+           CAST(max(d_us) AS BIGINT) AS max_us
+    FROM deltas WHERE d_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def interarrival_dyadic_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival-time distribution in DYADIC microsecond buckets
+    (bucket = bit count of the gap — the log-free log₂ again): the
+    traffic-shape fingerprint behind capacity planning and bot
+    detection (human sessions produce a bimodal dyadic histogram —
+    within-burst vs between-visit gaps; constant-rate automation
+    collapses to one bucket). Per-user consecutive gaps via one
+    lag window, exact integer microseconds end to end.
+
+    Scale shape: one hash exchange on user_id + in-partition sort for
+    the lag, then a ≤64-row bucket aggregate — the sessionize plan
+    family with the histogram readout instead of islands.
+
+    Reference basis: time-series diagnostics family (Fano burstiness
+    r10, ACF r10 — this adds the gap-distribution view)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("d_us")
+    ).where(F.col("d_us").isNotNull())
+    return deltas.groupBy(
+        F.length(F.bin(F.greatest("d_us", F.lit(1))))
+        .cast("int")
+        .alias("delta_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("d_us").cast("long").alias("total_us"),
+        F.min("d_us").cast("long").alias("min_us"),
+        F.max("d_us").cast("long").alias("max_us"),
+    )
+
+
+# ------------------- clustered write: sorted-run layout lever --
+
+
+@staged_query(
+    "clustered_write_sorted_runs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           count(*) >= 0 AS runs_sorted
+    FROM events GROUP BY 1
+    """,
+)
+def clustered_write_sorted_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLUSTERED-WRITE layout lever (repartition by key +
+    sortWithinPartitions by time — the at-rest layout that makes
+    as-of joins and per-key scans sequential): land events clustered
+    by user and time-sorted within every file, read back, and PROVE
+    the property from the data itself — within each (file, user) run
+    the timestamps must be non-decreasing, checked as an exact
+    bool_and over lag comparisons keyed by the _metadata file path.
+    The graded aggregate must also match the source (no rows lost or
+    duplicated by the rewrite). Completes the at-rest layout family:
+    hive partitioning (r5), range/Z-order (r5/r6), bucketed join
+    (r5) — this is the sorted-run member parquet readers exploit via
+    min/max stats on ts.
+
+    Scale shape: one repartition exchange + in-partition sort at
+    write time, amortized over every later consumer; the verification
+    read is a scan + one lag window partitioned by (file, user) —
+    grain bounded by the layout itself.
+
+    Reference basis: SURVEY §2.1 S-family sink/layout extension."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="clustered_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    (
+        ev.repartition(8, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "cents",
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    # walk each file in its PHYSICAL row order (_metadata.row_index —
+    # ordering by ts here would make the check tautological): within
+    # every (file, user) run the timestamps must be non-decreasing,
+    # i.e. the sortWithinPartitions layout actually landed on disk
+    runs = back.select(
+        "event_type",
+        "cents",
+        (
+            F.unix_micros("ts")
+            >= F.coalesce(
+                F.lag(F.unix_micros("ts")).over(
+                    Window.partitionBy("fn", "user_id").orderBy("ri")
+                ),
+                F.lit(0),
+            )
+        ).alias("ok"),
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.bool_and("ok").alias("runs_sorted"),
+    )
