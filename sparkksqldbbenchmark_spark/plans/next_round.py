@@ -4007,3 +4007,159 @@ def clustered_write_sorted_runs(
         F.sum("cents").cast("long").alias("cents_sum"),
         F.bool_and("ok").alias("runs_sorted"),
     )
+
+
+# ----------------------------- OHLC hourly bars --
+
+
+@staged_query(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL 1 HOUR, ts)
+                   ORDER BY ts, event_id
+               ) AS rn_open,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL 1 HOUR, ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_close
+        FROM events
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(max(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+           count(*) AS volume
+    FROM e GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar construction — the canonical time-series downsampling
+    (open = first value in the bucket, high/low = extremes, close =
+    last, volume = count), ordered by (ts, event_id) so ties are
+    deterministic: one aggregate pass with min_by/max_by over a
+    composite ordering struct, no window (the oracle spells the same
+    first/last via rank because DuckDB's min_by rejects struct
+    ordering keys — the aggregate and window derivations must agree
+    exactly, which is itself part of the grade).
+
+    Scale shape: partial-combinable min_by/max_by/min/max/count —
+    constant state per (type, hour) group, one shuffle of group rows.
+    The downsampling that turns 10¹² ticks into 10⁵ bars before any
+    heavier analytics runs.
+
+    Reference basis: SURVEY §2.4 A3 (LATEST_BY_OFFSET = max_by) —
+    this completes the first/last-by-order aggregate family over
+    buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            cents.alias("cents"),
+            order.alias("o"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.expr("min_by(cents, o)").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, o)").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume",
+        )
+    )
+
+
+# ----------------------------- id-sequence gap audit --
+
+
+@staged_query(
+    "id_sequence_gap_audit",
+    oracle="""
+    WITH present AS (
+        SELECT event_id AS id FROM events WHERE event_id % 7 <> 3
+    ),
+    marked AS (
+        SELECT id,
+               id - lag(id) OVER (ORDER BY id) AS step
+        FROM present
+    ),
+    gaps AS (
+        SELECT lag(id) OVER (ORDER BY id) + 1 AS gap_lo,
+               id - 1 AS gap_hi
+        FROM present
+        QUALIFY id - lag(id) OVER (ORDER BY id) > 1
+    )
+    SELECT count(*) AS n_gaps,
+           CAST(sum(gap_hi - gap_lo + 1) AS BIGINT) AS missing_ids,
+           CAST(min(gap_lo) AS BIGINT) AS first_gap_lo,
+           CAST(max(gap_hi) AS BIGINT) AS last_gap_hi,
+           CAST(sum(gap_lo + gap_hi) AS BIGINT) AS gap_checksum
+    FROM gaps
+    """,
+)
+def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit — find every GAP RANGE in an id
+    sequence (the offsets-lost / rows-dropped check every ingest
+    pipeline runs against Kafka offsets or CDC LSNs): a planted
+    filter (id % 7 = 3 removed) creates known holes; consecutive-id
+    lag detects each gap's [lo, hi] range, and the summary (count,
+    total missing, first/last, checksum of bounds) is exact. The
+    Spark side uses the lag-filter spelling; the oracle uses QUALIFY —
+    two syntaxes, one semantics.
+
+    Scale shape: ordering by id is the one global sort — at 100 TB
+    this runs per id-partition (offsets are per Kafka partition, LSNs
+    per shard) with only per-partition boundary rows compared
+    driver-side, the chunked-global pattern the ffill operator pins;
+    the single-window form here is the per-shard unit.
+
+    Reference basis: ops/integrity extension of the S-family (offset
+    bookkeeping the reference's consumer trusts Kafka for — made
+    auditable)."""
+    ev = load_table(spark, sf_dir, "events")
+    present = ev.where(F.col("event_id") % 7 != 3).select(
+        F.col("event_id").alias("id")
+    )
+    w = Window.orderBy("id")
+    marked = present.select(
+        "id", F.lag("id").over(w).alias("prev")
+    ).where(
+        F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)
+    )
+    gaps = marked.select(
+        (F.col("prev") + 1).alias("gap_lo"),
+        (F.col("id") - 1).alias("gap_hi"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_hi") - F.col("gap_lo") + 1)
+        .cast("long")
+        .alias("missing_ids"),
+        F.min("gap_lo").cast("long").alias("first_gap_lo"),
+        F.max("gap_hi").cast("long").alias("last_gap_hi"),
+        F.sum(F.col("gap_lo") + F.col("gap_hi"))
+        .cast("long")
+        .alias("gap_checksum"),
+    )
