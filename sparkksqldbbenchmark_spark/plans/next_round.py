@@ -4163,3 +4163,90 @@ def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_checksum"),
     )
+
+
+# ------------------- golden-record survivorship merge --
+
+
+def _survivorship_oracle() -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import _cluster_oracle
+
+    return f"""
+    WITH labels AS (
+        {_cluster_oracle()}
+    ),
+    member AS (
+        SELECT l.component, d.doc_id, d.n_chars, d.source,
+               row_number() OVER (
+                   PARTITION BY l.component
+                   ORDER BY d.n_chars DESC, d.doc_id
+               ) AS rk
+        FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT component,
+           count(*) AS n_members,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS longest_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list_distinct(list(source))), '|')
+               AS sources
+    FROM member GROUP BY component
+    """
+
+
+@staged_query("dedup_survivorship_merge", oracle=_survivorship_oracle())
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP over near-dup clusters — the MDM
+    merge step downstream of dedup: per connected component of the
+    minhash-LSH pair graph, field-wise survivors are chosen by
+    explicit deterministic rules (canonical id = min member id;
+    content = the LONGEST member's doc, ties to the lowest id;
+    provenance = sorted distinct sources, pipe-joined at the boundary)
+    plus the audit sums a merge report carries. Reuses the graded
+    connected-components machinery (dedup_clusters r4,
+    llm/cluster.py); the oracle replays the same fixpoint with a
+    recursive CTE and ranks the longest member with a window.
+
+    Scale shape: CC label propagation is the bounded-iteration
+    join+agg already proven at scale; the survivorship pass is ONE
+    aggregate over (component) — field rules are min_by/max_by
+    partial-combinable state, never a per-cluster collect. The
+    sources list is bounded by |distinct sources| (7), not members.
+
+    Reference basis: LLM-pipeline extension (dedup family completion:
+    detect → cluster → keep-best score (r5) → field-wise MERGE now)."""
+    from sparkksqldbbenchmark_spark.llm import dedup
+    from sparkksqldbbenchmark_spark.llm.cluster import (
+        connected_components_min_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    labels = connected_components_min_label(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    member = labels.join(
+        docs.select("doc_id", "n_chars", "source"),
+        labels["id"] == F.col("doc_id"),
+    )
+    # longest member, ties to lowest id: order struct (−n_chars, id)
+    pick = F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+    return member.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").cast("long").alias("survivor_id"),
+        F.expr(
+            "min_by(doc_id, struct(-n_chars, doc_id))"
+        )
+        .cast("long")
+        .alias("longest_doc_id"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.array_join(
+            F.array_sort(F.collect_set("source")), "|"
+        ).alias("sources"),
+    )
