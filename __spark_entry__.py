@@ -63,6 +63,11 @@ try:
 except ImportError:
     pass
 
+try:
+    import sparkksqldbbenchmark_spark.plans.round11_queries  # noqa: F401
+except ImportError:
+    pass
+
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
 # The driver grades at most the FIRST 50 registered queries per round.
@@ -702,7 +707,111 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #     format family → json_corrupt_record_handling head row, mixture →
 #     pack_composition_audit head row, stats → the analytic-statistics
 #     graduate family)
+# ---------------------------------------------------------------------
+# Round-12 rotation (docs/ROTATION_R11.md, executed round 12 — the
+# rotation round 11 skipped). CORRECTNESS_r11 graded the round-10 head
+# 50/50 green (second green for every row: r10 + r11 graded the same
+# byte-identical head). INTO the head: the 42 round-11 graduates from
+# plans/round11_queries.py (8 round-9 holdover suites first, then the
+# round-10 stagings; 11 suite siblings held back in plans/next_round.py
+# per the holdback priority — their machinery keeps graded siblings in
+# the new head). STAYING: the 8 flagships (weather_window_agg = entry(),
+# multiway_timejoin_ffill, tpch_q3_shipping_priority, dedup_minhash_lsh,
+# multimodal_decode_roundtrip, sequence_packing, token_budget_selection,
+# streaming_chained_window_agg). OUT of the head (all DOUBLE-green
+# r10+r11, implementing source unchanged since — pinned below via
+# TAIL_SOURCE_SHA256):
+#   video_mjpeg_frame_extract, exact_substring_spans,
+#   ngram_lm_familiarity, state_store_reader_audit,
+#   streaming_foreachbatch_exactly_once,
+#   python_datasource_stream_sink_roundtrip, mapinarrow_token_stats —
+#     the round-9 second-rounders; after their second green they TAIL
+#     with double evidence, and the graduating streaming/PyDS/UDTF rows
+#     (streaming_checkpoint_restart_resume, streaming_rocksdb_state_store,
+#     streaming_stateful_topk_per_key, python_datasource_simple_stream,
+#     udtf_table_arg_partition_by) keep every machinery family graded
+#   bm25_odds_retrieval, ngram-adjacent text rows — text machinery keeps
+#     bpe_pair_merge_candidates + ngram_novelty_growth head rows
+#   interval_coverage_sweep, peak_concurrency_sweep,
+#   global_peak_concurrency — the sweep family TAILs whole; its
+#     two-level prefix-sum machinery is the pattern the graduating
+#     rows reuse and tests pin
+#   countmin_heavy_hitters, merkle_range_digest, benford_leading_digit,
+#   geo_nearest_site_join, geohash_bucket_stats — single-purpose
+#     certificate/spatial machinery, first green r10 + second r11,
+#     test-pinned
+#   acf_lag_autocorr, ols_trend_by_key, fano_burstiness_by_type,
+#   binned_ks_statistic, gini_concentration_by_type,
+#   markov_transition_matrix, weighted_median_grouped,
+#   rolling_median_smooth, pareto_frontier_skyline,
+#   series_shape_signature_buckets — the analytic-statistics family;
+#     rolling_correlation_24h + mad_robust_outliers keep framed/robust
+#     stats graded via the staged holdback round while the graduating
+#     regr_agg_suite grades the ANSI aggregate surface
+#   udtf_dynamic_schema_analyze, arrow_scalar_udf_suite,
+#   cogroup_applyinpandas_reconcile, applyinarrow_group_stats —
+#     Python-eval surface; udtf_table_arg_partition_by graduates the
+#     UDTF TABLE-arg form, stateful top-k grades applyInPandasWithState
+#   conversation_render_budget, json_corrupt_record_handling —
+#     SQL/format surface with graduating siblings
+#     (csv_quoted_multiline_roundtrip, text_format_roundtrip)
+#   grouped_gk_quantiles_certified, quantile_normalization_cross_source,
+#   minhash_estimate_error_certified, collision_probability_suite,
+#   hll_union_reaggregate — sketch/certificate family; bitmap_distinct
+#     functions graduates the exact mergeable-distinct form
+#   decontam_max_span, pack_composition_audit — LLM-pipeline rows with
+#     the flagship pair (sequence_packing, token_budget_selection)
+#     staying and span_corruption_mask_plan/length_bucketed_batching
+#     graduating
+#   pagerank_dupgraph_3iter — iterative-graph recipe stays graded via
+#     the graduating dupgraph_triangle_count + kcore_dupgraph_3peel +
+#     pca_power_iteration_1d (same localCheckpoint pattern)
+#   python_datasource_filter_pushdown, python_datasource_sink_append_audit
+#     — PyDS V2 surface; python_datasource_simple_stream graduates the
+#     remaining reader form
 TAIL: tuple[str, ...] = (
+    "video_mjpeg_frame_extract",
+    "exact_substring_spans",
+    "ngram_lm_familiarity",
+    "state_store_reader_audit",
+    "streaming_foreachbatch_exactly_once",
+    "python_datasource_stream_sink_roundtrip",
+    "mapinarrow_token_stats",
+    "bm25_odds_retrieval",
+    "interval_coverage_sweep",
+    "countmin_heavy_hitters",
+    "merkle_range_digest",
+    "acf_lag_autocorr",
+    "pareto_frontier_skyline",
+    "geo_nearest_site_join",
+    "geohash_bucket_stats",
+    "python_datasource_filter_pushdown",
+    "benford_leading_digit",
+    "peak_concurrency_sweep",
+    "weighted_median_grouped",
+    "binned_ks_statistic",
+    "gini_concentration_by_type",
+    "markov_transition_matrix",
+    "udtf_dynamic_schema_analyze",
+    "arrow_scalar_udf_suite",
+    "cogroup_applyinpandas_reconcile",
+    "applyinarrow_group_stats",
+    "conversation_render_budget",
+    "global_peak_concurrency",
+    "json_corrupt_record_handling",
+    "ols_trend_by_key",
+    "rolling_median_smooth",
+    "grouped_gk_quantiles_certified",
+    "quantile_normalization_cross_source",
+    "minhash_estimate_error_certified",
+    "decontam_max_span",
+    "pack_composition_audit",
+    "collision_probability_suite",
+    "fano_burstiness_by_type",
+    "pagerank_dupgraph_3iter",
+    "hll_union_reaggregate",
+    "series_shape_signature_buckets",
+    "python_datasource_sink_append_audit",
     "similarity_topk_cosine",
     "map_function_suite",
     "array_algebra_suite",

@@ -46,6 +46,48 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "video_mjpeg_frame_extract": "ce3710328575464c",
+    "exact_substring_spans": "b8831704a444d9ba",
+    "ngram_lm_familiarity": "7caaaa606abf973f",
+    "state_store_reader_audit": "2b119cbdd85dce7b",
+    "streaming_foreachbatch_exactly_once": "e6a07fd2ecd0f3f0",
+    "python_datasource_stream_sink_roundtrip": "2d1c3944b8a118fb",
+    "mapinarrow_token_stats": "33f3bdedc202ab95",
+    "bm25_odds_retrieval": "7f2f3adc4865241a",
+    "interval_coverage_sweep": "ff77416664403535",
+    "countmin_heavy_hitters": "2d1da37ee431fb68",
+    "merkle_range_digest": "85b072788be4399c",
+    "acf_lag_autocorr": "555f7393da610ffd",
+    "pareto_frontier_skyline": "151c1a53ae3e25b3",
+    "geo_nearest_site_join": "8e8f8d1a80499309",
+    "geohash_bucket_stats": "cd610bc64ddcaba5",
+    "python_datasource_filter_pushdown": "c3d61c324c5b21c6",
+    "benford_leading_digit": "05ee82eb2d29e1f7",
+    "peak_concurrency_sweep": "4340c847a0aa2f9e",
+    "weighted_median_grouped": "0436c235b21151ef",
+    "binned_ks_statistic": "80be893fb67f2634",
+    "gini_concentration_by_type": "adf49c8d1fe07858",
+    "markov_transition_matrix": "776077a7e2ed8817",
+    "udtf_dynamic_schema_analyze": "1a12af3706eac998",
+    "arrow_scalar_udf_suite": "38a5eb500afc1de3",
+    "cogroup_applyinpandas_reconcile": "9f87f084efb09b24",
+    "applyinarrow_group_stats": "2866ca10fc0a0d0a",
+    "conversation_render_budget": "667c166d4f5a13c1",
+    "global_peak_concurrency": "f0d5c65b5d9be495",
+    "json_corrupt_record_handling": "71bd5801e8cce158",
+    "ols_trend_by_key": "cf8e217fcce687d3",
+    "rolling_median_smooth": "1dd8a0e47fadc229",
+    "grouped_gk_quantiles_certified": "8fdcbd8a5191e763",
+    "quantile_normalization_cross_source": "6f93fff355b05122",
+    "minhash_estimate_error_certified": "56468ae9efd18520",
+    "decontam_max_span": "590a3965c4d8ce82",
+    "pack_composition_audit": "f7fcf3e53938e989",
+    "collision_probability_suite": "2203d90b0f945973",
+    "fano_burstiness_by_type": "5734d3f242900abe",
+    "pagerank_dupgraph_3iter": "14fac02dbd41385e",
+    "hll_union_reaggregate": "4a0e9ccc0fd43d1e",
+    "series_shape_signature_buckets": "f37875b41dda93f4",
+    "python_datasource_sink_append_audit": "8771f8dc3ec92ec8",
     "similarity_topk_cosine": "6001572f26a61cd2",
     "map_function_suite": "e09b62e1890ef483",
     "array_algebra_suite": "39ab56f89f11fa47",
@@ -256,6 +298,7 @@ TAIL_SOURCE_SHA256 = {
     "range_join_shipment_windows": "7f950454653b21cb",
     "text_quality_scores": "c9148936e55f74b7",
 }
+INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"
 # Shared-infrastructure pin (ADVICE r04, tools/tail_hash.py:68 carve-out
 # gap): loader/session semantics every TAIL query flows through. A change
 # here voids ALL TAIL evidence at once — run the full oracle sweep

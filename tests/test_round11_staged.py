@@ -1,13 +1,17 @@
-"""Invariant tests for the round-11 staged cohort, beyond the value-hash
-oracle (tests/test_next_round.py): each operator's result is re-derived
-by an INDEPENDENT brute-force twin in plain Python over the collected
-slice — a second witness with none of the SQL machinery shared, the
-same pattern every graduated cohort carries.
+"""Invariant tests for the round-11 cohort (graduated round 12 into
+plans/round11_queries.py), beyond the value-hash oracle: each operator's
+result is re-derived by an INDEPENDENT brute-force twin in plain Python
+over the collected slice — a second witness with none of the SQL
+machinery shared, the same pattern every graduated cohort carries.
+The held-back suite siblings (still staged in plans/next_round.py)
+keep their witnesses here too, reading from the staged registry.
 """
 
 from __future__ import annotations
 
+import sparkksqldbbenchmark_spark.plans.round11_queries  # noqa: F401
 from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as GRADUATED
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -24,7 +28,7 @@ def test_pca_power_iteration_matches_numpy_integer_replay(spark):
 
     got = {
         r.j: r.v_e6
-        for r in STAGED["pca_power_iteration_1d"](spark, SF_DIR).collect()
+        for r in GRADUATED["pca_power_iteration_1d"](spark, SF_DIR).collect()
     }
     rows = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", "embedding"
@@ -56,7 +60,7 @@ def test_semdedup_prune_matches_bruteforce(spark):
 
     got = {
         r.cluster_id: (r.cluster_size, r.n_pruned, r.n_kept)
-        for r in STAGED["semdedup_quantized_prune"](
+        for r in GRADUATED["semdedup_quantized_prune"](
             spark, SF_DIR
         ).collect()
     }
@@ -129,7 +133,7 @@ def test_triangle_count_matches_bruteforce(spark):
                 tri[w] += 1
     got = {
         r.doc_id: (r.degree, r.n_triangles)
-        for r in STAGED["dupgraph_triangle_count"](spark, SF_DIR).collect()
+        for r in GRADUATED["dupgraph_triangle_count"](spark, SF_DIR).collect()
     }
     expected = {n: (len(adj[n]), tri[n]) for n in adj}
     assert got == expected
@@ -163,7 +167,7 @@ def test_session_dynamic_gap_matches_interval_union(spark):
                 cur[1] = max(cur[1], te)
             cur[2] += 1
         expected[uid] = sorted((s[0], s[1], s[2]) for s in sessions)
-    got_rows = STAGED["session_window_dynamic_gap"](
+    got_rows = GRADUATED["session_window_dynamic_gap"](
         spark, SF_DIR
     ).collect()
     got: dict = {}
@@ -190,7 +194,7 @@ def test_udtf_run_stats_matches_sequential_replay(spark):
 
     got = {
         r.event_type: (r.longest_inc_run, r.n_rows, r.n_increases)
-        for r in STAGED["udtf_table_arg_partition_by"](
+        for r in GRADUATED["udtf_table_arg_partition_by"](
             spark, SF_DIR
         ).collect()
     }
@@ -222,7 +226,7 @@ def test_asof_nearest_matches_bruteforce(spark):
 
     got = {
         r.event_id: (r.side, r.nearest_cents, r.delta_us)
-        for r in STAGED["asof_nearest_join"](spark, SF_DIR).collect()
+        for r in GRADUATED["asof_nearest_join"](spark, SF_DIR).collect()
     }
     rows = load_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -266,7 +270,7 @@ def test_mad_outliers_match_statistics_module(spark):
 
     got = {
         r.event_type: (r.median_cents, r.mad_cents, r.n, r.n_outliers)
-        for r in STAGED["mad_robust_outliers"](spark, SF_DIR).collect()
+        for r in GRADUATED["mad_robust_outliers"](spark, SF_DIR).collect()
     }
     rows = load_table(spark, SF_DIR, "events").select(
         "event_type", "value"
@@ -296,7 +300,7 @@ def test_bpe_pairs_match_counter(spark):
 
     got = [
         (r.pair, r.n)
-        for r in STAGED["bpe_pair_merge_candidates"](
+        for r in GRADUATED["bpe_pair_merge_candidates"](
             spark, SF_DIR
         ).collect()
     ]
@@ -315,7 +319,7 @@ def test_novelty_growth_matches_set_replay(spark):
 
     got = {
         r.bucket: (r.new_trigrams, r.vocab_size)
-        for r in STAGED["ngram_novelty_growth"](spark, SF_DIR).collect()
+        for r in GRADUATED["ngram_novelty_growth"](spark, SF_DIR).collect()
     }
     docs = sorted(
         load_table(spark, SF_DIR, "documents")
@@ -340,7 +344,7 @@ def test_novelty_growth_matches_set_replay(spark):
 
 
 def test_running_distinct_users_monotone_and_total(spark):
-    rows = STAGED["running_distinct_users"](spark, SF_DIR).collect()
+    rows = GRADUATED["running_distinct_users"](spark, SF_DIR).collect()
     from sparkksqldbbenchmark_spark.catalog import load_table
 
     truth = (
@@ -370,7 +374,7 @@ def test_dyadic_rank_mass_matches_counter(spark):
 
     got = {
         r.rank_bucket: (r.n_tokens, r.mass, r.rank_lo, r.rank_hi)
-        for r in STAGED["vocab_dyadic_rank_mass"](spark, SF_DIR).collect()
+        for r in GRADUATED["vocab_dyadic_rank_mass"](spark, SF_DIR).collect()
     }
     docs = load_table(spark, SF_DIR, "documents").select("text").collect()
     c: Counter = Counter()
@@ -415,7 +419,7 @@ def test_kcore_peeling_matches_set_replay(spark):
         }
     got = {
         r.doc_id: (r.degree, r.in_2core_after_3_peels)
-        for r in STAGED["kcore_dupgraph_3peel"](spark, SF_DIR).collect()
+        for r in GRADUATED["kcore_dupgraph_3peel"](spark, SF_DIR).collect()
     }
     assert got == {n: (len(adj[n]), n in alive) for n in adj}
 
@@ -431,7 +435,7 @@ def test_kmeans_lloyd_step_matches_bruteforce(spark):
             r.comp_sum,
             r.new_centroid_e2,
         )
-        for r in STAGED["kmeans_lloyd_step_quantized"](
+        for r in GRADUATED["kmeans_lloyd_step_quantized"](
             spark, SF_DIR
         ).collect()
     }
@@ -462,4 +466,133 @@ def test_kmeans_lloyd_step_matches_bruteforce(spark):
                 s,
                 math.floor(float(s) * 100 / len(members)),
             )
+    assert got == expected
+
+
+def test_ohlc_bars_match_bruteforce(spark):
+    """OHLC bars re-derived in plain Python: per (event_type, hour)
+    bucket, open = cents of the (ts, event_id)-first row, close = the
+    last, high/low = extremes, volume = count — none of the
+    min_by/max_by aggregate machinery shared."""
+    import math
+
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    buckets: dict = {}
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault(
+            (r.event_type, h.strftime("%Y-%m-%d %H:%M:%S")), []
+        ).append((r.ts, r.event_id, math.floor(r.value * 100)))
+    expected = {}
+    for key, members in buckets.items():
+        members.sort(key=lambda m: (m[0], m[1]))
+        cents = [m[2] for m in members]
+        expected[key] = (
+            cents[0],
+            max(cents),
+            min(cents),
+            cents[-1],
+            len(cents),
+        )
+    got = {
+        (r.event_type, r.hour): (
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.volume,
+        )
+        for r in STAGED["ohlc_hourly_bars"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_id_gap_audit_matches_sorted_scan(spark):
+    """Gap ranges re-derived by sorting the surviving ids in Python and
+    walking consecutive pairs — one linear scan, no windows, no
+    bucketing; the two-level chunked plan must agree exactly."""
+    from sparkksqldbbenchmark_spark.catalog import load_table
+
+    ids = sorted(
+        r.event_id
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_id")
+        .collect()
+        if r.event_id % 7 != 3
+    )
+    gaps = [
+        (prev + 1, cur - 1)
+        for prev, cur in zip(ids, ids[1:])
+        if cur - prev > 1
+    ]
+    row = STAGED["id_sequence_gap_audit"](spark, SF_DIR).collect()[0]
+    assert row.n_gaps == len(gaps)
+    assert row.missing_ids == sum(hi - lo + 1 for lo, hi in gaps)
+    assert row.first_gap_lo == min(lo for lo, _ in gaps)
+    assert row.last_gap_hi == max(hi for _, hi in gaps)
+    assert row.gap_checksum == sum(lo + hi for lo, hi in gaps)
+
+
+def test_survivorship_merge_matches_unionfind_replay(spark):
+    """Golden-record merge re-derived with a plain-Python union-find
+    over the LSH pair list plus dict-based field rules — none of the
+    iterative min-label propagation or aggregate machinery shared."""
+    from sparkksqldbbenchmark_spark.catalog import load_table
+    from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    ]
+    meta = {
+        r.doc_id: (r.n_chars, r.source)
+        for r in docs.select("doc_id", "n_chars", "source").collect()
+    }
+    parent = {d: d for d in meta}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for d in meta:
+        comps.setdefault(find(d), []).append(d)
+    # component label = min member id (find() roots at the min because
+    # unions always re-parent the larger root)
+    expected = {}
+    for root, members in comps.items():
+        chars = {m: meta[m][0] for m in members}
+        longest = min(members, key=lambda m: (-chars[m], m))
+        expected[root] = (
+            len(members),
+            min(members),
+            longest,
+            max(chars.values()),
+            sum(chars.values()),
+            "|".join(sorted({meta[m][1] for m in members})),
+        )
+    got = {
+        r.component: (
+            r.n_members,
+            r.survivor_id,
+            r.longest_doc_id,
+            r.max_chars,
+            r.total_chars,
+            r.sources,
+        )
+        for r in GRADUATED["dedup_survivorship_merge"](
+            spark, SF_DIR
+        ).collect()
+    }
     assert got == expected

@@ -1282,6 +1282,65 @@ def main() -> None:
             f"{int(g_n / tri_s):,} nodes/s)"
         )
 
+        # staged round-11 kmeans shape: the Lloyd-step centroid UPDATE
+        # (assignment above is shared with semdedup) — per-(cluster,
+        # dim) exact-integer sums, one shuffle on the assignment key
+        t0 = time.time()
+        assign16 = (
+            qm.join(F.broadcast(centm), "j")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+            .groupBy("vec_id")
+            .agg(F.expr("min_by(cid, struct(-dot, cid))").alias("cid"))
+        )
+        new_cent_n = (
+            qm.join(assign16, "vec_id")
+            .groupBy("cid", "j")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.sum("q").alias("qsum"),
+            )
+            .count()
+        )
+        kmeans_s = time.time() - t0
+        print(
+            f"rows={n:,} kmeans_lloyd_update={kmeans_s:.1f}s "
+            f"({emb_n:,} vecs -> {new_cent_n} centroid cells, "
+            f"{int(emb_n / kmeans_s):,} vecs/s)"
+        )
+
+        # staged round-11 k-core shape: 3 degree-peel iterations on the
+        # same bounded-degree graph — each round one degree aggregate +
+        # one semi-join against the surviving vertex set, lineage cut
+        # per round exactly as the staged kcore_dupgraph_3peel plan
+        t0 = time.time()
+        alive = gp
+        surv = -1
+        for _ in range(3):
+            und = alive.select(F.col("u").alias("x")).unionByName(
+                alive.select(F.col("v").alias("x"))
+            )
+            keep = (
+                und.groupBy("x")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= 2)
+                .select("x")
+            )
+            alive = (
+                alive.join(
+                    keep.select(F.col("x").alias("u")), "u", "semi"
+                )
+                .join(keep.select(F.col("x").alias("v")), "v", "semi")
+                .localCheckpoint(eager=True)
+            )
+            surv = alive.count()
+        kcore_s = time.time() - t0
+        print(
+            f"rows={n:,} kcore_3peel={kcore_s:.1f}s "
+            f"({g_n:,} nodes, {surv:,} surviving edges, "
+            f"{int(g_n / kcore_s):,} nodes/s)"
+        )
+
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_docs", ignore_errors=True)
