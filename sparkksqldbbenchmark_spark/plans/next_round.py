@@ -756,3 +756,832 @@ def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_checksum"),
     )
+
+
+# ----------------------------- TPC-H Q12: shipmode priority --
+
+
+@staged_query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               (['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG'])
+                   [CAST(l_partkey % 7 + 1 AS INT)] AS l_shipmode,
+               l_shipdate
+        FROM lineitem
+    )
+    SELECT l.l_shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-mode vs order-priority audit, the
+    last-but-one missing member of the 22-query suite (TESTDATA carries
+    no l_shipmode/commit/receipt dates, so shipmode derives
+    deterministically from l_partkey and 'late' means shipped >30 days
+    after the order date — the same adaptation convention as Q4/Q21).
+    The priority split is the classic conditional-aggregate pair.
+
+    Scale shape: the shipmode filter eliminates 5/7 of lineitem BEFORE
+    the one big⋈big shuffle on the order key (only orderkey+shipdate
+    survive projection); orders contributes orderkey+priority+date.
+    Final rollup is 2 rows. No broadcast — both sides scale with SF,
+    exactly the pinned-shuffle shape tpch_q3 established.
+
+    Reference basis: free-form join/agg family (SURVEY §2.3/§2.4);
+    completes TPC-H coverage with Q17 (21/22 -> full suite this pair)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.element_at(
+            F.array(*[F.lit(m) for m in
+                      ("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB",
+                       "REG")]),
+            (F.col("l_partkey") % 7 + 1).cast("int"),
+        ).alias("l_shipmode"),
+    ).where(F.col("l_shipmode").isin("MAIL", "SHIP"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(o, li["l_orderkey"] == o["o_orderkey"]).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_shipmode").agg(
+        F.sum(F.when(is_high, 1).otherwise(0))
+        .cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1))
+        .cast("long")
+        .alias("low_line_count"),
+    )
+
+
+# ----------------------------- TPC-H Q17: small-quantity revenue --
+
+
+@staged_query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avgq AS (
+        SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cq
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           count(*) AS n_small_qty_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 700.0 AS avg_yearly_cents
+    FROM lineitem l
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 10
+      AND l.l_quantity * 5.0 * a.cq < a.sq
+    GROUP BY 1
+    """,
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape — revenue that would vanish if small-quantity
+    orders (below 20% of the part's average quantity) went away; the
+    classic correlated-average-subquery benchmark, DECORRELATED the
+    Spark-first way: the per-part average becomes one aggregate over
+    lineitem joined back on the part key. The 20%-of-average predicate
+    is spelled multiplicatively (qty * 5 * cnt < sum) so both engines
+    compare exact products — quantities are whole numbers, no division
+    rounding enters the filter. (TESTDATA has no p_container, so the
+    dimension filter is p_size < 10; brands report per-group.)
+
+    Scale shape: ONE shuffle of lineitem on l_partkey feeds both the
+    average aggregate and the probe join — Catalyst reuses the
+    exchange (same key); the part dimension arrives filtered and
+    BROADCAST (two columns). The naive per-row correlated subquery
+    would be a second full shuffle; this is the single-pass form.
+
+    Reference basis: free-form join/agg family (SURVEY §2.3/§2.4);
+    with Q12 this completes all 22 TPC-H shapes in the registry."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"),
+        F.count(F.lit(1)).alias("cq"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") < 10)
+        .select("p_partkey", "p_brand")
+    )
+    small = (
+        li.join(avgq, "l_partkey")
+        .where(F.col("l_quantity") * 5.0 * F.col("cq") < F.col("sq"))
+        .join(
+            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        )
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small_qty_lines"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+        (F.sum(cents).cast("double") / 700.0).alias("avg_yearly_cents"),
+    )
+
+
+# ------------------- Misra-Gries certified heavy hitters --
+
+
+@staged_query(
+    "heavy_hitters_misra_gries_certified",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 4
+                    ELSE user_id + 1000 END AS item
+        FROM events
+    ),
+    counts AS (
+        SELECT item, count(*) AS cnt FROM keyed GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n_total,
+               CAST(floor(count(*) / 16.0) AS BIGINT) AS mg_threshold
+        FROM keyed
+    )
+    SELECT c.item,
+           c.cnt AS exact_count,
+           c.cnt - t.mg_threshold AS mg_counter_floor,
+           t.n_total,
+           t.mg_threshold
+    FROM counts c CROSS JOIN tot t
+    WHERE c.cnt > t.mg_threshold
+    """,
+)
+def heavy_hitters_misra_gries_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Misra-Gries CERTIFIED heavy hitters (k = 15 counters): any item
+    whose true frequency exceeds floor(N/(k+1)) is GUARANTEED to
+    survive an MG pass — total decrements are bounded by N/(k+1) — and
+    its final counter is at least f_i − floor(N/(k+1)). The graded row
+    outputs the guaranteed-survivor set with exact frequencies and the
+    certified counter floor, over a planted-skew key (every third user
+    collapses to one of 4 hot items; the rest form the long tail). The
+    certificate is deterministic arithmetic over EXACT counts — not an
+    emulated merge, whose result would depend on partition order — the
+    same convention as the countmin (r10) and GK (r10) certificates.
+
+    Scale shape: one map-side-combinable count aggregate (the key
+    space after collapse is |hot| + |users|, bounded), one 1-row total
+    broadcast. MG itself exists to AVOID the exact count at scale; the
+    certificate row grades the guarantee the sketch must honour.
+
+    Reference basis: sketch/certificate family (countmin r10,
+    collision_probability r10, hll r10)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("user_id") % 3 == 0, F.col("user_id") % 4
+        )
+        .otherwise(F.col("user_id") + 1000)
+        .alias("item")
+    )
+    counts = keyed.groupBy("item").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    tot = keyed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.floor(F.count(F.lit(1)) / 16.0)
+        .cast("long")
+        .alias("mg_threshold"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("exact_count") > F.col("mg_threshold"))
+        .select(
+            "item",
+            "exact_count",
+            (F.col("exact_count") - F.col("mg_threshold")).alias(
+                "mg_counter_floor"
+            ),
+            "n_total",
+            "mg_threshold",
+        )
+    )
+
+
+# ------------------- TABLESAMPLE REPEATABLE certificate --
+
+
+@staged_query(
+    "tablesample_repeatable_certified",
+    oracle="""
+    SELECT count(*) AS n_total,
+           CAST(floor(count(*) * 0.1
+                      - 6.0 * sqrt(count(*) * 0.1 * 0.9)) AS BIGINT)
+               AS bound_lo,
+           CAST(floor(count(*) * 0.1
+                      + 6.0 * sqrt(count(*) * 0.1 * 0.9)) AS BIGINT) + 1
+               AS bound_hi,
+           TRUE AS within_bounds,
+           TRUE AS repeatable,
+           TRUE AS subset_ok
+    FROM events
+    """,
+)
+def tablesample_repeatable_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLESAMPLE (10 PERCENT) REPEATABLE(seed) — the SQL sampling
+    surface, graded as a CERTIFICATE because no oracle can replay
+    Spark's Bernoulli RNG: (a) within_bounds — the sample size lands
+    inside the 6-sigma binomial envelope (miss probability ~1e-9, and
+    the envelope itself is deterministic IEEE arithmetic both engines
+    compute identically: mul/sqrt/floor are all correctly rounded);
+    (b) repeatable — two independent TABLESAMPLE scans with the same
+    seed return the SAME multiset (symmetric exceptAll both ways is
+    empty); (c) subset_ok — an anti-join of the sample against the
+    base table is empty. The oracle states the same three facts plus
+    the identical envelope arithmetic on the exact row count.
+
+    Scale shape: sampling is a scan-level filter (no shuffle); the
+    repeatability check is one sort-merge exceptAll pair on the
+    sampled ~10% (seed + split determinism is exactly what makes
+    sampled pipelines re-runnable at 100 TB); the subset check is a
+    left-anti semi-join. All three verdicts reduce to 1-row counts.
+
+    Reference basis: sampling family extension (stratified_sample r3,
+    deterministic_corpus_shuffle r7, weighted_sample_priority r10)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    view = "events_tablesample_probe"
+    ev.createOrReplaceTempView(view)
+    q = (
+        f"SELECT event_id FROM {view} "
+        f"TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    s1 = spark.sql(q)
+    s2 = spark.sql(q)
+    n_diff = (
+        s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    n_notin = (
+        s1.join(ev, "event_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_notin"))
+    )
+    n_sampled = s1.agg(F.count(F.lit(1)).alias("n_sampled"))
+    mu = F.col("n_total") * 0.1
+    sigma = F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return (
+        ev.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(F.broadcast(n_sampled))
+        .crossJoin(F.broadcast(n_diff))
+        .crossJoin(F.broadcast(n_notin))
+        .select(
+            "n_total",
+            F.floor(mu - 6.0 * sigma).cast("long").alias("bound_lo"),
+            (F.floor(mu + 6.0 * sigma).cast("long") + 1).alias(
+                "bound_hi"
+            ),
+            (
+                (F.col("n_sampled")
+                 >= F.floor(mu - 6.0 * sigma).cast("long"))
+                & (F.col("n_sampled")
+                   <= F.floor(mu + 6.0 * sigma).cast("long") + 1)
+            ).alias("within_bounds"),
+            (F.col("n_diff") == 0).alias("repeatable"),
+            (F.col("n_notin") == 0).alias("subset_ok"),
+        )
+    )
+
+
+# ------------------- per-source Zipf dyadic tail mass --
+
+
+@staged_query(
+    "zipf_tail_mass_by_source",
+    oracle="""
+    WITH tf AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, count(*) AS n FROM tf GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, tok
+               ) AS r
+        FROM counts
+    )
+    SELECT source,
+           CAST(length(bin(r)) AS INTEGER) AS rank_bucket,
+           count(*) AS n_tokens,
+           CAST(sum(n) AS BIGINT) AS mass,
+           CAST(min(r) AS BIGINT) AS rank_lo,
+           CAST(max(r) AS BIGINT) AS rank_hi
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def zipf_tail_mass_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE Zipf tail diagnostics — the dyadic rank-mass readout
+    (vocab_dyadic_rank_mass, graduated r12) partitioned by corpus
+    source: each source's token ranks bucket dyadically (bit length of
+    the rank — exact integers where log2 would be libm) and report
+    per-bucket token count and mass. The per-source comparison is the
+    actual curation decision input: a source whose head bucket carries
+    an outsized share is boilerplate-heavy; a flat tail signals
+    scraped noise — THE mixture-weighting diagnostic, per source.
+
+    Scale shape: token counts aggregate on (source, token) — one
+    map-combinable shuffle, key space = Σ per-source vocabularies;
+    the ranking window partitions BY SOURCE (parallel across sources,
+    input |vocab_s| each, never corpus rows); final ≤40-row-per-source
+    bucket rollup. The global twin's scale argument, sharded.
+
+    Reference basis: LLM-pipeline vocabulary family
+    (vocab_dyadic_rank_mass r11-cohort, vocab_top_tokens r3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        "source", "n", F.row_number().over(w).alias("r")
+    )
+    return ranked.groupBy(
+        "source",
+        F.length(F.bin("r")).cast("int").alias("rank_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n").cast("long").alias("mass"),
+        F.min("r").cast("long").alias("rank_lo"),
+        F.max("r").cast("long").alias("rank_hi"),
+    )
+
+
+# ----------------------------- xpath scalar function breadth --
+
+
+@staged_query(
+    "xpath_scalar_suite",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           bool_and(TRUE) AS all_ok,
+           CAST(4 * count(*) AS BIGINT) AS n_text_nodes
+    FROM base GROUP BY event_type
+    """,
+)
+def xpath_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xpath_* scalar family (xpath_string / xpath_long /
+    xpath_boolean / xpath array form, attribute and element axes) —
+    graded as a ROUND-TRIP: each row renders its columns into an XML
+    fragment, every output value is recovered ONLY through xpath
+    extraction, and the oracle recomputes the same aggregates from the
+    base columns directly. Any extraction defect (axis, attribute,
+    text() node, numeric coercion) breaks the value hash. DuckDB has
+    no xpath — the identity framing is what makes the surface
+    oracle-gradeable at all (same convention as the r8 XML codec row).
+
+    Scale shape: pure per-row scalar work fused into the scan stage
+    (WholeStageCodegen, no shuffle before the final rollup); xpath
+    compiles per-expression XPath objects JVM-side — no Python. XML
+    parse cost dominates (~0.3 ms/row for 5 extractions), so the row
+    grades a deterministic 10% id-slice — surface coverage, not a
+    recommended hot-path operator; bulk XML belongs in from_xml once
+    parsed, not in repeated xpath probes.
+
+    Reference basis: SURVEY §2.8 scalar-function surface extension
+    (xml_roundtrip_suite r8 covers the document codec; this grades the
+    query-language accessors)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 10 == 0
+    )
+    xml = F.concat(
+        F.lit('<e id="'),
+        F.col("event_id").cast("string"),
+        F.lit('"><u>'),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.floor(F.col("value") * 100).cast("long").cast("string"),
+        F.lit("</v><ok>1</ok></e>"),
+    )
+    extracted = ev.select(xml.alias("x")).select(
+        F.expr("xpath_string(x, 'e/t')").alias("event_type"),
+        F.expr("xpath_long(x, 'e/v/text()')").alias("cents"),
+        F.expr("xpath_long(x, 'e/@id')").alias("ev_id"),
+        F.expr("xpath_boolean(x, 'e/ok=1')").alias("ok"),
+        F.size(F.expr("xpath(x, 'e/*/text()')")).alias("n_nodes"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.max("ev_id").cast("long").alias("max_id"),
+        F.bool_and("ok").alias("all_ok"),
+        F.sum("n_nodes").cast("long").alias("n_text_nodes"),
+    )
+
+
+# ----------------------------- mode / median aggregate pair --
+
+
+@staged_query(
+    "mode_median_suite",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN user_id % 4 = 0 THEN 0
+                    ELSE user_id % 97 + 1 END AS planted,
+               CASE WHEN user_id % 4 = 0 THEN 'hot'
+                    ELSE 'u' || CAST(user_id % 97 AS VARCHAR) END
+                   AS planted_s,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(mode(planted) AS BIGINT) AS mode_val,
+           mode(planted_s) AS mode_str,
+           CAST(median(cents) AS DOUBLE) AS median_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM v GROUP BY event_type
+    """,
+)
+def mode_median_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and median() — the Spark-3.4+ direct aggregate forms —
+    over keys PLANTED so the mode is unique by a wide margin (every
+    4th row collapses to one hot value carrying ~25% of the mass; the
+    97-value tail holds ~0.8% each), because mode over a tied column
+    is an arbitrary pick in both engines and would be ungradeable.
+    median interpolates the two middle cents values — exact integers,
+    midpoint arithmetic identical IEEE in both engines. (ANSI
+    percentile_disc is deliberately NOT graded cross-engine: its
+    cume_dist >= p element selection differs from DuckDB's
+    quantile_disc lower-interpolation at e.g. n=7, p=0.75 — the
+    ansi_percentile_suite row pins the Spark-side semantics instead.)
+
+    Scale shape: mode is a two-level aggregate (count per value, then
+    argmax — Spark plans it as such); median is the exact-percentile
+    sort-based aggregate per group, input bounded per event_type.
+
+    Reference basis: SURVEY §2.4 aggregate surface (A3 max_by family;
+    the r10 weighted_median row grades the weighted form)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 97 + 1)
+        .alias("planted"),
+        F.when(F.col("user_id") % 4 == 0, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("u"), (F.col("user_id") % 97).cast("string"))
+        )
+        .alias("planted_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.mode("planted").cast("long").alias("mode_val"),
+        F.mode("planted_s").alias("mode_str"),
+        F.median("cents").cast("double").alias("median_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+# ----------------------------- OOV rate by source --
+
+
+@staged_query(
+    "oov_rate_by_source",
+    oracle="""
+    WITH tf AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+            FROM tf GROUP BY tok
+        ) WHERE r <= 500
+    )
+    SELECT tf.source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           count(DISTINCT CASE WHEN v.tok IS NULL THEN tf.tok END)
+               AS n_distinct_oov
+    FROM tf LEFT JOIN vocab v ON tf.tok = v.tok
+    GROUP BY tf.source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a top-500 corpus
+    vocabulary — the tokenizer-coverage audit run before committing a
+    vocab: a source whose OOV mass is high will fragment into bytes /
+    unk tokens and train poorly at its nominal mixture weight. Rank
+    ties break lexicographically (count DESC, token) so the vocab set
+    is deterministic cross-engine; OOV membership via LEFT JOIN null
+    probes, counted both raw and distinct.
+
+    Scale shape: token-count aggregate (vocab-bounded) → top-500 via
+    one vocab-sized ranking window → BROADCAST of the 500-row vocab
+    into the token stream (no shuffle of corpus tokens for the
+    membership probe); the per-source rollup is the only data
+    exchange. The distinct-OOV count adds a (source, token) dedup
+    bounded by per-source vocabulary.
+
+    Reference basis: LLM-pipeline vocabulary family (vocab_top_tokens
+    r3, collision_probability r10, zipf_tail_mass_by_source staged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        counts.select("tok", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 500)
+        .select(F.col("tok").alias("vtok"))
+    )
+    probed = tf.join(
+        F.broadcast(vocab), tf["tok"] == F.col("vtok"), "left"
+    )
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.count_distinct(
+            F.when(F.col("vtok").isNull(), F.col("tok"))
+        ).alias("n_distinct_oov"),
+    )
+
+
+# ------------------- mixture epoch planner (capped water-filling) --
+
+
+@staged_query(
+    "mixture_epoch_repeat_planner",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(n_chars) AS BIGINT) AS tokens,
+               CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight,
+               CAST(4 * sum(n_chars) AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(2 * sum(tokens) AS BIGINT) AS b,
+               CAST(sum(weight) AS BIGINT) AS w_total
+        FROM per_src
+    ),
+    ordered AS (
+        SELECT p.*, t.b, t.w_total,
+               row_number() OVER ord AS pos,
+               CAST(coalesce(sum(cap) OVER (
+                   ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cumcap_prev,
+               CAST(coalesce(sum(weight) OVER (
+                   ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cumw_prev
+        FROM per_src p CROSS JOIN tot t
+        WINDOW ord AS (ORDER BY CAST(cap AS DOUBLE) / weight, source)
+    ),
+    marked AS (
+        SELECT *,
+               CAST(((b - cumcap_prev) * 1000000)
+                    // (w_total - cumw_prev) AS BIGINT) AS r_k,
+               cap * 1000000
+                   <= (((b - cumcap_prev) * 1000000)
+                       // (w_total - cumw_prev)) * weight AS saturated
+        FROM ordered
+    ),
+    rstar AS (
+        SELECT CAST(min_by(r_k, pos) AS BIGINT) AS r_star
+        FROM marked WHERE NOT saturated
+    )
+    SELECT m.source, m.tokens, m.weight, m.cap,
+           CAST(CASE WHEN m.saturated OR r.r_star IS NULL THEN m.cap
+                     ELSE (m.weight * r.r_star) // 1000000 END
+                AS BIGINT) AS allocation,
+           CAST((CASE WHEN m.saturated OR r.r_star IS NULL THEN m.cap
+                      ELSE (m.weight * r.r_star) // 1000000 END
+                 * 1000000) // m.tokens AS BIGINT) AS epochs_e6
+    FROM marked m CROSS JOIN rstar r
+    """,
+)
+def mixture_epoch_repeat_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-mixture EPOCH planner — capped proportional allocation
+    (water-filling): split a token budget B = 2x the corpus across
+    sources proportionally to target weights, but cap every source at
+    4 epochs of its own tokens (the repeat ceiling after which
+    memorization outpaces learning — the Muennighoff-et-al data-
+    constrained regime). Closed form: sort sources by cap/weight
+    ascending; a prefix saturates at its cap, the rest share the
+    remaining budget at a common rate r* — found where the running
+    rate (budget left over weight left, exact integer floor at 1e-6
+    grain) first drops below a source's saturation threshold. All
+    comparisons are exact integer arithmetic; the only double is the
+    SORT KEY (IEEE division — correctly rounded, identical both
+    engines). Weights derive from the numeric source suffix (mod 4).
+
+    Scale shape: one per-source aggregate (the only data shuffle);
+    the water-filling itself runs on the |sources|-row summary (20
+    here, rarely >10^3 in practice) — one bounded ordered window +
+    one 1-row broadcast. Planner cost is independent of corpus size.
+
+    Reference basis: LLM-pipeline mixture family
+    (mixture_quota_largest_remainder r8 allocates an exact integer
+    budget; this adds the repeat-cap water-filling form,
+    temperature_mixture_quota r8 the temperature form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("tokens")
+    ).select(
+        "source",
+        "tokens",
+        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).alias(
+            "weight"
+        ),
+        (F.col("tokens") * 4).alias("cap"),
+    )
+    # the summary frame is |sources| rows — collapse to one partition
+    # so the ordered window and both broadcasts run as single tasks
+    per_src = per_src.coalesce(1)
+    tot = per_src.agg(
+        (F.sum("tokens") * 2).cast("long").alias("b"),
+        F.sum("weight").cast("long").alias("w_total"),
+    )
+    ord_w = Window.orderBy(
+        (F.col("cap").cast("double") / F.col("weight")).asc(),
+        F.col("source"),
+    )
+    prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    ordered = per_src.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number().over(ord_w).alias("pos"),
+        F.coalesce(F.sum("cap").over(prev), F.lit(0))
+        .cast("long")
+        .alias("cumcap_prev"),
+        F.coalesce(F.sum("weight").over(prev), F.lit(0))
+        .cast("long")
+        .alias("cumw_prev"),
+    )
+    r_k = F.expr(
+        "((b - cumcap_prev) * 1000000) DIV (w_total - cumw_prev)"
+    )
+    marked = ordered.select(
+        "*",
+        r_k.cast("long").alias("r_k"),
+        (F.col("cap") * 1000000 <= r_k * F.col("weight")).alias(
+            "saturated"
+        ),
+    )
+    rstar = marked.where(~F.col("saturated")).agg(
+        F.expr("min_by(r_k, pos)").cast("long").alias("r_star")
+    )
+    alloc = F.when(
+        F.col("saturated") | F.col("r_star").isNull(), F.col("cap")
+    ).otherwise(F.expr("(weight * r_star) DIV 1000000"))
+    return marked.crossJoin(F.broadcast(rstar)).select(
+        "source",
+        "tokens",
+        "weight",
+        "cap",
+        alloc.cast("long").alias("allocation"),
+        (
+            F.when(
+                F.col("saturated") | F.col("r_star").isNull(),
+                F.col("cap"),
+            ).otherwise(F.expr("(weight * r_star) DIV 1000000"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("epochs_e6_num"),
+    ).select(
+        "source",
+        "tokens",
+        "weight",
+        "cap",
+        "allocation",
+        F.expr("epochs_e6_num DIV tokens")
+        .cast("long")
+        .alias("epochs_e6"),
+    )
+
+
+# ------------------- quality threshold sweep (confusion matrix) --
+
+
+@staged_query(
+    "quality_threshold_sweep_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT (1000 * (length(text) - length(replace(text, ' ', ''))))
+                   // n_chars AS score_e3,
+               CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE n_chars > 0
+    ),
+    thr AS (SELECT 120 + 10 * i AS thr_e3 FROM range(10) t(i))
+    SELECT t.thr_e3,
+           CAST(sum(CASE WHEN s.score_e3 >= t.thr_e3 AND s.pos = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s.score_e3 >= t.thr_e3 AND s.pos = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s.score_e3 < t.thr_e3 AND s.pos = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN s.score_e3 < t.thr_e3 AND s.pos = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM scored s CROSS JOIN thr t
+    GROUP BY t.thr_e3
+    """,
+)
+def quality_threshold_sweep_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter-threshold SWEEP — the confusion matrix of a quality
+    score against labels at 10 candidate cutoffs in one pass: the
+    operating-point selection step between scoring (quality scores
+    graded since r2) and filtering (token_budget_selection flagship).
+    Score = whitespace density at 1e-3 grain (pure integer floor
+    division — replace(), not regex, so both engines count
+    identically); labels are planted (doc_id mod 5). The oracle
+    cross-joins documents x thresholds directly — the definitional
+    form.
+
+    Scale shape: the Spark plan does NOT multiply the corpus by 10:
+    scores first collapse into a (score_e3, label) HISTOGRAM (one
+    map-combinable aggregate, <=2002 cells), and the threshold sweep
+    cross-joins the bounded histogram — corpus scanned once, sweep
+    cost independent of rows. Adding thresholds is free; that is the
+    point at 100 TB (tuning sweeps must not rescan).
+
+    Reference basis: LLM-pipeline curation family
+    (quality_cdf_normalize r7, score_calibration_bins staged,
+    binned_ks_statistic r10)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
+    scored = docs.select(
+        F.expr(
+            "(1000 * (length(text) - length(replace(text, ' ', ''))))"
+            " DIV n_chars"
+        ).alias("score_e3"),
+        F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0).alias("pos"),
+    )
+    hist = scored.groupBy("score_e3", "pos").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    thr = spark.range(10).select(
+        (120 + 10 * F.col("id")).cast("long").alias("thr_e3")
+    )
+    swept = hist.crossJoin(F.broadcast(thr))
+    hit = F.col("score_e3") >= F.col("thr_e3")
+    pos = F.col("pos") == 1
+    return swept.groupBy("thr_e3").agg(
+        F.sum(F.when(hit & pos, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(hit & ~pos, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~hit & pos, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~hit & ~pos, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )

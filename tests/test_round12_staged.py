@@ -1,0 +1,272 @@
+"""Invariant tests for the round-12 staged cohort, beyond the
+value-hash oracle (tests/test_next_round.py): each novel operator's
+result is re-derived by an INDEPENDENT brute-force twin in plain
+Python over the collected slice — a second witness sharing none of
+the SQL machinery, the standard every graduated cohort carries.
+(tablesample_repeatable_certified grades self-certifying booleans and
+xpath_scalar_suite grades a render/extract identity — neither has a
+meaningful independent twin beyond its oracle.)
+"""
+
+from __future__ import annotations
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_misra_gries_certificate_matches_counter(spark):
+    from collections import Counter
+
+    rows = load_table(spark, SF_DIR, "events").select("user_id").collect()
+    items = Counter(
+        r.user_id % 4 if r.user_id % 3 == 0 else r.user_id + 1000
+        for r in rows
+    )
+    n = sum(items.values())
+    thr = n // 16
+    expected = {
+        it: (c, c - thr, n, thr) for it, c in items.items() if c > thr
+    }
+    got = {
+        r.item: (r.exact_count, r.mg_counter_floor, r.n_total,
+                 r.mg_threshold)
+        for r in STAGED["heavy_hitters_misra_gries_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # the MG guarantee itself: survivors' certified floors are positive
+    assert all(v[1] >= 1 for v in got.values())
+
+
+def test_q17_small_quantity_matches_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .collect()
+        if r.p_size < 10
+    }
+    sums: dict = defaultdict(lambda: [0.0, 0])
+    for r in li:
+        s = sums[r.l_partkey]
+        s[0] += r.l_quantity
+        s[1] += 1
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in li:
+        if r.l_partkey not in parts:
+            continue
+        sq, cq = sums[r.l_partkey]
+        if r.l_quantity * 5.0 * cq < sq:
+            a = agg[parts[r.l_partkey]]
+            a[0] += 1
+            a[1] += math.floor(r.l_extendedprice * 100)
+    expected = {
+        b: (n, cents, float(cents) / 700.0)
+        for b, (n, cents) in agg.items()
+    }
+    got = {
+        r.p_brand: (r.n_small_qty_lines, r.revenue_cents,
+                    r.avg_yearly_cents)
+        for r in STAGED["tpch_q17_small_quantity_revenue"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_q12_priority_split_matches_counter(spark):
+    from collections import Counter
+    from datetime import timedelta
+
+    modes = ("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG")
+    orders = {
+        r.o_orderkey: (r.o_orderdate, r.o_orderpriority)
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    }
+    hi: Counter = Counter()
+    lo: Counter = Counter()
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_shipdate")
+        .collect()
+    ):
+        mode = modes[r.l_partkey % 7]
+        if mode not in ("MAIL", "SHIP"):
+            continue
+        odate, prio = orders[r.l_orderkey]
+        if r.l_shipdate > odate + timedelta(days=30):
+            (hi if prio in ("1-URGENT", "2-HIGH") else lo)[mode] += 1
+    got = {
+        r.l_shipmode: (r.high_line_count, r.low_line_count)
+        for r in STAGED["tpch_q12_shipmode_priority"](
+            spark, SF_DIR
+        ).collect()
+    }
+    expected = {
+        m: (hi.get(m, 0), lo.get(m, 0))
+        for m in set(hi) | set(lo)
+    }
+    assert got == expected
+
+
+def test_mixture_planner_matches_waterfilling_replay(spark):
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .sum("n_chars")
+        .collect()
+    )
+    per = {
+        r.source: (
+            r["sum(n_chars)"],
+            int(r.source[3:]) % 4 + 1,
+            4 * r["sum(n_chars)"],
+        )
+        for r in rows
+    }
+    B = 2 * sum(t for t, _, _ in per.values())
+    W = sum(w for _, w, _ in per.values())
+    order = sorted(per, key=lambda s: (per[s][2] / per[s][1], s))
+    cumcap = cumw = 0
+    r_star = None
+    sat: dict = {}
+    for s in order:
+        _, w, cap = per[s]
+        r_k = ((B - cumcap) * 1_000_000) // (W - cumw)
+        sat[s] = cap * 1_000_000 <= r_k * w
+        if not sat[s] and r_star is None:
+            r_star = r_k
+        cumcap += cap
+        cumw += w
+    expected = {}
+    for s, (t, w, cap) in per.items():
+        alloc = (
+            cap if sat[s] or r_star is None
+            else (w * r_star) // 1_000_000
+        )
+        expected[s] = (t, w, cap, alloc, (alloc * 1_000_000) // t)
+    got = {
+        r.source: (r.tokens, r.weight, r.cap, r.allocation, r.epochs_e6)
+        for r in STAGED["mixture_epoch_repeat_planner"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # budget is respected and at least one source is rate-limited
+    assert sum(v[3] for v in got.values()) <= B
+
+
+def test_oov_rate_matches_counter(spark):
+    from collections import Counter
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    tf: Counter = Counter()
+    for r in docs:
+        tf.update(r.text.split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :500
+        ]
+    }
+    expected: dict = {}
+    per_src_tokens: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        st = per_src_tokens.setdefault(r.source, [0, 0, set()])
+        st[0] += len(toks)
+        for t in toks:
+            if t not in vocab:
+                st[1] += 1
+                st[2].add(t)
+    expected = {
+        s: (n, oov, len(dist))
+        for s, (n, oov, dist) in per_src_tokens.items()
+    }
+    got = {
+        r.source: (r.n_tokens, r.n_oov, r.n_distinct_oov)
+        for r in STAGED["oov_rate_by_source"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_threshold_sweep_matches_counter(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    expected = {}
+    for i in range(10):
+        thr = 120 + 10 * i
+        tp = fp = fn = tn = 0
+        for r in docs:
+            if r.n_chars <= 0:
+                continue
+            score = (
+                1000 * (len(r.text) - len(r.text.replace(" ", "")))
+            ) // r.n_chars
+            pos = r.doc_id % 5 != 0
+            if score >= thr:
+                tp, fp = tp + pos, fp + (not pos)
+            else:
+                fn, tn = fn + pos, tn + (not pos)
+        expected[thr] = (tp, fp, fn, tn)
+    got = {
+        r.thr_e3: (r.tp, r.fp, r.fn, r.tn)
+        for r in STAGED["quality_threshold_sweep_confusion"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_zipf_by_source_matches_counter(spark):
+    from collections import Counter
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    per_src: dict = {}
+    for r in docs:
+        per_src.setdefault(r.source, Counter()).update(
+            r.text.split(" ")
+        )
+    expected: dict = {}
+    for s, cnt in per_src.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r_idx, (_, n) in enumerate(ranked, start=1):
+            b = r_idx.bit_length()
+            e = expected.setdefault(
+                (s, b), [0, 0, 1 << 62, 0]
+            )
+            e[0] += 1
+            e[1] += n
+            e[2] = min(e[2], r_idx)
+            e[3] = max(e[3], r_idx)
+    got = {
+        (r.source, r.rank_bucket): [
+            r.n_tokens, r.mass, r.rank_lo, r.rank_hi
+        ]
+        for r in STAGED["zipf_tail_mass_by_source"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
