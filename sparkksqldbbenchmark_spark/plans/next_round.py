@@ -1585,3 +1585,347 @@ def quality_threshold_sweep_confusion(
         .cast("long")
         .alias("tn"),
     )
+
+
+# ------------------- feature-store point-in-time join --
+
+
+@staged_query(
+    "feature_store_pit_join",
+    oracle="""
+    WITH spine AS (
+        SELECT event_id, user_id, event_type, ts FROM events
+        WHERE event_id % 50 = 0
+    ),
+    ufeat AS (
+        SELECT user_id, ts,
+               CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS u_feat
+        FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts
+    ),
+    tfeat AS (
+        SELECT event_type, ts,
+               CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS t_feat
+        FROM events WHERE event_id % 11 = 0 GROUP BY event_type, ts
+    )
+    SELECT s.event_id, s.user_id, s.event_type,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           u.u_feat, t.t_feat
+    FROM spine s
+    ASOF LEFT JOIN ufeat u
+        ON s.user_id = u.user_id AND s.ts >= u.ts
+    ASOF LEFT JOIN tfeat t
+        ON s.event_type = t.event_type AND s.ts >= t.ts
+    """,
+)
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME join — the training-set assembly
+    step every feature platform runs: a label spine enriched from TWO
+    feature tables at different grains (per-user and per-event-type
+    snapshots), each via as-of semantics (latest feature row at or
+    before the spine timestamp — never after: the leakage rule). The
+    oracle is DuckDB's native ASOF LEFT JOIN chain; Spark has no ASOF
+    operator, so each enrichment is the union-tag + last-carry
+    formulation (operators/joins.py:48 — one shuffle per feature
+    grain, no inequality join, no broadcast). Feature tables are
+    pre-aggregated per (key, ts) so the as-of pick is deterministic.
+
+    Scale shape: each feature join costs exactly one hash exchange on
+    its own key (user, then type) + an in-partition ordered carry —
+    the chained grains don't multiply (output stays |spine| rows).
+    This is the N-feature-table pattern at any scale; skew follows
+    the key like any groupBy.
+
+    Reference basis: as-of family composition (asof_join_latest_view
+    r6, asof_tolerance_join r9, asof_nearest_join r11-cohort) — the
+    multi-grain feature-store form."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    spine = ev.where(F.col("event_id") % 50 == 0).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ufeat = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents).alias("u_feat"))
+    )
+    tfeat = (
+        ev.where(F.col("event_id") % 11 == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max(cents).alias("t_feat"))
+    )
+    step1 = asof_join(
+        spine, ufeat, on=["user_id"], ts_col="ts",
+        payload_cols=["u_feat"],
+    )
+    step2 = asof_join(
+        step1, tfeat, on=["event_type"], ts_col="ts",
+        payload_cols=["t_feat"],
+    )
+    return step2.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "u_feat",
+        "t_feat",
+    )
+
+
+# ------------------- token PMI collocations (vocab-bounded) --
+
+
+@staged_query(
+    "token_pmi_top_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (
+                       ORDER BY count(*) DESC, tok) AS r
+            FROM tf GROUP BY tok
+        ) WHERE r <= 64
+    ),
+    inc AS (
+        SELECT DISTINCT tf.doc_id, tf.tok
+        FROM tf JOIN vocab v ON tf.tok = v.tok
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    marg AS (SELECT tok, count(*) AS nx FROM inc GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_u, b.tok AS tok_v, count(*) AS n_xy
+        FROM inc a JOIN inc b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.tok_u, p.tok_v, p.n_xy, mu.nx AS n_x, mv.nx AS n_y,
+               CAST((p.n_xy * d.n * 1000000)
+                    // (mu.nx * mv.nx) AS BIGINT) AS lift_e6
+        FROM pairs p
+        JOIN marg mu ON p.tok_u = mu.tok
+        JOIN marg mv ON p.tok_v = mv.tok
+        CROSS JOIN n_docs d
+    )
+    SELECT tok_u, tok_v,
+           CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_x AS BIGINT) AS n_x,
+           CAST(n_y AS BIGINT) AS n_y,
+           lift_e6
+    FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY lift_e6 DESC, tok_u, tok_v) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top token pairs by PMI LIFT
+    p(x,y)/(p(x)p(y)), the phrase/boilerplate detector (a lift near
+    the document count means the pair only ever co-occurs — template
+    text dedup misses): document-level co-occurrence restricted to
+    the top-64 vocabulary, lift as an exact integer ratio at 1e-6
+    grain (log-free — ranking by lift IS ranking by PMI since log is
+    monotone, the repo's standard libm dodge), ties lexicographic.
+
+    Scale shape: the candidate space is VOCAB-BOUNDED, never
+    corpus-bounded — incidence rows per doc <= 64 (broadcast vocab
+    semi-filter), the pair self-join is per-doc and emits <= 2016
+    pairs/doc into a map-combinable count, and marginals broadcast
+    back into the 64x63/2-row pair frame. Corpus size only enters
+    through one incidence-build scan. The same shape serves stopword
+    discovery and tokenizer merge scoring at 100 TB.
+
+    Reference basis: LLM-pipeline vocabulary family
+    (bpe_pair_merge_candidates r11-cohort counts ADJACENT pairs for
+    the tokenizer; this is the document-grain associative twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        counts.select("tok", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 64)
+        .select("tok")
+    )
+    inc = tf.join(F.broadcast(vocab), "tok").distinct()
+    n_docs = docs.agg(
+        F.count_distinct("doc_id").alias("n_total_docs")
+    )
+    marg = inc.groupBy("tok").agg(F.count(F.lit(1)).alias("nx"))
+    a = inc.select(F.col("doc_id"), F.col("tok").alias("tok_u"))
+    b = inc.select(F.col("doc_id"), F.col("tok").alias("tok_v"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_u") < F.col("tok_v"))
+        .groupBy("tok_u", "tok_v")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("tok").alias("tok_u"),
+                                    F.col("nx").alias("n_x"))),
+            "tok_u",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("tok").alias("tok_v"),
+                                    F.col("nx").alias("n_y"))),
+            "tok_v",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_u",
+            "tok_v",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            F.expr("(n_xy * n_total_docs * 1000000) DIV (n_x * n_y)")
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
+    wk = Window.orderBy(
+        F.desc("lift_e6"), F.asc("tok_u"), F.asc("tok_v")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(wk).alias("rk")
+        )
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+# ------------------- chi-square uniformity by type --
+
+
+@staged_query(
+    "chi_square_uniformity_by_type",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, user_id % 10 AS cell, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+               count(*) AS k
+        FROM cells GROUP BY 1
+    )
+    SELECT c.event_type,
+           t.n,
+           CAST(t.k AS BIGINT) AS n_cells_present,
+           CAST(((sum((10 * c.o - t.n) * (10 * c.o - t.n))
+                  + (10 - t.k) * t.n * t.n) * 1000000)
+                // (10 * t.n) AS BIGINT) AS chi2_e6,
+           9 AS df
+    FROM cells c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n, t.k
+    """,
+)
+def chi_square_uniformity_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square uniformity statistic per event type — does the user
+    bucket (user_id mod 10) hit each type uniformly? The load-balance
+    / A-A-test primitive behind skew alarms and randomization audits.
+    Computed EXACTLY in integers at 1e-6 grain: chi2 = sum((O - E)^2
+    / E) with E = n/10 rewritten as (sum((10*O - n)^2) + absent-cell
+    mass) / (10 * n) — one integer floor division at the end, no
+    doubles anywhere (the r10 binned_ks_statistic convention). Absent
+    cells contribute n^2 each so the statistic is correct even on a
+    type too rare to hit all 10 buckets.
+
+    Scale shape: one (type, cell) count aggregate — key space is
+    10 x |types|, map-combinable — then a <=10-row-per-type rollup
+    joined to its own total. No windows, no corpus re-scan.
+
+    Reference basis: analytic-statistics family (binned_ks_statistic
+    r10 two-sample distance, benford_leading_digit r10 digit-law,
+    fano_burstiness r10 — this adds the goodness-of-fit member)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    joined = cells.join(tot, "event_type")
+    dev = 10 * F.col("o") - F.col("n")
+    return joined.groupBy("event_type", "n", "k").agg(
+        F.sum(dev * dev).alias("sum_sq")
+    ).select(
+        "event_type",
+        "n",
+        F.col("k").cast("long").alias("n_cells_present"),
+        F.expr(
+            "((sum_sq + (10 - k) * n * n) * 1000000) DIV (10 * n)"
+        )
+        .cast("long")
+        .alias("chi2_e6"),
+        F.lit(9).cast("int").alias("df"),
+    )
+
+
+# ------------------- calendar scalar-function breadth --
+
+
+@staged_query(
+    "calendar_function_suite",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(dayofmonth(last_day(dt))) AS BIGINT)
+               AS last_day_dom_sum,
+           CAST(sum(quarter(dt)) AS BIGINT) AS quarter_sum,
+           CAST(sum(weekofyear(dt)) AS BIGINT) AS weekofyear_sum,
+           CAST(sum(dayofweek(dt) + 1) AS BIGINT) AS dayofweek_sum,
+           count(DISTINCT date_trunc('month', dt)) AS n_months,
+           strftime(max(dt + INTERVAL 2 MONTH), '%Y-%m-%d')
+               AS max_plus_2m
+    FROM d GROUP BY event_type
+    """,
+)
+def calendar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar breadth — last_day / quarter / weekofyear (ISO
+    in both engines) / dayofweek (Spark counts Sunday=1, DuckDB
+    Sunday=0: the oracle carries the +1 shim, pinning the offset
+    contract) / month truncation / add_months with its month-end
+    clamp (Jan 31 + 1 month = Feb 29 in both engines — probed before
+    this row was written). Values fold into per-type integer
+    checksums so any drift in any function on any row breaks the
+    hash. months_between is deliberately excluded: its fractional
+    31-day convention has no DuckDB twin.
+
+    Scale shape: per-row date arithmetic fused into the scan
+    (WholeStageCodegen), one 5-group rollup; the DISTINCT month count
+    adds a (type, month) dedup bounded by the calendar, not rows.
+
+    Reference basis: SURVEY §2.8 F9-F13 datetime family extension
+    (datetime_parse_suite r4, interval_datetime_suite r8,
+    calendar_spine_gapfill r9)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", F.to_date("ts").alias("dt"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.dayofmonth(F.last_day("dt")))
+        .cast("long")
+        .alias("last_day_dom_sum"),
+        F.sum(F.quarter("dt")).cast("long").alias("quarter_sum"),
+        F.sum(F.weekofyear("dt")).cast("long").alias("weekofyear_sum"),
+        F.sum(F.dayofweek("dt")).cast("long").alias("dayofweek_sum"),
+        F.count_distinct(F.date_trunc("MM", "dt")).alias("n_months"),
+        F.date_format(F.max(F.add_months("dt", 2)), "yyyy-MM-dd")
+        .alias("max_plus_2m"),
+    )

@@ -270,3 +270,179 @@ def test_zipf_by_source_matches_counter(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_feature_store_pit_matches_bruteforce(spark):
+    """Both as-of enrichments replayed with per-key sorted scans in
+    plain Python (bisect on snapshot timestamps) — none of the
+    union-tag + last-carry machinery shared."""
+    import bisect
+    import math
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect()
+    )
+    ufeat: dict = defaultdict(dict)
+    tfeat: dict = defaultdict(dict)
+    for r in rows:
+        c = math.floor(r.value * 100)
+        if r.event_id % 7 == 0:
+            k = ufeat[r.user_id]
+            k[r.ts] = max(k.get(r.ts, c), c)
+        if r.event_id % 11 == 0:
+            k = tfeat[r.event_type]
+            k[r.ts] = max(k.get(r.ts, c), c)
+    usorted = {k: sorted(v) for k, v in ufeat.items()}
+    tsorted = {k: sorted(v) for k, v in tfeat.items()}
+
+    def pick(snapshots, sorted_ts, key, ts):
+        if key not in snapshots:
+            return None
+        i = bisect.bisect_right(sorted_ts[key], ts)
+        if i == 0:
+            return None
+        return snapshots[key][sorted_ts[key][i - 1]]
+
+    expected = {
+        r.event_id: (
+            r.user_id,
+            r.event_type,
+            r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+            pick(ufeat, usorted, r.user_id, r.ts),
+            pick(tfeat, tsorted, r.event_type, r.ts),
+        )
+        for r in rows
+        if r.event_id % 50 == 0
+    }
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.event_ts, r.u_feat,
+                     r.t_feat)
+        for r in STAGED["feature_store_pit_join"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_pmi_pairs_match_counter(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf: Counter = Counter()
+    for r in docs:
+        tf.update(r.text.split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :64
+        ]
+    }
+    nx: Counter = Counter()
+    nxy: Counter = Counter()
+    for r in docs:
+        present = sorted(set(r.text.split(" ")) & vocab)
+        nx.update(present)
+        nxy.update(combinations(present, 2))
+    n = len({r.doc_id for r in docs})
+    scored = [
+        (
+            (c * n * 1_000_000) // (nx[u] * nx[v]),
+            u,
+            v,
+            c,
+            nx[u],
+            nx[v],
+        )
+        for (u, v), c in nxy.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = {
+        (u, v): (c, nu, nv, lift)
+        for lift, u, v, c, nu, nv in scored[:20]
+    }
+    got = {
+        (r.tok_u, r.tok_v): (r.n_xy, r.n_x, r.n_y, r.lift_e6)
+        for r in STAGED["token_pmi_top_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_chi_square_matches_integer_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    cells: dict = defaultdict(Counter)
+    for r in rows:
+        cells[r.event_type][r.user_id % 10] += 1
+    expected = {}
+    for t, cnt in cells.items():
+        n = sum(cnt.values())
+        k = len(cnt)
+        ss = sum((10 * o - n) ** 2 for o in cnt.values())
+        ss += (10 - k) * n * n
+        expected[t] = (n, k, (ss * 1_000_000) // (10 * n), 9)
+    got = {
+        r.event_type: (r.n, r.n_cells_present, r.chi2_e6, r.df)
+        for r in STAGED["chi_square_uniformity_by_type"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_calendar_suite_matches_python_calendar(spark):
+    import calendar
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, set(), None])
+    for r in rows:
+        d = r.ts.date()
+        a = agg[r.event_type]
+        a[0] += 1
+        a[1] += calendar.monthrange(d.year, d.month)[1]
+        a[2] += (d.month - 1) // 3 + 1
+        a[3] += d.isocalendar()[1]
+        # Spark dayofweek: Sunday=1 .. Saturday=7
+        a[4] += d.isoweekday() % 7 + 1
+        a[5].add((d.year, d.month))
+        # add_months(d, 2) with month-end clamp
+        y, m = d.year + (d.month + 1) // 12, (d.month + 1) % 12 + 1
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        p2 = f"{y:04d}-{m:02d}-{day:02d}"
+        a[6] = p2 if a[6] is None or p2 > a[6] else a[6]
+    expected = {
+        t: (a[0], a[1], a[2], a[3], a[4], len(a[5]), a[6])
+        for t, a in agg.items()
+    }
+    got = {
+        r.event_type: (
+            r.n,
+            r.last_day_dom_sum,
+            r.quarter_sum,
+            r.weekofyear_sum,
+            r.dayofweek_sum,
+            r.n_months,
+            r.max_plus_2m,
+        )
+        for r in STAGED["calendar_function_suite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
