@@ -1929,3 +1929,194 @@ def calendar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max(F.add_months("dt", 2)), "yyyy-MM-dd")
         .alias("max_plus_2m"),
     )
+
+
+# ------------------- incremental aggregate maintenance (IVM) --
+
+
+@staged_query(
+    "ivm_aggregate_delta_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_min,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_max,
+           CAST(max(event_id) AS BIGINT) AS hwm_event_id
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ivm_aggregate_delta_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental VIEW MAINTENANCE of a daily aggregate — the
+    materialized-rollup refresh every warehouse runs: the standing
+    aggregate was built from the already-ingested rows (event_id mod
+    10 != 0), a late micro-batch (mod 10 == 0) arrives, and the
+    refresh merges the two PARTIAL STATES instead of rescanning
+    history — count adds, sum adds, min/max fold, and the high-water
+    mark advances. FULL OUTER on the group key so delta-only groups
+    appear and base-only groups survive. The oracle is the full
+    recompute over everything — the IVM correctness contract is
+    exactly 'merge of partials == recompute', which only holds when
+    every statistic kept is mergeable (avg would need sum+count kept
+    separately; stddev the sum-of-squares — the discipline this row
+    pins).
+
+    Scale shape: the delta aggregate costs |delta|, not |history|;
+    the merge joins two group-keyed summaries (day x type cardinality,
+    bounded by the calendar) — at 100 TB the base summary is a table
+    you JOIN, never a corpus you rescan. Same partials discipline as
+    the streaming update-mode state.
+
+    Reference basis: SURVEY §2.4 A1/A8 maintained-view form; batch
+    twin of the T3 update-mode streaming semantics (the reference
+    maintains its windowed table continuously — this is the
+    batch-refresh equivalent)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents_sum"),
+            F.min(cents).alias("cents_min"),
+            F.max(cents).alias("cents_max"),
+            F.max("event_id").alias("hwm_event_id"),
+        )
+
+    base = agg(ev.where(F.col("event_id") % 10 != 0))
+    delta = agg(ev.where(F.col("event_id") % 10 == 0))
+    b = base.select(
+        "event_type", "day_us",
+        *[F.col(c).alias(f"b_{c}") for c in
+          ("n", "cents_sum", "cents_min", "cents_max", "hwm_event_id")],
+    )
+    d = delta.select(
+        "event_type", "day_us",
+        *[F.col(c).alias(f"d_{c}") for c in
+          ("n", "cents_sum", "cents_min", "cents_max", "hwm_event_id")],
+    )
+    merged = b.join(d, ["event_type", "day_us"], "full_outer")
+
+    def fold(col: str, how) -> F.Column:
+        return F.when(
+            F.col(f"b_{col}").isNull(), F.col(f"d_{col}")
+        ).when(
+            F.col(f"d_{col}").isNull(), F.col(f"b_{col}")
+        ).otherwise(how(F.col(f"b_{col}"), F.col(f"d_{col}")))
+
+    return merged.select(
+        "event_type",
+        "day_us",
+        fold("n", lambda a, c: a + c).cast("long").alias("n"),
+        fold("cents_sum", lambda a, c: a + c)
+        .cast("long")
+        .alias("cents_sum"),
+        fold("cents_min", F.least).cast("long").alias("cents_min"),
+        fold("cents_max", F.greatest).cast("long").alias("cents_max"),
+        fold("hwm_event_id", F.greatest)
+        .cast("long")
+        .alias("hwm_event_id"),
+    )
+
+
+# ------------------- embedding prefix energy (Matryoshka audit) --
+
+
+@staged_query(
+    "embedding_prefix_energy",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, j - 1 AS j,
+               CAST(floor(e * 1000) AS BIGINT) AS qv
+        FROM (SELECT vec_id, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS j
+              FROM embeddings)
+    ),
+    ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+    energy AS (
+        SELECT k.k,
+               CAST(sum(CASE WHEN q.j < k.k THEN q.qv * q.qv
+                             ELSE 0 END) AS BIGINT) AS prefix_energy,
+               CAST(sum(q.qv * q.qv) AS BIGINT) AS total_energy,
+               count(DISTINCT q.vec_id) AS n_vecs
+        FROM q CROSS JOIN ks k GROUP BY k.k
+    )
+    SELECT k, prefix_energy, total_energy, n_vecs,
+           CAST((prefix_energy * 1000000) // total_energy AS BIGINT)
+               AS energy_ratio_e6
+    FROM energy
+    """,
+)
+def embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX-ENERGY audit — how much of the corpus
+    embedding norm the first k dimensions carry (k = 8/16/32/64): the
+    decision input for truncating stored vectors before ANN (the
+    Kusupati-et-al matryoshka deployment question — can search run on
+    a 16-dim prefix?). Energy in exact integers (the repo's e3
+    quantization, squared and summed — no floats anywhere), the final
+    ratio one integer floor division at 1e-6 grain.
+
+    Scale shape: one posexplode scan of the embedding matrix with the
+    per-(vec, dim) term folded into a 4-key partial aggregate — the
+    k-sweep multiplies the 4-row KS frame, never the matrix (the
+    CASE-per-k runs inside one pass). At 100 TB of vectors this is a
+    single scan-bound aggregate, same as the PCA matvec.
+
+    Reference basis: LLM-pipeline embedding family
+    (embedding_quantization r6, pq_quantization_error r9,
+    pca_power_iteration_1d r11-cohort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("j", "e"),
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("e").cast("double") * 1000)
+        .cast("long")
+        .alias("qv"),
+    )
+    ks = spark.range(4).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in (8, 16, 32, 64)]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("k")
+    )
+    energy = (
+        q.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("j") < F.col("k"),
+                    F.col("qv") * F.col("qv"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("prefix_energy"),
+            F.sum(F.col("qv") * F.col("qv"))
+            .cast("long")
+            .alias("total_energy"),
+            F.count_distinct("vec_id").alias("n_vecs"),
+        )
+    )
+    return energy.select(
+        "k",
+        "prefix_energy",
+        "total_energy",
+        "n_vecs",
+        F.expr("(prefix_energy * 1000000) DIV total_energy")
+        .cast("long")
+        .alias("energy_ratio_e6"),
+    )

@@ -446,3 +446,100 @@ def test_calendar_suite_matches_python_calendar(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_ivm_merge_matches_dict_fold_replay(spark):
+    """The partial-state MERGE itself replayed in plain Python (two
+    dicts folded key-wise), independently of the full-recompute
+    oracle — both the merge rule and the recompute contract hold."""
+    import math
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+
+    def build(pred):
+        out: dict = defaultdict(lambda: [0, 0, None, None, None])
+        for r in rows:
+            if not pred(r.event_id):
+                continue
+            day = r.ts.replace(hour=0, minute=0, second=0,
+                               microsecond=0)
+            import calendar as _cal
+            day_us = int(
+                _cal.timegm(day.timetuple()) * 1_000_000
+            )
+            c = math.floor(r.value * 100)
+            a = out[(r.event_type, day_us)]
+            a[0] += 1
+            a[1] += c
+            a[2] = c if a[2] is None else min(a[2], c)
+            a[3] = c if a[3] is None else max(a[3], c)
+            a[4] = (
+                r.event_id if a[4] is None else max(a[4], r.event_id)
+            )
+        return out
+
+    base = build(lambda e: e % 10 != 0)
+    delta = build(lambda e: e % 10 == 0)
+    expected = {}
+    for k in set(base) | set(delta):
+        if k not in base:
+            expected[k] = tuple(delta[k])
+        elif k not in delta:
+            expected[k] = tuple(base[k])
+        else:
+            b, d = base[k], delta[k]
+            expected[k] = (
+                b[0] + d[0],
+                b[1] + d[1],
+                min(b[2], d[2]),
+                max(b[3], d[3]),
+                max(b[4], d[4]),
+            )
+    got = {
+        (r.event_type, r.day_us): (
+            r.n, r.cents_sum, r.cents_min, r.cents_max, r.hwm_event_id
+        )
+        for r in STAGED["ivm_aggregate_delta_merge"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_prefix_energy_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array(
+        [
+            [math.floor(float(x) * 1000) for x in r.embedding]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    sq = X * X
+    total = int(sq.sum())
+    expected = {}
+    for k in (8, 16, 32, 64):
+        pe = int(sq[:, :k].sum())
+        expected[k] = (pe, total, len(rows),
+                       (pe * 1_000_000) // total)
+    got = {
+        r.k: (r.prefix_energy, r.total_energy, r.n_vecs,
+              r.energy_ratio_e6)
+        for r in STAGED["embedding_prefix_energy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
