@@ -2120,3 +2120,265 @@ def embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("energy_ratio_e6"),
     )
+
+
+# ------------------- hard-negative mining (contrastive pairs) --
+
+
+@staged_query(
+    "hard_negative_mining_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, j - 1 AS j,
+               CAST(floor(e * 1000) AS BIGINT) AS qv
+        FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                     generate_subscripts(embedding, 1) AS j
+              FROM embeddings)
+    ),
+    anchors AS (SELECT * FROM q WHERE vec_id % 20 = 0),
+    dots AS (
+        SELECT a.vec_id AS anchor_id,
+               max(a.label) AS anchor_label,
+               b.vec_id AS neg_id,
+               max(b.label) AS neg_label,
+               CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+        FROM anchors a
+        JOIN q b ON a.j = b.j AND a.label <> b.label
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, dot
+    FROM dots
+    QUALIFY row_number() OVER (
+        PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
+    """,
+)
+def hard_negative_mining_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training — for each
+    anchor vector, the single most-similar vector with a DIFFERENT
+    label (the negative that actually teaches the margin; random
+    negatives are too easy and stall the loss). Dots are exact
+    integers on the e3-quantized matrix; ties break to the lowest
+    candidate id. First graded use of the embeddings LABEL column.
+
+    Scale shape: anchors are a 1/20 id-slice, so the scored pair
+    space is |anchors| x |corpus| — a BROADCAST of the (bounded)
+    anchor matrix into one scan of the corpus, grouped per (anchor,
+    candidate) with map-side combine on the dim join. At 100 TB the
+    corpus side stays a single scan; production narrows candidates
+    further with the graded IVF/LSH buckets (similarity_ivf_topk r6,
+    ann_lsh r5) — this row pins the exact semantics those
+    approximations must approach.
+
+    Reference basis: LLM-pipeline embedding family (similarity_topk
+    r3, ann certificates r9/r10, pq_quantization_error r9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("j", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        "j",
+        F.floor(F.col("e").cast("double") * 1000)
+        .cast("long")
+        .alias("qv"),
+    )
+    anchors = q.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        "j",
+        F.col("qv").alias("aqv"),
+    )
+    dots = (
+        q.join(
+            F.broadcast(anchors),
+            (q["j"] == anchors["j"])
+            & (q["label"] != anchors["anchor_label"]),
+        )
+        .groupBy("anchor_id", "vec_id")
+        .agg(
+            F.max("anchor_label").alias("anchor_label"),
+            F.max("label").alias("neg_label"),
+            F.sum(F.col("aqv") * F.col("qv")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    return (
+        dots.select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            "neg_label",
+            F.col("dot").cast("long").alias("dot"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ------------------- inverse-frequency class weights --
+
+
+@staged_query(
+    "label_inverse_frequency_weights",
+    oracle="""
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 count(*) AS n_labels FROM c)
+    SELECT c.label,
+           CAST(c.n AS BIGINT) AS n,
+           CAST((c.n * 1000000) // t.total AS BIGINT) AS share_e6,
+           CAST((t.total * 1000000) // (c.n * t.n_labels) AS BIGINT)
+               AS weight_e6
+    FROM c CROSS JOIN t
+    """,
+)
+def label_inverse_frequency_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverse-frequency CLASS WEIGHTS — the balanced-loss weighting
+    (weight_c = N / (n_c * K)) every classifier-head training run
+    computes from its label distribution, in exact integers at 1e-6
+    grain. A uniformly-distributed label set yields weights near 1e6;
+    a skewed one reweights rare classes up — the sampler/loss input.
+
+    Scale shape: one map-combinable label count (K groups) + a 1-row
+    total broadcast. Nothing scales with rows but the count.
+
+    Reference basis: LLM-pipeline mixture/sampling family
+    (mixture_quota_largest_remainder r8, temperature_mixture_quota
+    r8 — this is the per-label loss-side twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(n * 1000000) DIV total").cast("long").alias("share_e6"),
+        F.expr("(total * 1000000) DIV (n * n_labels)")
+        .cast("long")
+        .alias("weight_e6"),
+    )
+
+
+# ------------------- per-doc span interval union --
+
+
+@staged_query(
+    "doc_span_interval_union",
+    oracle="""
+    WITH spans AS (
+        SELECT doc_id,
+               (doc_id * 7 + i * 13) % 200 AS s,
+               (doc_id * 7 + i * 13) % 200 + 10 + (i * 5) % 20 AS e
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(4)) AS i)
+        WHERE i < doc_id % 3 + 2
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT doc_id, island,
+               CAST(min(s) AS BIGINT) AS lo,
+               CAST(max(e) AS BIGINT) AS hi,
+               count(*) AS n_in
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n_in) AS BIGINT) AS n_spans_in,
+           count(*) AS n_merged,
+           CAST(sum(hi - lo) AS BIGINT) AS covered_chars,
+           CAST(max(hi - lo) AS BIGINT) AS max_island_len
+    FROM merged GROUP BY doc_id
+    """,
+)
+def doc_span_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SPAN-ANNOTATION merge — union overlapping
+    [start, end) spans into disjoint islands and report coverage: the
+    normalization step behind PII redaction spans, decontamination
+    match spans and OCR block merging, where downstream must never
+    double-count overlapped characters. Spans are planted
+    deterministically per doc (2-4 spans, arithmetic start/length);
+    the merge is the gaps-and-islands pattern — new island when a
+    span starts past the running max end — and the graded output is
+    each doc's merged-island statistics.
+
+    Scale shape: spans group by doc_id — one hash exchange, windows
+    run per doc over <=4 rows (the grain is the document, exactly like
+    sessionize's per-user grain; no global ordering anywhere). The
+    same plan at billions of docs is embarrassingly parallel.
+
+    Reference basis: interval family (batch_sessionize r7,
+    decontam_max_span r10, interval_coverage_sweep r10 — this is the
+    per-entity union-merge member)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).where(F.col("i") < F.col("doc_id") % 3 + 2)
+    spans = idx.select(
+        "doc_id",
+        ((F.col("doc_id") * 7 + F.col("i") * 13) % 200).alias("s"),
+        (
+            (F.col("doc_id") * 7 + F.col("i") * 13) % 200
+            + 10
+            + (F.col("i") * 5) % 20
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = spans.withColumn(
+        "is_new",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("s").cast("long").alias("lo"),
+        F.max("e").cast("long").alias("hi"),
+        F.count(F.lit(1)).alias("n_in"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.sum("n_in").cast("long").alias("n_spans_in"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum(F.col("hi") - F.col("lo"))
+        .cast("long")
+        .alias("covered_chars"),
+        F.max(F.col("hi") - F.col("lo"))
+        .cast("long")
+        .alias("max_island_len"),
+    )

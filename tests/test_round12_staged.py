@@ -543,3 +543,85 @@ def test_prefix_energy_matches_numpy(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_hard_negatives_match_numpy(spark):
+    import math
+
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    labels = {r.vec_id: r.label for r in rows}
+    X = {
+        r.vec_id: np.array(
+            [math.floor(float(x) * 1000) for x in r.embedding],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+    expected = {}
+    for a in ids:
+        if a % 20 != 0:
+            continue
+        best = None
+        for b in ids:
+            if labels[b] == labels[a]:
+                continue
+            d = int(X[a] @ X[b])
+            if best is None or (d, -b) > (best[0], -best[1]):
+                best = (d, b)
+        expected[a] = (labels[a], best[1], labels[best[1]], best[0])
+    got = {
+        r.anchor_id: (r.anchor_label, r.neg_id, r.neg_label, r.dot)
+        for r in STAGED["hard_negative_mining_topk"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_span_union_matches_interval_merge(spark):
+    docs = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    expected = {}
+    for d in docs:
+        spans = sorted(
+            (
+                (d * 7 + i * 13) % 200,
+                (d * 7 + i * 13) % 200 + 10 + (i * 5) % 20,
+            )
+            for i in range(d % 3 + 2)
+        )
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expected[d] = (
+            len(spans),
+            len(merged),
+            sum(e - s for s, e in merged),
+            max(e - s for s, e in merged),
+        )
+    got = {
+        r.doc_id: (
+            r.n_spans_in,
+            r.n_merged,
+            r.covered_chars,
+            r.max_island_len,
+        )
+        for r in STAGED["doc_span_interval_union"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
