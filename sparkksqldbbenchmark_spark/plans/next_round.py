@@ -2382,3 +2382,337 @@ def doc_span_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_island_len"),
     )
+
+
+# ------------------- global row index without a global sort --
+
+
+@staged_query(
+    "global_row_index_two_level",
+    oracle="""
+    WITH idx AS (
+        SELECT CAST(ts AS DATE) AS day,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS gidx
+        FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(min(gidx) AS BIGINT) AS min_idx,
+           CAST(max(gidx) AS BIGINT) AS max_idx,
+           CAST(sum(gidx) AS BIGINT) AS idx_sum
+    FROM idx GROUP BY day
+    """,
+)
+def global_row_index_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL contiguous row index in event-time order — zipWithIndex
+    semantics, built WITHOUT the single-reducer global sort (SURVEY §7
+    risk 7): rows index locally per calendar-day bucket (row_number in
+    a day-partitioned window, parallel across days), per-day counts
+    cumulate in one window over the ~30-row day summary, and the
+    global index = day offset + local index. The graded readout folds
+    the per-day index ranges and sums — min/max/sum per day can only
+    all match the oracle's true global row_number if the offsets are
+    exactly right and the index is gap-free. The oracle IS the naive
+    global window (the definitional form DuckDB can afford).
+
+    Scale shape: one hash exchange on the day bucket + in-partition
+    sort; single-partition work is only the |days|-row cumulation —
+    the same two-level prefix-sum as sequence_packing and the ffill
+    operator. This is how stable sample ids / shard offsets are
+    assigned to a 100 TB corpus without serializing it.
+
+    Reference basis: ordering family (O1-O5) scale pattern;
+    deterministic_corpus_shuffle r7 assigns PERMUTED ids — this is
+    the order-preserving twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w_local = Window.partitionBy("day").orderBy("ts", "event_id")
+    local = ev.select(
+        F.to_date("ts").alias("day"), "ts", "event_id"
+    ).withColumn("lidx", F.row_number().over(w_local))
+    day_counts = local.groupBy("day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_counts.select(
+        "day",
+        F.coalesce(F.sum("cnt").over(w_days), F.lit(0)).alias("off"),
+    )
+    indexed = local.join(offsets, "day").select(
+        "day", (F.col("off") + F.col("lidx") - 1).alias("gidx")
+    )
+    return indexed.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gidx").cast("long").alias("min_idx"),
+        F.max("gidx").cast("long").alias("max_idx"),
+        F.sum("gidx").cast("long").alias("idx_sum"),
+    )
+
+
+# ------------------- data-quality expectation audit --
+
+
+@staged_query(
+    "dq_expectation_audit",
+    oracle="""
+    SELECT 'value_not_null' AS check_name,
+           CAST((SELECT count(*) FROM events WHERE value IS NULL)
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'value_in_range',
+           CAST((SELECT count(*) FROM events
+                 WHERE value < 0 OR value > 1000) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'event_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT event_id)
+                 FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'ts_sane_lower_bound',
+           CAST((SELECT count(*) FROM events
+                 WHERE ts < TIMESTAMP '2020-01-01') AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+)
+def dq_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATION audit — five ingest-gate checks
+    (null rate, value range, key uniqueness, referential integrity,
+    timestamp sanity) evaluated as one frame of (check, violations,
+    checked): the great-expectations-style contract every pipeline
+    runs before promoting a batch. Violation counts are exact; a
+    downstream gate thresholds them (the graded row reports, it does
+    not filter — reporting is what makes quarantine auditable).
+
+    Scale shape: the four single-table checks fold into conditional
+    aggregates over ONE events scan each (Catalyst fuses the
+    null/range/sanity predicates into the scan); uniqueness adds a
+    distinct on the key; the FK check is one LEFT ANTI join probing
+    the orders key set — at 100 TB the orders side broadcasts if it
+    fits, shuffles otherwise, and nothing rescans.
+
+    Reference basis: S5/P5 malformed-row guard family, promoted from
+    a scan option to a first-class audit (dirty_data_parsing r3,
+    json_corrupt_record_handling r10)."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    one = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "nulls"
+        ),
+        F.sum(
+            F.when(
+                (F.col("value") < 0) | (F.col("value") > 1000), 1
+            ).otherwise(0)
+        ).alias("oob"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+            "dups"
+        ),
+        F.sum(
+            F.when(
+                F.col("ts") < F.lit("2020-01-01").cast("timestamp"), 1
+            ).otherwise(0)
+        ).alias("stale"),
+    )
+    orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_li"))
+    wide = one.crossJoin(F.broadcast(orphans)).crossJoin(
+        F.broadcast(n_li)
+    )
+    checks = [
+        ("value_not_null", "nulls", "n"),
+        ("value_in_range", "oob", "n"),
+        ("event_id_unique", "dups", "n"),
+        ("lineitem_order_fk", "n_orphans", "n_li"),
+        ("ts_sane_lower_bound", "stale", "n"),
+    ]
+    frames = [
+        wide.select(
+            F.lit(name).alias("check_name"),
+            F.col(v).cast("long").alias("n_violations"),
+            F.col(t).cast("long").alias("n_checked"),
+        )
+        for name, v, t in checks
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ------------------- GDPR right-to-erasure cascade --
+
+
+@staged_query(
+    "right_to_erasure_cascade",
+    oracle="""
+    WITH erased AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+    ),
+    o_kept AS (
+        SELECT * FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM erased e
+                          WHERE e.c_custkey = o.o_custkey)
+    ),
+    l_kept AS (
+        SELECT * FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM o_kept o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey % 37 <> 0) AS BIGINT) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM o_kept) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM l_kept) AS BIGINT)
+    """,
+)
+def right_to_erasure_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT-TO-ERASURE cascade — the GDPR/CCPA delete propagated
+    through the foreign-key chain (customer → orders → lineitem),
+    reported as per-table before/after counts: the compliance audit
+    artifact a deletion job must emit. Erasure set is a planted
+    key slice; orders drop by ANTI join against it, lineitems drop by
+    losing their parent order (SEMI join against survivors) — the
+    two join polarities the cascade needs, and the count deltas prove
+    no over- or under-deletion at any level.
+
+    Scale shape: the erased-customer key set is tiny (1/37 of a
+    dimension) — BROADCAST anti join; the order→lineitem step is the
+    standard big⋈big semi join on the order key, probe side emitting
+    at most once per row. No table is scanned twice for the counts —
+    conditional aggregates share the kept-frame scans.
+
+    Reference basis: free-form join family (anti q22, semi q4) in
+    the ops-compliance composition; completes the CDC/merge family's
+    delete leg (merge_on_read_upsert r9, scd2_dimension_build r9)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased = c.where(F.col("c_custkey") % 37 == 0).select("c_custkey")
+    o_kept = o.join(
+        F.broadcast(erased),
+        o["o_custkey"] == erased["c_custkey"],
+        "left_anti",
+    )
+    l_kept = li.join(
+        o_kept.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    def counted(name: str, before: DataFrame, after: DataFrame):
+        return (
+            before.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(
+                F.broadcast(
+                    after.agg(F.count(F.lit(1)).alias("n_after"))
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_before").cast("long"),
+                F.col("n_after").cast("long"),
+            )
+        )
+
+    return (
+        counted(
+            "customer", c, c.where(F.col("c_custkey") % 37 != 0)
+        )
+        .unionByName(counted("orders", o, o_kept))
+        .unionByName(counted("lineitem", li, l_kept))
+    )
+
+
+# ------------------- datetime constructor round-trip --
+
+
+@staged_query(
+    "datetime_constructor_suite",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, ts, CAST(ts AS DATE) AS dt FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           bool_and(make_date(CAST(year(dt) AS INT),
+                              CAST(month(dt) AS INT),
+                              CAST(day(dt) AS INT)) = dt)
+               AS date_roundtrip_ok,
+           bool_and(make_timestamp(CAST(year(ts) AS INT),
+                                   CAST(month(ts) AS INT),
+                                   CAST(day(ts) AS INT),
+                                   CAST(hour(ts) AS INT),
+                                   CAST(minute(ts) AS INT),
+                                   CAST(floor(second(ts)) AS DOUBLE))
+                    = date_trunc('second', ts)) AS ts_roundtrip_ok,
+           strftime(max(make_date(CAST(year(dt) AS INT), 1, 1)),
+                    '%Y-%m-%d') AS max_year_start
+    FROM d GROUP BY event_type
+    """,
+)
+def datetime_constructor_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """make_date / make_timestamp constructor round-trip — every row's
+    timestamp is decomposed into integer parts and REBUILT, and the
+    rebuilt value must equal the original (to the second — the
+    constructor's sub-second argument conventions differ between
+    engines, so the contract is pinned at date_trunc('second')
+    grain). The constructor family is how partition columns
+    (year/month/day) are folded back into comparable dates at read
+    time; a silent off-by-one here corrupts every partition-pruned
+    date filter downstream.
+
+    Scale shape: per-row scalar work fused into the scan, one 5-group
+    rollup of bool_and flags — any single-row construction defect
+    flips a group flag and breaks the value hash.
+
+    Reference basis: SURVEY §2.8 F9-F13 datetime family
+    (datetime_parse_suite r4 parses strings; this grades the integer
+    constructors)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "ts", F.to_date("ts").alias("dt"))
+    date_rt = F.make_date(
+        F.year("dt"), F.month("dt"), F.dayofmonth("dt")
+    ) == F.col("dt")
+    ts_rt = F.expr(
+        "make_timestamp(year(ts), month(ts), day(ts), hour(ts), "
+        "minute(ts), cast(floor(second(ts)) as decimal(8, 6)))"
+    ) == F.date_trunc("second", F.col("ts"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bool_and(date_rt).alias("date_roundtrip_ok"),
+        F.bool_and(ts_rt).alias("ts_roundtrip_ok"),
+        F.date_format(
+            F.max(F.make_date(F.year("dt"), F.lit(1), F.lit(1))),
+            "yyyy-MM-dd",
+        ).alias("max_year_start"),
+    )

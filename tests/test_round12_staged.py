@@ -625,3 +625,71 @@ def test_span_union_matches_interval_merge(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_global_row_index_matches_sorted_enumerate(spark):
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("ts", "event_id")
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r.ts, r.event_id))
+    per_day: dict = {}
+    for gidx, r in enumerate(ordered):
+        d = r.ts.strftime("%Y-%m-%d")
+        a = per_day.setdefault(d, [0, None, None, 0])
+        a[0] += 1
+        a[1] = gidx if a[1] is None else min(a[1], gidx)
+        a[2] = gidx if a[2] is None else max(a[2], gidx)
+        a[3] += gidx
+    expected = {d: tuple(a) for d, a in per_day.items()}
+    got = {
+        r.day: (r.n, r.min_idx, r.max_idx, r.idx_sum)
+        for r in STAGED["global_row_index_two_level"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # contiguity across days: each day's min is the previous max + 1
+    seq = sorted(got.values(), key=lambda t: t[1])
+    for prev, cur in zip(seq, seq[1:]):
+        assert cur[1] == prev[2] + 1
+
+
+def test_erasure_cascade_matches_set_replay(spark):
+    erased = {
+        r.c_custkey
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+        if r.c_custkey % 37 == 0
+    }
+    customers = load_table(spark, SF_DIR, "customer").count()
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    kept_orders = {
+        r.o_orderkey for r in orders if r.o_custkey not in erased
+    }
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    )
+    expected = {
+        "customer": (customers, customers - len(erased)),
+        "orders": (len(orders), len(kept_orders)),
+        "lineitem": (
+            len(li),
+            sum(1 for r in li if r.l_orderkey in kept_orders),
+        ),
+    }
+    got = {
+        r.table_name: (r.n_before, r.n_after)
+        for r in STAGED["right_to_erasure_cascade"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
