@@ -2716,3 +2716,180 @@ def datetime_constructor_suite(
             "yyyy-MM-dd",
         ).alias("max_year_start"),
     )
+
+
+# ------------------- mask / crypto scalar functions --
+
+
+@staged_query(
+    "mask_crypto_suite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT regexp_replace(regexp_replace(regexp_replace(
+               event_type || '-' || CAST(user_id AS VARCHAR),
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+               'g')) AS n_distinct_masked,
+           min(sha256(event_type || '#' ||
+                      CAST(user_id % 100 AS VARCHAR)))
+               AS min_sha_hex,
+           bool_and(TRUE) AS aes_roundtrip_ok,
+           bool_and(TRUE) AS mask_hides_digits
+    FROM events GROUP BY event_type
+    """,
+)
+def mask_crypto_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask() + sha2 + AES scalar surface — the column-protection kit
+    a PII-handling pipeline leans on: (a) mask() replaces case/digit
+    classes, graded against a regexp-triple oracle (identical outputs
+    both engines, so the distinct-count of masked identifiers is a
+    real cross-engine value); (b) sha2-256 hex digests equal DuckDB's
+    sha256 byte-for-byte (graded via per-group min digest);
+    (c) aes_encrypt/aes_decrypt ECB round-trip recovers every
+    plaintext (DuckDB has no AES — self-certifying boolean, the
+    tablesample convention), and mask provably destroys digits
+    (the masked string contains none — folded bool).
+
+    Scale shape: per-row scalar work fused into the scan; the
+    distinct-masked count is one dedup exchange bounded by the masked
+    key space. Hashing/masking at ingest is exactly this shape at
+    100 TB — no shuffle until the audit rollup.
+
+    Reference basis: SURVEY §2.8 F21 + PII family (pii_scrub_stats
+    r4, luhn_pii_check r9 — this adds the masking/encryption leg)."""
+    ev = load_table(spark, sf_dir, "events")
+    ident = F.concat(
+        F.col("event_type"), F.lit("-"),
+        F.col("user_id").cast("string"),
+    )
+    masked = F.expr(
+        "mask(concat(event_type, '-', cast(user_id as string)))"
+    )
+    sha = F.sha2(
+        F.concat(
+            F.col("event_type"), F.lit("#"),
+            (F.col("user_id") % 100).cast("string"),
+        ),
+        256,
+    )
+    key = F.lit("0123456789abcdef")
+    rt = (
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt(concat(event_type, '-', "
+            "cast(user_id as string)), '0123456789abcdef', 'ECB'), "
+            "'0123456789abcdef', 'ECB') as string)"
+        )
+        == ident
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(masked).alias("n_distinct_masked"),
+        F.min(sha).alias("min_sha_hex"),
+        F.bool_and(rt).alias("aes_roundtrip_ok"),
+        F.bool_and(~masked.rlike("[0-9]")).alias("mask_hides_digits"),
+    )
+
+
+# ------------------- curriculum phases by token budget --
+
+
+@staged_query(
+    "curriculum_token_budget_phases",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               (1000 * (length(text) - length(replace(text, ' ', ''))))
+                   // n_chars AS score_e3
+        FROM documents WHERE n_chars > 0
+    ),
+    cum AS (
+        SELECT doc_id, n_chars, score_e3,
+               coalesce(sum(n_chars) OVER (
+                   ORDER BY score_e3, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before,
+               sum(n_chars) OVER () AS total
+        FROM scored
+    )
+    SELECT CAST((cum_before * 4) // total AS BIGINT) AS phase,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(score_e3) AS BIGINT) AS min_score_e3,
+           CAST(max(score_e3) AS BIGINT) AS max_score_e3
+    FROM cum GROUP BY 1
+    """,
+)
+def curriculum_token_budget_phases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM phase assignment — order the corpus by a quality
+    score and cut it into 4 phases of (as close as indivisible docs
+    allow) EQUAL TOKEN BUDGET, lowest-quality first: the curriculum /
+    annealing schedule planner (train early on bulk, anneal on the
+    high-quality tail). Phase = floor(4 * tokens-before / total) — an
+    exclusive prefix sum over the (score, doc_id) order, computed the
+    repo's two-level way: docs bucket by their bounded integer score
+    (<=1001 buckets), per-bucket char totals cumulate in ONE bounded
+    window, and each doc's prefix = its bucket's offset + an in-bucket
+    running sum (window partitioned BY BUCKET — parallel). The oracle
+    is the definitional single global window.
+
+    Scale shape: one hash exchange on the score bucket + the
+    |buckets|-row cumulation — the sequence_packing / row-index
+    prefix-sum recipe applied to schedule planning; no global sort of
+    docs anywhere.
+
+    Reference basis: LLM-pipeline curation family
+    (token_budget_selection flagship selects under a budget;
+    quality_cdf_normalize r7 calibrates; this schedules)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(1000 * (length(text) - length(replace(text, ' ', ''))))"
+            " DIV n_chars"
+        ).alias("score_e3"),
+    )
+    bucket_totals = scored.groupBy("score_e3").agg(
+        F.sum("n_chars").alias("bchars")
+    )
+    w_b = Window.orderBy("score_e3").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_totals.select(
+        "score_e3",
+        F.coalesce(F.sum("bchars").over(w_b), F.lit(0)).alias("boff"),
+    )
+    total = scored.agg(F.sum("n_chars").alias("total"))
+    w_in = (
+        Window.partitionBy("score_e3")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        scored.withColumn(
+            "in_before",
+            F.coalesce(F.sum("n_chars").over(w_in), F.lit(0)),
+        )
+        .join(offsets, "score_e3")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_chars",
+            "score_e3",
+            (F.col("boff") + F.col("in_before")).alias("cum_before"),
+            "total",
+        )
+    )
+    return cum.groupBy(
+        F.expr("(cum_before * 4) DIV total")
+        .cast("long")
+        .alias("phase")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("score_e3").cast("long").alias("min_score_e3"),
+        F.max("score_e3").cast("long").alias("max_score_e3"),
+    )

@@ -693,3 +693,84 @@ def test_erasure_cascade_matches_set_replay(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_curriculum_phases_match_sorted_cumsum(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    scored = sorted(
+        (
+            (1000 * (len(r.text) - len(r.text.replace(" ", ""))))
+            // r.n_chars,
+            r.doc_id,
+            r.n_chars,
+        )
+        for r in docs
+        if r.n_chars > 0
+    )
+    total = sum(c for _, _, c in scored)
+    expected: dict = {}
+    cum = 0
+    for score, _, chars in scored:
+        phase = (cum * 4) // total
+        a = expected.setdefault(phase, [0, 0, None, None])
+        a[0] += 1
+        a[1] += chars
+        a[2] = score if a[2] is None else min(a[2], score)
+        a[3] = score if a[3] is None else max(a[3], score)
+        cum += chars
+    expected = {p: tuple(a) for p, a in expected.items()}
+    got = {
+        r.phase: (r.n_docs, r.total_chars, r.min_score_e3,
+                  r.max_score_e3)
+        for r in STAGED["curriculum_token_budget_phases"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_mask_matches_python_classes(spark):
+    """Spark mask() re-derived with str.translate over the planted
+    identifiers; also checks the digest column against hashlib."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+
+    def pymask(s: str) -> str:
+        return "".join(
+            "X" if c.isupper() else "x" if c.islower()
+            else "n" if c.isdigit() else c
+            for c in s
+        )
+
+    masked: dict = defaultdict(set)
+    sha: dict = defaultdict(set)
+    n: dict = defaultdict(int)
+    for r in rows:
+        masked[r.event_type].add(pymask(f"{r.event_type}-{r.user_id}"))
+        sha[r.event_type].add(
+            hashlib.sha256(
+                f"{r.event_type}#{r.user_id % 100}".encode()
+            ).hexdigest()
+        )
+        n[r.event_type] += 1
+    got = {
+        r.event_type: (r.n, r.n_distinct_masked, r.min_sha_hex,
+                       r.aes_roundtrip_ok, r.mask_hides_digits)
+        for r in STAGED["mask_crypto_suite"](spark, SF_DIR).collect()
+    }
+    expected = {
+        t: (n[t], len(masked[t]), min(sha[t]), True, True)
+        for t in n
+    }
+    assert got == expected
