@@ -2893,3 +2893,322 @@ def curriculum_token_budget_phases(
         F.min("score_e3").cast("long").alias("min_score_e3"),
         F.max("score_e3").cast("long").alias("max_score_e3"),
     )
+
+
+# ------------------- Avro codec round-trip (graded upgrade of S2/S3) --
+
+
+_AVRO_EV_SCHEMA = (
+    '{"type": "record", "name": "ev", "fields": ['
+    '{"name": "event_id", "type": "long"},'
+    '{"name": "event_type", "type": "string"},'
+    '{"name": "cents", "type": "long"}]}'
+)
+
+
+@staged_query(
+    "avro_codec_roundtrip_batch",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def avro_codec_roundtrip_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confluent-framed Avro ENCODE → DECODE round-trip as a graded
+    VALUE row — upgrading the S2/S3 codec surface from pytest-only to
+    driver-graded: an events slice is serialized to wire bytes (magic
+    0x00 + 4-byte schema id + Avro binary body, encode_record inside
+    mapInPandas), pushed through the SAME decode path the Kafka
+    consumer uses (sources/kafka.decode_avro_value → pure-Python
+    codec here, JVM from_avro when the spark-avro jar exists — the
+    row grades whichever path the environment selects), flattened,
+    and aggregated; the oracle aggregates the original rows directly.
+    Any framing, zigzag varint, or string-length defect in either
+    direction breaks the value hash.
+
+    Scale shape: encode and decode are per-row Arrow-batched work
+    pinned to executors (blobs never shuffle); the only exchange is
+    the final 5-group rollup. This is the reference's Kafka payload
+    path (SparkWeatherConsumer.scala:201-211) minus the broker.
+
+    Reference basis: SURVEY §2.1 S2/S3 (Confluent-Avro decode, Avro
+    encode + framing) — first ORACLE-graded form."""
+    import pandas as pd
+
+    from sparkksqldbbenchmark_spark.sources.avro_codec import (
+        encode_record,
+    )
+    from sparkksqldbbenchmark_spark.sources.kafka import (
+        decode_avro_value,
+        flatten_payload,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 5 == 0
+    )
+    rows = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    schema = _AVRO_EV_SCHEMA
+    header = b"\x00" + (7).to_bytes(4, "big")
+
+    def enc(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        header
+                        + encode_record(
+                            schema,
+                            {
+                                "event_id": int(r.event_id),
+                                "event_type": str(r.event_type),
+                                "cents": int(r.cents),
+                            },
+                        )
+                        for r in pdf.itertuples()
+                    ]
+                }
+            )
+
+    wire = rows.mapInPandas(enc, "value binary")
+    decoded = decode_avro_value(wire, schema, framed=True)
+    flat = flatten_payload(decoded)
+    return flat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+# ------------------- interval-overlap join via bucket grid --
+
+
+@staged_query(
+    "interval_overlap_join_buckets",
+    oracle="""
+    WITH a AS (
+        SELECT event_id AS a_id, event_type, ts AS lo,
+               ts + to_microseconds((event_id % 7 + 1) * 600000000)
+                   AS hi
+        FROM events WHERE event_id % 101 = 0
+    ),
+    b AS (
+        SELECT event_id AS b_id, ts AS lo,
+               ts + to_microseconds((event_id % 5 + 1) * 900000000)
+                   AS hi
+        FROM events WHERE event_id % 103 = 0
+    ),
+    pairs AS (
+        SELECT a.event_type, a.a_id, b.b_id,
+               epoch_us(least(a.hi, b.hi))
+                   - epoch_us(greatest(a.lo, b.lo)) AS overlap_us
+        FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us,
+           CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+    FROM pairs GROUP BY event_type
+    """,
+)
+def interval_overlap_join_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-OVERLAP join (interval x interval, not
+    point-in-interval) — maintenance windows x outage windows, every
+    overlapping pair with its exact overlap duration: the conflict /
+    co-occurrence join behind incident attribution and change-freeze
+    audits. The oracle is the definitional non-equi join; the Spark
+    plan is the SCALE-SAFE spelling — each interval explodes onto a
+    coarse hour grid (bounded fan-out: durations are <=75 min, so <=2
+    buckets each), candidates pair via an EQUI join on the bucket,
+    dedup on the pair id, and the exact overlap predicate + duration
+    evaluate only on candidates. Spark would otherwise plan the raw
+    inequality join as a broadcast nested loop — quadratic at scale.
+
+    Scale shape: one hash exchange per side on the bucket key, pair
+    dedup bounded by true candidates; the grid constant trades
+    fan-out against candidate precision exactly like the LSH band
+    and IVF cell knobs (SURVEY §7 risk 5 family).
+
+    Reference basis: join-family extension
+    (range_join_shipment_windows r6 is point-in-interval; this is
+    the interval-interval member on the same machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+
+    def intervals(mod: int, step_s: int, idname: str) -> DataFrame:
+        dur = (F.col("event_id") % (7 if mod == 101 else 5) + 1) * (
+            step_s * 1_000_000
+        )
+        base = ev.where(F.col("event_id") % mod == 0).select(
+            F.col("event_id").alias(idname),
+            "event_type",
+            F.unix_micros("ts").alias("lo_us"),
+            (F.unix_micros("ts") + dur).alias("hi_us"),
+        )
+        return base.withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.expr("lo_us DIV 3600000000"),
+                    F.expr("(hi_us - 1) DIV 3600000000"),
+                )
+            ),
+        )
+
+    a = intervals(101, 600, "a_id").withColumnsRenamed(
+        {"lo_us": "a_lo", "hi_us": "a_hi"}
+    )
+    b = intervals(103, 900, "b_id").select(
+        F.col("b_id"),
+        F.col("lo_us").alias("b_lo"),
+        F.col("hi_us").alias("b_hi"),
+        "bkt",
+    )
+    cand = (
+        a.join(b, "bkt")
+        .where((F.col("a_lo") < F.col("b_hi"))
+               & (F.col("b_lo") < F.col("a_hi")))
+        .select("event_type", "a_id", "b_id", "a_lo", "a_hi",
+                "b_lo", "b_hi")
+        .distinct()
+    )
+    overlap = F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+    return cand.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(overlap).cast("long").alias("total_overlap_us"),
+        F.max(overlap).cast("long").alias("max_overlap_us"),
+    )
+
+
+# ------------------- language-ID confusion matrix --
+
+
+def _langid_confusion_oracle() -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _langid_oracle,
+    )
+
+    return f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT lang, predicted_lang,
+           count(*) AS n,
+           lang = predicted_lang AS is_correct
+    FROM pred GROUP BY lang, predicted_lang
+    """
+
+
+@staged_query(
+    "lang_id_confusion_matrix", oracle=_langid_confusion_oracle()
+)
+def lang_id_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONFUSION MATRIX of the stopword language-ID heuristic against
+    the corpus's labeled lang column — the evaluation artifact that
+    turns a classifier row (text_lang_id, graded r3) into a
+    filtering DECISION: which languages leak into which buckets, and
+    at what rate, before lang-filtered mixtures trust the prediction.
+    Reuses the graded llm/text.with_lang_id machinery verbatim; the
+    oracle reuses its graded SQL twin wrapped in the rollup.
+
+    Scale shape: the heuristic is per-row scan work; the matrix is a
+    <=36-cell aggregate (6 predicted x 6 true). Nothing new shuffles.
+
+    Reference basis: LLM-pipeline text family (text_lang_id r3 —
+    this grades its operating quality, the step every curation run
+    audits)."""
+    from sparkksqldbbenchmark_spark.llm import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.with_lang_id(docs)
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    )
+
+
+# ------------------- compression codec matrix --
+
+
+@staged_query(
+    "compression_codec_matrix",
+    oracle="""
+    WITH agg AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum
+        FROM events
+    )
+    SELECT c.codec, a.n, a.cents_sum, TRUE AS roundtrip_ok
+    FROM (SELECT unnest(['gzip', 'lz4', 'snappy', 'zstd']) AS codec) c
+    CROSS JOIN agg a
+    """,
+)
+def compression_codec_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet COMPRESSION-CODEC matrix — the events table written and
+    re-read under each production codec (gzip / lz4 / snappy / zstd),
+    with the re-read aggregate graded equal to the source for every
+    codec: the storage-tier decision harness (zstd for cold data,
+    snappy/lz4 for hot) must never be a correctness decision, and a
+    codec round-trip defect is precisely the kind of silent corruption
+    a 100 TB lake cannot detect after the fact. roundtrip_ok folds the
+    count equality into the graded row itself.
+
+    Scale shape: four write+scan passes over the slice (codec choice
+    is scan/write work, no extra shuffles); at fleet scale this row's
+    shape is the nightly format-canary job, not a hot path.
+
+    Reference basis: SURVEY §2.1 sink/layout family (S13 CSV sink,
+    clustered/range/zorder layout rows r5-r11 — this pins the codec
+    axis of the same at-rest matrix)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    src = ev.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("cents").cast("long").alias("cents_src"),
+    )
+    frames = []
+    for codec in ("gzip", "lz4", "snappy", "zstd"):
+        d = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+        ev.write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(d)
+        back = spark.read.parquet(d).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        frames.append(
+            back.crossJoin(F.broadcast(src)).select(
+                F.lit(codec).alias("codec"),
+                F.col("n").cast("long"),
+                "cents_sum",
+                (
+                    (F.col("n") == F.col("n_src"))
+                    & (F.col("cents_sum") == F.col("cents_src"))
+                ).alias("roundtrip_ok"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -774,3 +774,108 @@ def test_mask_matches_python_classes(spark):
         for t in n
     }
     assert got == expected
+
+
+def test_avro_roundtrip_matches_reference_decoder(spark):
+    """The wire bytes produced by the staged row's encode stage are
+    re-decoded with an independent minimal Avro reader written inline
+    here (varint + zigzag + utf8 by hand, no codec module imports)."""
+    import math
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    expected: dict = {}
+    for r in rows:
+        if r.event_id % 5 != 0:
+            continue
+        c = math.floor(r.value * 100)
+        a = expected.setdefault(r.event_type, [0, 0, None, None])
+        a[0] += 1
+        a[1] += c
+        a[2] = r.event_id if a[2] is None else min(a[2], r.event_id)
+        a[3] = r.event_id if a[3] is None else max(a[3], r.event_id)
+    got = {
+        r.event_type: [r.n, r.cents_sum, r.min_id, r.max_id]
+        for r in STAGED["avro_codec_roundtrip_batch"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+    # independent byte-level check of the encoder on one record
+    from sparkksqldbbenchmark_spark.plans.next_round import (
+        _AVRO_EV_SCHEMA,
+    )
+    from sparkksqldbbenchmark_spark.sources.avro_codec import (
+        encode_record,
+    )
+
+    wire = encode_record(
+        _AVRO_EV_SCHEMA
+        if isinstance(_AVRO_EV_SCHEMA, str)
+        else _AVRO_EV_SCHEMA,
+        {"event_id": 150, "event_type": "click", "cents": -3},
+    )
+
+    def read_varint(b, p):
+        shift = acc = 0
+        while True:
+            byte = b[p]
+            p += 1
+            acc |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                return (acc >> 1) ^ -(acc & 1), p
+        raise AssertionError
+
+    v, p = read_varint(wire, 0)
+    assert v == 150
+    slen, p = read_varint(wire, p)
+    assert wire[p:p + slen].decode() == "click"
+    p += slen
+    v, p = read_varint(wire, p)
+    assert v == -3 and p == len(wire)
+
+
+def test_interval_overlap_matches_quadratic_scan(spark):
+    from datetime import timedelta
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "ts")
+        .collect()
+    )
+    a = [
+        (r.event_type, r.ts,
+         r.ts + timedelta(seconds=(r.event_id % 7 + 1) * 600))
+        for r in rows
+        if r.event_id % 101 == 0
+    ]
+    b = [
+        (r.ts, r.ts + timedelta(seconds=(r.event_id % 5 + 1) * 900))
+        for r in rows
+        if r.event_id % 103 == 0
+    ]
+    expected: dict = {}
+    for t, alo, ahi in a:
+        for blo, bhi in b:
+            if alo < bhi and blo < ahi:
+                ov = int(
+                    (min(ahi, bhi) - max(alo, blo)).total_seconds()
+                    * 1_000_000
+                )
+                e = expected.setdefault(t, [0, 0, 0])
+                e[0] += 1
+                e[1] += ov
+                e[2] = max(e[2], ov)
+    got = {
+        r.event_type: [r.n_pairs, r.total_overlap_us,
+                       r.max_overlap_us]
+        for r in STAGED["interval_overlap_join_buckets"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {t: v for t, v in expected.items()}
