@@ -3212,3 +3212,146 @@ def compression_codec_matrix(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ------------------- AQE runtime SMJ->BHJ conversion --
+
+
+@staged_query(
+    "aqe_runtime_broadcast_conversion",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 355000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def aqe_runtime_broadcast_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AQE RUNTIME join re-planning — the third leg of the adaptive
+    family (skew split r8, partition coalescing r9): a highly
+    selective non-partition-key filter (o_totalprice > 355k keeps a
+    sliver of orders) that STATIC planning cannot size — parquet
+    min/max stats don't bound a value predicate's selectivity — so
+    the initial plan is a sort-merge join; at runtime AQE measures the
+    filtered side's actual shuffle output, finds it under the
+    broadcast threshold, and REWRITES the running query to a
+    broadcast hash join. The row executes the join, then asserts the
+    FINAL adaptive plan contains the runtime BroadcastHashJoin (and
+    that AQE is on) before returning the graded aggregate — a
+    regression that pins the static plan fails the graded row itself.
+
+    Scale shape: this is THE mechanism that makes selective
+    dimension filters cheap at 100 TB without hand-tuned hints — one
+    shuffle write of the filtered side, then a broadcast probe
+    instead of shuffling the fact table.
+
+    Reference basis: engine-mechanics family (hint_join_strategies
+    r8, aqe_skew_join_split r8, aqe_coalesce_partitions r9,
+    dynamic_partition_pruning_join r9)."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ), "AQE must be enabled"
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 355000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    # run the query so AQE finalizes, then assert the runtime rewrite
+    joined.collect()
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan, (
+        "AQE did not convert the selective join to broadcast:\n"
+        + final_plan
+    )
+    return joined
+
+
+# ------------------- time-to-convert dyadic histogram --
+
+
+@staged_query(
+    "time_to_convert_dyadic",
+    oracle="""
+    WITH first_click AS (
+        SELECT user_id, min(ts) AS fc FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    first_signup AS (
+        SELECT e.user_id, min(e.ts) AS fs
+        FROM events e JOIN first_click c ON e.user_id = c.user_id
+        WHERE e.event_type = 'signup' AND e.ts > c.fc
+        GROUP BY e.user_id
+    ),
+    deltas AS (
+        SELECT epoch_us(s.fs) - epoch_us(c.fc) AS d_us
+        FROM first_signup s JOIN first_click c
+            ON s.user_id = c.user_id
+    )
+    SELECT CAST(length(bin(greatest(d_us, 1))) AS INTEGER)
+               AS delta_bucket,
+           count(*) AS n_users,
+           CAST(sum(d_us) AS BIGINT) AS total_us,
+           CAST(min(d_us) AS BIGINT) AS min_us,
+           CAST(max(d_us) AS BIGINT) AS max_us
+    FROM deltas GROUP BY 1
+    """,
+)
+def time_to_convert_dyadic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-TO-CONVERT distribution — per user, the exact delay from
+    first 'click' to the first 'signup' AFTER it, bucketed dyadically
+    (bit length of the microsecond delta — the repo's log-free
+    histogram): the product-analytics latency readout downstream of
+    the funnel rows (how long conversion takes, not just whether).
+    Users who never click, or never sign up after clicking, drop out
+    by construction — the funnel row counts them; this row times the
+    converters.
+
+    Scale shape: two per-user min aggregates (same key — one
+    exchange, Catalyst reuses the partitioning for the joins) and a
+    <=64-row bucket rollup; the conditional 'first after' is an
+    aggregate-then-filter, never a per-row subquery.
+
+    Reference basis: funnel/session family (funnel_conversion r7,
+    batch_sessionize r7, interarrival_dyadic_histogram r11-cohort)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .join(first_click, "user_id")
+        .where(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fs"))
+    )
+    deltas = first_signup.join(first_click, "user_id").select(
+        (F.unix_micros("fs") - F.unix_micros("fc")).alias("d_us")
+    )
+    return deltas.groupBy(
+        F.length(F.bin(F.greatest("d_us", F.lit(1))))
+        .cast("int")
+        .alias("delta_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("d_us").cast("long").alias("total_us"),
+        F.min("d_us").cast("long").alias("min_us"),
+        F.max("d_us").cast("long").alias("max_us"),
+    )

@@ -863,9 +863,11 @@ def test_interval_overlap_matches_quadratic_scan(spark):
     for t, alo, ahi in a:
         for blo, bhi in b:
             if alo < bhi and blo < ahi:
-                ov = int(
-                    (min(ahi, bhi) - max(alo, blo)).total_seconds()
-                    * 1_000_000
+                td = min(ahi, bhi) - max(alo, blo)
+                ov = (
+                    td.days * 86_400_000_000
+                    + td.seconds * 1_000_000
+                    + td.microseconds
                 )
                 e = expected.setdefault(t, [0, 0, 0])
                 e[0] += 1
@@ -879,3 +881,45 @@ def test_interval_overlap_matches_quadratic_scan(spark):
         ).collect()
     }
     assert got == {t: v for t, v in expected.items()}
+
+
+def test_time_to_convert_matches_per_user_scan(spark):
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    fc: dict = {}
+    for r in rows:
+        if r.event_type == "click":
+            fc[r.user_id] = min(fc.get(r.user_id, r.ts), r.ts)
+    fs: dict = {}
+    for r in rows:
+        if (
+            r.event_type == "signup"
+            and r.user_id in fc
+            and r.ts > fc[r.user_id]
+        ):
+            fs[r.user_id] = min(fs.get(r.user_id, r.ts), r.ts)
+    expected: dict = {}
+    for u, s in fs.items():
+        td = s - fc[u]
+        d = (
+            td.days * 86_400_000_000
+            + td.seconds * 1_000_000
+            + td.microseconds
+        )
+        b = max(d, 1).bit_length()
+        a = expected.setdefault(b, [0, 0, None, None])
+        a[0] += 1
+        a[1] += d
+        a[2] = d if a[2] is None else min(a[2], d)
+        a[3] = d if a[3] is None else max(a[3], d)
+    expected = {b: tuple(a) for b, a in expected.items()}
+    got = {
+        r.delta_bucket: (r.n_users, r.total_us, r.min_us, r.max_us)
+        for r in STAGED["time_to_convert_dyadic"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
