@@ -3355,3 +3355,177 @@ def time_to_convert_dyadic(
         F.min("d_us").cast("long").alias("min_us"),
         F.max("d_us").cast("long").alias("max_us"),
     )
+
+
+# ------------------- Neyman allocation (variance-weighted sampling) --
+
+
+@staged_query(
+    "neyman_allocation_plan",
+    oracle="""
+    WITH strata AS (
+        SELECT event_type,
+               count(*) AS n_h,
+               CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT)
+                   AS var_num
+        FROM (SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY event_type
+    ),
+    weighted AS (
+        SELECT event_type, n_h, var_num,
+               CAST(floor(sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)
+                   AS w
+        FROM strata
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted),
+    quota AS (
+        SELECT w.event_type, w.n_h, w.var_num, w.w,
+               (w.w * 1000) // t.tw AS base,
+               (w.w * 1000) % t.tw AS rem,
+               1000 - sum((w.w * 1000) // t.tw) OVER () AS extras
+        FROM weighted w CROSS JOIN tot t
+    )
+    SELECT event_type, n_h, var_num, w,
+           CAST(base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, event_type) <= extras
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM quota
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (variance-optimal) sample allocation — split a budget of
+    1000 samples across strata proportionally to N_h * S_h, the
+    allocation that minimizes the estimator variance for a fixed
+    budget (the survey-sampling optimum; uniform and proportional
+    allocation both waste budget on low-variance strata). The weight
+    N_h*S_h = sqrt(n*Σx² − (Σx)²) — the population-variance numerator
+    is EXACT integers, its square root is one correctly-rounded IEEE
+    op, and the floor quantizes the weight back to integers so the
+    largest-remainder split (the graded r8 apportionment semantics)
+    is exact arithmetic end to end: no order-dependent double sums
+    anywhere.
+
+    Scale shape: one map-combinable (count, Σx, Σx²) aggregate per
+    stratum + the |strata|-row apportionment (bounded window). The
+    planner's cost is independent of corpus size — sampling at 100 TB
+    is a scan with per-stratum keep-rates this row computes.
+
+    Reference basis: sampling/mixture family
+    (stratified_sample r3 executes fixed rates;
+    mixture_quota_largest_remainder r8 apportions given weights —
+    this DERIVES the optimal weights from data)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100).cast("long")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        (
+            F.count(F.lit(1)) * F.sum(c * c) - F.sum(c) * F.sum(c)
+        )
+        .cast("long")
+        .alias("var_num"),
+    )
+    weighted = strata.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("var_num").cast("double"))).cast("long"),
+    ).coalesce(1)
+    tot = weighted.agg(F.sum("w").cast("long").alias("tw"))
+    quota = weighted.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        "var_num",
+        "w",
+        F.expr("(w * 1000) DIV tw").alias("base"),
+        F.expr("(w * 1000) % tw").alias("rem"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rk = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    return quota.select(
+        "*",
+        (F.lit(1000) - F.sum("base").over(w_all)).alias("extras"),
+        F.row_number().over(w_rk).alias("rk"),
+    ).select(
+        "event_type",
+        "n_h",
+        "var_num",
+        "w",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# ------------------- rolling 24h sliding distinct users --
+
+
+@staged_query(
+    "rolling_24h_sliding_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events
+    ),
+    target_hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS th FROM events
+    )
+    SELECT strftime(t.th, '%Y-%m-%d %H:%M:%S') AS hour,
+           count(DISTINCT p.user_id) AS distinct_users_24h
+    FROM target_hours t
+    JOIN pairs p
+      ON p.h <= t.th AND p.h > t.th - INTERVAL 24 HOUR
+    GROUP BY t.th
+    """,
+)
+def rolling_24h_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT sliding-window distinct count — distinct users active in
+    the trailing 24 hours, evaluated at every hour: the DAU-style
+    engagement series where approximate sketches (HLL) are the usual
+    compromise; this is the exact form, in the shape that scales.
+    A naive per-hour recount rescans 24x; a range self-join is
+    quadratic. Instead: dedup to (user, hour) PAIRS once, explode
+    each pair onto the <=24 future hours it keeps the user active for
+    (bounded fan-out of the DEDUPED pairs, not raw events), and
+    count distinct per target hour. Hours with no activity don't
+    report (matching the oracle's definitional range join).
+
+    Scale shape: one (user, hour) dedup exchange — bounded by
+    |users| x |hours|, typically orders of magnitude below raw
+    events — a 24x multiply of that bounded frame, and one
+    count-distinct rollup per hour. The window length is the fan-out
+    knob, exactly like the rolling_7day_active_users day-grain twin.
+
+    Reference basis: engagement family (rolling_7day_active_users
+    r7 at day grain; running_distinct_users r11-cohort cumulative —
+    this is the fine-grain sliding member)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    target_hours = ev.select(
+        F.date_trunc("hour", "ts").alias("th")
+    ).distinct()
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("th"),
+    )
+    return (
+        covered.join(target_hours, "th", "left_semi")
+        .groupBy(
+            F.date_format("th", "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(F.count_distinct("user_id").alias("distinct_users_24h"))
+    )

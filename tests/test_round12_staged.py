@@ -923,3 +923,74 @@ def test_time_to_convert_matches_per_user_scan(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_neyman_allocation_matches_integer_replay(spark):
+    import math
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    s: dict = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        c = math.floor(r.value * 100)
+        a = s[r.event_type]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    strata = {
+        t: (n, n * sq - sm * sm) for t, (n, sm, sq) in s.items()
+    }
+    w = {t: math.isqrt(v) for t, (_, v) in strata.items()}
+    # isqrt == floor(sqrt) exactly for these magnitudes
+    tw = sum(w.values())
+    base = {t: (w[t] * 1000) // tw for t in w}
+    rem = {t: (w[t] * 1000) % tw for t in w}
+    extras = 1000 - sum(base.values())
+    ranked = sorted(w, key=lambda t: (-rem[t], t))
+    alloc = {
+        t: base[t] + (1 if i < extras else 0)
+        for i, t in enumerate(ranked)
+    }
+    expected = {
+        t: (strata[t][0], strata[t][1], w[t], alloc[t]) for t in w
+    }
+    got = {
+        r.event_type: (r.n_h, r.var_num, r.w, r.alloc)
+        for r in STAGED["neyman_allocation_plan"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert sum(a for *_, a in got.values()) == 1000
+
+
+def test_sliding_distinct_matches_per_hour_scan(spark):
+    from datetime import timedelta
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts")
+        .collect()
+    )
+    pairs = {
+        (r.user_id, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in rows
+    }
+    hours = sorted({h for _, h in pairs})
+    expected = {}
+    for th in hours:
+        lo = th - timedelta(hours=24)
+        expected[th.strftime("%Y-%m-%d %H:%M:%S")] = len(
+            {u for u, h in pairs if lo < h <= th}
+        )
+    got = {
+        r.hour: r.distinct_users_24h
+        for r in STAGED["rolling_24h_sliding_distinct"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
