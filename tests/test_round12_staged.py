@@ -994,3 +994,84 @@ def test_sliding_distinct_matches_per_hour_scan(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_dq_audit_matches_counter_scan(spark):
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "value", "ts")
+        .collect()
+    )
+    import datetime
+
+    n = len(rows)
+    nulls = sum(1 for r in rows if r.value is None)
+    oob = sum(
+        1 for r in rows
+        if r.value is not None and (r.value < 0 or r.value > 1000)
+    )
+    dups = n - len({r.event_id for r in rows})
+    stale = sum(
+        1 for r in rows if r.ts < datetime.datetime(2020, 1, 1)
+    )
+    orders = {
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    }
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    )
+    orphans = sum(1 for r in li if r.l_orderkey not in orders)
+    expected = {
+        "value_not_null": (nulls, n),
+        "value_in_range": (oob, n),
+        "event_id_unique": (dups, n),
+        "lineitem_order_fk": (orphans, len(li)),
+        "ts_sane_lower_bound": (stale, n),
+    }
+    got = {
+        r.check_name: (r.n_violations, r.n_checked)
+        for r in STAGED["dq_expectation_audit"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_label_weights_match_counter(spark):
+    from collections import Counter
+
+    labels = Counter(
+        r.label
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("label")
+        .collect()
+    )
+    total, k = sum(labels.values()), len(labels)
+    expected = {
+        lb: (
+            n,
+            (n * 1_000_000) // total,
+            (total * 1_000_000) // (n * k),
+        )
+        for lb, n in labels.items()
+    }
+    got = {
+        r.label: (r.n, r.share_e6, r.weight_e6)
+        for r in STAGED["label_inverse_frequency_weights"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_datetime_constructors_hold_on_every_row(spark):
+    got = {
+        r.event_type: (r.date_roundtrip_ok, r.ts_roundtrip_ok)
+        for r in STAGED["datetime_constructor_suite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got and all(v == (True, True) for v in got.values())
