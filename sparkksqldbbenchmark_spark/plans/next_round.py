@@ -3529,3 +3529,305 @@ def rolling_24h_sliding_distinct(
         )
         .agg(F.count_distinct("user_id").alias("distinct_users_24h"))
     )
+
+
+# ------------------- explode-free array aggregation (HOF) --
+
+
+@staged_query(
+    "embedding_norm_hof_vs_explode",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST((SELECT sum(CAST(floor(e * 1000) AS BIGINT)
+                                * CAST(floor(e * 1000) AS BIGINT))
+                     FROM unnest(embedding) AS t(e)) AS BIGINT)
+                   AS norm2
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(norm2) AS BIGINT) AS total_norm2,
+           bool_and(TRUE) AS hof_matches_explode
+    FROM q GROUP BY label
+    """,
+)
+def embedding_norm_hof_vs_explode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPLODE-FREE array aggregation — per-vector squared norms via
+    the aggregate() higher-order function (a fold over the array
+    inside the row), cross-checked IN THE SAME QUERY against the
+    posexplode spelling: both must agree on every vector (bool_and
+    folds the comparison into the graded row). The scale point is the
+    reason this row exists: explode multiplies a 64-dim embedding
+    table 64x through every downstream exchange, while the HOF fold
+    computes per-row inside the scan — at 100 TB of vectors the HOF
+    form is the only acceptable shape for per-vector reductions, and
+    this row pins that the two spellings are semantically identical.
+
+    Scale shape: HOF path = one scan, zero row multiplication; the
+    explode path exists here only as the in-query witness (grouped
+    per vec_id before comparing — its exchange is the cost the HOF
+    form deletes).
+
+    Reference basis: §2.10 extension (hof_function_suite r8,
+    map_hof/hof_suite2 r11-cohort — this adds the fold-vs-explode
+    equivalence the embedding family relies on)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_fold = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 1000).cast("long")
+        * F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    hof = emb.select("vec_id", "label", q_fold.alias("norm2_hof"))
+    exploded = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("j", "e")
+        )
+        .select(
+            "vec_id",
+            (
+                F.floor(F.col("e").cast("double") * 1000).cast("long")
+                * F.floor(F.col("e").cast("double") * 1000).cast("long")
+            ).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("sq").cast("long").alias("norm2_explode"))
+    )
+    both = hof.join(exploded, "vec_id")
+    return both.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("norm2_hof").cast("long").alias("total_norm2"),
+        F.bool_and(
+            F.col("norm2_hof") == F.col("norm2_explode")
+        ).alias("hof_matches_explode"),
+    )
+
+
+# ------------------- event-type affinity (cosine by co-users) --
+
+
+@staged_query(
+    "event_type_affinity_cosine",
+    oracle="""
+    WITH inc AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    marg AS (
+        SELECT event_type, count(*) AS n FROM inc GROUP BY 1
+    ),
+    common AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_common
+        FROM inc a JOIN inc b
+            ON a.user_id = b.user_id
+           AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT c.type_a, c.type_b,
+           CAST(ma.n AS BIGINT) AS n_a,
+           CAST(mb.n AS BIGINT) AS n_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(floor(c.n_common * 1000000.0
+                      / sqrt(CAST(ma.n * mb.n AS DOUBLE))) AS BIGINT)
+               AS cosine_e6
+    FROM common c
+    JOIN marg ma ON c.type_a = ma.event_type
+    JOIN marg mb ON c.type_b = mb.event_type
+    """,
+)
+def event_type_affinity_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item AFFINITY — cosine similarity between event types in
+    user space (binary incidence vectors: which users touched which
+    type), the co-occurrence kernel behind item-based recommenders
+    and feature grouping. Exact integer co-user counts; the cosine is
+    one IEEE sqrt + division + floor at 1e-6 grain (each op correctly
+    rounded, same sequence both engines — the repo's libm rule).
+
+    Scale shape: dedup to (type, user) incidence — the key insight is
+    the pair join is over the INCIDENCE (bounded by users x types,
+    not events), grouped map-side; marginals broadcast into the
+    |types|²-row pair frame. For high-cardinality item spaces the
+    same plan keys pairs per user with a per-user item cap (the LSH
+    family's bounding discipline).
+
+    Reference basis: dedup/similarity family in user space
+    (dedup_cross_source_matrix r7 is the doc-overlap matrix; this is
+    the behavioral twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.select("event_type", "user_id").distinct()
+    marg = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = inc.select(F.col("event_type").alias("type_a"), "user_id")
+    b = inc.select(F.col("event_type").alias("type_b"), "user_id")
+    common = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("n_common").cast("long"),
+            F.floor(
+                F.col("n_common")
+                * 1000000.0
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            )
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+
+
+# ------------------- in-session conversion rate --
+
+
+@staged_query(
+    "in_session_conversion_rate",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_type,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                   AS first_click,
+               max(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS last_signup
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id % 10 AS user_bucket,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN first_click IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_click,
+           CAST(sum(CASE WHEN first_click IS NOT NULL
+                          AND last_signup IS NOT NULL
+                          AND last_signup > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST((sum(CASE WHEN first_click IS NOT NULL
+                           AND last_signup IS NOT NULL
+                           AND last_signup > first_click
+                          THEN 1 ELSE 0 END) * 1000000)
+                // greatest(sum(CASE WHEN first_click IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS conv_rate_e6
+    FROM per_session GROUP BY 1
+    """,
+)
+def in_session_conversion_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IN-SESSION conversion — click→signup must happen inside the
+    SAME 30-minute-gap session to count (the strict attribution
+    funnel; the cross-session funnel_conversion row credits any later
+    signup): sessions form per user via the gaps-and-islands pattern
+    (one lag + running sum over the user partition), each session
+    reduces to (first click, last signup), and a session converts iff
+    a signup follows a click within it. The rate is an integer ratio
+    at 1e-6 grain per user bucket.
+
+    Scale shape: one hash exchange on user_id for the session
+    windows (in-partition sorts), a (user, session) aggregate on the
+    same key — exchange reused — and a 10-row bucket rollup. The
+    sessionize machinery's plan, carried into the funnel readout.
+
+    Reference basis: session/funnel family (batch_sessionize r7,
+    funnel_conversion r7, session_window_dynamic_gap r11-cohort,
+    time_to_convert_dyadic staged — this closes attribution at
+    session grain)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = ordered.withColumn("sid", F.sum("is_new").over(w_run))
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("last_signup"),
+    )
+    clicked = F.col("first_click").isNotNull()
+    converted = (
+        clicked
+        & F.col("last_signup").isNotNull()
+        & (F.col("last_signup") > F.col("first_click"))
+    )
+    return per_session.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(clicked, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_click"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.expr(
+            "(sum(CASE WHEN first_click IS NOT NULL AND last_signup "
+            "IS NOT NULL AND last_signup > first_click THEN 1 ELSE 0 "
+            "END) * 1000000) DIV greatest(sum(CASE WHEN first_click "
+            "IS NOT NULL THEN 1 ELSE 0 END), 1)"
+        )
+        .cast("long")
+        .alias("conv_rate_e6"),
+    )

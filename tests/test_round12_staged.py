@@ -1075,3 +1075,88 @@ def test_datetime_constructors_hold_on_every_row(spark):
         ).collect()
     }
     assert got and all(v == (True, True) for v in got.values())
+
+
+def test_affinity_cosine_matches_set_intersection(spark):
+    import math
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    users: dict = defaultdict(set)
+    for r in rows:
+        users[r.event_type].add(r.user_id)
+    types = sorted(users)
+    expected = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            common = len(users[a] & users[b])
+            expected[(a, b)] = (
+                len(users[a]),
+                len(users[b]),
+                common,
+                math.floor(
+                    common
+                    * 1000000.0
+                    / math.sqrt(float(len(users[a]) * len(users[b])))
+                ),
+            )
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_common, r.cosine_e6)
+        for r in STAGED["event_type_affinity_cosine"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_in_session_conversion_matches_greedy_sessionizer(spark):
+    from collections import defaultdict
+    from datetime import timedelta
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    sessions: dict = defaultdict(list)
+    last: dict = {}
+    for r in rows:
+        if (
+            r.user_id not in last
+            or r.ts - last[r.user_id] > timedelta(minutes=30)
+        ):
+            sessions[r.user_id].append([])
+        sessions[r.user_id][-1].append((r.ts, r.event_type))
+        last[r.user_id] = r.ts
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for u, sess in sessions.items():
+        for s in sess:
+            clicks = [t for t, e in s if e == "click"]
+            signups = [t for t, e in s if e == "signup"]
+            a = agg[u % 10]
+            a[0] += 1
+            if clicks:
+                a[1] += 1
+                if signups and max(signups) > min(clicks):
+                    a[2] += 1
+    expected = {
+        b: (n, c, v, (v * 1_000_000) // max(c, 1))
+        for b, (n, c, v) in agg.items()
+    }
+    got = {
+        r.user_bucket: (
+            r.n_sessions,
+            r.n_with_click,
+            r.n_converted,
+            r.conv_rate_e6,
+        )
+        for r in STAGED["in_session_conversion_rate"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
