@@ -3831,3 +3831,130 @@ def in_session_conversion_rate(
         .cast("long")
         .alias("conv_rate_e6"),
     )
+
+
+# ------------------- label propagation communities (2 sync iters) --
+
+
+def _labelprop_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    iter_tpl = """
+    , labels{i} AS (
+        SELECT node, lbl FROM (
+            SELECT e.src AS node, l.lbl,
+                   row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, l.lbl) AS rk
+            FROM edges e JOIN labels{p} l ON e.dst = l.node
+            GROUP BY e.src, l.lbl
+        ) WHERE rk = 1
+    )"""
+    iters = "".join(iter_tpl.format(i=i, p=i - 1) for i in (1, 2))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), labels0 AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ){iters}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           count(*) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_doc_id,
+           CAST(max(node) AS BIGINT) AS max_doc_id
+    FROM labels2 GROUP BY lbl
+    """
+
+
+@staged_query(
+    "labelprop_communities_2iter", oracle=_labelprop_oracle()
+)
+def labelprop_communities_2iter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LABEL PROPAGATION community detection on the near-dup graph —
+    two SYNCHRONIZED iterations of the frequency-max update (each
+    node adopts its neighbors' most frequent label, ties to the
+    smallest): the community-structure view of duplication (template
+    families, mirror clusters) that the min-label connected
+    components (dedup_clusters r4) cannot see — CC merges everything
+    reachable; label propagation respects internal density.
+    Synchronized updates + the deterministic tie-break make the
+    fixed-iteration result exactly reproducible; the oracle unrolls
+    both iterations as CTEs over the same banded-LSH edge set.
+
+    Scale shape: per iteration, one edges⋈labels hash join on the
+    node key + a (node, label) count + a per-node argmax window over
+    the neighbor-label frame (bounded by degree, which LSH banding
+    bounds) — the pagerank/kcore iterative recipe with labels
+    localCheckpointed between rounds to cut lineage.
+
+    Reference basis: dup-graph family completion (dedup_clusters r4
+    min-label CC, pagerank r10, triangle/kcore r11-cohort — this
+    adds the community-detection member)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("lbl")
+    )
+    for _ in range(2):
+        neigh = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "lbl")
+        counted = neigh.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counted.select(
+                "node", "lbl", F.row_number().over(w).alias("rk")
+            )
+            .where(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(
+        F.col("lbl").cast("long").alias("community")
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").cast("long").alias("min_doc_id"),
+        F.max("node").cast("long").alias("max_doc_id"),
+    )

@@ -1160,3 +1160,51 @@ def test_in_session_conversion_matches_greedy_sessionizer(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_labelprop_matches_synchronized_replay(spark):
+    """Two synchronized frequency-max iterations replayed with plain
+    Python dicts over the same LSH pair list."""
+    from collections import Counter, defaultdict
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = {
+        (r.u, r.v)
+        for r in a.join(b, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    }
+    adj: dict = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        new = {}
+        for n, neigh in adj.items():
+            cnt = Counter(labels[m] for m in neigh)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    expected: dict = {}
+    for n, lbl in labels.items():
+        e = expected.setdefault(lbl, [0, None, None])
+        e[0] += 1
+        e[1] = n if e[1] is None else min(e[1], n)
+        e[2] = n if e[2] is None else max(e[2], n)
+    expected = {k: tuple(v) for k, v in expected.items()}
+    got = {
+        r.community: (r.n_members, r.min_doc_id, r.max_doc_id)
+        for r in STAGED["labelprop_communities_2iter"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
