@@ -3958,3 +3958,71 @@ def labelprop_communities_2iter(
         F.min("node").cast("long").alias("min_doc_id"),
         F.max("node").cast("long").alias("max_doc_id"),
     )
+
+
+# ------------------- blocklist term scan (safety filtering) --
+
+
+_BLOCKLIST = ("merge", "window", "stream", "hash", "batch",
+              "filter", "spark", "query")
+
+
+def _blocklist_oracle() -> str:
+    hits = " + ".join(
+        f"(length(text) - length(replace(text, '{t}', '')))"
+        f" // {len(t)}"
+        for t in _BLOCKLIST
+    )
+    return f"""
+    WITH scanned AS (
+        SELECT source, ({hits}) AS hits FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(max(hits) AS BIGINT) AS max_hits
+    FROM scanned GROUP BY source
+    """
+
+
+@staged_query("blocklist_term_scan", oracle=_blocklist_oracle())
+def blocklist_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKLIST term scanning — exact occurrence counts of an
+    8-needle term list per document, rolled up per source with a
+    flag threshold: the safety/compliance filter pass every corpus
+    runs (profanity, PII keywords, licensing markers). Counts use
+    the replace-length identity (occurrences = removed length over
+    needle length) — pure string ops, no regex engine semantics to
+    disagree on; substring matching is the deliberate contract
+    (documented: 'window' matches inside 'windows', as a real
+    blocklist pre-filter does before a word-boundary verifier).
+
+    Scale shape: per-row scan-fused string work, one per-source
+    rollup. The needle list lives in the plan (codegen'd constants);
+    a 10^4-term production list would move to an Aho-Corasick
+    mapInPandas stage — this row pins the exact semantics that stage
+    must reproduce.
+
+    Reference basis: LLM-pipeline curation family (pii_scrub_stats
+    r4, decontam_ngram_overlap r7 — this is the term-list safety
+    member)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = None
+    for t in _BLOCKLIST:
+        term_hits = (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(t)))
+        ) / len(t)
+        term_hits = term_hits.cast("long")
+        hits = term_hits if hits is None else hits + term_hits
+    scanned = docs.select("source", hits.alias("hits"))
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("hits") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.max("hits").cast("long").alias("max_hits"),
+    )

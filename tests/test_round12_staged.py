@@ -1208,3 +1208,29 @@ def test_labelprop_matches_synchronized_replay(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_blocklist_scan_matches_str_count(spark):
+    from collections import defaultdict
+
+    from sparkksqldbbenchmark_spark.plans.next_round import _BLOCKLIST
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        h = sum(r.text.count(t) for t in _BLOCKLIST)
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += h >= 5
+        a[2] += h
+        a[3] = max(a[3], h)
+    expected = {s: tuple(v) for s, v in agg.items()}
+    got = {
+        r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
+        for r in STAGED["blocklist_term_scan"](spark, SF_DIR).collect()
+    }
+    assert got == expected
