@@ -4026,3 +4026,98 @@ def blocklist_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").cast("long").alias("total_hits"),
         F.max("hits").cast("long").alias("max_hits"),
     )
+
+
+# ------------------- split leakage near-dup audit --
+
+
+def _split_leakage_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _minhash_oracle,
+    )
+
+    bucket = sql_md5_int("'split-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH near_dups AS ({_minhash_oracle()}),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN ({bucket}) % 100 < 80 THEN 'train'
+                    WHEN ({bucket}) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN sa.split <> sb.split
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+    FROM near_dups p
+    JOIN splits sa ON p.doc_a = sa.doc_id
+    JOIN splits sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@staged_query(
+    "split_leakage_near_dup_audit", oracle=_split_leakage_oracle()
+)
+def split_leakage_near_dup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-LEAKAGE audit — near-duplicate pairs that STRADDLE
+    train/val/test boundaries (an 80/10/10 hash split here so the
+    off-diagonal cells are populated at test scale): random splitting
+    puts one copy of a duplicated document in train and its twin in
+    test, silently inflating eval — THE reason dedup must run before
+    (or be audited against) splitting. Pairs come from the graded
+    minhash-LSH detector (exact-Jaccard-verified candidates, never
+    all-pairs); splits from the graded stable hash assignment; the
+    output is the split-pair contingency with a leak count per cell.
+
+    Scale shape: the pair frame is LSH-bounded; split labels are
+    scan-side hash arithmetic joined onto the pair frame by doc id
+    (broadcast-size at any realistic dup rate, hash join otherwise).
+    No new exchanges beyond the detector's own.
+
+    Reference basis: LLM-pipeline decontamination family
+    (dedup_minhash_lsh flagship, hash_split_assignment r3,
+    decontam_ngram_overlap r7 — this closes the dedup x split
+    integrity loop)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
+    from sparkksqldbbenchmark_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select(
+        "doc_a", "doc_b"
+    )
+    splits = hash_split(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 80, "val": 90, "test": 100},
+    ).select("doc_id", "split")
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return labeled.groupBy(
+        F.least("sa", "sb").alias("split_a"),
+        F.greatest("sa", "sb").alias("split_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking"),
+    )

@@ -1234,3 +1234,38 @@ def test_blocklist_scan_matches_str_count(spark):
         for r in STAGED["blocklist_term_scan"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_split_leakage_matches_pair_label_replay(spark):
+    """Pair labels replayed over the detector's own pair list with an
+    independently-computed md5 split bucket per doc."""
+    import hashlib
+    from collections import defaultdict
+
+    from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    ]
+
+    def split(doc_id: int) -> str:
+        h = hashlib.md5(f"split-v1:{doc_id}".encode()).hexdigest()
+        b = int(h[:15], 16) % 100
+        return "train" if b < 80 else "val" if b < 90 else "test"
+
+    agg: dict = defaultdict(lambda: [0, 0])
+    for a, b in pairs:
+        sa, sb = split(a), split(b)
+        cell = (min(sa, sb), max(sa, sb))
+        agg[cell][0] += 1
+        agg[cell][1] += sa != sb
+    expected = {k: tuple(v) for k, v in agg.items()}
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_leaking)
+        for r in STAGED["split_leakage_near_dup_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
