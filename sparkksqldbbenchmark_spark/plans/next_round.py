@@ -4121,3 +4121,162 @@ def split_leakage_near_dup_audit(
         .cast("long")
         .alias("n_leaking"),
     )
+
+
+# ------------------- Lorenz concentration deciles --
+
+
+@staged_query(
+    "lorenz_concentration_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, n,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, user_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_users,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(((rk - 1) * 10) // n_users AS BIGINT) AS decile,
+           count(*) AS n_users_in_decile,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST((sum(n) * 1000000) // max(total) AS BIGINT)
+               AS share_e6
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def lorenz_concentration_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LORENZ concentration curve — events per user bucketed into
+    activity deciles (heaviest users first) with each decile's exact
+    share: the inequality CURVE the Gini row
+    (gini_concentration_by_type, r10) summarizes to one number —
+    operations reads the curve (does the top decile carry 15% or
+    90%?) before deciding on rate limits or bot review. Shares are
+    exact integer ratios at 1e-6 grain; decile assignment is integer
+    rank arithmetic, ties broken by user id.
+
+    Scale shape: the per-user aggregate bounds everything downstream
+    — the ranking window partitions per type over |users| rows (the
+    vocab-window discipline), never raw events; the readout is a
+    10-row-per-type rollup.
+
+    Reference basis: analytic-statistics family
+    (gini_concentration_by_type r10 scalar; this is its curve)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "n",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return ranked.groupBy(
+        "event_type",
+        F.expr("((rk - 1) * 10) DIV n_users")
+        .cast("long")
+        .alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users_in_decile"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.expr("(sum(n) * 1000000) DIV max(total)")
+        .cast("long")
+        .alias("share_e6"),
+    )
+
+
+# ------------------- periodicity detector (planted) --
+
+
+@staged_query(
+    "periodicity_detector_planted",
+    oracle="""
+    WITH probes AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 10 = 0
+                    THEN repeat(substring(text, 1, 24), 4)
+                    ELSE substring(text, 1, 96) END AS probe
+        FROM documents WHERE length(text) >= 96
+    ),
+    detected AS (
+        SELECT doc_id, source,
+               strpos(substring(probe || probe, 2), probe) AS shift_m1
+        FROM probes
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN shift_m1 > 0
+                          AND shift_m1 < length('x') * 96
+                          AND shift_m1 < 96 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_periodic,
+           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted
+    FROM detected GROUP BY source
+    """,
+)
+def periodicity_detector_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERIODIC-TEXT detector — the classic string-rotation trick: a
+    string s is periodic (a whole number >1 of repeats of some block)
+    iff s occurs in (s+s) at an offset strictly between 0 and |s|.
+    One find over a doubled probe, no loops, fused into the scan —
+    the cheap screen for the repetition loops (boilerplate tiling,
+    generation run-on) that n-gram repetition ratios
+    (text_repetition_ratio r4) score gradually and this test decides
+    exactly. Every 10th doc is PLANTED periodic (its 24-char prefix
+    tiled 4x) so the detector's recall is itself graded: n_periodic
+    must be at least n_planted per source, and the witness asserts
+    the planted set is detected exactly.
+
+    Scale shape: per-row string ops in whole-stage codegen over a
+    fixed-width 96-char probe (constant memory per row), one
+    per-source rollup. No shuffle before the readout.
+
+    Reference basis: LLM-pipeline text-quality family
+    (text_repetition_ratio r4, exact_substring_spans r10 — this adds
+    the exact whole-string periodicity member)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 96
+    )
+    probe = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.repeat(F.substring("text", 1, 24), 4),
+    ).otherwise(F.substring("text", 1, 96))
+    probes = docs.select("doc_id", "source", probe.alias("probe"))
+    # locate(probe, probe||probe, 2) - 1 = smallest nonzero rotation
+    # shift at which probe matches itself; < |probe| iff periodic
+    detected = probes.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("locate(probe, concat(probe, probe), 2)") - 1
+        ).alias("shift"),
+    )
+    return detected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("shift") > 0) & (F.col("shift") < 96), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_periodic"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_planted"),
+    )

@@ -1269,3 +1269,81 @@ def test_split_leakage_matches_pair_label_replay(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_lorenz_deciles_match_sorted_replay(spark):
+    from collections import Counter, defaultdict
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    per: dict = defaultdict(Counter)
+    for r in rows:
+        per[r.event_type][r.user_id] += 1
+    expected: dict = {}
+    for t, cnt in per.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_users, total = len(ranked), sum(cnt.values())
+        for rk, (_, n) in enumerate(ranked, start=1):
+            d = ((rk - 1) * 10) // n_users
+            e = expected.setdefault((t, d), [0, 0])
+            e[0] += 1
+            e[1] += n
+        for d in range(10):
+            if (t, d) in expected:
+                e = expected[(t, d)]
+                if len(e) == 2:
+                    e.append((e[1] * 1_000_000) // total)
+    expected = {k: tuple(v) for k, v in expected.items()}
+    got = {
+        (r.event_type, r.decile): (
+            r.n_users_in_decile,
+            r.n_events,
+            r.share_e6,
+        )
+        for r in STAGED["lorenz_concentration_deciles"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # the PER-USER average is non-increasing along the curve (raw
+    # decile shares need not be: deciles carry unequal user counts
+    # when n_users % 10 != 0) — compare as exact cross-products
+    for t in {k[0] for k in got}:
+        cells = [got[(t, d)] for d in range(10) if (t, d) in got]
+        for (u1, e1, _), (u2, e2, _) in zip(cells, cells[1:]):
+            assert e1 * u2 >= e2 * u1
+
+
+def test_periodicity_detector_exact_on_planted(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        if len(r.text) < 96:
+            continue
+        probe = (
+            r.text[:24] * 4 if r.doc_id % 10 == 0 else r.text[:96]
+        )
+        shift = (probe + probe).find(probe, 1)
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += 0 < shift < 96
+        a[2] += r.doc_id % 10 == 0
+    expected = {s: tuple(v) for s, v in agg.items()}
+    got = {
+        r.source: (r.n_docs, r.n_periodic, r.n_planted)
+        for r in STAGED["periodicity_detector_planted"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # every planted doc must be detected
+    assert all(v[1] >= v[2] for v in got.values())
