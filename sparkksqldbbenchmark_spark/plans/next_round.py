@@ -4280,3 +4280,50 @@ def periodicity_detector_planted(
         .cast("long")
         .alias("n_planted"),
     )
+
+
+# ------------------- Aho-Corasick blocklist stage (scale path) --
+
+
+@staged_query(
+    "blocklist_aho_corasick_stage", oracle=_blocklist_oracle()
+)
+def blocklist_aho_corasick_stage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION-SIZE blocklist path — one Aho-Corasick pass per
+    document over all needles simultaneously (llm/blocklist.py:
+    goto trie + BFS failure links + suffix-accumulated match counts),
+    executed executor-side in Arrow-batched mapInPandas, graded
+    against the SAME oracle as the exact SQL twin
+    (blocklist_term_scan): the two implementations are pinned equal
+    by construction of the round — any drift in either breaks one of
+    the two value hashes against the shared oracle. The SQL form
+    stops scaling past ~10^2 needles (one codegen expression per
+    term); the automaton is linear in text length regardless of term
+    count, which is what a 10^4-term safety list needs at 100 TB.
+
+    Scale shape: the automaton builds once per Python worker from
+    the (broadcast-size) term list; documents stream through Arrow
+    batches with no shuffle before the per-source rollup. The
+    Python-stage cost is the deliberate trade against the JVM twin —
+    measured, not assumed, by carrying both graded rows.
+
+    Reference basis: LLM-pipeline curation family; the scale-path
+    completion blocklist_term_scan's docstring promises."""
+    from sparkksqldbbenchmark_spark.llm.blocklist import (
+        with_blocklist_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    scanned = with_blocklist_hits(docs, _BLOCKLIST)
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("hits") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.max("hits").cast("long").alias("max_hits"),
+    )

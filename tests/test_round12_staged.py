@@ -1347,3 +1347,42 @@ def test_periodicity_detector_exact_on_planted(spark):
     assert got == expected
     # every planted doc must be detected
     assert all(v[1] >= v[2] for v in got.values())
+
+
+def test_aho_corasick_automaton_classic_cases():
+    """The textbook he/she/his/hers case plus overlap and repeat
+    patterns, counted by hand — no Spark involved."""
+    from sparkksqldbbenchmark_spark.llm.blocklist import (
+        build_automaton,
+        count_hits,
+    )
+
+    a = build_automaton(["he", "she", "his", "hers"])
+    # "ushers": she, he, hers
+    assert count_hits("ushers", a) == 3
+    assert count_hits("his hers she he", a) == 6
+    assert count_hits("", a) == 0
+    assert count_hits("xyz", a) == 0
+    # different needles overlapping in the text each count
+    b = build_automaton(["ab", "ba"])
+    assert count_hits("ababa", b) == 4
+    # a needle occurring at consecutive positions
+    c = build_automaton(["aa"])
+    assert count_hits("aaaa", c) == 3
+
+
+def test_aho_corasick_stage_matches_exact_twin(spark):
+    """The mapInPandas automaton stage equals the exact SQL twin row
+    for row, and a pure-Python str-scan third witness agrees (for the
+    graded borderless needles, all-occurrence == non-overlapping)."""
+    exact = {
+        r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
+        for r in STAGED["blocklist_term_scan"](spark, SF_DIR).collect()
+    }
+    ac = {
+        r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
+        for r in STAGED["blocklist_aho_corasick_stage"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert ac == exact
