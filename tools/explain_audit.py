@@ -141,6 +141,11 @@ STAGED_AUDIT = [
     "token_pmi_top_pairs",  # vocab-bounded self-join
     "aqe_runtime_broadcast_conversion",  # runtime SMJ->BHJ
     "id_sequence_gap_audit",  # chunked windows (r11 holdback, reworked)
+    "labelprop_communities_2iter",  # iterative join+argmax, checkpointed
+    "rolling_24h_sliding_distinct",  # bounded pair explode, no self-join
+    "lorenz_concentration_deciles",  # user-bounded ranking window
+    "blocklist_aho_corasick_stage",  # mapInPandas stage, no shuffle
+    "split_leakage_near_dup_audit",  # LSH-bounded pair frame
 ]
 
 
