@@ -688,21 +688,23 @@ def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     total missing, first/last, checksum of bounds) is exact. The
     Spark side runs the CHUNKED two-level form (SURVEY §7 risk 7:
     never a global window over raw rows — the global_peak_concurrency
-    pattern): ids bucket by a coarse 2^16 range, lag runs inside each
-    bucket in parallel, and only the per-bucket (min, max) summary —
-    one row per non-empty bucket — is cumulated in an ordered pass to
-    catch gaps that STRADDLE bucket boundaries (including runs of
-    entirely-empty buckets, which collapse into one straddling gap
-    between the neighbouring non-empty summaries). The oracle is the
-    definitional single global window (QUALIFY over ORDER BY id) —
-    DuckDB can afford it at oracle scale, which is the point: the
-    distributed plan must equal the naive one.
+    family): ids bucket by a coarse 2^16 range, lag runs inside each
+    bucket in parallel, and the per-bucket (min, max) summary — one
+    row per non-empty bucket — folds into ONE sorted array whose
+    adjacent entries a higher-order lambda scans for gaps that
+    STRADDLE bucket boundaries (runs of entirely-empty buckets
+    collapse into one straddling gap between the neighbouring
+    non-empty summaries). No single-partition WindowExec exists
+    anywhere in the plan. The oracle is the definitional single
+    global window (QUALIFY over ORDER BY id) — DuckDB can afford it
+    at oracle scale, which is the point: the distributed plan must
+    equal the naive one.
 
     Scale shape: one hash exchange on the id bucket; the only
-    single-partition work is the |buckets|-row summary cumulation
-    (65536 ids per row — a 100 TB id space summarises ~65000× smaller).
-    At deployment the bucket is the natural shard (Kafka partition,
-    LSN shard) and even the summary pass parallelises per shard.
+    non-parallel work is the |buckets|-element array scan (65536 ids
+    per element — a 100 TB id space summarises ~65000× smaller). At
+    deployment the bucket is the natural shard (Kafka partition, LSN
+    shard) and even the boundary scan parallelises per shard.
 
     Reference basis: ops/integrity extension of the S-family (offset
     bookkeeping the reference's consumer trusts Kafka for — made
@@ -730,19 +732,27 @@ def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = b.groupBy("bkt").agg(
         F.min("id").alias("lo"), F.max("id").alias("hi")
     )
-    w_b = Window.orderBy("bkt")
+    # the summary is |buckets| rows (65536 ids per row) — fold it into
+    # ONE sorted array and scan adjacent entries with a higher-order
+    # function: the boundary pass needs no window at all (and so no
+    # single-partition WindowExec), just an O(|buckets|) in-row lambda
     boundary_gaps = (
-        summary.select(
-            F.lag("hi").over(w_b).alias("prev_hi"), F.col("lo")
-        )
-        .where(
-            F.col("prev_hi").isNotNull()
-            & (F.col("lo") - F.col("prev_hi") > 1)
+        summary.agg(
+            F.sort_array(
+                F.collect_list(F.struct("bkt", "lo", "hi"))
+            ).alias("a")
         )
         .select(
-            (F.col("prev_hi") + 1).alias("gap_lo"),
-            (F.col("lo") - 1).alias("gap_hi"),
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(a) - 1), i -> "
+                    "struct(a[i - 1].hi + 1 AS gap_lo, "
+                    "a[i].lo - 1 AS gap_hi)), "
+                    "s -> s.gap_hi >= s.gap_lo)"
+                )
+            ).alias("g")
         )
+        .select(F.col("g.gap_lo"), F.col("g.gap_hi"))
     )
     gaps = in_gaps.unionByName(boundary_gaps)
     return gaps.agg(
