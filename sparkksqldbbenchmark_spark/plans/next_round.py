@@ -4337,3 +4337,152 @@ def blocklist_aho_corasick_stage(
         F.sum("hits").cast("long").alias("total_hits"),
         F.max("hits").cast("long").alias("max_hits"),
     )
+
+
+# ------------------- mixture schedule manifest --
+
+
+def _schedule_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    keep_hash = sql_md5_int(
+        "'ep#' || CAST(s.partial_epoch AS VARCHAR) || '#' || "
+        "CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(n_chars) AS BIGINT) AS t,
+               CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w
+        FROM documents GROUP BY source
+    ),
+    plan AS (
+        SELECT source, t,
+               (w * t) // 2 AS a,
+               ((w * t) // 2) // t AS full_epochs,
+               ((w * t) // 2) % t AS frac_num
+        FROM per_src
+    ),
+    full_rows AS (
+        SELECT p.source, e.e AS epoch,
+               (SELECT count(*) FROM documents d
+                WHERE d.source = p.source) AS n_docs_kept,
+               p.t AS chars_kept
+        FROM plan p JOIN (SELECT unnest(range(1, 3)) AS e) e
+          ON e.e <= p.full_epochs
+    ),
+    partials AS (
+        SELECT source, full_epochs + 1 AS partial_epoch, t, frac_num
+        FROM plan WHERE frac_num > 0
+    ),
+    partial_rows AS (
+        SELECT s.source, s.partial_epoch AS epoch,
+               count(*) AS n_docs_kept,
+               CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        FROM partials s JOIN documents d ON d.source = s.source
+        WHERE ({keep_hash}) % s.t < s.frac_num
+        GROUP BY s.source, s.partial_epoch
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch,
+           n_docs_kept, chars_kept
+    FROM full_rows
+    UNION ALL
+    SELECT source, CAST(epoch AS BIGINT), n_docs_kept, chars_kept
+    FROM partial_rows
+    """
+
+
+@staged_query(
+    "mixture_schedule_manifest", oracle=_schedule_oracle()
+)
+def mixture_schedule_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIXTURE SCHEDULE materialization — expand per-source token
+    budgets (w_s/2 epochs of each source's own tokens, w_s the
+    planted 1-4 weight, so sources land at 0.5/1.0/1.5/2.0 epochs)
+    into the per-epoch manifest a dataloader consumes: whole epochs
+    keep every document; the fractional final epoch keeps a
+    deterministic hash-thresholded subset (epoch-salted md5 per doc,
+    so different partial epochs of the same source draw DIFFERENT
+    subsets — repeat diversity, not the same shard again). The
+    partial-epoch keep-set is exactly reproducible from (source,
+    epoch, doc_id) alone — the property that lets any worker
+    recompute its shard without a manifest file. Downstream of
+    mixture_epoch_repeat_planner (which chooses budgets; the fixed
+    w/2 policy here keeps the two rows independently gradeable).
+
+    Scale shape: one per-source aggregate for totals; whole-epoch
+    rows are arithmetic on the 20-row plan frame (never re-scanning
+    docs); the single partial-epoch pass is one scan with a
+    scan-fused hash predicate. Epochs multiply the PLAN frame, not
+    the corpus.
+
+    Reference basis: LLM-pipeline mixture family
+    (mixture_epoch_repeat_planner staged, domain_mixture_resample r7,
+    deterministic_corpus_shuffle r7 — this is the materialization
+    leg)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("t"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        "source",
+        "t",
+        "n_docs",
+        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).alias(
+            "w"
+        ),
+    )
+    plan = per_src.select(
+        "source",
+        "t",
+        "n_docs",
+        F.expr("(w * t) DIV 2").alias("a"),
+    ).select(
+        "source",
+        "t",
+        "n_docs",
+        F.expr("a DIV t").alias("full_epochs"),
+        F.expr("a % t").alias("frac_num"),
+    )
+    epochs = spark.range(1, 3).select(F.col("id").alias("epoch"))
+    full_rows = (
+        plan.crossJoin(F.broadcast(epochs))
+        .where(F.col("epoch") <= F.col("full_epochs"))
+        .select(
+            "source",
+            F.col("epoch").cast("long"),
+            F.col("n_docs").cast("long").alias("n_docs_kept"),
+            F.col("t").alias("chars_kept"),
+        )
+    )
+    partials = plan.where(F.col("frac_num") > 0).select(
+        "source",
+        (F.col("full_epochs") + 1).alias("partial_epoch"),
+        "t",
+        "frac_num",
+    )
+    keep_hash = spark_md5_int(
+        "concat('ep#', cast(partial_epoch as string), '#', "
+        "cast(doc_id as string))"
+    )
+    partial_rows = (
+        docs.select("source", "doc_id", "n_chars")
+        .join(F.broadcast(partials), "source")
+        .where(F.expr(f"({keep_hash}) % t") < F.col("frac_num"))
+        .groupBy("source", "partial_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .select(
+            "source",
+            F.col("partial_epoch").cast("long").alias("epoch"),
+            F.col("n_docs_kept").cast("long"),
+            "chars_kept",
+        )
+    )
+    return full_rows.unionByName(partial_rows)

@@ -1386,3 +1386,57 @@ def test_aho_corasick_stage_matches_exact_twin(spark):
         ).collect()
     }
     assert ac == exact
+
+
+def test_schedule_manifest_matches_hash_replay(spark):
+    import hashlib
+    from collections import defaultdict
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    )
+    per: dict = defaultdict(lambda: [0, 0])
+    by_src: dict = defaultdict(list)
+    for r in docs:
+        per[r.source][0] += r.n_chars
+        per[r.source][1] += 1
+        by_src[r.source].append((r.doc_id, r.n_chars))
+    expected = {}
+    for s, (t, n) in per.items():
+        w = int(s[3:]) % 4 + 1
+        a = (w * t) // 2
+        full, frac = a // t, a % t
+        for e in range(1, full + 1):
+            expected[(s, e)] = (n, t)
+        if frac > 0:
+            e = full + 1
+            kept = [
+                (d, c)
+                for d, c in by_src[s]
+                if int(
+                    hashlib.md5(f"ep#{e}#{d}".encode()).hexdigest()[
+                        :15
+                    ],
+                    16,
+                )
+                % t
+                < frac
+            ]
+            expected[(s, e)] = (
+                len(kept),
+                sum(c for _, c in kept),
+            )
+    got = {
+        (r.source, r.epoch): (r.n_docs_kept, r.chars_kept)
+        for r in STAGED["mixture_schedule_manifest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # fractional epochs keep roughly their token share (hash law of
+    # large numbers at 25 docs/source is loose — just assert bounds)
+    for (s, e), (nk, ck) in got.items():
+        t, n = per[s]
+        assert 0 <= nk <= n and 0 <= ck <= t
