@@ -68,6 +68,11 @@ try:
 except ImportError:
     pass
 
+try:
+    import sparkksqldbbenchmark_spark.plans.round12_queries  # noqa: F401
+except ImportError:
+    pass
+
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
 # The driver grades at most the FIRST 50 registered queries per round.
@@ -769,7 +774,113 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #   python_datasource_filter_pushdown, python_datasource_sink_append_audit
 #     — PyDS V2 surface; python_datasource_simple_stream graduates the
 #     remaining reader form
+# ---------------------------------------------------------------------
+# Round-13 rotation (docs/ROTATION_R12.md). CORRECTNESS_r12 graded the
+# round-11-graduate head 50/50 green — zero reds, so the full slot plan
+# executes. INTO the head: the 42 round-12 graduates from
+# plans/round12_queries.py (the 11 round-11 holdbacks first — they
+# waited two rounds — then the round-12 stagings; 12 suite siblings held
+# back in plans/next_round.py per the holdback priority — their
+# machinery keeps graded siblings in the new head). STAYING: the 8
+# flagships (weather_window_agg = entry(), multiway_timejoin_ffill,
+# tpch_q3_shipping_priority, dedup_minhash_lsh,
+# multimodal_decode_roundtrip, sequence_packing, token_budget_selection,
+# streaming_chained_window_agg). OUT of the head (all green r12 first
+# grade, implementing source unchanged since — pinned below via
+# TAIL_SOURCE_SHA256):
+#   hof_suite2, map_hof_suite2, struct_field_mutation_suite,
+#   like_quantifier_suite, named_window_clause_sql,
+#   lateral_column_alias_sql, union_missing_columns_suite,
+#   text_format_roundtrip — the round-9 holdover suites, green r12
+#     after their two-round wait; HOF/SQL-surface machinery keeps the
+#     graduating execute_immediate_sql / order_by_all_offset_sql /
+#     string_format_suite / xpath+mask staged siblings coming
+#   null_aware_antijoin_notin, using_join_full_coalesce,
+#   correlated_nonequi_exists, struct_equality_join — relational-
+#     semantics rows; join machinery keeps tpch_q12/q17 graduating plus
+#     the q3 flagship and the full TPC-H TAIL family
+#   regr_agg_suite — ANSI regression aggregates; the graduating
+#     score_calibration_bins / chi_square / neyman rows keep the
+#     analytic-aggregate family graded
+#   bpe_pair_merge_candidates, ngram_novelty_growth,
+#   vocab_dyadic_rank_mass — text-statistics rows; the graduating
+#     zipf_tail_mass / oov_rate / token_pmi / lang_id_confusion rows
+#     grade the same explode+agg machinery fresh
+#   streaming_dedup_then_window, streaming_file_sink_partitioned,
+#   streaming_checkpoint_restart_resume, streaming_rocksdb_state_store,
+#   streaming_stateful_topk_per_key, session_window_dynamic_gap —
+#     streaming state family; the streaming_chained_window_agg flagship
+#     stays graded and every stateful form here carries its r12 green +
+#     witnesses; avro_codec_roundtrip_batch graduates the codec leg
+#   hidden_file_metadata_scan, binaryfile_source_scan,
+#   csv_quoted_multiline_roundtrip, clustered_write_sorted_runs,
+#   window_group_limit_pushdown — source/layout/plan-surface rows;
+#     compression_codec_matrix (staged holdback) + the graduating
+#     aqe_runtime_broadcast_conversion keep plan/layout surface coming
+#   udtf_table_arg_partition_by, python_datasource_simple_stream —
+#     Python-eval/PyDS surface, green r12; family broadly TAIL-pinned
+#     (arrow/udtf/cogroup/applyinarrow + 6 PyDS rows)
+#   pca_power_iteration_1d, semdedup_quantized_prune,
+#   kmeans_lloyd_step_quantized, dupgraph_triangle_count,
+#   kcore_dupgraph_3peel, dedup_survivorship_merge — the iterative/
+#     graph family, green r12 with numpy witnesses + the 100M-row scale
+#     sweep recorded; labelprop_communities_2iter graduates the
+#     synchronized-propagation form on the same dup graph
+#   running_distinct_users, bitmap_distinct_functions — mergeable-
+#     distinct family; rolling_24h_sliding_distinct graduates the exact
+#     sliding-window form
+#   asof_nearest_join — as-of machinery; feature_store_pit_join
+#     graduates the chained multi-grain form (DuckDB ASOF oracle)
+#   mad_robust_outliers, rolling_correlation_24h — robust/framed stats;
+#     the graduating interarrival/ohlc/nth_value rows grade the framed
+#     window machinery fresh
+#   span_corruption_mask_plan, length_bucketed_batching — LLM-pipeline
+#     rows with the flagship pair staying and the graduating
+#     curriculum_token_budget_phases / doc_span_interval_union /
+#     mixture_epoch_repeat_planner rows grading the same family
 TAIL: tuple[str, ...] = (
+    "hof_suite2",
+    "struct_field_mutation_suite",
+    "named_window_clause_sql",
+    "like_quantifier_suite",
+    "text_format_roundtrip",
+    "map_hof_suite2",
+    "union_missing_columns_suite",
+    "lateral_column_alias_sql",
+    "null_aware_antijoin_notin",
+    "using_join_full_coalesce",
+    "correlated_nonequi_exists",
+    "regr_agg_suite",
+    "bpe_pair_merge_candidates",
+    "ngram_novelty_growth",
+    "streaming_dedup_then_window",
+    "streaming_file_sink_partitioned",
+    "hidden_file_metadata_scan",
+    "udtf_table_arg_partition_by",
+    "session_window_dynamic_gap",
+    "pca_power_iteration_1d",
+    "python_datasource_simple_stream",
+    "running_distinct_users",
+    "struct_equality_join",
+    "semdedup_quantized_prune",
+    "asof_nearest_join",
+    "mad_robust_outliers",
+    "dupgraph_triangle_count",
+    "vocab_dyadic_rank_mass",
+    "kcore_dupgraph_3peel",
+    "binaryfile_source_scan",
+    "csv_quoted_multiline_roundtrip",
+    "span_corruption_mask_plan",
+    "streaming_checkpoint_restart_resume",
+    "length_bucketed_batching",
+    "kmeans_lloyd_step_quantized",
+    "streaming_stateful_topk_per_key",
+    "bitmap_distinct_functions",
+    "window_group_limit_pushdown",
+    "streaming_rocksdb_state_store",
+    "rolling_correlation_24h",
+    "clustered_write_sorted_runs",
+    "dedup_survivorship_merge",
     "video_mjpeg_frame_extract",
     "exact_substring_spans",
     "ngram_lm_familiarity",

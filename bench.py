@@ -275,7 +275,12 @@ def main() -> None:
             "artificially small latencies, deflating the run average "
             "below the floor; "
             "p50/p95/p99/stddev are phase-invariant and directly "
-            "comparable to BASELINE.md"
+            "comparable to BASELINE.md. Teardown: streams stop at a "
+            "trigger-idle instant with the log level held at FATAL "
+            "across the stop (bench/replay._quiesce_and_stop) — the "
+            "BENCH_r12 stderr-tail stack trace was MicroBatchExecution "
+            "logging the benign stop-mid-batch job cancellation at "
+            "ERROR under load; metrics and rc were unaffected"
         ),
     }
     print(f"  streaming e2e: {streaming_latency}", file=sys.stderr)

@@ -46,6 +46,48 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "hof_suite2": "e12d27e30a9c333b",
+    "struct_field_mutation_suite": "fed2adf63c390e80",
+    "named_window_clause_sql": "ddf7d96ea2d63853",
+    "like_quantifier_suite": "cd29421a06b11e97",
+    "text_format_roundtrip": "d9c5cbc683f6cff3",
+    "map_hof_suite2": "1837a7557aa581f1",
+    "union_missing_columns_suite": "4ffe5546967d96c4",
+    "lateral_column_alias_sql": "99dba9913302554d",
+    "null_aware_antijoin_notin": "4b3bc4bf443de0d0",
+    "using_join_full_coalesce": "afce1d11b533fb39",
+    "correlated_nonequi_exists": "a9f6236207852537",
+    "regr_agg_suite": "75e6a75a558bbcbd",
+    "bpe_pair_merge_candidates": "9fdd92620f27e794",
+    "ngram_novelty_growth": "a8c89cb182e8b3fb",
+    "streaming_dedup_then_window": "28c77df3f5ee3d84",
+    "streaming_file_sink_partitioned": "8df2bbb845622abd",
+    "hidden_file_metadata_scan": "cca0495a50b8f620",
+    "udtf_table_arg_partition_by": "c736274d6b6af7f8",
+    "session_window_dynamic_gap": "cf6913403a3b2468",
+    "pca_power_iteration_1d": "9631c106d6901db7",
+    "python_datasource_simple_stream": "924a48f98436068b",
+    "running_distinct_users": "da916cdae660ef9f",
+    "struct_equality_join": "0c7a100576f186a7",
+    "semdedup_quantized_prune": "b35a8f9b98721603",
+    "asof_nearest_join": "410f2c5981c27fdf",
+    "mad_robust_outliers": "5889abcdb9741330",
+    "dupgraph_triangle_count": "9340012ec239c92f",
+    "vocab_dyadic_rank_mass": "161980b73fa49f76",
+    "kcore_dupgraph_3peel": "f5db156cb9352bcd",
+    "binaryfile_source_scan": "8fa11e2520f9a3ff",
+    "csv_quoted_multiline_roundtrip": "aeb86a3b9b2b9b8d",
+    "span_corruption_mask_plan": "792e368cf262a5cd",
+    "streaming_checkpoint_restart_resume": "2ef147729d78e287",
+    "length_bucketed_batching": "78d287e81cca2b5b",
+    "kmeans_lloyd_step_quantized": "dd1d6ae684227195",
+    "streaming_stateful_topk_per_key": "4a2440e51735b9a9",
+    "bitmap_distinct_functions": "e82906bd0dcc6d86",
+    "window_group_limit_pushdown": "f40f7aa023f3cf4d",
+    "streaming_rocksdb_state_store": "9cc1b179fe4e626f",
+    "rolling_correlation_24h": "e4892fdfb25738c2",
+    "clustered_write_sorted_runs": "eb878b3f195d4100",
+    "dedup_survivorship_merge": "67e2c4ea9734be6e",
     "video_mjpeg_frame_extract": "ce3710328575464c",
     "exact_substring_spans": "b8831704a444d9ba",
     "ngram_lm_familiarity": "7caaaa606abf973f",

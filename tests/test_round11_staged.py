@@ -3,14 +3,15 @@ plans/round11_queries.py), beyond the value-hash oracle: each operator's
 result is re-derived by an INDEPENDENT brute-force twin in plain Python
 over the collected slice — a second witness with none of the SQL
 machinery shared, the same pattern every graduated cohort carries.
-The held-back suite siblings (still staged in plans/next_round.py)
-keep their witnesses here too, reading from the staged registry.
+Every row of the cohort graduated by round 13 (ohlc_hourly_bars and
+id_sequence_gap_audit via plans/round12_queries.py), so all witnesses
+read the graduated registry.
 """
 
 from __future__ import annotations
 
 import sparkksqldbbenchmark_spark.plans.round11_queries  # noqa: F401
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+import sparkksqldbbenchmark_spark.plans.round12_queries  # noqa: F401
 from sparkksqldbbenchmark_spark.plans.registry import QUERIES as GRADUATED
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -506,7 +507,7 @@ def test_ohlc_bars_match_bruteforce(spark):
             r.close_cents,
             r.volume,
         )
-        for r in STAGED["ohlc_hourly_bars"](spark, SF_DIR).collect()
+        for r in GRADUATED["ohlc_hourly_bars"](spark, SF_DIR).collect()
     }
     assert got == expected
 
@@ -529,7 +530,7 @@ def test_id_gap_audit_matches_sorted_scan(spark):
         for prev, cur in zip(ids, ids[1:])
         if cur - prev > 1
     ]
-    row = STAGED["id_sequence_gap_audit"](spark, SF_DIR).collect()[0]
+    row = GRADUATED["id_sequence_gap_audit"](spark, SF_DIR).collect()[0]
     assert row.n_gaps == len(gaps)
     assert row.missing_ids == sum(hi - lo + 1 for lo, hi in gaps)
     assert row.first_gap_lo == min(lo for lo, _ in gaps)

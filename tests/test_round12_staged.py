@@ -1,4 +1,5 @@
-"""Invariant tests for the round-12 staged cohort, beyond the
+"""Invariant tests for the round-12 cohort (graduated round 13 into
+plans/round12_queries.py), beyond the
 value-hash oracle (tests/test_next_round.py): each novel operator's
 result is re-derived by an INDEPENDENT brute-force twin in plain
 Python over the collected slice — a second witness sharing none of
@@ -10,8 +11,10 @@ meaningful independent twin beyond its oracle.)
 
 from __future__ import annotations
 
+import sparkksqldbbenchmark_spark.plans.round12_queries  # noqa: F401
 from sparkksqldbbenchmark_spark.catalog import load_table
 from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as GRADUATED
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,7 +35,7 @@ def test_misra_gries_certificate_matches_counter(spark):
     got = {
         r.item: (r.exact_count, r.mg_counter_floor, r.n_total,
                  r.mg_threshold)
-        for r in STAGED["heavy_hitters_misra_gries_certified"](
+        for r in GRADUATED["heavy_hitters_misra_gries_certified"](
             spark, SF_DIR
         ).collect()
     }
@@ -76,7 +79,7 @@ def test_q17_small_quantity_matches_bruteforce(spark):
     got = {
         r.p_brand: (r.n_small_qty_lines, r.revenue_cents,
                     r.avg_yearly_cents)
-        for r in STAGED["tpch_q17_small_quantity_revenue"](
+        for r in GRADUATED["tpch_q17_small_quantity_revenue"](
             spark, SF_DIR
         ).collect()
     }
@@ -109,7 +112,7 @@ def test_q12_priority_split_matches_counter(spark):
             (hi if prio in ("1-URGENT", "2-HIGH") else lo)[mode] += 1
     got = {
         r.l_shipmode: (r.high_line_count, r.low_line_count)
-        for r in STAGED["tpch_q12_shipmode_priority"](
+        for r in GRADUATED["tpch_q12_shipmode_priority"](
             spark, SF_DIR
         ).collect()
     }
@@ -158,7 +161,7 @@ def test_mixture_planner_matches_waterfilling_replay(spark):
         expected[s] = (t, w, cap, alloc, (alloc * 1_000_000) // t)
     got = {
         r.source: (r.tokens, r.weight, r.cap, r.allocation, r.epochs_e6)
-        for r in STAGED["mixture_epoch_repeat_planner"](
+        for r in GRADUATED["mixture_epoch_repeat_planner"](
             spark, SF_DIR
         ).collect()
     }
@@ -200,7 +203,7 @@ def test_oov_rate_matches_counter(spark):
     }
     got = {
         r.source: (r.n_tokens, r.n_oov, r.n_distinct_oov)
-        for r in STAGED["oov_rate_by_source"](spark, SF_DIR).collect()
+        for r in GRADUATED["oov_rate_by_source"](spark, SF_DIR).collect()
     }
     assert got == expected
 
@@ -229,7 +232,7 @@ def test_threshold_sweep_matches_counter(spark):
         expected[thr] = (tp, fp, fn, tn)
     got = {
         r.thr_e3: (r.tp, r.fp, r.fn, r.tn)
-        for r in STAGED["quality_threshold_sweep_confusion"](
+        for r in GRADUATED["quality_threshold_sweep_confusion"](
             spark, SF_DIR
         ).collect()
     }
@@ -265,7 +268,7 @@ def test_zipf_by_source_matches_counter(spark):
         (r.source, r.rank_bucket): [
             r.n_tokens, r.mass, r.rank_lo, r.rank_hi
         ]
-        for r in STAGED["zipf_tail_mass_by_source"](
+        for r in GRADUATED["zipf_tail_mass_by_source"](
             spark, SF_DIR
         ).collect()
     }
@@ -320,7 +323,7 @@ def test_feature_store_pit_matches_bruteforce(spark):
     got = {
         r.event_id: (r.user_id, r.event_type, r.event_ts, r.u_feat,
                      r.t_feat)
-        for r in STAGED["feature_store_pit_join"](
+        for r in GRADUATED["feature_store_pit_join"](
             spark, SF_DIR
         ).collect()
     }
@@ -370,7 +373,7 @@ def test_pmi_pairs_match_counter(spark):
     }
     got = {
         (r.tok_u, r.tok_v): (r.n_xy, r.n_x, r.n_y, r.lift_e6)
-        for r in STAGED["token_pmi_top_pairs"](spark, SF_DIR).collect()
+        for r in GRADUATED["token_pmi_top_pairs"](spark, SF_DIR).collect()
     }
     assert got == expected
 
@@ -395,7 +398,7 @@ def test_chi_square_matches_integer_replay(spark):
         expected[t] = (n, k, (ss * 1_000_000) // (10 * n), 9)
     got = {
         r.event_type: (r.n, r.n_cells_present, r.chi2_e6, r.df)
-        for r in STAGED["chi_square_uniformity_by_type"](
+        for r in GRADUATED["chi_square_uniformity_by_type"](
             spark, SF_DIR
         ).collect()
     }
@@ -504,7 +507,7 @@ def test_ivm_merge_matches_dict_fold_replay(spark):
         (r.event_type, r.day_us): (
             r.n, r.cents_sum, r.cents_min, r.cents_max, r.hwm_event_id
         )
-        for r in STAGED["ivm_aggregate_delta_merge"](
+        for r in GRADUATED["ivm_aggregate_delta_merge"](
             spark, SF_DIR
         ).collect()
     }
@@ -538,7 +541,7 @@ def test_prefix_energy_matches_numpy(spark):
     got = {
         r.k: (r.prefix_energy, r.total_energy, r.n_vecs,
               r.energy_ratio_e6)
-        for r in STAGED["embedding_prefix_energy"](
+        for r in GRADUATED["embedding_prefix_energy"](
             spark, SF_DIR
         ).collect()
     }
@@ -578,7 +581,7 @@ def test_hard_negatives_match_numpy(spark):
         expected[a] = (labels[a], best[1], labels[best[1]], best[0])
     got = {
         r.anchor_id: (r.anchor_label, r.neg_id, r.neg_label, r.dot)
-        for r in STAGED["hard_negative_mining_topk"](
+        for r in GRADUATED["hard_negative_mining_topk"](
             spark, SF_DIR
         ).collect()
     }
@@ -620,7 +623,7 @@ def test_span_union_matches_interval_merge(spark):
             r.covered_chars,
             r.max_island_len,
         )
-        for r in STAGED["doc_span_interval_union"](
+        for r in GRADUATED["doc_span_interval_union"](
             spark, SF_DIR
         ).collect()
     }
@@ -645,7 +648,7 @@ def test_global_row_index_matches_sorted_enumerate(spark):
     expected = {d: tuple(a) for d, a in per_day.items()}
     got = {
         r.day: (r.n, r.min_idx, r.max_idx, r.idx_sum)
-        for r in STAGED["global_row_index_two_level"](
+        for r in GRADUATED["global_row_index_two_level"](
             spark, SF_DIR
         ).collect()
     }
@@ -688,7 +691,7 @@ def test_erasure_cascade_matches_set_replay(spark):
     }
     got = {
         r.table_name: (r.n_before, r.n_after)
-        for r in STAGED["right_to_erasure_cascade"](
+        for r in GRADUATED["right_to_erasure_cascade"](
             spark, SF_DIR
         ).collect()
     }
@@ -726,7 +729,7 @@ def test_curriculum_phases_match_sorted_cumsum(spark):
     got = {
         r.phase: (r.n_docs, r.total_chars, r.min_score_e3,
                   r.max_score_e3)
-        for r in STAGED["curriculum_token_budget_phases"](
+        for r in GRADUATED["curriculum_token_budget_phases"](
             spark, SF_DIR
         ).collect()
     }
@@ -799,14 +802,14 @@ def test_avro_roundtrip_matches_reference_decoder(spark):
         a[3] = r.event_id if a[3] is None else max(a[3], r.event_id)
     got = {
         r.event_type: [r.n, r.cents_sum, r.min_id, r.max_id]
-        for r in STAGED["avro_codec_roundtrip_batch"](
+        for r in GRADUATED["avro_codec_roundtrip_batch"](
             spark, SF_DIR
         ).collect()
     }
     assert got == expected
 
     # independent byte-level check of the encoder on one record
-    from sparkksqldbbenchmark_spark.plans.next_round import (
+    from sparkksqldbbenchmark_spark.plans.round12_queries import (
         _AVRO_EV_SCHEMA,
     )
     from sparkksqldbbenchmark_spark.sources.avro_codec import (
@@ -876,7 +879,7 @@ def test_interval_overlap_matches_quadratic_scan(spark):
     got = {
         r.event_type: [r.n_pairs, r.total_overlap_us,
                        r.max_overlap_us]
-        for r in STAGED["interval_overlap_join_buckets"](
+        for r in GRADUATED["interval_overlap_join_buckets"](
             spark, SF_DIR
         ).collect()
     }
@@ -918,7 +921,7 @@ def test_time_to_convert_matches_per_user_scan(spark):
     expected = {b: tuple(a) for b, a in expected.items()}
     got = {
         r.delta_bucket: (r.n_users, r.total_us, r.min_us, r.max_us)
-        for r in STAGED["time_to_convert_dyadic"](
+        for r in GRADUATED["time_to_convert_dyadic"](
             spark, SF_DIR
         ).collect()
     }
@@ -960,7 +963,7 @@ def test_neyman_allocation_matches_integer_replay(spark):
     }
     got = {
         r.event_type: (r.n_h, r.var_num, r.w, r.alloc)
-        for r in STAGED["neyman_allocation_plan"](
+        for r in GRADUATED["neyman_allocation_plan"](
             spark, SF_DIR
         ).collect()
     }
@@ -989,7 +992,7 @@ def test_sliding_distinct_matches_per_hour_scan(spark):
         )
     got = {
         r.hour: r.distinct_users_24h
-        for r in STAGED["rolling_24h_sliding_distinct"](
+        for r in GRADUATED["rolling_24h_sliding_distinct"](
             spark, SF_DIR
         ).collect()
     }
@@ -1035,7 +1038,7 @@ def test_dq_audit_matches_counter_scan(spark):
     }
     got = {
         r.check_name: (r.n_violations, r.n_checked)
-        for r in STAGED["dq_expectation_audit"](spark, SF_DIR).collect()
+        for r in GRADUATED["dq_expectation_audit"](spark, SF_DIR).collect()
     }
     assert got == expected
 
@@ -1155,7 +1158,7 @@ def test_in_session_conversion_matches_greedy_sessionizer(spark):
             r.n_converted,
             r.conv_rate_e6,
         )
-        for r in STAGED["in_session_conversion_rate"](
+        for r in GRADUATED["in_session_conversion_rate"](
             spark, SF_DIR
         ).collect()
     }
@@ -1203,7 +1206,7 @@ def test_labelprop_matches_synchronized_replay(spark):
     expected = {k: tuple(v) for k, v in expected.items()}
     got = {
         r.community: (r.n_members, r.min_doc_id, r.max_doc_id)
-        for r in STAGED["labelprop_communities_2iter"](
+        for r in GRADUATED["labelprop_communities_2iter"](
             spark, SF_DIR
         ).collect()
     }
@@ -1213,7 +1216,7 @@ def test_labelprop_matches_synchronized_replay(spark):
 def test_blocklist_scan_matches_str_count(spark):
     from collections import defaultdict
 
-    from sparkksqldbbenchmark_spark.plans.next_round import _BLOCKLIST
+    from sparkksqldbbenchmark_spark.plans.round12_queries import _BLOCKLIST
 
     docs = (
         load_table(spark, SF_DIR, "documents")
@@ -1231,7 +1234,7 @@ def test_blocklist_scan_matches_str_count(spark):
     expected = {s: tuple(v) for s, v in agg.items()}
     got = {
         r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
-        for r in STAGED["blocklist_term_scan"](spark, SF_DIR).collect()
+        for r in GRADUATED["blocklist_term_scan"](spark, SF_DIR).collect()
     }
     assert got == expected
 
@@ -1264,7 +1267,7 @@ def test_split_leakage_matches_pair_label_replay(spark):
     expected = {k: tuple(v) for k, v in agg.items()}
     got = {
         (r.split_a, r.split_b): (r.n_pairs, r.n_leaking)
-        for r in STAGED["split_leakage_near_dup_audit"](
+        for r in GRADUATED["split_leakage_near_dup_audit"](
             spark, SF_DIR
         ).collect()
     }
@@ -1377,7 +1380,7 @@ def test_aho_corasick_stage_matches_exact_twin(spark):
     graded borderless needles, all-occurrence == non-overlapping)."""
     exact = {
         r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
-        for r in STAGED["blocklist_term_scan"](spark, SF_DIR).collect()
+        for r in GRADUATED["blocklist_term_scan"](spark, SF_DIR).collect()
     }
     ac = {
         r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
@@ -1440,3 +1443,73 @@ def test_schedule_manifest_matches_hash_replay(spark):
     for (s, e), (nk, ck) in got.items():
         t, n = per[s]
         assert 0 <= nk <= n and 0 <= ck <= t
+
+
+def test_lang_id_confusion_matches_python_replay(spark):
+    """The confusion matrix replayed in pure Python over the collected
+    corpus — tokenizer (\\S+ runs), per-language stopword hits, the CJK
+    override, and the exact argmax TIE RULE (en>de>fr>es when-chain,
+    und on zero hits) re-derived with none of the SQL machinery."""
+    import re
+
+    from sparkksqldbbenchmark_spark.llm.text import STOPWORDS
+
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "lang", "text"
+    ).collect()
+    expected: dict[tuple[str, str], int] = {}
+    order = ("en", "de", "fr", "es")
+    stop = {lg: set(ws) for lg, ws in STOPWORDS.items()}
+    for r in rows:
+        toks = re.findall(r"\S+", r.text)
+        hits = {
+            lg: sum(1 for t in toks if t.lower() in stop[lg])
+            for lg in order
+        }
+        best = max(hits.values())
+        if re.search(r"[一-鿿]", r.text):
+            pred = "zh"
+        elif best == 0:
+            pred = "und"
+        else:
+            pred = next(lg for lg in order if hits[lg] == best)
+        expected[(r.lang, pred)] = expected.get((r.lang, pred), 0) + 1
+    got = {
+        (r.lang, r.predicted_lang): (r.n, r.is_correct)
+        for r in GRADUATED["lang_id_confusion_matrix"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        (lang, pred): (n, lang == pred)
+        for (lang, pred), n in expected.items()
+    }
+
+
+def test_embedding_norm_hof_vs_explode_matches_python_replay(spark):
+    """The HOF-fold squared norms re-derived per vector in plain Python
+    (floor(x*1000)^2 summed over components — exact int arithmetic on
+    the same IEEE doubles), grouped by label; and the in-query
+    fold-vs-explode pin must report True for every label."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    expected: dict[str, list[int]] = {}
+    for r in rows:
+        n2 = sum(
+            math.floor(float(x) * 1000) ** 2 for x in r.embedding
+        )
+        agg = expected.setdefault(r.label, [0, 0])
+        agg[0] += 1
+        agg[1] += n2
+    got = {
+        r.label: (r.n_vecs, r.total_norm2, r.hof_matches_explode)
+        for r in GRADUATED["embedding_norm_hof_vs_explode"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        lbl: (n, tot, True) for lbl, (n, tot) in expected.items()
+    }

@@ -126,12 +126,9 @@ ROUND10_AUDIT = [
     "mapinarrow_token_stats",
 ]
 
-# staged rows with plan-shape claims worth pinning before they
-# rotate into the graded head (plans/next_round.py); the round-11
-# cohort's entries graduated with round 12 and now audit via the
-# registry list above when added there — this list tracks the CURRENT
-# staging area only
-STAGED_AUDIT = [
+# round-12 graduates with plan-shape claims (graduated round 13 into
+# plans/round12_queries.py; audited via the registry)
+ROUND12_AUDIT = [
     "tpch_q17_small_quantity_revenue",  # exchange reuse + broadcast dim
     "interval_overlap_join_buckets",  # bucket equi join, no BNL
     "hard_negative_mining_topk",  # broadcast anchors, one corpus scan
@@ -143,9 +140,15 @@ STAGED_AUDIT = [
     "id_sequence_gap_audit",  # chunked windows (r11 holdback, reworked)
     "labelprop_communities_2iter",  # iterative join+argmax, checkpointed
     "rolling_24h_sliding_distinct",  # bounded pair explode, no self-join
+    "split_leakage_near_dup_audit",  # LSH-bounded pair frame
+]
+
+# staged rows with plan-shape claims worth pinning before they
+# rotate into the graded head (plans/next_round.py) — this list
+# tracks the CURRENT staging area only
+STAGED_AUDIT = [
     "lorenz_concentration_deciles",  # user-bounded ranking window
     "blocklist_aho_corasick_stage",  # mapInPandas stage, no shuffle
-    "split_leakage_near_dup_audit",  # LSH-bounded pair frame
 ]
 
 
@@ -166,7 +169,7 @@ def main() -> None:
         "",
     ]
     staged_names = [f"staged:{n}" for n in STAGED_AUDIT if n in STAGED]
-    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + staged_names:
+    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + staged_names:
         fn = (
             STAGED[name.removeprefix("staged:")]
             if name.startswith("staged:")
@@ -179,7 +182,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(staged_names)} plans)")
+    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(staged_names)} plans)")
 
 
 if __name__ == "__main__":
