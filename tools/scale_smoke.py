@@ -24,6 +24,193 @@ from sparkksqldbbenchmark_spark.operators.windowed_agg import (
 from sparkksqldbbenchmark_spark.session import SessionConfig, get_spark
 
 
+def new_family_probes(spark, n: int, docs, docs_n: int) -> None:
+    """Round-12 staged-family probes (VERDICT r12 ask #5): the
+    Aho-Corasick blocklist stage (prove linear-in-text vs the
+    per-term SQL twin), the split-leakage near-dup audit (LSH pair
+    frame + split labels + rollup end-to-end), and the mixture
+    schedule manifest (per-source plan arithmetic + one hash-predicate
+    scan). `docs` is the word-salad corpus (planted dup every 1000th
+    id, ~60 vocab words per doc)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.blocklist import (
+        with_blocklist_hits,
+    )
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    terms_small = ("merge", "window", "stream", "hash", "batch",
+                   "filter", "spark", "query")
+    # 26*26 genuinely-matchable two-word needles + the vocab = 702
+    # terms: the production-size regime where the SQL twin's
+    # one-codegen-expression-per-needle form stops scaling
+    terms_big = tuple(
+        f"{a} {b}" for a in vocab for b in vocab
+    ) + tuple(vocab)
+
+    def _auto(terms, label):
+        t0 = _t.time()
+        row = (
+            with_blocklist_hits(docs.select("text"), terms)
+            .agg(F.sum("hits").alias("h"), F.count(F.lit(1)).alias("c"))
+            .collect()[0]
+        )
+        s = _t.time() - t0
+        print(
+            f"docs={docs_n:,} blocklist_aho[{label},{len(terms)} terms]"
+            f"={s:.1f}s ({int(docs_n / s):,} docs/s, hits={row['h']:,})"
+        )
+        return s
+
+    def _sql(terms, label):
+        t0 = _t.time()
+        hits = None
+        for t in terms:
+            th = (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(t)))
+            ) / len(t)
+            th = th.cast("long")
+            hits = th if hits is None else hits + th
+        row = (
+            docs.select(hits.alias("hits"))
+            .agg(F.sum("hits").alias("h"))
+            .collect()[0]
+        )
+        s = _t.time() - t0
+        print(
+            f"docs={docs_n:,} blocklist_sql[{label},{len(terms)} terms]"
+            f"={s:.1f}s ({int(docs_n / s):,} docs/s, hits={row['h']:,})"
+        )
+        return s
+
+    # one unmeasured pass to pay Python-worker spin-up/JIT so the
+    # small-vs-big comparison is warm on both sides
+    with_blocklist_hits(
+        docs.select("text").limit(50_000), terms_small
+    ).agg(F.sum("hits")).collect()
+    a_small = _auto(terms_small, "small")
+    a_big = _auto(terms_big, "big")
+    s_small = _sql(terms_small, "small")
+    s_mid = _sql(terms_big[:64], "mid")
+    print(
+        f"docs={docs_n:,} blocklist_linearity: automaton "
+        f"{len(terms_small)}->{len(terms_big)} terms "
+        f"{a_big / a_small:.2f}x; sql {len(terms_small)}->64 terms "
+        f"{s_mid / s_small:.2f}x "
+        f"(per-term cost: automaton ~flat, sql ~linear)"
+    )
+
+    # split-leakage audit end-to-end: LSH pair frame + hash-split
+    # labels + contingency rollup (pairs planted every 1000th doc)
+    from sparkksqldbbenchmark_spark.llm.dedup import minhash_lsh_pairs
+    from sparkksqldbbenchmark_spark.operators.sampling import hash_split
+
+    t0 = _t.time()
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").select(
+        "doc_a", "doc_b"
+    )
+    splits = hash_split(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 80, "val": 90, "test": 100},
+    ).select("doc_id", "split")
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).alias(
+                "nl"
+            ),
+        )
+        .agg(F.sum("np"), F.sum("nl"))
+        .collect()[0]
+    )
+    leak_s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} split_leakage_audit={leak_s:.1f}s "
+        f"({labeled[0]:,} pairs, {labeled[1]:,} leaking, "
+        f"{int(docs_n / leak_s):,} docs/s)"
+    )
+
+    # mixture schedule manifest: per-source totals -> 20-row plan
+    # arithmetic -> ONE partial-epoch scan with a scan-fused md5 keep
+    # predicate (epochs multiply the plan frame, not the corpus)
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    t0 = _t.time()
+    sdocs = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias(
+            "source"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    per_src = sdocs.groupBy("source").agg(
+        F.sum("n_chars").alias("t"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "source", "t", "n_docs",
+        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).alias("w"),
+    )
+    plan = per_src.select(
+        "source", "t", "n_docs", F.expr("(w * t) DIV 2").alias("a")
+    ).select(
+        "source", "t", "n_docs",
+        F.expr("a DIV t").alias("full_epochs"),
+        F.expr("a % t").alias("frac_num"),
+    )
+    epochs = spark.range(1, 3).select(F.col("id").alias("epoch"))
+    full_rows = (
+        plan.crossJoin(F.broadcast(epochs))
+        .where(F.col("epoch") <= F.col("full_epochs"))
+        .select("source", "epoch", F.col("n_docs").alias("kept"))
+    )
+    partials = plan.where(F.col("frac_num") > 0).select(
+        "source",
+        (F.col("full_epochs") + 1).alias("partial_epoch"),
+        "t",
+        "frac_num",
+    )
+    keep_hash = spark_md5_int(
+        "concat('ep#', cast(partial_epoch as string), '#', "
+        "cast(doc_id as string))"
+    )
+    partial_rows = (
+        sdocs.join(F.broadcast(partials), "source")
+        .where(F.expr(f"({keep_hash}) % t") < F.col("frac_num"))
+        .groupBy("source", F.col("partial_epoch").alias("epoch"))
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .select("source", "epoch", "kept")
+    )
+    manifest = full_rows.unionByName(partial_rows).agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("kept").alias("kept")
+    ).collect()[0]
+    sched_s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} mixture_schedule={sched_s:.1f}s "
+        f"({manifest['rows']} manifest rows, {manifest['kept']:,} doc-"
+        f"epochs kept, {int(docs_n / sched_s):,} docs/s)"
+    )
+
+
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
@@ -37,6 +224,39 @@ def main() -> None:
         )
     )
     d = tempfile.mkdtemp(prefix="scale_events_")
+    if "--only-new" in sys.argv:
+        # round-12 staged-family probes only: build just the word-salad
+        # corpus (same recipe as the dedup section below) and return
+        vocab = ("key agg row scan slow fast table value part hash merge "
+                 "batch window spark order data column join small line "
+                 "customer query big the group sort stream filter").split()
+        arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+        base_id = F.when(
+            F.col("id") % 1000 == 999, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        docs_n = max(50_000, n // 20)
+        try:
+            (
+                spark.range(docs_n)
+                .withColumn("bid", base_id)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.expr(
+                        f"concat_ws(' ', transform(sequence(1, 60), i -> "
+                        f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+                        f"{len(vocab)}) + 1 as int))))"
+                    ).alias("text"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(d + "_docs")
+            )
+            docs = spark.read.parquet(d + "_docs")
+            new_family_probes(spark, n, docs, docs_n)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(d + "_docs", ignore_errors=True)
+        return
     try:
         print(f"generating {n:,} events into {d} (32 files)...",
               file=sys.stderr)
@@ -319,6 +539,10 @@ def main() -> None:
             f"docs={docs_n:,} incremental_dedup={incr_s:.1f}s "
             f"({n_matches:,} new-batch matches, batch={docs_n - split_at:,})"
         )
+
+        new_family_probes(spark, n, docs, docs_n)
+        if "--only-new" in sys.argv:
+            return
 
         # deterministic corpus shuffle: global rank via the leveled
         # prefix sum — one data shuffle + 256-row carry at any size;
