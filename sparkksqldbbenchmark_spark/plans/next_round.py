@@ -979,3 +979,887 @@ def mixture_schedule_manifest(
         )
     )
     return full_rows.unionByName(partial_rows)
+
+
+# ===================================================================
+# Round-13 staging: new rows below (docs/ROTATION_R13.md slot plan).
+# ===================================================================
+
+# ------------------------------------ max drawdown per user --
+
+
+@staged_query(
+    "max_drawdown_summary",
+    oracle="""
+    WITH c AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               max(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS runmax
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, max(runmax - cents) AS max_dd
+        FROM c GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(max(max_dd) AS BIGINT) AS worst_dd,
+           CAST(sum(max_dd) AS BIGINT) AS total_dd,
+           CAST(sum(CASE WHEN max_dd > 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_100,
+           CAST(sum(CASE WHEN max_dd > 40000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_400
+    FROM per_user
+    """,
+)
+def max_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN per user series — the peak-to-trough risk metric
+    (running max minus current value, maximized): the prefix-max
+    identity turns a quadratic "max over all earlier peaks" into one
+    ordered pass. Exact integer cents end to end.
+
+    Scale shape: one hash exchange on user_id + in-partition sort
+    shared by the single running-max window; the per-user frame then
+    folds to a 1-row global summary. The same plan family as the
+    sessionize/EMA rows — no global window anywhere.
+
+    Reference basis: time-series analytics family (ohlc_hourly_bars
+    r12-cohort, ema_dyadic_decay r7 — this adds the canonical
+    prefix-extremum risk readout)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    c = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        F.max(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("runmax"),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.max(F.col("runmax") - F.col("cents")).alias("max_dd")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("max_dd").cast("long").alias("worst_dd"),
+        F.sum("max_dd").cast("long").alias("total_dd"),
+        F.sum(F.when(F.col("max_dd") > 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_100"),
+        F.sum(F.when(F.col("max_dd") > 40000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_400"),
+    )
+
+
+# ------------------------------------ CUSUM drift detection --
+
+
+@staged_query(
+    "cusum_drift_flags",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               sum(CAST(floor(value * 100) AS BIGINT) - 25000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pt
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               pt - least(0, min(pt) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS st
+        FROM p
+    )
+    SELECT count(*) AS n_points,
+           CAST(max(st) AS BIGINT) AS max_cusum,
+           CAST(sum(CASE WHEN st > 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flags,
+           CAST(count(DISTINCT CASE WHEN st > 500000 THEN user_id END)
+                AS BIGINT) AS n_users_flagged
+    FROM s
+    """,
+)
+def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection — the sequential change detector
+    S_t = max(0, S_{t-1} + (x_t - k)) spelled WITHOUT its nonlinear
+    recurrence via the prefix-sum identity
+    S_t = P_t - min(0, min_{i<=t} P_i): two frames over ONE per-user
+    sort (running sum + running min) replace an unparallelizable
+    scan-left. k = 25000 cents (the series center), flag threshold
+    h = 500000.
+
+    Scale shape: one hash exchange on user_id, one in-partition sort
+    shared by both window frames, then a 1-row global rollup — the
+    recurrence that looks sequential is exactly parallelizable once
+    rewritten, which is the point the row pins.
+
+    Reference basis: time-series diagnostics family (acf/fano r10,
+    interarrival r12-cohort — this adds sequential change
+    detection)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(cents - 25000).over(frame).alias("pt"),
+    )
+    s = p.select(
+        "user_id",
+        (
+            F.col("pt")
+            - F.least(F.lit(0).cast("long"), F.min("pt").over(frame))
+        ).alias("st"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("st").cast("long").alias("max_cusum"),
+        F.sum(F.when(F.col("st") > 500000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flags"),
+        F.countDistinct(
+            F.when(F.col("st") > 500000, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_users_flagged"),
+    )
+
+
+# ------------------------------------ delta-sign run lengths --
+
+
+@staged_query(
+    "delta_sign_runlength_stats",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               sign(CAST(floor(value * 100) AS BIGINT)
+                    - lag(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) AS sgn
+        FROM events
+    ),
+    nn AS (SELECT * FROM d WHERE sgn IS NOT NULL),
+    g AS (
+        SELECT user_id, CAST(sgn AS BIGINT) AS sgn,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - row_number() OVER (
+                   PARTITION BY user_id, sgn ORDER BY ts, event_id
+               ) AS grp
+        FROM nn
+    ),
+    runs AS (
+        SELECT user_id, sgn, grp, count(*) AS len
+        FROM g GROUP BY user_id, sgn, grp
+    )
+    SELECT sgn,
+           count(*) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(len) AS BIGINT) AS total_len
+    FROM runs GROUP BY sgn
+    """,
+)
+def delta_sign_runlength_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUN-LENGTH statistics of consecutive same-direction moves
+    (gaps-and-islands on the SIGN of per-user value deltas): the
+    momentum/streak readout — how long do rising, falling, and flat
+    stretches last. The islands key is the classic double-row_number
+    difference; all arithmetic integer cents.
+
+    Scale shape: one hash exchange on user_id; the lag and both
+    row_numbers share the same in-partition sort; the run frame then
+    aggregates to a 3-row summary. Same family as batch_sessionize
+    (r7) with the sign channel instead of the time-gap channel.
+
+    Reference basis: time-series analytics family (batch_sessionize
+    r7, markov_transition_matrix r10 — this adds run-length
+    geometry)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.signum((cents - F.lag(cents).over(w)).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+    ).where(F.col("sgn").isNotNull())
+    ws = Window.partitionBy("user_id", "sgn").orderBy("ts", "event_id")
+    g = d.select(
+        "user_id",
+        "sgn",
+        (F.row_number().over(w) - F.row_number().over(ws)).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "sgn", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("sgn").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").cast("long").alias("max_run"),
+        F.sum("len").cast("long").alias("total_len"),
+    )
+
+
+# ------------------------------------ DAU/MAU stickiness --
+
+
+@staged_query(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS dd FROM events
+    ),
+    dau AS (
+        SELECT dd, count(*) AS dau FROM ud GROUP BY dd
+    ),
+    span AS (
+        SELECT ud.user_id, (ud.dd + CAST(k.k AS INTEGER)) AS active_day
+        FROM ud JOIN (SELECT unnest(range(0, 28)) AS k) k ON TRUE
+    ),
+    mau AS (
+        SELECT active_day AS dd, count(DISTINCT user_id) AS mau
+        FROM span GROUP BY active_day
+    )
+    SELECT strftime(dau.dd, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau28,
+           CAST((dau.dau * 1000000) // mau.mau AS BIGINT)
+               AS stickiness_e6
+    FROM dau JOIN mau ON dau.dd = mau.dd
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS — exact daily and trailing-28-day distinct
+    users and their ratio, the engagement metric every product
+    dashboard leads with. MAU28 uses the bounded-expansion trick
+    (each user-day projects onto the 28 window-end days it makes the
+    user active for; distinct + count) — EXACT sliding distinct with
+    a constant 28x fan-out of the DEDUPLICATED user-day frame, never
+    a 28-day self-join and never approximate.
+
+    Scale shape: one distinct on (user, day) — grain far below the
+    event count — then a 28x explode of that frame and a second
+    distinct+count keyed by day. Both exchanges are on
+    already-reduced frames; same family as rolling_7day (r6) and
+    rolling_24h_sliding_distinct (r12 graduate) with the ratio
+    readout added.
+
+    Reference basis: product-analytics family (rolling_7day_active_
+    users r6, rolling_24h_sliding_distinct r12 — this adds the
+    DAU/MAU ratio certificate)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("dd")
+    ).distinct()
+    dau = ud.groupBy("dd").agg(F.count(F.lit(1)).alias("dau"))
+    span = ud.select(
+        "user_id", "dd", F.explode(F.expr("sequence(0, 27)")).alias("k")
+    ).select(
+        "user_id", F.date_add(F.col("dd"), F.col("k")).alias("dd")
+    )
+    mau = span.groupBy("dd").agg(
+        F.countDistinct("user_id").alias("mau28")
+    )
+    return (
+        dau.join(mau, "dd")
+        .select(
+            F.date_format("dd", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long"),
+            F.col("mau28").cast("long"),
+            F.expr("(dau * 1000000) DIV mau28")
+            .cast("long")
+            .alias("stickiness_e6"),
+        )
+    )
+
+
+# ------------------------------------ event path trigrams --
+
+
+@staged_query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS e2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS e3
+        FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL PATH MINING at trigram grain — consecutive
+    event-type triples per user (two leads over one sort), counted
+    across the corpus: the "what do users do next" sequence table
+    that feeds funnels and next-action models. With a 5-type
+    alphabet the output is a <=125-row path frame.
+
+    Scale shape: one hash exchange on user_id + one in-partition
+    sort shared by both lead frames; the path rollup aggregates to
+    an alphabet-bounded frame. No self-joins — sequence mining at
+    trigram depth is pure window algebra.
+
+    Reference basis: product-analytics family (funnel_conversion r6,
+    markov_transition_matrix r10 — this extends the transition
+    matrix to second-order paths)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _leveled_rank(df, value_col, id_col, level_col, out="rk"):
+    """EXACT global rank by (value, id) without a global sort: bucket
+    histogram (domain-bounded) -> cumulative carry over the bounded
+    bucket frame -> per-bucket row_number + carry. The two-level
+    pattern shared with global_row_index_two_level /
+    quantile_normalization — the scale-safe substitute for
+    row_number() OVER (ORDER BY ...) whenever the bucket domain is
+    bounded (values, days, DIV-compressed cents)."""
+    lv = df.withColumn("__lvl", level_col)
+    hist = lv.groupBy("__lvl").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.orderBy("__lvl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = hist.select(
+        "__lvl",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__carry"),
+    )
+    wi = Window.partitionBy("__lvl").orderBy(value_col, id_col)
+    return (
+        lv.join(F.broadcast(carry), "__lvl")
+        .withColumn(
+            out, (F.col("__carry") + F.row_number().over(wi)).cast("long")
+        )
+        .drop("__lvl", "__carry")
+    )
+
+
+# ------------------------------------ RFM segmentation --
+
+
+@staged_query(
+    "rfm_segment_counts",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders))
+                   AS r_days,
+               count(*) AS f_cnt,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT ck,
+               row_number() OVER (ORDER BY r_days, ck) AS r_rk,
+               row_number() OVER (ORDER BY f_cnt, ck) AS f_rk,
+               row_number() OVER (ORDER BY m_cents, ck) AS m_rk,
+               (SELECT count(*) FROM base) AS n
+        FROM base
+    )
+    SELECT CAST(((r_rk - 1) * 5) // n + 1 AS BIGINT) AS r_quintile,
+           CAST(((f_rk - 1) * 5) // n + 1 AS BIGINT) AS f_quintile,
+           CAST(((m_rk - 1) * 5) // n + 1 AS BIGINT) AS m_quintile,
+           count(*) AS n_customers,
+           CAST(sum(ck) AS BIGINT) AS custkey_sum
+    FROM ranked GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — recency/frequency/monetary quintiles per
+    customer, the classic CRM segmentation grid. Each metric gets an
+    EXACT global rank via the leveled two-level pattern (recency
+    bucketed by day value, frequency by count value, monetary by
+    2^20-cent chunks — every bucket histogram is domain-bounded), so
+    no metric ever needs a single-reducer global sort; quintile =
+    ((rank-1)*5) DIV n + 1 keeps the cut integer-exact and
+    tie-deterministic (custkey breaks ties).
+
+    Scale shape: one customer-grain aggregate off the orders scan,
+    then three leveled ranks over the customer frame (per-bucket
+    row_number windows + bounded carry joins) and a <=125-cell
+    rollup.
+
+    Reference basis: product-analytics family (cohort_retention r6,
+    funnel r6 — this adds the segmentation grid; the leveled rank is
+    the global_row_index_two_level machinery applied three ways)."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("f_cnt"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "ck",
+            F.datediff(F.col("__maxd"), F.col("last_order")).alias(
+                "r_days"
+            ),
+            "f_cnt",
+            "m_cents",
+        )
+    )
+    base = _leveled_rank(base, "r_days", "ck", F.col("r_days"), "r_rk")
+    base = _leveled_rank(base, "f_cnt", "ck", F.col("f_cnt"), "f_rk")
+    base = _leveled_rank(
+        base, "m_cents", "ck", F.expr("m_cents DIV 1048576"), "m_rk"
+    )
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("((r_rk - 1) * 5) DIV __n + 1")
+            .cast("long")
+            .alias("r_quintile"),
+            F.expr("((f_rk - 1) * 5) DIV __n + 1")
+            .cast("long")
+            .alias("f_quintile"),
+            F.expr("((m_rk - 1) * 5) DIV __n + 1")
+            .cast("long")
+            .alias("m_quintile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("ck").cast("long").alias("custkey_sum"),
+        )
+    )
+
+
+# ------------------------------------ equi-depth bounds --
+
+
+@staged_query(
+    "equi_depth_partition_bounds",
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, cnt,
+               sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               (SELECT count(*) FROM events) AS n
+        FROM hist
+    ),
+    targets AS (
+        SELECT unnest(range(1, 17)) AS bucket_id
+    )
+    SELECT CAST(t.bucket_id AS BIGINT) AS bucket_id,
+           CAST((t.bucket_id * c.n) // 16 AS BIGINT) AS target_cum,
+           CAST(min(c.cents) AS BIGINT) AS boundary_cents,
+           CAST(min(c.cum) AS BIGINT) AS cum_at_boundary
+    FROM targets t
+    JOIN cum c ON c.cum >= (t.bucket_id * c.n) // 16
+    GROUP BY t.bucket_id, c.n
+    """,
+)
+def equi_depth_partition_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUI-DEPTH RANGE BOUNDS — the range-partitioner planning step:
+    16 exact quantile boundaries over the value distribution from a
+    DOMAIN-BOUNDED histogram (integer cents, <=100k distinct) and its
+    cumulative counts; boundary_i = smallest value whose cumulative
+    count reaches target i*n/16 (minimality proven by the min()
+    aggregates over the >= join). This is what rangepartitioning /
+    Z-order / sorted-write layouts consume upstream — done exactly,
+    not by sampling.
+
+    Scale shape: ONE scan-side histogram aggregate (bounded by the
+    value domain, not the row count); the cumulative window and the
+    16-target join both run on that bounded frame. Boundary
+    computation never touches row-grain data again.
+
+    Reference basis: layout/scale-pattern family (range_layout_scan
+    r5, zorder r6, equi-depth histograms in analyze_column_stats r6
+    — this pins the exact-boundary planning contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.select(
+        "cents", F.sum("cnt").over(wc).alias("cum")
+    ).crossJoin(F.broadcast(n))
+    targets = spark.range(1, 17).select(
+        F.col("id").cast("long").alias("bucket_id")
+    )
+    joined = cum.join(
+        F.broadcast(targets),
+        F.col("cum") >= F.expr("(bucket_id * n) DIV 16"),
+    )
+    return joined.groupBy("bucket_id", "n").agg(
+        F.min(F.expr("(bucket_id * n) DIV 16"))
+        .cast("long")
+        .alias("target_cum"),
+        F.min("cents").cast("long").alias("boundary_cents"),
+        F.min("cum").cast("long").alias("cum_at_boundary"),
+    ).drop("n")
+
+
+# ------------------------------------ cohort LTV matrix --
+
+
+@staged_query(
+    "cohort_ltv_accumulation",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS ck,
+               (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cohorts AS (
+        SELECT ck, min(ym) AS cohort_ym FROM o GROUP BY ck
+    ),
+    cells AS (
+        SELECT c.cohort_ym, o.ym - c.cohort_ym AS age_months,
+               count(*) AS n_orders,
+               count(DISTINCT o.ck) AS n_active,
+               CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        FROM o JOIN cohorts c ON o.ck = c.ck
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_active AS BIGINT) AS n_active,
+           rev_cents,
+           CAST(sum(rev_cents) OVER (
+               PARTITION BY cohort_ym ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_cents
+    FROM cells
+    """,
+)
+def cohort_ltv_accumulation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHORT LTV — the cohort-month × age-month revenue matrix with
+    cumulative lifetime value per cohort: the retention economics
+    readout behind every subscription dashboard. Cohort = first
+    order month; exact integer cents; the cumulative sum runs over
+    the month-domain-bounded cell frame, never over orders.
+
+    Scale shape: one customer-grain min-aggregate (cohort
+    assignment), one join back on the customer key, one (cohort,
+    age) rollup — the cell frame is bounded by months² (~6400 at 80
+    months), so the cumulation window is constant-size by the
+    repo's frame rule.
+
+    Reference basis: product-analytics family (cohort_retention r6 —
+    this adds the revenue/LTV plane with exact accumulation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("ym"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = o.groupBy("ck").agg(F.min("ym").alias("cohort_ym"))
+    cells = (
+        o.join(cohorts, "ck")
+        .groupBy(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            (F.col("ym") - F.col("cohort_ym"))
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("ck").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    wc = Window.partitionBy("cohort_ym").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "cohort_ym",
+        "age_months",
+        F.col("n_orders").cast("long"),
+        "n_active",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+    )
+
+
+# ------------------------------------ reservoir bottom-k --
+
+
+def _reservoir_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT source, doc_id, ({h}) AS hk FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, hk,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY hk, doc_id
+               ) AS rk
+        FROM hashed
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk <= 8 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum,
+           coalesce(
+               max(CASE WHEN rk <= 8 THEN hk END)
+               < min(CASE WHEN rk > 8 THEN hk END), TRUE)
+               AS boundary_ok
+    FROM ranked GROUP BY source
+    """
+
+
+@staged_query("reservoir_bottomk_certified", oracle=_reservoir_oracle())
+def reservoir_bottomk_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CERTIFIED RESERVOIR SAMPLE — exactly k=8 docs per source via
+    the bottom-k-by-hash construction: rank by (md5(doc_id), doc_id)
+    within source, keep rank <= k. Bottom-k IS the distributed
+    reservoir: partition-local bottom-k states merge associatively
+    (min-merge), the draw is uniform over any id set, and unlike
+    Algorithm R it is REPRODUCIBLE — membership depends only on the
+    ids present, not arrival order or partitioning. The certificate
+    columns prove it: exact kept count and the boundary property
+    (every kept hash < every dropped hash).
+
+    Scale shape: scan-fused hash, per-source top-k (rank window
+    partitioned by source — the TakeOrdered family), 20-row rollup.
+    No global sort; merging partial bottom-k states is exactly what
+    the shuffle's partial aggregation performs.
+
+    Reference basis: sampling family (stratified_sample r3,
+    tablesample_repeatable_certified r12, group_exact_k_sample r6 —
+    this pins the mergeable-reservoir contract with an in-query
+    boundary certificate)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.expr(spark_md5_int("CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    ranked = docs.select("source", "doc_id", hk.alias("hk")).select(
+        "source", "doc_id", "hk", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 8, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") <= 8, F.col("hk")))
+            < F.min(F.when(F.col("rk") > 8, F.col("hk"))),
+            F.lit(True),
+        ).alias("boundary_ok"),
+    )
+
+
+# ------------------------------------ stratified k-fold --
+
+
+def _kfold_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+        SELECT source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY ({h}), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    folds AS (
+        SELECT source, (rk - 1) % 5 AS fold, count(*) AS n
+        FROM ranked GROUP BY source, (rk - 1) % 5
+    )
+    SELECT source, CAST(fold AS BIGINT) AS fold,
+           CAST(n AS BIGINT) AS n_docs,
+           (max(n) OVER (PARTITION BY source)
+            - min(n) OVER (PARTITION BY source)) <= 1 AS balanced
+    FROM folds
+    """
+
+
+@staged_query("stratified_kfold_assignment", oracle=_kfold_oracle())
+def stratified_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED K-FOLD assignment — 5 cross-validation folds
+    balanced WITHIN each stratum by construction: hash-rank the
+    stratum deterministically, fold = (rank-1) mod k, so fold sizes
+    differ by at most one per stratum (proven by the in-query
+    `balanced` certificate over the per-(source, fold) frame). The
+    property random assignment only gives in expectation.
+
+    Scale shape: per-source rank window (the per-key sort family) +
+    a 100-cell rollup; the balance certificate runs on the bounded
+    cell frame.
+
+    Reference basis: sampling/split family (hash_split_assignment
+    r3, group_exact_k_sample r6 — this adds the exact-balance fold
+    contract evaluation pipelines need)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.expr(spark_md5_int("CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("source").orderBy(hk, "doc_id")
+    folds = (
+        docs.select(
+            "source", F.row_number().over(w).alias("rk")
+        )
+        .groupBy(
+            "source",
+            ((F.col("rk") - 1) % 5).cast("long").alias("fold"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("source")
+    return folds.select(
+        "source",
+        "fold",
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            (F.max("n").over(ws) - F.min("n").over(ws)) <= 1
+        ).alias("balanced"),
+    )
+
+
+# ------------------------------------ class-balanced undersample --
+
+
+def _undersample_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY ({h}), vec_id
+               ) AS rk
+        FROM embeddings
+    ),
+    m AS (
+        SELECT min(cnt) AS m FROM (
+            SELECT count(*) AS cnt FROM embeddings GROUP BY label
+        )
+    )
+    SELECT CAST(r.label AS BIGINT) AS label,
+           count(*) AS n_orig,
+           CAST(sum(CASE WHEN r.rk <= m.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN r.rk <= m.m THEN r.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_vec_sum,
+           sum(CASE WHEN r.rk <= m.m THEN 1 ELSE 0 END)
+               = CAST(m.m AS BIGINT) AS kept_equal
+    FROM ranked r CROSS JOIN m GROUP BY r.label, m.m
+    """
+
+
+@staged_query(
+    "class_balanced_undersample", oracle=_undersample_oracle()
+)
+def class_balanced_undersample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASS-BALANCED UNDERSAMPLING — every label trimmed to the
+    minority-class size by deterministic hash-rank cut: the standard
+    rebalancing step before training on skewed labels, made
+    reproducible (membership is a pure function of the id set, so
+    re-runs and backfills select identical rows). n_kept == min
+    class count for every label by construction.
+
+    Scale shape: one label-grain count (bounded frame) broadcast as
+    the cut; per-label rank window (per-key sort); 10-row rollup.
+
+    Reference basis: sampling family (label_inverse_frequency_weights
+    staged holdback is the REWEIGHTING answer to imbalance; this is
+    the RESAMPLING answer — the two standard treatments side by
+    side)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    hk = F.expr(spark_md5_int("CAST(vec_id AS STRING)"))
+    w = Window.partitionBy("label").orderBy(hk, "vec_id")
+    ranked = emb.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    ).crossJoin(F.broadcast(m))
+    return (
+        ranked.groupBy(
+            F.col("label").cast("long").alias("label"), "m"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orig"),
+            F.sum(F.when(F.col("rk") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.col("m"), F.col("vec_id")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_vec_sum"),
+        )
+        .select(
+            "label",
+            "n_orig",
+            "n_kept",
+            "kept_vec_sum",
+            (F.col("n_kept") == F.col("m").cast("long")).alias(
+                "kept_equal"
+            ),
+        )
+    )
