@@ -1863,3 +1863,481 @@ def class_balanced_undersample(
             ),
         )
     )
+
+
+# ------------------------------------ exact AUC via rank sum --
+
+
+@staged_query(
+    "auc_rank_sum_exact",
+    oracle="""
+    WITH scored AS (
+        SELECT vec_id, label >= 5 AS pos,
+               (SELECT CAST(sum(
+                    CAST(floor(e * 1000) AS BIGINT)
+                    * CAST(floor(e * 1000) AS BIGINT)) AS BIGINT)
+                FROM unnest(embedding) AS t(e)) AS score
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos, score,
+               row_number() OVER (ORDER BY score, vec_id) AS rk
+        FROM scored
+    ),
+    per_score AS (
+        SELECT score, min(rk) AS min_rk, count(*) AS cnt,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos_cnt
+        FROM ranked GROUP BY score
+    ),
+    agg AS (
+        SELECT CAST(sum(pos_cnt * (2 * min_rk + cnt - 1)) AS BIGINT)
+                   AS s2,
+               CAST(sum(pos_cnt) AS BIGINT) AS npos,
+               CAST(sum(cnt - pos_cnt) AS BIGINT) AS nneg
+        FROM per_score
+    )
+    SELECT npos, nneg,
+           CAST(s2 - npos * (npos + 1) AS BIGINT) AS u2,
+           CAST(((s2 - npos * (npos + 1)) * 1000000)
+                // (2 * npos * nneg) AS BIGINT) AS auc_e6
+    FROM agg
+    """,
+)
+def auc_rank_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC by the Mann-Whitney rank-sum identity —
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with MIDRANK tie handling, all
+    in integers (doubled ranks: ties at a score contribute
+    pos_cnt·(2·min_rk + cnt − 1)). Scores are the quantized squared
+    norms (HOF fold, no explode); positives are labels ≥ 5. The
+    sort-free AUC every ranking-model eval needs, exact to the last
+    ulp because nothing ever leaves ℤ until the final e6 division.
+
+    Scale shape: ranks come from the leveled two-level pattern
+    (score DIV 2^16 buckets — domain-bounded histogram carry +
+    per-bucket row_number), so no global sort; the midrank algebra
+    runs on the per-distinct-score frame; output is one row.
+
+    Reference basis: evaluation-certificate family
+    (score_calibration_bins r12, quality_threshold_sweep_confusion
+    r12 — this adds the threshold-free ranking metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_fold = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 1000).cast("long")
+        * F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") >= 5).alias("pos"),
+        q_fold.alias("score"),
+    )
+    ranked = _leveled_rank(
+        scored, "score", "vec_id", F.expr("score DIV 65536"), "rk"
+    )
+    per_score = ranked.groupBy("score").agg(
+        F.min("rk").alias("min_rk"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos_cnt"),
+    )
+    agg = per_score.agg(
+        F.sum(
+            F.col("pos_cnt") * (2 * F.col("min_rk") + F.col("cnt") - 1)
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum("pos_cnt").cast("long").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).cast("long").alias("nneg"),
+    )
+    return agg.select(
+        "npos",
+        "nneg",
+        (F.col("s2") - F.col("npos") * (F.col("npos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "((s2 - npos * (npos + 1)) * 1000000)"
+            " DIV (2 * npos * nneg)"
+        )
+        .cast("long")
+        .alias("auc_e6"),
+    )
+
+
+# ------------------------------------ pairwise energy stats --
+
+
+@staged_query(
+    "pairwise_energy_sufficient_stats",
+    oracle="""
+    WITH comp AS (
+        SELECT label, t.j, CAST(floor(t.e * 1000) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS j,
+                             unnest(embedding) AS e) t
+    ),
+    qsum AS (
+        SELECT e.label,
+               count(*) AS n_vecs,
+               CAST(sum((SELECT sum(
+                    CAST(floor(x.e * 1000) AS BIGINT)
+                    * CAST(floor(x.e * 1000) AS BIGINT))
+                    FROM unnest(e.embedding) AS x(e))) AS BIGINT)
+                   AS q_total
+        FROM embeddings e GROUP BY e.label
+    ),
+    svec AS (
+        SELECT label, j, CAST(sum(q) AS BIGINT) AS sj
+        FROM comp GROUP BY label, j
+    ),
+    snorm AS (
+        SELECT label, CAST(sum(sj * sj) AS BIGINT) AS s_norm2
+        FROM svec GROUP BY label
+    )
+    SELECT CAST(q.label AS BIGINT) AS label,
+           CAST(q.n_vecs AS BIGINT) AS n_vecs,
+           q.q_total,
+           s.s_norm2,
+           CAST(q.n_vecs * q.q_total - s.s_norm2 AS BIGINT)
+               AS pairwise_energy2,
+           q.n_vecs * q.q_total - s.s_norm2 >= 0 AS nonneg_ok
+    FROM qsum q JOIN snorm s ON q.label = s.label
+    """,
+)
+def pairwise_energy_sufficient_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRWISE ENERGY from sufficient statistics — per label,
+    Σ_{i<j}‖x_i−x_j‖² computed WITHOUT any pair enumeration via the
+    exact integer identity Σ_{i<j}‖x_i−x_j‖² = n·Σ‖x‖² − ‖Σx‖²
+    (quantized components, so both sides are exact): the O(n·d)
+    sufficient-statistic form of cluster dispersion that replaces the
+    O(n²) pairwise scan SemDeDup-style prune costs would otherwise
+    pay per cluster. The nonneg certificate is Cauchy-Schwarz holding
+    in exact arithmetic.
+
+    Scale shape: one explode to (label, j) component sums (the
+    d-bounded vector-sum state), one HOF-fold aggregate for Σ‖x‖² —
+    both mergeable one-pass aggregates; output is label-bounded.
+
+    Reference basis: embedding-analytics family (semdedup r12-cohort,
+    embedding_prefix_energy r12 — this pins dispersion-by-moments,
+    the 100 TB substitute for pairwise distance audits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_fold = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 1000).cast("long")
+        * F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    qsum = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(q_fold).cast("long").alias("q_total"),
+    )
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("j", "e")
+    ).select(
+        "label",
+        "j",
+        F.floor(F.col("e").cast("double") * 1000).cast("long").alias("q"),
+    )
+    svec = comp.groupBy("label", "j").agg(F.sum("q").alias("sj"))
+    snorm = svec.groupBy("label").agg(
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("s_norm2")
+    )
+    return (
+        qsum.join(snorm, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "q_total",
+            "s_norm2",
+            (F.col("n_vecs") * F.col("q_total") - F.col("s_norm2"))
+            .cast("long")
+            .alias("pairwise_energy2"),
+            (
+                F.col("n_vecs") * F.col("q_total") - F.col("s_norm2")
+                >= 0
+            ).alias("nonneg_ok"),
+        )
+    )
+
+
+# ------------------------------------ 1-NN leave-one-out --
+
+
+@staged_query(
+    "knn_loo_label_accuracy",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 25 = 0
+    ),
+    pairs AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               (SELECT CAST(sum(
+                    CAST(floor(a.e * 1000) AS BIGINT)
+                    * CAST(floor(b.e * 1000) AS BIGINT)) AS BIGINT)
+                FROM (SELECT generate_subscripts(q.embedding, 1) AS j,
+                             unnest(q.embedding) AS e) a
+                JOIN (SELECT generate_subscripts(c.embedding, 1) AS j,
+                             unnest(c.embedding) AS e) b
+                  ON a.j = b.j) AS dot
+        FROM qv q JOIN embeddings c ON c.vec_id != q.vec_id
+    ),
+    nn AS (
+        SELECT qid, qlabel, clabel,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY dot DESC, cid
+               ) AS rk
+        FROM pairs
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM nn WHERE rk = 1 GROUP BY qlabel
+    """,
+)
+def knn_loo_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-NN LEAVE-ONE-OUT accuracy — for a deterministic 4% probe
+    slice, find each probe's nearest neighbor (max quantized integer
+    dot, tie → lowest candidate id, self excluded) and score label
+    agreement per class: the standard embedding-quality sanity metric
+    before any model touches the vectors. The dot is an exact-integer
+    zip_with/aggregate fold — whole-stage codegen, no Python, no
+    floats.
+
+    Scale shape: the probe side is a bounded broadcast (the graded
+    contract mirrors cosine_topk's bounded-query convention); one
+    corpus scan computes all probe dots; argmax is a max_by
+    aggregate keyed by probe. The production path for unbounded
+    probe sets is the LSH/IVF candidate machinery (graded siblings)
+    — this row pins the exact contract those must approximate.
+
+    Reference basis: similarity family (similarity_topk_cosine r3,
+    ann/ivf certificates r6-8 — this adds the label-supervised
+    quality readout)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000) AS BIGINT))"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        qz.alias("cq"),
+    )
+    probes = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        qz.alias("qq"),
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+    )
+    nn = pairs.groupBy("qid", "qlabel").agg(
+        F.expr("min_by(clabel, struct(-dot, cid))").alias("nn_label")
+    )
+    return nn.groupBy(
+        F.col("qlabel").cast("long").alias("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("nn_label") == F.col("qlabel"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+# ------------------------------------ farthest-point init --
+
+
+def _fpinit_oracle(k: int = 4) -> str:
+    """Unrolled k-step farthest-point traversal in plain SQL (the
+    same unrolled-CTE convention as the pca_power_iteration oracle):
+    step 1 = max squared norm, step i>1 = argmax of the running min
+    squared distance to the chosen set; ties break to the lowest
+    vec_id everywhere."""
+    sql = """
+    WITH comp AS (
+        SELECT vec_id, t.j, CAST(floor(t.e * 1000) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS j,
+                             unnest(embedding) AS e) t
+    ),
+    nrm AS (
+        SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        FROM comp GROUP BY vec_id
+    ),
+    c1 AS (
+        SELECT vec_id, n2 AS metric FROM nrm
+        ORDER BY n2 DESC, vec_id LIMIT 1
+    ),
+    mind1 AS (
+        SELECT n.vec_id,
+               n.n2 + (SELECT metric FROM c1)
+                 - 2 * coalesce(dt.dot, 0) AS d
+        FROM nrm n LEFT JOIN (
+            SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+            FROM comp a JOIN comp b
+              ON a.j = b.j AND b.vec_id = (SELECT vec_id FROM c1)
+            GROUP BY a.vec_id
+        ) dt ON dt.vec_id = n.vec_id
+    )"""
+    prev_mind = "mind1"
+    chosen = ["(SELECT vec_id FROM c1)"]
+    for i in range(2, k + 1):
+        excl = ", ".join(chosen)
+        sql += f""",
+    c{i} AS (
+        SELECT vec_id, d AS metric FROM {prev_mind}
+        WHERE vec_id NOT IN ({excl})
+        ORDER BY d DESC, vec_id LIMIT 1
+    )"""
+        chosen.append(f"(SELECT vec_id FROM c{i})")
+        if i < k:
+            sql += f""",
+    mind{i} AS (
+        SELECT m.vec_id,
+               least(m.d,
+                     (SELECT n2 FROM nrm
+                      WHERE vec_id = (SELECT vec_id FROM c{i}))
+                     + (SELECT n2 FROM nrm n
+                        WHERE n.vec_id = m.vec_id)
+                     - 2 * coalesce(dt.dot, 0)) AS d
+        FROM {prev_mind} m LEFT JOIN (
+            SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+            FROM comp a JOIN comp b
+              ON a.j = b.j AND b.vec_id = (SELECT vec_id FROM c{i})
+            GROUP BY a.vec_id
+        ) dt ON dt.vec_id = m.vec_id
+    )"""
+            prev_mind = f"mind{i}"
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS step, CAST(vec_id AS BIGINT)"
+        " AS vec_id, CAST(metric AS BIGINT) AS metric FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), CAST(vec_id AS BIGINT),"
+        f" CAST(metric AS BIGINT) FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@staged_query(
+    "farthest_point_init_quantized", oracle=_fpinit_oracle(4)
+)
+def farthest_point_init_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FARTHEST-POINT (k-center) initialization — the deterministic
+    cousin of k-means++ (argmax of the running min distance instead
+    of D² sampling), k=4 over quantized-integer vectors: the seeding
+    step whose quality bound (2-approx for k-center) makes it the
+    reproducible choice for distributed k-means. All distances exact
+    integers via ‖x−c‖² = ‖x‖² + ‖c‖² − 2x·c; ties break to the
+    lowest vec_id at every step.
+
+    Scale shape: per step, ONE component-join dot aggregate against
+    the 64-row chosen-centroid frame (broadcast) plus a 1-row argmax
+    — the per-iteration aggregate+broadcast recipe of the pca/kmeans
+    family; k steps, never a pairwise matrix. No driver collect —
+    the chosen centroid flows as a broadcast 1-row frame.
+
+    Reference basis: clustering family (kmeans_lloyd_step_quantized
+    r12, semdedup r12, pca_power_iteration r12 — this adds the
+    seeding step, unrolled-CTE oracle like pca's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "e")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("e").cast("double") * 1000).cast("long").alias("q"),
+    )
+    nrm = comp.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    )
+    pick1 = nrm.agg(
+        F.expr("min_by(struct(vec_id, n2), struct(-n2, vec_id))").alias(
+            "s"
+        )
+    ).select(
+        F.lit(1).cast("long").alias("step"),
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.n2").cast("long").alias("metric"),
+    )
+
+    def dist_to(chosen):
+        """d(v, c) for every v, c = the 1-row `chosen` frame."""
+        ccomp = comp.join(
+            F.broadcast(chosen.select("vec_id")), "vec_id"
+        ).select("j", F.col("q").alias("cq"))
+        cn2 = (
+            nrm.join(F.broadcast(chosen.select("vec_id")), "vec_id")
+            .select(F.col("n2").alias("cn2"))
+        )
+        dot = (
+            comp.join(F.broadcast(ccomp), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+        )
+        return (
+            nrm.join(dot, "vec_id", "left")
+            .crossJoin(F.broadcast(cn2))
+            .select(
+                "vec_id",
+                (
+                    F.col("n2")
+                    + F.col("cn2")
+                    - 2 * F.coalesce(F.col("dot"), F.lit(0))
+                ).alias("d"),
+            )
+        )
+
+    picks = [pick1]
+    chosen_ids = pick1.select("vec_id")
+    mind = dist_to(pick1)
+    for i in range(2, 5):
+        cand = mind.join(chosen_ids, "vec_id", "left_anti")
+        pick = cand.agg(
+            F.expr("min_by(struct(vec_id, d), struct(-d, vec_id))").alias(
+                "s"
+            )
+        ).select(
+            F.lit(i).cast("long").alias("step"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.d").cast("long").alias("metric"),
+        )
+        picks.append(pick)
+        chosen_ids = chosen_ids.unionByName(pick.select("vec_id"))
+        if i < 4:
+            nd = dist_to(pick).withColumnRenamed("d", "nd")
+            mind = mind.join(nd, "vec_id").select(
+                "vec_id", F.least("d", "nd").alias("d")
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
