@@ -2341,3 +2341,654 @@ def farthest_point_init_quantized(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------ LSH band sensitivity --
+
+
+def _band_sweep_oracle(k: int = 16, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    sh = sql_word_shingles("text", n)
+    inter = (
+        "len(list_filter(sa.shingles,"
+        " s -> list_contains(sb.shingles, s)))"
+    )
+    jac = (
+        f"CAST({inter} AS DOUBLE) / CAST(len(sa.shingles)"
+        f" + len(sb.shingles) - {inter} AS DOUBLE)"
+    )
+    setting_tpl = """
+    , banded{b} AS (
+        SELECT doc_id, t.b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[t.b*{r}+1 : t.b*{r}+{r}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {b}) t(b)
+    ), cand{b} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded{b} a
+        JOIN banded{b} b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                         AND a.doc_id < b.doc_id
+    ), stats{b} AS (
+        SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               count(*) AS n_candidates,
+               CAST(sum(CASE WHEN {jac} >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_verified
+        FROM cand{b}
+        JOIN sh sa ON cand{b}.doc_a = sa.doc_id
+        JOIN sh sb ON cand{b}.doc_b = sb.doc_id
+    )"""
+    settings = "".join(
+        setting_tpl.format(b=b, r=k // b, jac=jac) for b in (4, 8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ){settings}
+    SELECT * FROM stats4 UNION ALL SELECT * FROM stats8
+    """
+
+
+@staged_query(
+    "lsh_band_sensitivity_audit", oracle=_band_sweep_oracle()
+)
+def lsh_band_sensitivity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH BAND-TUNING SWEEP — candidate and verified-pair counts at
+    two bandings of the SAME 16-hash signatures ((b=4, r=4) vs
+    (b=8, r=2)): the measurement that picks the collision curve
+    P(candidate) = 1-(1-s^r)^b before committing a corpus-scale dedup
+    run. Shorter bands (r=2) recall more true pairs at the cost of
+    more candidates to verify — this row pins both counts exactly so
+    the trade is data, not folklore.
+
+    Scale shape: signatures computed ONCE (the shared lsh_banded_
+    buckets front half, codegen explode+min under one doc-id
+    shuffle); each setting adds only its band-bucket equi-join and
+    the Jaccard verify on its candidate frame — both LSH-bounded.
+
+    Reference basis: dedup family (dedup_minhash_lsh flagship,
+    minhash_estimate_error_certified r10 — this adds the operating-
+    point sweep)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for bands in (4, 8):
+        shingle_side, buckets = lsh_banded_buckets(
+            docs, "text", "doc_id", num_hashes=16, bands=bands
+        )
+        left = buckets.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+        )
+        right = buckets.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+        )
+        cand = (
+            left.join(right, ["band_idx", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = cand.join(
+            shingle_side.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        ).join(
+            shingle_side.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (
+            F.size("sh_a") + F.size("sh_b")
+        ).cast("double") - inter
+        stats = verified.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(inter / union >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_verified"),
+        ).select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(16 // bands).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_verified",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+# ------------------------------------ suffix LCP repeats --
+
+
+@staged_query(
+    "suffix_lcp_repeat_stats",
+    oracle="""
+    WITH pos AS (
+        SELECT d.source, d.doc_id, p.p,
+               substring(d.text, CAST(p.p AS INTEGER), 16) AS suf
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS p) p
+        WHERE len(d.text) - p.p + 1 >= 16
+    ),
+    adj AS (
+        SELECT source, suf,
+               lag(suf) OVER (
+                   PARTITION BY source ORDER BY suf, doc_id, p
+               ) AS prev
+        FROM pos
+    ),
+    lcps AS (
+        SELECT source,
+               len(list_filter(range(1, 17),
+                   i -> substring(suf, 1, CAST(i AS INTEGER))
+                        = substring(prev, 1, CAST(i AS INTEGER))))
+                   AS lcp
+        FROM adj WHERE prev IS NOT NULL
+    )
+    SELECT source,
+           count(*) + 1 AS n_suffixes,
+           CAST(max(lcp) AS BIGINT) AS max_lcp,
+           CAST(sum(CASE WHEN lcp >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_pairs,
+           CAST(sum(lcp) AS BIGINT) AS total_lcp
+    FROM lcps GROUP BY source
+    """,
+)
+def suffix_lcp_repeat_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUFFIX-ARRAY LCP STATISTICS — the repeated-substring profile
+    per source from the sorted-suffix adjacency (max and total LCP
+    over neighbors in suffix order, repeat pairs = adjacent LCP >= 8):
+    the suffix-array construction at the heart of exact-substring
+    dedup (Lee et al. 2022 deduplicate-text-datasets), distilled to
+    its scalable skeleton. Suffixes truncated to 16 chars (the LCP
+    cap); adjacency in the total (suffix, doc, pos) order.
+
+    Scale shape: THE point of the row — the global suffix sort is
+    range-partitioned by the 2-char suffix prefix (alphabet-bounded
+    buckets): in-bucket adjacency is a per-bucket sort window,
+    cross-bucket adjacency comes from the bounded (source, bucket)
+    first/last summary frame. No single-reducer sort; the LCP of two
+    strings is the monotone prefix-equality count
+    size(filter(1..16, i -> prefix_i equal)) — pure codegen.
+
+    Reference basis: text-dedup family (exact_substring_spans r9 —
+    windowed-hash spans; this is the suffix-order view that scales
+    to cross-document repeated-substring mining)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "source",
+        "doc_id",
+        "p",
+        F.expr("substring(text, p, 16)").alias("suf"),
+    )
+    pos = pos.withColumn("bkt", F.expr("substring(suf, 1, 2)"))
+    wb = Window.partitionBy("source", "bkt").orderBy(
+        "suf", "doc_id", "p"
+    )
+    in_bucket = pos.select(
+        "source",
+        "bkt",
+        "suf",
+        F.lag("suf").over(wb).alias("prev"),
+    )
+    # cross-bucket adjacency from the bounded per-bucket summary
+    summary = pos.groupBy("source", "bkt").agg(
+        F.min(F.struct("suf", "doc_id", "p")).alias("first_s"),
+        F.max(F.struct("suf", "doc_id", "p")).alias("last_s"),
+    )
+    ws = Window.partitionBy("source").orderBy("bkt")
+    boundary = summary.select(
+        "source",
+        F.col("first_s.suf").alias("suf"),
+        F.lag(F.col("last_s.suf")).over(ws).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    pairs = in_bucket.where(F.col("prev").isNotNull()).select(
+        "source", "suf", "prev"
+    ).unionByName(boundary)
+    lcp = F.size(
+        F.expr(
+            "filter(sequence(1, 16), i ->"
+            " substring(suf, 1, i) = substring(prev, 1, i))"
+        )
+    ).cast("long")
+    lcps = pairs.select("source", lcp.alias("lcp"))
+    return lcps.groupBy("source").agg(
+        (F.count(F.lit(1)) + 1).alias("n_suffixes"),
+        F.max("lcp").cast("long").alias("max_lcp"),
+        F.sum(F.when(F.col("lcp") >= 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_pairs"),
+        F.sum("lcp").cast("long").alias("total_lcp"),
+    )
+
+
+# ------------------------------------ CC via hash-to-min --
+
+
+def _cc_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    iter_tpl = """
+    , labels{i} AS (
+        SELECT l.node,
+               least(l.lbl, coalesce(nm.m, l.lbl)) AS lbl
+        FROM labels{p} l LEFT JOIN (
+            SELECT e.src AS node, min(x.lbl) AS m
+            FROM edges e JOIN labels{p} x ON e.dst = x.node
+            GROUP BY e.src
+        ) nm ON nm.node = l.node
+    )"""
+    iters = "".join(iter_tpl.format(i=i, p=i - 1) for i in range(1, 7))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), labels0 AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ){iters}
+    SELECT CAST(l6.lbl AS BIGINT) AS component,
+           count(*) AS n_members,
+           CAST(min(l6.node) AS BIGINT) AS min_doc_id,
+           CAST(max(l6.node) AS BIGINT) AS max_doc_id,
+           bool_and(l6.lbl = l5.lbl) AS converged
+    FROM labels6 l6 JOIN labels5 l5 ON l6.node = l5.node
+    GROUP BY l6.lbl
+    """
+
+
+@staged_query(
+    "cc_hash_to_min_pointer_jump", oracle=_cc_oracle()
+)
+def cc_hash_to_min_pointer_jump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONNECTED COMPONENTS by HASH-TO-MIN with POINTER JUMPING —
+    two rounds of (adopt the min label among self and neighbors,
+    then p := p(p)) on the near-dup graph: the O(log d)-round CC
+    algorithm (Rastogi et al., "Finding Connected Components in
+    MapReduce") that replaces diameter-many plain min-propagation
+    rounds. The pointer jump is a self-join of the label table — the
+    doubling step plain propagation lacks. The in-query `converged`
+    certificate (one extra propagation step changes nothing) proves
+    the fixed round count sufficed; the oracle reaches the same
+    fixpoint by 6 unrolled plain min-propagation CTEs.
+
+    Scale shape: per round, one edges⋈labels hash join + one
+    per-node min aggregate + one labels⋈labels pointer join — all
+    keyed on node ids, lineage cut per round (localCheckpoint, the
+    pagerank/kcore recipe). Rounds needed grow with log(diameter),
+    not diameter.
+
+    Reference basis: dedup-graph family (dedup_clusters r4 min-label
+    CC, labelprop r12, kcore r12 — this adds the doubling
+    acceleration that makes CC viable on high-diameter graphs)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id", num_hashes=16, bands=4
+    )
+    left = buckets.select(
+        F.col("doc_id").alias("u"), "band_idx", "bh"
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("v"), "band_idx", "bh"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("p")
+    )
+    for _ in range(2):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("p").alias("pv")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("pv").alias("nm"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                "p", F.coalesce("nm", F.col("p"))
+            ).alias("p"),
+        )
+        # pointer jump: p := p(p)
+        labels = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("p"), F.col("p").alias("pp")
+                ),
+                "p",
+            )
+            .select("node", F.col("pp").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    # convergence certificate: one more plain min step is a no-op
+    extra = (
+        edges.join(
+            labels.select(F.col("node").alias("v"), F.col("p").alias("pv")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("pv").alias("nm"))
+    )
+    final = labels.join(extra, "node", "left").select(
+        "node",
+        "p",
+        (F.least("p", F.coalesce("nm", F.col("p"))) == F.col("p")).alias(
+            "stable"
+        ),
+    )
+    return final.groupBy(
+        F.col("p").cast("long").alias("component")
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").cast("long").alias("min_doc_id"),
+        F.max("node").cast("long").alias("max_doc_id"),
+        F.bool_and("stable").alias("converged"),
+    )
+
+
+# ------------------------------------ IVF cell balance --
+
+
+def _cell_balance_oracle(num_planes: int = 5, dim: int = 64) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _planes_values,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM base n, {_planes_values(num_planes, dim)}
+        GROUP BY n.vec_id
+    ), cells AS (
+        SELECT bucket, count(*) AS n_vecs,
+               (SELECT count(*) FROM base) AS total
+        FROM buckets GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST((n_vecs * 1000000) // ((total + 31) // 32) AS BIGINT)
+               AS occupancy_e6
+    FROM cells
+    """
+
+
+@staged_query(
+    "ivf_cell_balance_audit", oracle=_cell_balance_oracle()
+)
+def ivf_cell_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF/LSH CELL-BALANCE AUDIT — per-cell occupancy of the 32-cell
+    hyperplane quantizer relative to the ideal ceil(n/32) load: the
+    health check every ANN index needs before query routing commits
+    to it (a hot cell makes its probes scan-bound; empty cells waste
+    recall). occupancy_e6 > 1e6 marks overloaded cells exactly.
+
+    Scale shape: the bucket id is a scan-fused codegen expression
+    (5 sign tests, no shuffle); one 32-cell aggregate + the scalar
+    total broadcast. The audit costs one scan regardless of corpus
+    size.
+
+    Reference basis: similarity family (similarity_ann_lsh r4,
+    ivf_recall_certified r7 — this adds the index-health certificate
+    their routing assumes)."""
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    planes = similarity.hyperplanes(5, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("vec"),
+    )
+    buckets = base.select(
+        "vec_id",
+        F.expr(similarity.lsh_bucket_col("vec", planes)).alias("bucket"),
+    )
+    total = buckets.agg(F.count(F.lit(1)).alias("total"))
+    cells = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket").cast("long"),
+            F.col("n_vecs").cast("long"),
+            F.expr("(n_vecs * 1000000) DIV ((total + 31) DIV 32)")
+            .cast("long")
+            .alias("occupancy_e6"),
+        )
+    )
+
+
+# ------------------------------------ SCD2 temporal lookup --
+
+
+@staged_query(
+    "scd2_temporal_lookup_join",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey AS ck, o_orderdate AS t,
+               max_by(o_orderpriority, o_orderkey) AS prio
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    fact AS (
+        SELECT o.o_custkey AS ck, l.l_shipdate AS t,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT coalesce(d.prio, 'UNMATCHED') AS version_priority,
+           count(*) AS n_lineitems,
+           CAST(sum(f.cents) AS BIGINT) AS price_cents
+    FROM fact f ASOF LEFT JOIN dim d
+      ON f.ck = d.ck AND f.t >= d.t
+    GROUP BY 1
+    """,
+)
+def scd2_temporal_lookup_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 POINT-IN-TIME dimension lookup — every lineitem enriched
+    with the customer's order-priority VERSION valid at its ship
+    date (versions = the customer's order history, deduplicated to
+    one attribute per (customer, date) by the max-orderkey rule):
+    the temporal dimension join behind every slowly-changing-
+    dimension star schema, with UNMATCHED accounting for facts that
+    predate the first version. DuckDB's native ASOF LEFT JOIN is the
+    oracle — the engine-level contract our union-tag operator must
+    match, including the >= equality edge.
+
+    Scale shape: version table built by one (ck, date) aggregate;
+    the lookup is the asof_join operator (union-tag + last-carry —
+    ONE shuffle on the customer key, no inequality join, no
+    per-interval explode); rollup is priority-bounded.
+
+    Reference basis: as-of family (asof_join_latest_view r3,
+    asof_tolerance r8, feature_store_pit_join r12 — this is the SCD2
+    dimension-enrichment form with left-outer unmatched semantics)."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = orders.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("t"),
+    ).agg(
+        F.expr("max_by(o_orderpriority, o_orderkey)").alias("prio")
+    )
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_shipdate").alias("t"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    joined = asof_join(
+        fact, dim, on=["ck"], ts_col="t", payload_cols=["prio"]
+    )
+    return joined.groupBy(
+        F.coalesce("prio", F.lit("UNMATCHED")).alias("version_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("cents").cast("long").alias("price_cents"),
+    )
+
+
+# ------------------------------------ last-touch attribution --
+
+
+@staged_query(
+    "attribution_last_touch_windowed",
+    oracle="""
+    WITH marketing AS (
+        SELECT user_id, ts,
+               max_by(event_type, event_id) AS mtype
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+        SELECT p.cents,
+               CASE WHEN m.ts IS NOT NULL
+                         AND epoch_us(p.ts) - epoch_us(m.ts)
+                             <= 604800000000
+                    THEN m.mtype ELSE 'none' END AS touch
+        FROM purchases p ASOF LEFT JOIN marketing m
+          ON p.user_id = m.user_id AND p.ts >= m.ts
+    )
+    SELECT touch AS attributed_to,
+           count(*) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM attributed GROUP BY touch
+    """,
+)
+def attribution_last_touch_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION with a 7-day lookback — every purchase
+    credited to the user's most recent view/click within the window
+    (or 'none'): the marketing-analytics join that is naturally an
+    AS-OF, not a range join — the nearest preceding touch, then the
+    window cut applied to the carried timestamp. Marketing rows are
+    deduplicated to one touch per (user, instant) by the
+    max-event-id rule so the as-of carry is deterministic.
+
+    Scale shape: the asof_join operator again — one shuffle on
+    user_id for both sides, running last-carry, zero inequality
+    joins; the 7-day cut is a scan-side filter on the carried
+    column. Output is touch-type-bounded.
+
+    Reference basis: as-of + product-analytics families
+    (funnel_conversion r6, asof_tolerance_join r8 — this is the
+    tolerance form pointed at revenue attribution)."""
+    from sparkksqldbbenchmark_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    marketing = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(event_type, event_id)").alias("mtype"))
+        .select("user_id", "ts", "mtype", F.col("ts").alias("m_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = asof_join(
+        purchases,
+        marketing,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["mtype", "m_ts"],
+    )
+    attributed = joined.select(
+        "cents",
+        F.when(
+            F.col("m_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("m_ts")
+                <= 604800000000
+            ),
+            F.col("mtype"),
+        )
+        .otherwise("none")
+        .alias("attributed_to"),
+    )
+    return attributed.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
