@@ -16,7 +16,26 @@ Opening cohort: the twelve suite siblings held back from the round-12
 graduation (54 staged > 42 free slots; docs/ROTATION_R12.md holdback
 priority -- suite rows whose machinery already carries a graded
 sibling) -- each verified at sf0.001/0.01/0.1 while staged in round 12.
-New round-13 staging lands below them.
+
+Round-13 cohort (28 new rows below the holdbacks): time-series
+analytics (max drawdown, CUSUM via the prefix-sum/running-min
+identity, delta-sign run lengths, MoM/YoY offsets), product analytics
+(DAU/MAU stickiness, path trigrams, RFM quintile segmentation via
+three leveled global ranks, cohort LTV), sampling certificates
+(mergeable bottom-k reservoir with boundary proof, stratified k-fold
+exact balance, class-balanced undersampling), evaluation metrics
+(exact rank-sum AUC with midranks, 1-NN leave-one-out label accuracy),
+embedding analytics (pairwise energy from sufficient statistics,
+farthest-point k-center init, IVF cell-balance audit), dedup depth
+(LSH band-tuning sweep, sorted-suffix LCP repeat statistics, CC by
+hash-to-min with pointer jumping), as-of consumers (SCD2 point-in-time
+lookup vs DuckDB native ASOF, last-touch attribution), SQL surface
+(null-convenience scalars, CSV dialect matrix, array_sort comparator,
+GROUPING_ID bitmask), compliance (subject access export), scale
+patterns (exact equi-depth range-partition bounds), and the
+streaming watermark late-drop row (T4 drop semantics value-graded for
+the first time, with the measured one-batch watermark-filter lag
+encoded in its three-batch fixture).
 
 Design notes per query live in the docstrings; every one follows the
 repo-wide cross-engine determinism rules (functions/stable.py,
@@ -2992,3 +3011,608 @@ def attribution_last_touch_windowed(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ------------------------------------ null-handling scalars --
+
+
+@staged_query(
+    "null_scalar_breadth_suite",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               CASE WHEN user_id % 7 = 0 THEN NULL
+                    ELSE CAST(floor(value * 100) AS BIGINT) END AS nv,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE CAST(floor(value * 100) AS BIGINT) END AS nv2,
+               CASE WHEN user_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+                    ELSE value END AS maybe_nan
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN nv IS NULL THEN 0 ELSE nv END)
+                AS BIGINT) AS zeroifnull_sum,
+           CAST(sum(CASE WHEN cents % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nullifzero_nulls,
+           CAST(sum(CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nvl2_set,
+           CAST(sum(CASE WHEN (nv IS NULL AND nv2 IS NULL)
+                              OR nv = nv2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS equal_null_true,
+           CAST(sum(CASE WHEN isnan(maybe_nan) THEN 1 ELSE 0 END)
+                AS BIGINT) AS nanvl_replaced,
+           CAST(sum(coalesce(nv, -1)) AS BIGINT) AS ifnull_sum
+    FROM v GROUP BY event_type
+    """,
+)
+def null_scalar_breadth_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NULL-HANDLING scalar family Spark 4 ships as first-class
+    functions — zeroifnull, nullifzero, nvl2, equal_null, nanvl,
+    ifnull — each exercised on planted NULL / zero / NaN patterns and
+    graded against an oracle that spells every one as its portable
+    CASE equivalent (DuckDB has none of these names): the
+    three-valued-logic convenience surface ETL code leans on, pinned
+    value-exact. NaN handling counts replacements instead of summing
+    doubles — no float accumulation enters the hash.
+
+    Scale shape: pure scan-fused per-row expressions, one
+    type-bounded rollup.
+
+    Reference basis: SURVEY §2.8 scalar surface extension
+    (null_semantics_suite r4 pins 3VL operators; this pins the
+    null-CONVENIENCE functions)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            "CASE WHEN user_id % 7 = 0 THEN NULL"
+            " ELSE CAST(floor(value * 100) AS BIGINT) END"
+        ).alias("nv"),
+        F.expr(
+            "CASE WHEN event_id % 5 = 0 THEN NULL"
+            " ELSE CAST(floor(value * 100) AS BIGINT) END"
+        ).alias("nv2"),
+        F.expr(
+            "CASE WHEN user_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)"
+            " ELSE value END"
+        ).alias("maybe_nan"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("zeroifnull(nv)")).cast("long").alias(
+            "zeroifnull_sum"
+        ),
+        F.sum(
+            F.when(F.expr("nullifzero(cents % 5)").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("nullifzero_nulls"),
+        F.sum(F.expr("nvl2(nv, 1, 0)")).cast("long").alias("nvl2_set"),
+        F.sum(F.when(F.expr("equal_null(nv, nv2)"), 1).otherwise(0))
+        .cast("long")
+        .alias("equal_null_true"),
+        F.sum(
+            F.when(F.expr("nanvl(maybe_nan, -1.0D)") == -1.0, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("nanvl_replaced"),
+        F.sum(F.expr("ifnull(nv, -1)")).cast("long").alias("ifnull_sum"),
+    )
+
+
+# ------------------------------------ CSV options matrix --
+
+
+@staged_query(
+    "csv_escape_quote_matrix",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               'a|b ''q'' \\ ' || substring(text, 1, 30) AS payload,
+               CASE WHEN doc_id % 9 = 0 THEN NULL
+                    ELSE substring(text, 31, 10) END AS extra
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CAST(len(payload) AS BIGINT)) AS BIGINT)
+               AS payload_chars,
+           CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_extra,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM p
+    """,
+)
+def csv_escape_quote_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV OPTIONS MATRIX round-trip — pipe delimiter, single-QUOTE
+    quoting, backslash ESCAPE, and a custom nullValue sentinel, on
+    payloads that contain the delimiter, the quote char, and
+    backslashes, with planted NULLs that must survive the sentinel
+    round-trip (write NULL -> token -> read token -> NULL, not the
+    empty string and not the literal token). The oracle computes the
+    same aggregates straight from the source table — any quoting,
+    escaping, or null-sentinel drift lands in payload_chars or
+    n_null_extra.
+
+    Scale shape: option-plumbing correctness row (the layout cost
+    model is csv_quoted_multiline's point); writes one bounded
+    (<=400-row) temp dataset.
+
+    Reference basis: SURVEY §2.1 S5/S10 CSV family — the dialect
+    matrix the reference's semicolon reader implies but never
+    stresses."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="csvmx_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("a|b 'q' \\ "), F.substring("text", 1, 30)
+            ).alias("payload"),
+            F.expr(
+                "CASE WHEN doc_id % 9 = 0 THEN NULL"
+                " ELSE substring(text, 31, 10) END"
+            ).alias("extra"),
+        )
+    )
+    opts = {
+        "header": "true",
+        "sep": "|",
+        "quote": "'",
+        "escape": "\\",
+        "nullValue": "__NULL__",
+        "ignoreTrailingWhiteSpace": "false",
+        "ignoreLeadingWhiteSpace": "false",
+    }
+    w = docs.write.mode("overwrite")
+    for k, val in opts.items():
+        w = w.option(k, val)
+    w.csv(d)
+    r = spark.read
+    for k, val in opts.items():
+        r = r.option(k, val)
+    back = r.schema("doc_id long, payload string, extra string").csv(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+        F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_extra"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ------------------------------------ array_sort comparator --
+
+
+@staged_query(
+    "array_sort_comparator_suite",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, t.tok
+        FROM (
+            SELECT doc_id, source,
+                   string_split(text, ' ')[1:12] AS ts
+            FROM documents
+        ), LATERAL (SELECT unnest(ts) AS tok) t
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               string_agg(tok, '|' ORDER BY len(tok) DESC, tok ASC)
+                   AS joined
+        FROM toks GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(('0x' || substring(md5(joined), 1, 15))::BIGINT
+                    % 1000000007) AS BIGINT) AS checksum
+    FROM per_doc GROUP BY source
+    """,
+)
+def array_sort_comparator_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """array_sort with a CUSTOM LAMBDA COMPARATOR — tokens ordered by
+    (length DESC, lexical ASC), a total order no plain sort key
+    expresses without a transform round-trip: the comparator form is
+    the HOF surface's last uncovered corner (transform/filter/
+    aggregate/zip_with are graded; the -1/0/1 comparator contract is
+    not). The oracle re-derives each doc's ordering relationally
+    (unnest + ORDER BY + string_agg) — comparator bugs (asymmetry,
+    missing 0 case) break the per-source md5 checksums.
+
+    Scale shape: per-row array work fused into the scan; the
+    checksum rollup is source-bounded. Comparator lambdas are
+    interpreted per comparison (not codegen) — the docstring's
+    costed caveat: for hot paths, express orderings as sort keys
+    (transform + array_sort) when possible; this row pins the
+    semantics for when you can't.
+
+    Reference basis: SURVEY §2.10/§2.8 HOF surface (hof_function_
+    suite r7, hof_suite2 r12-cohort — comparator form completes
+    it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sorted_arr = F.expr(
+        "array_sort(slice(split(text, ' '), 1, 12), (l, r) ->"
+        " CASE WHEN length(l) > length(r) THEN -1"
+        "      WHEN length(l) < length(r) THEN 1"
+        "      WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)"
+    )
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    per_doc = docs.select(
+        "source",
+        F.array_join(sorted_arr, "|").alias("joined"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"({spark_md5_int('joined')}) % 1000000007"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+# ------------------------------------ grouping_id bitmask --
+
+
+@staged_query(
+    "grouping_id_bitmask_report",
+    oracle="""
+    SELECT coalesce(event_type, '__ALL__') AS event_type,
+           CAST(coalesce(hod, -1) AS BIGINT) AS hod,
+           CAST(2 * grouping(event_type) + grouping(hod) AS BIGINT)
+               AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, hod), (event_type),
+                            (hod), ())
+    """,
+)
+def grouping_id_bitmask_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPING_ID() BITMASK over asymmetric GROUPING SETS — the
+    compact provenance encoding (bit i set = column i rolled up)
+    report consumers use to route subtotal rows, graded against the
+    oracle's 2·grouping(a)+grouping(b) spelling (DuckDB's GROUPING
+    is per-column; the bitmask is the composed form). NULL group
+    keys are disambiguated from rolled-up keys by the coalesce
+    sentinels + the bitmask itself — the exact trap GROUPING_ID
+    exists to solve.
+
+    Scale shape: one Expand (4 grouping sets) + one hash aggregate —
+    partial aggregation applies per set; output bounded by
+    types × hours.
+
+    Reference basis: SURVEY §2.4 reshape family
+    (grouping_sets_report r4 pins GROUPING() markers; this pins the
+    composed bitmask contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    )
+    base.createOrReplaceTempView("__gid_base")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '__ALL__') AS event_type,
+               CAST(coalesce(hod, -1) AS BIGINT) AS hod,
+               CAST(grouping_id(event_type, hod) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum
+        FROM __gid_base
+        GROUP BY GROUPING SETS ((event_type, hod), (event_type),
+                                (hod), ())
+        """
+    )
+
+
+# ------------------------------------ subject access export --
+
+
+@staged_query(
+    "subject_access_export",
+    oracle="""
+    WITH subjects AS (
+        SELECT c_custkey AS ck, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    order_recs AS (
+        SELECT s.ck, s.segment, 'orders' AS record_type,
+               count(*) AS n_records,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM subjects s JOIN orders o ON o.o_custkey = s.ck
+        GROUP BY s.ck, s.segment
+    ),
+    line_recs AS (
+        SELECT s.ck, s.segment, 'lineitem' AS record_type,
+               count(*) AS n_records,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM subjects s
+        JOIN orders o ON o.o_custkey = s.ck
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY s.ck, s.segment
+    )
+    SELECT ck AS custkey, segment, record_type, n_records, cents_sum
+    FROM order_recs
+    UNION ALL
+    SELECT ck, segment, record_type, n_records, cents_sum
+    FROM line_recs
+    """,
+)
+def subject_access_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUBJECT ACCESS EXPORT (GDPR Art. 15) — for a deterministic
+    subject set, every table's records about the subject gathered
+    with per-table provenance: the multi-table union that a
+    right-to-access request materializes, sibling to the graduated
+    right_to_erasure_cascade (which deletes what this enumerates).
+    Lineitems reach the subject through the order foreign key — the
+    same cascade path the erasure row walks.
+
+    Scale shape: the subject set is a scan-side filter broadcast
+    into each fact join (semi-join pattern per table); per-table
+    rollups then union a provenance-typed frame. Adding tables adds
+    joins, never widens existing ones.
+
+    Reference basis: ops/compliance family
+    (right_to_erasure_cascade r12, dq_expectation_audit r12 — the
+    access leg of the same compliance surface)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    subjects = customer.where(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ords = orders.join(
+        F.broadcast(subjects),
+        orders.o_custkey == subjects.custkey,
+    )
+    order_recs = ords.groupBy("custkey", "segment").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+    ).select(
+        "custkey",
+        "segment",
+        F.lit("orders").alias("record_type"),
+        "n_records",
+        "cents_sum",
+    )
+    line_recs = (
+        lineitem.join(
+            ords.select("o_orderkey", "custkey", "segment"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("custkey", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        .select(
+            "custkey",
+            "segment",
+            F.lit("lineitem").alias("record_type"),
+            "n_records",
+            "cents_sum",
+        )
+    )
+    return order_recs.unionByName(line_recs)
+
+
+# ------------------------------------ MoM / YoY deltas --
+
+
+@staged_query(
+    "monthly_revenue_mom_yoy",
+    oracle="""
+    WITH monthly AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(ym AS BIGINT) AS ym,
+           rev_cents,
+           CAST(rev_cents - lag(rev_cents, 1) OVER (ORDER BY ym)
+                AS BIGINT) AS mom_delta,
+           CAST(rev_cents - lag(rev_cents, 12) OVER (ORDER BY ym)
+                AS BIGINT) AS yoy_delta
+    FROM monthly
+    """,
+)
+def monthly_revenue_mom_yoy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MONTH-OVER-MONTH and YEAR-OVER-YEAR revenue deltas — the two
+    lag offsets every finance report pairs (seasonal comparison needs
+    lag 12, momentum needs lag 1), computed in one window pass over
+    the MONTH-GRAIN aggregate. Exact integer cents; NULL deltas where
+    no comparison month exists.
+
+    Scale shape: one scan-side month rollup (orders collapse to a
+    <=100-row month frame), then both lags share one window over
+    that bounded frame — the constant-size-frame rule's textbook
+    case. Row-grain data is touched exactly once.
+
+    Reference basis: reporting family (time_rollup_hierarchy r3,
+    cube_rollup_report r4 — this adds the offset-comparison readout
+    those feed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "rev_cents",
+        (F.col("rev_cents") - F.lag("rev_cents", 1).over(w))
+        .cast("long")
+        .alias("mom_delta"),
+        (F.col("rev_cents") - F.lag("rev_cents", 12).over(w))
+        .cast("long")
+        .alias("yoy_delta"),
+    )
+
+
+# ------------------------------------ watermark late drop --
+
+
+@staged_query(
+    "streaming_watermark_late_drop",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    a AS (
+        SELECT ts, event_type FROM events, d0
+        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 HOUR
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM a),
+    b AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, event_type
+        FROM a
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM b, wm
+    WHERE ws + INTERVAL 15 MINUTE <= wm.w
+    GROUP BY ws, event_type
+    """,
+)
+def streaming_watermark_late_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WATERMARK LATE-DATA DROP, value-graded — the T4 semantics the
+    reference never tests: a two-file ordered stream (mtime-forced,
+    maxFilesPerTrigger=1) delivers one on-time batch (hour 0 of the
+    corpus) and then one batch of DELIBERATELY LATE rows (hour-1
+    events shifted back two hours, so every one lands below the
+    watermark set by batch 1). The late rows' windows end BEFORE the
+    final watermark — so if the engine failed to drop them they
+    WOULD be emitted and the value hash would change: the drop is
+    observable, not vacuous. Emitted set = on-time 15-minute windows
+    closed by the final watermark (max on-time ts − 10 min), the
+    same closed-set rule the graded streaming_watermarked_append /
+    chained rows pin.
+
+    Scale shape: standard watermarked tumbling aggregate — state
+    bounded by open windows; the late-drop filter is exactly what
+    caps state at 100 TB ingest (without it, stragglers pin every
+    historical window open).
+
+    Reference basis: SURVEY §2.9 T4 (watermark extension) — the
+    drop semantics graded value-for-value for the first time;
+    deterministic batching via ordered file delivery (the T6
+    checkpoint row's fixture technique)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0")
+    )
+    evb = ev.crossJoin(F.broadcast(bounds))
+    on_time = evb.where(
+        (F.col("ts") >= F.col("t0"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+    ).select("ts", "event_type", "event_id")
+    # Spark filters late input with the PREVIOUS batch's watermark
+    # (one-batch lag, measured on 4.1.2: a late row arriving in the
+    # batch right after the advancing data is still accepted and its
+    # closed window emitted). So the fixture delivers THREE batches:
+    # all-but-latest on-time rows, then the single latest on-time row
+    # (watermark now set for filtering), then the late rows — which
+    # the drop metric must reject.
+    wlast = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = on_time.withColumn(
+        "__rk", F.row_number().over(wlast)
+    )
+    a_head = marked.where(F.col("__rk") > 1).select(
+        "ts", "event_type"
+    )
+    a_tail = marked.where(F.col("__rk") == 1).select(
+        "ts", "event_type"
+    )
+    late = evb.where(
+        (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 2 HOUR"))
+    ).select(
+        (F.col("ts") - F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        "event_type",
+    )
+    base = tempfile.mkdtemp(prefix="wmdrop_")
+    sdir = os.path.join(base, "stream")
+    os.makedirs(sdir)
+    for i, part_df in enumerate((a_head, a_tail, late)):
+        tmp = os.path.join(base, f"part{i}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(sdir, f"file{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    agged = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"wmdrop_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,853 @@
+"""Invariant tests for the round-13 staged cohort, beyond the
+value-hash oracle (tests/test_next_round.py): each novel operator's
+result is re-derived by an INDEPENDENT brute-force twin in plain
+Python over the collected slice — a second witness sharing none of
+the SQL machinery, the standard every graduated cohort carries.
+Where the staged query uses an algebraic shortcut (the CUSUM
+prefix-sum identity, the pairwise-energy moment identity, the
+rank-sum AUC), the witness runs the DIRECT form the shortcut
+replaces — the strongest possible cross-check.
+
+(null_scalar_breadth_suite, csv_escape_quote_matrix, and
+grouping_id_bitmask_report grade CASE-spelled / relational oracles
+that are already independent derivations — the suite convention of
+prior cohorts.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark, *cols):
+    return load_table(spark, SF_DIR, "events").select(*cols).collect()
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _cents(v: float) -> int:
+    return math.floor(v * 100)
+
+
+def test_max_drawdown_matches_direct_peak_scan(spark):
+    """Per-user max drawdown re-derived by the DIRECT quadratic
+    definition (max over pairs i<=j of cents_i - cents_j in time
+    order) — the form the prefix-max identity replaces."""
+    rows = _events(spark, "user_id", "ts", "event_id", "value")
+    series: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(_cents(r.value))
+    per_user = {}
+    for u, vals in series.items():
+        best = 0
+        for i in range(len(vals)):
+            for j in range(i, len(vals)):
+                best = max(best, vals[i] - vals[j])
+        per_user[u] = best
+    got = STAGED["max_drawdown_summary"](spark, SF_DIR).collect()[0]
+    assert got.n_users == len(per_user)
+    assert got.worst_dd == max(per_user.values())
+    assert got.total_dd == sum(per_user.values())
+    assert got.n_over_100 == sum(1 for v in per_user.values() if v > 10000)
+    assert got.n_over_400 == sum(1 for v in per_user.values() if v > 40000)
+
+
+def test_cusum_matches_direct_nonlinear_recurrence(spark):
+    """The staged query computes CUSUM via the prefix-sum/running-min
+    identity; this witness runs the textbook NONLINEAR recurrence
+    S_t = max(0, S_{t-1} + (x_t - k)) directly."""
+    rows = _events(spark, "user_id", "ts", "event_id", "value")
+    series: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(_cents(r.value))
+    n_points = 0
+    max_s = 0
+    n_flags = 0
+    users_flagged = set()
+    for u, vals in series.items():
+        s = 0
+        for x in vals:
+            s = max(0, s + (x - 25000))
+            n_points += 1
+            max_s = max(max_s, s)
+            if s > 500000:
+                n_flags += 1
+                users_flagged.add(u)
+    got = STAGED["cusum_drift_flags"](spark, SF_DIR).collect()[0]
+    assert (got.n_points, got.max_cusum, got.n_flags,
+            got.n_users_flagged) == (
+        n_points, max_s, n_flags, len(users_flagged)
+    )
+
+
+def test_runlengths_match_direct_streak_walk(spark):
+    rows = _events(spark, "user_id", "ts", "event_id", "value")
+    series: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(_cents(r.value))
+    stats: dict[int, list[int]] = {}  # sgn -> [n_runs, max, total]
+    for vals in series.values():
+        sgns = []
+        for a, b in zip(vals, vals[1:]):
+            d = b - a
+            sgns.append(0 if d == 0 else (1 if d > 0 else -1))
+        i = 0
+        while i < len(sgns):
+            j = i
+            while j < len(sgns) and sgns[j] == sgns[i]:
+                j += 1
+            st = stats.setdefault(sgns[i], [0, 0, 0])
+            st[0] += 1
+            st[1] = max(st[1], j - i)
+            st[2] += j - i
+            i = j
+    got = {
+        r.sgn: (r.n_runs, r.max_run, r.total_len)
+        for r in STAGED["delta_sign_runlength_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {s: tuple(v) for s, v in stats.items()}
+
+
+def test_stickiness_matches_set_replay(spark):
+    rows = _events(spark, "user_id", "ts")
+    udays = {(r.user_id, r.ts.date()) for r in rows}
+    days = sorted({d for _, d in udays})
+    got = {
+        r.day: (r.dau, r.mau28, r.stickiness_e6)
+        for r in STAGED["stickiness_dau_mau"](spark, SF_DIR).collect()
+    }
+    import datetime
+
+    for d in days:
+        dau = sum(1 for u, dd in udays if dd == d)
+        mau = len(
+            {
+                u
+                for u, dd in udays
+                if dd <= d and (d - dd) < datetime.timedelta(days=28)
+            }
+        )
+        key = d.strftime("%Y-%m-%d")
+        assert got[key] == (dau, mau, dau * 1000000 // mau)
+    assert len(got) == len(days)
+
+
+def test_path_trigrams_match_sequence_walk(spark):
+    rows = _events(spark, "user_id", "ts", "event_id", "event_type")
+    series: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.event_type)
+    expected: dict[str, int] = {}
+    for seq in series.values():
+        for i in range(len(seq) - 2):
+            p = ">".join(seq[i : i + 3])
+            expected[p] = expected.get(p, 0) + 1
+    got = {
+        r.path: r.n
+        for r in STAGED["event_path_trigrams"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_rfm_quintiles_match_sorted_replay(spark):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    last = {}
+    freq = defaultdict(int)
+    money = defaultdict(int)
+    maxd = max(r.o_orderdate for r in orders)
+    for r in orders:
+        ck = r.o_custkey
+        last[ck] = max(last.get(ck, r.o_orderdate), r.o_orderdate)
+        freq[ck] += 1
+        money[ck] += _cents(r.o_totalprice)
+    cks = sorted(last)
+    n = len(cks)
+
+    def quintile(metric):
+        ranked = sorted(cks, key=lambda c: (metric[c], c))
+        return {
+            c: ((i * 5) // n) + 1 for i, c in enumerate(ranked)
+        }
+
+    rq = quintile({c: (maxd - last[c]).days for c in cks})
+    fq = quintile(freq)
+    mq = quintile(money)
+    expected: dict[tuple, list[int]] = {}
+    for c in cks:
+        key = (rq[c], fq[c], mq[c])
+        agg = expected.setdefault(key, [0, 0])
+        agg[0] += 1
+        agg[1] += c
+    got = {
+        (r.r_quintile, r.f_quintile, r.m_quintile): (
+            r.n_customers,
+            r.custkey_sum,
+        )
+        for r in STAGED["rfm_segment_counts"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_equi_depth_bounds_match_sorted_replay(spark):
+    rows = _events(spark, "value")
+    cents = sorted(_cents(r.value) for r in rows)
+    n = len(cents)
+    got = {
+        r.bucket_id: (r.target_cum, r.boundary_cents, r.cum_at_boundary)
+        for r in STAGED["equi_depth_partition_bounds"](
+            spark, SF_DIR
+        ).collect()
+    }
+    from collections import Counter
+
+    cum = 0
+    cum_by_val = {}
+    for v, c in sorted(Counter(cents).items()):
+        cum += c
+        cum_by_val[v] = cum
+    for i in range(1, 17):
+        target = (i * n) // 16
+        boundary = min(v for v, cm in cum_by_val.items() if cm >= target)
+        assert got[i] == (target, boundary, cum_by_val[boundary])
+
+
+def test_reservoir_bottomk_matches_hashlib_replay(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((_md5int(str(r.doc_id)), r.doc_id))
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.kept_id_sum, r.boundary_ok)
+        for r in STAGED["reservoir_bottomk_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, items in by_src.items():
+        items.sort()
+        kept = items[:8]
+        dropped = items[8:]
+        ok = (not dropped) or max(h for h, _ in kept) < min(
+            h for h, _ in dropped
+        )
+        assert got[src] == (
+            len(items),
+            len(kept),
+            sum(d for _, d in kept),
+            ok,
+        )
+
+
+def test_kfold_and_undersample_match_hashlib_replay(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((_md5int(str(r.doc_id)), r.doc_id))
+    expected = {}
+    for src, items in by_src.items():
+        items.sort()
+        sizes = defaultdict(int)
+        for i, _ in enumerate(items):
+            sizes[i % 5] += 1
+        bal = max(sizes.values()) - min(sizes.values()) <= 1
+        for f, nn in sizes.items():
+            expected[(src, f)] = (nn, bal)
+    got = {
+        (r.source, r.fold): (r.n_docs, r.balanced)
+        for r in STAGED["stratified_kfold_assignment"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "label", "vec_id"
+    ).collect()
+    by_lbl = defaultdict(list)
+    for r in emb:
+        by_lbl[r.label].append((_md5int(str(r.vec_id)), r.vec_id))
+    m = min(len(v) for v in by_lbl.values())
+    got2 = {
+        r.label: (r.n_orig, r.n_kept, r.kept_vec_sum, r.kept_equal)
+        for r in STAGED["class_balanced_undersample"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for lbl, items in by_lbl.items():
+        items.sort()
+        kept = items[:m]
+        assert got2[lbl] == (
+            len(items),
+            m,
+            sum(v for _, v in kept),
+            True,
+        )
+
+
+def _emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+
+
+def _quant(vec):
+    return [math.floor(float(x) * 1000) for x in vec]
+
+
+def test_auc_matches_direct_pairwise_comparison(spark):
+    """The staged query uses the rank-sum identity; this witness
+    counts concordant / tied (pos, neg) pairs DIRECTLY:
+    AUC = (#(pos>neg) + 0.5 #(pos==neg)) / (npos*nneg)."""
+    rows = _emb(spark)
+    scored = [
+        (sum(q * q for q in _quant(r.embedding)), r.label >= 5)
+        for r in rows
+    ]
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    wins2 = 0  # doubled to stay integer
+    for p in pos:
+        for ng in neg:
+            if p > ng:
+                wins2 += 2
+            elif p == ng:
+                wins2 += 1
+    got = STAGED["auc_rank_sum_exact"](spark, SF_DIR).collect()[0]
+    assert (got.npos, got.nneg) == (len(pos), len(neg))
+    assert got.u2 == wins2
+    assert got.auc_e6 == (wins2 * 1000000) // (2 * len(pos) * len(neg))
+
+
+def test_pairwise_energy_matches_direct_pair_enumeration(spark):
+    """The staged query uses n·Q − ‖S‖²; this witness enumerates the
+    O(n²) pairwise squared distances the identity replaces."""
+    rows = _emb(spark)
+    from collections import defaultdict
+
+    by_lbl = defaultdict(list)
+    for r in rows:
+        by_lbl[r.label].append(_quant(r.embedding))
+    got = {
+        r.label: (r.n_vecs, r.pairwise_energy2, r.nonneg_ok)
+        for r in STAGED["pairwise_energy_sufficient_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for lbl, vecs in by_lbl.items():
+        direct = 0
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                direct += sum(
+                    (a - b) ** 2 for a, b in zip(vecs[i], vecs[j])
+                )
+        assert got[lbl] == (len(vecs), direct, True)
+
+
+def test_knn_loo_matches_numpy_argmax(spark):
+    import numpy as np
+
+    rows = _emb(spark)
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    q = np.array([_quant(r.embedding) for r in rows], dtype=np.int64)
+    correct = {}
+    total = {}
+    for i in range(len(rows)):
+        if ids[i] % 25 != 0:
+            continue
+        dots = q @ q[i]
+        # exclude self; argmax with tie -> lowest cand id
+        best, best_id = None, None
+        for j in range(len(rows)):
+            if ids[j] == ids[i]:
+                continue
+            d = int(dots[j])
+            if (
+                best is None
+                or d > best
+                or (d == best and ids[j] < best_id)
+            ):
+                best, best_id = d, ids[j]
+        lbl = int(labels[i])
+        total[lbl] = total.get(lbl, 0) + 1
+        if int(labels[ids == best_id][0]) == lbl:
+            correct[lbl] = correct.get(lbl, 0) + 1
+    got = {
+        r.label: (r.n_queries, r.n_correct)
+        for r in STAGED["knn_loo_label_accuracy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        lbl: (n, correct.get(lbl, 0)) for lbl, n in total.items()
+    }
+
+
+def test_farthest_point_matches_python_traversal(spark):
+    rows = _emb(spark)
+    vecs = {r.vec_id: _quant(r.embedding) for r in rows}
+    n2 = {vid: sum(x * x for x in v) for vid, v in vecs.items()}
+    # step 1: max norm, tie lowest id
+    c1 = min(n2, key=lambda v: (-n2[v], v))
+    expected = [(1, c1, n2[c1])]
+    chosen = [c1]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+
+    mind = {v: d2(v, c1) for v in vecs}
+    for step in (2, 3, 4):
+        cand = {v: d for v, d in mind.items() if v not in chosen}
+        ci = min(cand, key=lambda v: (-cand[v], v))
+        expected.append((step, ci, cand[ci]))
+        chosen.append(ci)
+        if step < 4:
+            for v in mind:
+                mind[v] = min(mind[v], d2(v, ci))
+    got = sorted(
+        (r.step, r.vec_id, r.metric)
+        for r in STAGED["farthest_point_init_quantized"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_ivf_cell_balance_matches_numpy_signs(spark):
+    import numpy as np
+
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    planes = np.array(similarity.hyperplanes(5, 64))
+    rows = _emb(spark)
+    mat = np.array(
+        [[float(x) for x in r.embedding] for r in rows]
+    )
+    # replicate the codegen fold order: sequential accumulation
+    buckets = {}
+    for row in mat:
+        b = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for k in range(64):
+                acc += row[k] * p[k]
+            if acc >= 0.0:
+                b |= 1 << i
+        buckets[b] = buckets.get(b, 0) + 1
+    n = len(rows)
+    ideal = (n + 31) // 32
+    got = {
+        r.bucket: (r.n_vecs, r.occupancy_e6)
+        for r in STAGED["ivf_cell_balance_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        b: (c, c * 1000000 // ideal) for b, c in buckets.items()
+    }
+
+
+def test_suffix_lcp_matches_sorted_replay(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs:
+        t = r.text
+        for p in range(1, max(len(t) - 15, 0) + 1):
+            by_src[r.source].append((t[p - 1 : p + 15], r.doc_id, p))
+    got = {
+        r.source: (r.n_suffixes, r.max_lcp, r.n_repeat_pairs, r.total_lcp)
+        for r in STAGED["suffix_lcp_repeat_stats"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, sufs in by_src.items():
+        sufs.sort()
+        lcps = []
+        for (a, _, _), (b, _, _) in zip(sufs, sufs[1:]):
+            l = 0
+            while l < 16 and l < len(a) and l < len(b) and a[l] == b[l]:
+                l += 1
+            lcps.append(l)
+        assert got[src] == (
+            len(sufs),
+            max(lcps),
+            sum(1 for l in lcps if l >= 8),
+            sum(lcps),
+        )
+
+
+def test_cc_components_match_union_find_over_spark_pairs(spark):
+    """Union-find (a third algorithm — neither hash-to-min nor plain
+    min-propagation) over the SAME banded candidate pair set, built
+    with the graded lsh machinery."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id", num_hashes=16, bands=4
+    )
+    import pyspark.sql.functions as F
+
+    left = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    right = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = [
+        (r.u, r.v)
+        for r in left.join(right, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+        .collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    from collections import defaultdict
+
+    comps = defaultdict(list)
+    for node in parent:
+        comps[find(node)].append(node)
+    got = {
+        r.component: (r.n_members, r.min_doc_id, r.max_doc_id,
+                      r.converged)
+        for r in STAGED["cc_hash_to_min_pointer_jump"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        root: (len(m), min(m), max(m), True)
+        for root, m in comps.items()
+    }
+
+
+def _word_shingles(text: str, n: int = 3) -> list[str]:
+    """Python twin of llm/hashing word shingles: distinct n-grams of
+    whitespace tokens, preserving first-occurrence order is irrelevant
+    (sets compare); degenerate short docs yield the sub-n prefix."""
+    import re
+
+    toks = re.findall(r"\S+", text)
+    upper = max(len(toks) - n + 1, 1)
+    out = []
+    seen = set()
+    for i in range(upper):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def test_lsh_band_sweep_matches_hashlib_minhash_replay(spark):
+    """Full python re-derivation of the sweep: md5 shingle hashes,
+    the (2j+1)h + j*BMUL affine family, min per seed, band grouping
+    at (4,4) and (8,2), candidate pairs, exact-Jaccard verify."""
+    P31, BMUL = 2147483647, 1013904223
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sh = {r.doc_id: _word_shingles(r.text) for r in docs}
+    sig = {}
+    for did, shingles in sh.items():
+        hs = [_md5int(s) & P31 for s in shingles]
+        sig[did] = [
+            min(((2 * j + 1) * h + (j * BMUL) % P31) % P31 for h in hs)
+            for j in range(16)
+        ]
+    expected = {}
+    for bands in (4, 8):
+        r = 16 // bands
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for did, s in sig.items():
+            for b in range(bands):
+                key = (b, tuple(s[b * r : (b + 1) * r]))
+                buckets[key].append(did)
+        cands = set()
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cands.add((members[i], members[j]))
+        verified = 0
+        for a, b in cands:
+            sa, sb = set(sh[a]), set(sh[b])
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= 0.5:
+                verified += 1
+        expected[bands] = (r, len(cands), verified)
+    got = {
+        row.bands: (row.rows_per_band, row.n_candidates, row.n_verified)
+        for row in STAGED["lsh_band_sensitivity_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_scd2_lookup_matches_bisect_replay(spark):
+    import bisect
+    from collections import defaultdict
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    line = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    ).collect()
+    # dim: per (ck, date) attribute of max orderkey
+    best = {}
+    for o in orders:
+        key = (o.o_custkey, o.o_orderdate)
+        if key not in best or o.o_orderkey > best[key][0]:
+            best[key] = (o.o_orderkey, o.o_orderpriority)
+    versions = defaultdict(list)
+    for (ck, d), (_, prio) in best.items():
+        versions[ck].append((d, prio))
+    for v in versions.values():
+        v.sort()
+    okey2ck = {o.o_orderkey: o.o_custkey for o in orders}
+    expected = defaultdict(lambda: [0, 0])
+    for li in line:
+        ck = okey2ck[li.l_orderkey]
+        vs = versions[ck]
+        i = bisect.bisect_right([d for d, _ in vs], li.l_shipdate)
+        prio = vs[i - 1][1] if i > 0 else "UNMATCHED"
+        agg = expected[prio]
+        agg[0] += 1
+        agg[1] += _cents(li.l_extendedprice)
+    got = {
+        r.version_priority: (r.n_lineitems, r.price_cents)
+        for r in STAGED["scd2_temporal_lookup_join"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_attribution_matches_scan_replay(spark):
+    from collections import defaultdict
+
+    rows = _events(
+        spark, "user_id", "ts", "event_id", "event_type", "value"
+    )
+    marketing = defaultdict(dict)  # user -> ts -> type (max event_id)
+    mseen = {}
+    for r in rows:
+        if r.event_type in ("view", "click"):
+            key = (r.user_id, r.ts)
+            if key not in mseen or r.event_id > mseen[key][0]:
+                mseen[key] = (r.event_id, r.event_type)
+    mts = defaultdict(list)
+    for (u, ts), (_, et) in mseen.items():
+        mts[u].append((ts, et))
+    for v in mts.values():
+        v.sort(key=lambda x: x[0])
+    import bisect
+
+    expected = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        touches = mts.get(r.user_id, [])
+        i = bisect.bisect_right([t for t, _ in touches], r.ts)
+        touch = "none"
+        if i > 0:
+            t, et = touches[i - 1]
+            if (r.ts - t).total_seconds() * 1_000_000 <= 604800000000:
+                touch = et
+        agg = expected[touch]
+        agg[0] += 1
+        agg[1] += _cents(r.value)
+    got = {
+        r.attributed_to: (r.n_purchases, r.revenue_cents)
+        for r in STAGED["attribution_last_touch_windowed"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_subject_export_and_mom_yoy_and_ltv_match_replay(spark):
+    from collections import defaultdict
+
+    customer = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    line = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).collect()
+    subjects = {
+        c.c_custkey: c.c_mktsegment
+        for c in customer
+        if c.c_custkey % 97 == 0
+    }
+    exp = defaultdict(lambda: [0, 0])
+    okeys = {}
+    for o in orders:
+        if o.o_custkey in subjects:
+            exp[(o.o_custkey, "orders")][0] += 1
+            exp[(o.o_custkey, "orders")][1] += _cents(o.o_totalprice)
+            okeys[o.o_orderkey] = o.o_custkey
+    for li in line:
+        ck = okeys.get(li.l_orderkey)
+        if ck is not None:
+            exp[(ck, "lineitem")][0] += 1
+            exp[(ck, "lineitem")][1] += _cents(li.l_extendedprice)
+    got = {
+        (r.custkey, r.record_type): (
+            r.segment,
+            r.n_records,
+            r.cents_sum,
+        )
+        for r in STAGED["subject_access_export"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        (ck, t): (subjects[ck], n, c)
+        for (ck, t), (n, c) in exp.items()
+    }
+
+    # MoM / YoY
+    monthly = defaultdict(int)
+    for o in orders:
+        ym = o.o_orderdate.year * 12 + o.o_orderdate.month
+        monthly[ym] += _cents(o.o_totalprice)
+    yms = sorted(monthly)
+    got2 = {
+        r.ym: (r.rev_cents, r.mom_delta, r.yoy_delta)
+        for r in STAGED["monthly_revenue_mom_yoy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for i, ym in enumerate(yms):
+        mom = monthly[ym] - monthly[yms[i - 1]] if i >= 1 else None
+        yoy = monthly[ym] - monthly[yms[i - 12]] if i >= 12 else None
+        assert got2[ym] == (monthly[ym], mom, yoy)
+
+    # cohort LTV
+    first = {}
+    for o in orders:
+        ym = o.o_orderdate.year * 12 + o.o_orderdate.month
+        first[o.o_custkey] = min(first.get(o.o_custkey, ym), ym)
+    cells = defaultdict(lambda: [0, set(), 0])
+    for o in orders:
+        ym = o.o_orderdate.year * 12 + o.o_orderdate.month
+        key = (first[o.o_custkey], ym - first[o.o_custkey])
+        cells[key][0] += 1
+        cells[key][1].add(o.o_custkey)
+        cells[key][2] += _cents(o.o_totalprice)
+    got3 = {
+        (r.cohort_ym, r.age_months): (
+            r.n_orders,
+            r.n_active,
+            r.rev_cents,
+            r.cum_rev_cents,
+        )
+        for r in STAGED["cohort_ltv_accumulation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    cum = defaultdict(int)
+    for (cym, age) in sorted(cells):
+        n, users, rev = cells[(cym, age)]
+        cum[cym] += rev
+        assert got3[(cym, age)] == (n, len(users), rev, cum[cym])
+
+
+def test_watermark_late_drop_matches_semantics_replay(spark):
+    """The emitted set replayed from first principles: on-time = hour
+    0 of the corpus, watermark = max on-time ts − 10 min, emitted =
+    on-time 15-min windows with end <= watermark, late rows (hour-1
+    shifted back 2 h) contribute NOTHING — if the engine leaked them
+    their windows WOULD be emitted (they end below the watermark)."""
+    import datetime
+
+    rows = _events(spark, "ts", "event_type")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    on_time = [
+        r for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(hours=1)
+    ]
+    wm = max(r.ts for r in on_time) - datetime.timedelta(minutes=10)
+    from collections import defaultdict
+
+    expected = defaultdict(int)
+    for r in on_time:
+        mins = (r.ts - t0).total_seconds() // 60
+        ws = t0 + datetime.timedelta(minutes=15 * (mins // 15))
+        if ws + datetime.timedelta(minutes=15) <= wm:
+            expected[
+                (ws.strftime("%Y-%m-%d %H:%M:%S"), r.event_type)
+            ] += 1
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in STAGED["streaming_watermark_late_drop"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_array_sort_comparator_matches_python_key_sort(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0])
+    for r in docs:
+        toks = r.text.split(" ")[:12]
+        joined = "|".join(
+            sorted(toks, key=lambda t: (-len(t), t))
+        )
+        exp[r.source][0] += 1
+        exp[r.source][1] += _md5int(joined) % 1000000007
+    got = {
+        r.source: (r.n_docs, r.checksum)
+        for r in STAGED["array_sort_comparator_suite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {s: tuple(v) for s, v in exp.items()}

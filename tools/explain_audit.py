@@ -149,6 +149,13 @@ ROUND12_AUDIT = [
 STAGED_AUDIT = [
     "lorenz_concentration_deciles",  # user-bounded ranking window
     "blocklist_aho_corasick_stage",  # mapInPandas stage, no shuffle
+    "rfm_segment_counts",  # 3x leveled rank, no global sort
+    "suffix_lcp_repeat_stats",  # bucketed suffix sort, bounded boundary
+    "cc_hash_to_min_pointer_jump",  # doubling CC, checkpointed rounds
+    "equi_depth_partition_bounds",  # domain-bounded histogram plan
+    "scd2_temporal_lookup_join",  # asof union-tag, one exchange
+    "knn_loo_label_accuracy",  # broadcast probes, codegen dots
+    "auc_rank_sum_exact",  # leveled rank + midrank algebra
 ]
 
 

@@ -53,6 +53,15 @@ BOUNDED_BNL = {
     "right_to_erasure_cascade",          # per-table 1-row count scalars
     "curriculum_token_budget_phases",    # 1-row total-chars scalar join
     "compression_codec_matrix",          # per-codec 1-row source scalars
+    "neyman_allocation_plan",            # 1-row budget/variance scalars
+    "mixture_schedule_manifest",         # 2-row epoch frame × 20-row plan
+    # round-13 staged cohort (every BNL below is a constant-size frame):
+    "rfm_segment_counts",                # 1-row max-date + 1-row n scalars
+    "equi_depth_partition_bounds",       # 16-row targets × bounded histogram
+    "class_balanced_undersample",        # 1-row min-class scalar join
+    "knn_loo_label_accuracy",            # bounded probe-set broadcast scorer
+    "farthest_point_init_quantized",     # 1-row chosen-centroid scalars × k
+    "ivf_cell_balance_audit",            # 1-row total scalar join
 }
 
 
