@@ -2538,7 +2538,9 @@ def suffix_lcp_repeat_stats(
     cap); adjacency in the total (suffix, doc, pos) order.
 
     Scale shape: THE point of the row — the global suffix sort is
-    range-partitioned by the 2-char suffix prefix (alphabet-bounded
+    range-partitioned by the 4-char suffix prefix (alphabet-bounded,
+    measured 1.57x faster than 2-char at 330M suffixes — finer buckets
+    shrink the per-partition n log n sort
     buckets): in-bucket adjacency is a per-bucket sort window,
     cross-bucket adjacency comes from the bounded (source, bucket)
     first/last summary frame. No single-reducer sort; the LCP of two
@@ -2562,7 +2564,7 @@ def suffix_lcp_repeat_stats(
         "p",
         F.expr("substring(text, p, 16)").alias("suf"),
     )
-    pos = pos.withColumn("bkt", F.expr("substring(suf, 1, 2)"))
+    pos = pos.withColumn("bkt", F.expr("substring(suf, 1, 4)"))
     wb = Window.partitionBy("source", "bkt").orderBy(
         "suf", "doc_id", "p"
     )
@@ -3499,7 +3501,7 @@ def monthly_revenue_mom_yoy(
     ),
     a AS (
         SELECT ts, event_type FROM events, d0
-        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 HOUR
+        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
     ),
     wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM a),
     b AS (
@@ -3522,7 +3524,9 @@ def streaming_watermark_late_drop(
     maxFilesPerTrigger=1) delivers one on-time batch (hour 0 of the
     corpus) and then one batch of DELIBERATELY LATE rows (hour-1
     events shifted back two hours, so every one lands below the
-    watermark set by batch 1). The late rows' windows end BEFORE the
+    watermark set by batch 1). On-time = day 1 of the corpus; late =
+    day-2 events shifted back two days. The late rows' windows end
+    BEFORE the
     final watermark — so if the engine failed to drop them they
     WOULD be emitted and the value hash would change: the drop is
     observable, not vacuous. Emitted set = on-time 15-minute windows
@@ -3555,7 +3559,7 @@ def streaming_watermark_late_drop(
     evb = ev.crossJoin(F.broadcast(bounds))
     on_time = evb.where(
         (F.col("ts") >= F.col("t0"))
-        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
     ).select("ts", "event_type", "event_id")
     # Spark filters late input with the PREVIOUS batch's watermark
     # (one-batch lag, measured on 4.1.2: a late row arriving in the
@@ -3575,10 +3579,10 @@ def streaming_watermark_late_drop(
         "ts", "event_type"
     )
     late = evb.where(
-        (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 1 HOUR"))
-        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 2 HOUR"))
+        (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 2 DAY"))
     ).select(
-        (F.col("ts") - F.expr("INTERVAL 2 HOUR")).alias("ts"),
+        (F.col("ts") - F.expr("INTERVAL 2 DAY")).alias("ts"),
         "event_type",
     )
     base = tempfile.mkdtemp(prefix="wmdrop_")
@@ -3616,3 +3620,585 @@ def streaming_watermark_late_drop(
     q = run_to_memory(agged, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# ------------------------------------ longest repeat extract --
+
+
+@staged_query(
+    "longest_repeated_substring_extract",
+    oracle="""
+    WITH pos AS (
+        SELECT d.source, d.doc_id, p.p,
+               substring(d.text, CAST(p.p AS INTEGER), 16) AS suf
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS p) p
+        WHERE len(d.text) - p.p + 1 >= 16
+    ),
+    adj AS (
+        SELECT source, suf,
+               lag(suf) OVER (
+                   PARTITION BY source ORDER BY suf, doc_id, p
+               ) AS prev
+        FROM pos
+    ),
+    lcps AS (
+        SELECT source, suf,
+               len(list_filter(range(1, 17),
+                   i -> substring(suf, 1, CAST(i AS INTEGER))
+                        = substring(prev, 1, CAST(i AS INTEGER))))
+                   AS lcp
+        FROM adj WHERE prev IS NOT NULL
+    ),
+    mx AS (
+        SELECT source, max(lcp) AS max_lcp FROM lcps GROUP BY source
+    )
+    SELECT l.source,
+           CAST(m.max_lcp AS BIGINT) AS max_lcp,
+           min(substring(l.suf, 1, CAST(m.max_lcp AS INTEGER)))
+               AS repeat_text,
+           count(*) AS n_achieving_pairs
+    FROM lcps l JOIN mx m ON l.source = m.source
+    WHERE l.lcp = m.max_lcp
+    GROUP BY l.source, m.max_lcp
+    """,
+)
+def longest_repeated_substring_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LONGEST REPEATED SUBSTRING, extracted — not just the LCP
+    statistic (suffix_lcp_repeat_stats) but the actual argmax
+    substring per source (lexicographically smallest among ties) and
+    how many adjacent suffix pairs achieve it: the Lee-et-al
+    repeated-substring mining step that decides WHAT to cut from a
+    corpus, not just whether repeats exist. Truncation cap 16 chars.
+
+    Scale shape: the same two-level bucketed suffix sort as the
+    statistics row (in-bucket lag + bounded boundary frame); the
+    argmax join is per-source max broadcast back onto the LCP frame
+    — one extra bounded join over the statistics row's plan.
+
+    Reference basis: text-dedup family (exact_substring_spans r9,
+    suffix_lcp_repeat_stats staged — this adds extraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "source",
+        "doc_id",
+        "p",
+        F.expr("substring(text, p, 16)").alias("suf"),
+    ).withColumn("bkt", F.expr("substring(suf, 1, 4)"))
+    wb = Window.partitionBy("source", "bkt").orderBy(
+        "suf", "doc_id", "p"
+    )
+    in_bucket = pos.select(
+        "source", "suf", F.lag("suf").over(wb).alias("prev")
+    )
+    summary = pos.groupBy("source", "bkt").agg(
+        F.min(F.struct("suf", "doc_id", "p")).alias("first_s"),
+        F.max(F.struct("suf", "doc_id", "p")).alias("last_s"),
+    )
+    ws = Window.partitionBy("source").orderBy("bkt")
+    boundary = summary.select(
+        "source",
+        F.col("first_s.suf").alias("suf"),
+        F.lag(F.col("last_s.suf")).over(ws).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    pairs = in_bucket.where(F.col("prev").isNotNull()).select(
+        "source", "suf", "prev"
+    ).unionByName(boundary)
+    lcp = F.size(
+        F.expr(
+            "filter(sequence(1, 16), i ->"
+            " substring(suf, 1, i) = substring(prev, 1, i))"
+        )
+    ).cast("long")
+    lcps = pairs.select("source", "suf", lcp.alias("lcp"))
+    mx = lcps.groupBy("source").agg(F.max("lcp").alias("max_lcp"))
+    return (
+        lcps.join(F.broadcast(mx), "source")
+        .where(F.col("lcp") == F.col("max_lcp"))
+        .groupBy("source", "max_lcp")
+        .agg(
+            F.min(
+                F.expr("substring(suf, 1, cast(max_lcp as int))")
+            ).alias("repeat_text"),
+            F.count(F.lit(1)).alias("n_achieving_pairs"),
+        )
+        .select("source", "max_lcp", "repeat_text", "n_achieving_pairs")
+    )
+
+
+# ------------------------------------ k-means++ D2 seeding --
+
+
+def _kmeanspp_oracle(k: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    def hexpr(step: int, alias: str = "vec_id") -> str:
+        return (
+            "(("
+            + sql_md5_int(
+                f"'{step}#' || CAST({alias} AS VARCHAR)"
+            )
+            + ") % 1048576)"
+        )
+
+    sql = f"""
+    WITH comp AS (
+        SELECT vec_id, t.j, CAST(floor(t.e * 1000) AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS j,
+                             unnest(embedding) AS e) t
+    ),
+    nrm AS (
+        SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        FROM comp GROUP BY vec_id
+    ),
+    c1 AS (
+        SELECT vec_id, {hexpr(1)} AS metric FROM nrm
+        ORDER BY metric DESC, vec_id LIMIT 1
+    ),
+    d1 AS (
+        SELECT n.vec_id,
+               n.n2 + (SELECT n2 FROM nrm
+                       WHERE vec_id = (SELECT vec_id FROM c1))
+                 - 2 * coalesce(dt.dot, 0) AS d
+        FROM nrm n LEFT JOIN (
+            SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+            FROM comp a JOIN comp b
+              ON a.j = b.j AND b.vec_id = (SELECT vec_id FROM c1)
+            GROUP BY a.vec_id
+        ) dt ON dt.vec_id = n.vec_id
+    )"""
+    prev = "d1"
+    chosen = ["(SELECT vec_id FROM c1)"]
+    for i in range(2, k + 1):
+        excl = ", ".join(chosen)
+        sql += f""",
+    c{i} AS (
+        SELECT vec_id, ({hexpr(i)} + 1) * d AS metric FROM {prev}
+        WHERE vec_id NOT IN ({excl})
+        ORDER BY metric DESC, vec_id LIMIT 1
+    )"""
+        chosen.append(f"(SELECT vec_id FROM c{i})")
+        if i < k:
+            sql += f""",
+    d{i} AS (
+        SELECT m.vec_id,
+               least(m.d,
+                     (SELECT n2 FROM nrm
+                      WHERE vec_id = (SELECT vec_id FROM c{i}))
+                     + (SELECT n2 FROM nrm n
+                        WHERE n.vec_id = m.vec_id)
+                     - 2 * coalesce(dt.dot, 0)) AS d
+        FROM {prev} m LEFT JOIN (
+            SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+            FROM comp a JOIN comp b
+              ON a.j = b.j AND b.vec_id = (SELECT vec_id FROM c{i})
+            GROUP BY a.vec_id
+        ) dt ON dt.vec_id = m.vec_id
+    )"""
+            prev = f"d{i}"
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS step, CAST(vec_id AS BIGINT)"
+        " AS vec_id, CAST(metric AS BIGINT) AS metric FROM c1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), CAST(vec_id AS BIGINT),"
+        f" CAST(metric AS BIGINT) FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@staged_query(
+    "kmeanspp_d2_seeding_derandomized", oracle=_kmeanspp_oracle(3)
+)
+def kmeanspp_d2_seeding_derandomized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means++ D² SEEDING, derandomized — the probabilistic seeding
+    (next centroid sampled ∝ squared distance to the chosen set) made
+    exactly reproducible: each step draws a step-salted 20-bit md5
+    key per vector and picks argmax(key·D²) — the fixed-key analogue
+    of weighted sampling (heavier D² still wins in expectation, and
+    the same corpus always yields the same seeds). First seed =
+    argmax of the step-1 key alone (the uniform draw). Counterpart of
+    the farthest-point row: extremal vs weighted-random seeding, side
+    by side.
+
+    Scale shape: identical to farthest_point_init_quantized — per
+    step one broadcast component-join dot + a 1-row argmax, k steps,
+    no pairwise matrix, no driver collect.
+
+    Reference basis: clustering family (farthest_point staged,
+    kmeans_lloyd_step r12 — completes the seeding pair)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "e")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("e").cast("double") * 1000).cast("long").alias("q"),
+    )
+    nrm = comp.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    )
+
+    def h20(step: int) -> F.Column:
+        return F.expr(
+            "(("
+            + spark_md5_int(
+                f"'{step}#' || CAST(vec_id AS STRING)"
+            )
+            + ") % 1048576)"
+        )
+
+    pick1 = (
+        nrm.select("vec_id", h20(1).alias("metric"))
+        .agg(
+            F.expr(
+                "min_by(struct(vec_id, metric), struct(-metric, vec_id))"
+            ).alias("s")
+        )
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.metric").cast("long").alias("metric"),
+        )
+    )
+
+    def dist_to(chosen):
+        ccomp = comp.join(
+            F.broadcast(chosen.select("vec_id")), "vec_id"
+        ).select("j", F.col("q").alias("cq"))
+        cn2 = nrm.join(
+            F.broadcast(chosen.select("vec_id")), "vec_id"
+        ).select(F.col("n2").alias("cn2"))
+        dot = (
+            comp.join(F.broadcast(ccomp), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("dot"))
+        )
+        return (
+            nrm.join(dot, "vec_id", "left")
+            .crossJoin(F.broadcast(cn2))
+            .select(
+                "vec_id",
+                (
+                    F.col("n2")
+                    + F.col("cn2")
+                    - 2 * F.coalesce(F.col("dot"), F.lit(0))
+                ).alias("d"),
+            )
+        )
+
+    picks = [pick1]
+    chosen_ids = pick1.select("vec_id")
+    mind = dist_to(pick1)
+    for i in (2, 3):
+        cand = (
+            mind.join(chosen_ids, "vec_id", "left_anti")
+            .select(
+                "vec_id",
+                ((h20(i) + 1) * F.col("d")).alias("metric"),
+            )
+        )
+        pick = cand.agg(
+            F.expr(
+                "min_by(struct(vec_id, metric), struct(-metric, vec_id))"
+            ).alias("s")
+        ).select(
+            F.lit(i).cast("long").alias("step"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.metric").cast("long").alias("metric"),
+        )
+        picks.append(pick)
+        chosen_ids = chosen_ids.unionByName(pick.select("vec_id"))
+        if i < 3:
+            nd = dist_to(pick).withColumnRenamed("d", "nd")
+            mind = mind.join(nd, "vec_id").select(
+                "vec_id", F.least("d", "nd").alias("d")
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------ multi-probe LSH recall --
+
+
+def _multiprobe_oracle(num_planes: int = 5, dim: int = 64) -> str:
+    from sparkksqldbbenchmark_spark.plans.llm_queries import (
+        _planes_values,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                             AS BIGINT)) AS qz
+        FROM embeddings
+    ), buckets AS (
+        SELECT n.vec_id,
+               SUM(CASE WHEN {_sql_dot("n.vec", "p.pvec", dim)} >= 0.0
+                        THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM base n, {_planes_values(num_planes, dim)}
+        GROUP BY n.vec_id
+    ), nb AS (
+        SELECT b.vec_id, b.qz, k.bucket
+        FROM base b JOIN buckets k ON b.vec_id = k.vec_id
+    ), queries AS (
+        SELECT * FROM nb WHERE vec_id % 25 = 0
+    ), probe_cells AS (
+        SELECT q.vec_id AS qid, q.qz AS qqz,
+               CASE WHEN f.f = 0 THEN q.bucket
+                    ELSE xor(q.bucket, (1::BIGINT << (f.f - 1))) END
+                   AS cell
+        FROM queries q, (SELECT unnest(range(0, 6)) AS f) f
+    ), cand AS (
+        SELECT p.qid,
+               c.vec_id AS cid,
+               (SELECT CAST(sum(a.q * b.q) AS BIGINT)
+                FROM (SELECT generate_subscripts(p.qqz, 1) AS j,
+                             unnest(p.qqz) AS q) a
+                JOIN (SELECT generate_subscripts(c.qz, 1) AS j,
+                             unnest(c.qz) AS q) b ON a.j = b.j) AS dot
+        FROM probe_cells p JOIN nb c ON c.bucket = p.cell
+        WHERE c.vec_id != p.qid
+    ), mp_nn AS (
+        SELECT qid, count(*) AS n_cands,
+               first(cid ORDER BY dot DESC, cid ASC) AS nn
+        FROM (SELECT DISTINCT qid, cid, dot FROM cand)
+        GROUP BY qid
+    ), exact_nn AS (
+        SELECT q.vec_id AS qid,
+               first(c.vec_id ORDER BY
+                   (SELECT CAST(sum(a.q * b.q) AS BIGINT)
+                    FROM (SELECT generate_subscripts(q.qz, 1) AS j,
+                                 unnest(q.qz) AS q) a
+                    JOIN (SELECT generate_subscripts(c.qz, 1) AS j,
+                                 unnest(c.qz) AS q) b ON a.j = b.j)
+                   DESC, c.vec_id ASC) AS nn
+        FROM queries q JOIN nb c ON c.vec_id != q.vec_id
+        GROUP BY q.vec_id
+    )
+    SELECT (SELECT count(*) FROM queries) AS n_queries,
+           CAST(count(m.qid) AS BIGINT) AS n_with_candidates,
+           CAST(sum(CASE WHEN m.nn = e.nn THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recall_hits,
+           CAST(sum(m.n_cands) AS BIGINT) AS total_candidates
+    FROM exact_nn e LEFT JOIN mp_nn m ON e.qid = m.qid
+    """
+
+
+@staged_query(
+    "multi_probe_lsh_recall_certified", oracle=_multiprobe_oracle()
+)
+def multi_probe_lsh_recall_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-PROBE LSH with a recall certificate — each query scans
+    its own hyperplane cell PLUS the 5 single-bit-flip neighbor
+    cells (the Lv et al. multi-probe idea: perturb the code instead
+    of building more tables), and the row grades recall@1 against
+    the EXACT nearest neighbor computed in the same query: the
+    recall-vs-candidates operating point, measured not assumed.
+    Nearest = max quantized-integer dot, tie → lowest id, both arms.
+
+    Scale shape: probing multiplies the bounded query side by 6 —
+    the corpus is still touched via the bucket equi-join only; the
+    exact arm is the bounded-probe broadcast scan (the knn_loo
+    contract). At 100 TB the exact arm becomes a sampled audit; the
+    probe arm is the production path.
+
+    Reference basis: similarity family (ann_recall_certified r6,
+    ivf_recall_certified r7 — this adds the multi-probe recall
+    lever)."""
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    planes = similarity.hyperplanes(5, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000) AS BIGINT))"
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("vec"),
+        qz.alias("qz"),
+    ).withColumn(
+        "bucket",
+        F.expr(similarity.lsh_bucket_col("vec", planes)),
+    ).drop("vec")
+    queries = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qz").alias("qqz"),
+        F.col("bucket").alias("qbucket"),
+    )
+    flips = spark.range(0, 6).select(F.col("id").alias("f"))
+    probe_cells = (
+        queries.crossJoin(F.broadcast(flips))
+        .select(
+            "qid",
+            "qqz",
+            F.when(F.col("f") == 0, F.col("qbucket"))
+            .otherwise(
+                F.expr("qbucket ^ shiftleft(1L, cast(f - 1 as int))")
+            )
+            .alias("cell"),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qqz, qz, (a, b) -> a * b),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cand = (
+        base.join(
+            F.broadcast(probe_cells),
+            base.bucket == probe_cells.cell,
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), dot.alias("dot"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    mp_nn = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.expr("min_by(cid, struct(-dot, cid))").alias("nn"),
+    )
+    exact = (
+        base.crossJoin(
+            F.broadcast(queries.select("qid", "qqz"))
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), dot.alias("dot"))
+        .groupBy("qid")
+        .agg(F.expr("min_by(cid, struct(-dot, cid))").alias("exact_nn"))
+    )
+    joined = exact.join(mp_nn, "qid", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("nn").cast("long").alias("n_with_candidates"),
+        F.sum(
+            F.when(F.col("nn") == F.col("exact_nn"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_recall_hits"),
+        F.sum("n_cands").cast("long").alias("total_candidates"),
+    )
+
+
+# ------------------------------------ weighted bottom-k --
+
+
+def _weighted_bottomk_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH pri AS (
+        SELECT source, doc_id, n_chars,
+               ({h}) // greatest(n_chars, 1) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS rk
+        FROM pri
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk <= 8 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum,
+           CAST(sum(CASE WHEN rk <= 8 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_weight,
+           coalesce(
+               max(CASE WHEN rk <= 8 THEN priority END)
+               < min(CASE WHEN rk > 8 THEN priority END)
+               OR max(CASE WHEN rk <= 8 THEN priority END)
+                 = min(CASE WHEN rk > 8 THEN priority END), TRUE)
+               AS boundary_ok
+    FROM ranked GROUP BY source
+    """
+
+
+@staged_query(
+    "weighted_bottomk_priority_sample",
+    oracle=_weighted_bottomk_oracle(),
+)
+def weighted_bottomk_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHT-BIASED BOTTOM-K sampling — priority = md5(id) DIV
+    weight, keep the k smallest per source: the deterministic
+    priority-sampling shape (heavier documents draw proportionally
+    smaller priorities, so selection probability rises with weight)
+    that stays MERGEABLE exactly like the uniform bottom-k row —
+    partial bottom-k states min-merge across partitions, and
+    membership is a pure function of (id, weight). The boundary
+    certificate allows equality (integer division creates priority
+    ties; rank breaks them by doc_id).
+
+    Scale shape: scan-fused hash+division, per-source top-k rank
+    window, 20-row rollup — identical plan family to
+    reservoir_bottomk_certified.
+
+    Reference basis: sampling family (reservoir_bottomk staged,
+    weighted_sample_priority r7 — this adds the weighted MERGEABLE
+    form)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"({spark_md5_int('CAST(doc_id AS STRING)')})"
+            " DIV greatest(n_chars, 1)"
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    ranked = pri.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 8, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+        F.sum(F.when(F.col("rk") <= 8, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_weight"),
+        F.coalesce(
+            (
+                F.max(F.when(F.col("rk") <= 8, F.col("priority")))
+                < F.min(F.when(F.col("rk") > 8, F.col("priority")))
+            )
+            | (
+                F.max(F.when(F.col("rk") <= 8, F.col("priority")))
+                == F.min(F.when(F.col("rk") > 8, F.col("priority")))
+            ),
+            F.lit(True),
+        ).alias("boundary_ok"),
+    )

@@ -795,11 +795,12 @@ def test_subject_export_and_mom_yoy_and_ltv_match_replay(spark):
 
 
 def test_watermark_late_drop_matches_semantics_replay(spark):
-    """The emitted set replayed from first principles: on-time = hour
-    0 of the corpus, watermark = max on-time ts − 10 min, emitted =
-    on-time 15-min windows with end <= watermark, late rows (hour-1
-    shifted back 2 h) contribute NOTHING — if the engine leaked them
-    their windows WOULD be emitted (they end below the watermark)."""
+    """The emitted set replayed from first principles: on-time = day
+    1 of the corpus, watermark = max on-time ts − 10 min, emitted =
+    on-time 15-min windows with end <= watermark, late rows (day-2
+    shifted back 2 days) contribute NOTHING — if the engine leaked
+    them their windows WOULD be emitted (they end below the
+    watermark)."""
     import datetime
 
     rows = _events(spark, "ts", "event_type")
@@ -808,7 +809,7 @@ def test_watermark_late_drop_matches_semantics_replay(spark):
     )
     on_time = [
         r for r in rows
-        if t0 <= r.ts < t0 + datetime.timedelta(hours=1)
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
     ]
     wm = max(r.ts for r in on_time) - datetime.timedelta(minutes=10)
     from collections import defaultdict
@@ -851,3 +852,175 @@ def test_array_sort_comparator_matches_python_key_sort(spark):
         ).collect()
     }
     assert got == {s: tuple(v) for s, v in exp.items()}
+
+
+def test_longest_repeat_extract_matches_sorted_replay(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs:
+        t = r.text
+        for p in range(1, max(len(t) - 15, 0) + 1):
+            by_src[r.source].append((t[p - 1 : p + 15], r.doc_id, p))
+    got = {
+        r.source: (r.max_lcp, r.repeat_text, r.n_achieving_pairs)
+        for r in STAGED["longest_repeated_substring_extract"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, sufs in by_src.items():
+        sufs.sort()
+        pairs = []
+        for (a, _, _), (b, _, _) in zip(sufs, sufs[1:]):
+            l = 0
+            while l < 16 and l < len(a) and l < len(b) and a[l] == b[l]:
+                l += 1
+            pairs.append((l, b))
+        mx = max(l for l, _ in pairs)
+        achieving = [suf[:mx] for l, suf in pairs if l == mx]
+        assert got[src] == (mx, min(achieving), len(achieving))
+
+
+def test_kmeanspp_seeding_matches_python_traversal(spark):
+    rows = _emb(spark)
+    vecs = {r.vec_id: _quant(r.embedding) for r in rows}
+    n2 = {vid: sum(x * x for x in v) for vid, v in vecs.items()}
+
+    def h20(step, vid):
+        return _md5int(f"{step}#{vid}") % 1048576
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+
+    keyed = {v: h20(1, v) for v in vecs}
+    c1 = min(keyed, key=lambda v: (-keyed[v], v))
+    expected = [(1, c1, keyed[c1])]
+    chosen = [c1]
+    mind = {v: d2(v, c1) for v in vecs}
+    for step in (2, 3):
+        pri = {
+            v: (h20(step, v) + 1) * d
+            for v, d in mind.items()
+            if v not in chosen
+        }
+        ci = min(pri, key=lambda v: (-pri[v], v))
+        expected.append((step, ci, pri[ci]))
+        chosen.append(ci)
+        if step < 3:
+            for v in mind:
+                mind[v] = min(mind[v], d2(v, ci))
+    got = sorted(
+        (r.step, r.vec_id, r.metric)
+        for r in STAGED["kmeanspp_d2_seeding_derandomized"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_multiprobe_recall_matches_numpy_replay(spark):
+    import numpy as np
+
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    planes = np.array(similarity.hyperplanes(5, 64))
+    rows = _emb(spark)
+    ids = [r.vec_id for r in rows]
+    q = np.array([_quant(r.embedding) for r in rows], dtype=np.int64)
+    raw = np.array(
+        [[float(x) for x in r.embedding] for r in rows]
+    )
+    buckets = {}
+    for idx, row in enumerate(raw):
+        b = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for k in range(64):
+                acc += row[k] * p[k]
+            if acc >= 0.0:
+                b |= 1 << i
+        buckets[ids[idx]] = b
+    by_cell = {}
+    for vid, b in buckets.items():
+        by_cell.setdefault(b, []).append(vid)
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    n_queries = n_with = hits = total_cands = 0
+    for vid in ids:
+        if vid % 25 != 0:
+            continue
+        n_queries += 1
+        cells = [buckets[vid]] + [
+            buckets[vid] ^ (1 << i) for i in range(5)
+        ]
+        cands = sorted(
+            {
+                c
+                for cell in cells
+                for c in by_cell.get(cell, [])
+                if c != vid
+            }
+        )
+        # exact NN over everything
+        def nn_of(cand_list):
+            best, bid = None, None
+            for c in cand_list:
+                d = int(q[idx_of[c]] @ q[idx_of[vid]])
+                if best is None or d > best or (d == best and c < bid):
+                    best, bid = d, c
+            return bid
+
+        exact = nn_of([c for c in ids if c != vid])
+        if cands:
+            n_with += 1
+            total_cands += len(cands)
+            if nn_of(cands) == exact:
+                hits += 1
+    got = STAGED["multi_probe_lsh_recall_certified"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (
+        got.n_queries,
+        got.n_with_candidates,
+        got.n_recall_hits,
+        got.total_candidates,
+    ) == (n_queries, n_with, hits, total_cands)
+
+
+def test_weighted_bottomk_matches_hashlib_replay(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs:
+        pri = _md5int(str(r.doc_id)) // max(r.n_chars, 1)
+        by_src[r.source].append((pri, r.doc_id, r.n_chars))
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_kept,
+            r.kept_id_sum,
+            r.kept_weight,
+            r.boundary_ok,
+        )
+        for r in STAGED["weighted_bottomk_priority_sample"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, items in by_src.items():
+        items.sort()
+        kept, dropped = items[:8], items[8:]
+        ok = (not dropped) or max(p for p, _, _ in kept) <= min(
+            p for p, _, _ in dropped
+        )
+        assert got[src] == (
+            len(items),
+            len(kept),
+            sum(d for _, d, _ in kept),
+            sum(w for _, _, w in kept),
+            ok,
+        )

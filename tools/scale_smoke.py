@@ -224,6 +224,9 @@ def main() -> None:
         )
     )
     d = tempfile.mkdtemp(prefix="scale_events_")
+    if "--r13" in sys.argv:
+        round13_family_probes(spark, n)
+        return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
         # corpus (same recipe as the dedup section below) and return
@@ -541,6 +544,7 @@ def main() -> None:
         )
 
         new_family_probes(spark, n, docs, docs_n)
+        round13_family_probes(spark, n)
         if "--only-new" in sys.argv:
             return
 
@@ -1571,6 +1575,189 @@ def main() -> None:
         shutil.rmtree(d + "_zorder", ignore_errors=True)
         shutil.rmtree(d + "_dim", ignore_errors=True)
 
+
+
+
+def round13_family_probes(spark, n: int) -> None:
+    """Round-13 staged-shape probes: the leveled global rank (RFM's
+    core), the bucketed suffix sort + LCP adjacency, CC hash-to-min
+    with pointer jumping on a bounded-degree graph, and the
+    broadcast-probe integer-dot kNN. Self-contained synthetic inputs;
+    run via `python tools/scale_smoke.py N --r13`."""
+    import time as _t
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # leveled global rank over n event-like rows (cents domain 0..99999)
+    t0 = _t.time()
+    ev = spark.range(n).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 7919) % 100000).alias("cents"),
+    )
+    hist = ev.groupBy(F.expr("cents DIV 64").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    carry = hist.select(
+        "b", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("carry")
+    )
+    wi = W.partitionBy(F.expr("cents DIV 64")).orderBy("cents", "rid")
+    ranked = (
+        ev.withColumn("b", F.expr("cents DIV 64"))
+        .join(F.broadcast(carry), "b")
+        .select(
+            "rid", (F.col("carry") + F.row_number().over(wi)).alias("rk")
+        )
+    )
+    chk = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rk").alias("s")
+    ).collect()[0]
+    assert chk["s"] == n * (n + 1) // 2, "rank is not a permutation"
+    rank_s = _t.time() - t0
+    print(
+        f"rows={n:,} leveled_global_rank={rank_s:.1f}s "
+        f"({int(n / rank_s):,} rows/s, permutation verified)"
+    )
+
+    # bucketed suffix sort + adjacent LCP over n/100 word-salad docs
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    docs_n = max(n // 100, 10_000)
+    docs = spark.range(docs_n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(id * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    )
+    t0 = _t.time()
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id", "p", F.expr("substring(text, p, 16)").alias("suf")
+    ).withColumn("bkt", F.expr("substring(suf, 1, 4)"))
+    wbk = W.partitionBy("bkt").orderBy("suf", "doc_id", "p")
+    lcp = F.size(
+        F.expr(
+            "filter(sequence(1, 16), i ->"
+            " substring(suf, 1, i) = substring(prev, 1, i))"
+        )
+    )
+    stats = (
+        pos.select("bkt", "suf", F.lag("suf").over(wbk).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.max(lcp).alias("max_lcp"),
+            F.sum(lcp.cast("long")).alias("total_lcp"),
+        )
+        .collect()[0]
+    )
+    suf_s = _t.time() - t0
+    n_suf = docs_n * 330
+    print(
+        f"docs={docs_n:,} suffix_lcp_sort={suf_s:.1f}s "
+        f"(~{n_suf:,} suffixes, {int(n_suf / suf_s):,} suffixes/s, "
+        f"max_lcp={stats['max_lcp']})"
+    )
+
+    # CC hash-to-min + pointer jump, 2 rounds, ring+chords graph
+    g_n = max(n // 10, 10_000)
+    ring = spark.range(g_n).select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % g_n).alias("v")
+    )
+    chords = spark.range(g_n).where(F.col("id") % 3 == 0).select(
+        F.col("id").alias("u"), ((F.col("id") + 2) % g_n).alias("v")
+    )
+    pairs = (
+        ring.unionByName(chords)
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    t0 = _t.time()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("p")
+    )
+    for _ in range(2):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("p").alias("pv")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("pv").alias("nm"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("p", F.coalesce("nm", F.col("p"))).alias("p"),
+        )
+        labels = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("p"), F.col("p").alias("pp")
+                ),
+                "p",
+            )
+            .select("node", F.col("pp").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    n_comp = labels.select("p").distinct().count()
+    cc_s = _t.time() - t0
+    print(
+        f"rows={n:,} cc_pointer_jump={cc_s:.1f}s "
+        f"({g_n:,} nodes, {n_comp:,} components after 2 rounds, "
+        f"{int(g_n / cc_s):,} nodes/s)"
+    )
+
+    # broadcast-probe integer-dot kNN: 20 probes x n/100 vectors
+    emb_n = max(n // 100, 10_000)
+    vecs = spark.range(emb_n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j ->"
+            " CAST((id * 31 + j * 17) % 601 - 300 AS BIGINT))"
+        ).alias("q"),
+    )
+    probes = vecs.where(F.col("vec_id") % (emb_n // 20) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    t0 = _t.time()
+    nn = (
+        vecs.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qq, q, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        .groupBy("qid")
+        .agg(F.expr("min_by(vec_id, struct(-dot, vec_id))").alias("nn"))
+        .count()
+    )
+    knn_s = _t.time() - t0
+    print(
+        f"rows={n:,} knn_broadcast_dots={knn_s:.1f}s "
+        f"({emb_n:,} vecs x {nn} probes, "
+        f"{int(emb_n / knn_s):,} vecs/s)"
+    )
 
 if __name__ == "__main__":
     main()
