@@ -2353,9 +2353,11 @@ def farthest_point_init_quantized(
         chosen_ids = chosen_ids.unionByName(pick.select("vec_id"))
         if i < 4:
             nd = dist_to(pick).withColumnRenamed("d", "nd")
+            # lineage cut per step (the pagerank/kcore recipe): without
+            # it the lazy DAG re-embeds every prior step's joins
             mind = mind.join(nd, "vec_id").select(
                 "vec_id", F.least("d", "nd").alias("d")
-            )
+            ).localCheckpoint(eager=True)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
@@ -3925,9 +3927,10 @@ def kmeanspp_d2_seeding_derandomized(
         chosen_ids = chosen_ids.unionByName(pick.select("vec_id"))
         if i < 3:
             nd = dist_to(pick).withColumnRenamed("d", "nd")
+            # lineage cut per step (the pagerank/kcore recipe)
             mind = mind.join(nd, "vec_id").select(
                 "vec_id", F.least("d", "nd").alias("d")
-            )
+            ).localCheckpoint(eager=True)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

@@ -156,6 +156,8 @@ STAGED_AUDIT = [
     "scd2_temporal_lookup_join",  # asof union-tag, one exchange
     "knn_loo_label_accuracy",  # broadcast probes, codegen dots
     "auc_rank_sum_exact",  # leveled rank + midrank algebra
+    "multi_probe_lsh_recall_certified",  # probe-cell equi-join, no BNL on corpus
+    "kmeanspp_d2_seeding_derandomized",  # per-step aggregate+broadcast
 ]
 
 
