@@ -1024,3 +1024,50 @@ def test_weighted_bottomk_matches_hashlib_replay(spark):
             sum(w for _, _, w in kept),
             ok,
         )
+
+
+def test_session_window_late_drop_matches_islands_replay(spark):
+    """Session assembly + the closed-set rule replayed in python:
+    30-min-gap islands over on-time day-1 events per user, emitted
+    iff last_event + 30min <= max on-time ts − 10min; late rows
+    contribute nothing."""
+    import datetime
+    from collections import defaultdict
+
+    rows = _events(spark, "user_id", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    on_time = [
+        r for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    wm = max(r.ts for r in on_time) - datetime.timedelta(minutes=10)
+    by_user = defaultdict(list)
+    for r in on_time:
+        by_user[r.user_id].append(r.ts)
+    expected = {}
+    gap = datetime.timedelta(minutes=30)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        sessions = []
+        for ts in tss[1:]:
+            if ts - last > gap:
+                sessions.append((start, last, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        sessions.append((start, last, n))
+        for s, e, n in sessions:
+            if e + gap <= wm:
+                expected[
+                    (u, s.strftime("%Y-%m-%d %H:%M:%S"))
+                ] = n
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in STAGED["streaming_session_window_late_drop"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
