@@ -4337,3 +4337,210 @@ def streaming_session_window_late_drop(
     q = run_to_memory(agged, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# ------------------------------------ transition dwell matrix --
+
+
+@staged_query(
+    "transition_dwell_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS prev_type, ts,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dwell_us
+        FROM events
+    )
+    SELECT prev_type, next_type,
+           count(*) AS n,
+           CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(min(dwell_us) AS BIGINT) AS min_dwell_us,
+           CAST(max(dwell_us) AS BIGINT) AS max_dwell_us,
+           CAST(sum(dwell_us) // count(*) AS BIGINT)
+               AS mean_dwell_us
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def transition_dwell_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSITION DWELL-TIME MATRIX — the Markov transition matrix
+    (r10) extended with TIMING: for every (prev_type → next_type)
+    pair, how long users dwell before transitioning (exact integer
+    microseconds: total, min, max, floor-mean). The behavioral-model
+    input that separates a quick bounce from a considered
+    conversion; 25 cells for a 5-type alphabet.
+
+    Scale shape: one lead window over the per-user sort (shared with
+    every sessionize-family row), one alphabet-bounded rollup.
+
+    Reference basis: product-analytics family
+    (markov_transition_matrix r10, interarrival histogram r12,
+    event_path_trigrams staged — this adds the dwell-time plane)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.lead(F.unix_micros("ts")).over(w)
+            - F.unix_micros("ts")
+        ).alias("dwell_us"),
+    ).where(F.col("next_type").isNotNull())
+    return seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+        F.min("dwell_us").cast("long").alias("min_dwell_us"),
+        F.max("dwell_us").cast("long").alias("max_dwell_us"),
+        F.expr("sum(dwell_us) DIV count(1)")
+        .cast("long")
+        .alias("mean_dwell_us"),
+    )
+
+
+# ------------------------------ dynamic-gap session late drop --
+
+
+@staged_query(
+    "streaming_dynamic_gap_session_late_drop",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    a AS (
+        SELECT user_id, ts,
+               CASE WHEN user_id % 2 = 0 THEN 1800000000
+                    ELSE 3600000000 END AS gap_us
+        FROM events, d0
+        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM a),
+    marked AS (
+        SELECT user_id, ts, gap_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) > lag(gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    )
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM a
+    ),
+    sess AS (
+        SELECT user_id, ts, gap_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               min(ts) AS s_start,
+               max(epoch_us(ts) + gap_us) AS s_end_us
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg, wm WHERE s_end_us <= epoch_us(wm.w)
+    """,
+)
+def streaming_dynamic_gap_session_late_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP SESSION WINDOWS × WATERMARK LATE DROP — the
+    per-row gap expression (30 min for even users, 60 min for odd —
+    the premium-tier timeout pattern) under the three-batch
+    late-drop fixture: the interaction of the two hardest session
+    behaviors, value-graded. Spark merges sessions when intervals
+    [ts, ts+gap(row)) overlap-or-touch; the relational oracle splits
+    exactly when the time since the PREVIOUS event exceeds the
+    previous event's gap, and a session's end is max(ts + gap) over
+    its members — the union-of-intervals rule, not last-event+const.
+    (The gap is deliberately constant PER USER: with mixed gaps
+    inside one key, an early long-gap interval can bridge a later
+    short-gap split and the consecutive-lag oracle would under-merge
+    — per-key-constant gaps make the relational split exact.)
+    Late rows must neither create nor extend sessions.
+
+    Scale shape: identical to the static-gap late-drop row; the gap
+    expression is scan-fused per row, state bounded by open
+    sessions.
+
+    Reference basis: SURVEY §2.9 extension —
+    session_window_dynamic_gap (r12) grades the batch twin; this
+    grades its streaming LATE-DATA contract."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    on_time = evb.where(
+        (F.col("ts") >= F.col("t0"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
+    ).select("ts", "user_id", "event_id")
+    wlast = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = on_time.withColumn("__rk", F.row_number().over(wlast))
+    a_head = marked.where(F.col("__rk") > 1).select("ts", "user_id")
+    a_tail = marked.where(F.col("__rk") == 1).select("ts", "user_id")
+    late = evb.where(
+        (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 2 DAY"))
+    ).select(
+        (F.col("ts") - F.expr("INTERVAL 2 DAY")).alias("ts"),
+        "user_id",
+    )
+    base = tempfile.mkdtemp(prefix="dgsess_")
+    sdir = os.path.join(base, "stream")
+    os.makedirs(sdir)
+    for i, part_df in enumerate((a_head, a_tail, late)):
+        tmp = os.path.join(base, f"part{i}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(sdir, f"file{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+    )
+    gap = F.when(
+        F.col("user_id") % 2 == 0, F.lit("30 minutes")
+    ).otherwise(F.lit("60 minutes"))
+    agged = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", gap).alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    name = f"dgsess_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agged, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

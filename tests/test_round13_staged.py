@@ -1071,3 +1071,86 @@ def test_session_window_late_drop_matches_islands_replay(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_transition_dwell_matches_sequence_walk(spark):
+    rows = _events(
+        spark, "user_id", "ts", "event_id", "event_type"
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series[r.user_id].append((r.event_type, r.ts))
+    cells = defaultdict(lambda: [0, 0, None, None])
+    for seq in series.values():
+        for (a, t1), (b, t2) in zip(seq, seq[1:]):
+            us = round((t2 - t1).total_seconds() * 1_000_000)
+            c = cells[(a, b)]
+            c[0] += 1
+            c[1] += us
+            c[2] = us if c[2] is None else min(c[2], us)
+            c[3] = us if c[3] is None else max(c[3], us)
+    got = {
+        (r.prev_type, r.next_type): (
+            r.n,
+            r.total_dwell_us,
+            r.min_dwell_us,
+            r.max_dwell_us,
+            r.mean_dwell_us,
+        )
+        for r in STAGED["transition_dwell_matrix"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        k: (n, tot, mn, mx, tot // n)
+        for k, (n, tot, mn, mx) in cells.items()
+    }
+
+
+def test_dynamic_gap_session_late_drop_matches_islands_replay(spark):
+    """Per-user-constant dynamic gap (30 min even users, 60 min odd)
+    replayed as gaps-and-islands with the union-of-intervals end."""
+    import datetime
+    from collections import defaultdict
+
+    rows = _events(spark, "user_id", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    on_time = [
+        r for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    wm = max(r.ts for r in on_time) - datetime.timedelta(minutes=10)
+    by_user = defaultdict(list)
+    for r in on_time:
+        by_user[r.user_id].append(r.ts)
+    expected = {}
+    for u, tss in by_user.items():
+        gap = datetime.timedelta(
+            minutes=30 if u % 2 == 0 else 60
+        )
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        sessions = []
+        for ts in tss[1:]:
+            if ts - last > gap:
+                sessions.append((start, last, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        sessions.append((start, last, n))
+        for s, e, n in sessions:
+            if e + gap <= wm:
+                expected[
+                    (u, s.strftime("%Y-%m-%d %H:%M:%S"))
+                ] = n
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in STAGED["streaming_dynamic_gap_session_late_drop"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
