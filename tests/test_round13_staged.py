@@ -1154,3 +1154,101 @@ def test_dynamic_gap_session_late_drop_matches_islands_replay(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_multiprobe_recall_at_5_matches_numpy_replay(spark):
+    import numpy as np
+
+    from sparkksqldbbenchmark_spark.llm import similarity
+
+    planes = np.array(similarity.hyperplanes(5, 64))
+    rows = _emb(spark)
+    ids = [r.vec_id for r in rows]
+    q = np.array([_quant(r.embedding) for r in rows], dtype=np.int64)
+    raw = np.array([[float(x) for x in r.embedding] for r in rows])
+    buckets = {}
+    for idx, row in enumerate(raw):
+        b = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for k in range(64):
+                acc += row[k] * p[k]
+            if acc >= 0.0:
+                b |= 1 << i
+        buckets[ids[idx]] = b
+    by_cell = {}
+    for vid, b in buckets.items():
+        by_cell.setdefault(b, []).append(vid)
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+
+    def top5(vid, cands):
+        scored = sorted(
+            ((int(q[idx_of[c]] @ q[idx_of[vid]]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {c for _, c in scored[:5]}
+
+    n_q = total = 0
+    for vid in ids:
+        if vid % 25 != 0:
+            continue
+        n_q += 1
+        cells = [buckets[vid]] + [
+            buckets[vid] ^ (1 << i) for i in range(5)
+        ]
+        cands = {
+            c
+            for cell in cells
+            for c in by_cell.get(cell, [])
+            if c != vid
+        }
+        mp = top5(vid, cands) if cands else set()
+        exact = top5(vid, [c for c in ids if c != vid])
+        total += len(mp & exact)
+    got = STAGED["multi_probe_recall_at_k_certified"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (got.n_queries, got.total_common, got.recall_at_5_e6) == (
+        n_q,
+        total,
+        total * 1000000 // (n_q * 5),
+    )
+
+
+def test_leadtime_histogram_matches_direct_walk(spark):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    ).collect()
+    line = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    from collections import defaultdict
+
+    first_ship = {}
+    for li in line:
+        k = li.l_orderkey
+        if k not in first_ship or li.l_shipdate < first_ship[k]:
+            first_ship[k] = li.l_shipdate
+    cells = defaultdict(lambda: [0, 0, None, None])
+    for o in orders:
+        if o.o_orderkey not in first_ship:
+            continue
+        days = (first_ship[o.o_orderkey] - o.o_orderdate).days
+        bucket = len(bin(max(days, 1))) - 2
+        c = cells[(o.o_orderpriority, bucket)]
+        c[0] += 1
+        c[1] += days
+        c[2] = days if c[2] is None else min(c[2], days)
+        c[3] = days if c[3] is None else max(c[3], days)
+    got = {
+        (r.priority, r.leadtime_bucket): (
+            r.n_orders,
+            r.total_days,
+            r.min_days,
+            r.max_days,
+        )
+        for r in STAGED["order_to_ship_leadtime_histogram"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in cells.items()}
