@@ -2801,6 +2801,14 @@ def aqe_runtime_broadcast_conversion(
     shuffle write of the filtered side, then a broadcast probe
     instead of shuffling the fact table.
 
+    COST NOTE: this row deliberately EXECUTES THE QUERY TWICE — the
+    in-query collect() forces AQE to finalize so the plan assertion
+    reads the post-execution physical plan, and the harness then
+    re-executes the returned DataFrame for grading. The output is a
+    grouped handful of rows, so the doubled cost is bounded, but do
+    NOT read this row's wall-clock as representative of the join's
+    one-shot cost — it is a plan-assertion row, not a perf shape.
+
     Reference basis: engine-mechanics family (hint_join_strategies
     r8, aqe_skew_join_split r8, aqe_coalesce_partitions r9,
     dynamic_partition_pruning_join r9)."""

@@ -1252,3 +1252,54 @@ def test_leadtime_histogram_matches_direct_walk(spark):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in cells.items()}
+
+
+def test_mode_median_matches_counter_replay(spark):
+    """The planted-mode and midpoint-median (round-12 holdback row)
+    re-derived with collections.Counter and sorted midpoints — the
+    witness VERDICT r12 noted the breadth suite lacked."""
+    from collections import Counter, defaultdict
+
+    rows = _events(spark, "event_type", "user_id", "value")
+    planted = defaultdict(list)
+    planted_s = defaultdict(list)
+    cents = defaultdict(list)
+    for r in rows:
+        p = 0 if r.user_id % 4 == 0 else r.user_id % 97 + 1
+        ps = "hot" if r.user_id % 4 == 0 else f"u{r.user_id % 97}"
+        planted[r.event_type].append(p)
+        planted_s[r.event_type].append(ps)
+        cents[r.event_type].append(_cents(r.value))
+    got = {
+        r.event_type: (
+            r.n,
+            r.mode_val,
+            r.mode_str,
+            r.median_cents,
+            r.min_cents,
+            r.max_cents,
+        )
+        for r in STAGED["mode_median_suite"](spark, SF_DIR).collect()
+    }
+    for et, vals in planted.items():
+        mode_val, mode_n = Counter(vals).most_common(1)[0]
+        # the planting guarantees a unique mode by a wide margin
+        assert mode_n > max(
+            c for v, c in Counter(vals).items() if v != mode_val
+        )
+        mode_str = Counter(planted_s[et]).most_common(1)[0][0]
+        cs = sorted(cents[et])
+        n = len(cs)
+        med = (
+            float(cs[n // 2])
+            if n % 2
+            else (cs[n // 2 - 1] + cs[n // 2]) / 2.0
+        )
+        assert got[et] == (
+            n,
+            mode_val,
+            mode_str,
+            med,
+            cs[0],
+            cs[-1],
+        )
