@@ -1303,3 +1303,60 @@ def test_mode_median_matches_counter_replay(spark):
             cs[0],
             cs[-1],
         )
+
+
+def _staged_plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = STAGED[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_rfm_rank_plan_has_no_global_sort(spark):
+    """The three leveled ranks must never plan a range-partitioned
+    global sort — that is the single-reducer shape the two-level
+    pattern exists to avoid. Single-partition exchanges are allowed
+    only for the bounded bucket-carry frames."""
+    plan = _staged_plan(spark, "rfm_segment_counts")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_suffix_lcp_plan_has_no_global_sort(spark):
+    plan = _staged_plan(spark, "suffix_lcp_repeat_stats")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_loo_corpus_side_never_shuffles(spark):
+    """The probe set broadcasts; the corpus is scanned once with no
+    SortMergeJoin anywhere — the bounded-probe contract in plan
+    form."""
+    plan = _staged_plan(spark, "knn_loo_label_accuracy")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_asof_plan_is_single_keyed_exchange(spark):
+    """The union-tag as-of compiles to keyed hash exchanges + one
+    in-partition sort — never an inequality nested-loop join."""
+    plan = _staged_plan(spark, "scd2_temporal_lookup_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equi_depth_scan_prunes_to_value_column(spark):
+    plan = _staged_plan(spark, "equi_depth_partition_bounds")
+    read_schemas = [
+        l for l in plan.splitlines() if "ReadSchema" in l
+    ]
+    assert read_schemas, "no parquet ReadSchema in plan"
+    # the scalar-count scan legitimately reads struct<>; the value
+    # scan must read ONLY value
+    assert any("value" in line for line in read_schemas)
+    for line in read_schemas:
+        assert "props" not in line and "event_type" not in line
