@@ -4791,3 +4791,361 @@ def order_to_ship_leadtime_histogram(
         F.min("lead_days").cast("long").alias("min_days"),
         F.max("lead_days").cast("long").alias("max_days"),
     )
+
+
+# ------------------------------ token TV-distance matrix --
+
+
+@staged_query(
+    "token_tv_distance_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS na, b.n AS nb
+        FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    joint AS (
+        SELECT p.src_a, p.src_b, p.na, p.nb,
+               coalesce(ta.c, 0) AS ca, coalesce(tb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT tok FROM tf) v ON TRUE
+        LEFT JOIN tf ta ON ta.source = p.src_a AND ta.tok = v.tok
+        LEFT JOIN tf tb ON tb.source = p.src_b AND tb.tok = v.tok
+        WHERE coalesce(ta.c, 0) + coalesce(tb.c, 0) > 0
+    )
+    SELECT src_a, src_b,
+           CAST(sum(abs(ca * nb - cb * na)) * 500000
+                // (max(na) * max(nb)) AS BIGINT) AS tv_e6,
+           count(*) AS n_tokens_union
+    FROM joint GROUP BY src_a, src_b, na, nb
+    """,
+)
+def token_tv_distance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOTAL-VARIATION DISTANCE between per-source token
+    distributions, all source pairs — the log-free drift metric
+    (TV = ½·Σ|p−q|): cross-multiplied to stay in integers
+    (Σ|c_a·n_b − c_b·n_a| over the union vocabulary, scaled by
+    2·n_a·n_b once at the end), so the matrix is exact where a
+    KL-divergence would drag libm logs through the hash. The
+    corpus-mixture drift monitor — which sources speak the same
+    language, numerically.
+
+    Scale shape: one tokenize+count per source (the tf frame, vocab-
+    bounded), then a vocab⋈pair join on the BOUNDED tf frame — the
+    pair matrix is |sources|², never row-grain. At 100 TB the tf
+    frame is the only thing recomputed; the matrix is arithmetic on
+    aggregates.
+
+    Reference basis: analytic-statistics family (binned_ks r10,
+    chi_square_uniformity r12, zipf/oov r12 — this adds the pairwise
+    drift plane)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(text, '\\\\S+', 0)")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    pairs = (
+        tot.alias("a")
+        .join(
+            tot.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    vocab = tf.select("tok").distinct()
+    joint = (
+        pairs.join(F.broadcast(vocab))
+        .join(
+            tf.select(
+                F.col("source").alias("src_a"),
+                F.col("tok").alias("tok"),
+                F.col("c").alias("ca"),
+            ),
+            ["src_a", "tok"],
+            "left",
+        )
+        .join(
+            tf.select(
+                F.col("source").alias("src_b"),
+                F.col("tok").alias("tok"),
+                F.col("c").alias("cb"),
+            ),
+            ["src_b", "tok"],
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .where(F.col("ca") + F.col("cb") > 0)
+    )
+    return joint.groupBy("src_a", "src_b", "na", "nb").agg(
+        F.expr(
+            "(sum(abs(ca * nb - cb * na)) * 500000)"
+            " DIV (na * nb)"
+        )
+        .cast("long")
+        .alias("tv_e6"),
+        F.count(F.lit(1)).alias("n_tokens_union"),
+    ).drop("na", "nb")
+
+
+# ------------------------------ chi-square independence --
+
+
+@staged_query(
+    "chi2_independence_contingency",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rows_t AS (
+        SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ),
+    cols_t AS (
+        SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    full_grid AS (
+        SELECT r.lang, c.source, r.r, c.c, n.n,
+               coalesce(cl.o, 0) AS o
+        FROM rows_t r
+        JOIN cols_t c ON TRUE
+        CROSS JOIN n_t n
+        LEFT JOIN cells cl ON cl.lang = r.lang AND cl.source = c.source
+    )
+    SELECT lang, source,
+           CAST(o AS BIGINT) AS observed,
+           CAST((r * c) // n AS BIGINT) AS expected_floor,
+           CAST(((o * n - r * c) * (o * n - r * c) * 1000000)
+                // (n * r * c) AS BIGINT) AS chi2_contrib_e6
+    FROM full_grid
+    """,
+)
+def chi2_independence_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE over the lang × source contingency —
+    is language distribution independent of source? Each cell's
+    contribution (O−E)²/E is computed WITHOUT ever forming the
+    fractional expectation: contribution·e6 =
+    ((O·N − R·C)²·10⁶) DIV (N·R·C), exact integer floor in both
+    engines (the same cross-multiplication trick as the TV row).
+    Zero cells of the full grid are materialized so the statistic
+    covers the whole table, not just observed combinations.
+
+    Scale shape: one (lang, source) rollup off the scan; margins and
+    the grid are arithmetic on the bounded cell frame (|langs| ×
+    |sources|). The full-grid join is bounded² — never row-grain.
+
+    Reference basis: analytic-statistics family
+    (chi_square_uniformity_by_type r12 is the GOF form; this is the
+    independence form every contingency audit needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_t = cells.groupBy("lang").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cols_t = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("c")
+    )
+    n_t = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        rows_t.crossJoin(cols_t)
+        .crossJoin(F.broadcast(n_t))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    return grid.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.expr("(r * c) DIV n").cast("long").alias("expected_floor"),
+        F.expr(
+            "((o * n - r * c) * (o * n - r * c) * 1000000)"
+            " DIV (n * r * c)"
+        )
+        .cast("long")
+        .alias("chi2_contrib_e6"),
+    )
+
+
+# ------------------------------ local clustering coefficient --
+
+
+def _clustering_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), deg AS (
+        SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+    ), tri AS (
+        SELECT e1.src AS node, count(*) AS t2
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN pairs p ON p.u = least(e1.src, e2.dst)
+                    AND p.v = greatest(e1.src, e2.dst)
+        WHERE e1.src != e2.dst
+        GROUP BY e1.src
+    ), coef AS (
+        SELECT d.node, d.d,
+               coalesce(t.t2, 0) AS t2,
+               CASE WHEN d.d >= 2
+                    THEN (coalesce(t.t2, 0) * 1000000)
+                         // (d.d * (d.d - 1))
+                    ELSE 0 END AS cc_e6
+        FROM deg d LEFT JOIN tri t ON d.node = t.node
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           count(*) AS n_nodes,
+           CAST(sum(cc_e6) AS BIGINT) AS total_cc_e6,
+           CAST(sum(t2) // 2 AS BIGINT) AS n_triangles2
+    FROM coef GROUP BY d
+    """
+
+
+@staged_query(
+    "local_clustering_coefficient", oracle=_clustering_oracle()
+)
+def local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node of the near-dup graph,
+    rolled up by degree — cc(v) = triangles-through-v / (d(d−1)/2),
+    kept integer as (2T·10⁶) DIV (d(d−1)): the graph-density
+    fingerprint that separates clique-like template families (cc→1)
+    from chain-like near-dup drift (cc→0), per degree class. The
+    triangle count per node reuses the wedge-join recipe: wedges
+    u−v−w joined against the edge set to close them.
+
+    Scale shape: degree is one aggregate; wedges are bounded by
+    Σd(v)² on the LSH-bounded graph (the triangle row's argument);
+    the closing join is an equi-join on the canonical pair key.
+    Output is degree-bounded.
+
+    Reference basis: dup-graph family (dupgraph_triangle_count r12
+    counts global triangles; dup_graph_degree_stats r8 the degrees —
+    this combines them into the per-node density readout)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id", num_hashes=16, bands=4
+    )
+    left = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    right = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = (
+        left.join(right, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wedges = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(
+            edges.select(
+                F.col("u").alias("b"), F.col("v").alias("c")
+            ),
+            "b",
+        )
+        .where(F.col("a") != F.col("c"))
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.least("u", "v").alias("pu"),
+            F.greatest("u", "v").alias("pv"),
+        ),
+        (F.least("a", "c") == F.col("pu"))
+        & (F.greatest("a", "c") == F.col("pv")),
+    )
+    tri = closed.groupBy(F.col("b").alias("node")).agg(
+        F.count(F.lit(1)).alias("t2")
+    )
+    coef = deg.join(tri, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce("t2", F.lit(0)).cast("long").alias("t2"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr(
+                "(coalesce(t2, 0) * 1000000) DIV (d * (d - 1))"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("cc_e6"),
+    )
+    return coef.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("cc_e6").cast("long").alias("total_cc_e6"),
+        F.expr("sum(t2) DIV 2").cast("long").alias("n_triangles2"),
+    )

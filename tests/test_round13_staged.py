@@ -1360,3 +1360,113 @@ def test_equi_depth_scan_prunes_to_value_column(spark):
     assert any("value" in line for line in read_schemas)
     for line in read_schemas:
         assert "props" not in line and "event_type" not in line
+
+
+def test_tv_distance_matches_counter_replay(spark):
+    import re
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    tf = defaultdict(Counter)
+    for r in docs:
+        tf[r.source].update(re.findall(r"\S+", r.text))
+    tot = {s: sum(c.values()) for s, c in tf.items()}
+    got = {
+        (r.src_a, r.src_b): (r.tv_e6, r.n_tokens_union)
+        for r in STAGED["token_tv_distance_matrix"](
+            spark, SF_DIR
+        ).collect()
+    }
+    srcs = sorted(tf)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            union = set(tf[a]) | set(tf[b])
+            num = sum(
+                abs(tf[a][t] * tot[b] - tf[b][t] * tot[a])
+                for t in union
+            )
+            tv = num * 500000 // (tot[a] * tot[b])
+            assert got[(a, b)] == (tv, len(union))
+
+
+def test_chi2_independence_matches_counter_replay(spark):
+    from collections import Counter
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source"
+    ).collect()
+    cells = Counter((r.lang, r.source) for r in docs)
+    rows = Counter(r.lang for r in docs)
+    cols = Counter(r.source for r in docs)
+    n = len(docs)
+    got = {
+        (r.lang, r.source): (
+            r.observed,
+            r.expected_floor,
+            r.chi2_contrib_e6,
+        )
+        for r in STAGED["chi2_independence_contingency"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for lang in rows:
+        for src in cols:
+            o = cells.get((lang, src), 0)
+            r, c = rows[lang], cols[src]
+            assert got[(lang, src)] == (
+                o,
+                (r * c) // n,
+                ((o * n - r * c) ** 2 * 1000000) // (n * r * c),
+            )
+    assert len(got) == len(rows) * len(cols)
+
+
+def test_clustering_coefficient_matches_networkx_free_replay(spark):
+    """Triangles per node and cc re-derived from the SAME candidate
+    pair set with plain set algebra (adjacency intersection — a third
+    spelling, neither wedge join nor SQL)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id", num_hashes=16, bands=4
+    )
+    left = buckets.select(F.col("doc_id").alias("u"), "band_idx", "bh")
+    right = buckets.select(F.col("doc_id").alias("v"), "band_idx", "bh")
+    pairs = {
+        (r.u, r.v)
+        for r in left.join(right, ["band_idx", "bh"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates(["u", "v"])
+        .collect()
+    }
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    per_degree = defaultdict(lambda: [0, 0, 0])
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(len(adj[x] & nbrs) for x in nbrs) // 2
+        t2 = 2 * t
+        cc = t2 * 1000000 // (d * (d - 1)) if d >= 2 else 0
+        agg = per_degree[d]
+        agg[0] += 1
+        agg[1] += cc
+        agg[2] += t2
+    got = {
+        r.degree: (r.n_nodes, r.total_cc_e6, r.n_triangles2)
+        for r in STAGED["local_clustering_coefficient"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        d: (n, cc, t2 // 2) for d, (n, cc, t2) in per_degree.items()
+    }
