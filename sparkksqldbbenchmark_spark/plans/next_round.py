@@ -5149,3 +5149,526 @@ def local_clustering_coefficient(
         F.sum("cc_e6").cast("long").alias("total_cc_e6"),
         F.expr("sum(t2) DIV 2").cast("long").alias("n_triangles2"),
     )
+
+
+# ------------------------------------ repeated-span cut plan --
+
+
+@staged_query(
+    "repeated_span_cut_plan",
+    oracle="""
+    WITH pos AS (
+        SELECT d.source, d.doc_id, CAST(p.p AS BIGINT) AS p,
+               substring(d.text, CAST(p.p AS INTEGER), 16) AS w
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS p) p
+        WHERE len(d.text) - p.p + 1 >= 16
+    ),
+    dupw AS (
+        SELECT source, w FROM pos
+        GROUP BY source, w HAVING count(*) >= 2
+    ),
+    cuts AS (
+        SELECT pos.source, pos.doc_id, pos.p AS s, pos.p + 16 AS e
+        FROM pos JOIN dupw USING (source, w)
+    ),
+    marked AS (
+        SELECT source, doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM cuts
+    ),
+    islands AS (
+        SELECT source, doc_id, s, e,
+               sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT source, doc_id, island,
+               min(s) AS lo, max(e) AS hi
+        FROM islands GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               count(*) AS n_islands,
+               sum(hi - lo) AS cut
+        FROM merged GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    )
+    SELECT t.source,
+           t.n_docs,
+           CAST(count(pd.doc_id) AS BIGINT) AS docs_affected,
+           CAST(coalesce(sum(pd.n_islands), 0) AS BIGINT)
+               AS n_cut_intervals,
+           CAST(coalesce(sum(pd.cut), 0) AS BIGINT) AS cut_chars,
+           CAST(t.total_chars - coalesce(sum(pd.cut), 0) AS BIGINT)
+               AS kept_chars,
+           CAST(coalesce(max(pd.cut), 0) AS BIGINT) AS max_doc_cut
+    FROM totals t LEFT JOIN per_doc pd ON pd.source = t.source
+    GROUP BY t.source, t.n_docs, t.total_chars
+    """,
+)
+def repeated_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT SPAN CUTTING — the removal plan exact-substring
+    dedup actually executes (Lee et al. 2022: delete every character
+    covered by a duplicated length-16 window). A position p in a doc
+    is cut when its 16-char window occurs >= 2 times within the
+    source; overlapping cut windows merge into islands (the
+    doc_span_interval_union machinery on REAL spans, closing the loop
+    the longest_repeated_substring_extract row opened: that row finds
+    WHAT repeats, this one decides what a cut pass would remove and
+    what survives). Output per source: docs affected, merged cut
+    intervals, characters cut vs kept, and the worst single-doc cut.
+
+    Scale shape: duplicate-window detection is one groupBy on
+    (source, 16-char window) — the hash-shuffle the Lee et al.
+    pipeline does at corpus scale; the join back is the same
+    equi-join; island-merge windows run per doc over that doc's cut
+    positions only (document-grain frames, like sessionize); the
+    rollup is per-source. No global sort, no all-pairs anywhere.
+
+    Reference basis: text-dedup family (exact_substring_spans r9 finds
+    windowed-hash spans; suffix_lcp_repeat_stats /
+    longest_repeated_substring_extract staged mine the repeats — this
+    is the cut-plan consumer their output feeds)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    pos = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "source",
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.expr("substring(text, p, 16)").alias("w"),
+    )
+    dupw = (
+        pos.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("source", "w")
+    )
+    # dup-window set scales with repeated text volume — never assume
+    # broadcastable (the tpch_q3 lesson): pin the spill-safe shuffled
+    # merge join (a hash build of the window set can exceed task
+    # memory — measured at sf0.1 under the 8-partition check session).
+    cuts = pos.join(dupw.hint("merge"), ["source", "w"]).select(
+        "source",
+        "doc_id",
+        F.col("p").alias("s"),
+        (F.col("p") + 16).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = cuts.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("source", "doc_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    per_doc = merged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo")).alias("cut"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    # reduce the doc-grain frame to per-source partials BEFORE the
+    # join with totals: bounded ⋈ bounded, no doc-grain broadcast.
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_affected"),
+        F.sum("n_islands").cast("long").alias("n_cut_intervals"),
+        F.sum("cut").cast("long").alias("cut_chars"),
+        F.max("cut").cast("long").alias("max_doc_cut"),
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("docs_affected", F.lit(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.coalesce("n_cut_intervals", F.lit(0))
+            .cast("long")
+            .alias("n_cut_intervals"),
+            F.coalesce("cut_chars", F.lit(0))
+            .cast("long")
+            .alias("cut_chars"),
+            (
+                F.col("total_chars")
+                - F.coalesce("cut_chars", F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_chars"),
+            F.coalesce("max_doc_cut", F.lit(0))
+            .cast("long")
+            .alias("max_doc_cut"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_affected",
+            "n_cut_intervals",
+            "cut_chars",
+            "kept_chars",
+            "max_doc_cut",
+        )
+    )
+
+
+# -------------------------- prefix-filter exact set-sim join --
+
+
+def _setsim_oracle(n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_word_shingles
+
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sets AS (
+        SELECT doc_id, {sh} AS sh FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(sh) AS g FROM sets
+    ),
+    dfreq AS (
+        SELECT g, count(*) AS df FROM tok GROUP BY g
+    ),
+    sz AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+    ),
+    ranked AS (
+        SELECT t.doc_id, t.g, s.n,
+               row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY f.df, t.g
+               ) AS rk
+        FROM tok t
+        JOIN dfreq f USING (g)
+        JOIN sz s USING (doc_id)
+    ),
+    pfx AS (
+        SELECT doc_id, g FROM ranked
+        WHERE rk <= n - ((3 * n + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pfx a JOIN pfx b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)
+               AS inter_shingles,
+           CAST(len(x.sh) + len(y.sh)
+                - len(list_intersect(x.sh, y.sh)) AS BIGINT)
+               AS union_shingles,
+           CAST(len(list_intersect(x.sh, y.sh)) * 1000000
+                // (len(x.sh) + len(y.sh)
+                    - len(list_intersect(x.sh, y.sh))) AS BIGINT)
+               AS jacc_e6
+    FROM cand c
+    JOIN sets x ON x.doc_id = c.da
+    JOIN sets y ON y.doc_id = c.db
+    WHERE len(list_intersect(x.sh, y.sh)) * 1000000
+          >= 600000 * (len(x.sh) + len(y.sh)
+                       - len(list_intersect(x.sh, y.sh)))
+    """
+
+
+@staged_query("setsim_prefix_filter_join", oracle=_setsim_oracle())
+def setsim_prefix_filter_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008):
+    find every doc pair whose word-3-shingle Jaccard >= 0.6 with ZERO
+    false negatives — the deterministic alternative to MinHash-LSH
+    when recall must be 1.0. Shingles are ordered by ascending global
+    document frequency (rarest first); a doc of n shingles indexes
+    only its first n − ceil(0.6·n) + 1 (integer: n − (3n+4) DIV 5
+    + 1). Completeness: the globally-smallest shared shingle of any
+    qualifying pair must land in BOTH prefixes — if it fell outside
+    one, that doc's overlap would be < ceil(0.6·n), contradicting
+    J >= 0.6. Candidates sharing a prefix shingle are then verified
+    with the exact intersection; Jaccard kept integer as
+    (|∩|·10⁶) DIV |∪|.
+
+    Scale shape: the inverted index is built on PREFIX shingles only
+    (rare tokens → small postings); candidate generation is an
+    equi-join on the shingle, never all-pairs; verification joins
+    the bounded candidate set back to the two shingle arrays. The
+    frequency ordering is one groupBy; per-doc ranking windows are
+    document-grain (<= |shingles per doc| rows). This is exactly the
+    plan the AllPairs paper runs at web scale.
+
+    Reference basis: dedup family (dedup_minhash_lsh r12 flagship is
+    the probabilistic path; dedup_ngram_jaccard r3 verifies LSH
+    candidates — this is the exact-recall joiner the reference's
+    dedup users need when LSH misses are unacceptable)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", F.expr(spark_word_shingles("text", 3)).alias("sh")
+    )
+    tok = sets.select("doc_id", F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sz = sets.select(
+        "doc_id", F.size("sh").cast("long").alias("n")
+    )
+    rk_w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # the frequency table is vocabulary-scale and the size table is
+    # doc-grain — neither is broadcastable at corpus scale; pin the
+    # spill-safe shuffled merge joins (a shuffle_hash build OOM'd at
+    # sf0.1 under the 8-partition check session).
+    ranked = (
+        tok.join(dfreq.hint("merge"), "g")
+        .join(sz.hint("merge"), "doc_id")
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
+    pfx = ranked.where(
+        F.col("rk") <= F.expr("n - ((3 * n + 4) DIV 5) + 1")
+    ).select("doc_id", "g")
+    cand = (
+        pfx.select(F.col("doc_id").alias("da"), "g")
+        .join(pfx.select(F.col("doc_id").alias("db"), "g"), "g")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .dropDuplicates(["da", "db"])
+    )
+    x = sets.select(
+        F.col("doc_id").alias("da"), F.col("sh").alias("sha")
+    )
+    y = sets.select(
+        F.col("doc_id").alias("db"), F.col("sh").alias("shb")
+    )
+    # the shingle-array side is the full corpus — shuffle-join it with
+    # the candidate frame instead of the auto-broadcast the small-SF
+    # stats would pick; merge (not shuffle_hash) so the build spills.
+    verified = (
+        cand.hint("merge")
+        .join(x, "da")
+        .hint("merge")
+        .join(y, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.size(F.array_intersect("sha", "shb"))
+            .cast("long")
+            .alias("inter_shingles"),
+            (
+                F.size("sha")
+                + F.size("shb")
+                - F.size(F.array_intersect("sha", "shb"))
+            )
+            .cast("long")
+            .alias("union_shingles"),
+        )
+        .where(
+            F.col("inter_shingles") * 1000000
+            >= 600000 * F.col("union_shingles")
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter_shingles",
+        "union_shingles",
+        F.expr("(inter_shingles * 1000000) DIV union_shingles")
+        .cast("long")
+        .alias("jacc_e6"),
+    )
+
+
+# ------------------------------ KMV sketch union-merge proof --
+
+
+def _kmv_merge_oracle(k: int = 32, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    sh = sql_word_shingles("text", n)
+    h = sql_md5_int("t.g") + " & 2147483647"
+    return f"""
+    WITH hsh AS (
+        SELECT DISTINCT d.source, {h} AS h
+        FROM documents d,
+             LATERAL (SELECT unnest({sh}) AS g) t
+    ),
+    per_src AS (
+        SELECT source, h,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY h
+               ) AS rk
+        FROM hsh
+    ),
+    merged AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rank
+        FROM (SELECT DISTINCT h FROM per_src WHERE rk <= {k})
+        ORDER BY h LIMIT {k}
+    ),
+    direct AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rank
+        FROM (SELECT DISTINCT h FROM hsh)
+        ORDER BY h LIMIT {k}
+    )
+    SELECT CAST(m.rank AS BIGINT) AS rank,
+           CAST(m.h AS BIGINT) AS merged_h,
+           CAST(d.h AS BIGINT) AS direct_h,
+           CAST(CASE WHEN m.h = d.h THEN 1 ELSE 0 END AS BIGINT)
+               AS is_equal,
+           CAST(CASE WHEN m.rank >= 2
+                     THEN ((m.rank - 1) * 2147483647) // m.h
+                     ELSE 0 END AS BIGINT) AS est_distinct_at_rank
+    FROM merged m JOIN direct d USING (rank)
+    """
+
+
+@staged_query(
+    "kmv_sketch_union_merge_certified", oracle=_kmv_merge_oracle()
+)
+def kmv_sketch_union_merge_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch MERGEABILITY, certified in-query:
+    the k smallest distinct shingle hashes of the whole corpus must
+    equal the k smallest of the UNION of per-source k-min sketches —
+    the exact set identity (any global top-k element present in a
+    source is inside that source's top-k) that makes KMV a mergeable
+    distinct-count sketch (Beyer et al. 2007). Output is the k=32
+    rank-aligned pairs (merged vs direct), an is_equal certificate
+    per rank, and the KMV estimator (rank−1)·M DIV h_rank at each
+    prefix — all exact integers off the md5 31-bit hash space.
+
+    Scale shape: the point of the row — per-source sketches are built
+    TWO-LEVEL (k-min inside each of 64 hash-salt groups, then k-min
+    of the 64 bounded partials), the map-side-combine shape that
+    never materializes a source's full distinct set in one task;
+    the cross-source merge then operates on a ≤ |sources|·k frame.
+    This is precisely how a 1000-executor cluster computes distinct
+    sketches: partial per partition, merge at the coordinator.
+
+    Reference basis: sketch family (kmv_distinct_sketch r5 grades the
+    estimator; countmin/bitmap rows grade other sketches — this row
+    grades the MERGE operation, the property every distributed
+    deployment of the reference's distinct-count path relies on)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_word_shingles,
+    )
+
+    k = 32
+    docs = load_table(spark, sf_dir, "documents")
+    hsh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(spark_word_shingles("text", 3))
+            ).alias("g"),
+        )
+        .select(
+            "source",
+            F.expr(spark_md5_int("g") + " & 2147483647").alias("h"),
+        )
+        .distinct()
+    )
+    # level 1: k-min inside 64 salt groups per source (bounded state)
+    lvl1 = (
+        hsh.withColumn("salt", F.col("h") % 64)
+        .groupBy("source", "salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(
+                "part"
+            )
+        )
+    )
+    # level 2: merge the <=64 bounded partials into the source sketch
+    src_sketch = (
+        lvl1.select("source", F.explode("part").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(
+                "sk"
+            )
+        )
+    )
+    merged_arr = (
+        src_sketch.select(F.explode("sk").alias("h"))
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(
+                "merged"
+            )
+        )
+    )
+    # direct: same two-level shape, keyed by salt only
+    direct_arr = (
+        hsh.withColumn("salt", F.col("h") % 64)
+        .groupBy("salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(
+                "part"
+            )
+        )
+        .select(F.explode("part").alias("h"))
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(
+                "direct"
+            )
+        )
+    )
+    both = merged_arr.crossJoin(F.broadcast(direct_arr))
+    return both.select(
+        F.posexplode(F.arrays_zip("merged", "direct")).alias(
+            "pos", "z"
+        )
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("z.merged").cast("long").alias("merged_h"),
+        F.col("z.direct").cast("long").alias("direct_h"),
+        F.when(F.col("z.merged") == F.col("z.direct"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_equal"),
+        F.when(
+            F.col("pos") + 1 >= 2,
+            F.expr(
+                "(cast(pos as bigint) * 2147483647) DIV z.merged"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("est_distinct_at_rank"),
+    )

@@ -1470,3 +1470,162 @@ def test_clustering_coefficient_matches_networkx_free_replay(spark):
     assert got == {
         d: (n, cc, t2 // 2) for d, (n, cc, t2) in per_degree.items()
     }
+
+
+def test_repeated_span_cut_matches_python_interval_replay(spark):
+    """Cut-plan row re-derived directly: per source, Counter of
+    16-char windows; every position whose window repeats becomes a
+    cut [p, p+16); islands merged by a linear scan over the sorted
+    cut starts — none of the SQL window/island machinery."""
+    from collections import Counter
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    expected = {}
+    for src, rows in by_src.items():
+        wc: Counter = Counter()
+        for r in rows:
+            t = r.text
+            for p in range(1, len(t) - 14):
+                wc[t[p - 1 : p + 15]] += 1
+        docs_affected = n_islands = cut_chars = max_cut = 0
+        total_chars = sum(len(r.text) for r in rows)
+        for r in rows:
+            t = r.text
+            starts = [
+                p
+                for p in range(1, len(t) - 14)
+                if wc[t[p - 1 : p + 15]] >= 2
+            ]
+            if not starts:
+                continue
+            docs_affected += 1
+            doc_cut = 0
+            cur_lo, cur_hi = starts[0], starts[0] + 16
+            islands = 1
+            for s in starts[1:]:
+                if s > cur_hi:
+                    doc_cut += cur_hi - cur_lo
+                    islands += 1
+                    cur_lo, cur_hi = s, s + 16
+                else:
+                    cur_hi = max(cur_hi, s + 16)
+            doc_cut += cur_hi - cur_lo
+            n_islands += islands
+            cut_chars += doc_cut
+            max_cut = max(max_cut, doc_cut)
+        expected[src] = (
+            len(rows),
+            docs_affected,
+            n_islands,
+            cut_chars,
+            total_chars - cut_chars,
+            max_cut,
+        )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.docs_affected,
+            r.n_cut_intervals,
+            r.cut_chars,
+            r.kept_chars,
+            r.max_doc_cut,
+        )
+        for r in STAGED["repeated_span_cut_plan"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def _word_shingles(text: str, n: int = 3) -> set:
+    toks = text.split()
+    if len(toks) <= n:
+        return {" ".join(toks[:n])} if toks else set()
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    }
+
+
+def test_setsim_prefix_filter_has_zero_false_negatives(spark):
+    """The prefix-filter completeness theorem, checked against the
+    ground truth the filter is supposed to preserve: BRUTE-FORCE
+    all-pairs Jaccard over the word-3-shingle sets. The staged join
+    must return exactly the pairs with (inter*1e6) DIV union >=
+    600000 — no false negatives (the theorem) and no false positives
+    (the verify stage) — with matching exact values."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sets = {r.doc_id: _word_shingles(r.text) for r in docs}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * 1000000 >= 600000 * union:
+                expected[(a, b)] = (
+                    inter,
+                    union,
+                    inter * 1000000 // union,
+                )
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.inter_shingles,
+            r.union_shingles,
+            r.jacc_e6,
+        )
+        for r in STAGED["setsim_prefix_filter_join"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must plant at least one qualifying pair"
+
+
+def test_kmv_union_merge_matches_hashlib_replay(spark):
+    """KMV mergeability re-derived with hashlib only: per-source
+    31-bit shingle-hash sets, per-source 32 smallest, merged 32
+    smallest of the union-of-sketches vs direct 32 smallest of the
+    full corpus — asserting the identity holds and the staged row
+    reports it (is_equal all 1, estimator arithmetic exact)."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    per_src: dict[str, set] = {}
+    for r in docs:
+        hs = per_src.setdefault(r.source, set())
+        for g in _word_shingles(r.text):
+            hs.add(_md5int(g) & 2147483647)
+    k = 32
+    union_of_sketches: set = set()
+    all_h: set = set()
+    for hs in per_src.values():
+        union_of_sketches.update(sorted(hs)[:k])
+        all_h.update(hs)
+    merged = sorted(union_of_sketches)[:k]
+    direct = sorted(all_h)[:k]
+    assert merged == direct, "the KMV merge identity itself"
+    rows = sorted(
+        STAGED["kmv_sketch_union_merge_certified"](
+            spark, SF_DIR
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.merged_h for r in rows] == merged
+    assert [r.direct_h for r in rows] == direct
+    assert all(r.is_equal == 1 for r in rows)
+    for r in rows:
+        want = (
+            (r.rank - 1) * 2147483647 // r.merged_h
+            if r.rank >= 2
+            else 0
+        )
+        assert r.est_distinct_at_rank == want
