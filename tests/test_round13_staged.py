@@ -1629,3 +1629,66 @@ def test_kmv_union_merge_matches_hashlib_replay(spark):
             else 0
         )
         assert r.est_distinct_at_rank == want
+
+
+def test_skyline_frontier_matches_quadratic_dominance_scan(spark):
+    """Pareto frontier re-derived by the DIRECT quadratic dominance
+    definition over raw parts (no cell rollup, no window): a
+    (brand, size, min-cents) point survives iff no part of the same
+    brand strictly dominates it."""
+    parts = load_table(spark, SF_DIR, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    ).collect()
+    cells: dict[tuple, list] = {}
+    for r in parts:
+        key = (r.p_brand, r.p_size)
+        c = math.floor(r.p_retailprice * 100)
+        if key not in cells:
+            cells[key] = [c, 1]
+        else:
+            cells[key][0] = min(cells[key][0], c)
+            cells[key][1] += 1
+    expected = {}
+    for (brand, size), (price, n) in cells.items():
+        dominated = any(
+            b2 == brand and s2 > size and p2 <= price
+            for (b2, s2), (p2, _) in cells.items()
+        )
+        if not dominated:
+            expected[(brand, size)] = (price, n)
+    got = {
+        (r.brand, r.size): (r.min_price_cents, r.n_parts)
+        for r in STAGED["skyline_pareto_frontier"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_bucketed_join_matches_python_hash_join(spark):
+    """The bucketed co-located join's values re-derived by a plain
+    Python dict join over the raw tables (the plan-shape assertion
+    itself lives in the query)."""
+    orders = {
+        r.o_orderkey: r.o_orderpriority
+        for r in load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).collect()
+    }
+    agg: dict[str, list] = {}
+    for r in load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).collect():
+        pr = orders.get(r.l_orderkey)
+        if pr is None:
+            continue
+        a = agg.setdefault(pr, [0, 0])
+        a[0] += 1
+        a[1] += math.floor(r.l_extendedprice * 100)
+    got = {
+        r.o_orderpriority: (r.n_items, r.revenue_cents)
+        for r in STAGED["bucketed_colocated_join_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}

@@ -211,6 +211,203 @@ def new_family_probes(spark, n: int, docs, docs_n: int) -> None:
     )
 
 
+def round13b_family_probes(spark, n: int) -> None:
+    """Third-wave staged-shape probes (repeated_span_cut_plan,
+    setsim_prefix_filter_join, kmv_sketch_union_merge_certified):
+    self-contained synthetic inputs, run via
+    `python tools/scale_smoke.py N --r13b`."""
+    import time as _t
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # 1) repeated-span cut plan over n/100 word-salad docs (the
+    # dup-HEAVY extreme: a 31-word vocab makes nearly every 16-char
+    # window repeat, so the join-back carries ~every position — the
+    # worst case for the merge join and the island windows).
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    docs_n = max(n // 100, 10_000)
+    docs = spark.range(docs_n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 32).cast("string").alias("source"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(id * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    )
+    t0 = _t.time()
+    pos = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "source", "doc_id", F.col("p").cast("long").alias("p"),
+        F.expr("substring(text, p, 16)").alias("w"),
+    )
+    dupw = (
+        pos.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("source", "w")
+    )
+    cuts = pos.join(dupw.hint("merge"), ["source", "w"]).select(
+        "source", "doc_id", F.col("p").alias("s"),
+        (F.col("p") + 16).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = cuts.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    merged = (
+        marked.withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("source", "doc_id", "island")
+        .agg(F.min("s").alias("lo"), F.max("e").alias("hi"))
+    )
+    got = (
+        merged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_affected"),
+            F.sum(F.col("hi") - F.col("lo")).alias("cut"),
+        )
+        .agg(F.sum("docs_affected"), F.sum("cut"))
+        .collect()[0]
+    )
+    cut_s = _t.time() - t0
+    n_pos = docs_n * 330
+    print(
+        f"docs={docs_n:,} span_cut_plan={cut_s:.1f}s "
+        f"(~{n_pos:,} positions, {int(n_pos / cut_s):,} pos/s, "
+        f"docs_affected={got[0]:,}, cut_chars={got[1]:,})"
+    )
+
+    # 2) prefix-filter set-sim join over n/100 mostly-unique-token
+    # docs with a planted dup per 1000 (the realistic Zipf-tail shape
+    # prefix filtering exploits: rare shingles -> tiny posting lists).
+    pdocs = spark.range(docs_n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i -> "
+            "concat('w', pmod(hash((case when id % 1000 = 999 "
+            f"then id - 999 else id end) * 131 + i), {docs_n * 4}))))"
+        ).alias("text"),
+    )
+    t0 = _t.time()
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_word_shingles,
+    )
+
+    sets = pdocs.select(
+        "doc_id", F.expr(spark_word_shingles("text", 3)).alias("sh")
+    )
+    tok = sets.select("doc_id", F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sz = sets.select("doc_id", F.size("sh").cast("long").alias("n"))
+    rk_w = W.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (
+        tok.join(dfreq.hint("merge"), "g")
+        .join(sz.hint("merge"), "doc_id")
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
+    pfx = ranked.where(
+        F.col("rk") <= F.expr("n - ((3 * n + 4) DIV 5) + 1")
+    ).select("doc_id", "g")
+    cand = (
+        pfx.select(F.col("doc_id").alias("da"), "g")
+        .join(pfx.select(F.col("doc_id").alias("db"), "g"), "g")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .dropDuplicates(["da", "db"])
+    )
+    x = sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    y = sets.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    qualified = (
+        cand.hint("merge").join(x, "da").hint("merge").join(y, "db")
+        .where(
+            F.size(F.array_intersect("sha", "shb")) * 1000000
+            >= 600000
+            * (
+                F.size("sha") + F.size("shb")
+                - F.size(F.array_intersect("sha", "shb"))
+            )
+        )
+        .count()
+    )
+    pf_s = _t.time() - t0
+    planted = docs_n // 1000
+    assert qualified >= planted, (
+        f"prefix filter lost planted dups: {qualified} < {planted}"
+    )
+    print(
+        f"docs={docs_n:,} prefix_filter_setsim={pf_s:.1f}s "
+        f"({int(docs_n / pf_s):,} docs/s, qualified={qualified:,} "
+        f"[planted {planted:,}])"
+    )
+
+    # 3) KMV two-level union-merge over n distinct elements, 32 sources
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    k = 32
+    t0 = _t.time()
+    hsh = spark.range(n).select(
+        (F.col("id") % 32).alias("source"),
+        F.expr(
+            spark_md5_int("cast(id as string)") + " & 2147483647"
+        ).alias("h"),
+    )
+    lvl1 = (
+        hsh.withColumn("salt", F.col("h") % 64)
+        .groupBy("source", "salt")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("part"))
+    )
+    src_sketch = (
+        lvl1.select("source", F.explode("part").alias("h"))
+        .groupBy("source")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sk"))
+    )
+    merged_v = sorted(
+        r.h
+        for r in src_sketch.select(
+            F.explode("sk").alias("h")
+        ).distinct().orderBy("h").limit(k).collect()
+    )
+    d1 = (
+        hsh.withColumn("salt", F.col("h") % 64)
+        .groupBy("salt")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("part"))
+    )
+    direct_v = sorted(
+        r.h
+        for r in d1.select(F.explode("part").alias("h"))
+        .distinct().orderBy("h").limit(k).collect()
+    )
+    kmv_s = _t.time() - t0
+    assert merged_v == direct_v, "KMV merge identity broken at scale"
+    est = (k - 1) * 2147483647 // merged_v[-1]
+    print(
+        f"rows={n:,} kmv_union_merge={kmv_s:.1f}s "
+        f"({int(n / kmv_s):,} rows/s, est_distinct={est:,}, "
+        f"identity verified)"
+    )
+
+
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
@@ -226,6 +423,9 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="scale_events_")
     if "--r13" in sys.argv:
         round13_family_probes(spark, n)
+        return
+    if "--r13b" in sys.argv:
+        round13b_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
