@@ -62,6 +62,12 @@ BOUNDED_BNL = {
     "knn_loo_label_accuracy",            # bounded probe-set broadcast scorer
     "farthest_point_init_quantized",     # 1-row chosen-centroid scalars × k
     "ivf_cell_balance_audit",            # 1-row total scalar join
+    "kmeanspp_d2_seeding_derandomized",  # 1-row chosen-centroid scalars × k
+    "multi_probe_lsh_recall_certified",  # bounded probe-set broadcast scorer
+    "multi_probe_recall_at_k_certified",  # same bounded probe-set shape
+    "token_tv_distance_matrix",          # |sources|² bounded pair frame
+    "chi2_independence_contingency",     # bounded margins grid (langs×sources)
+    "kmv_sketch_union_merge_certified",  # 1-row × 1-row sketch-array cross
 }
 
 
