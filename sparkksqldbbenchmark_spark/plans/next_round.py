@@ -5835,3 +5835,160 @@ def bucketed_colocated_join_audit(
         f"exchange, got {exchanges}:\n{plan}"
     )
     return res
+
+
+# ---------------------- outer stream-stream join null emission --
+
+
+@staged_query(
+    "streaming_outer_join_null_emission",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    v AS (
+        SELECT user_id, event_id, ts FROM events, d0
+        WHERE event_type = 'view'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    c AS (
+        SELECT user_id, event_id, ts FROM events, d0
+        WHERE event_type = 'click'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    )
+    SELECT v.user_id, v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_outer_join_null_emission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join with WATERMARK-DRIVEN NULL
+    EMISSION, value-graded — the subtlest stream-join semantics:
+    unmatched views must emit (view, NULL) rows, but only once the
+    watermark proves no future click can still match (view_ts + the
+    1-hour join range). The graded inner row
+    (streaming_stream_join) can never observe this path; here the
+    fixture forces it: day-1 views and clicks arrive in batch 0 of
+    each side's ordered file source, then two sentinel batches per
+    side (far-future rows on a key that joins nothing, filtered
+    AFTER the watermark node so they advance event time without
+    entering the join) push the watermark past every view's match
+    range — Spark applies a batch's watermark in the NEXT batch (the
+    measured one-batch lag the late-drop rows pin), hence TWO
+    sentinel files, not one. The union of all emitted batches must
+    equal the relational LEFT JOIN row for row, nulls included.
+
+    Scale shape: both sides shuffle-partition on user_id; state per
+    key is bounded by the 1-hour range below the watermark — eviction
+    is exactly what keeps outer-join state finite at 100 TB ingest
+    (without the range bound Spark rejects the outer join outright).
+
+    Reference basis: SURVEY §2.9 streaming semantics (T1-T11) —
+    stream-stream INNER graded r10 (streaming_stream_join); the
+    outer form's null path graded value-for-value for the first
+    time; three-batch ordered-file fixture per the T4/T6 technique."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    evb = ev.crossJoin(F.broadcast(bounds)).where(
+        (F.col("ts") >= F.col("t0"))
+        & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
+    )
+    views = evb.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = evb.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    sentinel = bounds.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("t0") + F.expr("INTERVAL 30 DAY")).alias("ts"),
+    )
+    sentinel2 = sentinel.select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="oj_")
+    for side, parts in (
+        ("left", (views, sentinel, sentinel2)),
+        ("right", (clicks, sentinel, sentinel2)),
+    ):
+        sdir = os.path.join(base, side)
+        os.makedirs(sdir)
+        for i, part_df in enumerate(parts):
+            tmp = os.path.join(base, f"{side}_part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    # The sentinel exclusion must reference the EVENT-TIME column:
+    # Catalyst pushes non-event-time predicates BELOW the
+    # EventTimeWatermark node (PushPredicateThroughNonJoin), which
+    # would filter the sentinels before their timestamps ever reach
+    # the watermark stats — measured here as the watermark silently
+    # never advancing and the last views never emitting their nulls.
+    t0 = bounds.collect()[0]["t0"]
+    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "left"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "right"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+        .cast("long")
+        .alias("lag_us"),
+    )
+    name = f"oj_null_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -1692,3 +1692,49 @@ def test_bucketed_join_matches_python_hash_join(spark):
         ).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_outer_join_null_emission_matches_python_left_join(spark):
+    """The streaming left-outer join's full emitted set (matches AND
+    watermark-driven null rows) re-derived by a plain Python nested
+    loop over the day-1 slice — no streaming machinery."""
+    rows = _events(spark, "user_id", "event_id", "event_type", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    import datetime
+
+    day1 = [
+        r
+        for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    views = [r for r in day1 if r.event_type == "view"]
+    clicks = [r for r in day1 if r.event_type == "click"]
+    expected = set()
+    for v in views:
+        matched = False
+        for c in clicks:
+            if (
+                c.user_id == v.user_id
+                and v.ts <= c.ts <= v.ts + datetime.timedelta(hours=1)
+            ):
+                lag = int(
+                    (c.ts - v.ts) / datetime.timedelta(microseconds=1)
+                )
+                expected.add(
+                    (v.user_id, v.event_id, c.event_id, lag)
+                )
+                matched = True
+        if not matched:
+            expected.add((v.user_id, v.event_id, None, None))
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us)
+        for r in STAGED["streaming_outer_join_null_emission"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert any(c is None for (_, _, c, _) in expected), (
+        "fixture must exercise the null-emission path"
+    )
