@@ -5992,3 +5992,121 @@ def streaming_outer_join_null_emission(
     q = run_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# -------------------- dedup-within-watermark re-emission --
+
+
+@staged_query(
+    "streaming_dedup_within_watermark_reemit",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    )
+    SELECT user_id, event_type, CAST(2 AS BIGINT) AS n_emitted
+    FROM events, d0
+    WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup_within_watermark_reemit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark RE-EMISSION semantics,
+    value-graded — the property that separates it from plain
+    dropDuplicates (graded r10 as streaming_dedup_distinct_keys,
+    whose docstring deferred exactly this): after the watermark
+    evicts a key's state, the SAME key arriving again is NEW and
+    must re-emit. Four ordered batches: (1) every day-1
+    (user, event_type) row — within-batch duplicates collapse to
+    one emission per key; (2) the same keys shifted +1 hour — still
+    inside the 10-minute-delay state lifetime, all DROPPED; (3) a
+    far-future sentinel advancing the watermark past every key's
+    expiry (filtered on the event-time column — the Catalyst
+    watermark-pushdown fact the outer-join row records); (4) the
+    same keys shifted +2 days — state long evicted, every key
+    re-emits. Graded readout: exactly 2 emissions per day-1 key.
+    A failure either way is visible: early eviction → 3, no
+    eviction → 1.
+
+    Scale shape: dedup state is partitioned by key and BOUNDED by
+    the watermark lifetime — the property this row proves is the one
+    that makes streaming dedup viable at 100 TB/day (plain
+    dropDuplicates state grows without bound; withinWatermark holds
+    each key for delay + range only).
+
+    Reference basis: SURVEY §2.9 T8/T10 state-store semantics;
+    streaming/stateful.streaming_dedup_within_watermark carries the
+    operator, unit tests cover eviction timing — this grades the
+    re-emission contract end-to-end against the driver oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    t0 = bounds.collect()[0]["t0"]
+    day1 = ev.where(
+        (F.col("ts") >= F.lit(t0))
+        & (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 1 DAY"))
+    ).select("user_id", "event_type", "ts")
+    shifted_1h = day1.select(
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        (F.lit(t0) + F.expr("INTERVAL 30 DAY")).alias("ts"),
+    )
+    reemit = day1.select(
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 32 DAY")).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="ddww_")
+    sdir = os.path.join(base, "stream")
+    os.makedirs(sdir)
+    for i, part_df in enumerate(
+        (day1, shifted_1h, sentinel, reemit)
+    ):
+        tmp = os.path.join(base, f"part{i}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(sdir, f"file{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    # exclude ONLY the sentinel's time band (day-1 / +1h / +32d rows
+    # stay); the predicate references the event-time column so
+    # Catalyst cannot push it below the watermark node
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir)
+        .withWatermark("ts", "10 minutes")
+        .where(
+            (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 29 DAY"))
+            | (F.col("ts") >= F.lit(t0) + F.expr("INTERVAL 31 DAY"))
+        )
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
+    )

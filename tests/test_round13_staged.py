@@ -1738,3 +1738,29 @@ def test_outer_join_null_emission_matches_python_left_join(spark):
     assert any(c is None for (_, _, c, _) in expected), (
         "fixture must exercise the null-emission path"
     )
+
+
+def test_dedup_within_watermark_reemit_epochs(spark):
+    """The re-emission contract replayed in plain Python: day-1 keys
+    collapse to one emission in epoch 1 (batch 1; batch 2's +1h
+    re-arrivals all dropped in-state) and re-emit once in epoch 2
+    (batch 4, after eviction) — exactly 2 per key, sentinel absent."""
+    import datetime
+
+    rows = _events(spark, "user_id", "event_type", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    keys = {
+        (r.user_id, r.event_type)
+        for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    }
+    got = {
+        (r.user_id, r.event_type): r.n_emitted
+        for r in STAGED["streaming_dedup_within_watermark_reemit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {k: 2 for k in keys}
+    assert all(u >= 0 for (u, _) in got), "sentinel leaked"
