@@ -6110,3 +6110,148 @@ def streaming_dedup_within_watermark_reemit(
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_emitted"))
     )
+
+
+# ---------------------- full-outer stream-stream join --
+
+
+@staged_query(
+    "streaming_full_outer_join_both_nulls",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    v AS (
+        SELECT user_id, event_id, ts FROM events, d0
+        WHERE event_type = 'view'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    c AS (
+        SELECT user_id, event_id, ts FROM events, d0
+        WHERE event_type = 'click'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    )
+    SELECT coalesce(v.user_id, c.user_id) AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM v FULL JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_full_outer_join_both_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-OUTER stream-stream join — BOTH null directions
+    value-graded: unmatched views emit (view, NULL) and unmatched
+    clicks emit (NULL, click), each only after the watermark proves
+    no counterpart can still arrive. Same three-batch ordered-file
+    fixture as the left-outer row (day-1 data, then two
+    event-time-filtered sentinel batches to walk the watermark past
+    every row's match range through the one-batch application lag).
+    The emitted union must equal the relational FULL JOIN row for
+    row — the right-null path exercises click-side state eviction,
+    which the left-outer row never observes.
+
+    Scale shape: as the left-outer row — state on both sides bounded
+    by the 1-hour range below the watermark; full-outer adds no
+    state, only the second eviction-emission path.
+
+    Reference basis: SURVEY §2.9 — completes the stream-stream join
+    semantics matrix (inner r10, left-outer staged, full-outer
+    here)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    t0 = bounds.collect()[0]["t0"]
+    evb = ev.where(
+        (F.col("ts") >= F.lit(t0))
+        & (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 1 DAY"))
+    )
+    views = evb.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = evb.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(t0) + F.expr("INTERVAL 30 DAY")).alias("ts"),
+    )
+    sentinel2 = sentinel.select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="foj_")
+    for side, parts in (
+        ("left", (views, sentinel, sentinel2)),
+        ("right", (clicks, sentinel, sentinel2)),
+    ):
+        sdir = os.path.join(base, side)
+        os.makedirs(sdir)
+        for i, part_df in enumerate(parts):
+            tmp = os.path.join(base, f"{side}_part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "left"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "right"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "v_user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("v_user_id", "c_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+        .cast("long")
+        .alias("lag_us"),
+    )
+    name = f"foj_null_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -1764,3 +1764,57 @@ def test_dedup_within_watermark_reemit_epochs(spark):
     }
     assert got == {k: 2 for k in keys}
     assert all(u >= 0 for (u, _) in got), "sentinel leaked"
+
+
+def test_full_outer_join_emits_both_null_directions(spark):
+    """Full-outer emitted set re-derived by a Python nested loop:
+    matched pairs, left-nulls for unmatched views, right-nulls for
+    unmatched clicks — and the fixture must exercise BOTH null
+    directions."""
+    import datetime
+
+    rows = _events(spark, "user_id", "event_id", "event_type", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    day1 = [
+        r
+        for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    views = [r for r in day1 if r.event_type == "view"]
+    clicks = [r for r in day1 if r.event_type == "click"]
+    expected = set()
+    matched_clicks = set()
+    for v in views:
+        matched = False
+        for c in clicks:
+            if (
+                c.user_id == v.user_id
+                and v.ts <= c.ts <= v.ts + datetime.timedelta(hours=1)
+            ):
+                lag = int(
+                    (c.ts - v.ts) / datetime.timedelta(microseconds=1)
+                )
+                expected.add(
+                    (v.user_id, v.event_id, c.event_id, lag)
+                )
+                matched = True
+                matched_clicks.add(c.event_id)
+        if not matched:
+            expected.add((v.user_id, v.event_id, None, None))
+    for c in clicks:
+        if c.event_id not in matched_clicks:
+            expected.add((c.user_id, None, c.event_id, None))
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.lag_us)
+        for r in STAGED["streaming_full_outer_join_both_nulls"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert any(v is None for (_, v, _, _) in expected), "no right-nulls"
+    assert any(
+        c is None and v is not None
+        for (_, v, c, _) in expected
+    ), "no left-nulls"
