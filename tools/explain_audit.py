@@ -158,6 +158,11 @@ STAGED_AUDIT = [
     "auc_rank_sum_exact",  # leveled rank + midrank algebra
     "multi_probe_lsh_recall_certified",  # probe-cell equi-join, no BNL on corpus
     "kmeanspp_d2_seeding_derandomized",  # per-step aggregate+broadcast
+    "repeated_span_cut_plan",  # pinned merge join-back, doc-grain islands
+    "setsim_prefix_filter_join",  # prefix postings equi-join, pinned merge verify
+    "kmv_sketch_union_merge_certified",  # two-level k-min, bounded finals
+    "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
+    "bucketed_colocated_join_audit",  # zero pre-join exchanges (also in-query asserted)
 ]
 
 
