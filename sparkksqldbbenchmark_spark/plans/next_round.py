@@ -5721,9 +5721,12 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-brand cell list. The DuckDB oracle derives the same
     frontier through the independent quadratic NOT-EXISTS spelling.
 
-    Reference basis: ordering/top-k family (top-k, argmax O5,
-    window_group_limit r12 — this is the 2-criteria generalization a
-    shortlist query needs when no single sort key exists)."""
+    Reference basis: pareto_frontier_skyline (r10, TAIL) runs the
+    UNGROUPED sweep over distinct global price groups; this is the
+    grouped sibling — per-brand frontiers with the row-grain data
+    reduced to domain-bounded cells BEFORE any window, the form that
+    survives per-group skew at 100 TB (same relationship as the
+    grouped vs global quantile rows)."""
     part = load_table(spark, sf_dir, "part")
     cells = part.groupBy(
         F.col("p_brand").alias("brand"),
