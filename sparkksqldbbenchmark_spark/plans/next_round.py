@@ -6258,3 +6258,142 @@ def streaming_full_outer_join_both_nulls(
     q = run_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# -------------------- sentence-boundary greedy chunk plan --
+
+
+def _chunk_oracle(budget: int = 12) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("w.w")
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT d.doc_id,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM documents d
+    ),
+    flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, i, f,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sent_lens AS (
+        SELECT doc_id, sid, count(*) AS len
+        FROM sids GROUP BY doc_id, sid
+    ),
+    k_t AS (
+        SELECT doc_id, count(*) AS k, CAST(sum(len) AS BIGINT) AS nw
+        FROM sent_lens GROUP BY doc_id
+    ),
+    rec AS (
+        SELECT doc_id, 0 AS idx, 0 AS cur, 0 AS nch, 0 AS mx
+        FROM k_t
+        UNION ALL
+        SELECT r.doc_id, r.idx + 1,
+               CASE WHEN r.cur > 0 AND r.cur + s.len > {budget}
+                    THEN s.len ELSE r.cur + s.len END,
+               CASE WHEN r.cur > 0 AND r.cur + s.len > {budget}
+                    THEN r.nch + 1 ELSE r.nch END,
+               CASE WHEN r.cur > 0 AND r.cur + s.len > {budget}
+                    THEN greatest(r.mx, r.cur) ELSE r.mx END
+        FROM rec r
+        JOIN sent_lens s
+          ON s.doc_id = r.doc_id AND s.sid = r.idx
+    )
+    SELECT k_t.doc_id,
+           k_t.nw AS n_words,
+           CAST(k_t.k AS BIGINT) AS n_sentences,
+           CAST(r.nch + 1 AS BIGINT) AS n_chunks,
+           CAST(greatest(r.mx, r.cur) AS BIGINT) AS max_chunk_words,
+           CAST(r.cur AS BIGINT) AS last_chunk_words
+    FROM rec r JOIN k_t ON r.doc_id = k_t.doc_id AND r.idx = k_t.k
+    """
+
+
+@staged_query(
+    "sentence_chunk_greedy_fold", oracle=_chunk_oracle()
+)
+def sentence_chunk_greedy_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITHIN-DOCUMENT greedy chunking with sentence-boundary
+    respect — the context-window chunker every RAG / SFT data
+    pipeline runs: sentences are packed greedily into chunks of at
+    most 12 words, a sentence never splits (one longer than the
+    budget occupies its own chunk), and a chunk closes when the next
+    sentence would overflow it. Sentence ends are deterministic
+    pseudo-boundaries (word md5 & 3 == 0, the planted-structure
+    convention) since the corpus has no punctuation. Graded per doc:
+    words, sentences, chunks, max and last chunk fill.
+
+    Complements sequence_packing (r12 flagship): that row packs
+    ACROSS documents with a range-bucketed distributed prefix sum
+    (one shuffle); this one is the within-doc reset-recurrence,
+    which no prefix sum expresses — so it runs as a pure scan-side
+    HOF FOLD (aggregate with struct state: sentence-length builder,
+    then the greedy chunker) — ZERO exchanges of row-grain data, the
+    most scalable shape an operator can have. The DuckDB oracle
+    derives the same recurrence through an entirely different
+    spelling: window-function sentence ids + a recursive CTE
+    stepping all documents one sentence per iteration.
+
+    Reference basis: packing family (sequence_packing,
+    token_budget_selection r12, pack_composition_audit r11 — this
+    adds the boundary-respecting within-doc member)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    budget = 12
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    )
+    flags = F.expr(
+        f"transform(toks, w -> ({spark_md5_int('w')} & 3) = 0)"
+    )
+    lens_expr = (
+        "aggregate(flags,"
+        " struct(cast(array() as array<int>) as lens, 0 as cur),"
+        " (a, f) -> if(f,"
+        "   struct(concat(a.lens, array(a.cur + 1)) as lens,"
+        "          0 as cur),"
+        "   struct(a.lens as lens, a.cur + 1 as cur)),"
+        " a -> if(a.cur > 0, concat(a.lens, array(a.cur)), a.lens))"
+    )
+    greedy = (
+        "aggregate(lens,"
+        " struct(0 as nch, 0 as cur, 0 as mx),"
+        " (a, L) -> if(a.cur > 0 and a.cur + L > "
+        f"{budget},"
+        "   struct(a.nch + 1 as nch, L as cur,"
+        "          greatest(a.mx, a.cur) as mx),"
+        "   struct(a.nch as nch, a.cur + L as cur, a.mx as mx)),"
+        " a -> struct(a.nch + 1 as nch, a.cur as cur,"
+        "             greatest(a.mx, a.cur) as mx))"
+    )
+    staged = (
+        toks.withColumn("flags", flags)
+        .withColumn("lens", F.expr(lens_expr))
+        .withColumn("st", F.expr(greedy))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size("lens").cast("long").alias("n_sentences"),
+        F.col("st.nch").cast("long").alias("n_chunks"),
+        F.col("st.mx").cast("long").alias("max_chunk_words"),
+        F.col("st.cur").cast("long").alias("last_chunk_words"),
+    )

@@ -1818,3 +1818,49 @@ def test_full_outer_join_emits_both_null_directions(spark):
         c is None and v is not None
         for (_, v, c, _) in expected
     ), "no left-nulls"
+
+
+def test_sentence_chunk_greedy_matches_python_walk(spark):
+    """The within-doc greedy chunker re-derived by a direct Python
+    walk over the token list — neither the Spark HOF fold nor the
+    oracle's recursive CTE."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    budget = 12
+    expected = {}
+    for r in docs:
+        toks = r.text.split()
+        lens = []
+        cur = 0
+        for w in toks:
+            cur += 1
+            if _md5int(w) & 3 == 0:
+                lens.append(cur)
+                cur = 0
+        if cur:
+            lens.append(cur)
+        nch, fill, mx = 0, 0, 0
+        for L in lens:
+            if fill > 0 and fill + L > budget:
+                nch += 1
+                mx = max(mx, fill)
+                fill = L
+            else:
+                fill += L
+        nch += 1
+        mx = max(mx, fill)
+        expected[r.doc_id] = (len(toks), len(lens), nch, mx, fill)
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.n_sentences,
+            r.n_chunks,
+            r.max_chunk_words,
+            r.last_chunk_words,
+        )
+        for r in STAGED["sentence_chunk_greedy_fold"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
