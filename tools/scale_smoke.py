@@ -298,6 +298,55 @@ def round13b_family_probes(spark, n: int) -> None:
         f"docs_affected={got[0]:,}, cut_chars={got[1]:,})"
     )
 
+
+    # 4) within-doc greedy chunker: pure scan-side HOF fold, zero
+    # exchanges — throughput should track the scan alone.
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int as _smi,
+        spark_tokens as _stk,
+    )
+
+    t0 = _t.time()
+    toks = docs.select(
+        "doc_id", F.expr(_stk("text")).alias("toks")
+    )
+    flags = F.expr(
+        f"transform(toks, w -> ({_smi('w')} & 3) = 0)"
+    )
+    lens_expr = (
+        "aggregate(flags,"
+        " struct(cast(array() as array<int>) as lens, 0 as cur),"
+        " (a, f) -> if(f,"
+        "   struct(concat(a.lens, array(a.cur + 1)) as lens, 0 as cur),"
+        "   struct(a.lens as lens, a.cur + 1 as cur)),"
+        " a -> if(a.cur > 0, concat(a.lens, array(a.cur)), a.lens))"
+    )
+    greedy = (
+        "aggregate(lens,"
+        " struct(0 as nch, 0 as cur, 0 as mx),"
+        " (a, L) -> if(a.cur > 0 and a.cur + L > 12,"
+        "   struct(a.nch + 1 as nch, L as cur,"
+        "          greatest(a.mx, a.cur) as mx),"
+        "   struct(a.nch as nch, a.cur + L as cur, a.mx as mx)),"
+        " a -> struct(a.nch + 1 as nch, a.cur as cur,"
+        "             greatest(a.mx, a.cur) as mx))"
+    )
+    chk = (
+        toks.withColumn("flags", flags)
+        .withColumn("lens", F.expr(lens_expr))
+        .withColumn("st", F.expr(greedy))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("st.nch")).alias("chunks"),
+        )
+        .collect()[0]
+    )
+    ch_s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} sentence_chunk_fold={ch_s:.1f}s "
+        f"({int(docs_n / ch_s):,} docs/s, chunks={chk['chunks']:,})"
+    )
+
     # 2) prefix-filter set-sim join over n/100 mostly-unique-token
     # docs with a planted dup per 1000 (the realistic Zipf-tail shape
     # prefix filtering exploits: rare shingles -> tiny posting lists).
