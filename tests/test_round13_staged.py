@@ -1864,3 +1864,52 @@ def test_sentence_chunk_greedy_matches_python_walk(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_bloom_prefilter_matches_python_bitset_replay(spark):
+    """The Bloom row re-derived with a plain Python set of bit
+    positions: same md5 positions, membership = all 3 bits present,
+    FP/FN accounting recomputed directly."""
+    customers = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    ).collect()
+    m, k = 4096, 3
+    members = {
+        c.c_custkey
+        for c in customers
+        if c.c_mktsegment == "BUILDING"
+    }
+    bits = set()
+    for key in members:
+        for j in range(k):
+            bits.add(_md5int(f"{j}#{key}") % m)
+    agg: dict[str, list] = {}
+    for o in orders:
+        cand = all(
+            _md5int(f"{j}#{o.o_custkey}") % m in bits
+            for j in range(k)
+        )
+        is_m = o.o_custkey in members
+        a = agg.setdefault(o.o_orderpriority, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += cand
+        a[2] += is_m
+        a[3] += cand and not is_m
+        a[4] += (not cand) and is_m
+    got = {
+        r.o_orderpriority: (
+            r.n_orders,
+            r.n_candidates,
+            r.n_members,
+            r.n_false_positives,
+            r.n_false_negatives,
+        )
+        for r in STAGED["bloom_prefilter_fpr_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {p: tuple(v) for p, v in agg.items()}
+    assert all(v[4] == 0 for v in agg.values()), "Bloom FN must be 0"
