@@ -163,6 +163,8 @@ STAGED_AUDIT = [
     "kmv_sketch_union_merge_certified",  # two-level k-min, bounded finals
     "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
     "bucketed_colocated_join_audit",  # zero pre-join exchanges (also in-query asserted)
+    "sentence_chunk_greedy_fold",  # pure scan-side HOF fold, zero exchanges
+    "bloom_prefilter_fpr_certified",  # 128-word bloom frame broadcast to fact scan
 ]
 
 
