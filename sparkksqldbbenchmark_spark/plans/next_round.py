@@ -6581,3 +6581,140 @@ def bloom_prefilter_fpr_certified(
         .cast("long")
         .alias("n_false_negatives"),
     )
+
+
+# ---------------------- left-semi stream-stream join --
+
+
+@staged_query(
+    "streaming_semi_join_first_match",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    v AS (
+        SELECT user_id, event_id, ts FROM events, d0
+        WHERE event_type = 'view'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    c AS (
+        SELECT user_id, ts FROM events, d0
+        WHERE event_type = 'click'
+          AND ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    )
+    SELECT v.user_id, v.event_id AS view_id
+    FROM v
+    WHERE EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = v.user_id
+          AND c.ts >= v.ts
+          AND c.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    """,
+)
+def streaming_semi_join_first_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-SEMI stream-stream join — the existence form of the
+    attribution question ("did this view convert at all?"): each
+    view emits AT MOST ONCE, on its first matching click, with no
+    click columns and no duplicate emissions however many clicks
+    match — semantics neither the inner row (one output per pair)
+    nor the outer rows (null emissions) exercise. Same ordered-file
+    fixture family; sentinels advance the watermark so unmatched
+    views' state is evicted WITHOUT emission (the semi contract's
+    other half). The emitted set must equal the relational EXISTS.
+
+    Scale shape: semi-join state is the cheapest of the matrix —
+    matched left rows drop from state at emission (no need to wait
+    for the watermark), unmatched ones evict at watermark + range
+    like the outer forms.
+
+    Reference basis: SURVEY §2.9 — fourth and final member of the
+    stream-stream join matrix (inner r10, left-outer / full-outer
+    staged)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    t0 = bounds.collect()[0]["t0"]
+    evb = ev.where(
+        (F.col("ts") >= F.lit(t0))
+        & (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 1 DAY"))
+    )
+    views = evb.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = evb.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(t0) + F.expr("INTERVAL 30 DAY")).alias("ts"),
+    )
+    sentinel2 = sentinel.select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="ssemi_")
+    for side, parts in (
+        ("left", (views, sentinel, sentinel2)),
+        ("right", (clicks, sentinel, sentinel2)),
+    ):
+        sdir = os.path.join(base, side)
+        os.makedirs(sdir)
+        for i, part_df in enumerate(parts):
+            tmp = os.path.join(base, f"{side}_part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+    schema = "user_id bigint, event_id bigint, ts timestamp"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "left"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(base, "right"))
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") < cutoff)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 1 hour"
+        ),
+        "left_semi",
+    ).select("user_id", "view_id")
+    name = f"ssemi_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

@@ -1913,3 +1913,38 @@ def test_bloom_prefilter_matches_python_bitset_replay(spark):
     }
     assert got == {p: tuple(v) for p, v in agg.items()}
     assert all(v[4] == 0 for v in agg.values()), "Bloom FN must be 0"
+
+
+def test_semi_join_emits_each_converted_view_once(spark):
+    """Left-semi emitted set == Python EXISTS replay, and no view is
+    emitted more than once regardless of how many clicks match."""
+    import datetime
+
+    rows = _events(spark, "user_id", "event_id", "event_type", "ts")
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    day1 = [
+        r
+        for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    views = [r for r in day1 if r.event_type == "view"]
+    clicks = [r for r in day1 if r.event_type == "click"]
+    expected = {
+        (v.user_id, v.event_id)
+        for v in views
+        if any(
+            c.user_id == v.user_id
+            and v.ts <= c.ts <= v.ts + datetime.timedelta(hours=1)
+            for c in clicks
+        )
+    }
+    emitted = [
+        (r.user_id, r.view_id)
+        for r in STAGED["streaming_semi_join_first_match"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert set(emitted) == expected
+    assert len(emitted) == len(set(emitted)), "duplicate emission"
