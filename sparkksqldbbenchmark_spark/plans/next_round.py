@@ -6608,7 +6608,7 @@ def bloom_prefilter_fpr_certified(
         SELECT 1 FROM c
         WHERE c.user_id = v.user_id
           AND c.ts >= v.ts
-          AND c.ts <= v.ts + INTERVAL 1 HOUR
+          AND c.ts <= v.ts + INTERVAL 4 HOUR
     )
     """,
 )
@@ -6710,7 +6710,7 @@ def streaming_semi_join_first_match(
         right,
         F.expr(
             "user_id = c_user_id AND click_ts >= view_ts"
-            " AND click_ts <= view_ts + interval 1 hour"
+            " AND click_ts <= view_ts + interval 4 hours"
         ),
         "left_semi",
     ).select("user_id", "view_id")

@@ -1936,7 +1936,7 @@ def test_semi_join_emits_each_converted_view_once(spark):
         for v in views
         if any(
             c.user_id == v.user_id
-            and v.ts <= c.ts <= v.ts + datetime.timedelta(hours=1)
+            and v.ts <= c.ts <= v.ts + datetime.timedelta(hours=4)
             for c in clicks
         )
     }
@@ -1948,3 +1948,4 @@ def test_semi_join_emits_each_converted_view_once(spark):
     ]
     assert set(emitted) == expected
     assert len(emitted) == len(set(emitted)), "duplicate emission"
+    assert expected, "fixture must contain at least one conversion"
