@@ -2557,7 +2557,11 @@ def suffix_lcp_repeat_stats(
         "source",
         "doc_id",
         F.explode(
-            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            F.expr(
+                "case when length(text) >= 16"
+                " then sequence(1, length(text) - 15)"
+                " else array() end"
+            )
         ).alias("p"),
         "text",
     ).select(
@@ -3687,7 +3691,11 @@ def longest_repeated_substring_extract(
         "source",
         "doc_id",
         F.explode(
-            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            F.expr(
+                "case when length(text) >= 16"
+                " then sequence(1, length(text) - 15)"
+                " else array() end"
+            )
         ).alias("p"),
         "text",
     ).select(
@@ -5249,7 +5257,11 @@ def repeated_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.explode(
-            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            F.expr(
+                "case when length(text) >= 16"
+                " then sequence(1, length(text) - 15)"
+                " else array() end"
+            )
         ).alias("p"),
         "text",
     ).select(
@@ -5790,6 +5802,7 @@ def bucketed_colocated_join_audit(
     bloom_semijoin_pushdown r6 graded scan-side levers; this grades
     the join-side one)."""
     import re
+    import shutil
     import tempfile
     import uuid
 
@@ -5799,45 +5812,60 @@ def bucketed_colocated_join_audit(
     )
     d = tempfile.mkdtemp(prefix="bucketed_join_")
     sfx = uuid.uuid4().hex[:8]
-    (
-        orders.write.format("parquet")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{d}/orders")
-        .saveAsTable(f"bkt_orders_{sfx}")
-    )
-    (
-        lineitem.write.format("parquet")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{d}/lineitem")
-        .saveAsTable(f"bkt_lineitem_{sfx}")
-    )
-    ob = spark.table(f"bkt_orders_{sfx}")
-    lb = spark.table(f"bkt_lineitem_{sfx}")
-    res = (
-        ob.hint("merge")
-        .join(lb, ob.o_orderkey == lb.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                F.floor(F.col("l_extendedprice") * 100).cast("long")
-            )
-            .cast("long")
-            .alias("revenue_cents"),
+    try:
+        (
+            orders.write.format("parquet")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{d}/orders")
+            .saveAsTable(f"bkt_orders_{sfx}")
         )
-    )
-    plan = res._sc._jvm.PythonSQLUtils.explainString(
-        res._jdf.queryExecution(), "formatted"
-    )
-    assert "SortMergeJoin" in plan, "bucketed join did not plan SMJ"
-    exchanges = re.findall(r"\(\d+\) (\w*Exchange)", plan)
-    assert exchanges == ["Exchange"], (
-        "bucketed co-located join must keep only the rollup's "
-        f"exchange, got {exchanges}:\n{plan}"
-    )
-    return res
+        (
+            lineitem.write.format("parquet")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{d}/lineitem")
+            .saveAsTable(f"bkt_lineitem_{sfx}")
+        )
+        ob = spark.table(f"bkt_orders_{sfx}")
+        lb = spark.table(f"bkt_lineitem_{sfx}")
+        res = (
+            ob.hint("merge")
+            .join(lb, ob.o_orderkey == lb.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+        plan = res._sc._jvm.PythonSQLUtils.explainString(
+            res._jdf.queryExecution(), "formatted"
+        )
+        assert (
+            "SortMergeJoin" in plan
+        ), "bucketed join did not plan SMJ"
+        exchanges = re.findall(r"\(\d+\) (\w*Exchange)", plan)
+        assert exchanges == ["Exchange"], (
+            "bucketed co-located join must keep only the rollup's "
+            f"exchange, got {exchanges}:\n{plan}"
+        )
+        # Materialize the rollup (priority-cardinality rows) so the
+        # bucketed tables and their temp dir can be dropped — bench
+        # replays used to accumulate a metastore entry + on-disk copy
+        # per invocation.
+        rows = res.collect()
+        out = spark.createDataFrame(rows, res.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{sfx}")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{sfx}")
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 # ---------------------- outer stream-stream join null emission --
@@ -6385,7 +6413,11 @@ def sentence_chunk_greedy_fold(
         "             greatest(a.mx, a.cur) as mx))"
     )
     staged = (
-        toks.withColumn("flags", flags)
+        # A wordless doc has no sentences, so the oracle's words CTE
+        # emits no row for it — mirror that (no degenerate n_chunks=1
+        # row) by dropping empty token arrays before the fold.
+        toks.where(F.size("toks") > 0)
+        .withColumn("flags", flags)
         .withColumn("lens", F.expr(lens_expr))
         .withColumn("st", F.expr(greedy))
     )

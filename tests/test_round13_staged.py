@@ -1949,3 +1949,83 @@ def test_semi_join_emits_each_converted_view_once(spark):
     assert set(emitted) == expected
     assert len(emitted) == len(set(emitted)), "duplicate emission"
     assert expected, "fixture must contain at least one conversion"
+
+def test_short_and_empty_docs_match_oracle(spark, tmp_path):
+    """Regression for the short-doc phantom-window divergence: for
+    length(text) < 16, sequence(1, greatest(len-15, 0)) yields the
+    DESCENDING array [1, 0] — two identical 'windows' that
+    self-qualify as duplicates and emit phantom cuts the oracle's
+    'len - p + 1 >= 16' guard never produces (a 9-char doc reported
+    a 17-char cut island). TESTDATA's min doc length is 44, so the
+    live fixtures never witness this; this synthetic corpus does —
+    short, 15-char-boundary, empty, and whitespace-only docs beside
+    a genuinely repeated long window — and re-grades the four
+    window-position consumers against their unchanged oracles."""
+    import os
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from check_correctness import canon_rows
+    from sparkksqldbbenchmark_spark.plans.next_round import (
+        STAGED_ORACLE,
+    )
+
+    rep = "the quick brown fox jumps over the lazy dog again"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [
+                "short doc",          # 9 chars: must yield 0 windows
+                "fifteen chars..",    # 15 chars: boundary, 0 windows
+                "sixteen chars...",   # 16 chars: exactly 1 window
+                "",                   # empty: no chunker row either
+                "   ",                # whitespace-only: tokens empty
+                rep + " padding one", # the real repeat pair
+                rep + " padding two",
+                "x",                  # 1 char
+            ],
+            "lang": ["en"] * 8,
+            "source": ["web", "web", "web", "news", "news",
+                       "web", "web", "news"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    for name in (
+        "repeated_span_cut_plan",
+        "suffix_lcp_repeat_stats",
+        "longest_repeated_substring_extract",
+        "sentence_chunk_greedy_fold",
+    ):
+        sdf = STAGED[name](spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(STAGED_ORACLE[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert len(srows) == len(orows), (
+            f"{name}: rows {len(srows)} vs oracle {len(orows)}"
+        )
+        sh, _ = canon_rows(sdf.columns, srows)
+        oh, _ = canon_rows(ocols, orows)
+        assert sh == oh, f"{name}: value divergence on edge corpus"
+    # and the cut plan specifically must never cut more than exists
+    cut = {
+        r.source: (r.cut_chars, r.kept_chars)
+        for r in STAGED["repeated_span_cut_plan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for src, (c, k) in cut.items():
+        assert c >= 0 and k >= 0, (src, c, k)
+    con.close()

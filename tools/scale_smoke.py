@@ -244,7 +244,11 @@ def round13b_family_probes(spark, n: int) -> None:
         "source",
         "doc_id",
         F.explode(
-            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            F.expr(
+                "case when length(text) >= 16"
+                " then sequence(1, length(text) - 15)"
+                " else array() end"
+            )
         ).alias("p"),
         "text",
     ).select(
@@ -1887,7 +1891,11 @@ def round13_family_probes(spark, n: int) -> None:
     pos = docs.select(
         "doc_id",
         F.explode(
-            F.expr("sequence(1, greatest(length(text) - 15, 0))")
+            F.expr(
+                "case when length(text) >= 16"
+                " then sequence(1, length(text) - 15)"
+                " else array() end"
+            )
         ).alias("p"),
         "text",
     ).select(
