@@ -73,6 +73,11 @@ try:
 except ImportError:
     pass
 
+try:
+    import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
+except ImportError:
+    pass
+
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
 # The driver grades at most the FIRST 50 registered queries per round.
@@ -838,7 +843,108 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #     rows with the flagship pair staying and the graduating
 #     curriculum_token_budget_phases / doc_span_interval_union /
 #     mixture_epoch_repeat_planner rows grading the same family
+# ------------------------------------------------------------------
+# Round-14 rotation (docs/ROTATION_R13.md): CORRECTNESS_r13 was 50/50
+# green, so the full round-12 cohort (head rows 8-49) moves to TAIL and
+# 42 of the 63 staged rows graduate (plans/round13_queries.py) — the 12
+# round-12 holdbacks first (two rounds waited), then the round-13
+# stagings by the slot plan. Departing rows, with the sibling/graduate
+# that keeps their machinery under fresh grade:
+#   agg_breadth_suite, score_calibration_bins, dataframe_transpose_suite,
+#   melt_api_reshape, string_format_suite, order_by_all_offset_sql,
+#   execute_immediate_sql, nth_value_window_suite,
+#   interarrival_dyadic_histogram, ohlc_hourly_bars,
+#   id_sequence_gap_audit — the round-11 holdback breadth/reshape/
+#     window-frame rows, green r13; machinery broadly TAIL-pinned
+#     (melt/transpose/stack family, window suites) and the graduating
+#     mode_median/calendar/datetime_constructor suites re-grade the
+#     scalar/agg breadth surface fresh
+#   tpch_q12_shipmode_priority, tpch_q17_small_quantity_revenue — the
+#     last two TPC-H shapes, green r13; all 22 TPC-H rows now carry a
+#     graded round and the q1/q3 flagship+TAIL family stays pinned
+#   heavy_hitters_misra_gries_certified, tablesample_repeatable_certified,
+#   chi_square_uniformity_by_type, neyman_allocation_plan — certificate
+#     rows, green r13; the graduating reservoir_bottomk_certified /
+#     class_balanced_undersample / bloom_prefilter_fpr_certified and
+#     auc/chi2 siblings keep the certificate discipline graded
+#   zipf_tail_mass_by_source, oov_rate_by_source, token_pmi_top_pairs,
+#   lang_id_confusion_matrix — text-statistics rows, green r13; the
+#     graduating suffix_lcp_repeat_stats / repeated_span_cut_plan /
+#     setsim_prefix_filter_join grade the text family's heavier members
+#   mixture_epoch_repeat_planner, quality_threshold_sweep_confusion,
+#   curriculum_token_budget_phases, doc_span_interval_union — LLM
+#     curation rows, green r13; mixture_schedule_manifest graduates the
+#     planner family and the flagship packing pair stays in the head
+#   feature_store_pit_join — PIT join, green r13; scd2_temporal_lookup_join
+#     graduates the same as-of machinery under a native-ASOF oracle
+#   embedding_prefix_energy, hard_negative_mining_topk,
+#   embedding_norm_hof_vs_explode — embedding rows, green r13; the
+#     graduating pairwise_energy / kmeanspp_d2 / multi_probe_lsh /
+#     ivf_cell_balance rows re-grade the vector machinery
+#   chi_square_uniformity_by_type (listed above), ivm_aggregate_delta_merge,
+#   global_row_index_two_level, interval_overlap_join_buckets,
+#   aqe_runtime_broadcast_conversion — scale-pattern rows, green r13;
+#     bucketed_colocated_join_audit / equi_depth_partition_bounds /
+#     cc_hash_to_min_pointer_jump graduate the scale-pattern family
+#   dq_expectation_audit, right_to_erasure_cascade — ops/compliance,
+#     green r13; subject_access_export graduates the compliance family
+#   avro_codec_roundtrip_batch — codec row, green r13; S2/S3 machinery
+#     test-pinned (tests/test_kafka_avro.py) and codec source unchanged
+#   time_to_convert_dyadic, in_session_conversion_rate,
+#   rolling_24h_sliding_distinct — product-analytics rows, green r13;
+#     stickiness_dau_mau / event_path_trigrams / cohort_ltv_accumulation
+#     / rfm_segment_counts graduate the family
+#   labelprop_communities_2iter — graph row, green r13; the graduating
+#     cc_hash_to_min_pointer_jump grades the dup-graph family's
+#     convergence machinery fresh
+#   blocklist_term_scan — green r13; blocklist_aho_corasick_stage
+#     graduates the automaton twin pinned value-equal to this row
+#   split_leakage_near_dup_audit — green r13; setsim_prefix_filter_join
+#     and the TAIL-pinned decontam rows keep cross-split LSH graded
+# ------------------------------------------------------------------
 TAIL: tuple[str, ...] = (
+    "agg_breadth_suite",
+    "score_calibration_bins",
+    "dataframe_transpose_suite",
+    "melt_api_reshape",
+    "string_format_suite",
+    "order_by_all_offset_sql",
+    "execute_immediate_sql",
+    "nth_value_window_suite",
+    "interarrival_dyadic_histogram",
+    "ohlc_hourly_bars",
+    "id_sequence_gap_audit",
+    "tpch_q12_shipmode_priority",
+    "tpch_q17_small_quantity_revenue",
+    "heavy_hitters_misra_gries_certified",
+    "tablesample_repeatable_certified",
+    "zipf_tail_mass_by_source",
+    "oov_rate_by_source",
+    "mixture_epoch_repeat_planner",
+    "quality_threshold_sweep_confusion",
+    "feature_store_pit_join",
+    "token_pmi_top_pairs",
+    "chi_square_uniformity_by_type",
+    "ivm_aggregate_delta_merge",
+    "embedding_prefix_energy",
+    "hard_negative_mining_topk",
+    "doc_span_interval_union",
+    "global_row_index_two_level",
+    "dq_expectation_audit",
+    "right_to_erasure_cascade",
+    "curriculum_token_budget_phases",
+    "avro_codec_roundtrip_batch",
+    "interval_overlap_join_buckets",
+    "lang_id_confusion_matrix",
+    "aqe_runtime_broadcast_conversion",
+    "time_to_convert_dyadic",
+    "neyman_allocation_plan",
+    "rolling_24h_sliding_distinct",
+    "embedding_norm_hof_vs_explode",
+    "in_session_conversion_rate",
+    "labelprop_communities_2iter",
+    "blocklist_term_scan",
+    "split_leakage_near_dup_audit",
     "hof_suite2",
     "struct_field_mutation_suite",
     "named_window_clause_sql",

@@ -46,6 +46,48 @@ def test_registry_order_fits_driver_window():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "agg_breadth_suite": "2d407d6fe0f94fac",
+    "score_calibration_bins": "2b3500da4ffea2a9",
+    "dataframe_transpose_suite": "ac6773dfb24f75aa",
+    "melt_api_reshape": "2eb4c631a9f505aa",
+    "string_format_suite": "3315d528f456063e",
+    "order_by_all_offset_sql": "34e16628d75c4237",
+    "execute_immediate_sql": "8572e93677dfdf35",
+    "nth_value_window_suite": "ec9fcc56a91c92d3",
+    "interarrival_dyadic_histogram": "696a92d8c4d70e4b",
+    "ohlc_hourly_bars": "4cd175bcdbed2f04",
+    "id_sequence_gap_audit": "f37e2d544b7b54d5",
+    "tpch_q12_shipmode_priority": "555374905647550a",
+    "tpch_q17_small_quantity_revenue": "eca19a43973812ca",
+    "heavy_hitters_misra_gries_certified": "4a91a68db2030cd0",
+    "tablesample_repeatable_certified": "f62963521dbba901",
+    "zipf_tail_mass_by_source": "e80fe5447d99ecb9",
+    "oov_rate_by_source": "3aca6c40517ecad2",
+    "mixture_epoch_repeat_planner": "ca1d8987e84e927e",
+    "quality_threshold_sweep_confusion": "6440dd099d1e5ae8",
+    "feature_store_pit_join": "e5908dc258a62d44",
+    "token_pmi_top_pairs": "be27e44bfb226b62",
+    "chi_square_uniformity_by_type": "44c2d7edd3ab5a95",
+    "ivm_aggregate_delta_merge": "9c113d9d0561a8cc",
+    "embedding_prefix_energy": "c7e15e219bab7d54",
+    "hard_negative_mining_topk": "57e23eb31171729d",
+    "doc_span_interval_union": "922c55fcaf53eb61",
+    "global_row_index_two_level": "22d7f7d3f4c3b298",
+    "dq_expectation_audit": "d5328456f5bda217",
+    "right_to_erasure_cascade": "25c1a80ee34de7fa",
+    "curriculum_token_budget_phases": "857534e1da4557ad",
+    "avro_codec_roundtrip_batch": "238acf53f1c2558a",
+    "interval_overlap_join_buckets": "29c3dbb6dfa9e4ab",
+    "lang_id_confusion_matrix": "af23ce9fef4e9566",
+    "aqe_runtime_broadcast_conversion": "20b84a9f48dbaa51",
+    "time_to_convert_dyadic": "68bc92b4b3f57532",
+    "neyman_allocation_plan": "f38e06ecdebcffce",
+    "rolling_24h_sliding_distinct": "604774e8076065a5",
+    "embedding_norm_hof_vs_explode": "99378a6c5cb4a22d",
+    "in_session_conversion_rate": "e34f81fb2971cdc2",
+    "labelprop_communities_2iter": "1c163fc5b20cd298",
+    "blocklist_term_scan": "2a57a89ecbdd8ddb",
+    "split_leakage_near_dup_audit": "1ba119d103e185f5",
     "hof_suite2": "e12d27e30a9c333b",
     "struct_field_mutation_suite": "fed2adf63c390e80",
     "named_window_clause_sql": "ddf7d96ea2d63853",

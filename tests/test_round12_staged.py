@@ -12,8 +12,8 @@ meaningful independent twin beyond its oracle.)
 from __future__ import annotations
 
 import sparkksqldbbenchmark_spark.plans.round12_queries  # noqa: F401
+import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
 from sparkksqldbbenchmark_spark.catalog import load_table
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
 from sparkksqldbbenchmark_spark.plans.registry import QUERIES as GRADUATED
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -444,7 +444,7 @@ def test_calendar_suite_matches_python_calendar(spark):
             r.n_months,
             r.max_plus_2m,
         )
-        for r in STAGED["calendar_function_suite"](
+        for r in GRADUATED["calendar_function_suite"](
             spark, SF_DIR
         ).collect()
     }
@@ -770,7 +770,7 @@ def test_mask_matches_python_classes(spark):
     got = {
         r.event_type: (r.n, r.n_distinct_masked, r.min_sha_hex,
                        r.aes_roundtrip_ok, r.mask_hides_digits)
-        for r in STAGED["mask_crypto_suite"](spark, SF_DIR).collect()
+        for r in GRADUATED["mask_crypto_suite"](spark, SF_DIR).collect()
     }
     expected = {
         t: (n[t], len(masked[t]), min(sha[t]), True, True)
@@ -1063,7 +1063,7 @@ def test_label_weights_match_counter(spark):
     }
     got = {
         r.label: (r.n, r.share_e6, r.weight_e6)
-        for r in STAGED["label_inverse_frequency_weights"](
+        for r in GRADUATED["label_inverse_frequency_weights"](
             spark, SF_DIR
         ).collect()
     }
@@ -1073,7 +1073,7 @@ def test_label_weights_match_counter(spark):
 def test_datetime_constructors_hold_on_every_row(spark):
     got = {
         r.event_type: (r.date_roundtrip_ok, r.ts_roundtrip_ok)
-        for r in STAGED["datetime_constructor_suite"](
+        for r in GRADUATED["datetime_constructor_suite"](
             spark, SF_DIR
         ).collect()
     }
@@ -1109,7 +1109,7 @@ def test_affinity_cosine_matches_set_intersection(spark):
             )
     got = {
         (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_common, r.cosine_e6)
-        for r in STAGED["event_type_affinity_cosine"](
+        for r in GRADUATED["event_type_affinity_cosine"](
             spark, SF_DIR
         ).collect()
     }
@@ -1306,7 +1306,7 @@ def test_lorenz_deciles_match_sorted_replay(spark):
             r.n_events,
             r.share_e6,
         )
-        for r in STAGED["lorenz_concentration_deciles"](
+        for r in GRADUATED["lorenz_concentration_deciles"](
             spark, SF_DIR
         ).collect()
     }
@@ -1343,7 +1343,7 @@ def test_periodicity_detector_exact_on_planted(spark):
     expected = {s: tuple(v) for s, v in agg.items()}
     got = {
         r.source: (r.n_docs, r.n_periodic, r.n_planted)
-        for r in STAGED["periodicity_detector_planted"](
+        for r in GRADUATED["periodicity_detector_planted"](
             spark, SF_DIR
         ).collect()
     }
@@ -1384,7 +1384,7 @@ def test_aho_corasick_stage_matches_exact_twin(spark):
     }
     ac = {
         r.source: (r.n_docs, r.n_flagged, r.total_hits, r.max_hits)
-        for r in STAGED["blocklist_aho_corasick_stage"](
+        for r in GRADUATED["blocklist_aho_corasick_stage"](
             spark, SF_DIR
         ).collect()
     }
@@ -1433,7 +1433,7 @@ def test_schedule_manifest_matches_hash_replay(spark):
             )
     got = {
         (r.source, r.epoch): (r.n_docs_kept, r.chars_kept)
-        for r in STAGED["mixture_schedule_manifest"](
+        for r in GRADUATED["mixture_schedule_manifest"](
             spark, SF_DIR
         ).collect()
     }

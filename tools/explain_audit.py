@@ -143,10 +143,9 @@ ROUND12_AUDIT = [
     "split_leakage_near_dup_audit",  # LSH-bounded pair frame
 ]
 
-# staged rows with plan-shape claims worth pinning before they
-# rotate into the graded head (plans/next_round.py) — this list
-# tracks the CURRENT staging area only
-STAGED_AUDIT = [
+# round-13 cohort rows with plan-shape claims, graduated round 14
+# (plans/round13_queries.py) — pinned from the registry now
+ROUND13_AUDIT = [
     "lorenz_concentration_deciles",  # user-bounded ranking window
     "blocklist_aho_corasick_stage",  # mapInPandas stage, no shuffle
     "rfm_segment_counts",  # 3x leveled rank, no global sort
@@ -160,11 +159,19 @@ STAGED_AUDIT = [
     "kmeanspp_d2_seeding_derandomized",  # per-step aggregate+broadcast
     "repeated_span_cut_plan",  # pinned merge join-back, doc-grain islands
     "setsim_prefix_filter_join",  # prefix postings equi-join, pinned merge verify
-    "kmv_sketch_union_merge_certified",  # two-level k-min, bounded finals
-    "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
     "bucketed_colocated_join_audit",  # zero pre-join exchanges (also in-query asserted)
     "sentence_chunk_greedy_fold",  # pure scan-side HOF fold, zero exchanges
     "bloom_prefilter_fpr_certified",  # 128-word bloom frame broadcast to fact scan
+]
+
+# staged rows with plan-shape claims worth pinning before they
+# rotate into the graded head (plans/next_round.py) — this list
+# tracks the CURRENT staging area only
+STAGED_AUDIT = [
+    "kmv_sketch_union_merge_certified",  # two-level k-min, bounded finals
+    "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
+    "local_clustering_coefficient",  # degree-class density, bounded pair frame
+    "farthest_point_init_quantized",  # per-step aggregate+broadcast twin
 ]
 
 
@@ -185,7 +192,7 @@ def main() -> None:
         "",
     ]
     staged_names = [f"staged:{n}" for n in STAGED_AUDIT if n in STAGED]
-    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + staged_names:
+    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + staged_names:
         fn = (
             STAGED[name.removeprefix("staged:")]
             if name.startswith("staged:")
@@ -198,7 +205,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(staged_names)} plans)")
+    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(staged_names)} plans)")
 
 
 if __name__ == "__main__":
