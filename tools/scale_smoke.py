@@ -211,6 +211,84 @@ def new_family_probes(spark, n: int, docs, docs_n: int) -> None:
     )
 
 
+def round14_family_probes(spark, n: int) -> None:
+    """Round-14 staged-shape probe (VERDICT r13 ask #5): the LSH
+    band-tuning sweep (lsh_band_sensitivity_audit) — the one round-13
+    graduate without a 100M-table entry. Signatures are computed once
+    per banding over a planted-dup word-salad corpus (every 1000th doc
+    duplicates its neighbor, the --only-new recipe); each banding adds
+    only its band-bucket equi-join + Jaccard verify, both LSH-bounded.
+    Run via `python tools/scale_smoke.py N --r14`."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    base_id = F.when(
+        F.col("id") % 1000 == 999, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs_n = max(50_000, n // 100)
+    docs = spark.range(docs_n).withColumn("bid", base_id).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    ).localCheckpoint()
+    planted = docs_n // 1000
+    for bands in (4, 8):
+        t0 = _t.time()
+        shingle_side, buckets = lsh_banded_buckets(
+            docs, "text", "doc_id", num_hashes=16, bands=bands
+        )
+        left = buckets.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+        )
+        right = buckets.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+        )
+        cand = (
+            left.join(right, ["band_idx", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = cand.join(
+            shingle_side.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        ).join(
+            shingle_side.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        row = verified.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.when(inter / union >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("nv"),
+        ).collect()[0]
+        s = _t.time() - t0
+        print(
+            f"docs={docs_n:,} lsh_band_sweep[b={bands},r={16 // bands}]"
+            f"={s:.1f}s ({int(docs_n / s):,} docs/s, "
+            f"candidates={row['nc']:,}, verified={row['nv']:,}, "
+            f"planted={planted:,})"
+        )
+
+
 def round13b_family_probes(spark, n: int) -> None:
     """Third-wave staged-shape probes (repeated_span_cut_plan,
     setsim_prefix_filter_join, kmv_sketch_union_merge_certified):
@@ -479,6 +557,9 @@ def main() -> None:
         return
     if "--r13b" in sys.argv:
         round13b_family_probes(spark, n)
+        return
+    if "--r14" in sys.argv:
+        round14_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
