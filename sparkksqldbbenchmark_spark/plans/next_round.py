@@ -2348,3 +2348,914 @@ def streaming_full_outer_join_both_nulls(
     q = run_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# ===================================================================
+# Round-14 staging: new rows below (the 21 holdbacks above graduate
+# round 15 first — VERDICT r13 ask #4 keeps this refill smaller than
+# the graduation count so the queue drains).
+# ===================================================================
+
+# ------------------------- Gopher-style repetition quality rules --
+
+
+def _gopher_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("w.w")
+    return f"""
+    WITH words AS (
+        SELECT d.doc_id,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM documents d
+    ),
+    flagged AS (
+        SELECT doc_id, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sents AS (
+        SELECT doc_id, sid, string_agg(w, ' ' ORDER BY i) AS s
+        FROM sids GROUP BY doc_id, sid
+    ),
+    sent_stats AS (
+        SELECT doc_id, count(*) AS n_sents,
+               count(DISTINCT s) AS n_distinct
+        FROM sents GROUP BY doc_id
+    ),
+    tok_stats AS (
+        SELECT doc_id, count(*) AS n_words,
+               sum(CASE WHEN len(w) <= 2 THEN 1 ELSE 0 END)
+                   AS n_short
+        FROM words GROUP BY doc_id
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER (
+                   PARTITION BY doc_id ORDER BY i) AS bg
+        FROM words
+    ),
+    bg_counts AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM bigrams WHERE bg IS NOT NULL
+        GROUP BY doc_id, bg
+    ),
+    bg_max AS (
+        SELECT doc_id, max(c) AS max_bg FROM bg_counts
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_words AS BIGINT) AS n_words,
+           CAST(s.n_sents AS BIGINT) AS n_sentences,
+           CAST((s.n_sents - s.n_distinct) * 1000000 // s.n_sents
+                AS BIGINT) AS dup_sent_micros,
+           CAST(coalesce(b.max_bg, 0) * 2 * 1000000 // t.n_words
+                AS BIGINT) AS top_bigram_micros,
+           CAST(t.n_short * 1000000 // t.n_words AS BIGINT)
+               AS short_tok_micros,
+           ((s.n_sents - s.n_distinct) * 1000000 // s.n_sents
+               < 300000)
+           AND (coalesce(b.max_bg, 0) * 2 * 1000000 // t.n_words
+               < 200000)
+           AND (t.n_short * 1000000 // t.n_words < 400000)
+               AS keep
+    FROM tok_stats t
+    JOIN sent_stats s ON s.doc_id = t.doc_id
+    LEFT JOIN bg_max b ON b.doc_id = t.doc_id
+    """
+
+
+@staged_query("gopher_repetition_rules", oracle=_gopher_oracle())
+def gopher_repetition_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOPHER-STYLE REPETITION FILTERS — the composite doc-quality
+    rules every production pretraining pipeline runs before tokens
+    are spent (Rae et al.'s repetition family, adapted to this
+    corpus's planted sentence boundaries since it has no newlines):
+    duplicate-sentence fraction, top-bigram token mass (the fraction
+    of tokens covered by the single most frequent bigram), and the
+    short-token fraction — each an exact integer micro-ratio, folded
+    into one KEEP verdict per document.
+
+    Scale shape: sentence building and distinct-counting are pure
+    scan-side HOF folds (zero exchanges of word-grain data, the
+    sentence_chunk_greedy_fold lesson); ONLY the bigram mode leaves
+    the scan, as a (doc_id, bigram)-grain count whose shuffle key is
+    doc-local (no cross-doc hot key possible), rolled straight to a
+    per-doc max and joined back at doc grain. No global state, no
+    window over the corpus — linear at 100 TB.
+
+    Reference basis: text-quality family (text_quality_scores r1,
+    text_repetition_ratio r2, quality_threshold_sweep_confusion r13
+    — this adds the multi-rule composite KEEP verdict those rows
+    feed)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    # sentence strings rebuilt scan-side: fold over (word, boundary)
+    # pairs; a word whose md5 & 3 == 0 closes its sentence (the
+    # planted-boundary convention shared with the graduated chunker)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    per_doc = toks.select(
+        "doc_id",
+        "toks",
+        F.expr(sents_expr).alias("sents"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.size(F.array_distinct("sents")).cast("long").alias("nd"),
+        F.size(
+            F.expr("filter(toks, w -> length(w) <= 2)")
+        ).cast("long").alias("n_short"),
+    )
+    # bigram mode: the ONLY exchange — (doc_id, bigram)-grain counts.
+    # sequence(1, n-1) is guarded: a 1-word doc must yield NO bigrams
+    # (sequence(1, 0) is the DESCENDING [1, 0] — the short-doc trap).
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then"
+                " transform(sequence(1, size(toks) - 1), i ->"
+                "  concat(element_at(toks, i), ' ',"
+                "         element_at(toks, i + 1)))"
+                " else array() end"
+            )
+        ).alias("bg"),
+    )
+    bg_max = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    j = per_doc.join(bg_max, "doc_id", "left").na.fill({"max_bg": 0})
+    dup = (
+        (F.col("n_sentences") - F.col("nd")) * 1000000
+    ) / F.col("n_sentences")
+    dup = F.floor(dup).cast("long")
+    topbg = F.floor(
+        (F.col("max_bg") * 2 * 1000000) / F.col("n_words")
+    ).cast("long")
+    short = F.floor(
+        (F.col("n_short") * 1000000) / F.col("n_words")
+    ).cast("long")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        dup.alias("dup_sent_micros"),
+        topbg.alias("top_bigram_micros"),
+        short.alias("short_tok_micros"),
+        (
+            (dup < 300000) & (topbg < 200000) & (short < 400000)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------- Cohen's kappa, exact integers --
+
+
+@staged_query(
+    "cohens_kappa_exact",
+    oracle="""
+    WITH labeled AS (
+        SELECT source,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                   || '#a'), 1, 15))::BIGINT) % 3 AS a,
+               CASE WHEN (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#agree'),
+                        1, 15))::BIGINT) % 4 < 3
+                    THEN (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#a'),
+                        1, 15))::BIGINT) % 3
+                    ELSE (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#b'),
+                        1, 15))::BIGINT) % 3
+               END AS b
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, a, b, count(*) AS n
+        FROM labeled GROUP BY source, a, b
+    ),
+    per_source AS (
+        SELECT source,
+               sum(n) AS nn,
+               sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+        FROM cells GROUP BY source
+    ),
+    margins AS (
+        SELECT r.source, sum(r.rn * c.cn) AS chance
+        FROM (SELECT source, a, sum(n) AS rn FROM cells
+              GROUP BY source, a) r
+        JOIN (SELECT source, b, sum(n) AS cn FROM cells
+              GROUP BY source, b) c
+          ON c.source = r.source AND c.b = r.a
+        GROUP BY r.source
+    )
+    SELECT p.source,
+           CAST(p.nn AS BIGINT) AS n_docs,
+           CAST(p.agree AS BIGINT) AS n_agree,
+           CAST(p.nn * p.agree - m.chance AS BIGINT)
+               AS kappa_num,
+           CAST(p.nn * p.nn - m.chance AS BIGINT) AS kappa_den
+    FROM per_source p JOIN margins m ON m.source = p.source
+    """,
+)
+def cohens_kappa_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHEN'S KAPPA as EXACT INTEGERS — inter-annotator agreement
+    for labeled training data, the gate every labeling vendor SLA is
+    written against. Two deterministic pseudo-annotators label each
+    document 0/1/2 (annotator B copies A on ~3/4 of docs, md5-routed,
+    else labels independently — a planted agreement structure), and
+    kappa = (po − pe)/(1 − pe) is carried as the integer pair
+    (N·agree − Σ rᵢcᵢ, N² − Σ rᵢcᵢ) so no engine ever divides.
+
+    Scale shape: one (source, a, b)-grain aggregate (≤ 9 cells per
+    source) then bounded-frame algebra — the classic two-level
+    mergeable reduction; nothing row-grain survives the first
+    partial aggregate.
+
+    Reference basis: evaluation family (auc_rank_sum_exact r13,
+    chi2_independence_contingency staged — this adds the
+    agreement-matrix member on the same exact-integer discipline)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    key_a = "concat(cast(doc_id as string), '#a')"
+    key_route = "concat(cast(doc_id as string), '#agree')"
+    key_b = "concat(cast(doc_id as string), '#b')"
+    a = F.expr(f"{spark_md5_int(key_a)} % 3")
+    route = F.expr(f"{spark_md5_int(key_route)} % 4")
+    b_ind = F.expr(f"{spark_md5_int(key_b)} % 3")
+    labeled = docs.select(
+        "source",
+        a.alias("a"),
+        F.when(route < 3, a).otherwise(b_ind).alias("b"),
+    )
+    cells = labeled.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_source = cells.groupBy("source").agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rows_m = cells.groupBy("source", "a").agg(F.sum("n").alias("rn"))
+    cols_m = cells.groupBy("source", "b").agg(F.sum("n").alias("cn"))
+    chance = (
+        rows_m.join(
+            cols_m,
+            (rows_m.source == cols_m.source) & (rows_m.a == cols_m.b),
+        )
+        .groupBy(rows_m.source.alias("source"))
+        .agg(F.sum(F.col("rn") * F.col("cn")).alias("chance"))
+    )
+    return (
+        per_source.join(chance, "source")
+        .select(
+            "source",
+            F.col("nn").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            (F.col("nn") * F.col("agree") - F.col("chance"))
+            .cast("long")
+            .alias("kappa_num"),
+            (F.col("nn") * F.col("nn") - F.col("chance"))
+            .cast("long")
+            .alias("kappa_den"),
+        )
+    )
+
+
+# ------------------------ water-filling token-budget allocation --
+
+
+@staged_query(
+    "waterfill_budget_allocation",
+    oracle="""
+    WITH totals AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '\\S+')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    b AS (
+        SELECT CAST(sum(total_tokens) // 2 AS BIGINT) AS budget,
+               count(*) AS n FROM totals
+    ),
+    ranked AS (
+        SELECT source, total_tokens,
+               row_number() OVER (
+                   ORDER BY total_tokens, source) AS rk,
+               sum(total_tokens) OVER (
+                   ORDER BY total_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pfx
+        FROM totals
+    ),
+    istar AS (
+        SELECT coalesce(max(rk), 0) AS i,
+               coalesce(max(pfx), 0) AS pi
+        FROM ranked, b
+        WHERE pfx + total_tokens * (b.n - rk) <= b.budget
+    ),
+    level AS (
+        SELECT CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) // (b.n - istar.i)
+                    ELSE (SELECT max(total_tokens) FROM totals)
+               END AS lvl,
+               CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) % (b.n - istar.i)
+                    ELSE 0 END AS rem,
+               istar.i AS i
+        FROM b, istar
+    ),
+    unsat AS (
+        SELECT r.source,
+               row_number() OVER (ORDER BY r.source) AS urk
+        FROM ranked r, level l WHERE r.rk > l.i
+    )
+    SELECT r.source,
+           r.total_tokens,
+           CAST(CASE WHEN r.rk <= l.i THEN r.total_tokens
+                     ELSE l.lvl + CASE WHEN u.urk <= l.rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated_tokens,
+           r.rk <= l.i AS saturated,
+           CAST(l.lvl AS BIGINT) AS level
+    FROM ranked r
+    CROSS JOIN level l
+    LEFT JOIN unsat u ON u.source = r.source
+    """,
+)
+def waterfill_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WATER-FILLING TOKEN-BUDGET ALLOCATION — the fair-share
+    planner for a capped training-token budget across sources: every
+    source is filled to a common integer LEVEL, a source with fewer
+    tokens than the level is taken whole (saturated), and the
+    remainder r < #unsaturated goes +1 to the lexicographically
+    first unsaturated sources (the deterministic tie rule). This is
+    the max-min-fair twin of the graduated largest-remainder quota
+    planner: quotas apportion by WEIGHT, water-filling caps by
+    AVAILABILITY — together they are how production mixture budgets
+    are actually drawn. Budget = floor(total/2) so the partial
+    regime is always exercised. The level-feasibility identity
+    (prefix_i + T_i·(n−i) ≤ B picks i*, then L = (B−P_{i*}) div
+    (n−i*), and L+1 never exceeds the next total) is integer-exact
+    in both engines.
+
+    Scale shape: one per-source aggregate (the only row-grain
+    shuffle), then ALL algebra on the #sources-bounded frame —
+    window functions over a constant-size frame, broadcast level
+    join-back. The 100 TB cost is the token count, which any
+    mixture pass already pays.
+
+    Reference basis: selection/apportion family
+    (token_budget_selection r4 flagship, mixture_quota_largest_
+    remainder r11, curriculum_token_budget_phases r13)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(F.size(F.expr(spark_tokens("text"))))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    # bounded frame from here on (#sources rows)
+    w_rank = Window.orderBy("total_tokens", "source")
+    ranked = totals.select(
+        "source",
+        "total_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("total_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+    )
+    glob = ranked.agg(
+        (F.sum("total_tokens") / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("total_tokens").alias("tmax"),
+    )
+    r = ranked.crossJoin(F.broadcast(glob))
+    feas = r.where(
+        F.col("pfx") + F.col("total_tokens") * (F.col("n") - F.col("rk"))
+        <= F.col("budget")
+    ).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("i"),
+        F.coalesce(F.max("pfx"), F.lit(0)).alias("pi"),
+    )
+    level = (
+        glob.crossJoin(F.broadcast(feas))
+        .select(
+            F.when(
+                F.col("n") > F.col("i"),
+                F.floor(
+                    (F.col("budget") - F.col("pi"))
+                    / (F.col("n") - F.col("i"))
+                ),
+            )
+            .otherwise(F.col("tmax"))
+            .cast("long")
+            .alias("lvl"),
+            F.when(
+                F.col("n") > F.col("i"),
+                (F.col("budget") - F.col("pi"))
+                % (F.col("n") - F.col("i")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rem"),
+            F.col("i"),
+        )
+    )
+    out = ranked.crossJoin(F.broadcast(level))
+    # rank the UNSATURATED subset by source name (bounded frame) so
+    # the remainder's +1 lands on the lexicographically first ones
+    unsat_rk = (
+        out.where(F.col("rk") > F.col("i"))
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("u2"),
+        )
+    )
+    return (
+        out.join(unsat_rk, "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            F.when(F.col("rk") <= F.col("i"), F.col("total_tokens"))
+            .otherwise(
+                F.col("lvl")
+                + F.when(F.col("u2") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+            (F.col("rk") <= F.col("i")).alias("saturated"),
+            F.col("lvl").alias("level"),
+        )
+    )
+
+
+# ----------------------- 2-hop neighborhood aggregation (dup graph) --
+
+
+def _twohop_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand
+    ), deg AS (
+        SELECT u AS doc, count(*) AS degree FROM edges GROUP BY u
+    )
+    SELECT e.u AS doc_id,
+           CAST(d0.degree AS BIGINT) AS degree,
+           CAST(sum(dn.degree) AS BIGINT) AS two_hop_degree_sum,
+           CAST(max(dn.degree) AS BIGINT) AS max_neighbor_degree
+    FROM edges e
+    JOIN deg d0 ON d0.doc = e.u
+    JOIN deg dn ON dn.doc = e.v
+    GROUP BY e.u, d0.degree
+    """
+
+
+@staged_query("graph_2hop_degree_sum", oracle=_twohop_oracle())
+def graph_2hop_degree_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-HOP NEIGHBORHOOD AGGREGATION on the near-dup graph — one
+    round of GNN-style message passing (each node sums and maxes its
+    neighbors' degrees): the feature every graph-based quality/
+    influence scorer starts from, and the access pattern (gather
+    over edges, aggregate at the destination) that distinguishes
+    graph workloads from relational ones. Per doc with ≥1 candidate
+    partner: its own degree, Σ neighbor degrees, max neighbor degree.
+
+    Scale shape: edges come from the audited LSH bucket join (never
+    all-pairs); degrees are one edge-grain aggregate; the 2-hop
+    gather is ONE self-join of the edge list against the bounded
+    degree frame, keyed on node ids (uniform by construction). At
+    100 TB this is 2·|E| rows through two hash exchanges — the
+    standard one-superstep Pregel cost, no iteration.
+
+    Reference basis: dup-graph family (dup_graph_degree_stats r8,
+    dupgraph_triangle_count / pagerank / kcore r12 TAIL,
+    cc_hash_to_min_pointer_jump r13 — this adds the neighborhood-
+    aggregation primitive those algorithms compose)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("doc")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        edges.join(
+            deg.select(
+                F.col("doc").alias("u"), F.col("degree").alias("d0")
+            ),
+            "u",
+        )
+        .join(
+            deg.select(
+                F.col("doc").alias("v"), F.col("degree").alias("dn")
+            ),
+            "v",
+        )
+        .groupBy(F.col("u").alias("doc_id"), F.col("d0").alias("degree"))
+        .agg(
+            F.sum("dn").cast("long").alias("two_hop_degree_sum"),
+            F.max("dn").cast("long").alias("max_neighbor_degree"),
+        )
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            "two_hop_degree_sum",
+            "max_neighbor_degree",
+        )
+    )
+
+
+# ---------------------------------- data-retention expiry plan --
+
+
+@staged_query(
+    "data_retention_expiry_plan",
+    oracle="""
+    WITH cutoff AS (SELECT max(ts) AS now FROM events),
+    ttl AS (
+        SELECT e.*,
+               CASE e.event_type
+                    WHEN 'click' THEN 30
+                    WHEN 'view' THEN 7
+                    WHEN 'error' THEN 14
+                    ELSE 90
+               END AS ttl_days,
+               c.now
+        FROM events e CROSS JOIN cutoff c
+    ),
+    marked AS (
+        SELECT event_type, ttl_days,
+               CASE WHEN ts < now - ttl_days * INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS expired,
+               CASE WHEN ts < now - ttl_days * INTERVAL 1 DAY
+                    THEN date_diff('day',
+                         CAST(date_trunc('day', ts) AS DATE),
+                         CAST(date_trunc('day', now) AS DATE))
+                         - ttl_days
+               END AS days_overdue
+        FROM ttl
+    )
+    SELECT event_type,
+           CAST(max(ttl_days) AS BIGINT) AS ttl_days,
+           count(*) AS n_rows,
+           CAST(sum(expired) AS BIGINT) AS n_expired,
+           CAST(sum(expired) * 1000000 // count(*) AS BIGINT)
+               AS expired_micros,
+           CAST(max(days_overdue) AS BIGINT) AS max_days_overdue
+    FROM marked GROUP BY event_type
+    """,
+)
+def data_retention_expiry_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA-RETENTION EXPIRY PLAN — the TTL sweep every governed
+    lake runs nightly: per event type, a policy TTL (clicks 30d,
+    views 7d, errors 14d, everything else 90d), rows older than
+    max(ts) − TTL are due for deletion; the plan reports volumes,
+    the expired fraction (exact integer micros), and the worst
+    overdue age in days — the numbers a deletion job is sized and
+    audited by, computed BEFORE any destructive pass runs.
+
+    Scale shape: one scalar max(ts) (broadcast), one scan with the
+    TTL CASE fused into it, one per-type aggregate. On a
+    date-partitioned lake the ts predicate is partition-pruning —
+    the sweep reads only candidate partitions.
+
+    Reference basis: governance family (right_to_erasure_cascade
+    r13, subject_access_export r13, dq_expectation_audit r13 — this
+    adds the retention-policy member; P4 validity predicates are the
+    same scan-side filter discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now"))
+    ttl = F.when(F.col("event_type") == "click", 30).when(
+        F.col("event_type") == "view", 7
+    ).when(F.col("event_type") == "error", 14).otherwise(90)
+    marked = ev.crossJoin(F.broadcast(now)).select(
+        "event_type",
+        ttl.alias("ttl_days"),
+        F.when(
+            F.col("ts")
+            < F.col("now") - ttl * F.expr("INTERVAL 1 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("expired"),
+        F.when(
+            F.col("ts")
+            < F.col("now") - ttl * F.expr("INTERVAL 1 DAY"),
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("now"))),
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+            )
+            - ttl,
+        ).alias("days_overdue"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.max("ttl_days").cast("long").alias("ttl_days"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("expired").cast("long").alias("n_expired"),
+        F.floor(
+            F.sum("expired") * 1000000 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("expired_micros"),
+        F.max("days_overdue").cast("long").alias("max_days_overdue"),
+    )
+
+
+# ------------------- Bloom-prefiltered decontamination, certified --
+
+
+def _bloom_decontam_oracle(m: int = 4096, k: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    split = f"({sql_md5_int('CAST(doc_id AS VARCHAR)')} % 2)"
+    sh = sql_word_shingles("text", 3)
+    h = sql_md5_int("(CAST(j.j AS VARCHAR) || '#' || s.sh)")
+    ht = sql_md5_int("(CAST(j.j AS VARCHAR) || '#' || t.sh)")
+    return f"""
+    WITH train_sh AS (
+        SELECT DISTINCT unnest({sh}) AS sh
+        FROM documents WHERE {split} = 0
+    ),
+    tpos AS (
+        SELECT ({h} % {m}) AS p
+        FROM train_sh s, (SELECT unnest(range({k})) AS j) j
+    ),
+    bloom AS (
+        SELECT p // 32 AS word,
+               CAST(bit_or(1 << (p % 32)) AS BIGINT) AS bits
+        FROM tpos GROUP BY p // 32
+    ),
+    test_sh AS (
+        SELECT source, doc_id, unnest({sh}) AS sh
+        FROM documents WHERE {split} = 1
+    ),
+    probes AS (
+        SELECT t.source, t.doc_id, t.sh, ({ht} % {m}) AS p
+        FROM test_sh t, (SELECT unnest(range({k})) AS j) j
+    ),
+    bits AS (
+        SELECT pr.source, pr.doc_id, pr.sh,
+               CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits & (1 << (pr.p % 32))) != 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM probes pr LEFT JOIN bloom b ON b.word = pr.p // 32
+    ),
+    per_shingle AS (
+        SELECT source, doc_id, sh,
+               CASE WHEN sum(hit) = {k} THEN 1 ELSE 0 END AS bloom_hit
+        FROM bits GROUP BY source, doc_id, sh
+    ),
+    judged AS (
+        SELECT ps.source, ps.doc_id, ps.bloom_hit,
+               CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM per_shingle ps
+        LEFT JOIN train_sh tr ON tr.sh = ps.sh
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               count(*) AS n_sh,
+               sum(bloom_hit) AS n_bloom,
+               sum(exact_hit) AS n_exact,
+               sum(CASE WHEN bloom_hit = 1 AND exact_hit = 0
+                        THEN 1 ELSE 0 END) AS n_fp,
+               sum(CASE WHEN bloom_hit = 0 AND exact_hit = 1
+                        THEN 1 ELSE 0 END) AS n_fn
+        FROM judged GROUP BY source, doc_id
+    )
+    SELECT source,
+           count(*) AS n_test_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles_probed,
+           CAST(sum(n_bloom) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(n_exact) AS BIGINT) AS n_exact_hits,
+           CAST(sum(n_fp) AS BIGINT) AS n_false_positives,
+           CAST(sum(n_fn) AS BIGINT) AS n_false_negatives,
+           CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_contaminated,
+           CAST(sum(CASE WHEN n_bloom > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_flagged
+    FROM per_doc GROUP BY source
+    """
+
+
+@staged_query(
+    "decontam_bloom_prefilter_certified",
+    oracle=_bloom_decontam_oracle(),
+)
+def decontam_bloom_prefilter_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-PREFILTERED DECONTAMINATION, certified — the scale form
+    of eval-set decontamination: the train split's word-3-shingle
+    set compresses into a 4096-bit / 3-hash Bloom that BROADCASTS
+    where the shingle set cannot, and every test-split shingle
+    probes it scan-side; only Bloom-flagged shingles would proceed
+    to the exact containment join in production. The row grades the
+    certificate: per source, probed/flagged/exact counts, FALSE
+    POSITIVES (the sketch's measured price — the wasted exact-join
+    work) and FALSE NEGATIVES graded as a VALUE that must be 0 (a
+    Bloom never misses: the guarantee decontamination correctness
+    rests on). The deliberately small m makes saturation observable
+    across SFs, exactly like the graduated order-side Bloom row.
+
+    Scale shape: the 100 TB decontamination pattern — the eval/test
+    shingle universe is data-scale, but the Bloom stays kilobytes
+    and the probe is scan-side integer arithmetic + a <=128-row
+    broadcast join; the exact join here runs over ALL test shingles
+    only to measure FP/FN (in production it runs over the flagged
+    sliver, which is the point of the sketch).
+
+    Reference basis: decontamination family (decontam_ngram_overlap
+    r4, split_leakage_near_dup_audit r13, decontam_max_span r11
+    TAIL; sketch side: bloom_prefilter_fpr_certified r13)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_word_shingles,
+    )
+
+    m, k = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % 2"
+    )
+    sh = F.expr(spark_word_shingles("text", 3))
+    train_sh = (
+        docs.where(split == 0)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        train_sh.select("sh", j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    test_sh = docs.where(split == 1).select(
+        "source", "doc_id", F.explode(sh).alias("sh")
+    )
+    probes = test_sh.select("source", "doc_id", "sh", j).select(
+        "source", "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    bits = probes.join(
+        F.broadcast(bloom), F.expr("word = p DIV 32"), "left"
+    ).select(
+        "source",
+        "doc_id",
+        "sh",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.expr("bits & shiftleft(1L, cast(p % 32 as int))")
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    per_shingle = bits.groupBy("source", "doc_id", "sh").agg(
+        F.when(F.sum("hit") == k, 1).otherwise(0).alias("bloom_hit")
+    )
+    judged = per_shingle.join(
+        train_sh.select(F.col("sh"), F.lit(1).alias("ex")),
+        "sh",
+        "left",
+    ).select(
+        "source",
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("ex"), F.lit(0)).alias("exact_hit"),
+    )
+    per_doc = judged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("bloom_hit").alias("n_bloom"),
+        F.sum("exact_hit").alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_fp"),
+        F.sum(
+            F.when(
+                (F.col("bloom_hit") == 0) & (F.col("exact_hit") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_fn"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.sum("n_sh").cast("long").alias("n_shingles_probed"),
+        F.sum("n_bloom").cast("long").alias("n_bloom_hits"),
+        F.sum("n_exact").cast("long").alias("n_exact_hits"),
+        F.sum("n_fp").cast("long").alias("n_false_positives"),
+        F.sum("n_fn").cast("long").alias("n_false_negatives"),
+        F.sum(F.when(F.col("n_exact") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_contaminated"),
+        F.sum(F.when(F.col("n_bloom") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_flagged"),
+    )

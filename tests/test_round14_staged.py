@@ -1,0 +1,307 @@
+"""Invariant tests for the round-14 staged cohort, beyond the
+value-hash oracle (tests/test_next_round.py): each operator's result
+is re-derived by an INDEPENDENT brute-force twin in plain Python over
+the collected slice — a second witness sharing none of the SQL
+machinery, the standard every staged cohort carries. Where the staged
+query uses an algebraic shortcut (the water-filling closed-form index
+arithmetic, the kappa integer pair), the witness runs the DIRECT form
+the shortcut replaces (unit-by-unit filling, fraction kappa).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_gopher_rules_match_python_walk(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for r in docs:
+        toks = r.text.split()
+        if not toks:
+            continue
+        sents, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if _md5int(w) & 3 == 0:
+                sents.append(" ".join(cur))
+                cur = []
+        if cur:
+            sents.append(" ".join(cur))
+        n_words, n_sents = len(toks), len(sents)
+        nd = len(set(sents))
+        bigrams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(n_words - 1)
+        )
+        max_bg = max(bigrams.values()) if bigrams else 0
+        n_short = sum(1 for w in toks if len(w) <= 2)
+        dup = (n_sents - nd) * 1000000 // n_sents
+        topbg = max_bg * 2 * 1000000 // n_words
+        short = n_short * 1000000 // n_words
+        expected[r.doc_id] = (
+            n_words, n_sents, dup, topbg, short,
+            dup < 300000 and topbg < 200000 and short < 400000,
+        )
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_sentences, r.dup_sent_micros,
+            r.top_bigram_micros, r.short_tok_micros, r.keep,
+        )
+        for r in STAGED["gopher_repetition_rules"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # the composite rule must actually split the corpus
+    keeps = {v[-1] for v in got.values()}
+    assert keeps == {True, False}
+
+
+def test_cohens_kappa_matches_fraction_arithmetic(spark):
+    """Direct kappa = (po - pe) / (1 - pe) over exact Fractions vs
+    the staged row's integer (num, den) pair — they must be the SAME
+    rational number, not merely close."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    labels = defaultdict(list)
+    for r in docs:
+        a = _md5int(f"{r.doc_id}#a") % 3
+        b = a if _md5int(f"{r.doc_id}#agree") % 4 < 3 else _md5int(
+            f"{r.doc_id}#b"
+        ) % 3
+        labels[r.source].append((a, b))
+    got = {
+        r.source: (r.n_docs, r.n_agree, r.kappa_num, r.kappa_den)
+        for r in STAGED["cohens_kappa_exact"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(labels)
+    for src, pairs in labels.items():
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        ra = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        po = Fraction(agree, n)
+        pe = Fraction(sum(ra[k] * cb[k] for k in set(ra) | set(cb)),
+                      n * n)
+        kappa = (po - pe) / (1 - pe)
+        gn, ga, num, den = got[src]
+        assert (gn, ga) == (n, agree)
+        assert Fraction(num, den) == kappa, src
+        # planted structure: B copies A ~3/4 of the time, so kappa
+        # must be solidly positive
+        assert Fraction(num, den) > Fraction(1, 2), src
+
+
+def test_waterfill_matches_unit_by_unit_filling(spark):
+    """The closed-form index arithmetic vs the DIRECT simulation:
+    hand out the budget one level-increment at a time."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    totals = defaultdict(int)
+    for r in docs:
+        totals[r.source] += len(r.text.split())
+    budget = sum(totals.values()) // 2
+    # direct water-fill: raise the common level until the next raise
+    # would overshoot, then +1 the lexicographically first unsaturated
+    alloc = {s: 0 for s in totals}
+    level = 0
+    while True:
+        unsat = [s for s in totals if totals[s] > level]
+        step = len(unsat)
+        if step == 0 or sum(alloc.values()) + step > budget:
+            break
+        # raising the level by 1 gives each unsaturated source +1
+        level += 1
+        for s in unsat:
+            alloc[s] = level
+        # saturated sources hold at their totals
+        for s in totals:
+            if totals[s] <= level:
+                alloc[s] = totals[s]
+    rem = budget - sum(alloc.values())
+    for s in sorted(s for s in totals if totals[s] > level)[:rem]:
+        alloc[s] += 1
+    got = {
+        r.source: (
+            r.total_tokens, r.allocated_tokens, r.saturated, r.level
+        )
+        for r in STAGED["waterfill_budget_allocation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(totals)
+    assert sum(a for _, a, _, _ in got.values()) == budget
+    for s, (tot, a, sat, lvl) in got.items():
+        assert tot == totals[s]
+        assert a == alloc[s], (s, a, alloc[s])
+        assert a <= tot
+        if sat:
+            assert a == tot  # saturated = taken whole
+        else:
+            assert a in (lvl, lvl + 1)  # at the level, maybe +1
+    # max-min fairness: unsaturated allocations differ by at most 1
+    un = [a for s, (tot, a, sat, _) in got.items() if not sat]
+    if un:
+        assert max(un) - min(un) <= 1
+
+
+def test_two_hop_sum_matches_python_gather(spark):
+    """2-hop aggregation re-walked in Python over the SAME candidate
+    edge set (the LSH bucket join is graded machinery since r8; the
+    new logic — degree gather and neighbor aggregation — is what the
+    witness re-derives)."""
+    import pyspark.sql.functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("da"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("db"), "band_idx", "bh")
+    pairs = {
+        (r.da, r.db)
+        for r in a.join(b, ["band_idx", "bh"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .collect()
+    }
+    nbrs = defaultdict(set)
+    for u, v in pairs:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    expected = {
+        u: (
+            deg[u],
+            sum(deg[v] for v in vs),
+            max(deg[v] for v in vs),
+        )
+        for u, vs in nbrs.items()
+    }
+    got = {
+        r.doc_id: (
+            r.degree, r.two_hop_degree_sum, r.max_neighbor_degree
+        )
+        for r in STAGED["graph_2hop_degree_sum"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one dup edge"
+
+
+def test_retention_plan_matches_python_walk(spark):
+    import datetime
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts"
+    ).collect()
+    now = max(r.ts for r in rows)
+    ttl = {"click": 30, "view": 7, "error": 14}
+    per = defaultdict(lambda: [0, 0, None])  # n, n_expired, max_over
+    for r in rows:
+        t = ttl.get(r.event_type, 90)
+        st = per[(r.event_type, t)]
+        st[0] += 1
+        if r.ts < now - datetime.timedelta(days=t):
+            st[1] += 1
+            over = (
+                now.date() - r.ts.date()
+            ).days - t
+            st[2] = over if st[2] is None else max(st[2], over)
+    expected = {
+        et: (t, n, ne, ne * 1000000 // n, mo)
+        for (et, t), (n, ne, mo) in per.items()
+    }
+    got = {
+        r.event_type: (
+            r.ttl_days, r.n_rows, r.n_expired,
+            r.expired_micros, r.max_days_overdue,
+        )
+        for r in STAGED["data_retention_expiry_plan"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # the 30-day window vs 7-day TTL means views MUST have expiries
+    assert got["view"][2] > 0
+
+
+def test_bloom_decontam_matches_python_bitset_replay(spark):
+    m, k = 4096, 3
+
+    def shingles(text):
+        toks = text.split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i:i + 3]) for i in range(n)}
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    train, test = [], []
+    for r in docs:
+        (train if _md5int(str(r.doc_id)) % 2 == 0 else test).append(r)
+    train_sh = set()
+    for r in train:
+        train_sh |= shingles(r.text)
+    bloom = 0
+    for sh in train_sh:
+        for j in range(k):
+            bloom |= 1 << (_md5int(f"{j}#{sh}") % m)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0, 0])
+    for r in test:
+        shs = shingles(r.text)
+        nb = ne = nfp = nfn = 0
+        for sh in shs:
+            hit = all(
+                bloom >> (_md5int(f"{j}#{sh}") % m) & 1
+                for j in range(k)
+            )
+            ex = sh in train_sh
+            nb += hit
+            ne += ex
+            nfp += hit and not ex
+            nfn += ex and not hit
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += len(shs)
+        a[2] += nb
+        a[3] += ne
+        a[4] += nfp
+        a[5] += nfn
+        a[6] += ne > 0
+        a[7] += nb > 0
+    expected = {s: tuple(v) for s, v in agg.items()}
+    got = {
+        r.source: (
+            r.n_test_docs, r.n_shingles_probed, r.n_bloom_hits,
+            r.n_exact_hits, r.n_false_positives,
+            r.n_false_negatives, r.n_docs_contaminated,
+            r.n_docs_flagged,
+        )
+        for r in STAGED["decontam_bloom_prefilter_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[5] for v in got.values()) == 0, "Bloom FN must be 0"
+    assert sum(v[3] for v in got.values()) > 0, (
+        "fixture must contain real contamination"
+    )
