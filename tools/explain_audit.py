@@ -172,6 +172,10 @@ STAGED_AUDIT = [
     "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
     "local_clustering_coefficient",  # degree-class density, bounded pair frame
     "farthest_point_init_quantized",  # per-step aggregate+broadcast twin
+    "gopher_repetition_rules",  # scan-side sentence folds, doc-local bigram shuffle
+    "waterfill_budget_allocation",  # bounded-frame level algebra, one row-grain agg
+    "graph_2hop_degree_sum",  # two hash exchanges, one Pregel superstep
+    "decontam_bloom_prefilter_certified",  # <=128-row bloom broadcast to test scan
 ]
 
 
