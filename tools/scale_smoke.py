@@ -288,6 +288,185 @@ def round14_family_probes(spark, n: int) -> None:
             f"planted={planted:,})"
         )
 
+    # --- gopher repetition rules: scan-side folds + doc-local bigram ---
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    t0 = _t.time()
+    toks = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    pairs_e = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs_e},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    per_doc = toks.select(
+        "doc_id", "toks", F.expr(sents_expr).alias("sents")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("nw"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then"
+                " transform(sequence(1, size(toks) - 1), i ->"
+                "  concat(element_at(toks, i), ' ',"
+                "         element_at(toks, i + 1)))"
+                " else array() end"
+            )
+        ).alias("bg"),
+    )
+    bg_max = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    row = (
+        per_doc.join(bg_max, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("ns") - F.col("nd")) * 1000000
+                    / F.col("ns")
+                    >= 300000,
+                    1,
+                ).otherwise(0)
+            ).alias("dup_flagged"),
+        )
+        .collect()[0]
+    )
+    sgo = _t.time() - t0
+    print(
+        f"docs={docs_n:,} gopher_rules={sgo:.1f}s "
+        f"({int(docs_n / sgo):,} docs/s, dup_flagged={row['dup_flagged']:,})"
+    )
+
+    # --- bloom decontamination probe: broadcast bitset vs test scan ---
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_word_shingles_from_tokens,
+    )
+
+    m, k = 1 << 20, 3  # production-sized bitset: 1 Mbit is still 4 KB*32
+    t0 = _t.time()
+    sh_side = toks.select(
+        "doc_id",
+        F.expr(spark_word_shingles_from_tokens("toks", 3)).alias("shs"),
+    )
+    split = F.expr(f"{spark_md5_int('cast(doc_id as string)')} % 2")
+    train_sh = (
+        sh_side.where(split == 0)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        train_sh.select("sh", j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").alias(
+                "bits"
+            )
+        )
+    )
+    test_sh = sh_side.where(split == 1).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+    probes = test_sh.select("doc_id", "sh", j).select(
+        "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), F.expr("word = p DIV 32"), "left")
+        .select(
+            "doc_id",
+            "sh",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("bits & shiftleft(1L, cast(p % 32 as int))")
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.when(F.sum("hit") == k, 1).otherwise(0).alias("bh"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum("bh").alias("n_flagged"),
+        )
+        .collect()[0]
+    )
+    sbl = _t.time() - t0
+    print(
+        f"docs={docs_n:,} bloom_decontam[m=2^20]={sbl:.1f}s "
+        f"({int(docs_n / sbl):,} docs/s, shingles={hits['n_sh']:,}, "
+        f"flagged={hits['n_flagged']:,})"
+    )
+
+    # --- 2-hop gather over the planted-dup LSH graph ---
+    t0 = _t.time()
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    aa = buckets.select(F.col("doc_id").alias("da"), "band_idx", "bh")
+    bb = buckets.select(F.col("doc_id").alias("db"), "band_idx", "bh")
+    cand2 = (
+        aa.join(bb, ["band_idx", "bh"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    edges = cand2.select(
+        F.col("da").alias("u"), F.col("db").alias("v")
+    ).unionAll(cand2.select(F.col("db").alias("u"), F.col("da").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("doc")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    row2 = (
+        edges.join(
+            deg.select(F.col("doc").alias("u"), F.col("degree").alias("d0")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("doc").alias("v"), F.col("degree").alias("dn")),
+            "v",
+        )
+        .groupBy("u", "d0")
+        .agg(F.sum("dn").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("nodes"), F.sum("s2").alias("tot"))
+        .collect()[0]
+    )
+    s2h = _t.time() - t0
+    print(
+        f"docs={docs_n:,} two_hop_gather={s2h:.1f}s "
+        f"(nodes_with_edges={row2['nodes']:,})"
+    )
+
 
 def round13b_family_probes(spark, n: int) -> None:
     """Third-wave staged-shape probes (repeated_span_cut_plan,
@@ -879,6 +1058,7 @@ def main() -> None:
 
         new_family_probes(spark, n, docs, docs_n)
         round13_family_probes(spark, n)
+        round14_family_probes(spark, n)
         if "--only-new" in sys.argv:
             return
 
