@@ -3259,3 +3259,450 @@ def decontam_bloom_prefilter_certified(
         .cast("long")
         .alias("n_docs_flagged"),
     )
+
+
+# --------------------- b-bit minwise estimate on LSH candidates --
+
+
+def _bbit_oracle(k: int = 64, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    bsig = 16 // bands  # the bucketing signature stays k=16/(4 bands)
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", 16)} AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{bsig}+1 : b*{bsig}+{bsig}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    ), wide AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS wsig,
+               shingles
+        FROM sh
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(length(list_intersect(wa.shingles, wb.shingles))
+                * 1000000
+                // (length(wa.shingles) + length(wb.shingles)
+                    - length(list_intersect(wa.shingles,
+                                            wb.shingles)))
+                AS BIGINT) AS jaccard_micros,
+           CAST(list_sum(list_transform(
+                list_zip(wa.wsig, wb.wsig),
+                x -> CASE WHEN (x[1] & 1) = (x[2] & 1)
+                          THEN 1 ELSE 0 END)) AS BIGINT)
+               AS agree_bits,
+           CAST(greatest(0,
+                (2 * list_sum(list_transform(
+                     list_zip(wa.wsig, wb.wsig),
+                     x -> CASE WHEN (x[1] & 1) = (x[2] & 1)
+                               THEN 1 ELSE 0 END)) - {k})
+                * 1000000 // {k}) AS BIGINT) AS est_micros
+    FROM cand c
+    JOIN wide wa ON wa.doc_id = c.doc_a
+    JOIN wide wb ON wb.doc_id = c.doc_b
+    """
+
+
+@staged_query(
+    "bbit_minwise_estimate_on_candidates", oracle=_bbit_oracle()
+)
+def bbit_minwise_estimate_on_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b-BIT MINWISE HASHING (b=1, Li & König) on the LSH candidate
+    pairs — the signature-compression lever for corpus-scale dedup:
+    keeping only the LOWEST BIT of each of 64 minhashes shrinks the
+    signature 32× (64 bits vs 64 ints), and the agreement count still
+    estimates Jaccard via E[agree/k] = (1+J)/2, i.e. Ĵ = 2·agree/k−1.
+    Per candidate pair the row grades the exact shingle Jaccard
+    (integer micros), the integer bit-agreement count, and the
+    clamped 1-bit estimate — the data that decides whether the
+    32×-smaller signature is accurate enough to replace the full one
+    at a given verify threshold.
+
+    Scale shape: the wide (k=64) signature is ONE scan-side fold per
+    doc (md5 once per shingle, affine per seed — zero exchanges);
+    candidates come from the audited banded bucket join, never
+    all-pairs; the estimate is codegen zip_with arithmetic on the
+    joined pair frame. The whole row adds no exchange the dedup
+    pipeline does not already pay.
+
+    Reference basis: dedup-certificate family
+    (minhash_estimate_error_certified r10 grades the full-int
+    estimator; lsh_band_sensitivity_audit r13 grades the banding
+    operating point; this grades the signature-width axis)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_minhash_sig
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_side, buckets = lsh_banded_buckets(
+        docs, "text", "doc_id"
+    )
+    wide = shingle_side.select(
+        "doc_id",
+        "shingles",
+        F.expr(spark_minhash_sig("shingles", k)).alias("wsig"),
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    paired = cand.join(
+        wide.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("wsig").alias("sig_a"),
+        ),
+        "doc_a",
+    ).join(
+        wide.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("wsig").alias("sig_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b,"
+        " (x, y) -> (x & 1) = (y & 1)), z -> z))"
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            f"cast(size(array_intersect(sh_a, sh_b)) * 1000000"
+            f" div (size(sh_a) + size(sh_b)"
+            f"      - size(array_intersect(sh_a, sh_b))) as bigint)"
+        ).alias("jaccard_micros"),
+        agree.cast("long").alias("agree_bits"),
+        F.greatest(
+            F.lit(0),
+            ((agree * 2 - k) * 1000000 / k).cast("long"),
+        )
+        .cast("long")
+        .alias("est_micros"),
+    )
+
+
+# ----------------------- audio decimation over the WAV codec --
+
+
+@staged_query(
+    "audio_decimate_boxcar",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id, doc_id % 50 + 10 AS n
+        FROM documents WHERE doc_id < 400
+    ),
+    samp AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i
+        FROM ids
+    ),
+    vals AS (
+        SELECT doc_id, n, i,
+               (31 * doc_id + 17 * i) % 65536 - 32768 AS s
+        FROM samp
+    ),
+    pairs AS (
+        SELECT doc_id, n, i // 2 AS j,
+               CAST(floor(sum(s) / 2.0) AS BIGINT) AS o
+        FROM vals WHERE i < (n // 2) * 2
+        GROUP BY doc_id, n, i // 2
+    ),
+    outs AS (
+        SELECT doc_id,
+               count(*) AS n_out,
+               sum(o) AS sum_out,
+               min(CASE WHEN j = 0 THEN o END) AS first_out,
+               min(CASE WHEN j = (SELECT max(j) FROM pairs p2
+                                  WHERE p2.doc_id = pairs.doc_id)
+                        THEN o END) AS last_out
+        FROM pairs GROUP BY doc_id
+    ),
+    ins AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+               CAST(sum(s) AS BIGINT) AS sum_in
+        FROM vals GROUP BY doc_id, n
+    )
+    SELECT i.doc_id, i.n_in,
+           CAST(o.n_out AS BIGINT) AS n_out,
+           i.sum_in,
+           CAST(o.sum_out AS BIGINT) AS sum_out,
+           CAST(o.first_out AS BIGINT) AS first_out,
+           CAST(o.last_out AS BIGINT) AS last_out
+    FROM ins i JOIN outs o ON o.doc_id = i.doc_id
+    """,
+)
+def audio_decimate_boxcar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO DECIMATION through the REAL WAV codec — the 2:1
+    downsample every speech-data pipeline runs before feature
+    extraction, executed as decode → integer boxcar (out_j =
+    floor((s_2j + s_2j+1)/2), trailing odd sample dropped) →
+    RE-ENCODE → decode again, all inside one mapInPandas chain over
+    Arrow batches: the round-trip proves the ENCODER under the
+    decimated payload, not just the decoder. Fixture WAVs are the
+    graded multimodal convention (sample_i = (31·id + 17i) mod 2^16 −
+    32768), so the oracle recomputes every statistic analytically
+    with no decoder at all — a wrong RIFF header, stride, or floor
+    convention shifts sum_out/first/last and fails the hash.
+
+    Scale shape: blobs never leave the executors and never shuffle;
+    only fixed-size per-blob statistics reach the result — the 100 TB
+    media-pipeline contract (the resize/frame-sample rows' shape,
+    extended to the audio axis the codec family lacked).
+
+    Reference basis: multimodal family (multimodal_decode_roundtrip
+    r5 flagship, multimodal_resize r4, video_mjpeg_frame_extract r10
+    TAIL — this adds the audio TRANSFORM member)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_in", LongType()),
+            StructField("n_out", LongType()),
+            StructField("sum_in", LongType()),
+            StructField("sum_out", LongType()),
+            StructField("first_out", LongType()),
+            StructField("last_out", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from sparkksqldbbenchmark_spark.llm import codecs
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 10
+                samples = [
+                    (31 * did + 17 * i) % 65536 - 32768
+                    for i in range(n)
+                ]
+                wav = codecs.encode_wav(samples)
+                _, _, s_in = codecs.decode_wav(wav)
+                dec = [
+                    (s_in[2 * j] + s_in[2 * j + 1]) // 2
+                    for j in range(len(s_in) // 2)
+                ]
+                wav2 = codecs.encode_wav(dec)
+                _, _, s_out = codecs.decode_wav(wav2)
+                rows.append(
+                    (
+                        did,
+                        len(s_in),
+                        len(s_out),
+                        sum(s_in),
+                        sum(s_out),
+                        s_out[0],
+                        s_out[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_in", "n_out", "sum_in",
+                    "sum_out", "first_out", "last_out",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).mapInPandas(batches, schema)
+
+
+# ------------- Johnson-Lindenstrauss projection distance audit --
+
+
+def _jl_signs(k: int = 8, d: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher ±1 matrix from md5 — a compile-time
+    constant shared literal-for-literal by both engines (no per-row
+    hashing in either plan)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{h}#{j}".encode()).hexdigest()[:15], 16
+            )
+            & 1
+            == 0
+            else -1
+            for j in range(d)
+        ]
+        for h in range(k)
+    ]
+
+
+def _jl_oracle(k: int = 8, d: int = 64) -> str:
+    s = _jl_signs(k, d)
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in s
+        )
+        + "]"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id, q,
+               list_transform({lit}, row ->
+                   list_sum(list_transform(list_zip(row, q),
+                       x -> x[1] * x[2]))) AS p
+        FROM q
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)
+               AS d2_orig,
+           CAST(list_sum(list_transform(list_zip(a.p, b.p),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT)
+               AS d2_proj,
+           CAST(list_sum(list_transform(list_zip(a.p, b.p),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1000000
+                // ({k} * list_sum(list_transform(list_zip(a.q, b.q),
+                    x -> (x[1] - x[2]) * (x[1] - x[2]))))
+                AS BIGINT) AS ratio_micros
+    FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 5 = 0
+    """
+
+
+@staged_query(
+    "jl_projection_distance_certified", oracle=_jl_oracle()
+)
+def jl_projection_distance_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS RANDOM PROJECTION distance audit — the
+    cheapest dimensionality-reduction lever at 100 TB (64 → 8 dims by
+    a ±1 Rademacher matrix: no training, no SVD, a constant matrix
+    every executor holds): for a Rademacher R, E‖Rx‖² = k·‖x‖², so
+    the measured ratio d²_proj / (k·d²_orig) certifies how much
+    pairwise geometry the compression keeps BEFORE a pipeline trusts
+    8-dim sketches for blocking or ANN routing. Embeddings quantize
+    to integer millis first (the repo's embedding convention), the
+    sign matrix is a compile-time md5 constant shared
+    literal-for-literal with the oracle, and every distance and
+    ratio is exact integer arithmetic — the graded rows are the
+    measured concentration, pair by deterministic pair.
+
+    Scale shape: projection is a scan-side fold (zip_with + sum per
+    output dim, zero exchanges, no per-row hashing — the matrix is a
+    plan literal); the audited pairs are an equi-join on vec_id+1
+    (no pair explosion). At 100 TB the projection cost is one scan —
+    exactly why JL precedes any quadratic geometry work.
+
+    Reference basis: embedding family (embedding_quantization r5,
+    pq_quantization_error r7 TAIL, pca_power_iteration_1d r12 TAIL —
+    this adds the data-independent projection member; PCA learns the
+    basis, JL doesn't have to)."""
+    k = 8
+    signs = _jl_signs(k, 64)
+    lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(v) for v in row) + ")"
+            for row in signs
+        )
+        + ")"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(x * 1000) as bigint))"
+        ).alias("q"),
+    )
+    proj = q.select(
+        "vec_id",
+        "q",
+        F.expr(
+            f"transform({lit}, row ->"
+            " aggregate(zip_with(row, q, (s, x) -> s * x),"
+            " 0L, (a, y) -> a + y))"
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("p").alias("pa"),
+    ).where(F.col("vec_a") % 5 == 0)
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+    d2o = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    d2p = F.expr(
+        "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            d2o.cast("long").alias("d2_orig"),
+            d2p.cast("long").alias("d2_proj"),
+            F.expr(
+                "cast(aggregate(zip_with(pa, pb,"
+                " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+                " * 1000000 div"
+                f" ({k} * aggregate(zip_with(qa, qb,"
+                " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"
+                " as bigint)"
+            ).alias("ratio_micros"),
+        )
+    )

@@ -305,3 +305,125 @@ def test_bloom_decontam_matches_python_bitset_replay(spark):
     assert sum(v[3] for v in got.values()) > 0, (
         "fixture must contain real contamination"
     )
+
+def test_bbit_minwise_matches_python_bit_replay(spark):
+    """The 1-bit agreement and the Jaccard re-derived in plain
+    Python: shingles by hand, the SAME affine minhash family
+    replayed with hashlib, bits compared directly."""
+    from sparkksqldbbenchmark_spark.llm.hashing import _BMUL as BMUL
+    from sparkksqldbbenchmark_spark.llm.hashing import _P31 as P31
+
+    k = 64
+
+    def mh(shs, kk):
+        hs = [_md5int(s) & P31 for s in shs]
+        return [
+            min(((2 * j + 1) * h + (j * BMUL) % P31) % P31 for h in hs)
+            for j in range(kk)
+        ]
+
+    def shingles(text):
+        toks = text.split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i:i + 3]) for i in range(n)}
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.jaccard_micros, r.agree_bits, r.est_micros
+        )
+        for r in STAGED["bbit_minwise_estimate_on_candidates"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got, "LSH must yield candidate pairs on this fixture"
+    for (a, b), (jm, ab, em) in got.items():
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        assert jm == inter * 1000000 // union
+        siga, sigb = mh(sorted(sa), k), mh(sorted(sb), k)
+        agree = sum(
+            1 for x, y in zip(siga, sigb) if (x & 1) == (y & 1)
+        )
+        assert ab == agree, (a, b)
+        assert em == max(0, (2 * agree - k) * 1000000 // k)
+        # candidates are near-dups: the 1-bit estimate must point the
+        # same way as the exact Jaccard for the planted pairs
+        if jm >= 900000:
+            assert em >= 500000, (a, b, jm, em)
+
+
+def test_audio_decimation_matches_python_codec_walk(spark):
+    from sparkksqldbbenchmark_spark.llm import codecs
+
+    got = {
+        r.doc_id: (
+            r.n_in, r.n_out, r.sum_in, r.sum_out,
+            r.first_out, r.last_out,
+        )
+        for r in STAGED["audio_decimate_boxcar"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .where("doc_id < 400")
+        .collect()
+    ]
+    assert set(got) == set(docs)
+    for did in docs:
+        n = did % 50 + 10
+        s = [(31 * did + 17 * i) % 65536 - 32768 for i in range(n)]
+        # full codec round-trip, independent of the mapInPandas path
+        _, _, s2 = codecs.decode_wav(codecs.encode_wav(s))
+        assert s2 == s
+        dec = [(s[2 * j] + s[2 * j + 1]) // 2 for j in range(n // 2)]
+        assert got[did] == (
+            n, len(dec), sum(s), sum(dec), dec[0], dec[-1]
+        )
+
+
+def test_jl_ratio_matches_numpy_projection(spark):
+    """The Rademacher projection re-derived with numpy integer
+    matrices — and the JL moment identity checked in aggregate: the
+    MEAN ratio over all audited pairs must sit near 1 (the per-pair
+    scatter is the measured concentration, the mean is the theorem)."""
+    import numpy as np
+
+    from sparkksqldbbenchmark_spark.plans.next_round import _jl_signs
+
+    S = np.array(_jl_signs(8, 64), dtype=np.int64)
+    emb = {
+        r.vec_id: np.array(
+            [math.floor(x * 1000) for x in r.embedding],
+            dtype=np.int64,
+        )
+        for r in load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        ).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): (r.d2_orig, r.d2_proj, r.ratio_micros)
+        for r in STAGED["jl_projection_distance_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got
+    ratios = []
+    for (a, b), (d2o, d2p, rm) in got.items():
+        qa, qb = emb[a], emb[b]
+        eo = int(((qa - qb) ** 2).sum())
+        ep = int(((S @ qa - S @ qb) ** 2).sum())
+        assert (d2o, d2p) == (eo, ep), (a, b)
+        assert rm == ep * 1000000 // (8 * eo)
+        ratios.append(rm)
+    mean = sum(ratios) / len(ratios)
+    assert 600000 < mean < 1700000, mean

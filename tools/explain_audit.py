@@ -176,6 +176,8 @@ STAGED_AUDIT = [
     "waterfill_budget_allocation",  # bounded-frame level algebra, one row-grain agg
     "graph_2hop_degree_sum",  # two hash exchanges, one Pregel superstep
     "decontam_bloom_prefilter_certified",  # <=128-row bloom broadcast to test scan
+    "bbit_minwise_estimate_on_candidates",  # scan-side k=64 fold, LSH-bounded pairs
+    "jl_projection_distance_certified",  # plan-literal matrix, zero hashing
 ]
 
 
