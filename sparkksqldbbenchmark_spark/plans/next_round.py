@@ -3706,3 +3706,266 @@ def jl_projection_distance_certified(
             ).alias("ratio_micros"),
         )
     )
+
+
+# -------------------------------- SFT loss-mask span planning --
+
+
+def _sft_mask_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("w.w")
+    return f"""
+    WITH words AS (
+        SELECT d.doc_id,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM documents d
+    ),
+    flagged AS (
+        SELECT doc_id, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    turns AS (
+        SELECT doc_id, sid, sid % 2 AS role, count(*) AS len
+        FROM sids GROUP BY doc_id, sid
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assistant_turns,
+           CAST(sum(CASE WHEN role = 1 THEN len ELSE 0 END)
+                AS BIGINT) AS n_loss_tokens,
+           CAST(sum(CASE WHEN role = 0 THEN len ELSE 0 END)
+                AS BIGINT) AS n_masked_tokens,
+           CAST(sum(CASE WHEN role = 1 THEN len ELSE 0 END)
+                * 1000000 // sum(len) AS BIGINT)
+               AS loss_frac_micros
+    FROM turns GROUP BY doc_id
+    """
+
+
+@staged_query("sft_loss_mask_plan", oracle=_sft_mask_oracle())
+def sft_loss_mask_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SFT LOSS-MASK PLANNING — the token-accounting pass every
+    supervised-finetuning pipeline runs before batching: a rendered
+    conversation alternates user/assistant turns, loss is computed
+    ONLY on assistant tokens, and the planner must know per document
+    how many tokens carry loss vs are masked (a conversation whose
+    loss fraction is too low wastes sequence budget and is dropped
+    or re-packed). Turns here are the corpus's planted sentence
+    boundaries with alternating roles (sid % 2 — user speaks first),
+    the same deterministic convention the chunker and Gopher rows
+    grade.
+
+    Scale shape: a pure scan-side HOF fold — the (length, role)
+    turn list and all four counts derive inside one pass with ZERO
+    exchanges of row-grain data; the output is doc-grain. Exactly
+    the shape sequence packing consumes upstream.
+
+    Reference basis: packing/curation family (sequence_packing r4
+    flagship, conversation_render_budget r11 TAIL,
+    sentence_chunk_greedy_fold r13 — this adds the loss-masking
+    member between rendering and packing)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(spark_tokens("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    # fold to turn lengths (the chunker's lens recurrence), then the
+    # role alternation is just the index parity of each turn
+    lens_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<int>) as lens, 0 as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.lens, array(a.cur + 1)) as lens,"
+        "          0 as cur),"
+        "   struct(a.lens as lens, a.cur + 1 as cur)),"
+        " a -> if(a.cur > 0, concat(a.lens, array(a.cur)), a.lens))"
+    )
+    staged = toks.withColumn("lens", F.expr(lens_expr))
+    n_turns = F.size("lens")
+    # assistant turns sit at odd 0-based indices: 1, 3, 5, ...
+    loss_toks = F.expr(
+        "aggregate(zip_with(lens, sequence(0, size(lens) - 1),"
+        " (L, i) -> if(i % 2 = 1, L, 0)), 0, (a, v) -> a + v)"
+    )
+    all_toks = F.expr("aggregate(lens, 0, (a, v) -> a + v)")
+    return staged.select(
+        "doc_id",
+        n_turns.cast("long").alias("n_turns"),
+        F.floor(n_turns / 2).cast("long").alias("n_assistant_turns"),
+        loss_toks.cast("long").alias("n_loss_tokens"),
+        (all_toks - loss_toks).cast("long").alias("n_masked_tokens"),
+        F.expr(
+            "cast(aggregate(zip_with(lens,"
+            " sequence(0, size(lens) - 1),"
+            " (L, i) -> if(i % 2 = 1, L, 0)), 0, (a, v) -> a + v)"
+            " * cast(1000000 as bigint)"
+            " div aggregate(lens, 0, (a, v) -> a + v) as bigint)"
+        ).alias("loss_frac_micros"),
+    )
+
+
+# --------------------- temporal split straddling-session audit --
+
+
+@staged_query(
+    "temporal_split_straddle_audit",
+    oracle="""
+    WITH b AS (
+        SELECT min(ts) + INTERVAL 21 DAY AS boundary FROM events
+    ),
+    gapped AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    OR ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sids AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+        FROM gapped
+    ),
+    sessions AS (
+        SELECT user_id, sid,
+               min(ts) AS s_start, max(ts) AS s_end,
+               count(*) AS n_events,
+               sum(CASE WHEN ts >= b.boundary THEN 1 ELSE 0 END)
+                   AS n_after
+        FROM sids, b GROUP BY user_id, sid, b.boundary
+    )
+    SELECT CAST(date_trunc('day', s_start) AS DATE) AS session_day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN s_start < b.boundary
+                          AND s_end >= b.boundary
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling,
+           CAST(sum(CASE WHEN s_start < b.boundary
+                         THEN n_after ELSE 0 END) AS BIGINT)
+               AS leaked_events
+    FROM sessions, b
+    GROUP BY date_trunc('day', s_start)
+    """,
+)
+def temporal_split_straddle_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPORAL TRAIN/TEST SPLIT — STRADDLING-SESSION AUDIT: the
+    time-based split (train < day 21, test >= day 21) is how
+    forecasting and ranking pipelines avoid target leakage, but a
+    VISIT that starts before the boundary and ends after it leaks
+    future events into train-side features. The audit sessionizes
+    (30-min gap) and reports, per session-start day, how many
+    sessions exist, how many straddle the boundary, and how many
+    events LEAK (after-boundary events inside before-boundary
+    sessions) — the rows a pipeline must drop or truncate, counted
+    BEFORE the split is trusted. The 12-hour visit gap (vs the
+    30-minute web-session convention) matches this corpus's sparse
+    per-user cadence so the straddle path is exercised at every SF. Complements the graduated
+    split_leakage_near_dup_audit: that row audits CONTENT leakage
+    across a hash split, this one audits TIME leakage across a
+    temporal split.
+
+    Scale shape: one hash exchange on user_id for the session
+    window, one scalar boundary broadcast, one bounded rollup by
+    day — the cost of sessionization itself, which the pipeline
+    already pays.
+
+    Reference basis: sessionization + split-hygiene families
+    (batch_sessionize r7 TAIL, hash_split_assignment r2,
+    split_leakage_near_dup_audit r13)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 21 DAY")).alias("boundary")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 12 HOUR")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sids = gapped.select(
+        "user_id", "ts", F.sum("new_s").over(w2).alias("sid")
+    )
+    sessions = (
+        sids.crossJoin(F.broadcast(b))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.first("boundary").alias("boundary"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("boundary"), 1).otherwise(0)
+            ).alias("n_after"),
+        )
+    )
+    return (
+        sessions.groupBy(
+            F.to_date(F.date_trunc("day", "s_start")).alias(
+                "session_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(
+                    (F.col("s_start") < F.col("boundary"))
+                    & (F.col("s_end") >= F.col("boundary")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_straddling"),
+            F.sum(
+                F.when(
+                    F.col("s_start") < F.col("boundary"),
+                    F.col("n_after"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("leaked_events"),
+        )
+    )

@@ -427,3 +427,83 @@ def test_jl_ratio_matches_numpy_projection(spark):
         ratios.append(rm)
     mean = sum(ratios) / len(ratios)
     assert 600000 < mean < 1700000, mean
+
+def test_sft_loss_mask_matches_python_walk(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for r in docs:
+        toks = r.text.split()
+        if not toks:
+            continue
+        lens, cur = [], 0
+        for w in toks:
+            cur += 1
+            if _md5int(w) & 3 == 0:
+                lens.append(cur)
+                cur = 0
+        if cur:
+            lens.append(cur)
+        loss = sum(L for i, L in enumerate(lens) if i % 2 == 1)
+        total = sum(lens)
+        expected[r.doc_id] = (
+            len(lens), len(lens) // 2, loss, total - loss,
+            loss * 1000000 // total,
+        )
+    got = {
+        r.doc_id: (
+            r.n_turns, r.n_assistant_turns, r.n_loss_tokens,
+            r.n_masked_tokens, r.loss_frac_micros,
+        )
+        for r in STAGED["sft_loss_mask_plan"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # both roles must carry tokens somewhere in the corpus
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[3] > 0 for v in got.values())
+
+
+def test_temporal_straddle_matches_python_sessionizer(spark):
+    import datetime
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    boundary = min(r.ts for r in rows) + datetime.timedelta(days=21)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    gap = datetime.timedelta(hours=12)
+    per_day = defaultdict(lambda: [0, 0, 0])
+    for evs in by_user.values():
+        evs.sort()
+        sessions = []
+        for ts, _ in evs:
+            if sessions and ts - sessions[-1][-1] <= gap:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        for sess in sessions:
+            day = sess[0].date()
+            st = per_day[day]
+            st[0] += 1
+            if sess[0] < boundary <= sess[-1]:
+                st[1] += 1
+            if sess[0] < boundary:
+                st[2] += sum(1 for t in sess if t >= boundary)
+    expected = {
+        d: tuple(v) for d, v in per_day.items()
+    }
+    got = {
+        r.session_day: (
+            r.n_sessions, r.n_straddling, r.leaked_events
+        )
+        for r in STAGED["temporal_split_straddle_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in got.values()) > 0, (
+        "fixture must contain straddling sessions"
+    )
