@@ -3969,3 +3969,264 @@ def temporal_split_straddle_audit(
             .alias("leaked_events"),
         )
     )
+
+
+# ------------------- composed curation pipeline v2 (capstone) --
+
+
+def _curation_v2_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("w.w")
+    return f"""
+    WITH words AS (
+        SELECT d.doc_id, d.source,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM documents d
+    ),
+    flagged AS (
+        SELECT doc_id, source, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, source, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sents AS (
+        SELECT doc_id, source, sid,
+               string_agg(w, ' ' ORDER BY i) AS s
+        FROM sids GROUP BY doc_id, source, sid
+    ),
+    quality AS (
+        SELECT s.doc_id, s.source,
+               count(*) AS n_sents,
+               count(DISTINCT s.s) AS n_distinct,
+               t.n_words
+        FROM sents s
+        JOIN (SELECT doc_id, count(*) AS n_words FROM words
+              GROUP BY doc_id) t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.source, t.n_words
+    ),
+    keepers AS (
+        SELECT q.doc_id, q.source, q.n_words
+        FROM quality q
+        WHERE (q.n_sents - q.n_distinct) * 1000000 // q.n_sents
+              < 300000
+    ),
+    canon AS (
+        SELECT k.doc_id, k.source, k.n_words,
+               min(k.doc_id) OVER (PARTITION BY d.md5t)
+                   AS canonical_id
+        FROM keepers k
+        JOIN (SELECT doc_id, md5(text) AS md5t FROM documents) d
+          ON d.doc_id = k.doc_id
+    ),
+    survivors AS (
+        SELECT source,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
+               count(*) AS docs_kept
+        FROM canon WHERE doc_id = canonical_id
+        GROUP BY source
+    ),
+    b AS (
+        SELECT CAST(sum(total_tokens) // 2 AS BIGINT) AS budget,
+               count(*) AS n FROM survivors
+    ),
+    ranked AS (
+        SELECT source, total_tokens, docs_kept,
+               row_number() OVER (
+                   ORDER BY total_tokens, source) AS rk,
+               sum(total_tokens) OVER (
+                   ORDER BY total_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pfx
+        FROM survivors
+    ),
+    istar AS (
+        SELECT coalesce(max(rk), 0) AS i,
+               coalesce(max(pfx), 0) AS pi
+        FROM ranked, b
+        WHERE pfx + total_tokens * (b.n - rk) <= b.budget
+    ),
+    level AS (
+        SELECT CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) // (b.n - istar.i)
+                    ELSE (SELECT max(total_tokens) FROM survivors)
+               END AS lvl,
+               CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) % (b.n - istar.i)
+                    ELSE 0 END AS rem,
+               istar.i AS i
+        FROM b, istar
+    ),
+    unsat AS (
+        SELECT r.source,
+               row_number() OVER (ORDER BY r.source) AS urk
+        FROM ranked r, level l WHERE r.rk > l.i
+    )
+    SELECT r.source,
+           CAST(r.docs_kept AS BIGINT) AS docs_kept,
+           r.total_tokens,
+           CAST(CASE WHEN r.rk <= l.i THEN r.total_tokens
+                     ELSE l.lvl + CASE WHEN u.urk <= l.rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated_tokens
+    FROM ranked r
+    CROSS JOIN level l
+    LEFT JOIN unsat u ON u.source = r.source
+    """
+
+
+@staged_query(
+    "curation_pipeline_v2_composed", oracle=_curation_v2_oracle()
+)
+def curation_pipeline_v2_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURATION PIPELINE v2 — the COMPOSED form of this round's
+    graduating pieces, proving the operators chain the way a real
+    pretraining-data job chains them: (1) the Gopher dup-sentence
+    rule drops repetitive docs (scan-side sentence fold), (2) exact
+    dedup keeps the canonical (min doc_id per content hash), (3) the
+    surviving per-source token totals feed the water-filling budget
+    allocator (half the surviving tokens, max-min fair, availability
+    capped). Per source: kept docs, surviving tokens, allocated
+    tokens — the numbers a mixture board reads. Complements the r1
+    curation_pipeline (quality-floor composition); every stage here
+    is ALSO graded standalone, so a divergence localizes instantly.
+
+    Scale shape: the fold is scan-side; dedup is one content-hash
+    window; the allocator runs on the #sources-bounded frame. The
+    composition adds NO exchange beyond its stages' own — the whole
+    point of building each stage shuffle-minimal.
+
+    Reference basis: curation family (curation_pipeline r1,
+    dedup_keep_best r5, token_budget_selection r4;
+    gopher_repetition_rules / waterfill_budget_allocation staged
+    this round)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+    keepers = quality.where(
+        (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000
+    )
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    survivors = (
+        canon.where(F.col("doc_id") == F.col("canonical_id"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        )
+    )
+    # water-filling over the bounded survivor frame (the staged
+    # allocator's algebra, inlined over this pipeline's totals)
+    w_rank = Window.orderBy("total_tokens", "source")
+    ranked = survivors.select(
+        "source",
+        "docs_kept",
+        "total_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("total_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+    )
+    glob = ranked.agg(
+        (F.sum("total_tokens") / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("total_tokens").alias("tmax"),
+    )
+    r = ranked.crossJoin(F.broadcast(glob))
+    feas = r.where(
+        F.col("pfx")
+        + F.col("total_tokens") * (F.col("n") - F.col("rk"))
+        <= F.col("budget")
+    ).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("i"),
+        F.coalesce(F.max("pfx"), F.lit(0)).alias("pi"),
+    )
+    level = glob.crossJoin(F.broadcast(feas)).select(
+        F.when(
+            F.col("n") > F.col("i"),
+            F.floor(
+                (F.col("budget") - F.col("pi"))
+                / (F.col("n") - F.col("i"))
+            ),
+        )
+        .otherwise(F.col("tmax"))
+        .cast("long")
+        .alias("lvl"),
+        F.when(
+            F.col("n") > F.col("i"),
+            (F.col("budget") - F.col("pi"))
+            % (F.col("n") - F.col("i")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rem"),
+        F.col("i"),
+    )
+    out = ranked.crossJoin(F.broadcast(level))
+    unsat_rk = out.where(F.col("rk") > F.col("i")).select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("u2"),
+    )
+    return (
+        out.join(unsat_rk, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            "total_tokens",
+            F.when(
+                F.col("rk") <= F.col("i"), F.col("total_tokens")
+            )
+            .otherwise(
+                F.col("lvl")
+                + F.when(F.col("u2") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+        )
+    )

@@ -507,3 +507,75 @@ def test_temporal_straddle_matches_python_sessionizer(spark):
     assert sum(v[1] for v in got.values()) > 0, (
         "fixture must contain straddling sessions"
     )
+
+def test_curation_v2_matches_python_pipeline_walk(spark):
+    """The composed pipeline re-walked end-to-end in Python: Gopher
+    dup-sentence keep -> exact canonical dedup -> unit-by-unit
+    water-filling over the survivors — and consistency with the
+    STANDALONE gopher row's keep verdict on the dup-sentence rule."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    keep = {}
+    n_words = {}
+    for r in docs:
+        toks = r.text.split()
+        if not toks:
+            continue
+        sents, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if _md5int(w) & 3 == 0:
+                sents.append(" ".join(cur))
+                cur = []
+        if cur:
+            sents.append(" ".join(cur))
+        dup = (len(sents) - len(set(sents))) * 1000000 // len(sents)
+        keep[r.doc_id] = dup < 300000
+        n_words[r.doc_id] = len(toks)
+    canonical = {}
+    for r in docs:
+        if r.doc_id in keep and keep[r.doc_id]:
+            key = hashlib.md5(r.text.encode()).hexdigest()
+            canonical.setdefault(key, r.doc_id)
+            canonical[key] = min(canonical[key], r.doc_id)
+    survivors = set(canonical.values())
+    totals = defaultdict(int)
+    docs_kept = defaultdict(int)
+    for r in docs:
+        if r.doc_id in survivors:
+            totals[r.source] += n_words[r.doc_id]
+            docs_kept[r.source] += 1
+    budget = sum(totals.values()) // 2
+    alloc = {s: 0 for s in totals}
+    level = 0
+    while True:
+        unsat = [s for s in totals if totals[s] > level]
+        if not unsat or sum(alloc.values()) + len(unsat) > budget:
+            break
+        level += 1
+        for s in totals:
+            alloc[s] = min(totals[s], level)
+    rem = budget - sum(alloc.values())
+    for s in sorted(s for s in totals if totals[s] > level)[:rem]:
+        alloc[s] += 1
+    got = {
+        r.source: (r.docs_kept, r.total_tokens, r.allocated_tokens)
+        for r in STAGED["curation_pipeline_v2_composed"](
+            spark, SF_DIR
+        ).collect()
+    }
+    expected = {
+        s: (docs_kept[s], totals[s], alloc[s]) for s in totals
+    }
+    assert got == expected
+    assert sum(a for _, _, a in got.values()) == budget
+    # consistency with the standalone gopher row on the shared rule
+    g = {
+        r.doc_id: r.dup_sent_micros
+        for r in STAGED["gopher_repetition_rules"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for did, k in keep.items():
+        assert (g[did] < 300000) == k

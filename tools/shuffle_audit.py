@@ -68,6 +68,10 @@ BOUNDED_BNL = {
     "token_tv_distance_matrix",          # |sources|² bounded pair frame
     "chi2_independence_contingency",     # bounded margins grid (langs×sources)
     "kmv_sketch_union_merge_certified",  # 1-row × 1-row sketch-array cross
+    # round-14 staged cohort (every BNL below is a constant-size frame):
+    "waterfill_budget_allocation",       # 1-row budget/level scalars × sources
+    "data_retention_expiry_plan",        # 1-row max(ts) cutoff broadcast
+    "temporal_split_straddle_audit",     # 1-row boundary scalar broadcast
 }
 
 
