@@ -72,6 +72,7 @@ BOUNDED_BNL = {
     "waterfill_budget_allocation",       # 1-row budget/level scalars × sources
     "data_retention_expiry_plan",        # 1-row max(ts) cutoff broadcast
     "temporal_split_straddle_audit",     # 1-row boundary scalar broadcast
+    "curation_pipeline_v2_composed",     # 1-row budget/level scalars (waterfill stage)
 }
 
 
