@@ -579,3 +579,46 @@ def test_curation_v2_matches_python_pipeline_walk(spark):
     }
     for did, k in keep.items():
         assert (g[did] < 300000) == k
+
+def _plan(spark, name: str) -> str:
+    df = STAGED[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sft_mask_plan_has_zero_exchanges(spark):
+    """The loss-mask fold's whole claim: doc-grain in, doc-grain out,
+    NOTHING row-grain crosses an exchange."""
+    plan = _plan(spark, "sft_loss_mask_plan")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_plan_is_scan_plus_one_join(spark):
+    """The Rademacher matrix is a plan literal: no per-row hashing,
+    no shuffle for the projection itself — only the vec_id+1 pair
+    join may exchange/broadcast."""
+    plan = _plan(spark, "jl_projection_distance_certified")
+    assert "CartesianProduct" not in plan
+    assert "md5" not in plan.lower()
+    assert plan.count("Exchange") <= 2
+
+
+def test_gopher_only_exchange_is_doc_local_bigram(spark):
+    """Sentence folds stay scan-side; the bigram mode is the only
+    row-grain exchange and its key embeds doc_id (no cross-doc hot
+    key), plus the doc-grain join-back."""
+    plan = _plan(spark, "gopher_repetition_rules")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+
+
+def test_waterfill_rowgrain_work_is_one_aggregate(spark):
+    """Everything after the per-source aggregate runs on the
+    #sources-bounded frame: no range partitioning, no sort-merge
+    join of row-grain data."""
+    plan = _plan(spark, "waterfill_budget_allocation")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
