@@ -4230,3 +4230,210 @@ def curation_pipeline_v2_composed(
             .alias("allocated_tokens"),
         )
     )
+
+
+# --------------- rendezvous (HRW) shard assignment, certified --
+
+
+def _rendezvous_oracle(n1: int = 8, n2: int = 9) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR))")
+    # composite integer key: 55-bit weight, 4-bit inverted shard id —
+    # higher weight wins, ties break to the LOWEST shard; fits BIGINT
+    return f"""
+    WITH weights AS (
+        SELECT d.doc_id, s.s,
+               (({h} & 36028797018963967) * 16 + (15 - s)) AS k
+        FROM documents d, (SELECT unnest(range({n2})) AS s) s
+    ),
+    owner1 AS (
+        SELECT doc_id, (max_by(s, k))::BIGINT AS o1
+        FROM weights WHERE s < {n1} GROUP BY doc_id
+    ),
+    owner2 AS (
+        SELECT doc_id, (max_by(s, k))::BIGINT AS o2
+        FROM weights GROUP BY doc_id
+    )
+    SELECT o1 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN o2 = {n2 - 1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_to_new,
+           CAST(sum(CASE WHEN o2 != o1 AND o2 != {n2 - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_elsewhere
+    FROM owner1 JOIN owner2 USING (doc_id)
+    GROUP BY o1
+    """
+
+
+@staged_query(
+    "rendezvous_shard_assignment_certified",
+    oracle=_rendezvous_oracle(),
+)
+def rendezvous_shard_assignment_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) SHARDING with the
+    minimal-disruption theorem graded as a VALUE: every doc picks the
+    shard with the highest md5(doc, shard) weight; when the cluster
+    grows 8 → 9 shards, HRW guarantees a key either stays put or
+    moves TO THE NEW SHARD — never between old shards. Per old shard:
+    doc count, docs moved to the new shard (≈ 1/9 of each, the
+    balance property measured exactly), and moved_elsewhere, which
+    the oracle and theorem both pin to 0 — a broken tie rule or a
+    weight reuse bug flips it nonzero and fails the hash. This is
+    how 100 TB stores reshard without a full shuffle.
+
+    Scale shape: both owners fold scan-side (an argmax over 9 hash
+    evaluations per doc — no explode, no exchange); the only
+    exchange is the ≤8-row rollup. Tie rule: the 55-bit weight and
+    the inverted shard id pack into ONE comparable integer (higher
+    weight wins, ties to the lowest shard) — the same literal key
+    expression in both engines.
+
+    Reference basis: layout/assignment family
+    (hash_split_assignment r2, deterministic_corpus_shuffle r7,
+    equi_depth_partition_bounds r13 — this adds the
+    consistent-assignment member with its disruption certificate)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    n1, n2 = 8, 9
+    h = spark_md5_int(
+        "concat(cast(doc_id as string), '#', cast(s as string))"
+    )
+    # composite integer key (the oracle's spelling): 55-bit weight,
+    # 4-bit inverted shard id — higher weight wins, ties to LOWEST s
+    key = f"(({h} & 36028797018963967) * 16 + (15 - s))"
+    own = (
+        f"aggregate(sequence(0, {{n}} - 1),"
+        f" struct(cast(-1 as bigint) as s, cast(-1 as bigint) as k),"
+        f" (a, s) -> if({key} > a.k, struct(cast(s as bigint) as s,"
+        f" {key} as k), a), a -> a.s)"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    owners = docs.select(
+        "doc_id",
+        F.expr(own.format(n=n1)).alias("o1"),
+        F.expr(own.format(n=n2)).alias("o2"),
+    )
+    return owners.groupBy(F.col("o1").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("o2") == n2 - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("moved_to_new"),
+        F.sum(
+            F.when(
+                (F.col("o2") != F.col("o1"))
+                & (F.col("o2") != n2 - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("moved_elsewhere"),
+    )
+
+
+# ----------------- truncated-exact average precision (ranking) --
+
+
+def _ap_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    score = sql_md5_int("(CAST(doc_id AS VARCHAR) || '#score')")
+    rel = sql_md5_int("(CAST(doc_id AS VARCHAR) || '#rel')")
+    return f"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               {score} AS score,
+               CASE WHEN {rel} % 5 = 0 THEN 1 ELSE 0 END AS rel
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, rel,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, doc_id) AS k,
+               sum(rel) OVER (
+                   PARTITION BY source
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           CAST(sum(CASE WHEN rel = 1
+                         THEN cum * 1000000 // k ELSE 0 END)
+                AS BIGINT) AS ap_num_micros,
+           CAST(sum(CASE WHEN rel = 1
+                         THEN cum * 1000000 // k ELSE 0 END)
+                // sum(rel) AS BIGINT) AS ap_micros
+    FROM ranked GROUP BY source
+    """
+
+
+@staged_query("average_precision_exact", oracle=_ap_oracle())
+def average_precision_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVERAGE PRECISION (AP / area under the PR curve) with
+    truncated-exact arithmetic — the ranking metric retrieval and
+    reranker evaluations report beside AUC: AP = mean over relevant
+    docs of precision@their-rank. Scores and relevance are
+    deterministic md5 plants (≈20% relevant); each precision@k is
+    carried as floor(1e6·cum/k) so both engines sum IDENTICAL
+    integers — the statistic is exact by definition rather than
+    float-approximate, the repo's certificate discipline applied to
+    the PR axis (AUC's rank-sum trick cannot express AP: precision
+    is a ratio at every hit, not a pair count).
+
+    Scale shape: one per-source ranking window (the balanced-source
+    production form; the leveled two-level rank — rfm_segment_counts
+    — is the skew escape hatch) and one per-source rollup. Nothing
+    quadratic: AP falls out of ONE ordered pass.
+
+    Reference basis: evaluation family (auc_rank_sum_exact r13
+    grades the ROC axis; score_calibration_bins r12 grades
+    calibration; this adds the precision-recall axis)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    key_s = "concat(cast(doc_id as string), '#score')"
+    key_r = "concat(cast(doc_id as string), '#rel')"
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.expr(spark_md5_int(key_s)).alias("score"),
+        F.when(
+            F.expr(f"{spark_md5_int(key_r)} % 5") == 0, 1
+        )
+        .otherwise(0)
+        .alias("rel"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    ranked = scored.select(
+        "source",
+        "rel",
+        F.row_number().over(w).alias("k"),
+        F.sum("rel")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    contrib = F.when(
+        F.col("rel") == 1,
+        F.expr("cum * cast(1000000 as bigint) div k"),
+    ).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.sum(contrib).cast("long").alias("ap_num_micros"),
+        F.expr(
+            "cast(sum(case when rel = 1"
+            " then cum * cast(1000000 as bigint) div k"
+            " else 0 end) div sum(rel) as bigint)"
+        ).alias("ap_micros"),
+    )

@@ -622,3 +622,83 @@ def test_waterfill_rowgrain_work_is_one_aggregate(spark):
     plan = _plan(spark, "waterfill_budget_allocation")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+def test_rendezvous_matches_python_argmax_and_theorem(spark):
+    """Owners re-derived by a direct Python argmax over the same
+    weights, plus the HRW minimal-disruption theorem checked from
+    first principles on the raw assignment (not just the rolled-up
+    counts): growing 8 -> 9 shards, every moved doc moves TO shard 8."""
+    MASK = 36028797018963967
+    docs = [
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def owner(did, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                (_md5int(f"{did}#{s}") & MASK) * 16 + (15 - s)
+            ),
+        )
+
+    moved_to_new = defaultdict(int)
+    n_docs = defaultdict(int)
+    for did in docs:
+        o1, o2 = owner(did, 8), owner(did, 9)
+        n_docs[o1] += 1
+        if o2 != o1:
+            assert o2 == 8, (did, o1, o2)  # the theorem itself
+            moved_to_new[o1] += 1
+    got = {
+        r.shard: (r.n_docs, r.moved_to_new, r.moved_elsewhere)
+        for r in STAGED["rendezvous_shard_assignment_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        s: (n_docs[s], moved_to_new[s], 0) for s in n_docs
+    }
+    total = sum(n_docs.values())
+    moved = sum(moved_to_new.values())
+    # balance: roughly 1/9 of keys move (binomial tolerance)
+    assert abs(moved - total / 9) < 4 * (total / 9) ** 0.5 + 5
+
+
+def test_average_precision_matches_python_rank_walk(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        score = _md5int(f"{r.doc_id}#score")
+        rel = 1 if _md5int(f"{r.doc_id}#rel") % 5 == 0 else 0
+        by_src[r.source].append((score, r.doc_id, rel))
+    expected = {}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        cum = 0
+        num = 0
+        nrel = 0
+        for k, (_, _, rel) in enumerate(rows, start=1):
+            cum += rel
+            if rel:
+                nrel += 1
+                num += cum * 1000000 // k
+        expected[src] = (len(rows), nrel, num, num // nrel)
+    got = {
+        r.source: (
+            r.n_docs, r.n_relevant, r.ap_num_micros, r.ap_micros
+        )
+        for r in STAGED["average_precision_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # ~20% planted relevance at random scores means AP should sit
+    # near the relevant fraction, far from 0 and from 1
+    for src, (n, nrel, _, ap) in got.items():
+        assert 0 < nrel < n
+        assert 30000 < ap < 900000, (src, ap)
