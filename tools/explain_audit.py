@@ -178,6 +178,7 @@ STAGED_AUDIT = [
     "decontam_bloom_prefilter_certified",  # <=128-row bloom broadcast to test scan
     "bbit_minwise_estimate_on_candidates",  # scan-side k=64 fold, LSH-bounded pairs
     "jl_projection_distance_certified",  # plan-literal matrix, zero hashing
+    "rendezvous_shard_assignment_certified",  # scan-side HRW argmax fold
 ]
 
 
