@@ -4437,3 +4437,126 @@ def average_precision_exact(
             " else 0 end) div sum(rel) as bigint)"
         ).alias("ap_micros"),
     )
+
+
+# ----------------------------- macro F1, exact integer rationals --
+
+
+@staged_query(
+    "macro_f1_exact",
+    oracle="""
+    WITH labeled AS (
+        SELECT source,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                   || '#a'), 1, 15))::BIGINT) % 3 AS y_true,
+               CASE WHEN (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#agree'),
+                        1, 15))::BIGINT) % 4 < 3
+                    THEN (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#a'),
+                        1, 15))::BIGINT) % 3
+                    ELSE (('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#b'),
+                        1, 15))::BIGINT) % 3
+               END AS y_pred
+        FROM documents
+    ),
+    per_class AS (
+        SELECT l.source, c.c AS cls,
+               sum(CASE WHEN y_true = c.c AND y_pred = c.c
+                        THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN y_true != c.c AND y_pred = c.c
+                        THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN y_true = c.c AND y_pred != c.c
+                        THEN 1 ELSE 0 END) AS fn
+        FROM labeled l, (SELECT unnest(range(3)) AS c) c
+        GROUP BY l.source, c.c
+    )
+    SELECT source, CAST(cls AS BIGINT) AS cls,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(2 * tp AS BIGINT) AS f1_num,
+           CAST(2 * tp + fp + fn AS BIGINT) AS f1_den,
+           CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                AS BIGINT) AS f1_micros
+    FROM per_class
+    """,
+)
+def macro_f1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS F1 as EXACT INTEGER RATIONALS — the classification
+    report every labeling / quality-classifier evaluation prints:
+    F1_c = 2·TP / (2·TP + FP + FN) carried as the integer pair
+    (f1_num, f1_den) plus the floor-micros form, per (source,
+    class), over the same planted annotator fixture the kappa row
+    grades (y_true = annotator A, y_pred = annotator B) — so
+    agreement (kappa), per-class quality (F1) and the raw confusion
+    cells all reconcile on one dataset. Completes the evaluation
+    family: ROC-AUC (rank-sum), PR-AUC (average precision),
+    calibration bins, chi-square, kappa — F1 was the missing member.
+
+    Scale shape: one (source, class)-grain aggregate over a
+    3-class broadcast spine — nothing row-grain survives the first
+    partial aggregate; |sources|×3 rows of algebra after.
+
+    Reference basis: evaluation family (auc_rank_sum_exact r13,
+    cohens_kappa_exact / average_precision_exact staged,
+    quality_threshold_sweep_confusion r13 — binary threshold-sweep
+    counts; this is the multi-class per-class report)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    key_a = "concat(cast(doc_id as string), '#a')"
+    key_route = "concat(cast(doc_id as string), '#agree')"
+    key_b = "concat(cast(doc_id as string), '#b')"
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.expr(f"{spark_md5_int(key_a)} % 3")
+    route = F.expr(f"{spark_md5_int(key_route)} % 4")
+    b_ind = F.expr(f"{spark_md5_int(key_b)} % 3")
+    labeled = docs.select(
+        "source",
+        a.alias("y_true"),
+        F.when(route < 3, a).otherwise(b_ind).alias("y_pred"),
+    )
+    classes = spark.range(3).select(F.col("id").alias("cls"))
+    per_class = (
+        labeled.crossJoin(F.broadcast(classes))
+        .groupBy("source", "cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("y_true") == F.col("cls"))
+                    & (F.col("y_pred") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("y_true") != F.col("cls"))
+                    & (F.col("y_pred") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("y_true") == F.col("cls"))
+                    & (F.col("y_pred") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return per_class.select(
+        "source",
+        F.col("cls").cast("long").alias("cls"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        (F.col("tp") * 2).cast("long").alias("f1_num"),
+        (F.col("tp") * 2 + F.col("fp") + F.col("fn"))
+        .cast("long")
+        .alias("f1_den"),
+        F.expr(
+            "cast(2 * tp * cast(1000000 as bigint)"
+            " div (2 * tp + fp + fn) as bigint)"
+        ).alias("f1_micros"),
+    )

@@ -120,3 +120,33 @@ def test_kappa_integer_pair_equals_fraction_form(pairs):
     po = Fraction(agree, n)
     pe = Fraction(chance, n * n)
     assert Fraction(num, den) == (po - pe) / (1 - pe)
+
+
+def _hrw_owner(key: int, n: int, mask: int = 36028797018963967):
+    import hashlib
+
+    def k(s):
+        h = int(
+            hashlib.md5(f"{key}#{s}".encode()).hexdigest()[:15], 16
+        )
+        return (h & mask) * 16 + (15 - s)
+
+    return max(range(n), key=k)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9),
+             min_size=1, max_size=40, unique=True),
+    st.integers(min_value=1, max_value=14),
+)
+def test_hrw_minimal_disruption_for_any_growth(keys, n):
+    """The rendezvous theorem over arbitrary key sets and shard
+    counts: growing n -> n+1, a key either keeps its owner or moves
+    to the NEW shard — never between old shards. (The staged row
+    grades the 8 -> 9 instance; this pins the general claim the
+    packed-key argmax construction rests on.)"""
+    for key in keys:
+        o1 = _hrw_owner(key, n)
+        o2 = _hrw_owner(key, n + 1)
+        assert o2 == o1 or o2 == n

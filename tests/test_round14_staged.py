@@ -702,3 +702,52 @@ def test_average_precision_matches_python_rank_walk(spark):
     for src, (n, nrel, _, ap) in got.items():
         assert 0 < nrel < n
         assert 30000 < ap < 900000, (src, ap)
+
+def test_macro_f1_matches_sklearn_free_python(spark):
+    """Per-class F1 re-derived with plain Counters over the SAME
+    planted annotator fixture the kappa row uses — and
+    cross-reconciled with the kappa row's agreement count:
+    sum of per-class TP == n_agree for every source."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id"
+    ).collect()
+    cells = defaultdict(Counter)
+    for r in docs:
+        a = _md5int(f"{r.doc_id}#a") % 3
+        b = a if _md5int(f"{r.doc_id}#agree") % 4 < 3 else _md5int(
+            f"{r.doc_id}#b"
+        ) % 3
+        cells[r.source][(a, b)] += 1
+    expected = {}
+    for src, cnt in cells.items():
+        for c in range(3):
+            tp = cnt[(c, c)]
+            fp = sum(v for (t, p), v in cnt.items()
+                     if p == c and t != c)
+            fn = sum(v for (t, p), v in cnt.items()
+                     if t == c and p != c)
+            expected[(src, c)] = (
+                tp, fp, fn, 2 * tp, 2 * tp + fp + fn,
+                2 * tp * 1000000 // (2 * tp + fp + fn),
+            )
+    got = {
+        (r.source, r.cls): (
+            r.tp, r.fp, r.fn, r.f1_num, r.f1_den, r.f1_micros
+        )
+        for r in STAGED["macro_f1_exact"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    kappa = {
+        r.source: r.n_agree
+        for r in STAGED["cohens_kappa_exact"](spark, SF_DIR).collect()
+    }
+    for src in cells:
+        assert (
+            sum(got[(src, c)][0] for c in range(3)) == kappa[src]
+        ), src
+    # the ~3/4 copy structure keeps F1 well above chance (~1/3)
+    # everywhere, and high in aggregate (small per-cell samples at
+    # sf0.001 scatter individual classes down to ~0.46)
+    assert all(v[5] > 400000 for v in got.values())
+    mean = sum(v[5] for v in got.values()) / len(got)
+    assert mean > 700000, mean
