@@ -73,6 +73,7 @@ BOUNDED_BNL = {
     "data_retention_expiry_plan",        # 1-row max(ts) cutoff broadcast
     "temporal_split_straddle_audit",     # 1-row boundary scalar broadcast
     "curation_pipeline_v2_composed",     # 1-row budget/level scalars (waterfill stage)
+    "macro_f1_exact",                    # 3-row class spine broadcast
 }
 
 
