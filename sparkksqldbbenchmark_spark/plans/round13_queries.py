@@ -29,7 +29,7 @@ join), the SCD2 temporal lookup (DuckDB native ASOF oracle), SQL
 surface (array_sort comparators, GROUPING_ID bitmask), compliance
 (subject access export), scale patterns (bucketed co-located join
 audit, the zero-exchange sentence chunker, the first-principles Bloom
-pre-filter with measured FPR), and the five never-graded streaming
+pre-filter with measured FPR), and the four never-graded streaming
 semantics rows (watermark late-drop, left-outer null emission,
 within-watermark dedup re-emission, the left-semi first-match join).
 

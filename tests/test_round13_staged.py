@@ -20,18 +20,14 @@ import hashlib
 import math
 
 import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
+import sparkksqldbbenchmark_spark.plans.round14_queries  # noqa: F401
 from sparkksqldbbenchmark_spark.catalog import load_table
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED as _HELD
-from sparkksqldbbenchmark_spark.plans.next_round import (
-    STAGED_ORACLE as _HELD_ORACLE,
-)
-from sparkksqldbbenchmark_spark.plans.registry import ORACLE as _G_ORACLE
-from sparkksqldbbenchmark_spark.plans.registry import QUERIES as _GRADUATED
+from sparkksqldbbenchmark_spark.plans.registry import ORACLE as STAGED_ORACLE
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
-# the round-13 cohort is split post-rotation: 42 graduated into the
-# registry, 21 held back in next_round -- resolve either transparently
-STAGED = {**_HELD, **_GRADUATED}
-STAGED_ORACLE = {**_HELD_ORACLE, **_G_ORACLE}
+# the full round-13 cohort is graduated post-round-15-rotation: the 42
+# round-13 graduates live in round13_queries, the 21 holdbacks in
+# round14_queries -- all resolve through the registry
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,5 +1,5 @@
-"""Invariant tests for the round-14 staged cohort, beyond the
-value-hash oracle (tests/test_next_round.py): each operator's result
+"""Invariant tests for the round-14 cohort (graduated round 15 into
+plans/round14_queries.py), beyond the value-hash oracle: each operator's result
 is re-derived by an INDEPENDENT brute-force twin in plain Python over
 the collected slice — a second witness sharing none of the SQL
 machinery, the standard every staged cohort carries. Where the staged
@@ -16,7 +16,8 @@ from collections import Counter, defaultdict
 from fractions import Fraction
 
 from sparkksqldbbenchmark_spark.catalog import load_table
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+import sparkksqldbbenchmark_spark.plans.round14_queries  # noqa: F401
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -398,7 +399,7 @@ def test_jl_ratio_matches_numpy_projection(spark):
     scatter is the measured concentration, the mean is the theorem)."""
     import numpy as np
 
-    from sparkksqldbbenchmark_spark.plans.next_round import _jl_signs
+    from sparkksqldbbenchmark_spark.plans.round14_queries import _jl_signs
 
     S = np.array(_jl_signs(8, 64), dtype=np.int64)
     emb = {

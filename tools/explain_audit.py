@@ -164,10 +164,9 @@ ROUND13_AUDIT = [
     "bloom_prefilter_fpr_certified",  # 128-word bloom frame broadcast to fact scan
 ]
 
-# staged rows with plan-shape claims worth pinning before they
-# rotate into the graded head (plans/next_round.py) — this list
-# tracks the CURRENT staging area only
-STAGED_AUDIT = [
+# round-14 cohort rows with plan-shape claims, graduated round 15
+# (plans/round14_queries.py) — pinned from the registry now
+ROUND14_AUDIT = [
     "kmv_sketch_union_merge_certified",  # two-level k-min, bounded finals
     "skyline_pareto_frontier",  # bounded (brand,size) cells, range-frame sweep
     "local_clustering_coefficient",  # degree-class density, bounded pair frame
@@ -180,6 +179,12 @@ STAGED_AUDIT = [
     "jl_projection_distance_certified",  # plan-literal matrix, zero hashing
     "rendezvous_shard_assignment_certified",  # scan-side HRW argmax fold
 ]
+
+# staged rows with plan-shape claims worth pinning before they
+# rotate into the graded head (plans/next_round.py) — this list
+# tracks the CURRENT staging area only (empty post-drain; the
+# round-16 refill repopulates it)
+STAGED_AUDIT = []
 
 
 def main() -> None:
@@ -199,7 +204,7 @@ def main() -> None:
         "",
     ]
     staged_names = [f"staged:{n}" for n in STAGED_AUDIT if n in STAGED]
-    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + staged_names:
+    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + ROUND14_AUDIT + staged_names:
         fn = (
             STAGED[name.removeprefix("staged:")]
             if name.startswith("staged:")
@@ -212,7 +217,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(staged_names)} plans)")
+    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(ROUND14_AUDIT) + len(staged_names)} plans)")
 
 
 if __name__ == "__main__":
