@@ -78,6 +78,7 @@ except ImportError:
 # the driver-graded cohort and quietly re-grade TAIL rows instead.
 import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round14_queries  # noqa: F401
+import sparkksqldbbenchmark_spark.plans.round15_queries  # noqa: F401
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
@@ -958,11 +959,11 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #     data_retention_expiry_plan graduates the family
 #   streaming_watermark_late_drop, streaming_outer_join_null_emission,
 #   streaming_dedup_within_watermark_reemit,
-#   streaming_semi_join_first_match — streaming-semantics rows, green
-#     r14; the graduating streaming_session_window_late_drop /
-#     streaming_dynamic_gap_session_late_drop /
-#     streaming_full_outer_join_both_nulls re-grade the shared
-#     fixture/eviction machinery
+#   streaming_semi_join_first_match — green r14, but STAY IN THE HEAD
+#     for re-grade: the round-15 fixture-dir cleanup (try/finally
+#     rmtree after the memory sink materializes) touched their
+#     implementing source, voiding the r14 evidence under the pin
+#     policy — they take 4 of the 6 spare grading slots
 #   bucketed_colocated_join_audit, bloom_prefilter_fpr_certified —
 #     scale-pattern rows, green r14; decontam_bloom_prefilter_certified
 #     and the bucketing TAIL pins keep the patterns graded
@@ -999,17 +1000,13 @@ TAIL: tuple[str, ...] = (
     "array_sort_comparator_suite",
     "grouping_id_bitmask_report",
     "subject_access_export",
-    "streaming_watermark_late_drop",
     "kmeanspp_d2_seeding_derandomized",
     "multi_probe_lsh_recall_certified",
     "repeated_span_cut_plan",
     "setsim_prefix_filter_join",
     "bucketed_colocated_join_audit",
-    "streaming_outer_join_null_emission",
-    "streaming_dedup_within_watermark_reemit",
     "sentence_chunk_greedy_fold",
     "bloom_prefilter_fpr_certified",
-    "streaming_semi_join_first_match",
     "agg_breadth_suite",
     "score_calibration_bins",
     "dataframe_transpose_suite",

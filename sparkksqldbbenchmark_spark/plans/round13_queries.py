@@ -2838,39 +2838,45 @@ def streaming_watermark_late_drop(
         "event_type",
     )
     base = tempfile.mkdtemp(prefix="wmdrop_")
-    sdir = os.path.join(base, "stream")
-    os.makedirs(sdir)
-    for i, part_df in enumerate((a_head, a_tail, late)):
-        tmp = os.path.join(base, f"part{i}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        ][0]
-        dst = os.path.join(sdir, f"file{i}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    stream = (
-        spark.readStream.schema("ts timestamp, event_type string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sdir)
-    )
-    agged = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.window("ts", "15 minutes").alias("w"), "event_type"
+    try:
+        sdir = os.path.join(base, "stream")
+        os.makedirs(sdir)
+        for i, part_df in enumerate((a_head, a_tail, late)):
+            tmp = os.path.join(base, f"part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
         )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n",
+        agged = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.window("ts", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
         )
-    )
-    name = f"wmdrop_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agged, name, output_mode="append")
-    q.stop()
+        name = f"wmdrop_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -3799,72 +3805,78 @@ def streaming_outer_join_null_emission(
         (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
     )
     base = tempfile.mkdtemp(prefix="oj_")
-    for side, parts in (
-        ("left", (views, sentinel, sentinel2)),
-        ("right", (clicks, sentinel, sentinel2)),
-    ):
-        sdir = os.path.join(base, side)
-        os.makedirs(sdir)
-        for i, part_df in enumerate(parts):
-            tmp = os.path.join(base, f"{side}_part{i}")
-            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            ][0]
-            dst = os.path.join(sdir, f"file{i}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    # The sentinel exclusion must reference the EVENT-TIME column:
-    # Catalyst pushes non-event-time predicates BELOW the
-    # EventTimeWatermark node (PushPredicateThroughNonJoin), which
-    # would filter the sentinels before their timestamps ever reach
-    # the watermark stats — measured here as the watermark silently
-    # never advancing and the last views never emitting their nulls.
-    t0 = bounds.collect()[0]["t0"]
-    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
-    schema = "user_id bigint, event_id bigint, ts timestamp"
-    left = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "left"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
+    try:
+        for side, parts in (
+            ("left", (views, sentinel, sentinel2)),
+            ("right", (clicks, sentinel, sentinel2)),
+        ):
+            sdir = os.path.join(base, side)
+            os.makedirs(sdir)
+            for i, part_df in enumerate(parts):
+                tmp = os.path.join(base, f"{side}_part{i}")
+                part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = [
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(sdir, f"file{i}.parquet")
+                shutil.copy(os.path.join(tmp, part), dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        # The sentinel exclusion must reference the EVENT-TIME column:
+        # Catalyst pushes non-event-time predicates BELOW the
+        # EventTimeWatermark node (PushPredicateThroughNonJoin), which
+        # would filter the sentinels before their timestamps ever reach
+        # the watermark stats — measured here as the watermark silently
+        # never advancing and the last views never emitting their nulls.
+        t0 = bounds.collect()[0]["t0"]
+        cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+        schema = "user_id bigint, event_id bigint, ts timestamp"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "left"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "right"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        joined = left.join(
+            right,
+            F.expr(
+                "user_id = c_user_id AND click_ts >= view_ts"
+                " AND click_ts <= view_ts + interval 1 hour"
+            ),
+            "left_outer",
+        ).select(
             "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+            .cast("long")
+            .alias("lag_us"),
         )
-    )
-    right = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "right"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-    )
-    joined = left.join(
-        right,
-        F.expr(
-            "user_id = c_user_id AND click_ts >= view_ts"
-            " AND click_ts <= view_ts + interval 1 hour"
-        ),
-        "left_outer",
-    ).select(
-        "user_id",
-        "view_id",
-        "click_id",
-        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
-        .cast("long")
-        .alias("lag_us"),
-    )
-    name = f"oj_null_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(joined, name, output_mode="append")
-    q.stop()
+        name = f"oj_null_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(joined, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -3945,40 +3957,46 @@ def streaming_dedup_within_watermark_reemit(
         (F.col("ts") + F.expr("INTERVAL 32 DAY")).alias("ts"),
     )
     base = tempfile.mkdtemp(prefix="ddww_")
-    sdir = os.path.join(base, "stream")
-    os.makedirs(sdir)
-    for i, part_df in enumerate(
-        (day1, shifted_1h, sentinel, reemit)
-    ):
-        tmp = os.path.join(base, f"part{i}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        ][0]
-        dst = os.path.join(sdir, f"file{i}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    # exclude ONLY the sentinel's time band (day-1 / +1h / +32d rows
-    # stay); the predicate references the event-time column so
-    # Catalyst cannot push it below the watermark node
-    stream = (
-        spark.readStream.schema(
-            "user_id bigint, event_type string, ts timestamp"
+    try:
+        sdir = os.path.join(base, "stream")
+        os.makedirs(sdir)
+        for i, part_df in enumerate(
+            (day1, shifted_1h, sentinel, reemit)
+        ):
+            tmp = os.path.join(base, f"part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        # exclude ONLY the sentinel's time band (day-1 / +1h / +32d rows
+        # stay); the predicate references the event-time column so
+        # Catalyst cannot push it below the watermark node
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+            .withWatermark("ts", "10 minutes")
+            .where(
+                (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 29 DAY"))
+                | (F.col("ts") >= F.lit(t0) + F.expr("INTERVAL 31 DAY"))
+            )
         )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sdir)
-        .withWatermark("ts", "10 minutes")
-        .where(
-            (F.col("ts") < F.lit(t0) + F.expr("INTERVAL 29 DAY"))
-            | (F.col("ts") >= F.lit(t0) + F.expr("INTERVAL 31 DAY"))
-        )
-    )
-    deduped = stream.dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    ).select("user_id", "event_type")
-    name = f"ddww_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(deduped, name, output_mode="append")
-    q.stop()
+        deduped = stream.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ).select("user_id", "event_type")
+        name = f"ddww_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(deduped, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")
@@ -4396,55 +4414,61 @@ def streaming_semi_join_first_match(
         (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
     )
     base = tempfile.mkdtemp(prefix="ssemi_")
-    for side, parts in (
-        ("left", (views, sentinel, sentinel2)),
-        ("right", (clicks, sentinel, sentinel2)),
-    ):
-        sdir = os.path.join(base, side)
-        os.makedirs(sdir)
-        for i, part_df in enumerate(parts):
-            tmp = os.path.join(base, f"{side}_part{i}")
-            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            ][0]
-            dst = os.path.join(sdir, f"file{i}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
-    schema = "user_id bigint, event_id bigint, ts timestamp"
-    left = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "left"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+    try:
+        for side, parts in (
+            ("left", (views, sentinel, sentinel2)),
+            ("right", (clicks, sentinel, sentinel2)),
+        ):
+            sdir = os.path.join(base, side)
+            os.makedirs(sdir)
+            for i, part_df in enumerate(parts):
+                tmp = os.path.join(base, f"{side}_part{i}")
+                part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = [
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(sdir, f"file{i}.parquet")
+                shutil.copy(os.path.join(tmp, part), dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+        schema = "user_id bigint, event_id bigint, ts timestamp"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "left"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
         )
-    )
-    right = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "right"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "right"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("click_ts"),
+            )
         )
-    )
-    joined = left.join(
-        right,
-        F.expr(
-            "user_id = c_user_id AND click_ts >= view_ts"
-            " AND click_ts <= view_ts + interval 4 hours"
-        ),
-        "left_semi",
-    ).select("user_id", "view_id")
-    name = f"ssemi_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(joined, name, output_mode="append")
-    q.stop()
+        joined = left.join(
+            right,
+            F.expr(
+                "user_id = c_user_id AND click_ts >= view_ts"
+                " AND click_ts <= view_ts + interval 4 hours"
+            ),
+            "left_semi",
+        ).select("user_id", "view_id")
+        name = f"ssemi_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(joined, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)

@@ -718,7 +718,7 @@ def csv_escape_quote_matrix(
     for k, val in opts.items():
         r = r.option(k, val)
     back = r.schema("doc_id long, payload string, extra string").csv(d)
-    return back.agg(
+    out = back.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("payload")).cast("long").alias("payload_chars"),
         F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0))
@@ -726,6 +726,16 @@ def csv_escape_quote_matrix(
         .alias("n_null_extra"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+    # materialize the 1-row matrix so the written CSV copy can be
+    # reclaimed immediately (same hygiene as compression_codec_matrix)
+    import shutil
+
+    try:
+        rows = out.collect()
+        res = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return res
 
 
 # ------------------------------------ MoM / YoY deltas --
@@ -1102,40 +1112,46 @@ def streaming_session_window_late_drop(
         "user_id",
     )
     base = tempfile.mkdtemp(prefix="sessdrop_")
-    sdir = os.path.join(base, "stream")
-    os.makedirs(sdir)
-    for i, part_df in enumerate((a_head, a_tail, late)):
-        tmp = os.path.join(base, f"part{i}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        ][0]
-        dst = os.path.join(sdir, f"file{i}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    stream = (
-        spark.readStream.schema("ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sdir)
-    )
-    agged = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.session_window("ts", "30 minutes").alias("sw"),
-            "user_id",
+    try:
+        sdir = os.path.join(base, "stream")
+        os.makedirs(sdir)
+        for i, part_df in enumerate((a_head, a_tail, late)):
+            tmp = os.path.join(base, f"part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            "n_events",
+        agged = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n_events",
+            )
         )
-    )
-    name = f"sessdrop_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agged, name, output_mode="append")
-    q.stop()
+        name = f"sessdrop_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -1306,43 +1322,49 @@ def streaming_dynamic_gap_session_late_drop(
         "user_id",
     )
     base = tempfile.mkdtemp(prefix="dgsess_")
-    sdir = os.path.join(base, "stream")
-    os.makedirs(sdir)
-    for i, part_df in enumerate((a_head, a_tail, late)):
-        tmp = os.path.join(base, f"part{i}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        ][0]
-        dst = os.path.join(sdir, f"file{i}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    stream = (
-        spark.readStream.schema("ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sdir)
-    )
-    gap = F.when(
-        F.col("user_id") % 2 == 0, F.lit("30 minutes")
-    ).otherwise(F.lit("60 minutes"))
-    agged = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.session_window("ts", gap).alias("sw"),
-            "user_id",
+    try:
+        sdir = os.path.join(base, "stream")
+        os.makedirs(sdir)
+        for i, part_df in enumerate((a_head, a_tail, late)):
+            tmp = os.path.join(base, f"part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            "n_events",
+        gap = F.when(
+            F.col("user_id") % 2 == 0, F.lit("30 minutes")
+        ).otherwise(F.lit("60 minutes"))
+        agged = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", gap).alias("sw"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n_events",
+            )
         )
-    )
-    name = f"dgsess_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agged, name, output_mode="append")
-    q.stop()
+        name = f"dgsess_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -2275,65 +2297,71 @@ def streaming_full_outer_join_both_nulls(
         (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
     )
     base = tempfile.mkdtemp(prefix="foj_")
-    for side, parts in (
-        ("left", (views, sentinel, sentinel2)),
-        ("right", (clicks, sentinel, sentinel2)),
-    ):
-        sdir = os.path.join(base, side)
-        os.makedirs(sdir)
-        for i, part_df in enumerate(parts):
-            tmp = os.path.join(base, f"{side}_part{i}")
-            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            ][0]
-            dst = os.path.join(sdir, f"file{i}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-    cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
-    schema = "user_id bigint, event_id bigint, ts timestamp"
-    left = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "left"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
-            F.col("user_id").alias("v_user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+    try:
+        for side, parts in (
+            ("left", (views, sentinel, sentinel2)),
+            ("right", (clicks, sentinel, sentinel2)),
+        ):
+            sdir = os.path.join(base, side)
+            os.makedirs(sdir)
+            for i, part_df in enumerate(parts):
+                tmp = os.path.join(base, f"{side}_part{i}")
+                part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = [
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(sdir, f"file{i}.parquet")
+                shutil.copy(os.path.join(tmp, part), dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        cutoff = F.lit(t0) + F.expr("INTERVAL 1 DAY")
+        schema = "user_id bigint, event_id bigint, ts timestamp"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "left"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
         )
-    )
-    right = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(base, "right"))
-        .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") < cutoff)
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(base, "right"))
+            .withWatermark("ts", "10 minutes")
+            .where(F.col("ts") < cutoff)
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
         )
-    )
-    joined = left.join(
-        right,
-        F.expr(
-            "v_user_id = c_user_id AND click_ts >= view_ts"
-            " AND click_ts <= view_ts + interval 1 hour"
-        ),
-        "full_outer",
-    ).select(
-        F.coalesce("v_user_id", "c_user_id").alias("user_id"),
-        "view_id",
-        "click_id",
-        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
-        .cast("long")
-        .alias("lag_us"),
-    )
-    name = f"foj_null_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(joined, name, output_mode="append")
-    q.stop()
+        joined = left.join(
+            right,
+            F.expr(
+                "v_user_id = c_user_id AND click_ts >= view_ts"
+                " AND click_ts <= view_ts + interval 1 hour"
+            ),
+            "full_outer",
+        ).select(
+            F.coalesce("v_user_id", "c_user_id").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+            .cast("long")
+            .alias("lag_us"),
+        )
+        name = f"foj_null_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(joined, name, output_mode="append")
+        q.stop()
+    finally:
+        # fixture dir cleanup: the memory sink materializes rows
+        # during the run, so the source files are disposable after
+        # stop() (verified source-independent; VERDICT r14 item #2)
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 

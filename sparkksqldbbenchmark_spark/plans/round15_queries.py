@@ -1,0 +1,378 @@
+"""Round-15 slot-filler cohort: new rows registered DIRECTLY into the
+driver-graded head (not staged) to fill the grading window to exactly
+50 (VERDICT r14 "what's wrong" #3: 44-row head would leave 6 driver
+slots idle; 4 go to the fixture-hygiene re-grades, these take the
+remaining 2).
+
+Both rows come from the docs/ROTATION_R14.md round-16 seed list and
+carry the full staging discipline in the SAME round they register:
+oracle-green at sf0.001/0.01/0.1, CHECK_VANILLA sweep, brute-force
+second witnesses (tests/test_round15_head.py).
+
+Design notes follow the repo-wide cross-engine determinism rules
+(functions/stable.py): integer or exact-decimal arithmetic wherever a
+value is compared; ties broken by explicit id columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.registry import query
+
+# ------------------- sharded quantile-summary UNION-MERGE certificate --
+
+_GK_K = 32  # summary spacing: one retained point per K ranks per shard
+_GK_SHARDS = 8
+
+
+@query(
+    "gk_summary_union_merge_certified",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(user_id % {_GK_SHARDS} AS BIGINT) AS shard,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, shard, cents, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type, shard
+                   ORDER BY cents, event_id
+               ) AS rs,
+               count(*) OVER (
+                   PARTITION BY event_type, shard
+               ) AS ns
+        FROM v
+    ),
+    summ AS (
+        SELECT event_type, shard, cents, event_id, rs, ns,
+               CAST(least({_GK_K}, ns - rs + 1) AS BIGINT) AS w
+        FROM s WHERE (rs - 1) % {_GK_K} = 0
+    ),
+    merged AS (
+        SELECT event_type, cents, event_id, w,
+               sum(w) OVER (
+                   PARTITION BY event_type
+                   ORDER BY cents, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(w) OVER (PARTITION BY event_type) AS tw
+        FROM summ
+    ),
+    est AS (
+        SELECT event_type, cents AS est_cents FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY cents, event_id
+                   ) AS rn
+            FROM merged WHERE 2 * cw >= tw
+        ) WHERE rn = 1
+    ),
+    cert AS (
+        SELECT v.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN v.cents < e.est_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS below,
+               CAST(sum(CASE WHEN v.cents = e.est_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        FROM v JOIN est e USING (event_type)
+        GROUP BY v.event_type
+    )
+    SELECT c.event_type, c.n, e.est_cents, c.below, c.ties,
+           (2 * c.below <= c.n + 2 * {_GK_SHARDS * _GK_K}
+            AND 2 * (c.below + c.ties)
+                >= c.n - 2 * {_GK_SHARDS * _GK_K})
+               AS within_merge_bound
+    FROM cert c JOIN est e USING (event_type)
+    """,
+)
+def gk_summary_union_merge_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharded quantile-summary UNION-MERGE with an in-query rank
+    certificate — the GK/KLL merge pattern (Greenwald-Khanna 2001 §4;
+    the kmv_sketch_union_merge discipline applied to RANK sketches):
+    each (event_type, shard) sub-stream keeps an equi-spaced rank
+    sample (every K-th rank, weight = rows it covers — a valid
+    eps=K/2n quantile summary), the per-shard summaries UNION into one
+    weighted summary per event_type, and the merged summary's median
+    estimate (first point whose cumulative weight crosses half the
+    total) is certified: its EXACT rank in the full group must sit
+    within n/2 +/- S*K (merged rank error <= sum of the parts' — the
+    mergeability theorem this row grades as a value).
+
+    Everything is deterministic integer arithmetic (cents, explicit
+    (cents, event_id) tiebreaks), so the oracle re-derives the WHOLE
+    pipeline independently — estimate values included, not just the
+    certificate boolean (stronger than the pinned-TRUE oracle of
+    grouped_gk_quantiles_certified, which grades an engine-internal
+    sketch).
+
+    Scale shape (the 100 TB point of shard-merge): the heavy window
+    runs per (event_type, shard) — S* more parallelism than one
+    window per event_type, which is exactly how a skewed hot key's
+    quantiles are computed on a 1000-executor cluster. The summary is
+    n/K the size of the data; the merge window touches only summary
+    rows (bounded by n/K); the certificate is one broadcast join +
+    one partial+final aggregate over the fact scan. No global sort,
+    no single-reducer window over raw rows.
+
+    Reference basis: SURVEY §2 A4 percentile family (reference
+    computes exact percentiles driver-side, bench/latency.py twin);
+    the union-merge axis extends it the way a multi-node deployment
+    of the reference would have to."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % _GK_SHARDS).cast("long").alias("shard"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w_shard = Window.partitionBy("event_type", "shard").orderBy(
+        "cents", "event_id"
+    )
+    s = v.select(
+        "event_type",
+        "shard",
+        "cents",
+        "event_id",
+        F.row_number().over(w_shard).alias("rs"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "shard"))
+        .alias("ns"),
+    )
+    summ = s.where((F.col("rs") - 1) % _GK_K == 0).select(
+        "event_type",
+        "cents",
+        "event_id",
+        F.least(F.lit(_GK_K), F.col("ns") - F.col("rs") + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    # The merge window runs over SUMMARY rows only (n/K of the data,
+    # bounded per event_type) — cheap by construction.
+    w_merge = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = summ.select(
+        "event_type",
+        "cents",
+        "event_id",
+        F.sum("w").over(w_merge).alias("cw"),
+        F.sum("w").over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    est = (
+        merged.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.min_by("cents", F.struct("cents", "event_id")).alias(
+                "est_cents"
+            )
+        )
+    )
+    cert = (
+        v.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("cents") < F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("below"),
+            F.sum(
+                F.when(F.col("cents") == F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ties"),
+        )
+    )
+    bound = 2 * _GK_SHARDS * _GK_K
+    return cert.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n",
+        "est_cents",
+        "below",
+        "ties",
+        (
+            (2 * F.col("below") <= F.col("n") + bound)
+            & (2 * (F.col("below") + F.col("ties")) >= F.col("n") - bound)
+        ).alias("within_merge_bound"),
+    )
+
+
+# ----------------------------- PSI drift bins (cross-multiplied) --
+
+_PSI_BINS = 10
+
+
+@query(
+    "psi_drift_bins_exact",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) - (SELECT min(epoch_us(ts))
+                                         FROM events)
+                         < (SELECT (max(epoch_us(ts))
+                                    - min(epoch_us(ts))) / 2
+                            FROM events)
+                    THEN 0 ELSE 1 END AS half,
+               least({_PSI_BINS - 1},
+                     greatest(0,
+                         CAST(floor(value / 10.0) AS BIGINT))) AS bin
+        FROM events
+    ),
+    grid AS (
+        SELECT et.event_type, h.half, bn.bin
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) h
+        CROSS JOIN (SELECT unnest(generate_series(0,
+                        {_PSI_BINS - 1})) AS bin) bn
+    ),
+    cnt AS (
+        SELECT g.event_type, g.half, g.bin,
+               CAST(count(b.bin) AS BIGINT) AS n
+        FROM grid g LEFT JOIN b
+          ON b.event_type = g.event_type
+         AND b.half = g.half AND b.bin = g.bin
+        GROUP BY g.event_type, g.half, g.bin
+    ),
+    wide AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM cnt GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(n_a) AS BIGINT) AS na_tot,
+               CAST(sum(n_b) AS BIGINT) AS nb_tot
+        FROM wide GROUP BY event_type
+    )
+    SELECT w.event_type,
+           CAST(w.bin AS BIGINT) AS bin,
+           w.n_a, w.n_b,
+           (2 * w.n_a * t.nb_tot < w.n_b * t.na_tot
+            OR 2 * w.n_b * t.na_tot < w.n_a * t.nb_tot)
+               AS ratio_drift,
+           CAST(abs(w.n_a * t.nb_tot - w.n_b * t.na_tot)
+                AS BIGINT) AS mass_diff_x,
+           CAST(row_number() OVER (
+               PARTITION BY w.event_type
+               ORDER BY abs(w.n_a * t.nb_tot - w.n_b * t.na_tot) DESC,
+                        w.bin
+           ) AS BIGINT) AS drift_rank
+    FROM wide w JOIN tot t USING (event_type)
+    """,
+)
+def psi_drift_bins_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI-style distribution-drift bin table between the first and
+    second halves of the event stream, per event_type — the monitoring
+    twin of token_tv_distance_matrix on the TIME axis. Each value
+    lands in one of {_PSI_BINS} fixed bins; per (event_type, bin) the
+    two halves' counts are compared with CROSS-MULTIPLIED integer
+    arithmetic only: the classic PSI per-bin ratio test p_i/q_i
+    outside [1/2, 2] becomes 2*n_a*N_b < n_b*N_a (no division, no
+    logarithm — the exact ordering of PSI contributions without libm),
+    the per-bin drifted-mass numerator |n_a*N_b - n_b*N_a| is an exact
+    integer (its denominator N_a*N_b is constant per group, so the
+    DESC ordering it induces IS the PSI-contribution ordering), and
+    drift_rank orders bins by that exact contribution. Empty bins are
+    materialized via a bounded (event_type x bin) grid so both sides
+    agree on the full support (a bin empty in ONE half is precisely
+    the high-PSI case the test exists for).
+
+    Scale shape: one partial+final aggregate over the fact scan to the
+    (event_type, half, bin) grain — a few hundred rows regardless of
+    input size; the grid, pivot, and ranking all run on that bounded
+    frame. The epoch midpoint is a 1-row aggregate broadcast into the
+    scan predicate. No shuffle grows with the data.
+
+    Reference basis: SURVEY §2 A9/A10 distribution-count family; the
+    drift axis is what a production deployment monitors between the
+    reference's daily runs."""
+    ev = load_table(spark, sf_dir, "events")
+    lim = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("halfspan"),
+    )
+    b = ev.crossJoin(F.broadcast(lim)).select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.col("t0") < F.col("halfspan"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 10.0).cast("long")
+            ),
+        ).alias("bin"),
+    )
+    cnt = b.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # bounded support grid: |event_type| x 2 x BINS rows
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(2).select(F.col("id").alias("half")))
+        .crossJoin(
+            spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+        )
+    )
+    full = grid.join(cnt, ["event_type", "half", "bin"], "left").select(
+        "event_type",
+        "half",
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    wide = full.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("n_a").cast("long").alias("na_tot"),
+        F.sum("n_b").cast("long").alias("nb_tot"),
+    )
+    j = wide.join(F.broadcast(tot), "event_type")
+    xdiff = F.abs(
+        F.col("n_a") * F.col("nb_tot") - F.col("n_b") * F.col("na_tot")
+    )
+    return j.select(
+        "event_type",
+        F.col("bin").cast("long").alias("bin"),
+        "n_a",
+        "n_b",
+        (
+            (2 * F.col("n_a") * F.col("nb_tot")
+             < F.col("n_b") * F.col("na_tot"))
+            | (2 * F.col("n_b") * F.col("na_tot")
+               < F.col("n_a") * F.col("nb_tot"))
+        ).alias("ratio_drift"),
+        xdiff.cast("long").alias("mass_diff_x"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                xdiff.desc(), "bin"
+            )
+        )
+        .cast("long")
+        .alias("drift_rank"),
+    )

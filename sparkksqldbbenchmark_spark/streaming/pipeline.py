@@ -97,7 +97,8 @@ def run_to_memory(
     sink, SparkWeatherConsumer.scala:128-140). availableNow processes the
     full backlog then stops — deterministic run-to-completion (T5)."""
     writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
-    if checkpoint is None:
+    auto_checkpoint = checkpoint is None
+    if auto_checkpoint:
         checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
@@ -107,6 +108,19 @@ def run_to_memory(
     query = writer.start()
     if available_now:
         query.awaitTermination(timeout_s)
+        # An AUTO-created checkpoint is anonymous (the caller never
+        # learns its path, so nothing can legitimately resume from or
+        # inspect it) and the memory-sink query names are uuid-suffixed
+        # single-use — once the availableNow backlog has drained and the
+        # query terminated, the checkpoint is garbage. Reclaim it here
+        # instead of leaking one dir per streaming row per run (graded
+        # sweeps + bench replays re-run these rows many times). Callers
+        # that pass an explicit `checkpoint` (restart/resume and state
+        # store reader rows) keep full control of its lifetime.
+        if auto_checkpoint and not query.isActive:
+            import shutil
+
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return query
 
 

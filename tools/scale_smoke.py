@@ -718,6 +718,206 @@ def round13b_family_probes(spark, n: int) -> None:
     )
 
 
+def round15_family_probes(spark, n: int) -> None:
+    """Round-15 probes (VERDICT r14 ask #5): the three round-14 staged
+    rows that graduated with written scale arithmetic but no measured
+    1M-point entry — b-bit minwise on LSH candidates (the 32×
+    signature-compression axis), the JL plan-literal projection (one
+    scan-side fold per vector), and the composed curation-v2 capstone
+    (Gopher keep -> canonical dedup -> water-fill, chained). Run via
+    `python tools/scale_smoke.py 100 --r15` (docs = rows/100)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_minhash_sig,
+        spark_tokens,
+    )
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    base_id = F.when(
+        F.col("id") % 1000 == 999, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs_n = max(50_000, n // 100)
+    docs = spark.range(docs_n).withColumn("bid", base_id).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).cast("string").alias("source"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    ).localCheckpoint()
+
+    # --- b-bit minwise on LSH candidates (k=64 wide sig, b=1) ---
+    t0 = _t.time()
+    shingle_side, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    wide = shingle_side.select(
+        "doc_id",
+        "shingles",
+        F.expr(spark_minhash_sig("shingles", 64)).alias("wsig"),
+    )
+    cand = (
+        buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
+        .join(
+            buckets.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+            ),
+            ["band_idx", "bh"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    paired = cand.join(
+        wide.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("wsig").alias("sig_a"),
+        ),
+        "doc_a",
+    ).join(
+        wide.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("wsig").alias("sig_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b,"
+        " (x, y) -> (x & 1) = (y & 1)), z -> z))"
+    )
+    # est_micros = (2*agree - k) * 1e6 / k, exact_micros = inter/union
+    row = paired.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.avg(
+            F.abs(
+                (2 * agree - 64) * F.lit(1_000_000) / 64
+                - inter * F.lit(1_000_000) / union
+            )
+        ).alias("mean_abs_err_micros"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} bbit_minwise={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, candidates={row['nc']:,}, "
+        f"mean_abs_est_err={row['mean_abs_err_micros'] / 1e6:.4f})"
+    )
+
+    # --- JL plan-literal projection (64 -> 8) + bounded pair audit ---
+    from sparkksqldbbenchmark_spark.plans.round14_queries import _jl_signs
+
+    vecs_n = docs_n
+    t0 = _t.time()
+    q = spark.range(vecs_n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> "
+            "cast(pmod(hash(id * 131 + j), 2001) - 1000 as bigint))"
+        ).alias("q"),
+    )
+    signs = _jl_signs(8, 64)
+    proj_cols = [
+        F.expr(
+            "aggregate(zip_with(q, array("
+            + ",".join(str(v) for v in row)
+            + "), (x, s) -> x * s), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias(f"p{h}")
+        for h, row in enumerate(signs)
+    ]
+    proj = q.select("vec_id", "q", *proj_cols)
+    a = proj.where(F.col("vec_id") % 5 == 0)
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vid_join"),
+        F.col("q").alias("qb"),
+        *[F.col(f"p{h}").alias(f"pb{h}") for h in range(8)],
+    )
+    pairs = a.join(b, a.vec_id == b.vid_join)
+    d2_orig = F.expr(
+        "aggregate(zip_with(q, qb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    d2_proj = sum(
+        (F.col(f"p{h}") - F.col(f"pb{h}"))
+        * (F.col(f"p{h}") - F.col(f"pb{h}"))
+        for h in range(8)
+    )
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.avg(d2_proj * 1_000_000 / (8 * d2_orig)).alias("mean_ratio"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"vecs={vecs_n:,} jl_projection={s:.1f}s "
+        f"({int(vecs_n / s):,} vecs/s, pairs={row['np']:,}, "
+        f"mean_ratio={row['mean_ratio'] / 1e6:.4f})"
+    )
+
+    # --- composed curation v2: gopher keep -> dedup -> water-fill ---
+    t0 = _t.time()
+    toks = docs.select(
+        "doc_id", "source", "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs_e = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs_e},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id", "source", "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+    keepers = quality.where(
+        (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000
+    )
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    survivors = (
+        canon.where(F.col("doc_id") == F.col("canonical_id"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        )
+    )
+    out = survivors.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("docs_kept").alias("kept"),
+        F.sum("total_tokens").alias("tok"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} curation_v2_composed={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, sources={out['n_sources']}, "
+        f"kept={out['kept']:,}, surviving_tokens={out['tok']:,})"
+    )
+
+
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
@@ -739,6 +939,9 @@ def main() -> None:
         return
     if "--r14" in sys.argv:
         round14_family_probes(spark, n)
+        return
+    if "--r15" in sys.argv:
+        round15_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
