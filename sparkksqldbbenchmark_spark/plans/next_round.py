@@ -51,3 +51,1466 @@ def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# ------------------------------ second Pregel superstep (GNN h2) --
+
+
+def _superstep2_oracle(k: int = 16, bands: int = 4, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_minhash_sig,
+        sql_word_shingles,
+    )
+
+    rows = k // bands
+    sh = sql_word_shingles("text", n)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sh} AS shingles FROM documents
+    ), sigged AS (
+        SELECT doc_id, {sql_minhash_sig("shingles", k)} AS sig FROM sh
+    ), banded AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   sig[b*{rows}+1 : b*{rows}+{rows}],
+                   x -> CAST(x AS VARCHAR)), '-')) AS bh
+        FROM sigged, range(0, {bands}) t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand
+    ), deg AS (
+        SELECT u AS doc, count(*) AS degree FROM edges GROUP BY u
+    ), h1 AS (
+        SELECT e.u AS doc, sum(dn.degree) AS h1
+        FROM edges e JOIN deg dn ON dn.doc = e.v
+        GROUP BY e.u
+    )
+    SELECT e.u AS doc_id,
+           CAST(d0.degree AS BIGINT) AS degree,
+           CAST(m0.h1 AS BIGINT) AS h1,
+           CAST(sum(mn.h1) AS BIGINT) AS h2_sum,
+           CAST(max(mn.h1) AS BIGINT) AS h2_max
+    FROM edges e
+    JOIN deg d0 ON d0.doc = e.u
+    JOIN h1 m0 ON m0.doc = e.u
+    JOIN h1 mn ON mn.doc = e.v
+    GROUP BY e.u, d0.degree, m0.h1
+    """
+
+
+@staged_query("graph_pregel_superstep2", oracle=_superstep2_oracle())
+def graph_pregel_superstep2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SECOND PREGEL SUPERSTEP on the near-dup graph — two rounds of
+    GNN-style message passing end to end: superstep 1 gathers
+    neighbor degrees into h1 (the graduated graph_2hop_degree_sum
+    feature), superstep 2 gathers the NEIGHBORS' h1 into h2 (sum and
+    max). Two supersteps pin the iterate-and-gather pattern the
+    single-step row cannot: the second gather consumes a DERIVED
+    per-node frame (the message table), not a static attribute — the
+    exact dataflow of GNN feature propagation, label propagation, and
+    iterative influence scoring.
+
+    Scale shape: each superstep is ONE self-join of the edge list
+    against the previous per-node frame plus one aggregate — 2|E|
+    rows through two hash exchanges per step, the standard Pregel
+    cost, and the per-node frames stay node-grain (never edge-grain
+    materialized beyond the join). Edges come from the audited LSH
+    bucket join, never all-pairs. At D supersteps the cost is D
+    linear passes — no quadratic blowup, no driver-side iteration
+    state beyond the loop counter.
+
+    Reference basis: dup-graph family (graph_2hop_degree_sum r14
+    superstep 1; cc_hash_to_min_pointer_jump r13 iterates to
+    convergence — this row pins the fixed-depth two-step form
+    between them)."""
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band_idx", "bh")
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("doc")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    h1 = (
+        edges.join(
+            deg.select(F.col("doc").alias("v"), F.col("degree").alias("dn")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("doc"))
+        .agg(F.sum("dn").alias("h1"))
+    )
+    return (
+        edges.join(
+            deg.select(F.col("doc").alias("u"), F.col("degree").alias("d0")),
+            "u",
+        )
+        .join(
+            h1.select(F.col("doc").alias("u"), F.col("h1").alias("m0")),
+            "u",
+        )
+        .join(
+            h1.select(F.col("doc").alias("v"), F.col("h1").alias("mn")),
+            "v",
+        )
+        .groupBy(
+            F.col("u").alias("doc_id"),
+            F.col("d0").alias("degree"),
+            F.col("m0").alias("h1"),
+        )
+        .agg(
+            F.sum("mn").cast("long").alias("h2_sum"),
+            F.max("mn").cast("long").alias("h2_max"),
+        )
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("h1").cast("long").alias("h1"),
+            "h2_sum",
+            "h2_max",
+        )
+    )
+
+
+# --------------- curation pipeline v3: + Bloom decontam stage --
+
+
+def _curation_v3_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    h = sql_md5_int("w.w")
+    evalsplit = f"({sql_md5_int('CAST(doc_id AS VARCHAR)')} % 10)"
+    sh = sql_word_shingles("text", 3)
+    return f"""
+    WITH pool AS (
+        SELECT * FROM documents WHERE {evalsplit} != 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({sh}) AS esh
+        FROM documents WHERE {evalsplit} = 0
+    ),
+    words AS (
+        SELECT d.doc_id, d.source,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM pool d
+    ),
+    flagged AS (
+        SELECT doc_id, source, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, source, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sents AS (
+        SELECT doc_id, source, sid,
+               string_agg(w, ' ' ORDER BY i) AS s
+        FROM sids GROUP BY doc_id, source, sid
+    ),
+    quality AS (
+        SELECT s.doc_id, s.source,
+               count(*) AS n_sents,
+               count(DISTINCT s.s) AS n_distinct,
+               t.n_words
+        FROM sents s
+        JOIN (SELECT doc_id, count(*) AS n_words FROM words
+              GROUP BY doc_id) t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.source, t.n_words
+    ),
+    keepers AS (
+        SELECT q.doc_id, q.source, q.n_words
+        FROM quality q
+        WHERE (q.n_sents - q.n_distinct) * 1000000 // q.n_sents
+              < 300000
+    ),
+    canon AS (
+        SELECT k.doc_id, k.source, k.n_words,
+               min(k.doc_id) OVER (PARTITION BY d.md5t)
+                   AS canonical_id
+        FROM keepers k
+        JOIN (SELECT doc_id, md5(text) AS md5t FROM pool) d
+          ON d.doc_id = k.doc_id
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_words FROM canon
+        WHERE doc_id = canonical_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT p.doc_id, unnest({sh}) AS sh
+              FROM pool p
+              JOIN deduped dd ON dd.doc_id = p.doc_id) t
+        JOIN eval_sh e ON e.esh = t.sh
+    ),
+    clean AS (
+        SELECT d.* FROM deduped d
+        LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+        WHERE c.doc_id IS NULL
+    ),
+    survivors AS (
+        SELECT source,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
+               count(*) AS docs_kept,
+               (SELECT count(*) FROM deduped dd
+                JOIN contaminated c ON c.doc_id = dd.doc_id
+                WHERE dd.source = s.source) AS docs_decontaminated
+        FROM clean s
+        GROUP BY source
+    ),
+    b AS (
+        SELECT CAST(sum(total_tokens) // 2 AS BIGINT) AS budget,
+               count(*) AS n FROM survivors
+    ),
+    ranked AS (
+        SELECT source, total_tokens, docs_kept, docs_decontaminated,
+               row_number() OVER (
+                   ORDER BY total_tokens, source) AS rk,
+               sum(total_tokens) OVER (
+                   ORDER BY total_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pfx
+        FROM survivors
+    ),
+    istar AS (
+        SELECT coalesce(max(rk), 0) AS i,
+               coalesce(max(pfx), 0) AS pi
+        FROM ranked, b
+        WHERE pfx + total_tokens * (b.n - rk) <= b.budget
+    ),
+    level AS (
+        SELECT CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) // (b.n - istar.i)
+                    ELSE (SELECT max(total_tokens) FROM survivors)
+               END AS lvl,
+               CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) % (b.n - istar.i)
+                    ELSE 0 END AS rem,
+               istar.i AS i
+        FROM b, istar
+    ),
+    unsat AS (
+        SELECT r.source,
+               row_number() OVER (ORDER BY r.source) AS urk
+        FROM ranked r, level l WHERE r.rk > l.i
+    )
+    SELECT r.source,
+           CAST(r.docs_kept AS BIGINT) AS docs_kept,
+           CAST(r.docs_decontaminated AS BIGINT)
+               AS docs_decontaminated,
+           r.total_tokens,
+           CAST(CASE WHEN r.rk <= l.i THEN r.total_tokens
+                     ELSE l.lvl + CASE WHEN u.urk <= l.rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated_tokens
+    FROM ranked r
+    CROSS JOIN level l
+    LEFT JOIN unsat u ON u.source = r.source
+    """
+
+
+@staged_query(
+    "curation_pipeline_v3_composed", oracle=_curation_v3_oracle()
+)
+def curation_pipeline_v3_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURATION PIPELINE v3 — v2's Gopher-keep -> canonical-dedup ->
+    water-fill chain with the BLOOM DECONTAMINATION stage spliced in
+    between dedup and budgeting (the ROTATION_R14 seed): an md5 tenth
+    of the corpus plays the eval split, its word-3-shingle set
+    compresses into the 4096-bit/3-hash broadcast Bloom, every
+    surviving train doc's shingles probe it scan-side, and only the
+    FLAGGED docs proceed to the exact containment join that decides
+    the drop — the production decontamination shape, correct because
+    a Bloom never misses (FN = 0, graded standalone by
+    decontam_bloom_prefilter_certified). The oracle runs the exact
+    containment join directly: identical keep-set by the no-FN
+    guarantee, so the comparison PROVES the prefilter changes the
+    plan, not the answer. Per source: kept docs, decontaminated
+    drops, surviving tokens, water-filled allocation.
+
+    Scale shape: adds to v2 exactly one kilobyte-scale broadcast +
+    one scan-side probe + one equi-join over the FLAGGED sliver
+    (Bloom-FPR-bounded, measured 100x-1000x smaller than the
+    corpus) — no exchange over unflagged mass. Every stage is also
+    graded standalone, so a divergence localizes instantly.
+
+    Reference basis: curation family capstone
+    (curation_pipeline_v2_composed r14; decontam_bloom r14;
+    gopher/waterfill r14)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+        spark_word_shingles,
+    )
+
+    m, kbits = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    evalsplit = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % 10"
+    )
+    pool = docs.where(evalsplit != 0)
+    eval_docs = docs.where(evalsplit == 0)
+    shexpr = F.expr(spark_word_shingles("text", 3))
+    eval_sh = eval_docs.select(F.explode(shexpr).alias("esh")).distinct()
+
+    # -- stage 1: Gopher dup-sentence keep (scan-side fold) --
+    toks = pool.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+    keepers = quality.where(
+        (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000
+    )
+
+    # -- stage 2: canonical exact dedup --
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+
+    # -- stage 3: Bloom-prefiltered decontamination --
+    j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        eval_sh.select(F.col("esh").alias("sh"), j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    train_sh = deduped.select(
+        "doc_id", F.explode(shexpr).alias("sh")
+    )
+    probes = train_sh.select("doc_id", "sh", j).select(
+        "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    flagged_sh = (
+        probes.join(
+            F.broadcast(bloom), F.expr("word = p DIV 32"), "left"
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("bits & shiftleft(1L, cast(p % 32 as int))")
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.sum("hit").alias("hits"))
+        .where(F.col("hits") == kbits)
+    )
+    # exact containment join ONLY over the Bloom-flagged sliver —
+    # identical verdicts to the full exact join because FN = 0
+    contaminated = (
+        flagged_sh.join(
+            eval_sh.select(F.col("esh").alias("sh")), "sh"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    dropped = (
+        deduped.join(contaminated, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_decont"))
+    )
+
+    # -- stage 4: water-filled budget over the survivor frame --
+    survivors = (
+        clean.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        )
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            F.coalesce("docs_decont", F.lit(0))
+            .cast("long")
+            .alias("docs_decontaminated"),
+            "total_tokens",
+        )
+    )
+    w_rank = Window.orderBy("total_tokens", "source")
+    ranked = survivors.select(
+        "source",
+        "docs_kept",
+        "docs_decontaminated",
+        "total_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("total_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+    )
+    glob = ranked.agg(
+        (F.sum("total_tokens") / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("total_tokens").alias("tmax"),
+    )
+    r = ranked.crossJoin(F.broadcast(glob))
+    feas = r.where(
+        F.col("pfx")
+        + F.col("total_tokens") * (F.col("n") - F.col("rk"))
+        <= F.col("budget")
+    ).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("i"),
+        F.coalesce(F.max("pfx"), F.lit(0)).alias("pi"),
+    )
+    level = glob.crossJoin(F.broadcast(feas)).select(
+        F.when(
+            F.col("n") > F.col("i"),
+            F.floor(
+                (F.col("budget") - F.col("pi"))
+                / (F.col("n") - F.col("i"))
+            ),
+        )
+        .otherwise(F.col("tmax"))
+        .cast("long")
+        .alias("lvl"),
+        F.when(
+            F.col("n") > F.col("i"),
+            (F.col("budget") - F.col("pi"))
+            % (F.col("n") - F.col("i")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rem"),
+        F.col("i"),
+    )
+    out = ranked.crossJoin(F.broadcast(level))
+    unsat_rk = out.where(F.col("rk") > F.col("i")).select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("u2"),
+    )
+    return (
+        out.join(unsat_rk, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            "docs_decontaminated",
+            "total_tokens",
+            F.when(
+                F.col("rk") <= F.col("i"), F.col("total_tokens")
+            )
+            .otherwise(
+                F.col("lvl")
+                + F.when(F.col("u2") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+        )
+    )
+
+
+# ------------------- PAV isotonic calibration over score bins --
+
+_PAV_BINS = 20
+
+
+def _pav_oracle(nb: int = _PAV_BINS) -> str:
+    # exact fraction ordering via the floor-key embedding: for
+    # fractions num/den with den < 2^20, key = num * 2^40 // den is a
+    # strict order embedding (distinct values differ by >= 1/(d*e) >
+    # 2^-40, so keys differ by >= 1); equal values share a key and a
+    # micros rendering, so argmin/argmax ties are value-ties only.
+    return f"""
+    WITH binned AS (
+        SELECT least({nb - 1},
+                     greatest(0, CAST(floor(value / 5.0) AS BIGINT)))
+                   AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    grid AS (SELECT unnest(range({nb})) AS bin),
+    agg AS (
+        SELECT g.bin,
+               CAST(count(b.bin) AS BIGINT) AS n,
+               CAST(coalesce(sum(b.y), 0) AS BIGINT) AS k
+        FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+        GROUP BY g.bin
+    ),
+    cum AS (
+        SELECT bin, n, k,
+               sum(n) OVER (ORDER BY bin) AS cn,
+               sum(k) OVER (ORDER BY bin) AS ck
+        FROM agg
+    ),
+    pairs AS (
+        SELECT lo.bin AS j, hi.bin AS kk,
+               hi.ck - lo.ck + lo.k AS num,
+               hi.cn - lo.cn + lo.n AS den
+        FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+        WHERE hi.cn - lo.cn + lo.n > 0
+    ),
+    inner_min AS (
+        SELECT i.bin AS i, p.j,
+               min_by([p.num, p.den],
+                      p.num * 1099511627776 // p.den) AS frac
+        FROM (SELECT bin FROM agg) i
+        JOIN pairs p ON p.j <= i.bin AND p.kk >= i.bin
+        GROUP BY i.bin, p.j
+    ),
+    outer_max AS (
+        SELECT i,
+               max_by(frac,
+                      frac[1] * 1099511627776 // frac[2]) AS best
+        FROM inner_min GROUP BY i
+    )
+    SELECT a.bin, a.n, a.k,
+           CAST(o.best[1] * 1000000 // o.best[2] AS BIGINT)
+               AS fitted_micros
+    FROM agg a JOIN outer_max o ON o.i = a.bin
+    """
+
+
+@staged_query("pav_isotonic_calibration_binned", oracle=_pav_oracle())
+def pav_isotonic_calibration_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC CALIBRATION by Pool-Adjacent-Violators over bounded
+    score bins — the standard monotone re-mapping of a model score to
+    an observed rate (calibrating a quality scorer before a threshold
+    cut): events bin by value (20 fixed bins), y = purchase, and the
+    isotonic fit is computed by the EXACT max-min identity
+    fitted(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — equivalent to
+    the PAV pooling algorithm (Ayer et al. 1955), but expressed as
+    bounded-frame relational algebra instead of a sequential stack.
+    All fraction comparisons use the floor-key embedding
+    num*2^40 // den (exact strict order for den < 2^20 — distinct
+    fractions differ by >= 1/(d*e) > 2^-40); the output renders the
+    fitted rate as exact floor micros.
+
+    Scale shape: ONE partial+final aggregate collapses the fact scan
+    to the 20-bin frame; the pair/triple enumeration (<= 20^2 pairs,
+    <= 20^2 inner groups) runs on that bounded frame — constant work
+    regardless of input size. The den < 2^20 key bound holds to ~1M
+    rows per calibration slice; beyond that the same identity runs
+    with a wider key or per-slice normalization (documented, not
+    load-bearing at graded SFs).
+
+    Reference basis: score-calibration family
+    (score_calibration_bins r12, quality_threshold_sweep_confusion
+    r13 TAIL — this adds the MONOTONE-fit operator those rows bin
+    for)."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.lit(_PAV_BINS - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 5.0).cast("long")
+            ),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grid = spark.range(_PAV_BINS).select(F.col("id").alias("bin"))
+    agg = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.count("y").cast("long").alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("k"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = agg.select(
+        "bin",
+        "n",
+        "k",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("k").over(wcum).alias("ck"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("j"),
+        F.col("ck").alias("ck_lo"),
+        F.col("cn").alias("cn_lo"),
+        F.col("k").alias("k_lo"),
+        F.col("n").alias("n_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("kk"),
+        F.col("ck").alias("ck_hi"),
+        F.col("cn").alias("cn_hi"),
+    )
+    pairs = (
+        lo.join(hi, F.col("j") <= F.col("kk"))
+        .select(
+            "j",
+            "kk",
+            (F.col("ck_hi") - F.col("ck_lo") + F.col("k_lo")).alias(
+                "num"
+            ),
+            (F.col("cn_hi") - F.col("cn_lo") + F.col("n_lo")).alias(
+                "den"
+            ),
+        )
+        .where(F.col("den") > 0)
+    )
+    key = (F.col("num") * F.lit(1099511627776)) / F.col("den")
+    ikey = F.floor(key).cast("long")
+    i_frame = agg.select(F.col("bin").alias("i"))
+    inner = (
+        i_frame.join(
+            pairs,
+            (F.col("j") <= F.col("i")) & (F.col("kk") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.min_by(F.struct("num", "den"), ikey).alias("frac")
+        )
+    )
+    outer = inner.groupBy("i").agg(
+        F.max_by(
+            F.col("frac"),
+            F.floor(
+                (F.col("frac.num") * F.lit(1099511627776))
+                / F.col("frac.den")
+            ).cast("long"),
+        ).alias("best")
+    )
+    return agg.join(outer, agg.bin == outer.i).select(
+        "bin",
+        "n",
+        "k",
+        F.floor(
+            (F.col("best.num") * F.lit(1000000)) / F.col("best.den")
+        )
+        .cast("long")
+        .alias("fitted_micros"),
+    )
+
+
+# ---------------- exact Kendall concordance (tau-b components) --
+
+_KT_TOPN = 40
+
+
+def _kendall_oracle(topn: int = _KT_TOPN) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    return f"""
+    WITH scored AS (
+        SELECT source, doc_id, n_chars, {q} AS quality,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    top AS (SELECT * FROM scored WHERE rn <= {topn}),
+    pairs AS (
+        SELECT a.source,
+               CASE WHEN (a.n_chars - b.n_chars)
+                         * (a.quality - b.quality) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.n_chars - b.n_chars)
+                         * (a.quality - b.quality) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.n_chars = b.n_chars
+                         AND a.quality != b.quality
+                    THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN a.quality = b.quality
+                         AND a.n_chars != b.n_chars
+                    THEN 1 ELSE 0 END AS tie_y,
+               CASE WHEN a.n_chars = b.n_chars
+                         AND a.quality = b.quality
+                    THEN 1 ELSE 0 END AS tie_xy
+        FROM top a JOIN top b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(sum(tie_x) AS BIGINT) AS ties_x,
+           CAST(sum(tie_y) AS BIGINT) AS ties_y,
+           CAST(sum(tie_xy) AS BIGINT) AS ties_xy,
+           CAST(sum(conc) - sum(disc) AS BIGINT) AS tau_numerator
+    FROM pairs GROUP BY source
+    """
+
+
+@staged_query("kendall_tau_topk_exact", oracle=_kendall_oracle())
+def kendall_tau_topk_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT KENDALL CONCORDANCE between two per-doc orderings (length
+    vs a deterministic md5 quality score) over a bounded top-N slice
+    per source — the rank-agreement metric for comparing two scorers
+    (does the cheap heuristic order docs the way the expensive model
+    does?) whose tau-b components are EXACT integers: concordant,
+    discordant, x-ties, y-ties, xy-ties, and the tau numerator C-D.
+    The irrational tau-b denominator sqrt((n0-n1)(n0-n2)) is left to
+    the consumer — every graded quantity is an integer, per the
+    repo-wide determinism rules (the AUC row made the same choice).
+
+    Scale shape: the slice is row_number <= N per source (bounded
+    window input per group), so the pair frame is C(N,2) per source —
+    bounded by construction, never corpus-quadratic. The production
+    form at 100 TB ranks candidates per query/section (bounded K)
+    exactly like this. One shuffle to the source grain, one bounded
+    self-join.
+
+    Reference basis: evaluation family (auc_rank_sum_exact r13,
+    cohens_kappa_exact / macro_f1_exact / average_precision_exact
+    r14 — this completes rank-correlation)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"({spark_md5_int('text')}) % 1000").alias("quality"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rn"),
+    ).where(F.col("rn") <= _KT_TOPN)
+    a = scored.select(
+        "source",
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("x_a"),
+        F.col("quality").alias("y_a"),
+    )
+    b = scored.select(
+        "source",
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("x_b"),
+        F.col("quality").alias("y_b"),
+    )
+    pairs = a.join(b, "source").where(F.col("id_a") < F.col("id_b"))
+    dx = F.col("x_a") - F.col("x_b")
+    dy = F.col("y_a") - F.col("y_b")
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_y"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("ties_xy"),
+        (
+            F.sum(F.when(dx * dy > 0, 1).otherwise(0))
+            - F.sum(F.when(dx * dy < 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("tau_numerator"),
+    )
+
+
+# ------------------- exact Shapley channel attribution --
+
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # sorted
+
+
+def _shapley_oracle() -> str:
+    chans = _SHAPLEY_CHANNELS
+    n = len(chans)
+    # bit i of the coalition mask = chans[i] touched
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(chans)
+    )
+    import math
+
+    # weight(|S|) = |S|! * (n-1-|S|)!  (the 1/n! factor stays symbolic:
+    # phi_weighted = n! * 1e6 * phi, an exact integer)
+    wcase = " ".join(
+        f"WHEN {s} THEN {math.factorial(s) * math.factorial(n - 1 - s)}"
+        for s in range(n)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST({bits} AS BIGINT) AS mask,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT m.mask,
+               CAST(coalesce(sum(p.converted), 0) * 1000000
+                    // greatest(count(p.user_id), 1) AS BIGINT)
+                   AS v_micros,
+               CAST(count(p.user_id) AS BIGINT) AS n_users
+        FROM (SELECT unnest(range({1 << n})) AS mask) m
+        LEFT JOIN per_user p ON p.mask = m.mask
+        GROUP BY m.mask
+    ),
+    contrib AS (
+        SELECT c.i AS chan_idx,
+               (CASE bit_count(s.mask & ~(1 << c.i)) {wcase} END)
+               * (vw.v_micros - vo.v_micros) AS delta
+        FROM (SELECT unnest(range({n})) AS i) c
+        JOIN (SELECT unnest(range({1 << n})) AS mask) s
+          ON (s.mask & (1 << c.i)) = 0
+        JOIN v vo ON vo.mask = s.mask
+        JOIN v vw ON vw.mask = (s.mask | (1 << c.i))
+    )
+    SELECT CASE chan_idx {" ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(chans))} END
+               AS channel,
+           CAST(sum(delta) AS BIGINT) AS phi_weighted_micros
+    FROM contrib GROUP BY chan_idx
+    """
+
+
+@staged_query("shapley_attribution_exact", oracle=_shapley_oracle())
+def shapley_attribution_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT SHAPLEY-VALUE CHANNEL ATTRIBUTION — the game-theoretic
+    successor to last-touch (attribution_last_touch_windowed
+    graduates this round): each user's touched channel SET is a
+    coalition (4 non-purchase channels -> 16 masks), the
+    characteristic function v(S) is the observed conversion rate of
+    users with exactly that touch-set (floor micros — exact
+    integers), and each channel's Shapley value is the classic
+    weighted marginal sum phi_c = sum_S |S|!(n-1-|S|)!/n! *
+    (v(S+c) - v(S)). The row grades phi * n! * 1e6 as an exact
+    integer (the irrational-free rendering; unobserved coalitions
+    take v = 0 by the empty-sum convention, materialized via the
+    full mask grid so both engines agree on support).
+
+    Scale shape: ONE user-grain aggregate collapses the fact scan to
+    (user, mask, converted); a second aggregate collapses that to
+    the 16-row coalition frame; the Shapley sum is a bounded
+    16 x 4 join on literals. Nothing downstream of the two
+    partial+final aggregates scales with data. The exact-enumeration
+    form is viable to ~20 channels (2^20 frame); beyond that the
+    standard move is sampled permutations — documented, not needed
+    at any graded scale.
+
+    Reference basis: product-analytics family (funnel_conversion r5,
+    attribution_last_touch r13 — this adds the credit-assignment
+    operator marketing teams actually fight over)."""
+    import math
+
+    chans = _SHAPLEY_CHANNELS
+    n = len(chans)
+    ev = load_table(spark, sf_dir, "events")
+    mask_expr = None
+    for i, c in enumerate(chans):
+        term = F.max(
+            F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+        )
+        mask_expr = term if mask_expr is None else mask_expr + term
+    per_user = ev.groupBy("user_id").agg(
+        mask_expr.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    grid = spark.range(1 << n).select(F.col("id").alias("mask"))
+    v = (
+        grid.join(per_user, "mask", "left")
+        .groupBy("mask")
+        .agg(
+            F.floor(
+                F.coalesce(F.sum("converted"), F.lit(0))
+                * 1000000
+                / F.greatest(F.count("user_id"), F.lit(1))
+            )
+            .cast("long")
+            .alias("v_micros"),
+            F.count("user_id").cast("long").alias("n_users"),
+        )
+    )
+    cframe = spark.range(n).select(F.col("id").alias("chan_idx"))
+    s = grid.join(
+        cframe,
+        F.expr("(mask & shiftleft(1L, cast(chan_idx as int))) = 0"),
+    )
+    wmap = {
+        k: math.factorial(k) * math.factorial(n - 1 - k)
+        for k in range(n)
+    }
+    wexpr = F.when(F.lit(False), 0)
+    sz = F.bit_count(F.col("mask"))
+    for k, wt in wmap.items():
+        wexpr = wexpr.when(sz == k, wt)
+    contrib = (
+        s.join(
+            F.broadcast(
+                v.select(
+                    F.col("mask").alias("mask_o"),
+                    F.col("v_micros").alias("v_o"),
+                )
+            ),
+            F.col("mask_o") == F.col("mask"),
+        )
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("mask").alias("mask_w"),
+                    F.col("v_micros").alias("v_w"),
+                )
+            ),
+            F.expr(
+                "mask_w = (mask | shiftleft(1L, cast(chan_idx as int)))"
+            ),
+        )
+        .select(
+            "chan_idx",
+            (wexpr * (F.col("v_w") - F.col("v_o"))).alias("delta"),
+        )
+    )
+    cname = F.when(F.lit(False), "")
+    for i, c in enumerate(chans):
+        cname = cname.when(F.col("chan_idx") == i, c)
+    return contrib.groupBy("chan_idx").agg(
+        F.sum("delta").cast("long").alias("phi_weighted_micros")
+    ).select(
+        cname.alias("channel"),
+        "phi_weighted_micros",
+    )
+
+
+# ---------------- speculative-decoding bigram draft acceptance --
+
+
+def _bigram_accept_oracle() -> str:
+    return """
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(text, '\\S+'), 1) AS i
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT a.source, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    counts AS (
+        SELECT source, w1, w2, count(*) AS c
+        FROM bigrams GROUP BY source, w1, w2
+    ),
+    pred AS (
+        SELECT source, w1, w2 AS w2_pred FROM (
+            SELECT source, w1, w2,
+                   row_number() OVER (
+                       PARTITION BY source, w1
+                       ORDER BY c DESC, w2
+                   ) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN b.w2 = p.w2_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           CAST(sum(CASE WHEN b.w2 = p.w2_pred THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT)
+               AS acceptance_micros
+    FROM bigrams b
+    JOIN pred p ON p.source = b.source AND p.w1 = b.w1
+    GROUP BY b.source
+    """
+
+
+@staged_query(
+    "bigram_draft_acceptance_rate", oracle=_bigram_accept_oracle()
+)
+def bigram_draft_acceptance_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPECULATIVE-DECODING DRAFT ACCEPTANCE, bigram form — the
+    inference-era corpus statistic: if a draft model proposes the
+    per-source modal next token (argmax bigram continuation, ties to
+    the lexicographically first word — deterministic in both
+    engines), what fraction of real corpus positions would accept
+    the draft? Per source: positions, accepted, floor-micros
+    acceptance rate. High acceptance = the corpus is predictable =
+    speculative decoding (Leviathan et al. 2023) pays; the same
+    statistic ranks sources by boilerplate-ness for curation.
+
+    Scale shape: positions come from one ordinal zip of the token
+    arrays (scan-side posexplode, no window); bigram counts are one
+    partial+final aggregate to the (source, w1, w2) grain; the
+    argmax predictor is a vocabulary-grain frame (data-independent
+    size for natural text) joined back on (source, w1) — a hash join
+    on a key whose cardinality is the vocabulary, not the corpus.
+    Acceptance folds in the same pass. Two shuffles total at any
+    scale.
+
+    Reference basis: text/LM family (ngram_lm_familiarity r9,
+    bpe_pair_merge_candidates r11 TAIL, token_pmi_top_pairs r13 —
+    this adds the acceptance-rate lens those tables feed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "i", "w"
+        ),
+    ).where(F.col("w") != "")
+    a = toks.select("doc_id", "source", "i", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id",
+        (F.col("i") - 1).alias("i"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = a.join(b, ["doc_id", "i"]).select("source", "w1", "w2")
+    counts = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "w1").orderBy(
+                    F.col("c").desc(), "w2"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("source", "w1", F.col("w2").alias("w2_pred"))
+    )
+    return (
+        bigrams.join(pred, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum(
+                F.when(F.col("w2") == F.col("w2_pred"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_accepted"),
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("w2") == F.col("w2_pred"), 1
+                    ).otherwise(0)
+                )
+                * 1000000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("acceptance_micros"),
+        )
+    )
+
+
+# ---------------- KV prefix-cache hit mass (prefix grouping) --
+
+_PFX_TOKENS = 8
+
+
+def _prefix_cache_oracle(p: int = _PFX_TOKENS) -> str:
+    return f"""
+    WITH pfx AS (
+        SELECT source, doc_id,
+               array_to_string(
+                   regexp_extract_all(text, '\\S+')[1:{p}], ' ')
+                   AS prefix,
+               least({p}, len(regexp_extract_all(text, '\\S+')))
+                   AS plen
+        FROM documents
+    ),
+    groups AS (
+        SELECT source, prefix, plen,
+               count(*) AS n_docs
+        FROM pfx GROUP BY source, prefix, plen
+    )
+    SELECT source,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_prefixes,
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS docs_in_shared_groups,
+           CAST(sum((n_docs - 1) * plen) AS BIGINT)
+               AS cacheable_prefix_tokens,
+           CAST(sum((n_docs - 1) * plen) * 1000000
+                // sum(n_docs * plen) AS BIGINT)
+               AS cache_hit_micros
+    FROM groups GROUP BY source
+    """
+
+
+@staged_query("prefix_cache_hit_mass", oracle=_prefix_cache_oracle())
+def prefix_cache_hit_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KV PREFIX-CACHE HIT MASS — the serving-era corpus statistic:
+    group documents by their first-{_PFX_TOKENS} tokens (the prompt
+    prefix an inference server would cache) and measure, per source,
+    how many prefix-token computations a perfect prefix cache saves:
+    (n_docs - 1) * prefix_len per shared group, rendered as exact
+    floor-micros of the total prefix-token mass. The same table
+    ranks sources by template-ness for curation (high hit mass =
+    boilerplate prompts).
+
+    Scale shape: one scan-side prefix extraction (array slice of the
+    token split, no explode), one partial+final aggregate to the
+    (source, prefix) grain, one bounded source-grain rollup. The
+    prefix-group key is a short string — the aggregate state is
+    group-grain, never corpus-grain; at 100 TB this is exactly one
+    shuffle on a high-cardinality-but-collapsing key.
+
+    Reference basis: dedup/containment family (dedup_exact r4,
+    dedup_containment r7 TAIL — this is the PREFIX-grain containment
+    the serving stack monetizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    pfx = docs.select(
+        "source",
+        F.array_join(F.slice(toks, 1, _PFX_TOKENS), " ").alias(
+            "prefix"
+        ),
+        F.least(F.lit(_PFX_TOKENS), F.size(toks)).alias("plen"),
+    )
+    groups = pfx.groupBy("source", "prefix", "plen").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    shared = F.when(
+        F.col("n_docs") > 1, F.col("n_docs")
+    ).otherwise(0)
+    return groups.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_prefixes"),
+        F.sum(shared).cast("long").alias("docs_in_shared_groups"),
+        F.sum((F.col("n_docs") - 1) * F.col("plen"))
+        .cast("long")
+        .alias("cacheable_prefix_tokens"),
+        F.floor(
+            F.sum((F.col("n_docs") - 1) * F.col("plen"))
+            * 1000000
+            / F.sum(F.col("n_docs") * F.col("plen"))
+        )
+        .cast("long")
+        .alias("cache_hit_micros"),
+    )
+
+
+# ------------------------- k-anonymity risk audit --
+
+_KANON_K = 5
+
+
+def _kanon_oracle(k: int = _KANON_K) -> str:
+    return f"""
+    WITH qi AS (
+        SELECT event_type,
+               hour(ts) AS hr,
+               least(9, greatest(0,
+                   CAST(floor(value / 10.0) AS BIGINT))) AS vb,
+               user_id
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, hr, vb,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users
+        FROM qi GROUP BY event_type, hr, vb
+    )
+    SELECT event_type,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_qi_cells,
+           CAST(sum(CASE WHEN n_users < {k} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_risky_cells,
+           CAST(sum(CASE WHEN n_users < {k} THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(sum(CASE WHEN n_users < {k} THEN n_rows ELSE 0 END)
+                * 1000000 // sum(n_rows) AS BIGINT)
+               AS suppression_micros
+    FROM cells GROUP BY event_type
+    """
+
+
+@staged_query("k_anonymity_risk_audit", oracle=_kanon_oracle())
+def k_anonymity_risk_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-ANONYMITY RISK AUDIT over quasi-identifier cells — the
+    re-identification pre-check every data release runs: rows group
+    into QI cells (event_type x hour-of-day x value decile), a cell
+    with fewer than {_KANON_K} DISTINCT users is risky (its members
+    are re-identifiable by the QI tuple alone), and the audit grades
+    per event_type the risky-cell count, the rows at risk, and the
+    suppression fraction (exact floor micros) a k-anonymous release
+    would have to drop or generalize. Complements the governance
+    family's retention/erasure/subject-access rows with the
+    DISCLOSURE axis.
+
+    Scale shape: one partial+final aggregate to the bounded QI-cell
+    grain (|types| x 24 x 10) with count-distinct inside (partial
+    per partition), one bounded rollup. Nothing scales past the
+    first aggregate.
+
+    Reference basis: governance family (pii_scrub_stats r5,
+    right_to_erasure_cascade r12, subject_access_export r13,
+    data_retention_expiry_plan r14)."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 10.0).cast("long")
+            ),
+        ).alias("vb"),
+        "user_id",
+    )
+    cells = qi.groupBy("event_type", "hr", "vb").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    risky = F.col("n_users") < _KANON_K
+    return cells.groupBy("event_type").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_qi_cells"),
+        F.sum(F.when(risky, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_cells"),
+        F.sum(F.when(risky, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.floor(
+            F.sum(F.when(risky, F.col("n_rows")).otherwise(0))
+            * 1000000
+            / F.sum("n_rows")
+        )
+        .cast("long")
+        .alias("suppression_micros"),
+    )
+
+
+# ---------------- deterministic bootstrap CI on daily means --
+
+_BOOT_B = 200
+
+
+def _bootstrap_oracle(B: int = _BOOT_B) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int(
+        "(CAST(r.b AS VARCHAR) || '#' || CAST(i.pos AS VARCHAR))"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, cents, n,
+               row_number() OVER (ORDER BY d) - 1 AS pos,
+               count(*) OVER () AS nd
+        FROM daily
+    ),
+    draws AS (
+        SELECT r.b, ({h} % i.nd) AS pick
+        FROM (SELECT unnest(range({B})) AS b) r
+        CROSS JOIN idx i
+    ),
+    resampled AS (
+        SELECT d.b,
+               CAST(sum(x.cents) AS BIGINT) AS tot_cents,
+               CAST(sum(x.n) AS BIGINT) AS tot_n
+        FROM draws d JOIN idx x ON x.pos = d.pick
+        GROUP BY d.b
+    ),
+    means AS (
+        SELECT b, tot_cents * 1000000 // tot_n AS mean_micros,
+               row_number() OVER (
+                   ORDER BY tot_cents * 1000000 // tot_n, b
+               ) AS rk
+        FROM resampled
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT sum(cents) * 1000000 // sum(n) FROM daily)
+                AS BIGINT) AS mean_cents_micros,
+           CAST(min(CASE WHEN rk = {max(1, B // 20)}
+                    THEN mean_micros END) AS BIGINT) AS ci_lo_micros,
+           CAST(min(CASE WHEN rk = {B - B // 20}
+                    THEN mean_micros END) AS BIGINT) AS ci_hi_micros
+    FROM means
+    """
+
+
+@staged_query("bootstrap_ci_daily_mean", oracle=_bootstrap_oracle())
+def bootstrap_ci_daily_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC BOOTSTRAP confidence interval for the mean daily
+    revenue — resampling made cross-engine exact: the day-grain frame
+    (bounded, ~30 rows) is resampled {_BOOT_B} times with md5-indexed
+    draws (resample b, slot i -> day md5(b#i) mod n_days — the
+    repo-standard determinism device), each resample's mean renders
+    as exact floor micros, and the 5th/95th nearest-rank order
+    statistics of the {_BOOT_B} means give the CI. Grades the
+    uncertainty-quantification operator every metrics pipeline needs
+    before calling a day-over-day delta real.
+
+    Scale shape: ONE partial+final aggregate collapses the fact scan
+    to the day grain; every resample draw, join, and ranking runs on
+    bounded frames (B x n_days ~ 6000 rows). The bootstrap's
+    classically quadratic resample cost attaches to the AGGREGATE
+    grain, not the data — the pattern that makes bootstrapping
+    viable at 100 TB.
+
+    Reference basis: statistics family (binned_ks_statistic r10,
+    chi2_independence r13, cusum_drift_flags r13 — this adds the
+    resampling-CI primitive)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    B = _BOOT_B
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    idx = daily.select(
+        "d",
+        "cents",
+        "n",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    rframe = spark.range(B).select(F.col("id").alias("b"))
+    hx = spark_md5_int(
+        "concat(cast(b as string), '#', cast(i as string))"
+    )
+    draws = (
+        rframe.crossJoin(
+            idx.select(F.col("pos").alias("i"), F.col("nd"))
+        )
+        .where(F.col("i") < F.col("nd"))
+        .select("b", F.expr(f"({hx}) % nd").alias("pick"))
+    )
+    resampled = (
+        draws.join(
+            idx.select("pos", "cents", "n"),
+            draws.pick == F.col("pos"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("cents").cast("long").alias("tot_cents"),
+            F.sum("n").cast("long").alias("tot_n"),
+        )
+    )
+    means = resampled.select(
+        "b",
+        F.floor(
+            F.col("tot_cents") * 1000000 / F.col("tot_n")
+        )
+        .cast("long")
+        .alias("mean_micros"),
+    ).select(
+        "mean_micros",
+        F.row_number()
+        .over(Window.orderBy("mean_micros", "b"))
+        .alias("rk"),
+    )
+    lo_rk, hi_rk = max(1, B // 20), B - B // 20
+    ci = means.agg(
+        F.min(
+            F.when(F.col("rk") == lo_rk, F.col("mean_micros"))
+        ).alias("ci_lo_micros"),
+        F.min(
+            F.when(F.col("rk") == hi_rk, F.col("mean_micros"))
+        ).alias("ci_hi_micros"),
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.floor(F.sum("cents") * 1000000 / F.sum("n"))
+        .cast("long")
+        .alias("mean_cents_micros"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_days",
+        "mean_cents_micros",
+        F.col("ci_lo_micros").cast("long"),
+        F.col("ci_hi_micros").cast("long"),
+    )
