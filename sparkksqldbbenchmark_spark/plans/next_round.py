@@ -1514,3 +1514,360 @@ def bootstrap_ci_daily_mean(
         F.col("ci_lo_micros").cast("long"),
         F.col("ci_hi_micros").cast("long"),
     )
+
+
+# ----------- join-cardinality histogram estimate, certified --
+
+_CARD_BUCKETS = 64
+
+
+def _cardinality_oracle(nb: int = _CARD_BUCKETS) -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_custkey % {nb} AS bkt,
+               count(*) AS n,
+               count(DISTINCT o_custkey) AS d
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT c_custkey % {nb} AS bkt,
+               count(*) AS n,
+               count(DISTINCT c_custkey) AS d
+        FROM customer GROUP BY 1
+    ),
+    est AS (
+        SELECT CAST(sum(o.n * c.n / greatest(c.d, 1)) AS BIGINT)
+                   AS predicted
+        FROM o JOIN c ON c.bkt = o.bkt
+    ),
+    act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT est.predicted, act.actual,
+           CAST(est.predicted * 1000000 // act.actual AS BIGINT)
+               AS ratio_micros,
+           (est.predicted * 10 >= act.actual
+            AND est.predicted <= act.actual * 10) AS within_10x
+    FROM est, act
+    """
+
+
+@staged_query(
+    "join_cardinality_histogram_estimate",
+    oracle=_cardinality_oracle(),
+)
+def join_cardinality_histogram_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN-CARDINALITY ESTIMATION from bucketed key histograms,
+    certified against the exact join — the cost-based-optimizer
+    primitive graded as a value: both join sides collapse to a
+    {_CARD_BUCKETS}-bucket key histogram (rows + distinct keys per
+    bucket), the classic uniformity-within-bucket estimator predicts
+    |A join B| = sum_b n_A(b) * n_B(b) / d_B(b) (integer floor
+    arithmetic), and the row grades predicted vs the ACTUAL exact
+    join count, the floor-micros ratio, and a within-10x certificate
+    — the accuracy envelope AQE/CBO decisions (broadcast vs shuffle,
+    skew split) depend on.
+
+    Scale shape: the histograms are one partial+final aggregate per
+    side to a bounded {_CARD_BUCKETS}-row frame (count-distinct
+    partials per bucket); the estimate is a bounded join of the two
+    histograms. The exact join here exists to GRADE the estimator —
+    in production the histogram replaces it, which is the point.
+    The pattern is how a 1000-executor planner sizes a join without
+    running it.
+
+    Reference basis: scale-pattern family (aqe_runtime_broadcast_
+    conversion r12, aqe_skew_join_split r9 TAIL, analyze_column_stats
+    r5 — this grades the ESTIMATOR those runtime decisions trust)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.groupBy(
+        (F.col("o_custkey") % _CARD_BUCKETS).alias("bkt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.countDistinct("o_custkey").alias("d_o"),
+    )
+    c = customer.groupBy(
+        (F.col("c_custkey") % _CARD_BUCKETS).alias("bkt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("c_custkey").alias("d_c"),
+    )
+    est = (
+        o.join(c, "bkt")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("n_o")
+                    * F.col("n_c")
+                    / F.greatest(F.col("d_c"), F.lit(1))
+                )
+            )
+            .cast("long")
+            .alias("predicted")
+        )
+    )
+    act = (
+        orders.join(
+            customer,
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "predicted",
+        "actual",
+        F.floor(F.col("predicted") * 1000000 / F.col("actual"))
+        .cast("long")
+        .alias("ratio_micros"),
+        (
+            (F.col("predicted") * 10 >= F.col("actual"))
+            & (F.col("predicted") <= F.col("actual") * 10)
+        ).alias("within_10x"),
+    )
+
+
+# ------------------- rolling-origin backtest folds --
+
+_BT_FOLDS = 5
+_BT_HORIZON = 3  # test-window days per fold
+
+
+def _backtest_oracle(k: int = _BT_FOLDS, h: int = _BT_HORIZON) -> str:
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, n, cents,
+               row_number() OVER (ORDER BY d) - 1 AS pos,
+               count(*) OVER () AS nd
+        FROM daily
+    ),
+    folds AS (
+        SELECT f.f,
+               (SELECT max(nd) FROM idx) - ({k} - f.f) * {h} AS cut
+        FROM (SELECT unnest(range({k})) AS f) f
+    )
+    SELECT CAST(f.f AS BIGINT) AS fold,
+           CAST(f.cut AS BIGINT) AS train_days,
+           CAST(sum(CASE WHEN i.pos < f.cut THEN i.n ELSE 0 END)
+                AS BIGINT) AS train_rows,
+           CAST(sum(CASE WHEN i.pos >= f.cut
+                          AND i.pos < f.cut + {h}
+                         THEN i.n ELSE 0 END) AS BIGINT) AS test_rows,
+           CAST(sum(CASE WHEN i.pos < f.cut THEN i.cents ELSE 0 END)
+                * 1000000
+                // greatest(sum(CASE WHEN i.pos < f.cut
+                                     THEN i.n ELSE 0 END), 1)
+                AS BIGINT) AS train_mean_micros,
+           CAST(sum(CASE WHEN i.pos >= f.cut AND i.pos < f.cut + {h}
+                         THEN i.cents ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN i.pos >= f.cut
+                                      AND i.pos < f.cut + {h}
+                                     THEN i.n ELSE 0 END), 1)
+                AS BIGINT) AS test_mean_micros
+    FROM folds f CROSS JOIN idx i
+    GROUP BY f.f, f.cut
+    """
+
+
+@staged_query(
+    "rolling_origin_backtest_folds", oracle=_backtest_oracle()
+)
+def rolling_origin_backtest_folds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST FOLD PLAN — time-series
+    cross-validation (the temporal twin of the graduating
+    stratified_kfold_assignment): {_BT_FOLDS} expanding-origin folds,
+    each training on all days before its cut and testing on the next
+    {_BT_HORIZON}-day window, with per-fold train/test row counts and
+    exact floor-micros mean values — the leakage-free evaluation
+    schedule every forecasting and drift-monitoring pipeline needs
+    (a shuffled k-fold would leak the future into training).
+
+    Scale shape: one partial+final aggregate to the bounded day
+    frame; the fold plan is a {_BT_FOLDS}-row literal frame crossed
+    with that bounded frame. The fact scan is touched once,
+    regardless of fold count — folds are WINDOWS over the aggregate,
+    not re-scans.
+
+    Reference basis: evaluation/split family (stratified_kfold r13,
+    temporal_split_straddle_audit r14, hash_split_assignment r2 —
+    this adds the expanding-origin schedule)."""
+    k, h = _BT_FOLDS, _BT_HORIZON
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    idx = daily.select(
+        "n",
+        "cents",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    folds = spark.range(k).select(F.col("id").alias("fold"))
+    j = folds.crossJoin(idx).select(
+        "fold",
+        "pos",
+        "n",
+        "cents",
+        (F.col("nd") - (k - F.col("fold")) * h).alias("cut"),
+    )
+    in_train = F.col("pos") < F.col("cut")
+    in_test = (F.col("pos") >= F.col("cut")) & (
+        F.col("pos") < F.col("cut") + h
+    )
+    return j.groupBy("fold", "cut").agg(
+        F.sum(F.when(in_train, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("train_rows"),
+        F.sum(F.when(in_test, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("test_rows"),
+        F.floor(
+            F.sum(F.when(in_train, F.col("cents")).otherwise(0))
+            * 1000000
+            / F.greatest(
+                F.sum(F.when(in_train, F.col("n")).otherwise(0)),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("train_mean_micros"),
+        F.floor(
+            F.sum(F.when(in_test, F.col("cents")).otherwise(0))
+            * 1000000
+            / F.greatest(
+                F.sum(F.when(in_test, F.col("n")).otherwise(0)),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("test_mean_micros"),
+    ).select(
+        F.col("fold").cast("long"),
+        F.col("cut").cast("long").alias("train_days"),
+        "train_rows",
+        "test_rows",
+        "train_mean_micros",
+        "test_mean_micros",
+    )
+
+
+# ------------------- DPO preference-pair mining --
+
+_DPO_MIN_MARGIN_CENTS = 2000
+
+
+def _dpo_oracle(margin: int = _DPO_MIN_MARGIN_CENTS) -> str:
+    return f"""
+    WITH scored AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    best AS (
+        SELECT user_id,
+               min_by(event_id,
+                      (-cents) * 4398046511104 + event_id)
+                   AS chosen_id,
+               max(cents) AS chosen_cents
+        FROM scored GROUP BY user_id
+    ),
+    worst AS (
+        SELECT user_id,
+               min_by(event_id,
+                      cents * 4398046511104 + event_id)
+                   AS rejected_id,
+               min(cents) AS rejected_cents
+        FROM scored GROUP BY user_id
+    )
+    SELECT b.user_id,
+           b.chosen_id, w.rejected_id,
+           b.chosen_cents, w.rejected_cents,
+           b.chosen_cents - w.rejected_cents AS margin_cents
+    FROM best b JOIN worst w USING (user_id)
+    WHERE b.chosen_cents - w.rejected_cents >= {margin}
+      AND b.chosen_id != w.rejected_id
+    """
+
+
+@staged_query("dpo_margin_pair_mining", oracle=_dpo_oracle())
+def dpo_margin_pair_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PREFERENCE-PAIR MINING for DPO/RLHF training data — per prompt
+    (user_id as the prompt key), pair the highest-scored response
+    (chosen) with the lowest (rejected), deterministic ties to the
+    smallest event_id, and keep only pairs whose score margin clears
+    {_DPO_MIN_MARGIN_CENTS} cents — the margin filter that keeps
+    ambiguous pairs out of the preference dataset (the single
+    strongest lever on DPO data quality). Exact integer cents
+    throughout; argmax/argmin via composite-key min_by so both
+    engines pick identical ids.
+
+    Scale shape: ONE partial+final aggregate per side at the prompt
+    grain (min_by/max_by are mergeable single-pass aggregates — no
+    window, no sort), one prompt-grain join, one scan-side filter.
+    Output is prompt-grain (bounded by distinct prompts), the shape
+    that holds when prompts number billions.
+
+    Reference basis: LLM-pipeline family (sft_loss_mask_plan r14
+    plans the SFT pass; this plans the preference pass —
+    conversation_render_budget r10 TAIL renders what these select)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # composite BIGINT ordering key (cents <= 1e4, event_id < 2^42):
+    # primary score component, event_id tiebreak — exact in both engines
+    best = scored.groupBy("user_id").agg(
+        F.min_by(
+            "event_id",
+            (-F.col("cents")) * F.lit(4398046511104) + F.col("event_id"),
+        ).alias("chosen_id"),
+        F.max("cents").alias("chosen_cents"),
+    )
+    worst = scored.groupBy("user_id").agg(
+        F.min_by(
+            "event_id",
+            F.col("cents") * F.lit(4398046511104) + F.col("event_id"),
+        ).alias("rejected_id"),
+        F.min("cents").alias("rejected_cents"),
+    )
+    return (
+        best.join(worst, "user_id")
+        .where(
+            (
+                F.col("chosen_cents") - F.col("rejected_cents")
+                >= _DPO_MIN_MARGIN_CENTS
+            )
+            & (F.col("chosen_id") != F.col("rejected_id"))
+        )
+        .select(
+            "user_id",
+            "chosen_id",
+            "rejected_id",
+            "chosen_cents",
+            "rejected_cents",
+            (F.col("chosen_cents") - F.col("rejected_cents")).alias(
+                "margin_cents"
+            ),
+        )
+    )

@@ -1,0 +1,570 @@
+"""Invariant tests for the round-15 staged cohort (the round-16
+staging area, plans/next_round.py), beyond the value-hash oracle
+(tests/test_next_round.py): each operator's result is re-derived by an
+INDEPENDENT brute-force twin in plain Python over the collected slice
+— a second witness sharing none of the SQL machinery, the standard
+every staged cohort carries. Where the staged query uses an algebraic
+shortcut (the PAV max-min identity, the water-filling closed form, the
+Shapley weighted-marginal sum), the witness runs the DIRECT form the
+shortcut replaces (stack-based pooling, unit filling, the efficiency
+axiom).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_superstep2_matches_python_gather(spark):
+    """Both supersteps re-walked in Python over the SAME candidate
+    edge set (LSH bucket join is graded machinery since r8; the
+    two-level message passing is what the witness re-derives)."""
+    import pyspark.sql.functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    a = buckets.select(F.col("doc_id").alias("da"), "band_idx", "bh")
+    b = buckets.select(F.col("doc_id").alias("db"), "band_idx", "bh")
+    pairs = {
+        (r.da, r.db)
+        for r in a.join(b, ["band_idx", "bh"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .collect()
+    }
+    nbrs = defaultdict(set)
+    for u, v in pairs:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    h1 = {u: sum(deg[v] for v in vs) for u, vs in nbrs.items()}
+    expected = {
+        u: (
+            deg[u],
+            h1[u],
+            sum(h1[v] for v in vs),
+            max(h1[v] for v in vs),
+        )
+        for u, vs in nbrs.items()
+    }
+    got = {
+        r.doc_id: (r.degree, r.h1, r.h2_sum, r.h2_max)
+        for r in STAGED["graph_pregel_superstep2"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one dup edge"
+
+
+def _gopher_keep_and_tokens(docs):
+    """Shared Python walk of the Gopher keep + token counting used by
+    the curation-v3 witness (mirrors the graduated v2 witness)."""
+    kept = {}
+    for r in docs:
+        toks = r.text.split()
+        if not toks:
+            continue
+        sents, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if _md5int(w) & 3 == 0:
+                sents.append(" ".join(cur))
+                cur = []
+        if cur:
+            sents.append(" ".join(cur))
+        ns, nd = len(sents), len(set(sents))
+        if (ns - nd) * 1000000 // ns < 300000:
+            kept[r.doc_id] = (r.source, r.text, len(toks))
+    return kept
+
+
+def _shingles(text: str, n: int = 3):
+    toks = text.split()
+    return {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    }
+
+
+def test_curation_v3_matches_python_pipeline(spark):
+    """The four-stage pipeline re-run in plain Python: Gopher keep,
+    canonical dedup, EXACT containment decontamination (the direct
+    form the Bloom prefilter accelerates), and unit-by-unit water
+    filling (the direct form of the closed-form level)."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    pool = [r for r in rows if _md5int(str(r.doc_id)) % 10 != 0]
+    eval_docs = [r for r in rows if _md5int(str(r.doc_id)) % 10 == 0]
+    eval_sh = set()
+    for r in eval_docs:
+        eval_sh |= _shingles(r.text)
+    kept = _gopher_keep_and_tokens(pool)
+    # canonical dedup by md5(text)
+    canon = {}
+    for did, (src, text, nw) in sorted(kept.items()):
+        key = hashlib.md5(text.encode()).hexdigest()
+        canon.setdefault(key, did)
+    deduped = {
+        did: v
+        for did, v in kept.items()
+        if canon[hashlib.md5(v[1].encode()).hexdigest()] == did
+    }
+    # exact containment decontam
+    clean, dropped = {}, Counter()
+    for did, (src, text, nw) in deduped.items():
+        if _shingles(text) & eval_sh:
+            dropped[src] += 1
+        else:
+            clean[did] = (src, nw)
+    totals = Counter()
+    counts = Counter()
+    for src, nw in clean.values():
+        totals[src] += nw
+        counts[src] += 1
+    # direct water filling: one token-unit at a time to the lowest
+    budget = sum(totals.values()) // 2
+    alloc = {s: 0 for s in totals}
+    for _ in range(budget):
+        cands = [s for s in alloc if alloc[s] < totals[s]]
+        if not cands:
+            break
+        s = min(cands, key=lambda s: (alloc[s], s))
+        alloc[s] += 1
+    got = {
+        r.source: (
+            r.docs_kept,
+            r.docs_decontaminated,
+            r.total_tokens,
+            r.allocated_tokens,
+        )
+        for r in STAGED["curation_pipeline_v3_composed"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(totals)
+    for src in totals:
+        assert got[src] == (
+            counts[src],
+            dropped.get(src, 0),
+            totals[src],
+            alloc[src],
+        ), src
+    assert sum(dropped.values()) > 0, (
+        "fixture must exercise the decontam stage"
+    )
+
+
+def test_pav_matches_stack_pooling(spark):
+    """The max-min identity checked against the DIRECT PAV stack
+    algorithm with exact Fractions, plus the monotonicity the fit
+    exists to guarantee."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "value", "event_type"
+    ).collect()
+    nb = 20
+    n = [0] * nb
+    k = [0] * nb
+    for r in rows:
+        b = min(nb - 1, max(0, math.floor(r.value / 5.0)))
+        n[b] += 1
+        k[b] += r.event_type == "purchase"
+    # PAV: maintain a stack of (sum_k, sum_n) pools with widths;
+    # merge while the left pool's mean exceeds the right's
+    stack = []
+    widths = []
+    for i in range(nb):
+        ck, cn, w = k[i], n[i], 1
+        while stack and (
+            cn == 0
+            or stack[-1][1] == 0
+            or Fraction(stack[-1][0], max(stack[-1][1], 1))
+            >= Fraction(ck, max(cn, 1))
+        ):
+            pk, pn = stack.pop()
+            pw = widths.pop()
+            ck += pk
+            cn += pn
+            w += pw
+        stack.append((ck, cn))
+        widths.append(w)
+    fitted = []
+    for (ck, cn), w in zip(stack, widths):
+        f = Fraction(ck, cn) if cn else Fraction(0)
+        fitted.extend([f] * w)
+    got = {
+        r.bin: (r.n, r.k, r.fitted_micros)
+        for r in STAGED["pav_isotonic_calibration_binned"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(got) == nb
+    prev = -1
+    for i in range(nb):
+        assert got[i][0] == n[i] and got[i][1] == k[i]
+        expect_micros = (fitted[i].numerator * 1000000) // fitted[
+            i
+        ].denominator
+        assert got[i][2] == expect_micros, (i, fitted[i])
+        assert got[i][2] >= prev, "isotonic fit must be monotone"
+        prev = got[i][2]
+
+
+def test_kendall_matches_bruteforce_pairs(spark):
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        if len(by_src[r.source]) < 40:
+            by_src[r.source].append(
+                (r.n_chars, _md5int(r.text) % 1000)
+            )
+    got = {
+        r.source: r
+        for r in STAGED["kendall_tau_topk_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, pts in by_src.items():
+        nc = nd = tx = ty = txy = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dy > 0:
+                    nc += 1
+                elif dx * dy < 0:
+                    nd += 1
+                elif dx == 0 and dy == 0:
+                    txy += 1
+                elif dx == 0:
+                    tx += 1
+                else:
+                    ty += 1
+        g = got[src]
+        assert (
+            g.concordant,
+            g.discordant,
+            g.ties_x,
+            g.ties_y,
+            g.ties_xy,
+            g.tau_numerator,
+        ) == (nc, nd, tx, ty, txy, nc - nd), src
+
+
+def test_shapley_matches_direct_sum_and_efficiency(spark):
+    """The weighted-marginal sum re-derived from the per-user masks,
+    and the EFFICIENCY AXIOM asserted: sum of Shapley values equals
+    v(grand coalition) - v(empty), scaled by n!."""
+    chans = ("click", "error", "signup", "view")
+    n = len(chans)
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    users = defaultdict(lambda: [0, 0])
+    for r in rows:
+        u = users[r.user_id]
+        if r.event_type == "purchase":
+            u[1] = 1
+        elif r.event_type in chans:
+            u[0] |= 1 << chans.index(r.event_type)
+    agg = defaultdict(lambda: [0, 0])
+    for mask, conv in users.values():
+        agg[mask][0] += 1
+        agg[mask][1] += conv
+    v = {}
+    for mask in range(1 << n):
+        cnt, conv = agg.get(mask, (0, 0))
+        v[mask] = (conv * 1000000) // max(cnt, 1)
+    phi = {}
+    for i in range(n):
+        tot = 0
+        for mask in range(1 << n):
+            if mask & (1 << i):
+                continue
+            s = bin(mask).count("1")
+            w = math.factorial(s) * math.factorial(n - 1 - s)
+            tot += w * (v[mask | (1 << i)] - v[mask])
+        phi[chans[i]] = tot
+    got = {
+        r.channel: r.phi_weighted_micros
+        for r in STAGED["shapley_attribution_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == phi
+    assert sum(phi.values()) == math.factorial(n) * (
+        v[(1 << n) - 1] - v[0]
+    ), "efficiency axiom"
+
+
+def test_bigram_acceptance_matches_counter_walk(spark):
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    counts = defaultdict(Counter)
+    positions = defaultdict(list)
+    for r in rows:
+        toks = r.text.split()
+        for w1, w2 in zip(toks, toks[1:]):
+            counts[r.source][(w1, w2)] += 1
+            positions[r.source].append((w1, w2))
+    got = {
+        r.source: r
+        for r in STAGED["bigram_draft_acceptance_rate"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, pos in positions.items():
+        pred = {}
+        for (w1, w2), c in counts[src].items():
+            cur = pred.get(w1)
+            if cur is None or (-c, w2) < cur[0]:
+                pred[w1] = ((-c, w2), w2)
+        acc = sum(1 for w1, w2 in pos if pred[w1][1] == w2)
+        g = got[src]
+        assert (g.n_positions, g.n_accepted) == (len(pos), acc), src
+        assert g.acceptance_micros == acc * 1000000 // len(pos)
+
+
+def test_prefix_cache_matches_counter_walk(spark):
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    groups = defaultdict(Counter)
+    plens = {}
+    for r in rows:
+        toks = r.text.split()
+        pfx = " ".join(toks[:8])
+        groups[r.source][pfx] += 1
+        plens[(r.source, pfx)] = min(8, len(toks))
+    got = {
+        r.source: r
+        for r in STAGED["prefix_cache_hit_mass"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for src, cnt in groups.items():
+        n_docs = sum(cnt.values())
+        shared = sum(c for c in cnt.values() if c > 1)
+        cacheable = sum(
+            (c - 1) * plens[(src, p)] for p, c in cnt.items()
+        )
+        total = sum(c * plens[(src, p)] for p, c in cnt.items())
+        g = got[src]
+        assert (
+            g.n_docs,
+            g.n_distinct_prefixes,
+            g.docs_in_shared_groups,
+            g.cacheable_prefix_tokens,
+            g.cache_hit_micros,
+        ) == (
+            n_docs,
+            len(cnt),
+            shared,
+            cacheable,
+            cacheable * 1000000 // total,
+        ), src
+
+
+def test_k_anonymity_matches_counter_walk(spark):
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value", "user_id"
+    ).collect()
+    cells = defaultdict(lambda: [0, set()])
+    for r in rows:
+        vb = min(9, max(0, math.floor(r.value / 10.0)))
+        c = cells[(r.event_type, r.ts.hour, vb)]
+        c[0] += 1
+        c[1].add(r.user_id)
+    got = {
+        r.event_type: r
+        for r in STAGED["k_anonymity_risk_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    per_type = defaultdict(lambda: [0, 0, 0, 0])
+    for (et, _, _), (nrows, uset) in cells.items():
+        t = per_type[et]
+        t[0] += nrows
+        t[1] += 1
+        if len(uset) < 5:
+            t[2] += 1
+            t[3] += nrows
+    for et, (nrows, ncells, risky, at_risk) in per_type.items():
+        g = got[et]
+        assert (
+            g.n_rows,
+            g.n_qi_cells,
+            g.n_risky_cells,
+            g.rows_at_risk,
+            g.suppression_micros,
+        ) == (
+            nrows,
+            ncells,
+            risky,
+            at_risk,
+            at_risk * 1000000 // nrows,
+        ), et
+
+
+def test_bootstrap_matches_direct_resampling(spark):
+    rows = load_table(spark, SF_DIR, "events").select(
+        "ts", "value"
+    ).collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        d = r.ts.date()
+        daily[d][0] += math.floor(r.value * 100)
+        daily[d][1] += 1
+    days = sorted(daily)
+    nd = len(days)
+    means = []
+    for b in range(200):
+        tc = tn = 0
+        for i in range(nd):
+            pick = _md5int(f"{b}#{i}") % nd
+            c, n = daily[days[pick]]
+            tc += c
+            tn += n
+        means.append(tc * 1000000 // tn)
+    order = sorted(range(200), key=lambda b: (means[b], b))
+    lo = means[order[200 // 20 - 1]]
+    hi = means[order[200 - 200 // 20 - 1]]
+    tot_c = sum(v[0] for v in daily.values())
+    tot_n = sum(v[1] for v in daily.values())
+    g = STAGED["bootstrap_ci_daily_mean"](spark, SF_DIR).collect()[0]
+    assert g.n_days == nd
+    assert g.mean_cents_micros == tot_c * 1000000 // tot_n
+    assert (g.ci_lo_micros, g.ci_hi_micros) == (lo, hi)
+    assert g.ci_lo_micros <= g.mean_cents_micros <= g.ci_hi_micros
+
+
+def test_cardinality_estimate_matches_dict_walk(spark):
+    orders = [
+        r.o_custkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .collect()
+    ]
+    custs = [
+        r.c_custkey
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    ob, cbn, cbd = Counter(), Counter(), defaultdict(set)
+    for k in orders:
+        ob[k % 64] += 1
+    for k in custs:
+        cbn[k % 64] += 1
+        cbd[k % 64].add(k)
+    predicted = sum(
+        ob[b] * cbn[b] // max(len(cbd[b]), 1) for b in ob if b in cbn
+    )
+    cset = Counter(custs)
+    actual = sum(cset[k] for k in orders)
+    g = STAGED["join_cardinality_histogram_estimate"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert g.actual == actual
+    assert g.predicted == predicted
+    assert g.ratio_micros == predicted * 1000000 // actual
+    assert bool(g.within_10x) == (
+        predicted * 10 >= actual and predicted <= actual * 10
+    )
+
+
+def test_backtest_folds_match_day_walk(spark):
+    rows = load_table(spark, SF_DIR, "events").select(
+        "ts", "value"
+    ).collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        d = r.ts.date()
+        daily[d][0] += 1
+        daily[d][1] += math.floor(r.value * 100)
+    days = sorted(daily)
+    nd = len(days)
+    got = {
+        r.fold: r
+        for r in STAGED["rolling_origin_backtest_folds"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for f in range(5):
+        cut = nd - (5 - f) * 3
+        tr = [daily[days[i]] for i in range(max(cut, 0))]
+        te = [
+            daily[days[i]]
+            for i in range(max(cut, 0), min(cut + 3, nd))
+            if i >= 0
+        ]
+        trn = sum(x[0] for x in tr)
+        ten = sum(x[0] for x in te)
+        g = got[f]
+        assert g.train_days == cut
+        assert g.train_rows == trn and g.test_rows == ten, f
+        assert g.train_mean_micros == (
+            sum(x[1] for x in tr) * 1000000 // max(trn, 1)
+        )
+        assert g.test_mean_micros == (
+            sum(x[1] for x in te) * 1000000 // max(ten, 1)
+        )
+        # expanding origin: strictly growing training windows
+        if f > 0:
+            assert got[f].train_rows >= got[f - 1].train_rows
+
+
+def test_dpo_pairs_match_per_user_walk(spark):
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(
+            (math.floor(r.value * 100), r.event_id)
+        )
+    expected = {}
+    for u, evs in per_user.items():
+        chosen = min(evs, key=lambda t: (-t[0], t[1]))
+        rejected = min(evs, key=lambda t: (t[0], t[1]))
+        margin = chosen[0] - rejected[0]
+        if margin >= 2000 and chosen[1] != rejected[1]:
+            expected[u] = (
+                chosen[1],
+                rejected[1],
+                chosen[0],
+                rejected[0],
+                margin,
+            )
+    got = {
+        r.user_id: (
+            r.chosen_id,
+            r.rejected_id,
+            r.chosen_cents,
+            r.rejected_cents,
+            r.margin_cents,
+        )
+        for r in STAGED["dpo_margin_pair_mining"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must yield at least one pair"
