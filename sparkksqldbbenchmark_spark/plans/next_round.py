@@ -1122,20 +1122,23 @@ def bigram_draft_acceptance_rate(
     bpe_pair_merge_candidates r11 TAIL, token_pmi_top_pairs r13 —
     this adds the acceptance-rate lens those tables feed)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
+    # bigrams are built SCAN-SIDE by zipping the token array with its
+    # own tail — no positional self-join (the join form measured 3x
+    # slower at 1M docs in tools/scale_smoke.py --r16: it shuffles the
+    # 59M-token position table twice before the first aggregate)
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    bigrams = docs.select(
         "source",
-        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
-            "i", "w"
-        ),
-    ).where(F.col("w") != "")
-    a = toks.select("doc_id", "source", "i", F.col("w").alias("w1"))
-    b = toks.select(
-        "doc_id",
-        (F.col("i") - 1).alias("i"),
-        F.col("w").alias("w2"),
-    )
-    bigrams = a.join(b, ["doc_id", "i"]).select("source", "w1", "w2")
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda w1, w2: F.struct(
+                    w1.alias("w1"), w2.alias("w2")
+                ),
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     counts = bigrams.groupBy("source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c")
     )

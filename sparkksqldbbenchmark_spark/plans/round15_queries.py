@@ -177,9 +177,13 @@ def gk_summary_union_merge_certified(
             )
         )
     )
+    # est_cents rides as a grouping key so the summary pipeline is
+    # computed ONCE (a trailing join back to `est` would re-derive the
+    # whole shard-summary subtree — visible as a duplicated Exchange
+    # pair in the physical plan)
     cert = (
         v.join(F.broadcast(est), "event_type")
-        .groupBy("event_type")
+        .groupBy("event_type", "est_cents")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(
@@ -195,7 +199,7 @@ def gk_summary_union_merge_certified(
         )
     )
     bound = 2 * _GK_SHARDS * _GK_K
-    return cert.join(F.broadcast(est), "event_type").select(
+    return cert.select(
         "event_type",
         "n",
         "est_cents",

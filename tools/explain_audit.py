@@ -180,11 +180,25 @@ ROUND14_AUDIT = [
     "rendezvous_shard_assignment_certified",  # scan-side HRW argmax fold
 ]
 
+# round-15 slot-filler head rows with plan-shape claims
+# (plans/round15_queries.py) — pinned from the registry
+ROUND15_AUDIT = [
+    "gk_summary_union_merge_certified",  # sharded summaries, bounded merge window, broadcast cert
+    "psi_drift_bins_exact",  # bounded bin grid, 1-row midpoint broadcast
+]
+
 # staged rows with plan-shape claims worth pinning before they
 # rotate into the graded head (plans/next_round.py) — this list
-# tracks the CURRENT staging area only (empty post-drain; the
-# round-16 refill repopulates it)
-STAGED_AUDIT = []
+# tracks the CURRENT staging area only
+STAGED_AUDIT = [
+    "graph_pregel_superstep2",  # two node-grain gathers, no edge-grain blowup
+    "curation_pipeline_v3_composed",  # bloom broadcast + flagged-sliver exact join
+    "bigram_draft_acceptance_rate",  # two shuffles: bigram agg + vocab-grain join
+    "prefix_cache_hit_mass",  # scan-side slice, group-grain aggregate
+    "join_cardinality_histogram_estimate",  # bounded histograms vs exact join
+    "pav_isotonic_calibration_binned",  # 20-bin bounded pair/triple frames
+    "bootstrap_ci_daily_mean",  # day-grain collapse, bounded resample frame
+]
 
 
 def main() -> None:
@@ -204,7 +218,7 @@ def main() -> None:
         "",
     ]
     staged_names = [f"staged:{n}" for n in STAGED_AUDIT if n in STAGED]
-    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + ROUND14_AUDIT + staged_names:
+    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + ROUND14_AUDIT + ROUND15_AUDIT + staged_names:
         fn = (
             STAGED[name.removeprefix("staged:")]
             if name.startswith("staged:")
@@ -217,7 +231,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(ROUND14_AUDIT) + len(staged_names)} plans)")
+    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(ROUND14_AUDIT) + len(ROUND15_AUDIT) + len(staged_names)} plans)")
 
 
 if __name__ == "__main__":

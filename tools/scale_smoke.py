@@ -918,6 +918,257 @@ def round15_family_probes(spark, n: int) -> None:
     )
 
 
+def round16_family_probes(spark, n: int) -> None:
+    """Round-15 staged-shape probes for the corpus-scale round-16
+    staging rows (the others collapse to bounded frames at the first
+    aggregate and inherit measured families): bigram draft acceptance
+    (token-grain shuffle + vocab-grain predictor join), the second
+    Pregel superstep (two node-grain gathers over the dup graph),
+    prefix-cache hit mass (group-grain aggregate), and curation v3
+    (the v2 chain + Bloom decontam stage). Run via
+    `python tools/scale_smoke.py 100 --r16` (docs = rows/100)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+        spark_word_shingles,
+    )
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    base_id = F.when(
+        F.col("id") % 1000 == 999, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs_n = max(50_000, n // 100)
+    docs = spark.range(docs_n).withColumn("bid", base_id).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).cast("string").alias("source"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    ).localCheckpoint()
+
+    # --- bigram draft acceptance: scan-side zip + vocab join ---
+    t0 = _t.time()
+    tarr = F.split(F.trim(F.col("text")), "\\s+")
+    bigrams = docs.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(tarr, 1, F.greatest(F.size(tarr) - 1, F.lit(0))),
+                F.slice(tarr, 2, F.greatest(F.size(tarr) - 1, F.lit(0))),
+                lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "w1").orderBy(
+                    F.col("c").desc(), "w2"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("source", "w1", F.col("w2").alias("w2_pred"))
+    )
+    row = (
+        bigrams.join(pred, ["source", "w1"])
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.when(F.col("w2") == F.col("w2_pred"), 1).otherwise(0)
+            ).alias("na"),
+        )
+        .collect()[0]
+    )
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} bigram_acceptance={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, positions={row['np']:,}, "
+        f"accepted={row['na']:,})"
+    )
+
+    # --- second Pregel superstep over the dup graph ---
+    t0 = _t.time()
+    _, buckets = lsh_banded_buckets(docs, "text", "doc_id")
+    ca = buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
+    cb = buckets.select(F.col("doc_id").alias("doc_b"), "band_idx", "bh")
+    cand = (
+        ca.join(cb, ["band_idx", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy(F.col("u").alias("doc")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    h1 = (
+        edges.join(
+            deg.select(F.col("doc").alias("v"), F.col("degree").alias("dn")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("doc"))
+        .agg(F.sum("dn").alias("h1"))
+    )
+    h2 = (
+        edges.join(
+            h1.select(F.col("doc").alias("v"), F.col("h1").alias("mn")),
+            "v",
+        )
+        .groupBy(F.col("u"))
+        .agg(F.sum("mn").alias("h2"))
+    )
+    row = h2.agg(
+        F.count(F.lit(1)).alias("nodes"), F.sum("h2").alias("mass")
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} pregel_superstep2={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, nodes={row['nodes']:,})"
+    )
+
+    # --- prefix-cache hit mass ---
+    t0 = _t.time()
+    tokc = F.split(F.trim(F.col("text")), "\\s+")
+    pfx = docs.select(
+        "source",
+        F.array_join(F.slice(tokc, 1, 8), " ").alias("prefix"),
+        F.least(F.lit(8), F.size(tokc)).alias("plen"),
+    )
+    groups = pfx.groupBy("source", "prefix", "plen").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    row = groups.agg(
+        F.sum("n_docs").alias("nd"),
+        F.sum((F.col("n_docs") - 1) * F.col("plen")).alias("cache"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} prefix_cache={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, cacheable={row['cache']:,})"
+    )
+
+    # --- curation v3: gopher -> dedup -> bloom decontam -> totals ---
+    t0 = _t.time()
+    evalsplit = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % 10"
+    )
+    pool = docs.where(evalsplit != 0)
+    eval_docs = docs.where(evalsplit == 0)
+    shexpr = F.expr(spark_word_shingles("text", 3))
+    eval_sh = eval_docs.select(F.explode(shexpr).alias("esh")).distinct()
+    tk = pool.select(
+        "doc_id", "source", "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs_e = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs_e},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = tk.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id", "source", "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+    keepers = quality.where(
+        (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000
+    )
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+    m, kbits = 4096, 3
+    j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        eval_sh.select(F.col("esh").alias("sh"), j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    train_sh = deduped.select("doc_id", F.explode(shexpr).alias("sh"))
+    probes = train_sh.select("doc_id", "sh", j).select(
+        "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    flagged_sh = (
+        probes.join(
+            F.broadcast(bloom), F.expr("word = p DIV 32"), "left"
+        )
+        .select(
+            "doc_id", "sh",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("bits & shiftleft(1L, cast(p % 32 as int))")
+                    != 0
+                ),
+                1,
+            ).otherwise(0).alias("hit"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.sum("hit").alias("hits"))
+        .where(F.col("hits") == kbits)
+    )
+    contaminated = (
+        flagged_sh.join(
+            eval_sh.select(F.col("esh").alias("sh")), "sh"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    row = clean.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("n_words").alias("tok"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} curation_v3_composed={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, kept={row['kept']:,}, "
+        f"tokens={row['tok'] or 0:,})"
+    )
+
+
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
@@ -942,6 +1193,9 @@ def main() -> None:
         return
     if "--r15" in sys.argv:
         round15_family_probes(spark, n)
+        return
+    if "--r16" in sys.argv:
+        round16_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad

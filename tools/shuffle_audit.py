@@ -74,6 +74,15 @@ BOUNDED_BNL = {
     "temporal_split_straddle_audit",     # 1-row boundary scalar broadcast
     "curation_pipeline_v2_composed",     # 1-row budget/level scalars (waterfill stage)
     "macro_f1_exact",                    # 3-row class spine broadcast
+    # round-15 head + staged cohort (every BNL below is a
+    # constant-size frame):
+    "psi_drift_bins_exact",              # 1-row epoch-midpoint scalar broadcast
+    "curation_pipeline_v3_composed",     # 1-row budget/level scalars (waterfill stage)
+    "pav_isotonic_calibration_binned",   # 20-bin frame: range-join pair/triple enumeration
+    "shapley_attribution_exact",         # 16-row coalition grid x 4-channel literals
+    "bootstrap_ci_daily_mean",           # bounded day frame x 200 resample ids + 1-row CI scalars
+    "join_cardinality_histogram_estimate",  # 1-row predicted x 1-row actual scalars
+    "rolling_origin_backtest_folds",     # 5-row fold frame x bounded day frame
 }
 
 
