@@ -1874,3 +1874,163 @@ def dpo_margin_pair_mining(
             ),
         )
     )
+
+
+# ----------- union of streams with DIFFERENT watermark delays --
+
+
+@staged_query(
+    "streaming_union_multiple_watermarks",
+    oracle="""
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    day1 AS (
+        SELECT ts, user_id FROM events, d0
+        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    tagged AS (
+        SELECT ts,
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS tag
+        FROM day1
+    ),
+    wm AS (
+        -- the GLOBAL watermark is the MIN across the two streams'
+        -- own watermarks: stream a (even users, 10-minute delay) and
+        -- stream b (odd users, 2-hour delay) each advance from their
+        -- OWN max event time
+        SELECT least(
+            (SELECT max(ts) FROM day1 WHERE user_id % 2 = 0)
+                - INTERVAL 10 MINUTE,
+            (SELECT max(ts) FROM day1 WHERE user_id % 2 = 1)
+                - INTERVAL 2 HOUR
+        ) AS w FROM day1 LIMIT 1
+    ),
+    b AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, tag
+        FROM tagged
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           tag,
+           count(*) AS n
+    FROM b, wm
+    WHERE ws + INTERVAL 15 MINUTE <= wm.w
+    GROUP BY ws, tag
+    """,
+)
+def streaming_union_multiple_watermarks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNION OF STREAMS WITH DIFFERENT WATERMARK DELAYS — the
+    multiple-watermark GLOBAL-MIN policy graded as a value (Spark's
+    default spark.sql.streaming.multipleWatermarkPolicy=min): stream
+    A carries the even-user half of day 1 with a 10-MINUTE delay,
+    stream B the odd-user half with a 2-HOUR delay, and the unioned
+    15-minute tumbling count runs in append mode. The global
+    watermark is min(maxA - 10min, maxB - 2h) — effectively maxB-2h,
+    so the LAX stream holds the whole union back and the emitted
+    closed-set stops ~2 hours early. If the engine wrongly advanced
+    on stream A's tighter watermark it would emit ~7 more windows
+    per tag and the value hash would fail — the policy is
+    observable, not vacuous.
+
+    Fixture: the proven ordered-file device (mtime-forced,
+    maxFilesPerTrigger=1, three files per stream: bulk, max-ts row,
+    then a duplicate max-ts row whose window can never close — it
+    exists only to trigger the final batch in which the
+    fully-advanced global watermark flushes the closed set). Fixture
+    dirs and the auto checkpoint are reclaimed (round-15 hygiene).
+
+    Scale shape: standard union + watermarked tumbling aggregate —
+    state bounded by open windows of the union; the min policy is
+    exactly what bounds correctness (never emit a window a lagging
+    source could still fill) when a 100 TB ingest fans in from
+    sources with different latencies.
+
+    Reference basis: SURVEY §2.9 T4/U2 (watermark x union): the
+    reference unions two Kafka topics into one windowed aggregate
+    (SparkWeatherConsumer.scala:232) with a single delay; this grades
+    what its deployment would hit the day the topics lag
+    differently."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0")
+    )
+    day1 = (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("ts") >= F.col("t0"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        )
+        .select("ts", "user_id", "event_id")
+    )
+    wlast = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    base = tempfile.mkdtemp(prefix="multiwm_")
+    try:
+        dirs = {}
+        for tag, parity in (("a", 0), ("b", 1)):
+            part = day1.where(F.col("user_id") % 2 == parity)
+            marked = part.withColumn(
+                "__rk", F.row_number().over(wlast)
+            )
+            head = marked.where(F.col("__rk") > 1).select("ts")
+            tail = marked.where(F.col("__rk") == 1).select("ts")
+            sdir = os.path.join(base, f"stream_{tag}")
+            os.makedirs(sdir)
+            for i, part_df in enumerate((head, tail, tail)):
+                tmp = os.path.join(base, f"part_{tag}{i}")
+                part_df.coalesce(1).write.mode("overwrite").parquet(
+                    tmp
+                )
+                pf = [
+                    f
+                    for f in os.listdir(tmp)
+                    if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(sdir, f"file{i}.parquet")
+                shutil.copy(os.path.join(tmp, pf), dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+            dirs[tag] = sdir
+        sa = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs["a"])
+            .withWatermark("ts", "10 minutes")
+            .select("ts", F.lit("a").alias("tag"))
+        )
+        sb = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs["b"])
+            .withWatermark("ts", "2 hours")
+            .select("ts", F.lit("b").alias("tag"))
+        )
+        agged = (
+            sa.unionByName(sb)
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format(
+                    "w.start", "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "tag",
+                "n",
+            )
+        )
+        name = f"multiwm_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="append")
+        q.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # the duplicate max-ts file only populates the never-closing last
+    # window, so the emitted (append-mode) set is unaffected by it
+    return spark.table(name)

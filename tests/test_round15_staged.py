@@ -568,3 +568,58 @@ def test_dpo_pairs_match_per_user_walk(spark):
     }
     assert got == expected
     assert expected, "fixture must yield at least one pair"
+
+
+def test_multiwm_emitted_set_matches_min_policy_walk(spark):
+    """The union's append-mode emitted set re-derived in Python under
+    the GLOBAL-MIN watermark rule — and the salience check: the min
+    policy must emit STRICTLY FEWER windows than stream A's tighter
+    10-minute watermark alone would, so the graded value genuinely
+    distinguishes the policies."""
+    import datetime
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "ts", "user_id"
+    ).collect()
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    day1 = [
+        r for r in rows if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    max_a = max(r.ts for r in day1 if r.user_id % 2 == 0)
+    max_b = max(r.ts for r in day1 if r.user_id % 2 == 1)
+    wm_min = min(
+        max_a - datetime.timedelta(minutes=10),
+        max_b - datetime.timedelta(hours=2),
+    )
+    wm_a_only = max_a - datetime.timedelta(minutes=10)
+
+    def emitted(wm):
+        out = Counter()
+        for r in day1:
+            bucket = r.ts.replace(
+                minute=(r.ts.minute // 15) * 15,
+                second=0,
+                microsecond=0,
+            )
+            if bucket + datetime.timedelta(minutes=15) <= wm:
+                out[
+                    (
+                        bucket.strftime("%Y-%m-%d %H:%M:%S"),
+                        "a" if r.user_id % 2 == 0 else "b",
+                    )
+                ] += 1
+        return out
+
+    expected = emitted(wm_min)
+    got = Counter()
+    for r in STAGED["streaming_union_multiple_watermarks"](
+        spark, SF_DIR
+    ).collect():
+        got[(r.window_start, r.tag)] = r.n
+    assert got == expected
+    assert len(emitted(wm_a_only)) > len(expected), (
+        "fixture must make the min policy observable vs the tight "
+        "watermark"
+    )
