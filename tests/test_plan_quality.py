@@ -224,3 +224,77 @@ def test_hof_suite_is_shuffle_free_narrow(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan and "Aggregate" not in plan
     assert "Project" in plan
+
+
+def test_gk_union_merge_single_summary_subtree(spark):
+    """The shard-summary pipeline must be computed ONCE: carrying
+    est_cents through the certificate aggregate as a grouping key
+    (instead of a trailing join back to `est`) keeps the plan at
+    exactly 4 hash exchanges — shard window, merge window, the
+    certificate partial+final, and the estimate's bounded pick — with
+    ONE broadcast of the 5-row estimate frame. A duplicated subtree
+    would double the Window/Exchange count."""
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["gk_summary_union_merge_certified"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Window") <= 4  # rn+count shard pair, cw+tw merge pair
+
+
+def test_bigram_acceptance_has_no_positional_self_join(spark):
+    """Bigrams must come from the scan-side zip (zip_with tokens with
+    their own tail), never the positional self-join that measured
+    12.8x slower at 1M docs: the only joins left are the vocab-grain
+    predictor join; the token-position table never shuffles."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["bigram_draft_acceptance_rate"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "zip_with" in plan
+    # exactly one join (bigrams x predictor); the self-join form had two
+    assert plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+
+
+def test_prefix_cache_is_one_collapsing_aggregate(spark):
+    """The prefix extraction is a scan-side array slice (no explode,
+    no window); the plan is two partial+final aggregate pairs and
+    nothing else — no join anywhere."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["prefix_cache_hit_mass"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_dpo_mining_is_aggregate_only_no_window(spark):
+    """Chosen/rejected selection is mergeable min_by/max_by — one
+    partial+final aggregate per side, a prompt-grain join, and NO
+    window/sort (the row_number form would force a per-prompt sort)."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["dpo_margin_pair_mining"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

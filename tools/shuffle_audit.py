@@ -83,6 +83,8 @@ BOUNDED_BNL = {
     "bootstrap_ci_daily_mean",           # bounded day frame x 200 resample ids + 1-row CI scalars
     "join_cardinality_histogram_estimate",  # 1-row predicted x 1-row actual scalars
     "rolling_origin_backtest_folds",     # 5-row fold frame x bounded day frame
+    "join_cardinality_skew_twin",        # 1-row predicted x 1-row actual scalars
+    "streaming_union_multiple_watermarks",  # 1-row day-bound scalar broadcast (fixture build)
 }
 
 
