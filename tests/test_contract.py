@@ -100,12 +100,21 @@ EXPECTED_HEAD = (
 
 
 def test_graded_head_is_exactly_the_planned_cohort():
+    """Set comparison, not sequence: under pytest, other test modules
+    may import plan modules before this one, legally permuting the
+    registry's insertion order within the head — the driver imports
+    __spark_entry__ in a fresh interpreter where the order is the
+    module-import order. The set check still catches the failure this
+    test exists for: a silently-dropped plan module grading TAIL rows
+    in place of the planned cohort."""
     names = list(entrymod.queries())
-    head = names[: len(EXPECTED_HEAD)]
-    assert head == list(EXPECTED_HEAD), (
+    head = set(names[: len(EXPECTED_HEAD)])
+    missing = set(EXPECTED_HEAD) - head
+    extra = head - set(EXPECTED_HEAD)
+    assert not missing and not extra, (
         "graded head drifted from the planned rotation — a plan module "
-        "failed to import or registration order changed: "
-        f"{[(a, b) for a, b in zip(head, EXPECTED_HEAD) if a != b][:5]}"
+        f"failed to import: missing={sorted(missing)[:5]} "
+        f"extra={sorted(extra)[:5]}"
     )
 
 
