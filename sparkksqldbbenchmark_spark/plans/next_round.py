@@ -2151,3 +2151,544 @@ def join_cardinality_skew_twin(
             & (F.col("predicted") <= F.col("actual") * 10)
         ).alias("within_10x"),
     )
+
+
+# ------------------- reciprocal-rank fusion, exact --
+
+_RRF_K = 60
+_RRF_TOPN = 40
+_RRF_OUT = 5
+
+
+def _rrf_oracle(
+    k: int = _RRF_K, topn: int = _RRF_TOPN, out: int = _RRF_OUT
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    return f"""
+    WITH sliced AS (
+        SELECT source, doc_id, n_chars, {q} AS quality
+        FROM (
+            SELECT source, doc_id, n_chars, text,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {topn}
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS r1,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+               ) AS r2
+        FROM sliced
+    ),
+    fused AS (
+        SELECT source, doc_id, r1, r2,
+               (2 * {k} + r1 + r2) AS num,
+               ({k} + r1) * ({k} + r2) AS den
+        FROM ranked
+    ),
+    ordered AS (
+        SELECT source, doc_id, r1, r2, num, den,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY num * 1099511627776 // den DESC, doc_id
+               ) AS fused_rank
+        FROM fused
+    )
+    SELECT source, CAST(fused_rank AS BIGINT) AS fused_rank,
+           doc_id, CAST(r1 AS BIGINT) AS rank_by_length,
+           CAST(r2 AS BIGINT) AS rank_by_quality,
+           CAST(num * 1000000 // den AS BIGINT) AS rrf_micros
+    FROM ordered WHERE fused_rank <= {out}
+    """
+
+
+@staged_query("reciprocal_rank_fusion_exact", oracle=_rrf_oracle())
+def reciprocal_rank_fusion_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECIPROCAL-RANK FUSION, exact — the standard hybrid-retrieval
+    combiner (Cormack et al. 2009: fuse a lexical and a semantic
+    ranking by summing 1/(k + rank)): two per-source rankings (by
+    length, by the deterministic md5 quality score) fuse as the exact
+    rational (2k + r1 + r2) / ((k+r1)(k+r2)), ordered by the same
+    floor-key embedding the PAV row uses (numerators/denominators
+    bounded by (k+topn)^2 = 10^4 < 2^20, so num*2^40//den is a strict
+    order embedding) with doc_id ties — both engines pick the
+    identical fused top-{_RRF_OUT} per source, graded with ranks and
+    floor-micros scores.
+
+    Scale shape: the slice is bounded per source BEFORE ranking; two
+    bounded windows + one bounded ordering. In the production form
+    the two input rankings arrive top-K from their retrievers
+    (bounded by construction) — RRF's whole point is that it needs
+    only ranks, never scores, so the fusion never touches the
+    corpus.
+
+    Reference basis: ranking/retrieval family (bm25_odds_retrieval
+    r10, similarity_topk_cosine r3, ann_mrr_certified r8 — this adds
+    the fusion operator hybrid search deploys in front of both)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"({spark_md5_int('text')}) % 1000").alias("quality"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rn"),
+    ).where(F.col("rn") <= _RRF_TOPN)
+    ranked = sliced.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("r1"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("quality").desc(), "doc_id"
+            )
+        )
+        .alias("r2"),
+    )
+    k = _RRF_K
+    fused = ranked.select(
+        "source",
+        "doc_id",
+        "r1",
+        "r2",
+        (2 * k + F.col("r1") + F.col("r2")).alias("num"),
+        ((k + F.col("r1")) * (k + F.col("r2"))).alias("den"),
+    )
+    key = F.floor(
+        (F.col("num") * F.lit(1099511627776)) / F.col("den")
+    ).cast("long")
+    return (
+        fused.select(
+            "source",
+            "doc_id",
+            "r1",
+            "r2",
+            "num",
+            "den",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    key.desc(), "doc_id"
+                )
+            )
+            .alias("fused_rank"),
+        )
+        .where(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            "source",
+            F.col("fused_rank").cast("long"),
+            "doc_id",
+            F.col("r1").cast("long").alias("rank_by_length"),
+            F.col("r2").cast("long").alias("rank_by_quality"),
+            F.floor(F.col("num") * 1000000 / F.col("den"))
+            .cast("long")
+            .alias("rrf_micros"),
+        )
+    )
+
+
+# ------------- content-defined chunking cross-doc dedup mass --
+
+
+def _cdc_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("w.w")
+    return f"""
+    WITH words AS (
+        SELECT d.doc_id, d.source,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM documents d
+    ),
+    flagged AS (
+        SELECT doc_id, source, i, w,
+               CASE WHEN ({h} & 15) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    cids AS (
+        SELECT doc_id, source, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cid
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, source, cid,
+               md5(string_agg(w, ' ' ORDER BY i)) AS ch,
+               count(*) AS toks
+        FROM cids GROUP BY doc_id, source, cid
+    ),
+    global_cnt AS (
+        SELECT ch, count(*) AS cnt FROM chunks GROUP BY ch
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared_chunks,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN c.toks ELSE 0 END)
+                AS BIGINT) AS shared_token_mass,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN c.toks ELSE 0 END)
+                * 1000000 // sum(c.toks) AS BIGINT) AS share_micros
+    FROM chunks c JOIN global_cnt g ON g.ch = c.ch
+    GROUP BY c.source
+    """
+
+
+@staged_query("cdc_chunk_dedup_mass", oracle=_cdc_oracle())
+def cdc_chunk_dedup_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING cross-document dedup mass — the
+    storage-dedup / delta-sync operator (rsync, LBFS, every modern
+    backup system): chunk boundaries fall where a content hash of the
+    word says so (md5 & 15 == 0, expected chunk ~16 words), so an
+    insertion early in a document shifts NO later boundaries — unlike
+    fixed-width blocks, identical passages chunk identically wherever
+    they sit. Chunks hash to identities; per source the row grades
+    chunk/token counts, the chunks shared with ANY other instance
+    corpus-wide, and the shared-token mass (floor micros) a
+    chunk-store would deduplicate. The word-grain twin of the
+    passage/exact-substring dedup family, with the CDC boundary rule
+    that makes it shift-invariant.
+
+    Scale shape: boundary assignment and chunk construction are ONE
+    scan-side fold (the sentence-splitter machinery with a hash
+    predicate — zero exchanges to build chunks); the only shuffles
+    are the chunk-identity aggregate (collapsing, uniform md5 keys)
+    and the source rollup. Chunk instances never carry text past the
+    md5 — the chunk-store access pattern at 100 TB.
+
+    Reference basis: dedup family (exact_substring_spans r9,
+    passage_dup_stats r4, doc_chunk_stride r7 TAIL — this adds the
+    SHIFT-INVARIANT chunk grain those fixed-stride rows cannot
+    express)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 15) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    chunks_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as cs, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.cs, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as cs, '' as cur),"
+        "   struct(a.cs as cs, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.cs, array(a.cur)), a.cs))"
+    )
+    chunks = (
+        toks.withColumn("cs", F.expr(chunks_expr))
+        .select(
+            "doc_id",
+            "source",
+            F.explode("cs").alias("chunk"),
+        )
+        .select(
+            "source",
+            F.md5("chunk").alias("ch"),
+            (F.size(F.split(F.col("chunk"), " "))).alias("toks"),
+        )
+    )
+    global_cnt = chunks.groupBy("ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    shared = F.col("cnt") > 1
+    return (
+        chunks.join(global_cnt, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(shared, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_chunks"),
+            F.sum(F.when(shared, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("shared_token_mass"),
+            F.floor(
+                F.sum(F.when(shared, F.col("toks")).otherwise(0))
+                * 1000000
+                / F.sum("toks")
+            )
+            .cast("long")
+            .alias("share_micros"),
+        )
+    )
+
+
+# --------- Shapley by sampled permutations, certified vs exact --
+
+_SHAP_DRAWS = 240
+
+
+def _perm_grid() -> list[tuple[int, int, int, int]]:
+    """(perm_id, step, chan_idx, prefix_mask) for all 24 permutations
+    of 4 channels — the literal grid both engines share."""
+    import itertools
+
+    rows = []
+    for pid, perm in enumerate(itertools.permutations(range(4))):
+        mask = 0
+        for step, c in enumerate(perm):
+            rows.append((pid, step, c, mask))
+            mask |= 1 << c
+    return rows
+
+
+def _shapley_sampled_oracle(draws: int = _SHAP_DRAWS) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    chans = _SHAPLEY_CHANNELS
+    n = len(chans)
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(chans)
+    )
+    import math
+
+    wcase = " ".join(
+        f"WHEN {s} THEN {math.factorial(s) * math.factorial(n - 1 - s)}"
+        for s in range(n)
+    )
+    grid = ", ".join(
+        f"({pid}, {step}, {c}, {mask})"
+        for pid, step, c, mask in _perm_grid()
+    )
+    h = sql_md5_int("CAST(d.b AS VARCHAR)")
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST({bits} AS BIGINT) AS mask,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT m.mask,
+               CAST(coalesce(sum(p.converted), 0) * 1000000
+                    // greatest(count(p.user_id), 1) AS BIGINT)
+                   AS v_micros
+        FROM (SELECT unnest(range({1 << n})) AS mask) m
+        LEFT JOIN per_user p ON p.mask = m.mask
+        GROUP BY m.mask
+    ),
+    grid(perm_id, step, chan_idx, prefix_mask) AS (
+        VALUES {grid}
+    ),
+    draws AS (
+        SELECT d.b, ({h} % 24) AS pid
+        FROM (SELECT unnest(range({draws})) AS b) d
+    ),
+    sampled AS (
+        SELECT g.chan_idx,
+               CAST(sum(vw.v_micros - vo.v_micros) AS BIGINT)
+                   AS sum_delta_micros
+        FROM draws d
+        JOIN grid g ON g.perm_id = d.pid
+        JOIN v vo ON vo.mask = g.prefix_mask
+        JOIN v vw ON vw.mask = (g.prefix_mask
+                                | (1 << g.chan_idx))
+        GROUP BY g.chan_idx
+    ),
+    exact AS (
+        SELECT c.i AS chan_idx,
+               CAST(sum((CASE bit_count(s.mask & ~(1 << c.i))
+                         {wcase} END)
+                        * (vw.v_micros - vo.v_micros)) AS BIGINT)
+                   AS phi_weighted_micros
+        FROM (SELECT unnest(range({n})) AS i) c
+        JOIN (SELECT unnest(range({1 << n})) AS mask) s
+          ON (s.mask & (1 << c.i)) = 0
+        JOIN v vo ON vo.mask = s.mask
+        JOIN v vw ON vw.mask = (s.mask | (1 << c.i))
+        GROUP BY c.i
+    )
+    SELECT CASE sa.chan_idx {" ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(chans))} END
+               AS channel,
+           sa.sum_delta_micros,
+           e.phi_weighted_micros,
+           CAST(abs({draws // 24} * e.phi_weighted_micros
+                    - sa.sum_delta_micros) AS BIGINT)
+               AS abs_err_scaled
+    FROM sampled sa JOIN exact e ON e.chan_idx = sa.chan_idx
+    """
+
+
+@staged_query(
+    "shapley_sampled_permutations_certified",
+    oracle=_shapley_sampled_oracle(),
+)
+def shapley_sampled_permutations_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHAPLEY BY SAMPLED PERMUTATIONS, certified against the exact
+    sum — the estimator that survives past ~20 channels where exact
+    coalition enumeration (2^n) dies: {_SHAP_DRAWS} md5-deterministic
+    permutation draws, each contributing every channel's marginal
+    v(prefix+c) - v(prefix) along the drawn order. With 4 channels
+    the exact value is computable, so the row grades the sampled sum
+    NEXT TO the exact weighted sum and the scaled absolute error —
+    the estimator's measured bias on this data (zero in expectation;
+    the md5 draw sequence makes it reproducible). The 24-permutation
+    (perm, step, channel, prefix-mask) grid is a shared literal in
+    both engines.
+
+    Scale shape: the fact scan collapses at the same user-grain
+    aggregate as the exact row; draws join the LITERAL grid and the
+    16-row v frame — bounded regardless of draw count or data size.
+    At 20+ channels the grid generalizes to md5-decoded permutation
+    prefixes with the identical draw device; v(S) lookups stay
+    aggregate-grain.
+
+    Reference basis: attribution family (shapley_attribution_exact
+    staged this round; bootstrap_ci_daily_mean shares the
+    deterministic-resampling device)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    import math
+
+    chans = _SHAPLEY_CHANNELS
+    n = len(chans)
+    ev = load_table(spark, sf_dir, "events")
+    mask_expr = None
+    for i, c in enumerate(chans):
+        term = F.max(
+            F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+        )
+        mask_expr = term if mask_expr is None else mask_expr + term
+    per_user = ev.groupBy("user_id").agg(
+        mask_expr.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    mgrid = spark.range(1 << n).select(F.col("id").alias("mask"))
+    v = (
+        mgrid.join(per_user, "mask", "left")
+        .groupBy("mask")
+        .agg(
+            F.floor(
+                F.coalesce(F.sum("converted"), F.lit(0))
+                * 1000000
+                / F.greatest(F.count("user_id"), F.lit(1))
+            )
+            .cast("long")
+            .alias("v_micros")
+        )
+    )
+    grid = spark.createDataFrame(
+        _perm_grid(), "perm_id int, step int, chan_idx int, prefix_mask int"
+    )
+    h = spark_md5_int("cast(id as string)")
+    draws = spark.range(_SHAP_DRAWS).select(
+        F.expr(f"({h}) % 24").alias("pid")
+    )
+    vo = v.select(
+        F.col("mask").alias("mask_o"), F.col("v_micros").alias("v_o")
+    )
+    vw = v.select(
+        F.col("mask").alias("mask_w"), F.col("v_micros").alias("v_w")
+    )
+    sampled = (
+        draws.join(F.broadcast(grid), draws.pid == grid.perm_id)
+        .join(
+            F.broadcast(vo), F.col("mask_o") == F.col("prefix_mask")
+        )
+        .join(
+            F.broadcast(vw),
+            F.expr(
+                "mask_w = (prefix_mask"
+                " | shiftleft(1, cast(chan_idx as int)))"
+            ),
+        )
+        .groupBy("chan_idx")
+        .agg(
+            F.sum(F.col("v_w") - F.col("v_o"))
+            .cast("long")
+            .alias("sum_delta_micros")
+        )
+    )
+    cframe = spark.range(n).select(F.col("id").alias("ci"))
+    s = mgrid.join(
+        cframe,
+        F.expr("(mask & shiftleft(1L, cast(ci as int))) = 0"),
+    )
+    wmap = {
+        k: math.factorial(k) * math.factorial(n - 1 - k)
+        for k in range(n)
+    }
+    wexpr = F.when(F.lit(False), 0)
+    sz = F.bit_count(F.col("mask"))
+    for kk, wt in wmap.items():
+        wexpr = wexpr.when(sz == kk, wt)
+    exact = (
+        s.join(
+            F.broadcast(vo), F.col("mask_o") == F.col("mask")
+        )
+        .join(
+            F.broadcast(vw),
+            F.expr("mask_w = (mask | shiftleft(1L, cast(ci as int)))"),
+        )
+        .groupBy("ci")
+        .agg(
+            F.sum(wexpr * (F.col("v_w") - F.col("v_o")))
+            .cast("long")
+            .alias("phi_weighted_micros")
+        )
+    )
+    cname = F.when(F.lit(False), "")
+    for i, c in enumerate(chans):
+        cname = cname.when(F.col("chan_idx") == i, c)
+    scale = _SHAP_DRAWS // 24
+    return (
+        sampled.join(exact, sampled.chan_idx == exact.ci)
+        .select(
+            cname.alias("channel"),
+            "sum_delta_micros",
+            "phi_weighted_micros",
+            F.abs(
+                scale * F.col("phi_weighted_micros")
+                - F.col("sum_delta_micros")
+            )
+            .cast("long")
+            .alias("abs_err_scaled"),
+        )
+    )

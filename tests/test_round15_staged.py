@@ -667,3 +667,169 @@ def test_skew_twin_matches_dict_walk_and_demonstrates_failure(spark):
         "the skew twin must demonstrate a strictly worse ratio than "
         "the uniform case"
     )
+
+
+def test_rrf_matches_python_fusion(spark):
+    """RRF re-derived with exact Fractions (the direct 1/(k+r) sum,
+    not the combined num/den form), including the fused ordering."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    ).collect()
+    from fractions import Fraction
+
+    by_src = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        if len(by_src[r.source]) < 40:
+            by_src[r.source].append(
+                (r.doc_id, r.n_chars, _md5int(r.text) % 1000)
+            )
+    got = defaultdict(dict)
+    for r in STAGED["reciprocal_rank_fusion_exact"](
+        spark, SF_DIR
+    ).collect():
+        got[r.source][r.fused_rank] = (
+            r.doc_id,
+            r.rank_by_length,
+            r.rank_by_quality,
+            r.rrf_micros,
+        )
+    k = 60
+    for src, docs in by_src.items():
+        r1 = {
+            d[0]: i + 1
+            for i, d in enumerate(
+                sorted(docs, key=lambda d: (-d[1], d[0]))
+            )
+        }
+        r2 = {
+            d[0]: i + 1
+            for i, d in enumerate(
+                sorted(docs, key=lambda d: (-d[2], d[0]))
+            )
+        }
+        score = {
+            did: Fraction(1, k + r1[did]) + Fraction(1, k + r2[did])
+            for did, _, _ in docs
+        }
+        ordered = sorted(score, key=lambda d: (-score[d], d))[:5]
+        for pos, did in enumerate(ordered, start=1):
+            g = got[src][pos]
+            assert g[0] == did, (src, pos)
+            assert (g[1], g[2]) == (r1[did], r2[did])
+            f = score[did]
+            assert g[3] == f.numerator * 1000000 // f.denominator
+
+
+def test_cdc_chunks_match_python_walk(spark):
+    """Chunk boundaries, identities and the cross-doc shared mass
+    re-derived in Python — plus the SHIFT-INVARIANCE property the CDC
+    rule exists for: chunking text X and text 'pfx X' yields the same
+    chunk multiset for the suffix after the first boundary."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def chunk(text):
+        out, cur = [], []
+        for w in text.split():
+            cur.append(w)
+            if _md5int(w) & 15 == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    inst = []
+    for r in rows:
+        if r.text.split():
+            for c in chunk(r.text):
+                inst.append((r.source, c))
+    cnt = Counter(c for _, c in inst)
+    per_src = defaultdict(lambda: [0, 0, 0, 0])
+    for src, c in inst:
+        t = per_src[src]
+        toks = len(c.split())
+        t[0] += 1
+        t[1] += toks
+        if cnt[c] > 1:
+            t[2] += 1
+            t[3] += toks
+    got = {
+        r.source: r
+        for r in STAGED["cdc_chunk_dedup_mass"](spark, SF_DIR).collect()
+    }
+    for src, (nc, nt, sc, st_) in per_src.items():
+        g = got[src]
+        assert (
+            g.n_chunks,
+            g.n_tokens,
+            g.shared_chunks,
+            g.shared_token_mass,
+            g.share_micros,
+        ) == (nc, nt, sc, st_, st_ * 1000000 // nt), src
+    # shift invariance: prepending a non-boundary prefix leaves every
+    # chunk after the first boundary identical
+    base = rows[0].text
+    toks = base.split()
+    if len(toks) > 20:
+        shifted = "zzqq " + base
+        a, b = chunk(base), chunk(shifted)
+        assert a[1:] == b[1:] or a == b[-len(a):]
+
+
+def test_shapley_sampled_matches_direct_draws(spark):
+    """The sampled estimator re-derived with direct md5 permutation
+    draws, and the certificate semantics checked: abs_err_scaled is
+    exactly |draws/24 * exact - sampled_sum|."""
+    import itertools
+
+    chans = ("click", "error", "signup", "view")
+    n = len(chans)
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    users = defaultdict(lambda: [0, 0])
+    for r in rows:
+        u = users[r.user_id]
+        if r.event_type == "purchase":
+            u[1] = 1
+        elif r.event_type in chans:
+            u[0] |= 1 << chans.index(r.event_type)
+    agg = defaultdict(lambda: [0, 0])
+    for mask, conv in users.values():
+        agg[mask][0] += 1
+        agg[mask][1] += conv
+    v = {}
+    for mask in range(1 << n):
+        cnt, conv = agg.get(mask, (0, 0))
+        v[mask] = (conv * 1000000) // max(cnt, 1)
+    perms = list(itertools.permutations(range(n)))
+    sampled = Counter()
+    for b in range(240):
+        perm = perms[_md5int(str(b)) % 24]
+        mask = 0
+        for c in perm:
+            sampled[c] += v[mask | (1 << c)] - v[mask]
+            mask |= 1 << c
+    exact = {}
+    for i in range(n):
+        tot = 0
+        for mask in range(1 << n):
+            if mask & (1 << i):
+                continue
+            s = bin(mask).count("1")
+            w = math.factorial(s) * math.factorial(n - 1 - s)
+            tot += w * (v[mask | (1 << i)] - v[mask])
+        exact[i] = tot
+    got = {
+        r.channel: r
+        for r in STAGED["shapley_sampled_permutations_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for i, c in enumerate(chans):
+        g = got[c]
+        assert g.sum_delta_micros == sampled[i], c
+        assert g.phi_weighted_micros == exact[i], c
+        assert g.abs_err_scaled == abs(10 * exact[i] - sampled[i])

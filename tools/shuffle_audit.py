@@ -85,6 +85,7 @@ BOUNDED_BNL = {
     "rolling_origin_backtest_folds",     # 5-row fold frame x bounded day frame
     "join_cardinality_skew_twin",        # 1-row predicted x 1-row actual scalars
     "streaming_union_multiple_watermarks",  # 1-row day-bound scalar broadcast (fixture build)
+    "shapley_sampled_permutations_certified",  # 16-row v frame x 96-row literal perm grid
 }
 
 
