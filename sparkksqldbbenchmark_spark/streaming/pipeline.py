@@ -167,7 +167,8 @@ def run_foreach_batch_idempotent(
             )
         )
 
-    if checkpoint is None:
+    auto_checkpoint = checkpoint is None
+    if auto_checkpoint:
         checkpoint = tempfile.mkdtemp(prefix="ckpt_feb_")
     query = (
         df.writeStream.foreachBatch(write_batch)
@@ -184,4 +185,12 @@ def run_foreach_batch_idempotent(
             f" output under {out_dir} is PARTIAL (checkpoint {checkpoint}"
             " resumes it)"
         )
+    # same hygiene as run_to_memory: an AUTO-created checkpoint is
+    # anonymous — the caller never learns its path, so nothing can
+    # resume from it. Restart/resume callers pass `checkpoint`
+    # explicitly and keep full control of its lifetime.
+    if auto_checkpoint and not query.isActive:
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return query

@@ -7,7 +7,10 @@ end-to-end effectively-once across the restart."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -31,10 +34,19 @@ def _write_batch_files(spark, d, ids):
         )
 
 
-def test_restart_from_checkpoint_processes_only_new_files(spark):
-    src = tempfile.mkdtemp(prefix="ckpt_src_")
-    out = tempfile.mkdtemp(prefix="ckpt_out_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+@pytest.fixture
+def scratch_dirs():
+    dirs = [tempfile.mkdtemp(prefix=p) for p in
+            ("ckpt_src_", "ckpt_out_", "ckpt_state_")]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_restart_from_checkpoint_processes_only_new_files(
+    spark, scratch_dirs
+):
+    src, out, ckpt = scratch_dirs
 
     _write_batch_files(spark, src, [0, 1, 2])
     schema = spark.read.parquet(src).schema
@@ -79,10 +91,8 @@ def test_restart_from_checkpoint_processes_only_new_files(spark):
     assert min(new_ids) > max(first_ids)
 
 
-def test_restart_with_no_new_data_is_a_noop(spark):
-    src = tempfile.mkdtemp(prefix="ckpt2_src_")
-    out = tempfile.mkdtemp(prefix="ckpt2_out_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt2_state_")
+def test_restart_with_no_new_data_is_a_noop(spark, scratch_dirs):
+    src, out, ckpt = scratch_dirs
     _write_batch_files(spark, src, [0])
     schema = spark.read.parquet(src).schema
 

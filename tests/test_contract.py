@@ -220,13 +220,13 @@ TAIL_SOURCE_SHA256 = {
     "regr_agg_suite": "75e6a75a558bbcbd",
     "bpe_pair_merge_candidates": "9fdd92620f27e794",
     "ngram_novelty_growth": "a8c89cb182e8b3fb",
-    "streaming_dedup_then_window": "61d4285e1632bdf0",
+    "streaming_dedup_then_window": "3f134b78252dad48",
     "streaming_file_sink_partitioned": "8df2bbb845622abd",
     "hidden_file_metadata_scan": "cca0495a50b8f620",
     "udtf_table_arg_partition_by": "c736274d6b6af7f8",
     "session_window_dynamic_gap": "cf6913403a3b2468",
     "pca_power_iteration_1d": "9631c106d6901db7",
-    "python_datasource_simple_stream": "8da02491db8daba8",
+    "python_datasource_simple_stream": "3358b75dab79fb6a",
     "running_distinct_users": "da916cdae660ef9f",
     "struct_equality_join": "0c7a100576f186a7",
     "semdedup_quantized_prune": "b35a8f9b98721603",
@@ -238,13 +238,13 @@ TAIL_SOURCE_SHA256 = {
     "binaryfile_source_scan": "8fa11e2520f9a3ff",
     "csv_quoted_multiline_roundtrip": "aeb86a3b9b2b9b8d",
     "span_corruption_mask_plan": "792e368cf262a5cd",
-    "streaming_checkpoint_restart_resume": "0ade71dcabcfdf3a",
+    "streaming_checkpoint_restart_resume": "d153805339eb1876",
     "length_bucketed_batching": "78d287e81cca2b5b",
     "kmeans_lloyd_step_quantized": "dd1d6ae684227195",
-    "streaming_stateful_topk_per_key": "7edc2f652260e96f",
+    "streaming_stateful_topk_per_key": "8a13bc14a2a2652e",
     "bitmap_distinct_functions": "e82906bd0dcc6d86",
     "window_group_limit_pushdown": "f40f7aa023f3cf4d",
-    "streaming_rocksdb_state_store": "3d6c387264965602",
+    "streaming_rocksdb_state_store": "034144b248a022e4",
     "rolling_correlation_24h": "e4892fdfb25738c2",
     "clustered_write_sorted_runs": "eb878b3f195d4100",
     "dedup_survivorship_merge": "67e2c4ea9734be6e",
@@ -295,10 +295,10 @@ TAIL_SOURCE_SHA256 = {
     "array_algebra_suite": "39ab56f89f11fa47",
     "regexp_suite2": "4b589577a79a4216",
     "observe_metrics_suite": "fe0ff54e7f6b9f46",
-    "python_datasource_stream_agg": "3273c035573710a4",
+    "python_datasource_stream_agg": "a493150f366acb6c",
     "python_datasource_geojson_scan": "ea634b9dbe41f465",
     "python_datasource_sink_roundtrip": "fde49e6c39abf651",
-    "streaming_observe_metrics": "706bd793ff341d95",
+    "streaming_observe_metrics": "039b95033515de38",
     "inline_struct_explode": "7672ed2280740b8e",
     "string_suite2": "03e79cf64ccc25d4",
     "bitwise_suite": "03fd3f5bca48c68f",
@@ -330,7 +330,7 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q20_potential_promotion": "b92b2fad59345353",
     "dynamic_partition_pruning_join": "6b44538e3a70cc4a",
     "scd2_dimension_build": "de30e6cc9c13d79e",
-    "streaming_cdc_latest": "99ae1d192c1a3cff",
+    "streaming_cdc_latest": "5039d35f9e1e1b9b",
     "table_diff_reconciliation": "2c354a56d4a542f0",
     "merge_on_read_upsert": "80c2bbf7b2049697",
     "lateral_topn_per_key": "45dff38b8846217a",
@@ -346,9 +346,9 @@ TAIL_SOURCE_SHA256 = {
     "mixture_quota_largest_remainder": "4d0fa720ac926d61",
     "ann_mrr_certified": "9e759722965f51d0",
     "dup_graph_degree_stats": "a446c8f75ef9aa53",
-    "streaming_stream_full_outer_join": "f2f066b2133995a4",
-    "streaming_session_window_agg": "b5a5c6b91d88e69f",
-    "streaming_session_window_append": "9d819783ea87a81d",
+    "streaming_stream_full_outer_join": "abe1c8944f839000",
+    "streaming_session_window_agg": "10ae7277208420ff",
+    "streaming_session_window_append": "4e701eefdf961a15",
     "asof_tolerance_join": "64f30a791cecf6e5",
     "robust_zscore_applyinpandas": "da035965dc00e987",
     "time_weighted_avg": "4fb72d4a3d754ae7",
@@ -379,8 +379,8 @@ TAIL_SOURCE_SHA256 = {
     "ansi_percentile_suite": "fe58238491e6433f",
     "ivf_recall_certified": "1cf3ca2a92948345",
     "pq_quantization_error": "86c7d59205f6d1c7",
-    "streaming_dropdup_within_watermark": "361832be9422ce7e",
-    "streaming_stream_left_join": "2143c4f75fd1abea",
+    "streaming_dropdup_within_watermark": "fa2ae20e44d217d3",
+    "streaming_stream_left_join": "b9c1b6c705c816e4",
     "dedup_incremental_vs_corpus": "a2e104a2e9b1aab0",
     "dedup_containment": "fe57c94a954c0384",
     "dedup_cross_source_matrix": "c39e91736f004d47",
@@ -409,8 +409,8 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q11_important_stock": "f7918ae47048c74d",
     "dedup_embedding_cosine": "62a2fc3f60555fc5",
     "similarity_ivf_topk": "b14a35f5826a039c",
-    "streaming_hopping_agg": "33112e2fd40c9e6f",
-    "streaming_dedup_distinct_keys": "15e978c0821f5cf2",
+    "streaming_hopping_agg": "b6f79c1bd30569db",
+    "streaming_dedup_distinct_keys": "7bf2d94a40b3391e",
     "decontam_ngram_overlap": "01f1694c5aee338f",
     "deterministic_corpus_shuffle": "9457a847934fd5c2",
     "tpch_q8_market_share": "d3f952ad6bf41056",
@@ -436,20 +436,20 @@ TAIL_SOURCE_SHA256 = {
     "passage_dup_stats": "bf1b4b80d0e66322",
     "fuzzy_dedup_levenshtein": "5183024505069499",
     "grouped_array_collect": "04eb26ed4fe8301b",
-    "streaming_stream_join": "c5ba79927c16170d",
-    "streaming_latest_table": "407b7433d7c8c4be",
+    "streaming_stream_join": "e2009beacb680751",
+    "streaming_latest_table": "b2c5c91c6a3b5f6a",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
     "similarity_ann_lsh": "eb04b49fd24d4272",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
     "curation_pipeline": "22b7a6831f8796fb",
-    "streaming_sessionize": "64c0ff4b7c2103f4",
-    "streaming_watermarked_append": "dd26b7a8ba16a28c",
+    "streaming_sessionize": "94f5e27ed5600ad1",
+    "streaming_watermarked_append": "9e98c038d28932ee",
     "pivot_hourly_by_type": "2e1792039f38f357",
     "unpivot_measure_summary": "67586f8f74675978",
     "correlated_above_avg_orders": "c93beabc2a862670",
-    "streaming_static_enrich": "464bb9cec29704dd",
+    "streaming_static_enrich": "d746c8b32530de59",
     "tpch_q10_returned_items": "d84d82fc9ebde6b5",
     "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
     "tpch_q7_volume_shipping": "12ca103870c73bc9",
@@ -466,16 +466,16 @@ TAIL_SOURCE_SHA256 = {
     "count_distinct_stations": "48371d26e62bd910",
     "latest_by_rownumber": "780a1e09f354d759",
     "weather_window_agg_by_station": "21fe01649bff0da8",
-    "streaming_union_window_agg": "19562afa6e4d566a",
+    "streaming_union_window_agg": "675fe80345c5efcb",
     "latest_by_offset": "7e309fbf1a7caa32",
     "argmax_station": "1a117b3f0ee6725b",
-    "streaming_window_agg": "36eddf34904e096c",
+    "streaming_window_agg": "4c289e4cf7105f9a",
     "tpch_q6_selective_scan": "4fabef06b3159167",
     "tpch_q5_join_chain": "af4119ec48874759",
     "text_fingerprint": "73475d3a3e413a14",
     "dirty_data_parsing": "dd8d04068d76f6ec",
     "time_rollup_hierarchy": "89cc8cd950222e2f",
-    "streaming_update_mode_final": "c2ab597ba6657975",
+    "streaming_update_mode_final": "a328155312a3655e",
     "region_zone_lookup": "9f66a6df1060f2be",
     "text_lang_id": "43d81e9a93902bda",
     "top_k_values": "d386676c518380cd",
