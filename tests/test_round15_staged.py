@@ -833,3 +833,46 @@ def test_shapley_sampled_matches_direct_draws(spark):
         assert g.sum_delta_micros == sampled[i], c
         assert g.phi_weighted_micros == exact[i], c
         assert g.abs_err_scaled == abs(10 * exact[i] - sampled[i])
+
+
+def test_fagin_ta_theorem_and_derivation(spark):
+    """Fagin's completeness theorem verified directly: when the
+    certificate is true, the candidate-limited top-k EQUALS the
+    global brute-force top-k; the depth-64 candidate derivation is
+    re-walked in Python either way."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", "text"
+    ).collect()
+    scored = {
+        r.doc_id: (r.n_chars, _md5int(r.text) % 1000) for r in rows
+    }
+    d, k = 64, 10
+    by_a = sorted(scored, key=lambda i: (-scored[i][0], i))[:d]
+    by_b = sorted(scored, key=lambda i: (-scored[i][1], i))[:d]
+    thresh = scored[by_a[-1]][0] + scored[by_b[-1]][1]
+    cand = set(by_a) | set(by_b)
+    topk_cand = sorted(
+        cand, key=lambda i: (-(scored[i][0] + scored[i][1]), i)
+    )[:k]
+    got = sorted(
+        STAGED["fagin_ta_topk_certified"](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in got] == topk_cand
+    assert got[0].threshold == thresh
+    kth_total = min(r.total for r in got)
+    assert bool(got[0].complete_at_depth) == (kth_total >= thresh)
+    if got[0].complete_at_depth:
+        # the theorem: candidates contain the TRUE global top-k
+        global_topk = sorted(
+            scored,
+            key=lambda i: (-(scored[i][0] + scored[i][1]), i),
+        )[:k]
+        assert topk_cand == global_topk, (
+            "certificate true but candidate top-k != global top-k — "
+            "Fagin's theorem violated"
+        )
+    assert bool(got[0].complete_at_depth) is True, (
+        "sf0.001 fixture must exercise the certificate's TRUE branch "
+        "(the sf0.1 sweep exercises FALSE — the depth law)"
+    )
