@@ -2833,3 +2833,134 @@ def fagin_ta_topk_certified(
             ),
         )
     )
+
+
+# --------------- expected reciprocal rank, exact dyadic --
+
+_ERR_TOPN = 10
+_ERR_D = 2520 * (16 ** 10)  # lcm(1..10) * 16^10: the common denominator
+
+
+def _err_oracle(topn: int = _ERR_TOPN) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 16)"
+    return f"""
+    WITH ranked AS (
+        SELECT source, doc_id, CAST({q} AS BIGINT) AS rel,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    ),
+    lists AS (
+        SELECT source,
+               list(rel ORDER BY rk) AS rels
+        FROM ranked WHERE rk <= {topn}
+        GROUP BY source
+    ),
+    folded AS (
+        SELECT source, len(rels) AS n_docs,
+               -- DuckDB 1.0 evaluates struct-lambda fields IN
+               -- ORDER with the accumulator aliased in place, so a
+               -- field reading a.prod after prod was written sees
+               -- the NEW value (probed; tests pin this). acc goes
+               -- FIRST so every reference is pre-update.
+               list_reduce(
+                   list_prepend(
+                       {{acc: 0::BIGINT, prod: 1::BIGINT,
+                         i: 0::BIGINT,
+                         pw: {16 ** 10}::BIGINT}},
+                       list_transform(rels, r ->
+                           {{acc: 0::BIGINT, prod: r, i: 0::BIGINT,
+                             pw: 0::BIGINT}})),
+                   (a, b) -> {{
+                       acc: a.acc + (2520 // (a.i + 1))
+                            * (a.pw // 16) * b.prod * a.prod,
+                       prod: a.prod * (16 - b.prod),
+                       i: a.i + 1,
+                       pw: a.pw // 16}}) AS st
+        FROM lists
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           st.acc AS err_scaled,
+           CAST(st.acc * 3125 // {_ERR_D // 320} AS BIGINT)
+               AS err_micros
+    FROM folded
+    """
+
+
+@staged_query("err_exact_dyadic", oracle=_err_oracle())
+def err_exact_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED RECIPROCAL RANK, exact — the cascade-model ranking
+    metric (Chapelle et al. 2009: the user scans down, stops at
+    position i with probability R_i, so ERR = sum_i (1/i) R_i
+    prod_j<i (1 - R_j)): with DYADIC relevances R = (md5 % 16)/16
+    over the top-{_ERR_TOPN} per source, every term is an exact
+    rational over the shared denominator lcm(1..10) * 16^10, and the
+    whole metric folds as ONE integer scan-side recurrence — state
+    (running product of (16 - R_j), accumulated scaled sum, position,
+    16-power) — identical in Spark's aggregate HOF and DuckDB's
+    list_reduce (all intermediates provably < 2^62). Completes the
+    ranking-metric family (Kendall, AP, MRR, AUC) with the
+    position-DISCOUNTED cascade member the others lack.
+
+    Scale shape: one window to rank the bounded top-{_ERR_TOPN}
+    slice, one collect_list at the source grain (<= {_ERR_TOPN}
+    elements per group), and a zero-exchange fold over that bounded
+    list. The fold-not-join form is the point: a per-position
+    self-join product would be quadratic in list length; the
+    recurrence is linear and never leaves the aggregate grain.
+
+    Reference basis: evaluation family (average_precision_exact r14,
+    ann_mrr_certified r8 TAIL, kendall_tau_topk_exact staged — the
+    cascade-model member)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    topn = _ERR_TOPN
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"({spark_md5_int('text')}) % 16")
+        .cast("long")
+        .alias("rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("rk"),
+    ).where(F.col("rk") <= topn)
+    lists = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(
+            F.collect_list(F.struct("rk", "rel"))
+        ).alias("pairs"),
+    )
+    fold = (
+        "aggregate(transform(pairs, p -> p.rel),"
+        " struct(cast(1 as bigint) as prod,"
+        "        cast(0 as bigint) as acc,"
+        "        cast(0 as bigint) as i,"
+        f"       cast({16 ** 10} as bigint) as pw),"
+        " (a, r) -> struct("
+        "   a.prod * (16 - r) as prod,"
+        "   a.acc + (2520 div (a.i + 1)) * (a.pw div 16)"
+        "         * r * a.prod as acc,"
+        "   a.i + 1 as i,"
+        "   a.pw div 16 as pw))"
+    )
+    return lists.select(
+        "source",
+        "n_docs",
+        F.expr(fold + ".acc").alias("err_scaled"),
+        # micros = acc*1e6/D rendered as acc*3125/(D/320): the
+        # gcd-320 reduction keeps every intermediate < 2^63
+        # (acc < D ~ 2.8e15, acc*3125 < 8.7e18)
+        F.expr(
+            f"cast(({fold}.acc * 3125) div {_ERR_D // 320} as bigint)"
+        ).alias("err_micros"),
+    )

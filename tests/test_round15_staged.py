@@ -876,3 +876,63 @@ def test_fagin_ta_theorem_and_derivation(spark):
         "sf0.001 fixture must exercise the certificate's TRUE branch "
         "(the sf0.1 sweep exercises FALSE — the depth law)"
     )
+
+
+def test_err_matches_fraction_cascade(spark):
+    """ERR re-derived with exact Fractions (the definitional cascade
+    model, no scaling tricks) — the scaled integer must equal
+    ERR * lcm(1..10) * 16^10 exactly, and the micros rendering must
+    be the floor of ERR * 1e6."""
+    from fractions import Fraction
+
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(
+            (-r.n_chars, r.doc_id, _md5int(r.text) % 16)
+        )
+    D = 2520 * 16**10
+    got = {
+        r.source: r
+        for r in STAGED["err_exact_dyadic"](spark, SF_DIR).collect()
+    }
+    for src, docs in by_src.items():
+        rels = [t[2] for t in sorted(docs)[:10]]
+        e, p = Fraction(0), Fraction(1)
+        for i, rel in enumerate(rels, start=1):
+            e += Fraction(1, i) * Fraction(rel, 16) * p
+            p *= 1 - Fraction(rel, 16)
+        g = got[src]
+        assert g.n_docs == len(rels)
+        scaled = e * D
+        assert scaled.denominator == 1
+        assert g.err_scaled == scaled.numerator, src
+        assert g.err_micros == (e.numerator * 1000000) // e.denominator
+        assert 0 <= g.err_micros < 1000000
+
+
+def test_duckdb_struct_fold_aliasing_pin():
+    """Pins the DuckDB 1.0 behavior the err oracle works around:
+    struct-lambda fields evaluate IN ORDER with the accumulator
+    aliased in place, so a later field reading an earlier-written
+    field sees the NEW value. If a DuckDB upgrade changes this, the
+    oracle's acc-first ordering stays correct either way — this test
+    exists so the change is NOTICED, not silently absorbed."""
+    import duckdb
+
+    con = duckdb.connect()
+    r = con.execute(
+        """
+        SELECT list_reduce(
+            list_prepend(
+                {acc: 0::BIGINT, p: 10::BIGINT},
+                list_transform([1, 1],
+                               x -> {acc: 0::BIGINT, p: x::BIGINT})),
+            (a, b) -> {acc: a.acc + a.p * 1000, p: a.p * 2})
+        """
+    ).fetchone()[0]
+    con.close()
+    # acc-first ordering: acc always sees the pre-update p
+    assert r == {"acc": 30000, "p": 40}
