@@ -86,6 +86,7 @@ BOUNDED_BNL = {
     "join_cardinality_skew_twin",        # 1-row predicted x 1-row actual scalars
     "streaming_union_multiple_watermarks",  # 1-row day-bound scalar broadcast (fixture build)
     "shapley_sampled_permutations_certified",  # 16-row v frame x 96-row literal perm grid
+    "fagin_ta_topk_certified",           # 1-row threshold + 1-row kth-total scalars
 }
 
 
