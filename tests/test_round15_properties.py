@@ -233,3 +233,121 @@ def test_kendall_pair_count_conservation(pts):
     # tau-b bounds: |C - D| <= sqrt((P - Tx')(P - Ty')) with
     # P = C + D + ties; weaker integer form: |C - D| <= C + D
     assert abs(nc - nd) <= nc + nd
+
+
+# ------------------------------------ Fagin TA completeness --
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([2, 4, 8]),
+    st.sampled_from([1, 3, 5]),
+)
+def test_fagin_threshold_theorem(scores, d, k):
+    """Fagin-Lotem-Naor: when the k-th best CANDIDATE total clears
+    the threshold a_(d) + b_(d), the depth-d candidate set provably
+    contains the global top-k — for ANY data, depth, and k."""
+    ids = list(range(len(scores)))
+    by_a = sorted(ids, key=lambda i: (-scores[i][0], i))[:d]
+    by_b = sorted(ids, key=lambda i: (-scores[i][1], i))[:d]
+    thresh = scores[by_a[-1]][0] + scores[by_b[-1]][1]
+    cand = set(by_a) | set(by_b)
+    total = lambda i: scores[i][0] + scores[i][1]  # noqa: E731
+    topk_cand = sorted(cand, key=lambda i: (-total(i), i))[:k]
+    if len(topk_cand) >= min(k, len(ids)) and topk_cand and (
+        total(topk_cand[-1]) >= thresh
+    ):
+        global_topk = sorted(ids, key=lambda i: (-total(i), i))[:k]
+        # set-compare with deterministic ties: sequences must match
+        assert topk_cand == global_topk[: len(topk_cand)]
+
+
+# ------------------------------------ CDC shift invariance --
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=200),
+        min_size=5,
+        max_size=60,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=200),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_cdc_chunking_shift_invariance(words, prefix):
+    """Content-defined boundaries: prepending ANY prefix leaves every
+    chunk after the first boundary of the original text unchanged —
+    the property fixed-width blocking lacks and CDC exists for."""
+    import hashlib
+
+    def bnd(w):
+        h = int(hashlib.md5(str(w).encode()).hexdigest()[:15], 16)
+        return h & 15 == 0
+
+    def chunk(ws):
+        out, cur = [], []
+        for w in ws:
+            cur.append(w)
+            if bnd(w):
+                out.append(tuple(cur))
+                cur = []
+        if cur:
+            out.append(tuple(cur))
+        return out
+
+    base = chunk(words)
+    shifted = chunk(prefix + words)
+    # after the first boundary inside `words`, chunks align exactly
+    if any(bnd(w) for w in words):
+        first_bnd = next(i for i, w in enumerate(words) if bnd(w))
+        tail_base = chunk(words[first_bnd + 1 :])
+        tail_shift = chunk((prefix + words)[len(prefix) + first_bnd + 1 :])
+        assert tail_base == tail_shift
+    # and total content is conserved either way
+    assert [w for c in base for w in c] == words
+    assert [w for c in shifted for w in c] == prefix + words
+
+
+# ----------------------- cardinality estimator exactness --
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_cardinality_estimator_exact_on_unique_build_side(orders):
+    """The uniformity-within-bucket estimator is EXACT whenever the
+    build side's keys are unique (n_c(b) == d_c(b) per bucket): the
+    regime the uniform twin grades. Customer keys = distinct order
+    keys (each once)."""
+    custs = sorted(set(orders))
+    from collections import Counter, defaultdict
+
+    ob, cbn, cbd = Counter(), Counter(), defaultdict(set)
+    for kk in orders:
+        ob[kk % 64] += 1
+    for kk in custs:
+        cbn[kk % 64] += 1
+        cbd[kk % 64].add(kk)
+    predicted = sum(
+        ob[b] * cbn[b] // max(len(cbd[b]), 1) for b in ob if b in cbn
+    )
+    cc = Counter(custs)
+    actual = sum(cc[kk] for kk in orders)
+    assert predicted == actual
