@@ -198,6 +198,10 @@ STAGED_AUDIT = [
     "join_cardinality_histogram_estimate",  # bounded histograms vs exact join
     "pav_isotonic_calibration_binned",  # 20-bin bounded pair/triple frames
     "bootstrap_ci_daily_mean",  # day-grain collapse, bounded resample frame
+    "fagin_ta_topk_certified",  # TakeOrderedAndProject accesses, bounded rescore
+    "cdc_chunk_dedup_mass",  # scan-side chunk fold, collapsing aggregates
+    "err_exact_dyadic",  # bounded-list integer fold, no position self-join
+    "reciprocal_rank_fusion_exact",  # bounded slice before any ranking window
 ]
 
 
