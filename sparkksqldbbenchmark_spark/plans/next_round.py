@@ -2964,3 +2964,290 @@ def err_exact_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(({fold}.acc * 3125) div {_ERR_D // 320} as bigint)"
         ).alias("err_micros"),
     )
+
+
+# --------------- KMV/theta-sketch INTERSECTION estimate --
+
+_KMVI_K = 64
+
+
+def _kmv_intersect_oracle(k: int = _KMVI_K, n: int = 3) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    sh = sql_word_shingles("text", n)
+    h = sql_md5_int("t.g") + " & 2147483647"
+    return f"""
+    WITH hsh AS (
+        SELECT DISTINCT
+               CASE WHEN d.doc_id % 2 = 0 THEN 'lo' ELSE 'hi'
+                    END AS grp,
+               {h} AS h
+        FROM documents d,
+             LATERAL (SELECT unnest({sh}) AS g) t
+    ),
+    sk AS (
+        SELECT grp, h,
+               row_number() OVER (
+                   PARTITION BY grp ORDER BY h) AS rk
+        FROM hsh
+    ),
+    theta AS (
+        SELECT min(mx) AS th FROM (
+            SELECT grp, max(h) AS mx FROM sk
+            WHERE rk <= {k} GROUP BY grp
+        )
+    ),
+    common AS (
+        SELECT count(*) AS c FROM (
+            SELECT a.h FROM sk a JOIN sk b
+              ON b.h = a.h AND a.grp = 'lo' AND b.grp = 'hi'
+                 AND a.rk <= {k} AND b.rk <= {k}
+        ) j, theta WHERE j.h < (SELECT th FROM theta)
+    ),
+    exact AS (
+        SELECT count(*) AS x FROM (
+            SELECT a.h FROM hsh a JOIN hsh b
+              ON b.h = a.h AND a.grp = 'lo' AND b.grp = 'hi'
+        )
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(t.th AS BIGINT) AS theta,
+           CAST(c.c AS BIGINT) AS common_below_theta,
+           CAST(c.c * 2147483647 // t.th AS BIGINT)
+               AS est_intersection,
+           CAST(e.x AS BIGINT) AS exact_intersection,
+           CAST(abs(c.c * 2147483647 // t.th - e.x) AS BIGINT)
+               AS abs_err
+    FROM theta t, common c, exact e
+    """
+
+
+@staged_query(
+    "kmv_intersection_estimate_certified",
+    oracle=_kmv_intersect_oracle(),
+)
+def kmv_intersection_estimate_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THETA-SKETCH INTERSECTION estimate, certified against the
+    exact overlap — the sketch-ALGEBRA operator (Dasgupta et al.,
+    the DataSketches theta family) completing the KMV rows' union
+    axis: the even/odd doc_id halves' shingle universes (overlapping
+    through the corpus's planted duplicates) compress to k-min
+    sketches, theta = the smaller k-th minimum, the sketches'
+    common hashes below theta scale by 2^31/theta into the
+    intersection estimate, and the row grades estimate vs the EXACT
+    distinct-hash overlap with the absolute error — the number that
+    decides whether sketch set-algebra is accurate enough to replace
+    the exact overlap join (audience overlap, cross-corpus
+    contamination mass, join-size-by-sketch).
+
+    Scale shape: each group's sketch is one distinct aggregate + one
+    bounded k-min window; the intersection runs on two k-row frames.
+    The EXACT overlap here exists to grade the estimator (in
+    production the sketch replaces it — the same certificate
+    discipline as the cardinality-estimator twins). At 100 TB the
+    sketches are kilobytes and merge/intersect without touching the
+    corpus again.
+
+    Reference basis: sketch family (kmv_distinct_sketch r2,
+    kmv_sketch_union_merge_certified r14, minhash_estimate_error r10
+    TAIL — the intersection member)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_word_shingles,
+    )
+
+    k = _KMVI_K
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.expr(spark_word_shingles("text", 3))
+    hsh = (
+        docs.select(
+            F.when(F.col("doc_id") % 2 == 0, "lo")
+            .otherwise("hi")
+            .alias("grp"),
+            F.explode(sh).alias("g"),
+        )
+        .select(
+            "grp",
+            F.expr(
+                f"({spark_md5_int('g')}) & 2147483647"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sk = hsh.select(
+        "grp",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("h"))
+        .alias("rk"),
+    ).where(F.col("rk") <= k)
+    theta = (
+        sk.groupBy("grp")
+        .agg(F.max("h").alias("mx"))
+        .agg(F.min("mx").alias("th"))
+    )
+    lo = sk.where(F.col("grp") == "lo").select("h")
+    hi = sk.where(F.col("grp") == "hi").select(F.col("h").alias("h2"))
+    common = (
+        lo.join(hi, F.col("h") == F.col("h2"))
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = (
+        hsh.where(F.col("grp") == "lo")
+        .select("h")
+        .join(
+            hsh.where(F.col("grp") == "hi").select(
+                F.col("h").alias("h2")
+            ),
+            F.col("h") == F.col("h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("th").cast("long").alias("theta"),
+            F.col("c").alias("common_below_theta"),
+            F.floor(F.col("c") * 2147483647 / F.col("th"))
+            .cast("long")
+            .alias("est_intersection"),
+            F.col("x").alias("exact_intersection"),
+            F.abs(
+                F.floor(F.col("c") * 2147483647 / F.col("th"))
+                - F.col("x")
+            )
+            .cast("long")
+            .alias("abs_err"),
+        )
+    )
+
+
+# --------------- padding waste: sorted vs FIFO batching --
+
+_PAD_B = 32
+
+
+def _padding_oracle(B: int = _PAD_B) -> str:
+    return f"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ),
+    fifo AS (
+        SELECT n_tok,
+               (row_number() OVER (ORDER BY doc_id) - 1) // {B}
+                   AS batch
+        FROM lens
+    ),
+    srt AS (
+        SELECT n_tok,
+               (row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+                   // {B} AS batch
+        FROM lens
+    ),
+    fifo_b AS (
+        SELECT batch, count(*) AS n, max(n_tok) AS mx,
+               sum(n_tok) AS s
+        FROM fifo GROUP BY batch
+    ),
+    srt_b AS (
+        SELECT batch, count(*) AS n, max(n_tok) AS mx,
+               sum(n_tok) AS s
+        FROM srt GROUP BY batch
+    )
+    SELECT * FROM (
+        SELECT 'fifo' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(s) AS BIGINT) AS real_tokens,
+               CAST(sum(n * mx - s) AS BIGINT) AS padding_tokens,
+               CAST(sum(n * mx - s) * 1000000 // sum(n * mx)
+                    AS BIGINT) AS waste_micros
+        FROM fifo_b
+        UNION ALL
+        SELECT 'sorted',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(s) AS BIGINT),
+               CAST(sum(n * mx - s) AS BIGINT),
+               CAST(sum(n * mx - s) * 1000000 // sum(n * mx)
+                    AS BIGINT)
+        FROM srt_b
+    )
+    """
+
+
+@staged_query(
+    "padding_waste_sorted_vs_fifo", oracle=_padding_oracle()
+)
+def padding_waste_sorted_vs_fifo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PADDING-WASTE AUDIT, sorted vs FIFO batching — the batch-
+    inference/training cost lever quantified exactly: fixed batches
+    of {_PAD_B} pad every sequence to the batch max, so arrival-order
+    (FIFO) batches burn compute on padding that LENGTH-SORTED
+    batching avoids. Both strategies' padded-token mass is computed
+    from the same corpus in exact integers (batch = floor(rank/B)
+    with deterministic ties) and graded side by side — the measured
+    gap IS the business case for the length-bucketed batcher (TAIL
+    row length_bucketed_batching builds the production form; this
+    row grades WHY).
+
+    Scale shape: one scan-side token count, two global rank windows
+    (each the two-level chunked form at scale — here the plain
+    window, bounded by the graded SFs), two batch-grain aggregates,
+    one 2-row rollup. The audit touches the corpus twice and
+    aggregates immediately — no joins.
+
+    Reference basis: packing family (sequence_packing r4 flagship,
+    pack_composition_audit r11, length_bucketed_batching r11 TAIL)."""
+    B = _PAD_B
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    def batched(order_cols, tag):
+        b = lens.select(
+            "n_tok",
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order_cols)) - 1)
+                / B
+            ).alias("batch"),
+        )
+        per = b.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per.agg(
+            F.lit(tag).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("real_tokens"),
+            F.sum(F.col("n") * F.col("mx") - F.col("s"))
+            .cast("long")
+            .alias("padding_tokens"),
+            F.floor(
+                F.sum(F.col("n") * F.col("mx") - F.col("s"))
+                * 1000000
+                / F.sum(F.col("n") * F.col("mx"))
+            )
+            .cast("long")
+            .alias("waste_micros"),
+        )
+
+    fifo = batched([F.col("doc_id")], "fifo")
+    srt = batched([F.col("n_tok"), F.col("doc_id")], "sorted")
+    return fifo.unionByName(srt)
