@@ -87,6 +87,7 @@ BOUNDED_BNL = {
     "streaming_union_multiple_watermarks",  # 1-row day-bound scalar broadcast (fixture build)
     "shapley_sampled_permutations_certified",  # 16-row v frame x 96-row literal perm grid
     "fagin_ta_topk_certified",           # 1-row threshold + 1-row kth-total scalars
+    "kmv_intersection_estimate_certified",  # 1-row theta/common/exact scalars
 }
 
 
