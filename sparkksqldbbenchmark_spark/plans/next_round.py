@@ -3251,3 +3251,268 @@ def padding_waste_sorted_vs_fifo(
     fifo = batched([F.col("doc_id")], "fifo")
     srt = batched([F.col("n_tok"), F.col("doc_id")], "sorted")
     return fifo.unionByName(srt)
+
+
+# --------------- split-conformal interval, exact coverage --
+
+_CONF_ALPHA_X10 = 1  # alpha = 0.1 -> 90% target coverage
+
+
+def _conformal_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    split = f"({sql_md5_int('CAST(event_id AS VARCHAR)')} % 2)"
+    return f"""
+    WITH scored AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               {split} AS half
+        FROM events
+    ),
+    pred AS (
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS yhat
+        FROM scored WHERE half = 0 GROUP BY event_type
+    ),
+    resid AS (
+        SELECT s.event_type, abs(s.cents - p.yhat) AS r
+        FROM scored s JOIN pred p USING (event_type)
+        WHERE s.half = 0
+    ),
+    qhat AS (
+        SELECT event_type, r AS q, n FROM (
+            SELECT event_type, r,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY r
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM resid
+        ) WHERE rk = least(n,
+                   CAST(ceil((n + 1) * 0.9) AS BIGINT))
+    ),
+    test AS (
+        SELECT s.event_type,
+               count(*) AS n_test,
+               CAST(sum(CASE WHEN abs(s.cents - p.yhat) <= q.q
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM scored s
+        JOIN pred p USING (event_type)
+        JOIN qhat q USING (event_type)
+        WHERE s.half = 1
+        GROUP BY s.event_type
+    )
+    SELECT t.event_type,
+           p.yhat AS predictor_cents,
+           CAST(q.n AS BIGINT) AS n_calibration,
+           CAST(q.q AS BIGINT) AS interval_radius_cents,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           t.n_covered,
+           CAST(t.n_covered * 1000000 // t.n_test AS BIGINT)
+               AS coverage_micros
+    FROM test t JOIN pred p USING (event_type)
+    JOIN qhat q USING (event_type)
+    """
+
+
+@staged_query(
+    "conformal_interval_coverage_exact", oracle=_conformal_oracle()
+)
+def conformal_interval_coverage_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS with exact coverage — the
+    distribution-free uncertainty wrapper (Vovk; Lei et al.) every
+    production model ships with: an md5 half of each event_type
+    calibrates (predictor = the calibration discrete median,
+    conformity score =
+    absolute residual, interval radius = the ceil((n+1)(1-alpha))-th
+    order statistic at alpha=0.1), and the held-out half grades the
+    EMPIRICAL coverage as exact floor micros — the conformal
+    guarantee (coverage >= 90% in expectation) made measurable per
+    type. Everything is integer cents and nearest-rank order
+    statistics; both engines agree value-for-value.
+
+    Scale shape: one scan splits and scores; the quantile is a
+    per-type window over calibration rows (per-group, not global);
+    coverage is one partial+final aggregate with the 1-row-per-type
+    (yhat, qhat) frames broadcast into the scan. Conformal's whole
+    appeal at 100 TB: calibration is a QUANTILE, not a model fit —
+    one pass, mergeable, done.
+
+    Reference basis: evaluation family (latency_percentiles r1 for
+    the order-statistic machinery; bootstrap_ci_daily_mean staged —
+    the model-facing uncertainty twin)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            f"({spark_md5_int('cast(event_id as string)')}) % 2"
+        ).alias("half"),
+    )
+    calib = scored.where(F.col("half") == 0)
+    pred = calib.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("yhat")
+    )
+    resid = calib.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("yhat")).alias("r"),
+    )
+    w = Window.partitionBy("event_type").orderBy("r")
+    qhat = (
+        resid.select(
+            "event_type",
+            "r",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .where(
+            F.col("rk")
+            == F.least(
+                F.col("n"),
+                F.ceil((F.col("n") + 1) * 0.9).cast("long"),
+            )
+        )
+        .select(
+            "event_type",
+            F.col("r").alias("q"),
+            F.col("n").cast("long").alias("n_calibration"),
+        )
+    )
+    test = (
+        scored.where(F.col("half") == 1)
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("yhat"))
+                    <= F.col("q"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            F.col("yhat").alias("predictor_cents"),
+            "n_calibration",
+            F.col("q").alias("interval_radius_cents"),
+            "n_test",
+            "n_covered",
+            F.floor(F.col("n_covered") * 1000000 / F.col("n_test"))
+            .cast("long")
+            .alias("coverage_micros"),
+        )
+    )
+
+
+# --------------------- pinball (quantile) loss, exact --
+
+
+def _pinball_oracle() -> str:
+    return """
+    WITH scored AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    pred AS (
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90
+        FROM scored GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           p.p50 AS pred_p50, p.p90 AS pred_p90,
+           CAST(sum(CASE WHEN s.cents >= p.p50
+                         THEN 5 * (s.cents - p.p50)
+                         ELSE 5 * (p.p50 - s.cents) END)
+                AS BIGINT) AS pinball50_x10,
+           CAST(sum(CASE WHEN s.cents >= p.p90
+                         THEN 9 * (s.cents - p.p90)
+                         ELSE 1 * (p.p90 - s.cents) END)
+                AS BIGINT) AS pinball90_x10
+    FROM scored s JOIN pred p USING (event_type)
+    GROUP BY s.event_type, p.p50, p.p90
+    """
+
+
+@staged_query("pinball_loss_exact", oracle=_pinball_oracle())
+def pinball_loss_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (QUANTILE) LOSS, exact — the metric that scores a
+    quantile forecast (Koenker's check function: tau-weighted
+    under-prediction vs (1-tau)-weighted over-prediction): the
+    per-type exact median and discrete 90th percentile play the
+    forecasters, and both losses sum as exact integers scaled by 10
+    (tau = 5/10 and 9/10). The defining property — the true
+    tau-quantile minimizes expected pinball loss — is what makes
+    this THE evaluation for p50/p90 latency/demand forecasts; the
+    witness asserts the minimizer property directly against
+    perturbed predictors.
+
+    Scale shape: one aggregate computes both predictors (exact
+    median + nearest-rank p90 are single-pass order statistics per
+    group), broadcast back into one partial+final loss aggregate
+    over the scan. Two passes total, nothing corpus-grain after.
+
+    Reference basis: evaluation family (latency percentiles r1,
+    rolling_origin_backtest_folds staged — the loss those forecasts
+    should be scored with)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # DISCRETE quantiles: the interpolated median of an even group is
+    # x.5, and Spark's long cast truncates while DuckDB's rounds —
+    # percentile_disc sidesteps the cast-semantics trap entirely
+    pred = scored.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p90"),
+    )
+    j = scored.join(F.broadcast(pred), "event_type")
+    under50 = F.col("cents") >= F.col("p50")
+    under90 = F.col("cents") >= F.col("p90")
+    return j.groupBy("event_type", "p50", "p90").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(under50, 5 * (F.col("cents") - F.col("p50")))
+            .otherwise(5 * (F.col("p50") - F.col("cents")))
+        )
+        .cast("long")
+        .alias("pinball50_x10"),
+        F.sum(
+            F.when(under90, 9 * (F.col("cents") - F.col("p90")))
+            .otherwise(1 * (F.col("p90") - F.col("cents")))
+        )
+        .cast("long")
+        .alias("pinball90_x10"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("p50").alias("pred_p50"),
+        F.col("p90").alias("pred_p90"),
+        "pinball50_x10",
+        "pinball90_x10",
+    )

@@ -1011,3 +1011,78 @@ def test_padding_waste_matches_python_batching(spark):
     assert srt_pad < fifo_pad, (
         "sorted batching must strictly reduce padding here"
     )
+
+
+def test_conformal_matches_python_walk(spark):
+    """Split, calibration quantile, and held-out coverage re-derived
+    in Python; the conformal guarantee asserted loosely (coverage
+    within 10 points of the 90% target on every type)."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    per = defaultdict(lambda: ([], []))
+    for r in rows:
+        half = _md5int(str(r.event_id)) % 2
+        per[r.event_type][half].append(math.floor(r.value * 100))
+    got = {
+        r.event_type: r
+        for r in STAGED["conformal_interval_coverage_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for et, (calib, test) in per.items():
+        sc = sorted(calib)
+        n = len(sc)
+        # discrete median = percentile_disc(0.5): first rank with
+        # cume_dist >= 0.5 -> index ceil(n/2)
+        yhat = sc[(n + 1) // 2 - 1]
+        res = sorted(abs(c - yhat) for c in calib)
+        q = res[min(n, math.ceil((n + 1) * 0.9)) - 1]
+        covered = sum(1 for c in test if abs(c - yhat) <= q)
+        g = got[et]
+        assert g.predictor_cents == yhat, et
+        assert g.n_calibration == n
+        assert g.interval_radius_cents == q, et
+        assert (g.n_test, g.n_covered) == (len(test), covered)
+        assert g.coverage_micros == covered * 1000000 // len(test)
+        assert abs(g.coverage_micros - 900000) < 100000, (
+            et,
+            "coverage should sit near the 90% conformal target",
+        )
+
+
+def test_pinball_matches_check_function_and_minimizer(spark):
+    """Both losses re-summed with the definitional check function,
+    and Koenker's minimizer property asserted: the discrete median
+    predictor achieves pinball50 no worse than +/-1-cent
+    perturbations of it."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(math.floor(r.value * 100))
+    got = {
+        r.event_type: r
+        for r in STAGED["pinball_loss_exact"](spark, SF_DIR).collect()
+    }
+
+    def pin(vals, pred, tau10):
+        return sum(
+            tau10 * (c - pred) if c >= pred else (10 - tau10) * (pred - c)
+            for c in vals
+        )
+
+    for et, vals in per.items():
+        sc = sorted(vals)
+        n = len(sc)
+        p50 = sc[(n + 1) // 2 - 1]
+        p90 = sc[math.ceil(0.9 * n) - 1]
+        g = got[et]
+        assert (g.pred_p50, g.pred_p90) == (p50, p90), et
+        assert g.pinball50_x10 == pin(vals, p50, 5)
+        assert g.pinball90_x10 == pin(vals, p90, 9)
+        # the quantile minimizes its own pinball loss
+        for d in (-1, 1):
+            assert pin(vals, p50, 5) <= pin(vals, p50 + d, 5), et
+            assert pin(vals, p90, 9) <= pin(vals, p90 + d, 9), et
