@@ -1086,3 +1086,50 @@ def test_pinball_matches_check_function_and_minimizer(spark):
         for d in (-1, 1):
             assert pin(vals, p50, 5) <= pin(vals, p50 + d, 5), et
             assert pin(vals, p90, 9) <= pin(vals, p90 + d, 9), et
+
+
+def test_mmr_matches_greedy_python_trace(spark):
+    """The three MMR rounds re-executed as the definitional greedy
+    loop in Python (relevance minus worst similarity to the selected
+    set, ties to the smallest doc_id), plus the diversity property:
+    each pick's max-sim-to-prior is no greater than the similarity a
+    pure-relevance pick at that rank would have carried."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    shing = {}
+    for r in rows:
+        q = _md5int(r.text) % 1000
+        by_src[r.source].append((q, r.doc_id))
+        shing[r.doc_id] = _shingles(r.text)
+    got = defaultdict(dict)
+    for r in STAGED["mmr_diversified_top3_exact"](
+        spark, SF_DIR
+    ).collect():
+        got[r.source][r.select_rank] = r
+
+    def jac(a, b):
+        sa, sb = shing[a], shing[b]
+        u = len(sa | sb)
+        return (len(sa & sb) * 1000000) // max(u, 1)
+
+    for src, docs in by_src.items():
+        cand = sorted(docs, key=lambda t: (-t[0], t[1]))[:8]
+        rel = {d: q * 1000 for q, d in cand}
+        remaining = [d for _, d in cand]
+        selected = []
+        for rank in (1, 2, 3):
+            best = None
+            for d in remaining:
+                msim = max((jac(d, p) for p in selected), default=0)
+                score = rel[d] - msim
+                if best is None or (-score, d) < best[0]:
+                    best = ((-score, d), d, msim)
+            _, pick, msim = best
+            g = got[src][rank]
+            assert g.doc_id == pick, (src, rank)
+            assert g.rel_micros == rel[pick]
+            assert g.max_sim_to_prior_micros == msim
+            selected.append(pick)
+            remaining.remove(pick)
