@@ -202,6 +202,8 @@ STAGED_AUDIT = [
     "cdc_chunk_dedup_mass",  # scan-side chunk fold, collapsing aggregates
     "err_exact_dyadic",  # bounded-list integer fold, no position self-join
     "reciprocal_rank_fusion_exact",  # bounded slice before any ranking window
+    "conformal_interval_coverage_exact",  # per-group calib window, scalar frames broadcast
+    "mmr_diversified_top3_exact",  # bounded candidate slice before pairwise sim
 ]
 
 
