@@ -3800,3 +3800,156 @@ def mmr_diversified_top3_exact(
         "rel_micros",
         "max_sim_to_prior_micros",
     )
+
+
+# ------------- successive-halving (Hyperband rung) plan --
+
+
+def _sh_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    def rw(r):
+        return (
+            "("
+            + sql_md5_int(
+                f"(CAST(u AS VARCHAR) || '#{r}')"
+            )
+            + " % 1000)"
+        )
+
+    return f"""
+    WITH arms AS (
+        SELECT DISTINCT user_id AS u FROM events
+    ),
+    r0 AS (
+        SELECT u, {rw(0)} AS cum,
+               count(*) OVER () AS n
+        FROM arms
+    ),
+    k0 AS (
+        SELECT u, cum FROM (
+            SELECT u, cum,
+                   row_number() OVER (
+                       ORDER BY cum DESC, u) AS rk,
+                   n FROM r0
+        ) WHERE rk <= (n + 1) // 2
+    ),
+    r1 AS (
+        SELECT u, cum + {rw(1)} AS cum,
+               count(*) OVER () AS n
+        FROM k0
+    ),
+    k1 AS (
+        SELECT u, cum FROM (
+            SELECT u, cum,
+                   row_number() OVER (
+                       ORDER BY cum DESC, u) AS rk,
+                   n FROM r1
+        ) WHERE rk <= (n + 1) // 2
+    ),
+    r2 AS (
+        SELECT u, cum + {rw(2)} AS cum,
+               count(*) OVER () AS n
+        FROM k1
+    ),
+    k2 AS (
+        SELECT u, cum FROM (
+            SELECT u, cum,
+                   row_number() OVER (
+                       ORDER BY cum DESC, u) AS rk,
+                   n FROM r2
+        ) WHERE rk <= (n + 1) // 2
+    )
+    SELECT * FROM (
+        SELECT 0 AS rung,
+               CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_arms,
+               CAST(1 AS BIGINT) AS budget_per_arm,
+               CAST((SELECT count(*) FROM r0) AS BIGINT)
+                   AS rung_spend,
+               CAST((SELECT min(cum) FROM k0) AS BIGINT)
+                   AS keep_cutoff_cum,
+               CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_kept
+        UNION ALL
+        SELECT 1,
+               CAST((SELECT count(*) FROM r1) AS BIGINT),
+               CAST(2 AS BIGINT),
+               CAST(2 * (SELECT count(*) FROM r1) AS BIGINT),
+               CAST((SELECT min(cum) FROM k1) AS BIGINT),
+               CAST((SELECT count(*) FROM k1) AS BIGINT)
+        UNION ALL
+        SELECT 2,
+               CAST((SELECT count(*) FROM r2) AS BIGINT),
+               CAST(4 AS BIGINT),
+               CAST(4 * (SELECT count(*) FROM r2) AS BIGINT),
+               CAST((SELECT min(cum) FROM k2) AS BIGINT),
+               CAST((SELECT count(*) FROM k2) AS BIGINT)
+    ) ORDER BY rung
+    """
+
+
+@staged_query("successive_halving_plan", oracle=_sh_oracle())
+def successive_halving_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUCCESSIVE HALVING — the Hyperband rung schedule (Jamieson &
+    Talwalkar 2016; Li et al. 2018) executed as relational rounds:
+    every distinct user plays a hyperparameter arm, each rung doubles
+    the per-arm budget (1, 2, 4) and keeps the top HALF by cumulative
+    md5-deterministic reward (ties to the smaller arm id), and the
+    row grades the full elimination audit per rung — arms entering,
+    budget, rung spend, the keep-cutoff cumulative reward, and the
+    kept count. The exponentially-weighted exploration/exploitation
+    budget law (most spend on few survivors) is what training-job
+    schedulers implement; here its exact trace is cross-engine
+    reproducible.
+
+    Scale shape: each rung is one ranking window over a HALVED frame
+    — total window work is a geometric series bounded by 2x the
+    first rung; reward lookups are scan-side md5 integers. At
+    millions of arms the rung-0 window is the two-level chunked rank
+    at worst; everything after shrinks geometrically — the algorithm
+    is shuffle-friendly by construction.
+
+    Reference basis: selection/sampling family (token_budget_selection
+    r4 flagship, weighted_bottomk_priority_sample r14,
+    rolling_origin_backtest_folds staged — the hyperparameter-search
+    member of the budget-planning family)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    def rw(r):
+        arg = "concat(cast(u as string), '#" + str(r) + "')"
+        return F.expr(f"({spark_md5_int(arg)}) % 1000")
+
+    arms = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    frames = []
+    cur = arms.select("u", rw(0).alias("cum"))
+    budget = 1
+    for rung in range(3):
+        n = cur.count()
+        keep = (n + 1) // 2
+        ranked = cur.select(
+            "u",
+            "cum",
+            F.row_number()
+            .over(Window.orderBy(F.col("cum").desc(), "u"))
+            .alias("rk"),
+        )
+        kept = ranked.where(F.col("rk") <= keep)
+        cut = kept.agg(F.min("cum").alias("c")).collect()[0].c
+        frames.append(
+            (rung, n, budget, budget * n, cut, keep)
+        )
+        if rung < 2:
+            budget *= 2
+            cur = kept.select(
+                "u", (F.col("cum") + rw(rung + 1)).alias("cum")
+            )
+    return spark.createDataFrame(
+        frames,
+        "rung long, n_arms long, budget_per_arm long, "
+        "rung_spend long, keep_cutoff_cum long, n_kept long",
+    )

@@ -1133,3 +1133,45 @@ def test_mmr_matches_greedy_python_trace(spark):
             assert g.max_sim_to_prior_micros == msim
             selected.append(pick)
             remaining.remove(pick)
+
+
+def test_successive_halving_matches_python_trace(spark):
+    """The three elimination rungs re-executed as the definitional
+    loop in Python, plus the budget law: rung spend concentrates
+    geometrically (each rung's arm count halves while its per-arm
+    budget doubles, so spends stay within 2x of each other)."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id"
+    ).collect()
+    arms = sorted({r.user_id for r in rows})
+    cum = {u: _md5int(f"{u}#0") % 1000 for u in arms}
+    got = {
+        r.rung: r
+        for r in STAGED["successive_halving_plan"](
+            spark, SF_DIR
+        ).collect()
+    }
+    budget = 1
+    for rung in range(3):
+        n = len(cum)
+        keep = (n + 1) // 2
+        kept = sorted(cum, key=lambda u: (-cum[u], u))[:keep]
+        cutoff = min(cum[u] for u in kept)
+        g = got[rung]
+        assert (
+            g.n_arms,
+            g.budget_per_arm,
+            g.rung_spend,
+            g.keep_cutoff_cum,
+            g.n_kept,
+        ) == (n, budget, budget * n, cutoff, keep), rung
+        if rung < 2:
+            budget *= 2
+            cum = {
+                u: cum[u] + _md5int(f"{u}#{rung + 1}") % 1000
+                for u in kept
+            }
+    spends = [got[r].rung_spend for r in range(3)]
+    assert max(spends) <= 2 * min(spends) + 2, (
+        "halving + doubling must keep rung spends comparable"
+    )
