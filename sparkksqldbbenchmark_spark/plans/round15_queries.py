@@ -222,10 +222,13 @@ _PSI_BINS = 10
     oracle=f"""
     WITH b AS (
         SELECT event_type,
-               CASE WHEN epoch_us(ts) - (SELECT min(epoch_us(ts))
-                                         FROM events)
-                         < (SELECT (max(epoch_us(ts))
-                                    - min(epoch_us(ts))) / 2
+               -- doubled-offset integer comparison (ADVICE r15): no
+               -- division on either side, so an odd microsecond span
+               -- cannot produce a floor-vs-double midpoint disagreement
+               CASE WHEN 2 * (epoch_us(ts) - (SELECT min(epoch_us(ts))
+                                              FROM events))
+                         < (SELECT max(epoch_us(ts))
+                                   - min(epoch_us(ts))
                             FROM events)
                     THEN 0 ELSE 1 END AS half,
                least({_PSI_BINS - 1},
@@ -305,16 +308,18 @@ def psi_drift_bins_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift axis is what a production deployment monitors between the
     reference's daily runs."""
     ev = load_table(spark, sf_dir, "events")
+    # doubled-offset integer comparison (ADVICE r15): 2*(ts-t0) < span
+    # keeps both engines in pure BIGINT arithmetic at the midpoint
     lim = ev.agg(
         F.min(F.unix_micros("ts")).alias("t0"),
-        ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2)
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
         .cast("long")
-        .alias("halfspan"),
+        .alias("span"),
     )
     b = ev.crossJoin(F.broadcast(lim)).select(
         "event_type",
         F.when(
-            F.unix_micros("ts") - F.col("t0") < F.col("halfspan"), 0
+            2 * (F.unix_micros("ts") - F.col("t0")) < F.col("span"), 0
         )
         .otherwise(1)
         .alias("half"),

@@ -88,6 +88,7 @@ BOUNDED_BNL = {
     "shapley_sampled_permutations_certified",  # 16-row v frame x 96-row literal perm grid
     "fagin_ta_topk_certified",           # 1-row threshold + 1-row kth-total scalars
     "kmv_intersection_estimate_certified",  # 1-row theta/common/exact scalars
+    "successive_halving_plan",           # 1-row rung-population scalar x 3 rungs
 }
 
 
@@ -122,6 +123,17 @@ def main() -> None:
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         )
         note = ""
+        # Eager-row guard (VERDICT r15 "what's wrong" #4): a query that
+        # materializes its result driver-side returns a bare
+        # LocalTableScan — a vacuous 0|0|0 audit row that hides the real
+        # exchanges from this very audit. Flag it as a failure so no
+        # registered/staged row can bypass plan-quality evidence.
+        stripped = plan.strip()
+        if stripped.startswith(("LocalTableScan", "*(1) LocalTableScan")) and (
+            "Exchange" not in plan and "Scan parquet" not in plan
+        ):
+            note = "DRIVER-MATERIALIZED (LocalTableScan result)"
+            failures.append(name)
         if bnl:
             if name.removeprefix("staged:") in BOUNDED_BNL:
                 note = "BNL bounded by design (scalar/centroid broadcast)"
