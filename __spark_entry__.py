@@ -79,6 +79,7 @@ except ImportError:
 import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round14_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round15_queries  # noqa: F401
+import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
@@ -968,7 +969,75 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 #     scale-pattern rows, green r14; decontam_bloom_prefilter_certified
 #     and the bucketing TAIL pins keep the patterns graded
 # ------------------------------------------------------------------
+# ------------------------------------------------------------------
+# Round-16 rotation (docs/ROTATION_R15.md, executed round 16):
+# CORRECTNESS_r15 was 50/50 green, so all 25 staged rows graduate
+# (plans/round16_queries.py, formerly next_round.py) and 40 of the 42
+# non-flagship round-15 head rows move to TAIL. Two round-15 head rows
+# STAY for re-grade because this round edited their comparison
+# semantics per ADVICE r15 (their r15 evidence is void under the pin
+# policy): psi_drift_bins_exact (doubled-offset integer midpoint) and
+# temporal_split_straddle_audit (event_id tiebreak in the session-id
+# running sum). Eight streaming rows come OUT of TAIL for a free
+# re-grade, resolving the ADVICE r15 pin-policy finding that their
+# fingerprints were re-pinned after the round-15 auto-checkpoint
+# rmtree edit (a runtime-behavior change): streaming_window_agg,
+# streaming_update_mode_final, streaming_sessionize,
+# streaming_rocksdb_state_store, streaming_stateful_topk_per_key,
+# streaming_cdc_latest, streaming_dedup_then_window,
+# python_datasource_stream_agg — chosen to cover every changed helper
+# path (run_to_memory availableNow, update-mode memory sink, session
+# windows, RocksDB provider, stateful topk, CDC latest, dedup+window
+# chain, Python DataSource streaming). The remaining re-pinned
+# streaming TAIL rows ride the rationale recorded in
+# docs/ROTATION_R16.md: the rmtree runs strictly AFTER the memory sink
+# materializes, touches only anonymous AUTO-created checkpoint dirs,
+# and is unobservable in any returned DataFrame; the 8 re-grades plus
+# the 4 round-15 late-drop re-grades exercise those exact lines under
+# a driver verdict. Remaining free slots are filled by the round-16
+# slot-filler rows in plans/round16_queries.py (see ROTATION_R16.md).
+# ------------------------------------------------------------------
 TAIL: tuple[str, ...] = (
+    "streaming_watermark_late_drop",
+    "streaming_outer_join_null_emission",
+    "streaming_dedup_within_watermark_reemit",
+    "streaming_semi_join_first_match",
+    "cusum_drift_flags",
+    "delta_sign_runlength_stats",
+    "stratified_kfold_assignment",
+    "farthest_point_init_quantized",
+    "attribution_last_touch_windowed",
+    "null_scalar_breadth_suite",
+    "csv_escape_quote_matrix",
+    "monthly_revenue_mom_yoy",
+    "longest_repeated_substring_extract",
+    "weighted_bottomk_priority_sample",
+    "streaming_session_window_late_drop",
+    "transition_dwell_matrix",
+    "streaming_dynamic_gap_session_late_drop",
+    "multi_probe_recall_at_k_certified",
+    "order_to_ship_leadtime_histogram",
+    "token_tv_distance_matrix",
+    "chi2_independence_contingency",
+    "local_clustering_coefficient",
+    "kmv_sketch_union_merge_certified",
+    "skyline_pareto_frontier",
+    "streaming_full_outer_join_both_nulls",
+    "gopher_repetition_rules",
+    "cohens_kappa_exact",
+    "waterfill_budget_allocation",
+    "graph_2hop_degree_sum",
+    "data_retention_expiry_plan",
+    "decontam_bloom_prefilter_certified",
+    "bbit_minwise_estimate_on_candidates",
+    "audio_decimate_boxcar",
+    "jl_projection_distance_certified",
+    "sft_loss_mask_plan",
+    "curation_pipeline_v2_composed",
+    "rendezvous_shard_assignment_certified",
+    "average_precision_exact",
+    "macro_f1_exact",
+    "gk_summary_union_merge_certified",
     "xpath_scalar_suite",
     "mode_median_suite",
     "calendar_function_suite",
@@ -1063,7 +1132,6 @@ TAIL: tuple[str, ...] = (
     "regr_agg_suite",
     "bpe_pair_merge_candidates",
     "ngram_novelty_growth",
-    "streaming_dedup_then_window",
     "streaming_file_sink_partitioned",
     "hidden_file_metadata_scan",
     "udtf_table_arg_partition_by",
@@ -1084,10 +1152,8 @@ TAIL: tuple[str, ...] = (
     "streaming_checkpoint_restart_resume",
     "length_bucketed_batching",
     "kmeans_lloyd_step_quantized",
-    "streaming_stateful_topk_per_key",
     "bitmap_distinct_functions",
     "window_group_limit_pushdown",
-    "streaming_rocksdb_state_store",
     "rolling_correlation_24h",
     "clustered_write_sorted_runs",
     "dedup_survivorship_merge",
@@ -1138,7 +1204,6 @@ TAIL: tuple[str, ...] = (
     "array_algebra_suite",
     "regexp_suite2",
     "observe_metrics_suite",
-    "python_datasource_stream_agg",
     "python_datasource_geojson_scan",
     "python_datasource_sink_roundtrip",
     "streaming_observe_metrics",
@@ -1173,7 +1238,6 @@ TAIL: tuple[str, ...] = (
     "tpch_q20_potential_promotion",
     "dynamic_partition_pruning_join",
     "scd2_dimension_build",
-    "streaming_cdc_latest",
     "table_diff_reconciliation",
     "merge_on_read_upsert",
     "lateral_topn_per_key",
@@ -1287,7 +1351,6 @@ TAIL: tuple[str, ...] = (
     "scalar_function_suite",
     "tpch_q1_pricing_summary",
     "curation_pipeline",
-    "streaming_sessionize",
     "streaming_watermarked_append",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
@@ -1312,13 +1375,11 @@ TAIL: tuple[str, ...] = (
     "streaming_union_window_agg",
     "latest_by_offset",
     "argmax_station",
-    "streaming_window_agg",
     "tpch_q6_selective_scan",
     "tpch_q5_join_chain",
     "text_fingerprint",
     "dirty_data_parsing",
     "time_rollup_hierarchy",
-    "streaming_update_mode_final",
     "region_zone_lookup",
     "text_lang_id",
     "top_k_values",
