@@ -4653,3 +4653,798 @@ def brier_reliability_bins_exact(
             "s_all",
         )
     )
+
+
+# ------- weighted MMR top-k (lambda = 1/4, k = 4, generated rounds) --
+
+_WMMR_CANDS = 8
+_WMMR_K = 4
+# lambda = 1/4: 4*MMR(d) = rel - 3*max_sim, kept integer by scaling
+_WMMR_SIM_W = 3
+
+
+def _wmmr_oracle(
+    nc: int = _WMMR_CANDS, k: int = _WMMR_K, w: int = _WMMR_SIM_W
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    sh = sql_word_shingles("text", 3)
+    key = "(-(SCORE)) * 8589934592 + doc_id"
+
+    ctes = [
+        f"""cand AS (
+        SELECT source, doc_id, rel, shingles FROM (
+            SELECT source, doc_id,
+                   CAST({q} * 1000 AS BIGINT) AS rel,
+                   {sh} AS shingles,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {q} DESC, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {nc}
+    )""",
+        """sim AS (
+        SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_intersect(a.shingles, b.shingles))
+                    * 1000000
+                    // greatest(len(list_distinct(
+                           list_concat(a.shingles, b.shingles))), 1)
+                    AS BIGINT) AS s
+        FROM cand a JOIN cand b
+          ON b.source = a.source AND b.doc_id != a.doc_id
+    )""",
+        f"""s1 AS (
+        SELECT source,
+               min_by(doc_id, {key.replace('SCORE', 'rel')}) AS d1
+        FROM cand GROUP BY source
+    )""",
+    ]
+    picks = [
+        """SELECT s1.source, 1 AS select_rank, s1.d1 AS doc_id,
+               CAST(0 AS BIGINT) AS max_sim_to_prior
+        FROM s1"""
+    ]
+    for i in range(2, k + 1):
+        prior_joins = "\n        ".join(
+            f"JOIN s{j} ON s{j}.source = c.source "
+            f"AND c.doc_id != s{j}.d{j}"
+            for j in range(1, i)
+        )
+        sim_joins = "\n        ".join(
+            f"LEFT JOIN sim x{j} ON x{j}.source = c.source "
+            f"AND x{j}.da = c.doc_id AND x{j}.db = s{j}.d{j}"
+            for j in range(1, i)
+        )
+        msim = "greatest(" + ", ".join(
+            f"coalesce(x{j}.s, 0)" for j in range(1, i)
+        ) + ")" if i > 2 else "coalesce(x1.s, 0)"
+        ctes.append(
+            f"""sc{i} AS (
+        SELECT c.source, c.doc_id, c.rel, {msim} AS msim
+        FROM cand c
+        {prior_joins}
+        {sim_joins}
+    )"""
+        )
+        score = f"(rel - {w} * msim)"
+        ctes.append(
+            f"""s{i} AS (
+        SELECT source,
+               min_by(doc_id, {key.replace('SCORE', score)}) AS d{i}
+        FROM sc{i} GROUP BY source
+    )"""
+        )
+        picks.append(
+            f"""SELECT c.source, {i}, c.doc_id, c.msim
+        FROM sc{i} c JOIN s{i} ON s{i}.source = c.source
+                         AND s{i}.d{i} = c.doc_id"""
+        )
+    all_ctes = ",\n    ".join(ctes)
+    all_picks = "\n        UNION ALL\n        ".join(picks)
+    return f"""
+    WITH {all_ctes},
+    picks AS (
+        {all_picks}
+    )
+    SELECT p.source, CAST(p.select_rank AS BIGINT) AS select_rank,
+           p.doc_id, c.rel AS rel_micros,
+           p.max_sim_to_prior AS max_sim_to_prior_micros
+    FROM picks p JOIN cand c
+      ON c.source = p.source AND c.doc_id = p.doc_id
+    """
+
+
+@query(
+    "mmr_diversified_topk_weighted", oracle=_wmmr_oracle()
+)
+def mmr_diversified_topk_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED MMR top-{_WMMR_K} at lambda = 1/4 — the ROTATION_R15
+    seed generalizing the graduated lambda = 1/2 top-3 row on BOTH
+    axes: the greedy objective becomes 4*MMR = rel - {_WMMR_SIM_W} *
+    max_sim (diversity-heavy: one unit of similarity costs three of
+    relevance, all integer micros), and the selection runs
+    {_WMMR_K} rounds GENERATED by a loop that only BUILDS the lazy
+    plan — round i joins the candidate slice against the i-1 prior
+    picks and the bounded pairwise-similarity frame, takes the
+    composite-BIGINT min_by argmax, and the identical generated SQL
+    drives DuckDB. Proves the unrolled-greedy device scales in k
+    without hand-written rounds.
+
+    Scale shape: identical to the top-3 row — candidates are a
+    bounded top-{_WMMR_CANDS} slice per source BEFORE anything
+    pairwise, the sim frame is <= {_WMMR_CANDS}^2 rows per source,
+    and each generated round is a bounded join + one aggregate.
+    Corpus size touches only the initial ranking window.
+
+    Reference basis: retrieval family (mmr_diversified_top3_exact
+    r15 staged — this grades the lambda != 1/2 weighted-composite
+    argmax keys and k > 3 loop-generated rounds the seed called
+    for)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_word_shingles,
+    )
+
+    nc, k, w = _WMMR_CANDS, _WMMR_K, _WMMR_SIM_W
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    cand = (
+        docs.select(
+            "source",
+            "doc_id",
+            (F.expr(q) * 1000).cast("long").alias("rel"),
+            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.expr(q).desc(), "doc_id"
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= nc)
+        .drop("rk")
+    )
+    a = cand.select(
+        "source",
+        F.col("doc_id").alias("da"),
+        F.col("shingles").alias("sha"),
+    )
+    b = cand.select(
+        "source",
+        F.col("doc_id").alias("db"),
+        F.col("shingles").alias("shb"),
+    )
+    sim = (
+        a.join(b, "source")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "source",
+            "da",
+            "db",
+            F.expr(
+                "cast(size(array_intersect(sha, shb)) * 1000000"
+                " div greatest(size(array_union(sha, shb)), 1)"
+                " as bigint)"
+            ).alias("s"),
+        )
+    )
+    KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
+
+    def argmax(df, score_col, out):
+        return df.groupBy("source").agg(
+            F.min_by(
+                "doc_id", (-score_col) * KEY + F.col("doc_id")
+            ).alias(out)
+        )
+
+    s = {1: argmax(cand, F.col("rel"), "d1")}
+    sc = {}
+    for i in range(2, k + 1):
+        cur = cand
+        for j in range(1, i):
+            cur = cur.join(s[j], "source").where(
+                F.col("doc_id") != F.col(f"d{j}")
+            )
+        for j in range(1, i):
+            cur = cur.join(
+                sim.select(
+                    "source",
+                    F.col("da").alias("doc_id"),
+                    F.col("db").alias(f"dx{j}"),
+                    F.col("s").alias(f"sv{j}"),
+                ),
+                ["source", "doc_id"],
+                "left",
+            ).where(
+                F.col(f"dx{j}").isNull()
+                | (F.col(f"dx{j}") == F.col(f"d{j}"))
+            )
+        msim = (
+            F.greatest(
+                *[
+                    F.coalesce(f"sv{j}", F.lit(0))
+                    for j in range(1, i)
+                ]
+            )
+            if i > 2
+            else F.coalesce("sv1", F.lit(0))
+        )
+        sc[i] = cur.select(
+            "source", "doc_id", "rel", msim.alias("msim")
+        )
+        s[i] = argmax(
+            sc[i], F.col("rel") - w * F.col("msim"), f"d{i}"
+        )
+    picks = s[1].select(
+        "source",
+        F.lit(1).cast("long").alias("select_rank"),
+        F.col("d1").alias("doc_id"),
+        F.lit(0).cast("long").alias("max_sim_to_prior_micros"),
+    )
+    for i in range(2, k + 1):
+        picks = picks.unionByName(
+            sc[i]
+            .join(s[i], "source")
+            .where(F.col("doc_id") == F.col(f"d{i}"))
+            .select(
+                "source",
+                F.lit(i).cast("long").alias("select_rank"),
+                "doc_id",
+                F.col("msim").alias("max_sim_to_prior_micros"),
+            )
+        )
+    return picks.join(
+        cand.select(
+            "source", "doc_id", F.col("rel").alias("rel_micros")
+        ),
+        ["source", "doc_id"],
+    ).select(
+        "source",
+        "select_rank",
+        "doc_id",
+        "rel_micros",
+        "max_sim_to_prior_micros",
+    )
+
+
+# ------- composed curation pipeline v4 (PAV-calibrated keep) --
+
+_V4_BINS = 20
+
+
+def _curation_v4_oracle(nb: int = _V4_BINS) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    h = sql_md5_int("w.w")
+    evalsplit = f"({sql_md5_int('CAST(doc_id AS VARCHAR)')} % 10)"
+    sh = sql_word_shingles("text", 5)
+    return f"""
+    WITH pool AS (
+        SELECT * FROM documents WHERE {evalsplit} != 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({sh}) AS esh
+        FROM documents WHERE {evalsplit} = 0
+    ),
+    words AS (
+        SELECT d.doc_id, d.source, d.lang,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM pool d
+    ),
+    flagged AS (
+        SELECT doc_id, source, lang, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, source, lang, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sents AS (
+        SELECT doc_id, source, lang, sid,
+               string_agg(w, ' ' ORDER BY i) AS s
+        FROM sids GROUP BY doc_id, source, lang, sid
+    ),
+    quality AS (
+        SELECT s.doc_id, s.source, s.lang,
+               count(*) AS n_sents,
+               count(DISTINCT s.s) AS n_distinct,
+               t.n_words
+        FROM sents s
+        JOIN (SELECT doc_id, count(*) AS n_words FROM words
+              GROUP BY doc_id) t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.source, s.lang, t.n_words
+    ),
+    docbins AS (
+        SELECT doc_id, source, n_words,
+               {nb - 1} - least({nb - 1},
+                   (n_sents - n_distinct) * 1000000
+                       // n_sents // 50000) AS rb,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM quality
+    ),
+    grid AS (SELECT unnest(range({nb})) AS rb),
+    aggb AS (
+        SELECT g.rb,
+               CAST(count(d.rb) AS BIGINT) AS n,
+               CAST(coalesce(sum(d.y), 0) AS BIGINT) AS k
+        FROM grid g LEFT JOIN docbins d ON d.rb = g.rb
+        GROUP BY g.rb
+    ),
+    cum AS (
+        SELECT rb, n, k,
+               sum(n) OVER (ORDER BY rb) AS cn,
+               sum(k) OVER (ORDER BY rb) AS ck
+        FROM aggb
+    ),
+    pairs AS (
+        SELECT lo.rb AS j, hi.rb AS kk,
+               hi.ck - lo.ck + lo.k AS num,
+               hi.cn - lo.cn + lo.n AS den
+        FROM cum lo JOIN cum hi ON lo.rb <= hi.rb
+        WHERE hi.cn - lo.cn + lo.n > 0
+    ),
+    inner_min AS (
+        SELECT i.rb AS i, p.j,
+               min_by([p.num, p.den],
+                      p.num * 1099511627776 // p.den) AS frac
+        FROM (SELECT rb FROM aggb) i
+        JOIN pairs p ON p.j <= i.rb AND p.kk >= i.rb
+        GROUP BY i.rb, p.j
+    ),
+    fitted AS (
+        SELECT i AS rb,
+               max_by(frac,
+                      frac[1] * 1099511627776 // frac[2]) AS best
+        FROM inner_min GROUP BY i
+    ),
+    base AS (
+        SELECT CAST(sum(y) AS BIGINT) AS s_all,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM docbins
+    ),
+    keepbins AS (
+        -- keep bins whose PAV-calibrated quality >= the corpus base
+        -- rate, compared as exact cross-multiplied integers
+        SELECT f.rb FROM fitted f, base b
+        WHERE f.best[1] * b.n_all >= b.s_all * f.best[2]
+    ),
+    keepers AS (
+        SELECT d.doc_id, d.source, d.n_words
+        FROM docbins d JOIN keepbins kb ON kb.rb = d.rb
+    ),
+    canon AS (
+        SELECT k.doc_id, k.source, k.n_words,
+               min(k.doc_id) OVER (PARTITION BY d.md5t)
+                   AS canonical_id
+        FROM keepers k
+        JOIN (SELECT doc_id, md5(text) AS md5t FROM pool) d
+          ON d.doc_id = k.doc_id
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_words FROM canon
+        WHERE doc_id = canonical_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT p.doc_id, unnest({sh}) AS sh
+              FROM pool p
+              JOIN deduped dd ON dd.doc_id = p.doc_id) t
+        JOIN eval_sh e ON e.esh = t.sh
+    ),
+    clean AS (
+        SELECT d.* FROM deduped d
+        LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+        WHERE c.doc_id IS NULL
+    ),
+    survivors AS (
+        SELECT source,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
+               count(*) AS docs_kept,
+               (SELECT count(*) FROM deduped dd
+                JOIN contaminated c ON c.doc_id = dd.doc_id
+                WHERE dd.source = s.source) AS docs_decontaminated
+        FROM clean s
+        GROUP BY source
+    ),
+    b AS (
+        SELECT CAST(sum(total_tokens) // 2 AS BIGINT) AS budget,
+               count(*) AS n FROM survivors
+    ),
+    ranked AS (
+        SELECT source, total_tokens, docs_kept, docs_decontaminated,
+               row_number() OVER (
+                   ORDER BY total_tokens, source) AS rk,
+               sum(total_tokens) OVER (
+                   ORDER BY total_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pfx
+        FROM survivors
+    ),
+    istar AS (
+        SELECT coalesce(max(rk), 0) AS i,
+               coalesce(max(pfx), 0) AS pi
+        FROM ranked, b
+        WHERE pfx + total_tokens * (b.n - rk) <= b.budget
+    ),
+    level AS (
+        SELECT CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) // (b.n - istar.i)
+                    ELSE (SELECT max(total_tokens) FROM survivors)
+               END AS lvl,
+               CASE WHEN b.n > istar.i
+                    THEN (b.budget - istar.pi) % (b.n - istar.i)
+                    ELSE 0 END AS rem,
+               istar.i AS i
+        FROM b, istar
+    ),
+    unsat AS (
+        SELECT r.source,
+               row_number() OVER (ORDER BY r.source) AS urk
+        FROM ranked r, level l WHERE r.rk > l.i
+    )
+    SELECT r.source,
+           CAST(r.docs_kept AS BIGINT) AS docs_kept,
+           CAST(r.docs_decontaminated AS BIGINT)
+               AS docs_decontaminated,
+           r.total_tokens,
+           CAST(CASE WHEN r.rk <= l.i THEN r.total_tokens
+                     ELSE l.lvl + CASE WHEN u.urk <= l.rem
+                                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated_tokens
+    FROM ranked r
+    CROSS JOIN level l
+    LEFT JOIN unsat u ON u.source = r.source
+    """
+
+
+@query(
+    "curation_pipeline_v4_composed", oracle=_curation_v4_oracle()
+)
+def curation_pipeline_v4_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURATION PIPELINE v4 — the ROTATION_R15 seed: v3's chain with
+    the fixed Gopher keep-threshold replaced by a PAV-CALIBRATED
+    keep stage. The dup-sentence ratio bins each doc (20 bins,
+    REVERSED so less-repetitive is a higher score), the isotonic
+    max-min identity fits the monotone P(quality-label | bin) over
+    the bounded bin frame (exact floor-key fractions, the graduated
+    PAV device), and a doc is kept iff its bin's CALIBRATED quality
+    clears the corpus base rate — an exact cross-multiplied integer
+    comparison, so the cut is self-normalizing across corpora
+    instead of a hand-tuned constant. Survivors then flow through
+    the unchanged canonical-dedup -> Bloom-decontamination ->
+    water-fill stages, with the decontamination grain tightened to
+    5-WORD shingles (3-shingles mark every PAV-kept doc contaminated
+    at sf0.1 — a measured false-contamination wipeout; the longer
+    grain is the production choice for exactly that reason). The
+    Bloom changes the plan, never the answer: FN = 0. Per source: kept docs, decontaminated drops,
+    surviving tokens, water-filled allocation.
+
+    Scale shape: the new stage adds ONE partial+final aggregate to
+    the bounded 20-bin frame, the <= 20^2 pair enumeration on that
+    frame, and a 20-row broadcast join back to the doc grain —
+    constant work regardless of corpus size, on top of v3's
+    already-audited stages.
+
+    Reference basis: curation family capstone
+    (curation_pipeline_v3_composed r15 staged;
+    pav_isotonic_calibration_binned r15 staged — composed as the
+    keep policy, the production use the PAV row exists for)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+        spark_word_shingles,
+    )
+
+    nb = _V4_BINS
+    m, kbits = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    evalsplit = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % 10"
+    )
+    pool = docs.where(evalsplit != 0)
+    eval_docs = docs.where(evalsplit == 0)
+    shexpr = F.expr(spark_word_shingles("text", 5))
+    eval_sh = eval_docs.select(F.explode(shexpr).alias("esh")).distinct()
+
+    # -- stage 1: dup-sentence quality stats (scan-side fold) --
+    toks = pool.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+    )
+
+    # -- stage 2: PAV-calibrated keep over the bounded bin frame --
+    docbins = quality.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_words",
+        (
+            F.lit(nb - 1)
+            - F.least(
+                F.lit(nb - 1),
+                F.expr("(ns - nd) * 1000000 div ns div 50000"),
+            )
+        ).alias("rb"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.range(nb).select(F.col("id").alias("rb"))
+    aggb = (
+        grid.join(docbins.select("rb", "y"), "rb", "left")
+        .groupBy("rb")
+        .agg(
+            F.count("y").cast("long").alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("k"),
+        )
+    )
+    wcum = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = aggb.select(
+        "rb",
+        "n",
+        "k",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("k").over(wcum).alias("ck"),
+    )
+    lo = cum.select(
+        F.col("rb").alias("j"),
+        F.col("ck").alias("ck_lo"),
+        F.col("cn").alias("cn_lo"),
+        F.col("k").alias("k_lo"),
+        F.col("n").alias("n_lo"),
+    )
+    hi = cum.select(
+        F.col("rb").alias("kk"),
+        F.col("ck").alias("ck_hi"),
+        F.col("cn").alias("cn_hi"),
+    )
+    fpairs = (
+        lo.join(hi, F.col("j") <= F.col("kk"))
+        .select(
+            "j",
+            "kk",
+            (F.col("ck_hi") - F.col("ck_lo") + F.col("k_lo")).alias(
+                "num"
+            ),
+            (F.col("cn_hi") - F.col("cn_lo") + F.col("n_lo")).alias(
+                "den"
+            ),
+        )
+        .where(F.col("den") > 0)
+    )
+    ikey = F.floor(
+        (F.col("num") * F.lit(1099511627776)) / F.col("den")
+    ).cast("long")
+    i_frame = aggb.select(F.col("rb").alias("i"))
+    inner = (
+        i_frame.join(
+            fpairs,
+            (F.col("j") <= F.col("i")) & (F.col("kk") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min_by(F.struct("num", "den"), ikey).alias("frac"))
+    )
+    fitted = inner.groupBy("i").agg(
+        F.max_by(
+            F.col("frac"),
+            F.floor(
+                (F.col("frac.num") * F.lit(1099511627776))
+                / F.col("frac.den")
+            ).cast("long"),
+        ).alias("best")
+    ).select(F.col("i").alias("rb"), "best")
+    base = docbins.agg(
+        F.sum("y").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    keepbins = (
+        fitted.crossJoin(F.broadcast(base))
+        .where(
+            F.col("best.num") * F.col("n_all")
+            >= F.col("s_all") * F.col("best.den")
+        )
+        .select("rb")
+    )
+    keepers = docbins.join(F.broadcast(keepbins), "rb").select(
+        "doc_id", "source", "text", "n_words"
+    )
+
+    # -- stage 3: canonical exact dedup --
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+
+    # -- stage 4: Bloom-prefiltered decontamination --
+    j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        eval_sh.select(F.col("esh").alias("sh"), j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    train_sh = deduped.select(
+        "doc_id", F.explode(shexpr).alias("sh")
+    )
+    probes = train_sh.select("doc_id", "sh", j).select(
+        "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    flagged_sh = (
+        probes.join(
+            F.broadcast(bloom), F.expr("word = p DIV 32"), "left"
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("bits & shiftleft(1L, cast(p % 32 as int))")
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.sum("hit").alias("hits"))
+        .where(F.col("hits") == kbits)
+    )
+    contaminated = (
+        flagged_sh.join(
+            eval_sh.select(F.col("esh").alias("sh")), "sh"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    dropped = (
+        deduped.join(contaminated, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_decont"))
+    )
+
+    # -- stage 5: water-filled budget over the survivor frame --
+    survivors = (
+        clean.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        )
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            F.coalesce("docs_decont", F.lit(0))
+            .cast("long")
+            .alias("docs_decontaminated"),
+            "total_tokens",
+        )
+    )
+    w_rank = Window.orderBy("total_tokens", "source")
+    ranked = survivors.select(
+        "source",
+        "docs_kept",
+        "docs_decontaminated",
+        "total_tokens",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("total_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+    )
+    glob = ranked.agg(
+        (F.sum("total_tokens") / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("total_tokens").alias("tmax"),
+    )
+    r = ranked.crossJoin(F.broadcast(glob))
+    feas = r.where(
+        F.col("pfx")
+        + F.col("total_tokens") * (F.col("n") - F.col("rk"))
+        <= F.col("budget")
+    ).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("i"),
+        F.coalesce(F.max("pfx"), F.lit(0)).alias("pi"),
+    )
+    level = glob.crossJoin(F.broadcast(feas)).select(
+        F.when(
+            F.col("n") > F.col("i"),
+            F.floor(
+                (F.col("budget") - F.col("pi"))
+                / (F.col("n") - F.col("i"))
+            ),
+        )
+        .otherwise(F.col("tmax"))
+        .cast("long")
+        .alias("lvl"),
+        F.when(
+            F.col("n") > F.col("i"),
+            (F.col("budget") - F.col("pi"))
+            % (F.col("n") - F.col("i")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rem"),
+        F.col("i"),
+    )
+    out = ranked.crossJoin(F.broadcast(level))
+    unsat_rk = out.where(F.col("rk") > F.col("i")).select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("u2"),
+    )
+    return (
+        out.join(unsat_rk, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            "docs_decontaminated",
+            "total_tokens",
+            F.when(
+                F.col("rk") <= F.col("i"), F.col("total_tokens")
+            )
+            .otherwise(
+                F.col("lvl")
+                + F.when(F.col("u2") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+        )
+    )

@@ -51,51 +51,51 @@ EXPECTED_HEAD = (
     "tpch_q3_shipping_priority",
     "dedup_minhash_lsh",
     "multimodal_decode_roundtrip",
+    "streaming_window_agg",
+    "streaming_update_mode_final",
+    "streaming_sessionize",
     "sequence_packing",
     "token_budget_selection",
     "streaming_chained_window_agg",
-    "streaming_watermark_late_drop",
-    "streaming_outer_join_null_emission",
-    "streaming_dedup_within_watermark_reemit",
-    "streaming_semi_join_first_match",
-    "cusum_drift_flags",
-    "delta_sign_runlength_stats",
-    "stratified_kfold_assignment",
-    "farthest_point_init_quantized",
-    "attribution_last_touch_windowed",
-    "null_scalar_breadth_suite",
-    "csv_escape_quote_matrix",
-    "monthly_revenue_mom_yoy",
-    "longest_repeated_substring_extract",
-    "weighted_bottomk_priority_sample",
-    "streaming_session_window_late_drop",
-    "transition_dwell_matrix",
-    "streaming_dynamic_gap_session_late_drop",
-    "multi_probe_recall_at_k_certified",
-    "order_to_ship_leadtime_histogram",
-    "token_tv_distance_matrix",
-    "chi2_independence_contingency",
-    "local_clustering_coefficient",
-    "kmv_sketch_union_merge_certified",
-    "skyline_pareto_frontier",
-    "streaming_full_outer_join_both_nulls",
-    "gopher_repetition_rules",
-    "cohens_kappa_exact",
-    "waterfill_budget_allocation",
-    "graph_2hop_degree_sum",
-    "data_retention_expiry_plan",
-    "decontam_bloom_prefilter_certified",
-    "bbit_minwise_estimate_on_candidates",
-    "audio_decimate_boxcar",
-    "jl_projection_distance_certified",
-    "sft_loss_mask_plan",
+    "streaming_cdc_latest",
+    "python_datasource_stream_agg",
+    "streaming_dedup_then_window",
+    "streaming_stateful_topk_per_key",
+    "streaming_rocksdb_state_store",
     "temporal_split_straddle_audit",
-    "curation_pipeline_v2_composed",
-    "rendezvous_shard_assignment_certified",
-    "average_precision_exact",
-    "macro_f1_exact",
-    "gk_summary_union_merge_certified",
     "psi_drift_bins_exact",
+    "graph_pregel_superstep2",
+    "curation_pipeline_v3_composed",
+    "pav_isotonic_calibration_binned",
+    "kendall_tau_topk_exact",
+    "shapley_attribution_exact",
+    "bigram_draft_acceptance_rate",
+    "prefix_cache_hit_mass",
+    "k_anonymity_risk_audit",
+    "bootstrap_ci_daily_mean",
+    "join_cardinality_histogram_estimate",
+    "rolling_origin_backtest_folds",
+    "dpo_margin_pair_mining",
+    "streaming_union_multiple_watermarks",
+    "join_cardinality_skew_twin",
+    "reciprocal_rank_fusion_exact",
+    "cdc_chunk_dedup_mass",
+    "shapley_sampled_permutations_certified",
+    "fagin_ta_topk_certified",
+    "err_exact_dyadic",
+    "kmv_intersection_estimate_certified",
+    "padding_waste_sorted_vs_fifo",
+    "conformal_interval_coverage_exact",
+    "pinball_loss_exact",
+    "mmr_diversified_top3_exact",
+    "successive_halving_plan",
+    "l_diversity_risk_audit",
+    "join_cardinality_mg_sidecar_estimate",
+    "early_stopping_patience_plan",
+    "dow_seasonal_median_residuals",
+    "brier_reliability_bins_exact",
+    "mmr_diversified_topk_weighted",
+    "curation_pipeline_v4_composed",
 )
 
 
@@ -126,6 +126,46 @@ def test_graded_head_is_exactly_the_planned_cohort():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "streaming_watermark_late_drop": "b0179450a79af04e",
+    "streaming_outer_join_null_emission": "3a7c27656683f84b",
+    "streaming_dedup_within_watermark_reemit": "53de4bc4ee463ad7",
+    "streaming_semi_join_first_match": "3955c3a84c783f8f",
+    "cusum_drift_flags": "3aea7c00cc49746b",
+    "delta_sign_runlength_stats": "6e440ddfa86f451a",
+    "stratified_kfold_assignment": "a65e02a8e12f7b4a",
+    "farthest_point_init_quantized": "885ffc1dc24aab81",
+    "attribution_last_touch_windowed": "a11c422c7d39e6d7",
+    "null_scalar_breadth_suite": "f98a92ed51cd1759",
+    "csv_escape_quote_matrix": "4534102345ccecb7",
+    "monthly_revenue_mom_yoy": "d79d41f2b0364cf0",
+    "longest_repeated_substring_extract": "741607ffa3979119",
+    "weighted_bottomk_priority_sample": "8752bcf33143bb85",
+    "streaming_session_window_late_drop": "38a91516a84a7ef0",
+    "transition_dwell_matrix": "492f790f7b4111e4",
+    "streaming_dynamic_gap_session_late_drop": "414cbeba59db7fd3",
+    "multi_probe_recall_at_k_certified": "5c618921d77cd9bc",
+    "order_to_ship_leadtime_histogram": "bb36b11eb4d9e01d",
+    "token_tv_distance_matrix": "1f4529c9d115159f",
+    "chi2_independence_contingency": "c69c92d3e7150d5f",
+    "local_clustering_coefficient": "13d5df6ca2a231d5",
+    "kmv_sketch_union_merge_certified": "ab16e4ab8875c04b",
+    "skyline_pareto_frontier": "1d6dc75a70f81339",
+    "streaming_full_outer_join_both_nulls": "da2efb54f4493586",
+    "gopher_repetition_rules": "37cbcfe19a5f1699",
+    "cohens_kappa_exact": "c9efd76ba57cc6b4",
+    "waterfill_budget_allocation": "ee77677cbc9f3df8",
+    "graph_2hop_degree_sum": "07b9437270443cd6",
+    "data_retention_expiry_plan": "725f90cb9a493429",
+    "decontam_bloom_prefilter_certified": "3349f499b50c885c",
+    "bbit_minwise_estimate_on_candidates": "c7e493ea4ca62bd3",
+    "audio_decimate_boxcar": "55914bbd740d8010",
+    "jl_projection_distance_certified": "5e2f6856bdf836b8",
+    "sft_loss_mask_plan": "aecc4f896998bf74",
+    "curation_pipeline_v2_composed": "3c1828d21716f3fe",
+    "rendezvous_shard_assignment_certified": "0217b5c12be4dfcf",
+    "average_precision_exact": "5bccabacbed09ec3",
+    "macro_f1_exact": "23e770c834aa2d6b",
+    "gk_summary_union_merge_certified": "ec84339b420d6871",
     "xpath_scalar_suite": "f397e5530be6dd11",
     "mode_median_suite": "b38a2a43d4b650ce",
     "calendar_function_suite": "1664ce85fb34060e",
@@ -220,7 +260,6 @@ TAIL_SOURCE_SHA256 = {
     "regr_agg_suite": "75e6a75a558bbcbd",
     "bpe_pair_merge_candidates": "9fdd92620f27e794",
     "ngram_novelty_growth": "a8c89cb182e8b3fb",
-    "streaming_dedup_then_window": "3f134b78252dad48",
     "streaming_file_sink_partitioned": "8df2bbb845622abd",
     "hidden_file_metadata_scan": "cca0495a50b8f620",
     "udtf_table_arg_partition_by": "c736274d6b6af7f8",
@@ -241,10 +280,8 @@ TAIL_SOURCE_SHA256 = {
     "streaming_checkpoint_restart_resume": "d153805339eb1876",
     "length_bucketed_batching": "78d287e81cca2b5b",
     "kmeans_lloyd_step_quantized": "dd1d6ae684227195",
-    "streaming_stateful_topk_per_key": "8a13bc14a2a2652e",
     "bitmap_distinct_functions": "e82906bd0dcc6d86",
     "window_group_limit_pushdown": "f40f7aa023f3cf4d",
-    "streaming_rocksdb_state_store": "034144b248a022e4",
     "rolling_correlation_24h": "e4892fdfb25738c2",
     "clustered_write_sorted_runs": "eb878b3f195d4100",
     "dedup_survivorship_merge": "67e2c4ea9734be6e",
@@ -295,7 +332,6 @@ TAIL_SOURCE_SHA256 = {
     "array_algebra_suite": "39ab56f89f11fa47",
     "regexp_suite2": "4b589577a79a4216",
     "observe_metrics_suite": "fe0ff54e7f6b9f46",
-    "python_datasource_stream_agg": "a493150f366acb6c",
     "python_datasource_geojson_scan": "ea634b9dbe41f465",
     "python_datasource_sink_roundtrip": "fde49e6c39abf651",
     "streaming_observe_metrics": "039b95033515de38",
@@ -330,7 +366,6 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q20_potential_promotion": "b92b2fad59345353",
     "dynamic_partition_pruning_join": "6b44538e3a70cc4a",
     "scd2_dimension_build": "de30e6cc9c13d79e",
-    "streaming_cdc_latest": "5039d35f9e1e1b9b",
     "table_diff_reconciliation": "2c354a56d4a542f0",
     "merge_on_read_upsert": "80c2bbf7b2049697",
     "lateral_topn_per_key": "45dff38b8846217a",
@@ -444,7 +479,6 @@ TAIL_SOURCE_SHA256 = {
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
     "curation_pipeline": "22b7a6831f8796fb",
-    "streaming_sessionize": "94f5e27ed5600ad1",
     "streaming_watermarked_append": "9e98c038d28932ee",
     "pivot_hourly_by_type": "2e1792039f38f357",
     "unpivot_measure_summary": "67586f8f74675978",
@@ -469,13 +503,11 @@ TAIL_SOURCE_SHA256 = {
     "streaming_union_window_agg": "675fe80345c5efcb",
     "latest_by_offset": "7e309fbf1a7caa32",
     "argmax_station": "1a117b3f0ee6725b",
-    "streaming_window_agg": "4c289e4cf7105f9a",
     "tpch_q6_selective_scan": "4fabef06b3159167",
     "tpch_q5_join_chain": "af4119ec48874759",
     "text_fingerprint": "73475d3a3e413a14",
     "dirty_data_parsing": "dd8d04068d76f6ec",
     "time_rollup_hierarchy": "89cc8cd950222e2f",
-    "streaming_update_mode_final": "a328155312a3655e",
     "region_zone_lookup": "9f66a6df1060f2be",
     "text_lang_id": "43d81e9a93902bda",
     "top_k_values": "d386676c518380cd",

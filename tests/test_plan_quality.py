@@ -252,7 +252,8 @@ def test_bigram_acceptance_has_no_positional_self_join(spark):
     their own tail), never the positional self-join that measured
     12.8x slower at 1M docs: the only joins left are the vocab-grain
     predictor join; the token-position table never shuffles."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     plan = (
         STAGED["bigram_draft_acceptance_rate"](spark, SF_DIR)
@@ -271,7 +272,8 @@ def test_prefix_cache_is_one_collapsing_aggregate(spark):
     """The prefix extraction is a scan-side array slice (no explode,
     no window); the plan is two partial+final aggregate pairs and
     nothing else — no join anywhere."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     plan = (
         STAGED["prefix_cache_hit_mass"](spark, SF_DIR)
@@ -288,7 +290,8 @@ def test_dpo_mining_is_aggregate_only_no_window(spark):
     """Chosen/rejected selection is mergeable min_by/max_by — one
     partial+final aggregate per side, a prompt-grain join, and NO
     window/sort (the row_number form would force a per-prompt sort)."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     plan = (
         STAGED["dpo_margin_pair_mining"](spark, SF_DIR)

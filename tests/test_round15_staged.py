@@ -18,7 +18,8 @@ from collections import Counter, defaultdict
 from fractions import Fraction
 
 from sparkksqldbbenchmark_spark.catalog import load_table
-from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
+from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -187,10 +187,10 @@ ROUND15_AUDIT = [
     "psi_drift_bins_exact",  # bounded bin grid, 1-row midpoint broadcast
 ]
 
-# staged rows with plan-shape claims worth pinning before they
-# rotate into the graded head (plans/next_round.py) — this list
-# tracks the CURRENT staging area only
-STAGED_AUDIT = [
+# round-16 head rows with plan-shape claims (plans/round16_queries.py:
+# the graduated round-15 cohort keeps its staging-era pins, plus the
+# round-16 slot-fillers and the re-planned successive-halving row)
+ROUND16_AUDIT = [
     "graph_pregel_superstep2",  # two node-grain gathers, no edge-grain blowup
     "curation_pipeline_v3_composed",  # bloom broadcast + flagged-sliver exact join
     "bigram_draft_acceptance_rate",  # two shuffles: bigram agg + vocab-grain join
@@ -204,7 +204,20 @@ STAGED_AUDIT = [
     "reciprocal_rank_fusion_exact",  # bounded slice before any ranking window
     "conformal_interval_coverage_exact",  # per-group calib window, scalar frames broadcast
     "mmr_diversified_top3_exact",  # bounded candidate slice before pairwise sim
+    "successive_halving_plan",  # lazy unrolled rungs, bounded-histogram two-level rank
+    "l_diversity_risk_audit",  # bounded QI-cell aggregate, 7-row rollup
+    "join_cardinality_mg_sidecar_estimate",  # bounded hot set + cold histogram
+    "early_stopping_patience_plan",  # run-partitioned windows, bounded rollup
+    "dow_seasonal_median_residuals",  # bounded (type x dow) order statistics
+    "brier_reliability_bins_exact",  # 10-bin collapse, 1-row base-rate scalar
+    "mmr_diversified_topk_weighted",  # generated rounds, bounded candidate slice
+    "curation_pipeline_v4_composed",  # PAV 20-bin keep stage + v3 chain
 ]
+
+# staged rows with plan-shape claims worth pinning before they
+# rotate into the graded head (plans/next_round.py) — this list
+# tracks the CURRENT staging area only
+STAGED_AUDIT = []
 
 
 def main() -> None:

@@ -89,6 +89,10 @@ BOUNDED_BNL = {
     "fagin_ta_topk_certified",           # 1-row threshold + 1-row kth-total scalars
     "kmv_intersection_estimate_certified",  # 1-row theta/common/exact scalars
     "successive_halving_plan",           # 1-row rung-population scalar x 3 rungs
+    # round-16 slot-fillers (every BNL below is a constant-size frame):
+    "join_cardinality_mg_sidecar_estimate",  # 1-row totals scalar x bounded hot set
+    "brier_reliability_bins_exact",      # 1-row base-rate scalar broadcast
+    "curation_pipeline_v4_composed",     # 20-bin PAV pair range-join + waterfill scalars
 }
 
 
