@@ -53,3 +53,905 @@ def staged_query(name: str, oracle: str) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# ---------- supervised discretization: adjacent-bin merge sweep --
+
+_SDM_BINS = 20
+# merge adjacent bins whose positive-rate gap is below 5%:
+# 20 * |k_lo*n_hi - k_hi*n_lo| < n_lo*n_hi  (exact integers)
+_SDM_GAP_DEN = 20
+
+
+def _sdm_oracle(nb: int = _SDM_BINS, gd: int = _SDM_GAP_DEN) -> str:
+    return f"""
+    WITH binned AS (
+        SELECT least({nb - 1},
+                     greatest(0, CAST(floor(value / 5.0) AS BIGINT)))
+                   AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    grid AS (SELECT unnest(range({nb})) AS bin),
+    agg AS (
+        SELECT g.bin,
+               CAST(count(b.bin) AS BIGINT) AS n,
+               CAST(coalesce(sum(b.y), 0) AS BIGINT) AS k
+        FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+        GROUP BY g.bin
+    ),
+    pairs AS (
+        SELECT hi.bin,
+               lo.n AS n_lo, lo.k AS k_lo,
+               hi.n AS n_hi, hi.k AS k_hi,
+               lo.k * hi.n - hi.k * lo.n AS rate_gap_x,
+               (lo.n = 0 OR hi.n = 0
+                OR {gd} * abs(lo.k * hi.n - hi.k * lo.n)
+                   < lo.n * hi.n) AS merged
+        FROM agg lo JOIN agg hi ON hi.bin = lo.bin + 1
+    ),
+    flagged AS (
+        SELECT a.bin, a.n, a.k,
+               CASE WHEN p.merged IS NULL OR NOT p.merged
+                    THEN 1 ELSE 0 END AS new_island,
+               coalesce(p.rate_gap_x, 0) AS rate_gap_x,
+               coalesce(p.merged, FALSE) AS merged_with_prev
+        FROM agg a LEFT JOIN pairs p ON p.bin = a.bin
+    )
+    SELECT bin, n, k,
+           CAST(rate_gap_x AS BIGINT) AS rate_gap_x,
+           merged_with_prev,
+           CAST(sum(new_island) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS island
+    FROM flagged
+    """
+
+
+@staged_query(
+    "supervised_discretization_merge_sweep", oracle=_sdm_oracle()
+)
+def supervised_discretization_merge_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUPERVISED DISCRETIZATION by adjacent-bin merging — the
+    ChiMerge-family sweep (Kerber 1992) executed as ONE bounded-frame
+    pass: values bin into {_SDM_BINS} fixed bins, each adjacent pair
+    is tested for label-rate equality, pairs whose positive-rate gap
+    is below 1/{_SDM_GAP_DEN} merge, and the island id (running count
+    of unmerged boundaries over the ordered 20-row frame) IS the
+    learned discretization. The test statistic is the EXACT
+    cross-multiplied rate gap k_lo*n_hi - k_hi*n_lo — the signed
+    pre-squared numerator of the pair chi2 (the Brier-row device):
+    emitting it unsquared keeps every engine in BIGINT at any bin
+    skew, where T*delta^2 would overflow int64 once a bin holds
+    ~10^5 rows. Empty-bin pairs merge by definition (no evidence of
+    difference — Kerber's rule).
+
+    Scale shape: one partial+final aggregate to the bounded bin
+    frame; the pair test, merge verdicts, and island prefix-sum all
+    run on the <= {_SDM_BINS}-row frame. Nothing scales past the
+    scan.
+
+    Reference basis: feature-engineering family (width_bucket r9,
+    equi_depth_partition_bounds r13 TAIL, pav_isotonic r15 — this
+    adds the SUPERVISED bin-merging member the seeds called for)."""
+    ev = load_table(spark, sf_dir, "events")
+    nb, gd = _SDM_BINS, _SDM_GAP_DEN
+    binned = ev.select(
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 5.0).cast("long")
+            ),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grid = spark.range(nb).select(F.col("id").alias("bin"))
+    agg = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.count("y").cast("long").alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("k"),
+        )
+    )
+    lo = agg.select(
+        (F.col("bin") + 1).alias("bin"),
+        F.col("n").alias("n_lo"),
+        F.col("k").alias("k_lo"),
+    )
+    pairs = lo.join(
+        agg.select(
+            "bin", F.col("n").alias("n_hi"), F.col("k").alias("k_hi")
+        ),
+        "bin",
+    ).select(
+        "bin",
+        (F.col("k_lo") * F.col("n_hi") - F.col("k_hi") * F.col("n_lo"))
+        .alias("rate_gap_x"),
+        (
+            (F.col("n_lo") == 0)
+            | (F.col("n_hi") == 0)
+            | (
+                gd
+                * F.abs(
+                    F.col("k_lo") * F.col("n_hi")
+                    - F.col("k_hi") * F.col("n_lo")
+                )
+                < F.col("n_lo") * F.col("n_hi")
+            )
+        ).alias("merged"),
+    )
+    flagged = agg.join(pairs, "bin", "left").select(
+        "bin",
+        "n",
+        "k",
+        F.coalesce("rate_gap_x", F.lit(0))
+        .cast("long")
+        .alias("rate_gap_x"),
+        F.coalesce("merged", F.lit(False)).alias("merged_with_prev"),
+        F.when(
+            F.col("merged").isNull() | ~F.col("merged"), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return flagged.select(
+        "bin",
+        "n",
+        "k",
+        "rate_gap_x",
+        "merged_with_prev",
+        F.sum("new_island").over(w).cast("long").alias("island"),
+    )
+
+
+# ---------- de-seasonalized CUSUM drift flags (composed) --
+
+_SCUSUM_H = 200000  # flag threshold, cents
+
+
+def _scusum_oracle(h: int = _SCUSUM_H) -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT event_type, d,
+               (d - DATE '1970-01-01') % 7 AS dow,
+               cents
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, dow,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+        FROM keyed GROUP BY event_type, dow
+    ),
+    resid AS (
+        SELECT k.event_type, k.d, k.cents - m.med AS r
+        FROM keyed k JOIN med m USING (event_type, dow)
+    ),
+    pre AS (
+        SELECT event_type, d,
+               sum(r) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pt
+        FROM resid
+    ),
+    cusum AS (
+        SELECT event_type, d,
+               pt - least(CAST(0 AS BIGINT), min(pt) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)) AS st
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(st) AS BIGINT) AS max_cusum_cents,
+           CAST(sum(CASE WHEN st > {h} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_days,
+           coalesce(strftime(min(CASE WHEN st > {h} THEN d END),
+                    '%Y-%m-%d'), '') AS first_flag_day
+    FROM cusum GROUP BY event_type
+    """
+
+
+@staged_query(
+    "seasonal_cusum_residual_flags", oracle=_scusum_oracle()
+)
+def seasonal_cusum_residual_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DE-SEASONALIZED CUSUM — the ROTATION_R16 seed composing the
+    round-16 weekday-median profile with the graduated CUSUM device:
+    per event_type, the daily total is centered by its weekday's
+    DISCRETE median (removing the day-of-week seasonality that would
+    otherwise fire the detector every weekend), and the one-sided
+    CUSUM runs over the residuals via the prefix-sum identity
+    S_t = P_t - min(0, min_{i<=t} P_i) — two window frames over ONE
+    per-type sort instead of the unparallelizable scan-left
+    recurrence. Grades per type: days, peak CUSUM, flag days above
+    {_SCUSUM_H} cents, and the first flag date.
+
+    Scale shape: one partial+final aggregate to the (type x day)
+    grain, a bounded (type x 7) order-statistic frame broadcast
+    back, then type-partitioned windows over day series — the same
+    exchange plan as the graduated cusum_drift_flags with one extra
+    bounded join.
+
+    Reference basis: time-series family composition
+    (cusum_drift_flags r14, dow_seasonal_median_residuals r16 — the
+    seed: de-seasonalize BEFORE detecting, or the detector measures
+    the calendar)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    keyed = daily.select(
+        "event_type",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01")) % 7
+        ).alias("dow"),
+        "cents",
+    )
+    med = keyed.groupBy("event_type", "dow").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        )
+        .cast("long")
+        .alias("med")
+    )
+    resid = keyed.join(F.broadcast(med), ["event_type", "dow"]).select(
+        "event_type", "d", (F.col("cents") - F.col("med")).alias("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = resid.select(
+        "event_type", "d", F.sum("r").over(w).alias("pt")
+    )
+    cusum = pre.select(
+        "event_type",
+        "d",
+        (
+            F.col("pt")
+            - F.least(F.lit(0).cast("long"), F.min("pt").over(w))
+        ).alias("st"),
+    )
+    return cusum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("st").cast("long").alias("max_cusum_cents"),
+        F.sum(F.when(F.col("st") > _SCUSUM_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flag_days"),
+        F.coalesce(
+            F.date_format(
+                F.min(
+                    F.when(F.col("st") > _SCUSUM_H, F.col("d"))
+                ),
+                "yyyy-MM-dd",
+            ),
+            F.lit(""),
+        ).alias("first_flag_day"),
+    )
+
+
+# ---------- calibration-weighted reciprocal-rank fusion --
+
+_WRRF_K = 60
+_WRRF_TOPN = 40
+_WRRF_OUT = 5
+_WRRF_VAL = 10  # validation depth for the per-ranker weight
+
+
+def _wrrf_oracle(
+    k: int = _WRRF_K,
+    topn: int = _WRRF_TOPN,
+    out: int = _WRRF_OUT,
+    vd: int = _WRRF_VAL,
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    return f"""
+    WITH sliced AS (
+        SELECT source, doc_id, n_chars, lang, {q} AS quality
+        FROM (
+            SELECT source, doc_id, n_chars, lang, text,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {topn}
+    ),
+    ranked AS (
+        SELECT source, doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS r1,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+               ) AS r2
+        FROM sliced
+    ),
+    w AS (
+        SELECT 1 + sum(CASE WHEN r1 <= {vd} AND lang = 'en'
+                            THEN 1 ELSE 0 END) AS w1,
+               1 + sum(CASE WHEN r2 <= {vd} AND lang = 'en'
+                            THEN 1 ELSE 0 END) AS w2
+        FROM ranked
+    ),
+    fused AS (
+        SELECT source, doc_id, r1, r2, w.w1, w.w2,
+               (w.w1 * ({k} + r2) + w.w2 * ({k} + r1)) AS num,
+               ({k} + r1) * ({k} + r2) AS den
+        FROM ranked, w
+    ),
+    ordered AS (
+        SELECT source, doc_id, r1, r2, w1, w2, num, den,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY num * 1099511627776 // den DESC, doc_id
+               ) AS fused_rank
+        FROM fused
+    )
+    SELECT source, CAST(fused_rank AS BIGINT) AS fused_rank,
+           doc_id, CAST(r1 AS BIGINT) AS rank_by_length,
+           CAST(r2 AS BIGINT) AS rank_by_quality,
+           CAST(w1 AS BIGINT) AS weight_length,
+           CAST(w2 AS BIGINT) AS weight_quality,
+           CAST(num * 1000000 // den AS BIGINT) AS wrrf_micros
+    FROM ordered WHERE fused_rank <= {out}
+    """
+
+
+@staged_query(
+    "rrf_weighted_fusion_exact", oracle=_wrrf_oracle()
+)
+def rrf_weighted_fusion_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALIBRATION-WEIGHTED reciprocal-rank fusion — the ROTATION_R16
+    seed: the graduated RRF combiner with per-ranker weights LEARNED
+    from the data instead of fixed at 1. Each ranker's weight is
+    1 + its validation hit count (quality-label docs it placed in
+    its top {_WRRF_VAL} — the held-out precision a production fusion
+    layer tunes weights with), and the fused score becomes
+    w1/(k+r1) + w2/(k+r2), carried as ONE exact integer fraction
+    (num/den over the common denominator) and ordered by the
+    floor-key embedding — no floating point anywhere.
+
+    Scale shape: identical to the graduated RRF row — a bounded
+    top-{_WRRF_TOPN} slice per source BEFORE any ranking window,
+    plus one 1-row weight scalar broadcast (the only addition).
+
+    Reference basis: retrieval family
+    (reciprocal_rank_fusion_exact r15 staged — this adds the
+    weighted form; brier_reliability_bins r16 motivates WHY rankers
+    earn different weights)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    k, topn, out, vd = _WRRF_K, _WRRF_TOPN, _WRRF_OUT, _WRRF_VAL
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    sliced = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "lang",
+            F.expr(q).alias("quality"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= topn)
+        .drop("rn")
+    )
+    ranked = sliced.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("r1"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("quality").desc(), "doc_id"
+            )
+        )
+        .alias("r2"),
+    )
+    w = ranked.agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    (F.col("r1") <= vd) & (F.col("lang") == "en"), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("w1"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    (F.col("r2") <= vd) & (F.col("lang") == "en"), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("w2"),
+    )
+    fused = ranked.crossJoin(F.broadcast(w)).select(
+        "source",
+        "doc_id",
+        "r1",
+        "r2",
+        "w1",
+        "w2",
+        (
+            F.col("w1") * (k + F.col("r2"))
+            + F.col("w2") * (k + F.col("r1"))
+        ).alias("num"),
+        ((k + F.col("r1")) * (k + F.col("r2"))).alias("den"),
+    )
+    ordered = fused.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.expr("num * 1099511627776 div den").desc(),
+                "doc_id",
+            )
+        )
+        .alias("fused_rank"),
+    ).where(F.col("fused_rank") <= out)
+    return ordered.select(
+        "source",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+        "doc_id",
+        F.col("r1").cast("long").alias("rank_by_length"),
+        F.col("r2").cast("long").alias("rank_by_quality"),
+        F.col("w1").cast("long").alias("weight_length"),
+        F.col("w2").cast("long").alias("weight_quality"),
+        F.expr("num * 1000000 div den")
+        .cast("long")
+        .alias("wrrf_micros"),
+    )
+
+
+# ---------- Pareto-frontier knee point (max chord distance) --
+
+
+def _knee_oracle() -> str:
+    return """
+    WITH cells AS (
+        SELECT p_brand AS brand,
+               CAST(p_size AS BIGINT) AS size,
+               CAST(min(CAST(floor(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS price
+        FROM part GROUP BY p_brand, p_size
+    ),
+    frontier AS (
+        SELECT c.* FROM cells c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cells c2
+            WHERE c2.brand = c.brand AND c2.size > c.size
+              AND c2.price <= c.price
+        )
+    ),
+    ends AS (
+        SELECT brand,
+               min_by(size, size) AS a_size,
+               min_by(price, size) AS a_price,
+               max_by(size, size) AS b_size,
+               max_by(price, size) AS b_price,
+               count(*) AS n_frontier
+        FROM frontier GROUP BY brand
+    ),
+    crossed AS (
+        SELECT f.brand, f.size, f.price, e.n_frontier,
+               abs((e.b_size - e.a_size) * (f.price - e.a_price)
+                   - (e.b_price - e.a_price) * (f.size - e.a_size))
+                   AS cross_x
+        FROM frontier f JOIN ends e USING (brand)
+    )
+    SELECT brand,
+           CAST(n_frontier AS BIGINT) AS n_frontier,
+           CAST(min_by(size,
+                (-cross_x) * 8589934592 + size) AS BIGINT)
+               AS knee_size,
+           CAST(min_by(price,
+                (-cross_x) * 8589934592 + size) AS BIGINT)
+               AS knee_price_cents,
+           CAST(max(cross_x) AS BIGINT) AS knee_cross_x
+    FROM crossed GROUP BY brand, n_frontier
+    """
+
+
+@staged_query("pareto_knee_maxcross", oracle=_knee_oracle())
+def pareto_knee_maxcross(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KNEE POINT of each brand's Pareto frontier — the point a
+    human picks off a cost/benefit curve, computed exactly: the
+    frontier point maximizing distance to the chord between the
+    frontier's endpoints. Distance ordering needs no sqrt or
+    division — the 2-D cross product
+    (b-a) x (p-a) is an exact integer whose absolute value orders
+    chord distances (the chord is fixed per brand, so the |cross| /
+    |chord| normalization is a constant factor), making argmax knee
+    selection a composite-BIGINT min_by with size ties. Grades per
+    brand: frontier size, the knee cell, and its cross-product mass.
+
+    Scale shape: parts reduce to domain-bounded (brand, size) cells
+    before anything pairwise (the graduated skyline's device); the
+    frontier window, endpoint fold, and knee argmax all run on the
+    bounded cell frame.
+
+    Reference basis: multi-criteria family (skyline_pareto_frontier
+    r14, pareto_frontier_skyline r10 TAIL — this adds the SELECTION
+    step a frontier exists to feed)."""
+    part = load_table(spark, sf_dir, "part")
+    cells = part.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(
+        F.min(F.floor(F.col("p_retailprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price")
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy(F.col("size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        cells.withColumn("m1", F.min("price").over(w))
+        .where(F.col("m1").isNull() | (F.col("m1") > F.col("price")))
+        .drop("m1")
+    )
+    ends = frontier.groupBy("brand").agg(
+        F.min_by("size", "size").alias("a_size"),
+        F.min_by("price", "size").alias("a_price"),
+        F.max_by("size", "size").alias("b_size"),
+        F.max_by("price", "size").alias("b_price"),
+        F.count(F.lit(1)).alias("n_frontier"),
+    )
+    crossed = frontier.join(F.broadcast(ends), "brand").select(
+        "brand",
+        "size",
+        "price",
+        "n_frontier",
+        F.abs(
+            (F.col("b_size") - F.col("a_size"))
+            * (F.col("price") - F.col("a_price"))
+            - (F.col("b_price") - F.col("a_price"))
+            * (F.col("size") - F.col("a_size"))
+        ).alias("cross_x"),
+    )
+    key = (-F.col("cross_x")) * F.lit(8589934592) + F.col("size")
+    return crossed.groupBy(
+        "brand", F.col("n_frontier").cast("long").alias("n_frontier")
+    ).agg(
+        F.min_by("size", key).cast("long").alias("knee_size"),
+        F.min_by("price", key).cast("long").alias("knee_price_cents"),
+        F.max("cross_x").cast("long").alias("knee_cross_x"),
+    )
+
+
+# ---------- context-length policy sweep (truncate + pad cost) --
+
+_CLP_LENGTHS = (64, 128, 256)
+_CLP_B = 8  # batch size (sequences per padded batch)
+
+
+def _clp_oracle(
+    lengths: tuple = _CLP_LENGTHS, b: int = _CLP_B
+) -> str:
+    vals = ", ".join(f"({L})" for L in lengths)
+    return f"""
+    WITH pol AS (SELECT * FROM (VALUES {vals}) t(ctx_len)),
+    lens AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(trim(text), '\\S+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    used AS (
+        SELECT p.ctx_len, l.doc_id, l.n_tok,
+               least(l.n_tok, p.ctx_len) AS used,
+               greatest(l.n_tok - p.ctx_len, 0) AS truncated
+        FROM pol p CROSS JOIN lens l
+    ),
+    batched AS (
+        SELECT ctx_len, used, truncated,
+               (row_number() OVER (
+                   PARTITION BY ctx_len
+                   ORDER BY used, doc_id) - 1) // {b} AS batch
+        FROM used
+    ),
+    per AS (
+        SELECT ctx_len, batch,
+               count(*) AS n, max(used) AS mx,
+               sum(used) AS s, sum(truncated) AS tr
+        FROM batched GROUP BY ctx_len, batch
+    )
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(s) AS BIGINT) AS used_tokens,
+           CAST(sum(tr) AS BIGINT) AS truncated_tokens,
+           CAST(sum(n * mx - s) AS BIGINT) AS padding_tokens,
+           CAST(sum(n * mx - s) * 1000000 // sum(n * mx)
+                AS BIGINT) AS pad_waste_micros,
+           CAST(sum(tr) * 1000000 // (sum(s) + sum(tr))
+                AS BIGINT) AS trunc_loss_micros
+    FROM per GROUP BY ctx_len
+    """
+
+
+@staged_query(
+    "context_length_policy_sweep", oracle=_clp_oracle()
+)
+def context_length_policy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTEXT-LENGTH POLICY SWEEP — the two costs a max-sequence-
+    length choice trades, graded exactly per policy: TRUNCATION loss
+    (tokens cut from docs longer than the context) vs PADDING waste
+    (length-sorted batches of {_CLP_B} still pad to the batch max).
+    Short contexts truncate more; long contexts pad more — the sweep
+    emits both exact token masses and floor-micros rates for
+    {_CLP_LENGTHS}, the table a training-config review reads.
+
+    Scale shape: one scan-side token count crossed with the bounded
+    3-row policy frame, one rank window per policy partition
+    (parallel across policies; the two-level chunked rank at
+    production scale), batch-grain then policy-grain aggregates.
+
+    Reference basis: packing family (padding_waste_sorted_vs_fifo
+    r15 staged measured the SORT lever; this measures the LENGTH
+    lever — together they fix the batcher's two knobs)."""
+    b = _CLP_B
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    pol = spark.createDataFrame(
+        [(L,) for L in _CLP_LENGTHS], "ctx_len long"
+    )
+    used = F.broadcast(pol).crossJoin(lens).select(
+        "ctx_len",
+        "doc_id",
+        F.least(F.col("n_tok"), F.col("ctx_len")).alias("used"),
+        F.greatest(
+            F.col("n_tok") - F.col("ctx_len"), F.lit(0)
+        ).alias("truncated"),
+    )
+    batched = used.select(
+        "ctx_len",
+        "used",
+        "truncated",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.partitionBy("ctx_len").orderBy(
+                        "used", "doc_id"
+                    )
+                )
+                - 1
+            )
+            / b
+        ).alias("batch"),
+    )
+    per = batched.groupBy("ctx_len", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("used").alias("mx"),
+        F.sum("used").alias("s"),
+        F.sum("truncated").alias("tr"),
+    )
+    return per.groupBy(F.col("ctx_len").cast("long").alias("ctx_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("s").cast("long").alias("used_tokens"),
+        F.sum("tr").cast("long").alias("truncated_tokens"),
+        F.sum(F.col("n") * F.col("mx") - F.col("s"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.expr(
+            "sum(n * mx - s) * 1000000 div sum(n * mx)"
+        )
+        .cast("long")
+        .alias("pad_waste_micros"),
+        F.expr(
+            "sum(tr) * 1000000 div (sum(s) + sum(tr))"
+        )
+        .cast("long")
+        .alias("trunc_loss_micros"),
+    )
+
+
+# ---------- density-greedy token-budget knapsack, certified --
+
+
+def _density_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    return f"""
+    WITH items AS (
+        SELECT doc_id,
+               CAST({q} + 1 AS BIGINT) AS v,
+               CAST(greatest(len(regexp_extract_all(
+                   trim(text), '\\S+')), 1) AS BIGINT) AS c
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, v, c,
+               row_number() OVER (
+                   ORDER BY v * 1099511627776 // c DESC, doc_id
+               ) AS rk,
+               sum(c) OVER (
+                   ORDER BY v * 1099511627776 // c DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_c,
+               sum(v) OVER (
+                   ORDER BY v * 1099511627776 // c DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_v
+        FROM items
+    ),
+    b AS (
+        SELECT CAST(sum(c) // 10 AS BIGINT) AS budget FROM items
+    ),
+    sel AS (
+        SELECT coalesce(max(rk), 0) AS n_sel,
+               coalesce(max(cum_v), 0) AS sel_v,
+               coalesce(max(cum_c), 0) AS sel_c
+        FROM ordered, b WHERE cum_c <= b.budget
+    ),
+    nxt AS (
+        SELECT o.v AS nv, o.c AS nc
+        FROM ordered o, sel s WHERE o.rk = s.n_sel + 1
+    )
+    SELECT CAST(s.n_sel AS BIGINT) AS n_sel,
+           CAST(s.sel_v AS BIGINT) AS selected_value,
+           CAST(s.sel_c AS BIGINT) AS selected_cost,
+           b.budget,
+           CAST(s.sel_v
+                + coalesce((b.budget - s.sel_c) * n.nv // n.nc, 0)
+                AS BIGINT) AS frac_opt_floor,
+           CAST((SELECT max(v) FROM items) AS BIGINT) AS max_item_v,
+           (s.sel_v + (SELECT max(v) FROM items)
+            >= s.sel_v
+               + coalesce((b.budget - s.sel_c) * n.nv // n.nc, 0))
+               AS within_additive_bound
+    FROM sel s, b LEFT JOIN nxt n ON TRUE
+    """
+
+
+@staged_query(
+    "density_greedy_budget_certified", oracle=_density_oracle()
+)
+def density_greedy_budget_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DENSITY-GREEDY KNAPSACK under a token budget, with the
+    classic additive certificate: items (docs) carry integer value
+    (md5 quality + 1) and cost (token count); greedy takes the
+    value-density prefix (density ordered by the exact floor-key
+    embedding v*2^40 // c — no floating-point ratios) while the
+    running cost fits the 10% token budget. The certificate is the
+    LP-relaxation bound made exact: fractional OPT = greedy prefix +
+    the next item's pro-rata slice (one exact floor), and
+    greedy + max_item_value >= frac_OPT >= integer OPT — the
+    standard proof that density-greedy is within one item of
+    optimal, graded as a value instead of assumed.
+
+    Scale shape: one scan-side value/cost projection, one global
+    rank window (two-level chunked at production scale — the
+    deterministic_corpus_shuffle pattern), a 1-row budget scalar,
+    and two bounded scalar folds. No joins at item grain.
+
+    Reference basis: selection family (token_budget_selection r4
+    flagship is the priority-cut member; waterfill r14 the
+    fairness member; this is the VALUE-DENSITY member with its
+    approximation certificate)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    items = docs.select(
+        "doc_id",
+        (F.expr(q) + 1).cast("long").alias("v"),
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), "\\s+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    key = F.expr("v * 1099511627776 div c")
+    w = Window.orderBy(key.desc(), "doc_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    ordered = items.select(
+        "doc_id",
+        "v",
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(frame).alias("cum_c"),
+        F.sum("v").over(frame).alias("cum_v"),
+    )
+    b = items.agg(
+        (F.sum("c") / 10).cast("long").alias("budget"),
+        F.max("v").alias("max_item_v"),
+    )
+    sel = (
+        ordered.crossJoin(F.broadcast(b))
+        .where(F.col("cum_c") <= F.col("budget"))
+        .agg(
+            F.coalesce(F.max("rk"), F.lit(0)).alias("n_sel"),
+            F.coalesce(F.max("cum_v"), F.lit(0)).alias("sel_v"),
+            F.coalesce(F.max("cum_c"), F.lit(0)).alias("sel_c"),
+        )
+    )
+    nxt = (
+        ordered.crossJoin(F.broadcast(sel))
+        .where(F.col("rk") == F.col("n_sel") + 1)
+        .select(F.col("v").alias("nv"), F.col("c").alias("nc"))
+    )
+    return (
+        sel.crossJoin(F.broadcast(b))
+        .join(F.broadcast(nxt), F.lit(True), "left")
+        .select(
+            F.col("n_sel").cast("long").alias("n_sel"),
+            F.col("sel_v").cast("long").alias("selected_value"),
+            F.col("sel_c").cast("long").alias("selected_cost"),
+            "budget",
+            (
+                F.col("sel_v")
+                + F.coalesce(
+                    F.expr("(budget - sel_c) * nv div nc"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("frac_opt_floor"),
+            F.col("max_item_v").cast("long").alias("max_item_v"),
+            (
+                F.col("sel_v") + F.col("max_item_v")
+                >= F.col("sel_v")
+                + F.coalesce(
+                    F.expr("(budget - sel_c) * nv div nc"), F.lit(0)
+                )
+            ).alias("within_additive_bound"),
+        )
+    )

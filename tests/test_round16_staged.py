@@ -1,0 +1,335 @@
+"""Second witnesses for the round-16 staged cohort (the round-17
+staging area, plans/next_round.py), beyond the value-hash oracle
+(tests/test_next_round.py): each operator's result is re-derived by an
+INDEPENDENT brute-force twin in plain Python over the collected slice.
+Where the staged query uses an algebraic shortcut (the CUSUM prefix-sum
+identity, the floor-key density ordering, the cross-product distance
+ordering), the witness runs the DIRECT form the shortcut replaces (the
+sequential recurrence, Fraction ratios, true chord distances).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import statistics
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from sparkksqldbbenchmark_spark.catalog import load_table
+from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_discretization_merge_matches_fraction_walk(spark):
+    """Rate gaps re-derived as exact Fractions; the merge verdicts
+    and island ids replayed bin by bin."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "value", "event_type"
+    ).collect()
+    agg = {b: [0, 0] for b in range(20)}
+    for r in rows:
+        b = min(19, max(0, int(r.value // 5)))
+        agg[b][0] += 1
+        agg[b][1] += 1 if r.event_type == "purchase" else 0
+    got = {
+        r.bin: r
+        for r in STAGED["supervised_discretization_merge_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(range(20))
+    island = 0
+    merged_seen = unmerged_seen = False
+    for b in range(20):
+        n, k = agg[b]
+        g = got[b]
+        assert (g.n, g.k) == (n, k), b
+        if b == 0:
+            merged = False
+            gap = 0
+        else:
+            n_lo, k_lo = agg[b - 1]
+            gap = k_lo * n - k * n_lo
+            if n_lo == 0 or n == 0:
+                merged = True
+            else:
+                merged = Fraction(abs(gap), n_lo * n) < Fraction(
+                    1, 20
+                )
+        assert g.rate_gap_x == gap, b
+        assert g.merged_with_prev == merged, b
+        if b > 0:
+            merged_seen |= merged
+            unmerged_seen |= not merged
+        if not merged:
+            island += 1
+        assert g.island == island, b
+    assert merged_seen and unmerged_seen, (
+        "fixture must exercise both merge outcomes"
+    )
+
+
+def test_seasonal_cusum_matches_sequential_recurrence(spark):
+    """The prefix-sum identity checked against the DIRECT nonlinear
+    recurrence S_t = max(0, S_{t-1} + r_t), run day by day."""
+    import datetime
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "ts", "value", "event_type"
+    ).collect()
+    epoch = datetime.date(1970, 1, 1)
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += int(
+            math.floor(r.value * 100)
+        )
+    groups = defaultdict(list)
+    meds = defaultdict(list)
+    for (et, d), cents in daily.items():
+        meds[(et, (d - epoch).days % 7)].append(cents)
+    med = {k: statistics.median_low(v) for k, v in meds.items()}
+    for (et, d), cents in daily.items():
+        groups[et].append((d, cents - med[(et, (d - epoch).days % 7)]))
+    got = {
+        r.event_type: r
+        for r in STAGED["seasonal_cusum_residual_flags"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(groups)
+    for et, series in groups.items():
+        series.sort()
+        s = 0
+        mx = 0
+        flags = 0
+        first = None
+        for d, r in series:
+            s = max(0, s + r)
+            mx = max(mx, s)
+            if s > 200000:
+                flags += 1
+                if first is None:
+                    first = d
+        g = got[et]
+        assert g.n_days == len(series)
+        assert g.max_cusum_cents == mx, et
+        assert g.n_flag_days == flags, et
+        assert g.first_flag_day == (
+            first.strftime("%Y-%m-%d") if first else ""
+        ), et
+
+
+def test_weighted_rrf_matches_fraction_fusion(spark):
+    """Weights and fused ordering re-derived with exact Fractions."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "lang", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    ranked = {}
+    w1 = w2 = 1
+    for src, docs in by_src.items():
+        sl = sorted(docs, key=lambda r: r.doc_id)[:40]
+        r1 = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                sorted(sl, key=lambda r: (-r.n_chars, r.doc_id))
+            )
+        }
+        q = {r.doc_id: _md5int(r.text) % 1000 for r in sl}
+        r2 = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                sorted(sl, key=lambda r: (-q[r.doc_id], r.doc_id))
+            )
+        }
+        ranked[src] = (sl, r1, r2)
+        for r in sl:
+            if r1[r.doc_id] <= 10 and r.lang == "en":
+                w1 += 1
+            if r2[r.doc_id] <= 10 and r.lang == "en":
+                w2 += 1
+    got = defaultdict(dict)
+    for r in STAGED["rrf_weighted_fusion_exact"](
+        spark, SF_DIR
+    ).collect():
+        got[r.source][r.fused_rank] = r
+        assert (r.weight_length, r.weight_quality) == (w1, w2)
+    for src, (sl, r1, r2) in ranked.items():
+        scored = sorted(
+            sl,
+            key=lambda r: (
+                -(
+                    Fraction(w1, 60 + r1[r.doc_id])
+                    + Fraction(w2, 60 + r2[r.doc_id])
+                ),
+                r.doc_id,
+            ),
+        )[:5]
+        for rank, r in enumerate(scored, start=1):
+            g = got[src][rank]
+            assert g.doc_id == r.doc_id, (src, rank)
+            assert g.rank_by_length == r1[r.doc_id]
+            assert g.rank_by_quality == r2[r.doc_id]
+    assert w1 > 1 and w2 > 1, "weights must be data-driven, not 1"
+
+
+def test_knee_matches_true_chord_distance(spark):
+    """The frontier re-derived by the quadratic dominance test and
+    the knee by TRUE chord distance (Fraction |cross|^2 / |chord|^2)
+    — same argmax as the integer cross product."""
+    rows = load_table(spark, SF_DIR, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    ).collect()
+    import math
+
+    cells = {}
+    for r in rows:
+        key = (r.p_brand, int(r.p_size))
+        c = int(math.floor(r.p_retailprice * 100))
+        cells[key] = min(cells.get(key, c), c)
+    by_brand = defaultdict(dict)
+    for (brand, size), price in cells.items():
+        by_brand[brand][size] = price
+    got = {
+        r.brand: r
+        for r in STAGED["pareto_knee_maxcross"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(by_brand)
+    for brand, pts in by_brand.items():
+        frontier = [
+            (s, p)
+            for s, p in pts.items()
+            if not any(
+                s2 > s and p2 <= p for s2, p2 in pts.items()
+            )
+        ]
+        frontier.sort()
+        a, b = frontier[0], frontier[-1]
+        chord2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+
+        def cross(p):
+            return abs(
+                (b[0] - a[0]) * (p[1] - a[1])
+                - (b[1] - a[1]) * (p[0] - a[0])
+            )
+
+        best = min(frontier, key=lambda p: (-cross(p), p[0]))
+        g = got[brand]
+        assert g.n_frontier == len(frontier), brand
+        assert (g.knee_size, g.knee_price_cents) == best, brand
+        assert g.knee_cross_x == cross(best), brand
+        # distance ordering equivalence: same argmax under the true
+        # normalized distance when the chord is non-degenerate
+        if chord2 > 0:
+            truebest = min(
+                frontier,
+                key=lambda p: (
+                    -Fraction(cross(p) ** 2, chord2),
+                    p[0],
+                ),
+            )
+            assert truebest == best, brand
+
+
+def test_context_policy_sweep_matches_batch_walk(spark):
+    """Per-policy truncation + sorted next-batch padding replayed."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    lens = {r.doc_id: max(len(r.text.split()), 0) for r in rows}
+    got = {
+        r.ctx_len: r
+        for r in STAGED["context_length_policy_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == {64, 128, 256}
+    for L, g in got.items():
+        used = sorted(
+            (min(n, L), did) for did, n in lens.items()
+        )
+        truncated = sum(max(n - L, 0) for n in lens.values())
+        pad = real = 0
+        nb = 0
+        for i in range(0, len(used), 8):
+            batch = used[i : i + 8]
+            mx = max(u for u, _ in batch)
+            s = sum(u for u, _ in batch)
+            pad += mx * len(batch) - s
+            real += s
+            nb += 1
+        assert (
+            g.n_batches,
+            g.used_tokens,
+            g.truncated_tokens,
+            g.padding_tokens,
+        ) == (nb, real, truncated, pad), L
+        assert g.pad_waste_micros == pad * 1000000 // (pad + real)
+        assert (
+            g.trunc_loss_micros
+            == truncated * 1000000 // (real + truncated)
+        )
+    # the sweep must show the trade: truncation falls with L,
+    # padding rate rises or stays
+    assert (
+        got[64].truncated_tokens
+        >= got[128].truncated_tokens
+        >= got[256].truncated_tokens
+    )
+
+
+def test_density_greedy_matches_fraction_walk_and_bound(spark):
+    """Greedy replayed with TRUE Fraction densities; the additive
+    certificate re-proved: greedy + max_item >= fractional OPT."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    items = []
+    for r in rows:
+        v = _md5int(r.text) % 1000 + 1
+        c = max(len(r.text.split()), 1)
+        items.append((r.doc_id, v, c))
+    budget = sum(c for _, _, c in items) // 10
+    order = sorted(
+        items, key=lambda t: (-Fraction(t[1], t[2]), t[0])
+    )
+    cum_c = cum_v = n_sel = 0
+    nxt = None
+    for did, v, c in order:
+        if cum_c + c <= budget:
+            cum_c += c
+            cum_v += v
+            n_sel += 1
+        else:
+            nxt = (v, c)
+            break
+    frac_opt = cum_v + (
+        (budget - cum_c) * nxt[0] // nxt[1] if nxt else 0
+    )
+    max_v = max(v for _, v, _ in items)
+    g = STAGED["density_greedy_budget_certified"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (
+        g.n_sel,
+        g.selected_value,
+        g.selected_cost,
+        g.budget,
+        g.frac_opt_floor,
+        g.max_item_v,
+    ) == (n_sel, cum_v, cum_c, budget, frac_opt, max_v)
+    assert g.within_additive_bound
+    assert cum_v + max_v >= frac_opt
+    # and the bound is not vacuous: the greedy prefix genuinely
+    # stopped before taking everything
+    assert nxt is not None
