@@ -955,3 +955,107 @@ def density_greedy_budget_certified(
             ).alias("within_additive_bound"),
         )
     )
+
+
+# ---------- sort-key delta-compression estimate (layout lever) --
+
+
+def _sortkey_oracle() -> str:
+    return """
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    orderings AS (
+        SELECT 'natural' AS ordering,
+               cents - lag(cents) OVER (ORDER BY event_id) AS d
+        FROM base
+        UNION ALL
+        SELECT 'by_time',
+               cents - lag(cents) OVER (ORDER BY ts, event_id)
+        FROM base
+        UNION ALL
+        SELECT 'by_user_time',
+               cents - lag(cents) OVER (
+                   ORDER BY user_id, ts, event_id)
+        FROM base
+        UNION ALL
+        SELECT 'by_value',
+               cents - lag(cents) OVER (ORDER BY cents, event_id)
+        FROM base
+    )
+    SELECT ordering,
+           CAST(count(d) AS BIGINT) AS n_deltas,
+           CAST(sum(abs(d)) AS BIGINT) AS abs_delta_mass,
+           CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_deltas,
+           CAST(max(abs(d)) AS BIGINT) AS max_abs_delta,
+           CAST(sum(CASE WHEN abs(d) < 256 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_byte_deltas
+    FROM orderings GROUP BY ordering
+    """
+
+
+@staged_query(
+    "sortkey_delta_compression_estimate", oracle=_sortkey_oracle()
+)
+def sortkey_delta_compression_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORT-KEY DELTA-COMPRESSION ESTIMATE — the layout lever graded
+    as exact integers: columnar delta/frame-of-reference encodings
+    compress in proportion to how small consecutive differences are,
+    so the CHOICE of table sort key is a storage-cost decision. For
+    four candidate orderings (insertion order, event time, user+time
+    — the clustered-write key, and the value itself) the row grades
+    the exact delta profile of the cents column: total |delta| mass,
+    zero-delta count (run-length wins), max delta (bit-width
+    ceiling), and byte-encodable deltas — the table a lakehouse
+    OPTIMIZE/CLUSTER BY decision reads. Ordering by the value itself
+    is the proven floor (sorted deltas sum telescopically to
+    max - min).
+
+    Scale shape: four ordered passes over one scan (each a global
+    window — the two-level chunked form at production scale, where
+    each pass is really a per-file statistic computed at write time);
+    everything after collapses to a 4-row frame.
+
+    Reference basis: layout family (clustered_write_sorted_runs r9
+    TAIL, range/zorder_layout_scan r7 TAIL — those grade READ
+    pruning; this grades the WRITE-side compression economics of the
+    same sort keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def ordered(tag: str, *cols):
+        w = Window.orderBy(*cols)
+        return base.select(
+            F.lit(tag).alias("ordering"),
+            (F.col("cents") - F.lag("cents").over(w)).alias("d"),
+        )
+
+    orderings = (
+        ordered("natural", "event_id")
+        .unionByName(ordered("by_time", "ts", "event_id"))
+        .unionByName(
+            ordered("by_user_time", "user_id", "ts", "event_id")
+        )
+        .unionByName(ordered("by_value", "cents", "event_id"))
+    )
+    return orderings.groupBy("ordering").agg(
+        F.count("d").cast("long").alias("n_deltas"),
+        F.sum(F.abs(F.col("d"))).cast("long").alias("abs_delta_mass"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_deltas"),
+        F.max(F.abs(F.col("d"))).cast("long").alias("max_abs_delta"),
+        F.sum(F.when(F.abs(F.col("d")) < 256, 1).otherwise(0))
+        .cast("long")
+        .alias("n_byte_deltas"),
+    )

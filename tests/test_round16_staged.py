@@ -333,3 +333,50 @@ def test_density_greedy_matches_fraction_walk_and_bound(spark):
     # and the bound is not vacuous: the greedy prefix genuinely
     # stopped before taking everything
     assert nxt is not None
+
+
+def test_sortkey_deltas_match_sorted_walk_and_telescope(spark):
+    """Delta profiles re-derived per ordering in plain Python, plus
+    the telescoping law: value-sorted |delta| mass equals
+    max - min exactly (the compression floor the row exists to
+    show)."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).collect()
+    base = [
+        (r.event_id, r.user_id, r.ts, int(math.floor(r.value * 100)))
+        for r in rows
+    ]
+    orderings = {
+        "natural": sorted(base, key=lambda t: t[0]),
+        "by_time": sorted(base, key=lambda t: (t[2], t[0])),
+        "by_user_time": sorted(base, key=lambda t: (t[1], t[2], t[0])),
+        "by_value": sorted(base, key=lambda t: (t[3], t[0])),
+    }
+    got = {
+        r.ordering: r
+        for r in STAGED["sortkey_delta_compression_estimate"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(orderings)
+    for tag, seq in orderings.items():
+        ds = [
+            b[3] - a[3] for a, b in zip(seq, seq[1:])
+        ]
+        g = got[tag]
+        assert g.n_deltas == len(ds), tag
+        assert g.abs_delta_mass == sum(abs(d) for d in ds), tag
+        assert g.n_zero_deltas == sum(1 for d in ds if d == 0), tag
+        assert g.max_abs_delta == max(abs(d) for d in ds), tag
+        assert g.n_byte_deltas == sum(
+            1 for d in ds if abs(d) < 256
+        ), tag
+    cents = [t[3] for t in base]
+    assert got["by_value"].abs_delta_mass == max(cents) - min(cents)
+    assert (
+        got["by_value"].abs_delta_mass
+        < got["natural"].abs_delta_mass
+    ), "the sort key must actually buy compression"

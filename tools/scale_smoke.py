@@ -1169,6 +1169,120 @@ def round16_family_probes(spark, n: int) -> None:
     )
 
 
+def round17_family_probes(spark, n: int) -> None:
+    """Round-16 staged-shape probes for the corpus-grain round-17
+    staging rows (the discretization/CUSUM/knee/weighted-RRF rows
+    collapse to bounded frames at the first aggregate and inherit
+    measured families): the density-greedy knapsack (one GLOBAL rank
+    window over the corpus — the deterministic_corpus_shuffle shape)
+    and the context-length policy sweep (three policy-partitioned
+    rank windows + batch-grain aggregates over 3x the corpus). Run
+    via `python tools/scale_smoke.py 100 --r17` (docs = rows/100)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    base_id = F.when(
+        F.col("id") % 1000 == 999, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    docs_n = max(50_000, n // 100)
+    docs = spark.range(docs_n).withColumn("bid", base_id).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(bid * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    ).localCheckpoint()
+
+    # --- density-greedy knapsack: one global rank + scalar folds ---
+    t0 = _t.time()
+    q = f"({spark_md5_int('text')}) % 1000"
+    items = docs.select(
+        "doc_id",
+        (F.expr(q) + 1).cast("long").alias("v"),
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), "\\s+")), F.lit(1)
+        ).cast("long").alias("c"),
+    )
+    key = F.expr("v * 1099511627776 div c")
+    w = Window.orderBy(key.desc(), "doc_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    ordered = items.select(
+        "v", "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(frame).alias("cum_c"),
+        F.sum("v").over(frame).alias("cum_v"),
+    )
+    b = items.agg((F.sum("c") / 10).cast("long").alias("budget"))
+    row = (
+        ordered.crossJoin(F.broadcast(b))
+        .where(F.col("cum_c") <= F.col("budget"))
+        .agg(
+            F.coalesce(F.max("rk"), F.lit(0)).alias("n_sel"),
+            F.coalesce(F.max("cum_v"), F.lit(0)).alias("sel_v"),
+        )
+        .collect()[0]
+    )
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} density_greedy={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, n_sel={row['n_sel']:,}, "
+        f"value={row['sel_v']:,}) — NOTE the global window is the "
+        f"plain single-sort form here; at cluster scale the row "
+        f"documents the two-level chunked-rank escape hatch"
+    )
+
+    # --- context-length policy sweep: 3 policy partitions ---
+    t0 = _t.time()
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long").alias("n_tok"),
+    )
+    pol = spark.createDataFrame([(32,), (48,), (64,)], "ctx_len long")
+    used = F.broadcast(pol).crossJoin(lens).select(
+        "ctx_len", "doc_id",
+        F.least(F.col("n_tok"), F.col("ctx_len")).alias("used"),
+        F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0))
+        .alias("truncated"),
+    )
+    batched = used.select(
+        "ctx_len", "used", "truncated",
+        F.floor(
+            (F.row_number().over(
+                Window.partitionBy("ctx_len").orderBy("used", "doc_id")
+            ) - 1) / 8
+        ).alias("batch"),
+    )
+    per = batched.groupBy("ctx_len", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("used").alias("mx"),
+        F.sum("used").alias("s"),
+        F.sum("truncated").alias("tr"),
+    )
+    rows = per.groupBy("ctx_len").agg(
+        F.sum(F.col("n") * F.col("mx") - F.col("s")).alias("pad"),
+        F.sum("tr").alias("tr"),
+    ).collect()
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} context_policy_sweep={s:.1f}s "
+        f"({int(3 * docs_n / s):,} doc-policies/s, "
+        + ", ".join(
+            f"L={r['ctx_len']}: pad={r['pad']:,}/trunc={r['tr']:,}"
+            for r in sorted(rows, key=lambda r: r['ctx_len'])
+        )
+    )
+
+
 def main() -> None:
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
@@ -1196,6 +1310,9 @@ def main() -> None:
         return
     if "--r16" in sys.argv:
         round16_family_probes(spark, n)
+        return
+    if "--r17" in sys.argv:
+        round17_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
