@@ -237,7 +237,7 @@ def main() -> None:
         "",
     ]
     staged_names = [f"staged:{n}" for n in STAGED_AUDIT if n in STAGED]
-    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + ROUND14_AUDIT + ROUND15_AUDIT + staged_names:
+    for name in AUDIT + ROUND6_AUDIT + ROUND7_AUDIT + ROUND8_AUDIT + ROUND10_AUDIT + ROUND12_AUDIT + ROUND13_AUDIT + ROUND14_AUDIT + ROUND15_AUDIT + ROUND16_AUDIT + staged_names:
         fn = (
             STAGED[name.removeprefix("staged:")]
             if name.startswith("staged:")
@@ -250,7 +250,7 @@ def main() -> None:
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
     with open("/root/repo/docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(ROUND14_AUDIT) + len(ROUND15_AUDIT) + len(staged_names)} plans)")
+    print(f"wrote docs/PLANS.md ({len(AUDIT) + len(ROUND6_AUDIT) + len(ROUND7_AUDIT) + len(ROUND8_AUDIT) + len(ROUND10_AUDIT) + len(ROUND12_AUDIT) + len(ROUND13_AUDIT) + len(ROUND14_AUDIT) + len(ROUND15_AUDIT) + len(ROUND16_AUDIT) + len(staged_names)} plans)")
 
 
 if __name__ == "__main__":
