@@ -166,6 +166,11 @@ def type_warnings(name, sdf, ocols, otypes) -> list[str]:
 
 
 def main() -> int:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _scratch import activate
+
+    activate()
     import __spark_entry__ as mod
 
     args = sys.argv[1:]

@@ -1284,6 +1284,11 @@ def round17_family_probes(spark, n: int) -> None:
 
 
 def main() -> None:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _scratch import activate
+
+    activate()
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n = int(millions * 1_000_000)
     # local-mode driver == the executor: the default 1g heap dies on the

@@ -97,6 +97,11 @@ BOUNDED_BNL = {
 
 
 def main() -> None:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _scratch import activate
+
+    activate()
     spark = get_spark(SessionConfig(shuffle_partitions=8, app_name="audit"))
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
