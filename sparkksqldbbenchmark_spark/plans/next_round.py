@@ -1059,3 +1059,196 @@ def sortkey_delta_compression_estimate(
         .cast("long")
         .alias("n_byte_deltas"),
     )
+
+
+# ---------- differential-privacy sensitivity / noise budget --
+
+_DP_EPS_X10 = 5  # epsilon = 0.5
+
+
+def _dp_oracle(eps_x10: int = _DP_EPS_X10) -> str:
+    return f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(abs(floor(value * 100)) AS BIGINT))
+                    AS BIGINT) AS abs_cents
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(max(n_rows) AS BIGINT) AS count_sensitivity,
+           CAST(max(abs_cents) AS BIGINT) AS sum_sensitivity_cents,
+           CAST(max(n_rows) * 10 * 1000000 / {eps_x10} AS BIGINT)
+               AS count_noise_scale_micros,
+           CAST(max(abs_cents) * 10 * 1000000 / {eps_x10} AS BIGINT)
+               AS sum_noise_scale_micros
+    FROM per_user GROUP BY event_type
+    """
+
+
+@staged_query(
+    "dp_sensitivity_noise_budget", oracle=_dp_oracle()
+)
+def dp_sensitivity_noise_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """USER-LEVEL DP SENSITIVITY AUDIT — the exact, data-derived
+    inputs a differentially-private release needs BEFORE any noise is
+    drawn: under user-level neighboring datasets (add/remove one
+    user's entire contribution), the L1 sensitivity of a per-type
+    COUNT is the max rows any one user contributes and of a SUM the
+    max absolute cents mass any one user contributes — both exact
+    integer maxima over the per-user contribution frame. The row also
+    prices the Laplace noise scale sensitivity/epsilon at epsilon =
+    {_DP_EPS_X10}/10 in exact floor micros (the noise itself is
+    random by definition and out of grading scope; the CALIBRATION is
+    deterministic and is what pipelines get wrong).
+
+    Scale shape: one partial+final aggregate to the (type, user)
+    contribution grain, one rollup to |types| rows. The contribution
+    grain is exactly what a production DP accountant maintains.
+
+    Reference basis: governance family (k_anonymity r15,
+    l_diversity r16, data_retention r14 — this adds the
+    DP-release-calibration member)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.abs(F.floor(F.col("value") * 100)).cast("long"))
+        .cast("long")
+        .alias("abs_cents"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.max("n_rows").cast("long").alias("count_sensitivity"),
+        F.max("abs_cents").cast("long").alias("sum_sensitivity_cents"),
+        F.expr(
+            f"cast(max(n_rows) * 10 * 1000000 / {_DP_EPS_X10} as bigint)"
+        ).alias("count_noise_scale_micros"),
+        F.expr(
+            f"cast(max(abs_cents) * 10 * 1000000 / {_DP_EPS_X10}"
+            " as bigint)"
+        ).alias("sum_noise_scale_micros"),
+    )
+
+
+# ---------- Theil-Sen robust trend slope (exact fractions) --
+
+
+def _theil_sen_oracle() -> str:
+    return """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY d) - 1 AS i
+        FROM daily
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               b.cents - a.cents AS num,
+               b.i - a.i AS den
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type AND b.i > a.i
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(
+               num * 1099511627776 // den, 0.5) AS BIGINT)
+               AS median_slope_key,
+           CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rising_pairs,
+           CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_falling_pairs
+    FROM slopes GROUP BY event_type
+    """
+
+
+@staged_query(
+    "theil_sen_slope_exact", oracle=_theil_sen_oracle()
+)
+def theil_sen_slope_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THEIL-SEN ROBUST TREND — the median-of-pairwise-slopes
+    estimator (up to 29% outlier breakdown, vs 0% for OLS) computed
+    exactly: per event_type the daily series indexes 0..n-1, every
+    i<j pair contributes slope (y_j - y_i)/(j - i), and the median
+    slope is selected by the integer key num*2^40 div den (both
+    engines truncate toward zero — still a strict order embedding,
+    since distinct slopes differ by more than 2^-40 when day gaps
+    keep den < 2^20), so both engines pick the identical median pair
+    with NO floating-point slopes. The key itself is the graded
+    value (an exact, reversible rendering of the slope), alongside
+    the sign census of all pairs (the Mann-Kendall trend numerator).
+
+    Scale shape: the fact scan collapses to the bounded (type x day)
+    frame FIRST; the pairwise slope frame is |days|^2 per type —
+    bounded by the calendar, not the corpus (30 days -> 435 pairs).
+    The robust twin of the TAIL ols_trend_by_key row at identical
+    exchange cost.
+
+    Reference basis: time-series family (ols_trend_by_key r12 TAIL,
+    cusum r14, seasonal CUSUM staged — the robust-slope member)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("i"),
+    )
+    a = idx.select(
+        "event_type",
+        F.col("cents").alias("ca"),
+        F.col("i").alias("ia"),
+    )
+    b = idx.select(
+        "event_type",
+        F.col("cents").alias("cb"),
+        F.col("i").alias("ib"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("ib") > F.col("ia"))
+        .select(
+            "event_type",
+            (F.col("cb") - F.col("ca")).alias("num"),
+            (F.col("ib") - F.col("ia")).alias("den"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY num * 1099511627776 div den)"
+        )
+        .cast("long")
+        .alias("median_slope_key"),
+        F.sum(F.when(F.col("num") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rising_pairs"),
+        F.sum(F.when(F.col("num") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_falling_pairs"),
+    )

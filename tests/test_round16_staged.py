@@ -380,3 +380,95 @@ def test_sortkey_deltas_match_sorted_walk_and_telescope(spark):
         got["by_value"].abs_delta_mass
         < got["natural"].abs_delta_mass
     ), "the sort key must actually buy compression"
+
+
+def test_dp_sensitivity_matches_contribution_walk(spark):
+    """Per-user contributions re-counted in plain dicts; the
+    sensitivities are exact maxima and the Laplace scales follow by
+    arithmetic."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    contrib = defaultdict(lambda: [0, 0])
+    for r in rows:
+        c = contrib[(r.event_type, r.user_id)]
+        c[0] += 1
+        c[1] += abs(int(math.floor(r.value * 100)))
+    got = {
+        r.event_type: r
+        for r in STAGED["dp_sensitivity_noise_budget"](
+            spark, SF_DIR
+        ).collect()
+    }
+    types = {et for et, _ in contrib}
+    assert set(got) == types
+    for et in types:
+        users = {
+            u: v for (e, u), v in contrib.items() if e == et
+        }
+        g = got[et]
+        cs = max(v[0] for v in users.values())
+        ss = max(v[1] for v in users.values())
+        assert g.n_users == len(users)
+        assert g.n_rows == sum(v[0] for v in users.values())
+        assert g.count_sensitivity == cs
+        assert g.sum_sensitivity_cents == ss
+        assert g.count_noise_scale_micros == cs * 10 * 1000000 // 5
+        assert g.sum_noise_scale_micros == ss * 10 * 1000000 // 5
+        # sensitivity must exceed the naive row-level bound of 1,
+        # or user-level accounting graded nothing
+        assert cs > 1
+
+
+def test_theil_sen_matches_fraction_median(spark):
+    """The median slope re-selected with TRUE Fractions (median_low
+    over the exact slope values) — same pair as the floor-key
+    median — plus the Mann-Kendall sign census."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += int(
+            math.floor(r.value * 100)
+        )
+    series = defaultdict(list)
+    for (et, d), cents in daily.items():
+        series[et].append((d, cents))
+    got = {
+        r.event_type: r
+        for r in STAGED["theil_sen_slope_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(series)
+    for et, days in series.items():
+        days.sort()
+        ys = [c for _, c in days]
+        pairs = [
+            (ys[j] - ys[i], j - i)
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        ]
+        g = got[et]
+        assert g.n_pairs == len(pairs)
+        # both engines TRUNCATE toward zero (Spark div, DuckDB //);
+        # int(Fraction) replicates that exactly
+        keys = sorted(
+            int(Fraction(num * 1099511627776, den))
+            for num, den in pairs
+        )
+        assert g.median_slope_key == keys[(len(keys) - 1) // 2], et
+        # the truncating key selects the true Fraction median pair
+        fracs = sorted(Fraction(n, d) for n, d in pairs)
+        true_med = fracs[(len(fracs) - 1) // 2]
+        key_val = Fraction(g.median_slope_key, 1099511627776)
+        assert abs(true_med - key_val) < Fraction(1, 1 << 20), et
+        assert g.n_rising_pairs == sum(1 for n, _ in pairs if n > 0)
+        assert g.n_falling_pairs == sum(
+            1 for n, _ in pairs if n < 0
+        )
