@@ -1252,3 +1252,248 @@ def theil_sen_slope_exact(
         .cast("long")
         .alias("n_falling_pairs"),
     )
+
+
+# ---------- team-draft interleaving preference (online eval) --
+
+_TDI_TOPN = 40
+_TDI_K = 4  # interleaved positions
+_TDI_CLICK = 500  # click iff md5 quality >= threshold
+
+
+def _tdi_oracle(
+    topn: int = _TDI_TOPN, k: int = _TDI_K, ct: int = _TDI_CLICK
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+
+    def coin(r):
+        expr = f"(source || '#coin{r}')"
+        return f"({sql_md5_int(expr)} % 2)"
+
+    return f"""
+    WITH sliced AS (
+        SELECT source, doc_id, n_chars, {q} AS quality
+        FROM (
+            SELECT source, doc_id, n_chars, text,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {topn}
+    ),
+    ranked AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS ra,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rb
+        FROM sliced
+    ),
+    teams AS (
+        SELECT source,
+               {coin(1)} AS t1,
+               1 - {coin(1)} AS t2,
+               {coin(3)} AS t3,
+               1 - {coin(3)} AS t4
+        FROM (SELECT DISTINCT source FROM sliced)
+    ),
+    p1 AS (
+        SELECT r.source,
+               min_by(r.doc_id,
+                   CASE WHEN t.t1 = 0 THEN r.ra ELSE r.rb END) AS d1,
+               min(t.t1) AS team1
+        FROM ranked r JOIN teams t USING (source)
+        GROUP BY r.source
+    ),
+    p2 AS (
+        SELECT r.source,
+               min_by(r.doc_id,
+                   CASE WHEN t.t2 = 0 THEN r.ra ELSE r.rb END) AS d2,
+               min(t.t2) AS team2
+        FROM ranked r
+        JOIN teams t USING (source)
+        JOIN p1 ON p1.source = r.source AND r.doc_id != p1.d1
+        GROUP BY r.source
+    ),
+    p3 AS (
+        SELECT r.source,
+               min_by(r.doc_id,
+                   CASE WHEN t.t3 = 0 THEN r.ra ELSE r.rb END) AS d3,
+               min(t.t3) AS team3
+        FROM ranked r
+        JOIN teams t USING (source)
+        JOIN p1 ON p1.source = r.source AND r.doc_id != p1.d1
+        JOIN p2 ON p2.source = r.source AND r.doc_id != p2.d2
+        GROUP BY r.source
+    ),
+    p4 AS (
+        SELECT r.source,
+               min_by(r.doc_id,
+                   CASE WHEN t.t4 = 0 THEN r.ra ELSE r.rb END) AS d4,
+               min(t.t4) AS team4
+        FROM ranked r
+        JOIN teams t USING (source)
+        JOIN p1 ON p1.source = r.source AND r.doc_id != p1.d1
+        JOIN p2 ON p2.source = r.source AND r.doc_id != p2.d2
+        JOIN p3 ON p3.source = r.source AND r.doc_id != p3.d3
+        GROUP BY r.source
+    ),
+    picks AS (
+        SELECT source, 1 AS pos, d1 AS doc_id, team1 AS team FROM p1
+        UNION ALL
+        SELECT source, 2, d2, team2 FROM p2
+        UNION ALL
+        SELECT source, 3, d3, team3 FROM p3
+        UNION ALL
+        SELECT source, 4, d4, team4 FROM p4
+    )
+    SELECT p.source,
+           CAST(p.pos AS BIGINT) AS pos,
+           p.doc_id,
+           CAST(p.team AS BIGINT) AS team,
+           (r.quality >= {ct}) AS clicked
+    FROM picks p JOIN ranked r
+      ON r.source = p.source AND r.doc_id = p.doc_id
+    """
+
+
+@staged_query(
+    "team_draft_interleave_preference", oracle=_tdi_oracle()
+)
+def team_draft_interleave_preference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING — the online ranker-comparison
+    protocol (Radlinski et al. 2008) as exact relational rounds: two
+    rankers (by length, by md5 quality) alternate draft picks into
+    one {_TDI_K}-slot result list; pick order within each round is an
+    md5 coin per (source, round) — deterministic, so BOTH engines
+    draft the identical list. A deterministic click model (quality >=
+    {_TDI_CLICK}) labels each position; the per-team click credit is
+    the preference signal an interleaving experiment reads. Grades
+    the full per-position draft table (source, pos, doc_id, team,
+    clicked) — the raw log an online-eval pipeline aggregates.
+
+    Scale shape: a bounded top-{_TDI_TOPN} slice per source before
+    anything else; each draft round is a bounded join + one min_by
+    aggregate over the slice (the graduated MMR unrolled-greedy
+    device with a two-ranker twist). Corpus size touches only the
+    slicing window.
+
+    Reference basis: retrieval-eval family (reciprocal_rank_fusion
+    r15, rrf_weighted staged, average_precision r14 — those grade
+    OFFLINE metrics; this is the ONLINE protocol that replaces them
+    when clicks exist)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    topn, ct = _TDI_TOPN, _TDI_CLICK
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    sliced = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(q).alias("quality"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= topn)
+        .drop("rn")
+    )
+    ranked = sliced.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("quality").desc(), "doc_id"
+            )
+        )
+        .alias("rb"),
+    )
+
+    def coin(r):
+        expr = f"concat(source, '#coin{r}')"
+        return F.expr(f"({spark_md5_int(expr)}) % 2")
+
+    teams = ranked.select("source").distinct().select(
+        "source",
+        coin(1).alias("t1"),
+        (1 - coin(1)).alias("t2"),
+        coin(3).alias("t3"),
+        (1 - coin(3)).alias("t4"),
+    )
+    base = ranked.join(teams, "source")
+
+    def draft(cur, tcol, out_d, out_t):
+        rank_used = F.when(
+            F.col(tcol) == 0, F.col("ra")
+        ).otherwise(F.col("rb"))
+        return cur.groupBy("source").agg(
+            F.min_by("doc_id", rank_used).alias(out_d),
+            F.min(tcol).alias(out_t),
+        )
+
+    p1 = draft(base, "t1", "d1", "team1")
+    c2 = base.join(p1, "source").where(F.col("doc_id") != F.col("d1"))
+    p2 = draft(c2, "t2", "d2", "team2")
+    c3 = c2.join(p2, "source").where(F.col("doc_id") != F.col("d2"))
+    p3 = draft(c3, "t3", "d3", "team3")
+    c4 = c3.join(p3, "source").where(F.col("doc_id") != F.col("d3"))
+    p4 = draft(c4, "t4", "d4", "team4")
+    picks = (
+        p1.select(
+            "source",
+            F.lit(1).cast("long").alias("pos"),
+            F.col("d1").alias("doc_id"),
+            F.col("team1").cast("long").alias("team"),
+        )
+        .unionByName(
+            p2.select(
+                "source",
+                F.lit(2).cast("long").alias("pos"),
+                F.col("d2").alias("doc_id"),
+                F.col("team2").cast("long").alias("team"),
+            )
+        )
+        .unionByName(
+            p3.select(
+                "source",
+                F.lit(3).cast("long").alias("pos"),
+                F.col("d3").alias("doc_id"),
+                F.col("team3").cast("long").alias("team"),
+            )
+        )
+        .unionByName(
+            p4.select(
+                "source",
+                F.lit(4).cast("long").alias("pos"),
+                F.col("d4").alias("doc_id"),
+                F.col("team4").cast("long").alias("team"),
+            )
+        )
+    )
+    return picks.join(
+        ranked.select("source", "doc_id", "quality"),
+        ["source", "doc_id"],
+    ).select(
+        "source",
+        "pos",
+        "doc_id",
+        "team",
+        (F.col("quality") >= ct).alias("clicked"),
+    )

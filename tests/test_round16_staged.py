@@ -472,3 +472,52 @@ def test_theil_sen_matches_fraction_median(spark):
         assert g.n_falling_pairs == sum(
             1 for n, _ in pairs if n < 0
         )
+
+
+def test_team_draft_matches_protocol_replay(spark):
+    """The draft protocol replayed pick by pick in plain Python
+    (coin, minority-team rule folded into the fixed round structure,
+    top-unpicked selection), plus the salience check: both teams must
+    win at least one first pick across sources, or the coin graded
+    nothing."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    got = defaultdict(dict)
+    for r in STAGED["team_draft_interleave_preference"](
+        spark, SF_DIR
+    ).collect():
+        got[r.source][r.pos] = r
+    first_teams = set()
+    for src, docs in by_src.items():
+        sl = sorted(docs, key=lambda r: r.doc_id)[:40]
+        q = {r.doc_id: _md5int(r.text) % 1000 for r in sl}
+        ra = [
+            r.doc_id
+            for r in sorted(sl, key=lambda r: (-r.n_chars, r.doc_id))
+        ]
+        rb = [
+            r.doc_id
+            for r in sorted(
+                sl, key=lambda r: (-q[r.doc_id], r.doc_id)
+            )
+        ]
+        c1 = _md5int(f"{src}#coin1") % 2
+        c3 = _md5int(f"{src}#coin3") % 2
+        teams = [c1, 1 - c1, c3, 1 - c3]
+        picked = []
+        for pos, team in enumerate(teams, start=1):
+            ranking = ra if team == 0 else rb
+            pick = next(d for d in ranking if d not in picked)
+            picked.append(pick)
+            g = got[src][pos]
+            assert g.doc_id == pick, (src, pos)
+            assert g.team == team, (src, pos)
+            assert g.clicked == (q[pick] >= 500), (src, pos)
+        first_teams.add(teams[0])
+    assert first_teams == {0, 1}, (
+        "the md5 coin must exercise both first-pick orders"
+    )
