@@ -1,0 +1,189 @@
+"""Property-based suites for the round-16 staged cohort: each staged
+row leans on an algebraic device (a prefix-sum identity, an integer
+order embedding, an approximation bound); hypothesis drives the device
+itself across random inputs, independent of Spark and of the fixture
+corpus — the third witness class alongside the value-hash oracle
+(tests/test_next_round.py) and the brute-force replay
+(tests/test_round16_staged.py).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cusum_prefix_identity(rs):
+    """seasonal_cusum_residual_flags: the prefix-sum spelling
+    S_t = P_t - min(0, min_{i<=t} P_i) equals the nonlinear
+    recurrence S_t = max(0, S_{t-1} + r_t) on every series."""
+    s = 0
+    p = 0
+    minp = 0
+    for r in rs:
+        s = max(0, s + r)
+        p += r
+        minp = min(minp, p)
+        assert s == p - min(0, minp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=1, max_value=(1 << 20) - 1),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_truncating_key_is_strict_order_embedding(fracs):
+    """theil_sen_slope_exact: num*2^40 truncated-div den orders
+    exactly like the true fractions whenever den < 2^20 — distinct
+    fractions differ by > 2^-40, so truncation cannot reorder or
+    collide them."""
+    K = 1 << 40
+    for na, da in fracs:
+        for nb, db in fracs:
+            fa, fb = Fraction(na, da), Fraction(nb, db)
+            ka = int(Fraction(na * K, da))
+            kb = int(Fraction(nb * K, db))
+            if fa < fb:
+                assert ka < kb
+            elif fa == fb:
+                assert ka == kb
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),  # value
+            st.integers(min_value=1, max_value=50),  # cost
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=200),
+)
+def test_density_greedy_additive_bound_vs_brute_force(items, budget):
+    """density_greedy_budget_certified: greedy prefix value +
+    max item value >= fractional OPT >= integer OPT, with the
+    integer OPT computed by brute force on small instances."""
+    order = sorted(
+        enumerate(items),
+        key=lambda t: (-Fraction(t[1][0], t[1][1]), t[0]),
+    )
+    cum_v = cum_c = 0
+    nxt = None
+    for _, (v, c) in order:
+        if cum_c + c <= budget:
+            cum_c += c
+            cum_v += v
+        else:
+            nxt = (v, c)
+            break
+    frac_opt = Fraction(cum_v) + (
+        Fraction((budget - cum_c) * nxt[0], nxt[1]) if nxt else 0
+    )
+    best = 0
+    for mask in range(1 << len(items)):
+        tv = tc = 0
+        for i, (v, c) in enumerate(items):
+            if mask >> i & 1:
+                tv += v
+                tc += c
+        if tc <= budget:
+            best = max(best, tv)
+    max_v = max(v for v, _ in items)
+    assert frac_opt >= best
+    assert cum_v + max_v >= frac_opt
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_knee_cross_product_orders_chord_distances(pts):
+    """pareto_knee_maxcross: with the chord fixed, |cross((b-a),
+    (p-a))| orders points exactly like their true distance to the
+    line through a and b."""
+    pts = sorted(set(pts))
+    a, b = pts[0], pts[-1]
+    chord2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+    if chord2 == 0:
+        return
+
+    def cross(p):
+        return abs(
+            (b[0] - a[0]) * (p[1] - a[1])
+            - (b[1] - a[1]) * (p[0] - a[0])
+        )
+
+    def dist2(p):
+        return Fraction(cross(p) ** 2, chord2)
+
+    for p in pts:
+        for q in pts:
+            if cross(p) < cross(q):
+                assert dist2(p) < dist2(q)
+            elif cross(p) == cross(q):
+                assert dist2(p) == dist2(q)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # n per bin
+            st.integers(min_value=0, max_value=400),  # k per bin
+        ).map(lambda t: (max(t), min(t))),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=100),
+)
+def test_rate_gap_merge_threshold_monotone(bins, gd):
+    """supervised_discretization_merge_sweep: loosening the gap
+    threshold (smaller gd) can only MERGE MORE adjacent pairs, so the
+    island count is monotone in the threshold — the property a
+    threshold sweep relies on."""
+
+    def islands(gd_):
+        count = 0
+        for i, (n, k) in enumerate(bins):
+            if i == 0:
+                merged = False
+            else:
+                n_lo, k_lo = bins[i - 1]
+                gap = k_lo * n - k * n_lo
+                merged = (
+                    n_lo == 0
+                    or n == 0
+                    or gd_ * abs(gap) < n_lo * n
+                )
+            if not merged:
+                count += 1
+        return count
+
+    assert islands(max(2, gd // 2)) <= islands(gd)
+    total_islands = islands(gd)
+    assert 1 <= total_islands <= len(bins)
