@@ -217,7 +217,18 @@ ROUND16_AUDIT = [
 # staged rows with plan-shape claims worth pinning before they
 # rotate into the graded head (plans/next_round.py) — this list
 # tracks the CURRENT staging area only
-STAGED_AUDIT = []
+STAGED_AUDIT = [
+    "supervised_discretization_merge_sweep",  # bounded bin frame, pair test, island prefix-sum
+    "seasonal_cusum_residual_flags",  # bounded dow medians broadcast, per-type windows
+    "rrf_weighted_fusion_exact",  # bounded slice + 1-row weight scalar
+    "pareto_knee_maxcross",  # domain-bounded cells, broadcast endpoints
+    "context_length_policy_sweep",  # 3-row policy frame, per-policy rank windows
+    "density_greedy_budget_certified",  # one global rank + scalar folds
+    "sortkey_delta_compression_estimate",  # four ordered passes, 4-row rollup
+    "dp_sensitivity_noise_budget",  # (type, user) contribution grain, bounded rollup
+    "theil_sen_slope_exact",  # bounded day frame before the pair join
+    "team_draft_interleave_preference",  # bounded slice, unrolled draft rounds
+]
 
 
 def main() -> None:

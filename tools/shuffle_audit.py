@@ -93,6 +93,10 @@ BOUNDED_BNL = {
     "join_cardinality_mg_sidecar_estimate",  # 1-row totals scalar x bounded hot set
     "brier_reliability_bins_exact",      # 1-row base-rate scalar broadcast
     "curation_pipeline_v4_composed",     # 20-bin PAV pair range-join + waterfill scalars
+    # round-16 staged cohort (every BNL below is a constant-size frame):
+    "rrf_weighted_fusion_exact",         # 1-row learned-weights scalar broadcast
+    "context_length_policy_sweep",       # 3-row policy frame x token-count scan
+    "density_greedy_budget_certified",   # 1-row budget + 1-row next-item scalars
 }
 
 
