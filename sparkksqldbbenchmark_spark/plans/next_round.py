@@ -1497,3 +1497,226 @@ def team_draft_interleave_preference(
         "team",
         (F.col("quality") >= ct).alias("clicked"),
     )
+
+
+# ---------- Benjamini-Hochberg FDR step-up (exact integers) --
+
+_BH_ALPHA_DEN = 10  # alpha = 1/10
+
+
+def _bh_oracle(ad: int = _BH_ALPHA_DEN) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    expr = "(event_type || '#' || CAST(hr AS VARCHAR))"
+    # planted signal: 'purchase' cells carry tiny p-values (true
+    # effects); the rest are uniform nulls — without the plant BH
+    # never rejects on 120 uniform draws and the row grades nothing
+    p = (
+        f"(CASE WHEN event_type = 'purchase' "
+        f"THEN {sql_md5_int(expr)} % 500 "
+        f"ELSE {sql_md5_int(expr)} % 1000000 END)"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT DISTINCT event_type, hour(ts) AS hr FROM events
+    ),
+    tested AS (
+        SELECT event_type, hr, {p} AS p_x FROM cells
+    ),
+    ranked AS (
+        SELECT event_type, hr, p_x,
+               row_number() OVER (ORDER BY p_x, event_type, hr)
+                   AS rk,
+               count(*) OVER () AS m
+        FROM tested
+    ),
+    sat AS (
+        SELECT *,
+               ({ad} * p_x * m <= rk * 1000000) AS satisfied
+        FROM ranked
+    ),
+    kstar AS (
+        SELECT coalesce(max(CASE WHEN satisfied THEN rk END), 0)
+                   AS ks
+        FROM sat
+    )
+    SELECT s.event_type,
+           CAST(s.hr AS BIGINT) AS hr,
+           CAST(s.p_x AS BIGINT) AS p_x,
+           CAST(s.rk AS BIGINT) AS rank,
+           s.satisfied,
+           (s.rk <= k.ks) AS rejected
+    FROM sat s, kstar k
+    """
+
+
+@staged_query(
+    "benjamini_hochberg_fdr_stepup", oracle=_bh_oracle()
+)
+def benjamini_hochberg_fdr_stepup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR CONTROL, step-up, exact — the multiple-
+    testing correction a metric-monitoring deployment needs when it
+    runs one drift test per (type, hour) cell every day: order the m
+    per-cell p-values, find the LARGEST rank i with
+    p_(i) <= i * alpha / m, and reject exactly ranks 1..i — by
+    step-up semantics a rank below the cutoff is rejected even where
+    its own satisfied flag is false (the step-up/step-down difference;
+    proved on random p-vectors by the hypothesis property suite, and
+    visible here as the graded satisfied/rejected column pair). The
+    comparison is pure integers ({_BH_ALPHA_DEN} * p_x * m <=
+    rank * 10^6); p-values are md5-deterministic with a planted
+    signal block ('purchase' cells are true effects — 120 uniform
+    nulls alone would never reject and the row would grade nothing).
+
+    Scale shape: the test frame is the bounded (type x 24) cell
+    grid; the ordering window, cutoff scalar, and verdicts all run
+    on that frame. In production the p-values arrive from the
+    per-cell drift tests (psi/chi2 rows) at the same bounded grain.
+
+    Reference basis: evaluation/monitoring family (psi_drift_bins
+    r15, chi2_independence r14, binned_ks r10 TAIL — those produce
+    the per-cell statistics; this row decides WHICH cells to alert
+    on without flooding the pager)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    ad = _BH_ALPHA_DEN
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type", F.hour("ts").alias("hr")
+    ).distinct()
+    h = spark_md5_int("concat(event_type, '#', cast(hr as string))")
+    # planted signal (see oracle note): purchase cells are true effects
+    pexpr = F.expr(
+        f"CASE WHEN event_type = 'purchase' THEN ({h}) % 500 "
+        f"ELSE ({h}) % 1000000 END"
+    )
+    tested = cells.select("event_type", "hr", pexpr.alias("p_x"))
+    w = Window.orderBy("p_x", "event_type", "hr")
+    ranked = tested.select(
+        "event_type",
+        "hr",
+        "p_x",
+        F.row_number().over(w).alias("rk"),
+    )
+    m = tested.agg(F.count(F.lit(1)).alias("m"))
+    sat = ranked.crossJoin(F.broadcast(m)).select(
+        "*",
+        (ad * F.col("p_x") * F.col("m") <= F.col("rk") * 1000000)
+        .alias("satisfied"),
+    )
+    kstar = sat.agg(
+        F.coalesce(
+            F.max(F.when(F.col("satisfied"), F.col("rk"))), F.lit(0)
+        ).alias("ks")
+    )
+    return sat.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        F.col("hr").cast("long").alias("hr"),
+        F.col("p_x").cast("long").alias("p_x"),
+        F.col("rk").cast("long").alias("rank"),
+        "satisfied",
+        (F.col("rk") <= F.col("ks")).alias("rejected"),
+    )
+
+
+# ---------- Kaplan-Meier hazard table (exact integers) --
+
+
+def _km_oracle() -> str:
+    return """
+    WITH spans AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS f,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS l
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(l) AS dmax FROM spans),
+    lived AS (
+        SELECT user_id,
+               (l - f) AS lifespan,
+               (l = h.dmax) AS censored
+        FROM spans, horizon h
+    ),
+    grid AS (
+        SELECT unnest(range(0,
+            (SELECT max(lifespan) FROM lived) + 1)) AS k
+    )
+    SELECT CAST(g.k AS BIGINT) AS day_k,
+           CAST(count(*) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN v.lifespan = g.k AND NOT v.censored
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(sum(CASE WHEN v.lifespan = g.k AND v.censored
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
+           CAST(sum(CASE WHEN v.lifespan = g.k AND NOT v.censored
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS hazard_micros
+    FROM grid g JOIN lived v ON v.lifespan >= g.k
+    GROUP BY g.k
+    """
+
+
+@staged_query("km_hazard_table_exact", oracle=_km_oracle())
+def km_hazard_table_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KAPLAN-MEIER HAZARD TABLE with right-censoring, exact — the
+    survival-analysis sufficient statistics a retention model is fit
+    from: each user's observed lifespan runs first-event day to
+    last-event day; users still active on the corpus's final day are
+    CENSORED (their true lifespan is only known to exceed the
+    observation window — counting them as churned is the classic
+    retention-analysis bias this row exists to separate out). Per
+    day-offset k the table grades the at-risk count (lifespan >= k),
+    exact churn events, censoring exits, and the discrete hazard
+    d_k/n_k in floor micros. The KM survival product and any fitted
+    model follow from exactly these columns.
+
+    Scale shape: the fact scan collapses at the per-user span
+    aggregate; the (lifespan, censored) frame joins a
+    calendar-bounded day grid (|days| rows) on an inequality over
+    the BOUNDED grid — never at event grain.
+
+    Reference basis: product-analytics family (cohort_retention r5
+    TAIL grades the cohort matrix; stickiness_dau_mau r14 TAIL the
+    ratio; this adds the censoring-aware survival grain)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("f"),
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("l"),
+    )
+    horizon = spans.agg(F.max("l").alias("dmax"))
+    lived = spans.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff("l", "f").cast("long").alias("lifespan"),
+        (F.col("l") == F.col("dmax")).alias("censored"),
+    )
+    kmax = lived.agg(F.max("lifespan").alias("mx"))
+    grid = (
+        kmax.select(
+            F.explode(
+                F.sequence(F.lit(0), F.col("mx").cast("int"))
+            ).alias("day_k")
+        )
+    )
+    joined = F.broadcast(grid).join(
+        lived, lived.lifespan >= F.col("day_k")
+    )
+    churn = F.when(
+        (F.col("lifespan") == F.col("day_k")) & ~F.col("censored"), 1
+    ).otherwise(0)
+    cens = F.when(
+        (F.col("lifespan") == F.col("day_k")) & F.col("censored"), 1
+    ).otherwise(0)
+    return joined.groupBy(
+        F.col("day_k").cast("long").alias("day_k")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+        F.sum(churn).cast("long").alias("n_churned"),
+        F.sum(cens).cast("long").alias("n_censored"),
+        F.expr(
+            "cast(sum(case when lifespan = day_k and not censored"
+            " then 1 else 0 end) * 1000000 div count(*) as bigint)"
+        ).alias("hazard_micros"),
+    )

@@ -187,3 +187,37 @@ def test_rate_gap_merge_threshold_monotone(bins, gd):
     assert islands(max(2, gd // 2)) <= islands(gd)
     total_islands = islands(gd)
     assert 1 <= total_islands <= len(bins)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=20),
+)
+def test_bh_stepup_rejects_superset_of_stepdown(ps, ad):
+    """benjamini_hochberg_fdr_stepup: on every p-vector the step-up
+    rejection set is the prefix 1..k* (k* = LARGEST satisfied rank),
+    which contains the step-down set (stop at the FIRST unsatisfied
+    rank) — and strictly contains it exactly when the satisfied set
+    has a hole below k*."""
+    m = len(ps)
+    ranked = sorted(ps)
+    sat = [
+        ad * p * m <= (i + 1) * 1000 for i, p in enumerate(ranked)
+    ]
+    kstar = max(
+        (i + 1 for i, s in enumerate(sat) if s), default=0
+    )
+    stepup = {i + 1 for i in range(m) if i + 1 <= kstar}
+    stepdown = set()
+    for i, s in enumerate(sat):
+        if not s:
+            break
+        stepdown.add(i + 1)
+    assert stepdown <= stepup
+    holes = any(not sat[i] for i in range(kstar))
+    assert (stepdown != stepup) == holes

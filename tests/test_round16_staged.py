@@ -521,3 +521,95 @@ def test_team_draft_matches_protocol_replay(spark):
     assert first_teams == {0, 1}, (
         "the md5 coin must exercise both first-pick orders"
     )
+
+
+def test_bh_stepup_matches_sorted_walk(spark):
+    """The BH procedure replayed over the collected cell grid; the
+    planted signal block must drive at least the 'purchase' cells to
+    rejection (without it the 120 uniform nulls never reject)."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts"
+    ).collect()
+    cells = sorted({(r.event_type, r.ts.hour) for r in rows})
+    pvals = {}
+    for et, hr in cells:
+        h = _md5int(f"{et}#{hr}")
+        pvals[(et, hr)] = h % 500 if et == "purchase" else h % 1000000
+    m = len(cells)
+    ranked = sorted(cells, key=lambda c: (pvals[c], c))
+    sat = {
+        c: 10 * pvals[c] * m <= (i + 1) * 1000000
+        for i, c in enumerate(ranked)
+    }
+    kstar = max(
+        (i + 1 for i, c in enumerate(ranked) if sat[c]), default=0
+    )
+    got = {
+        (r.event_type, r.hr): r
+        for r in STAGED["benjamini_hochberg_fdr_stepup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(cells)
+    for i, c in enumerate(ranked):
+        g = got[c]
+        assert g.p_x == pvals[c], c
+        assert g.rank == i + 1, c
+        assert g.satisfied == sat[c], c
+        assert g.rejected == (i + 1 <= kstar), c
+    n_rej = sum(1 for g in got.values() if g.rejected)
+    assert n_rej >= sum(1 for et, _ in cells if et == "purchase")
+    assert n_rej < m, "the nulls must not all reject"
+
+
+def test_km_hazard_matches_lifespan_walk(spark):
+    """Per-user spans, censoring at the horizon, and the at-risk /
+    churn / hazard columns replayed with plain dicts; plus the KM
+    identities: at-risk counts telescope by exits, and censored
+    users never count as churn."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts"
+    ).collect()
+    spans = {}
+    for r in rows:
+        d = r.ts.date()
+        f, l = spans.get(r.user_id, (d, d))
+        spans[r.user_id] = (min(f, d), max(l, d))
+    dmax = max(l for _, l in spans.values())
+    lived = [
+        ((l - f).days, l == dmax) for f, l in spans.values()
+    ]
+    kmax = max(k for k, _ in lived)
+    got = {
+        r.day_k: r
+        for r in STAGED["km_hazard_table_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(range(kmax + 1))
+    for k in range(kmax + 1):
+        at_risk = sum(1 for life, _ in lived if life >= k)
+        churn = sum(
+            1 for life, cens in lived if life == k and not cens
+        )
+        cens = sum(
+            1 for life, c in lived if life == k and c
+        )
+        g = got[k]
+        assert (g.n_at_risk, g.n_churned, g.n_censored) == (
+            at_risk,
+            churn,
+            cens,
+        ), k
+        assert g.hazard_micros == churn * 1000000 // at_risk, k
+        if k > 0:
+            prev = got[k - 1]
+            assert (
+                g.n_at_risk
+                == prev.n_at_risk - prev.n_churned - prev.n_censored
+            ), k
+    assert any(g.n_censored > 0 for g in got.values()), (
+        "the horizon must censor someone, or the censoring axis is "
+        "vacuous"
+    )
+    assert any(g.n_churned > 0 for g in got.values())
