@@ -1720,3 +1720,147 @@ def km_hazard_table_exact(
             " then 1 else 0 end) * 1000000 div count(*) as bigint)"
         ).alias("hazard_micros"),
     )
+
+
+# ---------- streaming exact windowed median (order statistic) --
+
+
+def _stream_median_oracle() -> str:
+    return """
+    WITH d0 AS (
+        SELECT date_trunc('day', min(ts)) AS t0 FROM events
+    ),
+    day1 AS (
+        SELECT ts, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events, d0
+        WHERE ts >= d0.t0 AND ts < d0.t0 + INTERVAL 1 DAY
+    ),
+    wm AS (
+        SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM day1
+    ),
+    b AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws,
+               event_type, cents
+        FROM day1
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT)
+               AS median_cents
+    FROM b, wm
+    WHERE ws + INTERVAL 15 MINUTE <= wm.w
+    GROUP BY ws, event_type
+    """
+
+
+@staged_query(
+    "streaming_window_exact_median", oracle=_stream_median_oracle()
+)
+def streaming_window_exact_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING EXACT WINDOWED MEDIAN — an order statistic inside a
+    watermarked append-mode aggregate: the per-(window, type) value
+    list accumulates as streaming aggregation state (collect_list is
+    a stateful agg) and the DISCRETE median is taken at emission by
+    element_at(sort_array(...), (n+1) div 2) — exact, not
+    approx_percentile, so both engines agree value-for-value on every
+    closed window. Grades the closed-set rule (windows whose end
+    clears the final watermark) jointly with the order statistic —
+    the production shape for per-window latency p50s where a sketch's
+    error bars are unacceptable.
+
+    Fixture: the proven ordered-file device (mtime-forced,
+    maxFilesPerTrigger=1, two files: bulk then the max-ts row that
+    advances the watermark for the final flush); the dir and auto
+    checkpoint are reclaimed after the memory sink materializes.
+
+    Scale shape: watermarked tumbling aggregate — state bounded by
+    OPEN windows times their in-window row count (the honest cost of
+    an exact in-window order statistic; beyond memory the GK-summary
+    row is the documented mergeable fallback). The median itself is
+    emission-time, per closed window, never a global sort.
+
+    Reference basis: SURVEY §2.9 T1/T4 x §2.4 A4: the reference
+    grades windowed means and batch percentiles separately; this
+    composes them — the exact percentile IN the stream."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    day1 = (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("ts") >= F.col("t0"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        )
+        .select(
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            "event_id",
+        )
+    )
+    wlast = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = day1.withColumn("__rk", F.row_number().over(wlast))
+    head = marked.where(F.col("__rk") > 1).select(
+        "ts", "event_type", "cents"
+    )
+    tail = marked.where(F.col("__rk") == 1).select(
+        "ts", "event_type", "cents"
+    )
+    base = tempfile.mkdtemp(prefix="smedian_")
+    try:
+        sdir = os.path.join(base, "stream")
+        os.makedirs(sdir)
+        for i, part_df in enumerate((head, tail)):
+            tmp = os.path.join(base, f"part{i}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(sdir, f"file{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_type string, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sdir)
+        )
+        agged = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.window("ts", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(F.collect_list("cents").alias("vals"))
+            .select(
+                F.date_format(
+                    "w.start", "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "event_type",
+                F.size("vals").cast("long").alias("n"),
+                F.expr(
+                    "element_at(sort_array(vals),"
+                    " cast((size(vals) + 1) div 2 as int))"
+                )
+                .cast("long")
+                .alias("median_cents"),
+            )
+        )
+        name = f"smedian_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(agged, name, output_mode="append")
+        q.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(name)

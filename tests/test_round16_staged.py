@@ -613,3 +613,68 @@ def test_km_hazard_matches_lifespan_walk(spark):
         "vacuous"
     )
     assert any(g.n_churned > 0 for g in got.values())
+
+
+def test_streaming_median_matches_batch_walk(spark):
+    """The closed-set rule + discrete median replayed in plain
+    Python over the day-1 slice: windows whose end clears the final
+    watermark, median = lower middle order statistic."""
+    import datetime
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value"
+    ).collect()
+    t0 = min(r.ts for r in rows).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    day1 = [
+        r
+        for r in rows
+        if t0 <= r.ts < t0 + datetime.timedelta(days=1)
+    ]
+    wm = max(r.ts for r in day1) - datetime.timedelta(minutes=10)
+    wins = defaultdict(list)
+    for r in day1:
+        mins = (r.ts - t0).total_seconds() // 60
+        ws = t0 + datetime.timedelta(minutes=15 * (mins // 15))
+        if ws + datetime.timedelta(minutes=15) <= wm:
+            wins[(ws, r.event_type)].append(
+                int(math.floor(r.value * 100))
+            )
+    got = {
+        (r.window_start, r.event_type): r
+        for r in STAGED["streaming_window_exact_median"](
+            spark, SF_DIR
+        ).collect()
+    }
+    exp = {
+        (ws.strftime("%Y-%m-%d %H:%M:%S"), et): vals
+        for (ws, et), vals in wins.items()
+    }
+    assert set(got) == set(exp)
+    for key, vals in exp.items():
+        g = got[key]
+        assert g.n == len(vals), key
+        assert g.median_cents == statistics.median_low(vals), key
+    # the emitted set must exclude at least one open window
+    open_wins = {
+        (ws, et)
+        for (ws, et), _ in (
+            (
+                (
+                    t0
+                    + datetime.timedelta(
+                        minutes=15
+                        * ((r.ts - t0).total_seconds() // 60 // 15)
+                    ),
+                    r.event_type,
+                ),
+                None,
+            )
+            for r in day1
+        )
+    }
+    assert len(open_wins) > len(exp), (
+        "the watermark must hold back at least one window"
+    )
