@@ -5215,6 +5215,9 @@ def curation_pipeline_v4_composed(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     grid = spark.range(nb).select(F.col("id").alias("rb"))
+    # the 20-row bin frame feeds five PAV subtrees (cum lo/hi, the
+    # i-frame, the base rate) — checkpoint it so the expensive
+    # sentence-fold lineage above it computes ONCE, not per subtree
     aggb = (
         grid.join(docbins.select("rb", "y"), "rb", "left")
         .groupBy("rb")
@@ -5222,7 +5225,7 @@ def curation_pipeline_v4_composed(
             F.count("y").cast("long").alias("n"),
             F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("k"),
         )
-    )
+    ).localCheckpoint(eager=True)
     wcum = Window.orderBy("rb").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -5280,9 +5283,11 @@ def curation_pipeline_v4_composed(
             ).cast("long"),
         ).alias("best")
     ).select(F.col("i").alias("rb"), "best")
-    base = docbins.agg(
-        F.sum("y").cast("long").alias("s_all"),
-        F.count(F.lit(1)).cast("long").alias("n_all"),
+    # base rate from the checkpointed bin frame, not the doc grain —
+    # identical sums, one less fold recomputation
+    base = aggb.agg(
+        F.sum("k").cast("long").alias("s_all"),
+        F.sum("n").cast("long").alias("n_all"),
     )
     keepbins = (
         fitted.crossJoin(F.broadcast(base))
