@@ -228,6 +228,8 @@ STAGED_AUDIT = [
     "dp_sensitivity_noise_budget",  # (type, user) contribution grain, bounded rollup
     "theil_sen_slope_exact",  # bounded day frame before the pair join
     "team_draft_interleave_preference",  # bounded slice, unrolled draft rounds
+    "benjamini_hochberg_fdr_stepup",  # bounded cell grid, ordering window, scalar cutoff
+    "km_hazard_table_exact",  # per-user span collapse, bounded day-grid join
 ]
 
 

@@ -97,6 +97,8 @@ BOUNDED_BNL = {
     "rrf_weighted_fusion_exact",         # 1-row learned-weights scalar broadcast
     "context_length_policy_sweep",       # 3-row policy frame x token-count scan
     "density_greedy_budget_certified",   # 1-row budget + 1-row next-item scalars
+    "benjamini_hochberg_fdr_stepup",     # 1-row m + 1-row k* scalars on the cell grid
+    "km_hazard_table_exact",             # calendar-bounded day grid x lifespan frame
 }
 
 
