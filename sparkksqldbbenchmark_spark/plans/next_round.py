@@ -1864,3 +1864,96 @@ def streaming_window_exact_median(
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
+
+
+# ---------- skew salt-factor plan from the key histogram --
+
+_SALT_H = 64  # heavy-hitter capacity (same guarantee as the sidecar)
+_SALT_TARGET_DEN = 32  # per-task target = total/32 rows
+
+
+def _salt_plan_oracle(
+    h: int = _SALT_H, td: int = _SALT_TARGET_DEN
+) -> str:
+    return f"""
+    WITH ok AS (
+        SELECT CASE WHEN o_custkey % 97 < 30 THEN 0
+                    ELSE o_custkey END AS k
+        FROM orders
+    ),
+    co AS (SELECT k, count(*) AS n FROM ok GROUP BY k),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM co),
+    hot AS (
+        SELECT k, n FROM co, tot WHERE n * {h} >= t
+    )
+    SELECT h.k AS hot_key,
+           CAST(h.n AS BIGINT) AS n_rows,
+           CAST((h.n * {td} + t.t - 1) // t.t AS BIGINT)
+               AS salt_factor,
+           CAST(t.t // {td} AS BIGINT) AS per_task_target,
+           CAST((h.n + (h.n * {td} + t.t - 1) // t.t - 1)
+                // ((h.n * {td} + t.t - 1) // t.t) AS BIGINT)
+               AS rows_per_salt,
+           ((h.n + (h.n * {td} + t.t - 1) // t.t - 1)
+            // ((h.n * {td} + t.t - 1) // t.t)
+            <= t.t // {td}) AS within_target
+    FROM hot h, tot t
+    """
+
+
+@staged_query(
+    "skew_salt_plan_from_histogram", oracle=_salt_plan_oracle()
+)
+def skew_salt_plan_from_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKEW SALT-FACTOR PLANNING from per-key statistics — the third
+    act of the skew trilogy: the twin MEASURED why undetected heavy
+    hitters break cardinality estimates, the MG sidecar DETECTED and
+    priced them, and this row PLANS the remediation a salted
+    repartition executes: for every heavy key (freq > N/{_SALT_H},
+    the Misra-Gries guarantee) the salt factor is
+    ceil(n_k / (N/{_SALT_TARGET_DEN})) — just enough replication that
+    each salted sub-key lands under the per-task row target — and the
+    certificate checks the resulting rows-per-salt actually clears
+    the target (exact ceiling arithmetic on both engines, the
+    within_target column graded as a value). This is the arithmetic
+    Spark's AQE skew-split performs at runtime, planned ahead from
+    ANALYZE-grade statistics.
+
+    Scale shape: one partial+final per-key count (the MG grain), a
+    1-row total broadcast, and the bounded hot set (pigeonhole
+    <= {_SALT_H} keys). Nothing scales past the first aggregate.
+
+    Reference basis: scale-pattern family (skewed_join_replicated r2
+    executes a fixed replication; join_cardinality_skew_twin +
+    mg_sidecar r16 measure and detect; this row closes the loop with
+    the plan)."""
+    h, td = _SALT_H, _SALT_TARGET_DEN
+    orders = load_table(spark, sf_dir, "orders")
+    skew = F.when(
+        F.col("o_custkey") % 97 < 30, F.lit(0)
+    ).otherwise(F.col("o_custkey"))
+    co = orders.select(skew.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = co.agg(F.sum("n").cast("long").alias("t"))
+    hot = (
+        co.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * h >= F.col("t"))
+    )
+    salt = F.expr(f"(n * {td} + t - 1) div t")
+    rows_per_salt = F.expr(
+        f"(n + (n * {td} + t - 1) div t - 1)"
+        f" div ((n * {td} + t - 1) div t)"
+    )
+    return hot.select(
+        F.col("k").alias("hot_key"),
+        F.col("n").cast("long").alias("n_rows"),
+        salt.cast("long").alias("salt_factor"),
+        F.expr(f"t div {td}").cast("long").alias("per_task_target"),
+        rows_per_salt.cast("long").alias("rows_per_salt"),
+        (rows_per_salt <= F.expr(f"t div {td}")).alias(
+            "within_target"
+        ),
+    )

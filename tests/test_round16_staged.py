@@ -678,3 +678,39 @@ def test_streaming_median_matches_batch_walk(spark):
     assert len(open_wins) > len(exp), (
         "the watermark must hold back at least one window"
     )
+
+
+def test_salt_plan_matches_ceiling_walk(spark):
+    """The salt arithmetic replayed with math.ceil; the plan's own
+    certificate re-proved: ceil(n/ceil(n*td/t)) <= t/td always (the
+    ceiling-division inequality), so within_target must be True."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey"
+    ).collect()
+    co = Counter(
+        0 if r.o_custkey % 97 < 30 else r.o_custkey for r in rows
+    )
+    t = sum(co.values())
+    hot = {k: n for k, n in co.items() if n * 64 >= t}
+    got = {
+        r.hot_key: r
+        for r in STAGED["skew_salt_plan_from_histogram"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(hot)
+    for k, n in hot.items():
+        g = got[k]
+        salt = math.ceil(n * 32 / t)
+        rps = math.ceil(n / salt)
+        assert (g.n_rows, g.salt_factor, g.rows_per_salt) == (
+            n,
+            salt,
+            rps,
+        ), k
+        assert g.per_task_target == t // 32
+        assert g.within_target
+        assert rps <= t // 32 or t // 32 == 0
+    assert 0 in hot, "the planted key must be the hot key"

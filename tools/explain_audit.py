@@ -230,6 +230,7 @@ STAGED_AUDIT = [
     "team_draft_interleave_preference",  # bounded slice, unrolled draft rounds
     "benjamini_hochberg_fdr_stepup",  # bounded cell grid, ordering window, scalar cutoff
     "km_hazard_table_exact",  # per-user span collapse, bounded day-grid join
+    "skew_salt_plan_from_histogram",  # per-key count grain, 1-row total broadcast
 ]
 
 

@@ -99,6 +99,7 @@ BOUNDED_BNL = {
     "density_greedy_budget_certified",   # 1-row budget + 1-row next-item scalars
     "benjamini_hochberg_fdr_stepup",     # 1-row m + 1-row k* scalars on the cell grid
     "km_hazard_table_exact",             # calendar-bounded day grid x lifespan frame
+    "skew_salt_plan_from_histogram",     # 1-row total scalar x per-key counts
 }
 
 
