@@ -221,3 +221,82 @@ def test_bh_stepup_rejects_superset_of_stepdown(ps, ad):
     assert stepdown <= stepup
     holes = any(not sat[i] for i in range(kstar))
     assert (stepdown != stepup) == holes
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=20),
+)
+def test_by_rejections_subset_of_bh_and_conservative(ps, ad):
+    """benjamini_yekutieli_fdr_exact: on every p-vector (i) the dyadic
+    harmonic constant h_x/2^20 dominates the true H_m term by term,
+    (ii) BY's rejection set under the dyadic constant is a subset of
+    the exact-rational BY set (conservative, never anticonservative),
+    and (iii) both are subsets of BH's set (the dependency penalty
+    only removes rejections)."""
+    m = len(ps)
+    h_x = sum(((1 << 20) + j - 1) // j for j in range(1, m + 1))
+    h_true = sum(Fraction(1, j) for j in range(1, m + 1))
+    assert Fraction(h_x, 1 << 20) >= h_true
+
+    ranked = sorted(ps)
+
+    def kstar(thresh_ok):
+        return max(
+            (i + 1 for i in range(m) if thresh_ok(i + 1, ranked[i])),
+            default=0,
+        )
+
+    k_bh = kstar(lambda i, p: ad * p * m <= i * 10**6)
+    k_by_dyadic = kstar(
+        lambda i, p: ad * p * m * h_x <= i * 10**6 * (1 << 20)
+    )
+    k_by_true = kstar(
+        lambda i, p: Fraction(ad * p * m, 10**6) * h_true
+        <= Fraction(i)
+    )
+    assert k_by_dyadic <= k_by_true <= k_bh
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=2,
+        max_size=300,
+    )
+)
+def test_doubled_midranks_conserve_and_match_sorted_average(pairs):
+    """kruskal_wallis_rank_exact: the closed-form doubled midrank
+    2s+c+1 per tie block equals twice the average of the block's
+    positional ranks, and group rank sums conserve N(N+1)."""
+    from collections import defaultdict
+
+    vals = sorted(pairs)
+    by_v = defaultdict(int)
+    for v, _ in vals:
+        by_v[v] += 1
+    start = {}
+    s = 0
+    for v in sorted(by_v):
+        start[v] = s
+        s += by_v[v]
+    # closed form vs positional average
+    for v, c in by_v.items():
+        pos = range(start[v] + 1, start[v] + c + 1)
+        assert 2 * start[v] + c + 1 == 2 * sum(pos) / c * 1
+        assert (2 * sum(pos)) % c == 0
+        assert 2 * start[v] + c + 1 == 2 * sum(pos) // c
+    r2 = defaultdict(int)
+    for v, g in vals:
+        r2[g] += 2 * start[v] + by_v[v] + 1
+    n = len(vals)
+    assert sum(r2.values()) == n * (n + 1)

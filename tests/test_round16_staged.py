@@ -714,3 +714,295 @@ def test_salt_plan_matches_ceiling_walk(spark):
         assert g.within_target
         assert rps <= t // 32 or t // 32 == 0
     assert 0 in hot, "the planted key must be the hot key"
+
+
+def test_by_stepup_matches_fraction_walk(spark):
+    """BY re-derived with Fractions: exact-rational step-up over the
+    dyadic harmonic constant, plus the conservativeness theorem
+    h_x/2^20 >= true H_m (every term rounds up)."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source"
+    ).distinct().collect()
+    cells = sorted((r.lang, r.source) for r in rows)
+    m = len(cells)
+    h_x = sum((1 << 20) + j - 1 >> 0 for j in []) or 0
+    h_x = sum(((1 << 20) + j - 1) // j for j in range(1, m + 1))
+    assert Fraction(h_x, 1 << 20) >= sum(
+        Fraction(1, j) for j in range(1, m + 1)
+    )
+    tested = []
+    for lang, source in cells:
+        px = _md5int(f"{lang}#{source}")
+        px = px % 300 if lang == "en" else px % 1000000
+        tested.append((px, lang, source))
+    tested.sort()
+    ks = 0
+    sat = {}
+    for i, (px, lang, source) in enumerate(tested, start=1):
+        ok = Fraction(px, 10**6) <= Fraction(i, 10 * m) / Fraction(
+            h_x, 1 << 20
+        )
+        sat[(lang, source)] = (px, i, ok)
+        if ok:
+            ks = i
+    got = {
+        (r.lang, r.source): r
+        for r in STAGED["benjamini_yekutieli_fdr_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(sat)
+    for key, (px, i, ok) in sat.items():
+        g = got[key]
+        assert (g.p_x, g.rank, g.m, g.h_x) == (px, i, m, h_x), key
+        assert g.satisfied == ok, key
+        assert g.rejected == (i <= ks), key
+    assert any(r.rejected for r in got.values())
+    assert not all(r.rejected for r in got.values())
+    # the step-up hole case (rejected despite an unsatisfied own
+    # threshold) is fixture-dependent; the hypothesis property suite
+    # proves it on random p-vectors (test_round16_properties.py)
+
+
+def test_mcnemar_matches_contingency_replay(spark):
+    """Contingency cells re-derived per doc with hashlib; the
+    significance verdict re-decided with exact Fractions against
+    chi2_0.05(1) = 3841/1000."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    cm = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in rows:
+        y = _md5int(r.text) % 1000 < 500
+        pa = y != (_md5int(f"A#{r.doc_id}") % 1000 < 300)
+        pb = y != (_md5int(f"B#{r.doc_id}") % 1000 < 400)
+        c = cm[r.lang]
+        c[0] += 1
+        c[1] += pa == y and pb == y
+        c[2] += pa == y and pb != y
+        c[3] += pa != y and pb == y
+        c[4] += pa != y and pb != y
+    got = {
+        r.lang: r
+        for r in STAGED["mcnemar_paired_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(cm)
+    for lang, (n, br, a, b, bw) in cm.items():
+        g = got[lang]
+        assert (
+            g.n, g.both_right, g.a_only, g.b_only, g.both_wrong
+        ) == (n, br, a, b, bw), lang
+        assert g.mcnemar_num == (a - b) ** 2
+        if a + b:
+            assert g.chi2_x1000 == 1000 * (a - b) ** 2 // (a + b)
+            assert g.significant == (
+                Fraction((a - b) ** 2, a + b) >= Fraction(3841, 1000)
+            )
+        else:
+            assert g.chi2_x1000 == 0 and not g.significant
+    assert any(r.significant for r in got.values()), (
+        "planted 30%-vs-40% flip rates must be detectable"
+    )
+
+
+def test_kruskal_wallis_matches_sorted_midranks(spark):
+    """Midranks re-derived by sorting the raw values and averaging
+    tied rank blocks with Fractions; conservation and dominance
+    order re-checked exactly."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    ).collect()
+    vals = sorted(
+        (int(r.value * 100 // 1), r.event_type) for r in rows
+    )
+    # Fraction midrank per sorted position
+    n_tot = len(vals)
+    by_cents = defaultdict(int)
+    for c, _ in vals:
+        by_cents[c] += 1
+    start = {}
+    s = 0
+    for c in sorted(by_cents):
+        start[c] = s
+        s += by_cents[c]
+    rank_sum = defaultdict(Fraction)
+    n = defaultdict(int)
+    for c, et in vals:
+        rank_sum[et] += Fraction(2 * start[c] + by_cents[c] + 1, 2)
+        n[et] += 1
+    got = {
+        r.event_type: r
+        for r in STAGED["kruskal_wallis_rank_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(n)
+    assert sum(r.rank_sum_x2 for r in got.values()) == n_tot * (
+        n_tot + 1
+    )
+    order = sorted(
+        n, key=lambda et: (rank_sum[et] / n[et], et)
+    )
+    for et in n:
+        g = got[et]
+        assert g.n == n[et]
+        assert g.rank_sum_x2 == 2 * rank_sum[et]
+        assert g.meanrank_x2_pm == (
+            g.rank_sum_x2 * 10000 // g.n
+        )
+        assert g.mr_rank == order.index(et) + 1
+        assert g.n_total == n_tot
+    assert got[order[0]].tie_cube == sum(
+        c**3 - c for c in by_cents.values()
+    )
+
+
+def test_wasserstein_matches_fraction_transport(spark):
+    """W1 re-derived as the exact-Fraction integral of |ECDF gap|
+    over the sorted union of observed points, per type pair."""
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(int(r.value * 100 // 1))
+    types = sorted(by_type)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in STAGED["wasserstein_1d_histogram_exact"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == {
+        (a, b) for a in types for b in types if a < b
+    }
+    for (ta, tb), g in got.items():
+        va, vb = sorted(by_type[ta]), sorted(by_type[tb])
+        na, nb = len(va), len(vb)
+        pts = sorted(set(va) | set(vb))
+        w1 = Fraction(0)
+        num = 0
+        for x, x_next in zip(pts, pts[1:]):
+            ca = sum(1 for v in va if v <= x)
+            cb = sum(1 for v in vb if v <= x)
+            gap = abs(ca * nb - cb * na)
+            num += (x_next - x) * gap
+            w1 += (x_next - x) * Fraction(gap, na * nb)
+        assert (g.n_a, g.n_b) == (na, nb)
+        assert g.w1_num == num, (ta, tb)
+        assert Fraction(g.w1_num, na * nb) == w1
+        assert g.w1_cents_x1000 == num * 1000 // (na * nb)
+        # telescoping bound: transport cost <= full range
+        assert num <= (pts[-1] - pts[0]) * na * nb
+
+
+def test_chapman_matches_set_arithmetic(spark):
+    """Captures rebuilt as Python sets of character 8-grams; the
+    Chapman estimator identity and its graded error re-derived."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    caps = defaultdict(lambda: (set(), set()))
+    for r in rows:
+        half = int(r.source[3:]) % 2
+        t = r.text
+        grams = {
+            t[i : i + 8] for i in range(max(len(t) - 7, 1))
+        }
+        caps[r.lang][half].update(grams)
+    got = {
+        r.lang: r
+        for r in STAGED["capture_recapture_chapman_estimate"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(caps)
+    for lang, (s1, s2) in caps.items():
+        g = got[lang]
+        n1, n2, m = len(s1), len(s2), len(s1 & s2)
+        assert (g.n1, g.n2, g.m) == (n1, n2, m), lang
+        assert g.n_true == len(s1 | s2)
+        est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+        assert g.chapman_est == est
+        assert g.abs_err == abs(est - g.n_true)
+        assert g.m > 0, "fixture must overlap or Chapman is vacuous"
+
+
+def test_allen_census_matches_exhaustive_predicates(spark):
+    """Relations re-decided by evaluating all 13 Allen predicate
+    definitions directly (not a CASE ladder) and asserting exactly
+    one holds per pair."""
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    ends = defaultdict(lambda: None)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        cur = ends[r.l_orderkey]
+        ends[r.l_orderkey] = (
+            r.l_shipdate if cur is None or r.l_shipdate > cur else cur
+        )
+    iv = defaultdict(list)
+    for o in orders:
+        e = ends[o.o_orderkey]
+        if e is not None and e > o.o_orderdate:
+            iv[o.o_custkey].append(
+                (o.o_orderkey, o.o_orderdate, e)
+            )
+
+    def relations(sa, ea, sb, eb):
+        return {
+            "precedes": ea < sb,
+            "meets": ea == sb,
+            "overlaps": sa < sb < ea < eb,
+            "finished_by": sa < sb and ea == eb,
+            "contains": sa < sb and eb < ea,
+            "starts": sa == sb and ea < eb,
+            "equals": sa == sb and ea == eb,
+            "started_by": sa == sb and eb < ea,
+            "during": sb < sa and ea < eb,
+            "finishes": sb < sa and ea == eb,
+            "overlapped_by": sb < sa < eb < ea,
+            "met_by": eb == sa,
+            "preceded_by": eb < sa,
+        }
+
+    census = defaultdict(int)
+    for ck, items in iv.items():
+        items.sort()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                _, sa, ea = items[i]
+                _, sb, eb = items[j]
+                rel = {
+                    k for k, v in relations(sa, ea, sb, eb).items()
+                    if v
+                }
+                assert len(rel) == 1, (sa, ea, sb, eb, rel)
+                census[(cust[ck], rel.pop())] += 1
+    got = {
+        (r.c_mktsegment, r.relation): r
+        for r in STAGED["allen_interval_relation_matrix"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(census)
+    seg_tot = defaultdict(int)
+    for (seg, _), n in census.items():
+        seg_tot[seg] += n
+    for key, n in census.items():
+        g = got[key]
+        assert g.n_pairs == n, key
+        assert g.share_pm == n * 10000 // seg_tot[key[0]]
+    assert len({k[1] for k in census}) >= 5, (
+        "fixture must exercise a diverse relation census"
+    )
