@@ -2822,3 +2822,522 @@ def allen_interval_relation_matrix(
         .cast("long")
         .alias("share_pm"),
     )
+
+
+# ---------- winnowing fingerprint selection (certified density) --
+
+_WIN_K = 5  # k-gram length
+_WIN_W = 4  # winnowing window (hashes per window)
+_WIN_HMOD = 1073741824  # 2^30 hash range
+_WIN_PBASE = 1048576  # 2^20 position field in the composite key
+
+
+def _winnow_oracle(
+    k: int = _WIN_K, w: int = _WIN_W
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    h = sql_md5_int("substring(d.text, CAST(p.pos AS INTEGER), " + str(k) + ")")
+    return f"""
+    WITH grams AS (
+        SELECT d.doc_id, p.pos,
+               ({h}) % {_WIN_HMOD} AS h,
+               length(d.text) - {k} + 1 AS n_grams
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1,
+                 greatest(length(d.text) - {k} + 2, 1))) AS pos) p
+        WHERE length(d.text) >= {k}
+    ),
+    keyed AS (
+        SELECT doc_id, pos, n_grams,
+               min(h * {_WIN_PBASE} + ({_WIN_PBASE} - 1 - pos))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {w - 1} PRECEDING
+                              AND CURRENT ROW) AS sel_key
+        FROM grams
+    ),
+    sel AS (
+        SELECT doc_id, max(n_grams) AS n_grams,
+               count(*) AS n_windows,
+               count(DISTINCT sel_key) AS n_selected
+        FROM keyed WHERE pos >= {w}
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_selected AS BIGINT) AS n_selected,
+           CAST(n_selected * 10000 // n_windows AS BIGINT)
+               AS density_pm,
+           (n_selected * {w} >= n_windows) AS lower_bound_ok,
+           (n_selected <= n_windows) AS upper_bound_ok
+    FROM sel
+    """
+
+
+@staged_query(
+    "winnowing_fingerprint_density_certified",
+    oracle=_winnow_oracle(),
+)
+def winnowing_fingerprint_density_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINNOWING FINGERPRINT SELECTION (Schleimer/Wilkerson/Aiken
+    2003) — the MOSS document-fingerprinting scheme: hash every
+    {_WIN_K}-gram, slide a window of {_WIN_W} consecutive hashes,
+    and in each window select the minimum hash, ties to the
+    RIGHTMOST position — the rule that makes selection LOCAL (a
+    function of the window alone), which is what guarantees any
+    two documents sharing a long-enough substring share a selected
+    fingerprint. Min-with-rightmost-tie is one composite int64 key,
+    min(h * 2^20 + (2^20-1-pos)), over a bounded window frame; the
+    distinct selected keys per document are counted against the
+    scheme's own guarantees, graded as booleans: at least one pick
+    per window, hence n_selected*w >= n_windows (each pick covers
+    at most w windows), and at most one per window. The graded
+    density_pm sits near the paper's expected 2/(w+1).
+
+    Scale shape: explode to gram grain (chars per doc), one
+    per-doc-bounded window pass, one per-doc aggregate — no joins,
+    no corpus-grain window. The fingerprint sets (sel_key values)
+    feed a bucket-join dedup exactly like minhash bands at 100 TB.
+
+    Reference basis: fingerprint family (text_fingerprint TAIL —
+    whole-doc hash; dedup_minhash_lsh flagship — random-permutation
+    sketches; this row adds the POSITIONAL selection scheme whose
+    guarantee is substring-match coverage, the plagiarism/clone
+    detector grain)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    k, w = _WIN_K, _WIN_W
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= k
+    )
+    h = spark_md5_int(f"substring(text, pos, {k})")
+    grams = docs.select(
+        "doc_id",
+        "text",
+        (F.length("text") - k + 1).alias("n_grams"),
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {k} + 1)")
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (F.expr(h) % _WIN_HMOD).alias("h"),
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.min(
+            F.col("h") * _WIN_PBASE
+            + (F.lit(_WIN_PBASE - 1) - F.col("pos"))
+        )
+        .over(wf)
+        .alias("sel_key"),
+    ).where(F.col("pos") >= w)
+    sel = keyed.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.countDistinct("sel_key").cast("long").alias("n_selected"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        "n_selected",
+        F.expr("n_selected * 10000 div n_windows")
+        .cast("long")
+        .alias("density_pm"),
+        (F.col("n_selected") * w >= F.col("n_windows")).alias(
+            "lower_bound_ok"
+        ),
+        (F.col("n_selected") <= F.col("n_windows")).alias(
+            "upper_bound_ok"
+        ),
+    )
+
+
+# ---------- edit-distance-1 join via deletion neighborhoods --
+
+
+def _edit1_oracle() -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    return f"""
+    WITH words AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    base AS (SELECT word FROM words WHERE length(word) >= 3),
+    planted AS (
+        SELECT substring(word, 1,
+                   CAST({sql_md5_int('word')} % length(word)
+                        AS INTEGER))
+               || substring(word,
+                   CAST({sql_md5_int('word')} % length(word)
+                        AS INTEGER) + 2) AS word
+        FROM base
+    ),
+    vocab AS (
+        SELECT word,
+               max(CASE WHEN tag = 'orig' THEN 1 ELSE 0 END)
+                   AS is_orig
+        FROM (SELECT word, 'orig' AS tag FROM base
+              UNION ALL
+              SELECT word, 'var' AS tag FROM planted)
+        GROUP BY word
+    ),
+    sigs AS (
+        SELECT word, is_orig, word AS sig FROM vocab
+        UNION
+        SELECT word, is_orig,
+               substring(word, 1, CAST(i AS INTEGER) - 1)
+                   || substring(word, CAST(i AS INTEGER) + 1) AS sig
+        FROM vocab, LATERAL (
+            SELECT unnest(range(1, length(word) + 1)) AS i) r
+    ),
+    cand AS (
+        SELECT DISTINCT a.word AS word_a, a.is_orig AS orig_a,
+               b.word AS word_b, b.is_orig AS orig_b
+        FROM sigs a JOIN sigs b
+          ON b.sig = a.sig AND a.word < b.word
+    )
+    SELECT word_a, word_b,
+           (orig_a = 1) AS a_in_corpus,
+           (orig_b = 1) AS b_in_corpus
+    FROM cand
+    WHERE levenshtein(word_a, word_b) <= 1
+    """
+
+
+@staged_query(
+    "edit1_neighborhood_join_complete", oracle=_edit1_oracle()
+)
+def edit1_neighborhood_join_complete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EDIT-DISTANCE-1 JOIN WITH A COMPLETENESS THEOREM — the
+    deletion-neighborhood device (FastSS): every string signs with
+    itself plus each single-character deletion; two strings at
+    Levenshtein distance <= 1 ALWAYS share a signature (equal
+    length/substitution: delete the differing position from both;
+    insertion/deletion: the shorter string is itself a deletion of
+    the longer), so the signature equi-join misses NOTHING — unlike
+    the TAIL fuzzy_dedup_levenshtein row, whose exact-prefix
+    blocking is a recall heuristic. Candidates from the bucket join
+    are confirmed by exact JVM-side levenshtein (codegen in both
+    engines). The corpus vocabulary has no natural distance-1 pairs
+    (checked), so each word >= 3 chars plants one md5-positioned
+    single-deletion variant; the graded pair set tags which side is
+    a corpus word, and the brute-force witness proves completeness
+    by comparing against the ALL-PAIRS scan at sf0.001.
+
+    Scale shape: signatures explode each word into length+1 short
+    strings (bounded by word length), the join is a pure equi-join
+    on the signature (bucket-collision density, never n^2), and
+    verification touches only emitted candidates — the identical
+    economics as LSH banding, but with a THEOREM instead of a
+    probability for recall.
+
+    Reference basis: dedup family (fuzzy_dedup_levenshtein TAIL —
+    heuristic blocking this row upgrades; setsim_prefix_filter_join
+    TAIL — the token-set analogue of exact-recall filtering)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .distinct()
+        .where(F.length("word") >= 3)
+    )
+    planted = base.select(
+        F.concat(
+            F.expr(
+                f"substring(word, 1, cast(({spark_md5_int('word')})"
+                f" % length(word) as int))"
+            ),
+            F.expr(
+                f"substring(word, cast(({spark_md5_int('word')})"
+                f" % length(word) as int) + 2)"
+            ),
+        ).alias("word")
+    )
+    vocab = (
+        base.select("word", F.lit(1).alias("o"))
+        .unionByName(planted.select("word", F.lit(0).alias("o")))
+        .groupBy("word")
+        .agg(F.max("o").alias("is_orig"))
+    )
+    sigs = (
+        vocab.select(
+            "word", "is_orig", F.col("word").alias("sig")
+        )
+        .unionByName(
+            vocab.select(
+                "word",
+                "is_orig",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word)),"
+                        " i -> concat(substring(word, 1, i - 1),"
+                        " substring(word, i + 1)))"
+                    )
+                ).alias("sig"),
+            )
+        )
+        .distinct()
+    )
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            on=(F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("word_a"),
+            F.col("a.is_orig").alias("orig_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("b.is_orig").alias("orig_b"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("word_a", "word_b") <= 1
+    ).select(
+        "word_a",
+        "word_b",
+        (F.col("orig_a") == 1).alias("a_in_corpus"),
+        (F.col("orig_b") == 1).alias("b_in_corpus"),
+    )
+
+
+# ---------- BPE merge-apply supersteps (greedy, run-parity) -----
+
+_BPE_STEPS = 3
+
+
+def _bpe_step_sql(k: int) -> str:
+    """One BPE superstep as DuckDB CTEs: pair count -> argmax pair ->
+    greedy left-to-right apply via the run-parity rule."""
+    return f"""
+    n{k} AS (
+        SELECT word, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{k}
+    ),
+    b{k} AS (
+        SELECT sym AS ml, nxt AS mr,
+               CAST(sum(freq) AS BIGINT) AS mcnt
+        FROM n{k} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+        ORDER BY mcnt DESC, ml, mr
+        LIMIT 1
+    ),
+    m{k} AS (
+        SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
+               (n.nxt IS NOT NULL AND n.sym = b.ml
+                AND n.nxt = b.mr) AS mt
+        FROM n{k} n CROSS JOIN b{k} b
+    ),
+    g{k} AS (
+        SELECT *, CASE WHEN mt THEN pos - row_number()
+                   OVER (PARTITION BY word, mt ORDER BY pos) END
+                   AS grp
+        FROM m{k}
+    ),
+    e{k} AS (
+        SELECT *, mt AND ((pos - min(pos)
+                   OVER (PARTITION BY word, grp)) % 2 = 0) AS merged
+        FROM g{k}
+    ),
+    r{k} AS (
+        SELECT word, freq, pos,
+               CASE WHEN merged THEN sym || nxt ELSE sym END AS sym,
+               coalesce(lag(merged) OVER (PARTITION BY word
+                   ORDER BY pos), false) AS prevm
+        FROM e{k}
+    ),
+    s{k + 1} AS (
+        SELECT word, freq,
+               CAST(row_number() OVER (PARTITION BY word
+                   ORDER BY pos) AS BIGINT) AS pos,
+               sym
+        FROM r{k} WHERE NOT prevm
+    ),
+    t{k} AS (
+        SELECT {k + 1} AS step, b.ml AS merge_left,
+               b.mr AS merge_right, b.mcnt AS merge_count,
+               (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+                FROM s{k + 1}) AS n_vocab,
+               (SELECT CAST(sum(freq) AS BIGINT)
+                FROM s{k + 1}) AS n_tokens
+        FROM b{k} b
+    )"""
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    ctes = ",".join(_bpe_step_sql(k) for k in range(steps))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM t{k}" for k in range(steps)
+    )
+    return f"""
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 1
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT w.word, w.freq, CAST(p.pos AS BIGINT) AS pos,
+               substring(w.word, CAST(p.pos AS INTEGER), 1) AS sym
+        FROM words w, LATERAL (SELECT unnest(
+            range(1, length(w.word) + 1)) AS pos) p
+    ),{ctes}
+    {unions}
+    """
+
+
+@staged_query(
+    "bpe_merge_supersteps_greedy", oracle=_bpe_oracle()
+)
+def bpe_merge_supersteps_greedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BYTE-PAIR-ENCODING MERGE SUPERSTEPS (Sennrich/Haddow/Birch
+    2016) — the tokenizer-training inner loop, run for
+    {_BPE_STEPS} supersteps over the corpus word-frequency table:
+    count adjacent symbol pairs weighted by word frequency, pick
+    the argmax pair (ties: lexicographic), and apply the merge with
+    the classical GREEDY LEFT-TO-RIGHT rule. The sequential-looking
+    greedy scan is data-parallel via the RUN-PARITY identity:
+    overlap conflicts only occur inside maximal runs of consecutive
+    match positions (which requires left==right, e.g. 'l l l'), and
+    greedy keeps exactly the even offsets of each run — so merge
+    selection is two window passes (run grouping by pos -
+    row_number, then offset parity), never a per-word loop. Graded
+    per step: the chosen pair, its weighted count, and the
+    post-merge vocabulary size and corpus token count.
+
+    Scale shape: state lives at (word, pos) grain — corpus
+    characters, the same grain the winnowing row explodes to; each
+    superstep is one map-side-combinable pair count, a 1-row
+    broadcast argmax, and per-WORD-partitioned windows (millions of
+    small partitions, no skew). At 100 TB the per-step state would
+    be checkpointed (the curation-v4 precedent) rather than
+    re-derived through lineage; at test SF the 3-step lazy unroll
+    is deliberate so the audits see every exchange.
+
+    Reference basis: tokenizer family (token_count_bpe_regex TAIL —
+    applies a FIXED regex tokenizer; this row TRAINS merges, the
+    half the reference lacks; graph_pregel_superstep2 TAIL — the
+    same unrolled-superstep device on graphs)."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    state = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr("sequence(1, length(word))")
+            ).alias("p"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("p").cast("long").alias("pos"),
+            F.expr("substring(word, p, 1)").alias("sym"),
+        )
+    )
+    wn = Window.partitionBy("word").orderBy("pos")
+    stats = []
+    for k in range(_BPE_STEPS):
+        n = state.withColumn("nxt", F.lead("sym").over(wn))
+        best = (
+            n.where(F.col("nxt").isNotNull())
+            .groupBy(
+                F.col("sym").alias("ml"), F.col("nxt").alias("mr")
+            )
+            .agg(F.sum("freq").cast("long").alias("mcnt"))
+            .orderBy(F.desc("mcnt"), "ml", "mr")
+            .limit(1)
+        )
+        m = n.crossJoin(F.broadcast(best)).withColumn(
+            "mt",
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.col("ml"))
+            & (F.col("nxt") == F.col("mr")),
+        )
+        g = m.withColumn(
+            "grp",
+            F.when(
+                F.col("mt"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "mt").orderBy("pos")
+                ),
+            ),
+        )
+        e = g.withColumn(
+            "merged",
+            F.col("mt")
+            & (
+                (
+                    F.col("pos")
+                    - F.min("pos").over(
+                        Window.partitionBy("word", "grp")
+                    )
+                )
+                % 2
+                == 0
+            ),
+        )
+        r = e.select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("merged"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            F.coalesce(
+                F.lag("merged").over(wn), F.lit(False)
+            ).alias("prevm"),
+        )
+        state = r.where(~F.col("prevm")).select(
+            "word",
+            "freq",
+            F.row_number().over(wn).cast("long").alias("pos"),
+            "sym",
+        )
+        post = state.agg(
+            F.countDistinct("sym").cast("long").alias("n_vocab"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+        )
+        stats.append(
+            best.select(
+                F.lit(k + 1).alias("step"),
+                F.col("ml").alias("merge_left"),
+                F.col("mr").alias("merge_right"),
+                F.col("mcnt").alias("merge_count"),
+            ).crossJoin(post)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

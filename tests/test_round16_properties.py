@@ -300,3 +300,75 @@ def test_doubled_midranks_conserve_and_match_sorted_average(pairs):
         r2[g] += 2 * start[v] + by_v[v] + 1
     n = len(vals)
     assert sum(r2.values()) == n * (n + 1)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from("ab"), min_size=2, max_size=40
+    ),
+    st.sampled_from(["aa", "ab", "ba", "bb"]),
+)
+def test_bpe_run_parity_equals_sequential_greedy(seq, pair):
+    """bpe_merge_supersteps_greedy: the run-parity window rule
+    (keep even offsets of each maximal run of consecutive match
+    positions) selects EXACTLY the positions the sequential greedy
+    left-to-right scan merges, on every sequence."""
+    a, b = pair[0], pair[1]
+    greedy = []
+    i = 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            greedy.append(i)
+            i += 2
+        else:
+            i += 1
+    matches = [
+        i
+        for i in range(len(seq) - 1)
+        if seq[i] == a and seq[i + 1] == b
+    ]
+    parity = []
+    run_start = None
+    prev = None
+    for m in matches:
+        if prev is None or m != prev + 1:
+            run_start = m
+        if (m - run_start) % 2 == 0:
+            parity.append(m)
+        prev = m
+    assert parity == greedy
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=10),
+    st.sampled_from("abc"),
+    st.sampled_from(["same", "sub", "ins", "del"]),
+)
+def test_deletion_signatures_complete_at_distance_1(
+    word, pos, ch, op
+):
+    """edit1_neighborhood_join_complete: any two strings at
+    Levenshtein distance <= 1 share a deletion-neighborhood
+    signature (self + single deletions) — the FastSS completeness
+    theorem the equi-join's recall rests on."""
+    if op == "same":
+        other = word
+    elif op == "sub":
+        p = pos % len(word)
+        other = word[:p] + ch + word[p + 1 :]
+    elif op == "ins":
+        p = pos % (len(word) + 1)
+        other = word[:p] + ch + word[p:]
+    else:
+        p = pos % len(word)
+        other = word[:p] + word[p + 1 :]
+
+    def sigs(s):
+        return {s} | {
+            s[:i] + s[i + 1 :] for i in range(len(s))
+        }
+
+    assert sigs(word) & sigs(other)

@@ -1006,3 +1006,166 @@ def test_allen_census_matches_exhaustive_predicates(spark):
     assert len({k[1] for k in census}) >= 5, (
         "fixture must exercise a diverse relation census"
     )
+
+
+def test_winnowing_matches_direct_rightmost_min(spark):
+    """Selection replayed with the DIRECT winnowing rule — min hash
+    per window, ties to the RIGHTMOST position — instead of the
+    composite min(h * 2^20 + (2^20-1-pos)) key."""
+    k, w, hmod = 5, 4, 1 << 30
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r.doc_id: r
+        for r in STAGED["winnowing_fingerprint_density_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    n_with_windows = 0
+    for d in docs:
+        n = len(d.text) - k + 1
+        if n < w:
+            assert d.doc_id not in got
+            continue
+        n_with_windows += 1
+        h = [
+            _md5int(d.text[p : p + k]) % hmod for p in range(n)
+        ]
+        selected = set()
+        for end in range(w - 1, n):
+            window = list(range(end - w + 1, end + 1))
+            mh = min(h[p] for p in window)
+            pick = max(p for p in window if h[p] == mh)
+            selected.add(pick)
+        r = got[d.doc_id]
+        assert r.n_grams == n
+        assert r.n_windows == n - w + 1
+        assert r.n_selected == len(selected)
+        assert r.density_pm == len(selected) * 10000 // (n - w + 1)
+        assert r.lower_bound_ok and (
+            len(selected) * w >= n - w + 1
+        )
+        assert r.upper_bound_ok and (
+            len(selected) <= n - w + 1
+        )
+    assert n_with_windows == len(got) > 0
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def test_edit1_join_complete_vs_all_pairs(spark):
+    """Pair set re-derived by the O(V^2) all-pairs scan with a
+    direct distance-<=1 check — proves the deletion-signature
+    equi-join missed NOTHING at sf0.001."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    )
+    base = set()
+    for r in docs:
+        for wd in r.text.split(" "):
+            if len(wd) >= 3:
+                base.add(wd)
+    planted = set()
+    for wd in base:
+        cut = _md5int(wd) % len(wd)
+        planted.add(wd[:cut] + wd[cut + 1 :])
+    vocab = {
+        wd: (wd in base) for wd in base | planted
+    }
+    words = sorted(vocab)
+    expected = set()
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            if _lev_le1(words[i], words[j]):
+                expected.add(
+                    (
+                        words[i],
+                        words[j],
+                        vocab[words[i]],
+                        vocab[words[j]],
+                    )
+                )
+    got = {
+        (r.word_a, r.word_b, r.a_in_corpus, r.b_in_corpus)
+        for r in STAGED["edit1_neighborhood_join_complete"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_bpe_supersteps_match_sequential_greedy(spark):
+    """Merges replayed with the TRUE sequential left-to-right scan
+    per word — the loop the run-parity windows replace."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    )
+    freq = Counter()
+    for r in docs:
+        for wd in r.text.split(" "):
+            if len(wd) >= 1:
+                freq[wd] += 1
+    syms = {wd: list(wd) for wd in freq}
+    expected = []
+    for step in range(1, 4):
+        cnt = Counter()
+        for wd, f in freq.items():
+            s = syms[wd]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        (ml, mr), mc = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        for wd, s in syms.items():
+            new = []
+            i = 0
+            while i < len(s):
+                if (
+                    i + 1 < len(s)
+                    and s[i] == ml
+                    and s[i + 1] == mr
+                ):
+                    new.append(ml + mr)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[wd] = new
+        vocab = {t for s in syms.values() for t in s}
+        ntok = sum(f * len(syms[wd]) for wd, f in freq.items())
+        expected.append((step, ml, mr, mc, len(vocab), ntok))
+    got = sorted(
+        (
+            r.step,
+            r.merge_left,
+            r.merge_right,
+            r.merge_count,
+            r.n_vocab,
+            r.n_tokens,
+        )
+        for r in STAGED["bpe_merge_supersteps_greedy"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == expected

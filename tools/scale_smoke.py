@@ -1283,6 +1283,80 @@ def round17_family_probes(spark, n: int) -> None:
     )
 
 
+
+
+def round17b_family_probes(spark, n: int) -> None:
+    """Round-16 staged-shape probe for the batch-3 staging rows:
+    winnowing fingerprint selection is the one genuinely
+    corpus-CHARACTER-grain shape (every k-gram hashed, a bounded
+    window pass per doc) — BPE supersteps collapse to the distinct
+    VOCABULARY at the first aggregate and the edit-distance-1 join
+    is vocab-bounded (written arithmetic in DESIGN_100TB.md). Run
+    via `python tools/scale_smoke.py 100 --r17b` (docs = rows/100)."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    vocab = ("key agg row scan slow fast table value part hash merge "
+             "batch window spark order data column join small line "
+             "customer query big the group sort stream filter").split()
+    arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    docs_n = max(50_000, n // 100)
+    docs = spark.range(docs_n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 60), i -> "
+            f"element_at({arr}, cast(pmod(hash(id * 31 + i), "
+            f"{len(vocab)}) + 1 as int))))"
+        ).alias("text"),
+    ).localCheckpoint()
+
+    k, w, hmod, pbase = 5, 4, 1 << 30, 1 << 20
+    t0 = _t.time()
+    h = spark_md5_int(f"substring(text, pos, {k})")
+    grams = docs.where(F.length("text") >= k).select(
+        "doc_id",
+        "text",
+        (F.length("text") - k + 1).alias("n_grams"),
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {k} + 1)")
+        ).alias("pos"),
+    ).select(
+        "doc_id", "n_grams", "pos",
+        (F.expr(h) % hmod).alias("h"),
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    keyed = grams.select(
+        "doc_id",
+        F.min(
+            F.col("h") * pbase + (F.lit(pbase - 1) - F.col("pos"))
+        ).over(wf).alias("sel_key"),
+        "pos",
+    ).where(F.col("pos") >= w)
+    sel = keyed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("sel_key").alias("n_selected"),
+    )
+    row = sel.agg(
+        F.sum("n_windows").alias("nw"),
+        F.sum("n_selected").alias("ns"),
+    ).collect()[0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} winnowing={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, windows={row['nw']:,}, "
+        f"selected={row['ns']:,}, density="
+        f"{row['ns'] / row['nw']:.4f} vs 2/(w+1)={2 / (w + 1):.4f})"
+    )
+
+
 def main() -> None:
     import os as _os, sys as _sys
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
@@ -1318,6 +1392,9 @@ def main() -> None:
         return
     if "--r17" in sys.argv:
         round17_family_probes(spark, n)
+        return
+    if "--r17b" in sys.argv:
+        round17b_family_probes(spark, n)
         return
     if "--only-new" in sys.argv:
         # round-12 staged-family probes only: build just the word-salad
