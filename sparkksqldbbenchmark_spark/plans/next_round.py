@@ -3341,3 +3341,1224 @@ def bpe_merge_supersteps_greedy(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------- seasonal Theil-Sen: robust slope on de-seasonalized --
+
+
+def _seasonal_ts_oracle() -> str:
+    return """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT event_type, d,
+               (d - DATE '1970-01-01') % 7 AS dow,
+               cents
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, dow,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+        FROM keyed GROUP BY event_type, dow
+    ),
+    amp AS (
+        SELECT event_type,
+               CAST(max(med) - min(med) AS BIGINT)
+                   AS seasonal_amplitude_cents
+        FROM med GROUP BY event_type
+    ),
+    resid AS (
+        SELECT k.event_type, k.d, k.cents - m.med AS r
+        FROM keyed k JOIN med m USING (event_type, dow)
+    ),
+    idx AS (
+        SELECT event_type, r,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY d) - 1 AS i
+        FROM resid
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               b.r - a.r AS num,
+               b.i - a.i AS den
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type AND b.i > a.i
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(
+               num * 1099511627776 // den, 0.5) AS BIGINT)
+               AS median_resid_slope_key,
+           CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rising_pairs,
+           CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_falling_pairs,
+           min(a.seasonal_amplitude_cents)
+               AS seasonal_amplitude_cents
+    FROM slopes s JOIN amp a USING (event_type)
+    GROUP BY s.event_type
+    """
+
+
+@staged_query(
+    "seasonal_theil_sen_residual_slope",
+    oracle=_seasonal_ts_oracle(),
+)
+def seasonal_theil_sen_residual_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL THEIL-SEN — the ROTATION_R17 round-18 seed: weekday-
+    median de-seasonalization COMPOSED with the exact robust slope.
+    Raw daily revenue carries a day-of-week cycle that inflates
+    pairwise slopes at lags not divisible by 7; subtracting the
+    per-(type, weekday) discrete median (quantile_disc — an actual
+    data value, exact in integers cents) removes the cycle, and
+    Theil-Sen then runs on the RESIDUAL series: every i<j pair
+    contributes (r_j - r_i)/(j - i), rendered as the truncating
+    integer key num * 2^40 div den (both engines truncate toward
+    zero — verified: DuckDB // and Spark div agree at -7/2 = -3),
+    and the discrete median key is the graded slope. The seasonal
+    amplitude (max - min weekday median) is graded alongside — the
+    quantity that says how much the de-seasonalization mattered.
+
+    Scale shape: the fact scan collapses to the bounded (type x day)
+    frame FIRST (one map-combinable aggregate); the weekday-median
+    frame is (type x 7); the pairwise frame is calendar-bounded
+    (30 days -> 435 pairs per type). Identical exchange economics to
+    the standalone theil_sen_slope_exact row it composes with
+    dow_seasonal_median_residuals (both graded r16 head).
+
+    Reference basis: time-series family (theil_sen_slope_exact
+    staged, dow_seasonal_median_residuals r16 head,
+    seasonal_cusum_residual_flags staged — this row is the
+    robust-slope member of the de-seasonalized family)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    keyed = daily.select(
+        "event_type",
+        "d",
+        (F.datediff("d", F.lit("1970-01-01")) % 7).alias("dow"),
+        "cents",
+    )
+    med = keyed.groupBy("event_type", "dow").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        )
+        .cast("long")
+        .alias("med")
+    )
+    amp = med.groupBy("event_type").agg(
+        (F.max("med") - F.min("med"))
+        .cast("long")
+        .alias("seasonal_amplitude_cents")
+    )
+    resid = keyed.join(med, ["event_type", "dow"]).select(
+        "event_type", "d", (F.col("cents") - F.col("med")).alias("r")
+    )
+    idx = resid.select(
+        "event_type",
+        "r",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("i"),
+    )
+    a = idx.select(
+        "event_type", F.col("r").alias("ra"), F.col("i").alias("ia")
+    )
+    b = idx.select(
+        "event_type", F.col("r").alias("rb"), F.col("i").alias("ib")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("ib") > F.col("ia"))
+        .select(
+            "event_type",
+            (F.col("rb") - F.col("ra")).alias("num"),
+            (F.col("ib") - F.col("ia")).alias("den"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY num * 1099511627776 div den)"
+            )
+            .cast("long")
+            .alias("median_resid_slope_key"),
+            F.sum(F.when(F.col("num") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rising_pairs"),
+            F.sum(F.when(F.col("num") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_falling_pairs"),
+        )
+        .join(F.broadcast(amp), "event_type")
+        .select(
+            "event_type",
+            "n_pairs",
+            "median_resid_slope_key",
+            "n_rising_pairs",
+            "n_falling_pairs",
+            "seasonal_amplitude_cents",
+        )
+    )
+
+
+# ---------- team-draft interleaving at k=6 (generated rounds) --
+
+_TD6_TOPN = 40
+_TD6_K = 6  # interleaved positions -> 3 coin rounds
+_TD6_CLICK = 500
+
+
+def _td6_oracle(
+    topn: int = _TD6_TOPN, k: int = _TD6_K, ct: int = _TD6_CLICK
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
+
+    q = f"({sql_md5_int('text')} % 1000)"
+
+    def coin(r):
+        expr = f"(source || '#coin{r}')"
+        return f"({sql_md5_int(expr)} % 2)"
+
+    team = {
+        i: (coin(i) if i % 2 == 1 else f"1 - {coin(i - 1)}")
+        for i in range(1, k + 1)
+    }
+    ctes = []
+    picks = []
+    for i in range(1, k + 1):
+        excl = "\n        ".join(
+            f"JOIN p{j} ON p{j}.source = r.source "
+            f"AND r.doc_id != p{j}.d{j}"
+            for j in range(1, i)
+        )
+        ctes.append(
+            f"""p{i} AS (
+        SELECT r.source,
+               min_by(r.doc_id,
+                   CASE WHEN t.t{i} = 0 THEN r.ra ELSE r.rb END)
+                   AS d{i},
+               min(t.t{i}) AS team{i}
+        FROM ranked r JOIN teams t USING (source)
+        {excl}
+        GROUP BY r.source
+    )"""
+        )
+        picks.append(
+            f"SELECT source, {i} AS pos, d{i} AS doc_id, "
+            f"team{i} AS team FROM p{i}"
+        )
+    all_ctes = ",\n    ".join(ctes)
+    all_picks = "\n        UNION ALL\n        ".join(picks)
+    tcols = ",\n               ".join(
+        f"{team[i]} AS t{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH sliced AS (
+        SELECT source, doc_id, n_chars, {q} AS quality
+        FROM (
+            SELECT source, doc_id, n_chars, text,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {topn}
+    ),
+    ranked AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS ra,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rb
+        FROM sliced
+    ),
+    teams AS (
+        SELECT source,
+               {tcols}
+        FROM (SELECT DISTINCT source FROM sliced)
+    ),
+    {all_ctes},
+    picks AS (
+        {all_picks}
+    )
+    SELECT p.source,
+           CAST(p.pos AS BIGINT) AS pos,
+           p.doc_id,
+           CAST(p.team AS BIGINT) AS team,
+           (r.quality >= {ct}) AS clicked
+    FROM picks p JOIN ranked r
+      ON r.source = p.source AND r.doc_id = p.doc_id
+    """
+
+
+@staged_query(
+    "team_draft_interleave_k6_generated", oracle=_td6_oracle()
+)
+def team_draft_interleave_k6_generated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING AT k={_TD6_K} WITH LOOP-GENERATED
+    ROUNDS — the ROTATION_R17 round-18 seed: the staged k=4 row's
+    hand-written p1..p4 chain becomes a LOOP that only BUILDS the
+    lazy plan (the device the weighted-MMR row proved for greedy
+    selection), so k scales without hand-written rounds. Three md5
+    coins (one per pair of positions) decide draft order; position
+    2r-1 goes to the round-r coin's team and position 2r to the
+    other, each pick the min_by argmax over the not-yet-picked
+    slice under that team's ranking. The deterministic click model
+    labels every position; the graded table is the raw per-position
+    interleaving log.
+
+    Scale shape: identical to the k=4 row — one bounded
+    top-{_TD6_TOPN} slice per source, then {_TD6_K} bounded
+    join + min_by rounds over the slice. Corpus size touches only
+    the slicing window. The generated-SQL twin drives DuckDB, so
+    both engines draft the identical list at any k.
+
+    Reference basis: retrieval-eval family
+    (team_draft_interleave_preference staged k=4;
+    mmr_diversified_topk_weighted r16 head — the loop-generation
+    device this row ports to interleaving)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
+
+    topn, k, ct = _TD6_TOPN, _TD6_K, _TD6_CLICK
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    sliced = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(q).alias("quality"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= topn)
+        .drop("rn")
+    )
+    ranked = sliced.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("quality").desc(), "doc_id"
+            )
+        )
+        .alias("rb"),
+    )
+
+    def coin(r):
+        expr = f"concat(source, '#coin{r}')"
+        return F.expr(f"({spark_md5_int(expr)}) % 2")
+
+    teams = ranked.select("source").distinct().select(
+        "source",
+        *[
+            (
+                coin(i) if i % 2 == 1 else (1 - coin(i - 1))
+            ).alias(f"t{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    cur = ranked.join(teams, "source")
+    picks = None
+    for i in range(1, k + 1):
+        rank_used = F.when(
+            F.col(f"t{i}") == 0, F.col("ra")
+        ).otherwise(F.col("rb"))
+        p = cur.groupBy("source").agg(
+            F.min_by("doc_id", rank_used).alias(f"d{i}"),
+            F.min(f"t{i}").alias(f"team{i}"),
+        )
+        sel = p.select(
+            "source",
+            F.lit(i).cast("long").alias("pos"),
+            F.col(f"d{i}").alias("doc_id"),
+            F.col(f"team{i}").cast("long").alias("team"),
+        )
+        picks = sel if picks is None else picks.unionByName(sel)
+        cur = cur.join(
+            p.select("source", f"d{i}"), "source"
+        ).where(F.col("doc_id") != F.col(f"d{i}"))
+    return picks.join(
+        ranked.select("source", "doc_id", "quality"),
+        ["source", "doc_id"],
+    ).select(
+        "source",
+        "pos",
+        "doc_id",
+        "team",
+        (F.col("quality") >= ct).alias("clicked"),
+    )
+
+
+# ---------- MMR lambda sweep with a learned-lambda readout -----
+
+_MLS_CANDS = 6
+_MLS_K = 3
+_MLS_LAMBDAS = (0, 1, 3, 9)  # score = rel - w * max_sim
+
+
+def _mls_oracle(
+    nc: int = _MLS_CANDS,
+    k: int = _MLS_K,
+    lams: tuple = _MLS_LAMBDAS,
+) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    q = f"({sql_md5_int('text')} % 1000)"
+    sh = sql_word_shingles("text", 3)
+    key = "(-(SCORE)) * 8589934592 + doc_id"
+    ctes = [
+        f"""cand AS (
+        SELECT source, doc_id, rel, shingles FROM (
+            SELECT source, doc_id,
+                   CAST({q} * 1000 AS BIGINT) AS rel,
+                   {sh} AS shingles,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {q} DESC, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {nc}
+    )""",
+        """sim AS (
+        SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_intersect(a.shingles, b.shingles))
+                    * 1000000
+                    // greatest(len(list_distinct(
+                           list_concat(a.shingles, b.shingles))), 1)
+                    AS BIGINT) AS s
+        FROM cand a JOIN cand b
+          ON b.source = a.source AND b.doc_id != a.doc_id
+    )""",
+        f"""s1 AS (
+        SELECT source,
+               min_by(doc_id, {key.replace('SCORE', 'rel')}) AS d1,
+               min_by(rel, {key.replace('SCORE', 'rel')}) AS r1
+        FROM cand GROUP BY source
+    )""",
+    ]
+    per_lam = []
+    for w in lams:
+        prev_d = ["s1.d1"]
+        prev_src = "s1"
+        for i in range(2, k + 1):
+            prior_joins = "\n        ".join(
+                (
+                    f"JOIN s1 ON s1.source = c.source "
+                    f"AND c.doc_id != s1.d1"
+                    if j == 1
+                    else f"JOIN w{w}s{j} ON w{w}s{j}.source = "
+                    f"c.source AND c.doc_id != w{w}s{j}.d{j}"
+                )
+                for j in range(1, i)
+            )
+            sim_joins = "\n        ".join(
+                f"LEFT JOIN sim x{j} ON x{j}.source = c.source "
+                f"AND x{j}.da = c.doc_id AND x{j}.db = "
+                + (f"s1.d1" if j == 1 else f"w{w}s{j}.d{j}")
+                for j in range(1, i)
+            )
+            msim = (
+                "greatest("
+                + ", ".join(
+                    f"coalesce(x{j}.s, 0)" for j in range(1, i)
+                )
+                + ")"
+                if i > 2
+                else "coalesce(x1.s, 0)"
+            )
+            ctes.append(
+                f"""w{w}sc{i} AS (
+        SELECT c.source, c.doc_id, c.rel, {msim} AS msim
+        FROM cand c
+        {prior_joins}
+        {sim_joins}
+    )"""
+            )
+            score = f"(rel - {w} * msim)"
+            ctes.append(
+                f"""w{w}s{i} AS (
+        SELECT source,
+               min_by(doc_id, {key.replace('SCORE', score)})
+                   AS d{i},
+               min_by(rel, {key.replace('SCORE', score)}) AS r{i},
+               min_by(msim, {key.replace('SCORE', score)}) AS m{i}
+        FROM w{w}sc{i} GROUP BY source
+    )"""
+            )
+        rel_sum = " + ".join(
+            ["s1.r1"] + [f"w{w}s{i}.r{i}" for i in range(2, k + 1)]
+        )
+        msim_sum = " + ".join(
+            f"w{w}s{i}.m{i}" for i in range(2, k + 1)
+        )
+        joins = "\n        ".join(
+            f"JOIN w{w}s{i} ON w{w}s{i}.source = s1.source"
+            for i in range(2, k + 1)
+        )
+        per_lam.append(
+            f"""SELECT CAST({w} AS BIGINT) AS lam,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum({rel_sum}) AS BIGINT) AS sum_rel_micros,
+               CAST(sum({msim_sum}) AS BIGINT) AS sum_msim_micros
+        FROM s1
+        {joins}"""
+        )
+    all_ctes = ",\n    ".join(ctes)
+    readout = "\n        UNION ALL\n        ".join(per_lam)
+    return f"""
+    WITH {all_ctes},
+    ro AS (
+        {readout}
+    ),
+    m0 AS (SELECT sum_msim_micros AS m FROM ro WHERE lam = 0),
+    pick AS (
+        SELECT coalesce(
+            (SELECT min(lam) FROM ro, m0
+             WHERE ro.sum_msim_micros * 2 <= m0.m AND ro.lam > 0),
+            (SELECT max(lam) FROM ro)) AS plam
+    )
+    SELECT ro.lam, ro.n_sources, ro.sum_rel_micros,
+           ro.sum_msim_micros,
+           (ro.lam = pick.plam) AS chosen
+    FROM ro, pick
+    """
+
+
+@staged_query(
+    "mmr_lambda_sweep_learned", oracle=_mls_oracle()
+)
+def mmr_lambda_sweep_learned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR LAMBDA SWEEP WITH A LEARNED PICK — the ROTATION_R17
+    round-18 seed: run the weighted-MMR greedy (score = rel - w *
+    max_sim_to_prior, all integer micros) for FOUR integer
+    diversity weights w in {_MLS_LAMBDAS} over the same bounded
+    candidate slice, and grade the per-lambda sweep readout: total
+    selected relevance, total redundancy (sum of max-sim-to-prior),
+    and the LEARNED choice — the smallest positive w whose total
+    redundancy is at most HALF the w=0 (pure-relevance) redundancy,
+    falling back to the largest w. The halving rule is an exact
+    integer comparison (2 * msim_w <= msim_0), so both engines
+    learn the identical lambda. Round 1 is shared across lambdas
+    (score = rel regardless of w) — the sweep costs 1 + (k-1) *
+    |lambdas| argmax rounds, not k * |lambdas|.
+
+    Scale shape: identical to the graded weighted-MMR row — one
+    bounded top-{_MLS_CANDS} slice per source, a <= {_MLS_CANDS}^2
+    per-source sim frame computed ONCE and shared by all lambdas,
+    and each generated round a bounded join + min_by aggregate.
+    The readout is |lambdas| rows; the learned pick is a 1-row
+    broadcast. Corpus size touches only the initial ranking window.
+
+    Reference basis: retrieval family (mmr_diversified_topk_weighted
+    r16 head — single fixed lambda; this row grades the SWEEP and
+    the model-selection rule that picks lambda from data)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_word_shingles,
+    )
+
+    nc, k, lams = _MLS_CANDS, _MLS_K, _MLS_LAMBDAS
+    docs = load_table(spark, sf_dir, "documents")
+    q = f"({spark_md5_int('text')}) % 1000"
+    cand = (
+        docs.select(
+            "source",
+            "doc_id",
+            (F.expr(q) * 1000).cast("long").alias("rel"),
+            F.expr(spark_word_shingles("text", 3)).alias(
+                "shingles"
+            ),
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.expr(q).desc(), "doc_id"
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= nc)
+        .drop("rk")
+    )
+    a = cand.select(
+        "source",
+        F.col("doc_id").alias("da"),
+        F.col("shingles").alias("sha"),
+    )
+    b = cand.select(
+        "source",
+        F.col("doc_id").alias("db"),
+        F.col("shingles").alias("shb"),
+    )
+    sim = (
+        a.join(b, "source")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "source",
+            "da",
+            "db",
+            F.expr(
+                "cast(size(array_intersect(sha, shb)) * 1000000"
+                " div greatest(size(array_union(sha, shb)), 1)"
+                " as bigint)"
+            ).alias("s"),
+        )
+    )
+    KEY = 8589934592
+
+    def argmax(df, score_col, i):
+        key = (-score_col) * KEY + F.col("doc_id")
+        return df.groupBy("source").agg(
+            F.min_by("doc_id", key).alias(f"d{i}"),
+            F.min_by("rel", key).alias(f"r{i}"),
+            *(
+                [F.min_by("msim", key).alias(f"m{i}")]
+                if i > 1
+                else []
+            ),
+        )
+
+    s1 = argmax(cand, F.col("rel"), 1)
+    readouts = []
+    for w in lams:
+        s = {1: s1}
+        for i in range(2, k + 1):
+            cur = cand
+            for j in range(1, i):
+                cur = cur.join(
+                    s[j].select("source", f"d{j}"), "source"
+                ).where(F.col("doc_id") != F.col(f"d{j}"))
+            for j in range(1, i):
+                cur = cur.join(
+                    sim.select(
+                        "source",
+                        F.col("da").alias("doc_id"),
+                        F.col("db").alias(f"dx{j}"),
+                        F.col("s").alias(f"sv{j}"),
+                    ),
+                    ["source", "doc_id"],
+                    "left",
+                ).where(
+                    F.col(f"dx{j}").isNull()
+                    | (F.col(f"dx{j}") == F.col(f"d{j}"))
+                )
+            msim = (
+                F.greatest(
+                    *[
+                        F.coalesce(f"sv{j}", F.lit(0))
+                        for j in range(1, i)
+                    ]
+                )
+                if i > 2
+                else F.coalesce("sv1", F.lit(0))
+            )
+            sc = cur.select(
+                "source", "doc_id", "rel", msim.alias("msim")
+            )
+            s[i] = argmax(
+                sc, F.col("rel") - w * F.col("msim"), i
+            )
+        joined = s[1]
+        for i in range(2, k + 1):
+            joined = joined.join(s[i], "source")
+        rel_sum = sum(
+            (F.col(f"r{i}") for i in range(2, k + 1)),
+            F.col("r1"),
+        )
+        msim_sum = sum(
+            (F.col(f"m{i}") for i in range(3, k + 1)),
+            F.col("m2"),
+        )
+        readouts.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+                F.sum(rel_sum).cast("long").alias("sum_rel_micros"),
+                F.sum(msim_sum)
+                .cast("long")
+                .alias("sum_msim_micros"),
+            ).select(
+                F.lit(w).cast("long").alias("lam"),
+                "n_sources",
+                "sum_rel_micros",
+                "sum_msim_micros",
+            )
+        )
+    ro = readouts[0]
+    for r in readouts[1:]:
+        ro = ro.unionByName(r)
+    m0 = ro.where(F.col("lam") == 0).select(
+        F.col("sum_msim_micros").alias("m")
+    )
+    pick = (
+        ro.crossJoin(F.broadcast(m0))
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("sum_msim_micros") * 2 <= F.col("m"))
+                        & (F.col("lam") > 0),
+                        F.col("lam"),
+                    )
+                ),
+                F.max("lam"),
+            ).alias("plam")
+        )
+    )
+    return ro.crossJoin(F.broadcast(pick)).select(
+        "lam",
+        "n_sources",
+        "sum_rel_micros",
+        "sum_msim_micros",
+        (F.col("lam") == F.col("plam")).alias("chosen"),
+    )
+
+
+# ---------- curation pipeline v5: density-greedy budget stage --
+
+_V5_BINS = 20
+
+
+def _curation_v5_oracle(nb: int = _V5_BINS) -> str:
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        sql_md5_int,
+        sql_word_shingles,
+    )
+
+    h = sql_md5_int("w.w")
+    evalsplit = f"({sql_md5_int('CAST(doc_id AS VARCHAR)')} % 10)"
+    sh = sql_word_shingles("text", 5)
+    v = f"({sql_md5_int('p.text')} % 1000 + 1)"
+    return f"""
+    WITH pool AS (
+        SELECT * FROM documents WHERE {evalsplit} != 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({sh}) AS esh
+        FROM documents WHERE {evalsplit} = 0
+    ),
+    words AS (
+        SELECT d.doc_id, d.source, d.lang,
+               unnest(regexp_extract_all(d.text, '\\S+')) AS w,
+               generate_subscripts(
+                   regexp_extract_all(d.text, '\\S+'), 1) AS i
+        FROM pool d
+    ),
+    flagged AS (
+        SELECT doc_id, source, lang, i, w,
+               CASE WHEN ({h} & 3) = 0 THEN 1 ELSE 0 END AS f
+        FROM words w
+    ),
+    sids AS (
+        SELECT doc_id, source, lang, i, w,
+               coalesce(sum(f) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS sid
+        FROM flagged
+    ),
+    sents AS (
+        SELECT doc_id, source, lang, sid,
+               string_agg(w, ' ' ORDER BY i) AS s
+        FROM sids GROUP BY doc_id, source, lang, sid
+    ),
+    quality AS (
+        SELECT s.doc_id, s.source, s.lang,
+               count(*) AS n_sents,
+               count(DISTINCT s.s) AS n_distinct,
+               t.n_words
+        FROM sents s
+        JOIN (SELECT doc_id, count(*) AS n_words FROM words
+              GROUP BY doc_id) t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.source, s.lang, t.n_words
+    ),
+    docbins AS (
+        SELECT doc_id, source, n_words,
+               {nb - 1} - least({nb - 1},
+                   (n_sents - n_distinct) * 1000000
+                       // n_sents // 50000) AS rb,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM quality
+    ),
+    grid AS (SELECT unnest(range({nb})) AS rb),
+    aggb AS (
+        SELECT g.rb,
+               CAST(count(d.rb) AS BIGINT) AS n,
+               CAST(coalesce(sum(d.y), 0) AS BIGINT) AS k
+        FROM grid g LEFT JOIN docbins d ON d.rb = g.rb
+        GROUP BY g.rb
+    ),
+    cum AS (
+        SELECT rb, n, k,
+               sum(n) OVER (ORDER BY rb) AS cn,
+               sum(k) OVER (ORDER BY rb) AS ck
+        FROM aggb
+    ),
+    pairs AS (
+        SELECT lo.rb AS j, hi.rb AS kk,
+               hi.ck - lo.ck + lo.k AS num,
+               hi.cn - lo.cn + lo.n AS den
+        FROM cum lo JOIN cum hi ON lo.rb <= hi.rb
+        WHERE hi.cn - lo.cn + lo.n > 0
+    ),
+    inner_min AS (
+        SELECT i.rb AS i, p.j,
+               min_by([p.num, p.den],
+                      p.num * 1099511627776 // p.den) AS frac
+        FROM (SELECT rb FROM aggb) i
+        JOIN pairs p ON p.j <= i.rb AND p.kk >= i.rb
+        GROUP BY i.rb, p.j
+    ),
+    fitted AS (
+        SELECT i AS rb,
+               max_by(frac,
+                      frac[1] * 1099511627776 // frac[2]) AS best
+        FROM inner_min GROUP BY i
+    ),
+    base AS (
+        SELECT CAST(sum(y) AS BIGINT) AS s_all,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM docbins
+    ),
+    keepbins AS (
+        SELECT f.rb FROM fitted f, base b
+        WHERE f.best[1] * b.n_all >= b.s_all * f.best[2]
+    ),
+    keepers AS (
+        SELECT d.doc_id, d.source, d.n_words
+        FROM docbins d JOIN keepbins kb ON kb.rb = d.rb
+    ),
+    canon AS (
+        SELECT k.doc_id, k.source, k.n_words,
+               min(k.doc_id) OVER (PARTITION BY d.md5t)
+                   AS canonical_id
+        FROM keepers k
+        JOIN (SELECT doc_id, md5(text) AS md5t FROM pool) d
+          ON d.doc_id = k.doc_id
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_words FROM canon
+        WHERE doc_id = canonical_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT p.doc_id, unnest({sh}) AS sh
+              FROM pool p
+              JOIN deduped dd ON dd.doc_id = p.doc_id) t
+        JOIN eval_sh e ON e.esh = t.sh
+    ),
+    clean AS (
+        SELECT d.* FROM deduped d
+        LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+        WHERE c.doc_id IS NULL
+    ),
+    stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS docs_kept,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens
+        FROM clean GROUP BY source
+    ),
+    dropped AS (
+        SELECT dd.source,
+               CAST(count(*) AS BIGINT) AS docs_decontaminated
+        FROM deduped dd JOIN contaminated c USING (doc_id)
+        GROUP BY dd.source
+    ),
+    items AS (
+        SELECT cl.doc_id, cl.source,
+               CAST({v} AS BIGINT) AS v,
+               CAST(cl.n_words AS BIGINT) AS cst
+        FROM clean cl JOIN pool p ON p.doc_id = cl.doc_id
+    ),
+    bb AS (
+        SELECT CAST(sum(cst) // 2 AS BIGINT) AS budget FROM items
+    ),
+    ordered AS (
+        SELECT doc_id, source, v, cst,
+               sum(cst) OVER (
+                   ORDER BY v * 1099511627776 // cst DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_c
+        FROM items
+    ),
+    selected AS (
+        SELECT o.* FROM ordered o, bb WHERE o.cum_c <= bb.budget
+    ),
+    selagg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS docs_selected,
+               CAST(sum(cst) AS BIGINT) AS selected_tokens,
+               CAST(sum(v) AS BIGINT) AS selected_value
+        FROM selected GROUP BY source
+    )
+    SELECT s.source,
+           s.docs_kept,
+           coalesce(d.docs_decontaminated, 0)
+               AS docs_decontaminated,
+           s.total_tokens,
+           coalesce(sa.docs_selected, 0) AS docs_selected,
+           coalesce(sa.selected_tokens, 0) AS selected_tokens,
+           coalesce(sa.selected_value, 0) AS selected_value
+    FROM stats s
+    LEFT JOIN dropped d USING (source)
+    LEFT JOIN selagg sa USING (source)
+    """
+
+
+@staged_query(
+    "curation_pipeline_v5_composed", oracle=_curation_v5_oracle()
+)
+def curation_pipeline_v5_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURATION PIPELINE v5 — the ROTATION_R17 round-18 seed:
+    v4's chain (dup-sentence quality -> PAV-calibrated keep ->
+    canonical dedup -> Bloom-prefiltered 5-shingle decontamination)
+    with the final WATER-FILL allocation replaced by the
+    DENSITY-GREEDY KNAPSACK at DOCUMENT grain: every clean doc
+    carries integer value (md5 quality + 1) and cost (token count),
+    and greedy takes the value-density prefix (the exact floor-key
+    v*2^40 div cst — no floating-point ratios) under a global
+    half-of-surviving-tokens budget. Where v4 answers "how many
+    tokens may each SOURCE contribute" (fairness), v5 answers
+    "WHICH documents make the training set" (value) — the two
+    production budget policies, now both composed into the same
+    audited chain. Per source: kept docs, decontaminated drops,
+    surviving tokens, and the selected docs/tokens/value.
+
+    Scale shape: stages 1-4 unchanged from the audited v4 (scan-side
+    sentence fold, bounded 20-bin PAV frame with a checkpointed bin
+    aggregate, hash-partition dedup, broadcast Bloom). The new stage
+    adds one value/cost projection and ONE global density-rank
+    window (the density_greedy_budget_certified shape — two-level
+    chunked rank at production scale, documented there) plus a
+    per-source rollup. No new doc-grain joins beyond the prefix
+    filter.
+
+    Reference basis: curation family capstone
+    (curation_pipeline_v4_composed r16 head — fairness allocation;
+    density_greedy_budget_certified staged — the budget stage
+    composed here, with its additive-optimality certificate graded
+    standalone)."""
+    from sparkksqldbbenchmark_spark.llm.hashing import (
+        spark_md5_int,
+        spark_tokens,
+        spark_word_shingles,
+    )
+
+    nb = _V5_BINS
+    m, kbits = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    evalsplit = F.expr(
+        f"{spark_md5_int('cast(doc_id as string)')} % 10"
+    )
+    pool = docs.where(evalsplit != 0)
+    eval_docs = docs.where(evalsplit == 0)
+    shexpr = F.expr(spark_word_shingles("text", 5))
+    eval_sh = eval_docs.select(
+        F.explode(shexpr).alias("esh")
+    ).distinct()
+
+    # -- stage 1: dup-sentence quality stats (scan-side fold) --
+    toks = pool.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.expr(spark_tokens("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    pairs = (
+        f"zip_with(toks, transform(toks, w -> "
+        f"({spark_md5_int('w')} & 3) = 0), "
+        f"(w, f) -> struct(w as w, f as f))"
+    )
+    sents_expr = (
+        f"aggregate({pairs},"
+        " struct(cast(array() as array<string>) as ss, '' as cur),"
+        " (a, p) -> if(p.f,"
+        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
+        "   struct(a.ss as ss, if(a.cur = '', p.w,"
+        "          concat(a.cur, ' ', p.w)) as cur)),"
+        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
+    )
+    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_words"),
+        F.size("sents").alias("ns"),
+        F.size(F.array_distinct("sents")).alias("nd"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+
+    # -- stage 2: PAV-calibrated keep over the bounded bin frame --
+    docbins = quality.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_words",
+        (
+            F.lit(nb - 1)
+            - F.least(
+                F.lit(nb - 1),
+                F.expr("(ns - nd) * 1000000 div ns div 50000"),
+            )
+        ).alias("rb"),
+        "y",
+    )
+    grid = spark.range(nb).select(F.col("id").alias("rb"))
+    # checkpoint the 20-row bin frame: five PAV subtrees read it and
+    # the sentence-fold lineage above it must compute ONCE
+    aggb = (
+        grid.join(docbins.select("rb", "y"), "rb", "left")
+        .groupBy("rb")
+        .agg(
+            F.count("y").cast("long").alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0))
+            .cast("long")
+            .alias("k"),
+        )
+    ).localCheckpoint(eager=True)
+    wcum = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = aggb.select(
+        "rb",
+        "n",
+        "k",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("k").over(wcum).alias("ck"),
+    )
+    lo = cum.select(
+        F.col("rb").alias("j"),
+        F.col("ck").alias("ck_lo"),
+        F.col("cn").alias("cn_lo"),
+        F.col("k").alias("k_lo"),
+        F.col("n").alias("n_lo"),
+    )
+    hi = cum.select(
+        F.col("rb").alias("kk"),
+        F.col("ck").alias("ck_hi"),
+        F.col("cn").alias("cn_hi"),
+    )
+    fpairs = (
+        lo.join(hi, F.col("j") <= F.col("kk"))
+        .select(
+            "j",
+            "kk",
+            (
+                F.col("ck_hi") - F.col("ck_lo") + F.col("k_lo")
+            ).alias("num"),
+            (
+                F.col("cn_hi") - F.col("cn_lo") + F.col("n_lo")
+            ).alias("den"),
+        )
+        .where(F.col("den") > 0)
+    )
+    ikey = F.floor(
+        (F.col("num") * F.lit(1099511627776)) / F.col("den")
+    ).cast("long")
+    i_frame = aggb.select(F.col("rb").alias("i"))
+    inner = (
+        i_frame.join(
+            fpairs,
+            (F.col("j") <= F.col("i"))
+            & (F.col("kk") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min_by(F.struct("num", "den"), ikey).alias("frac"))
+    )
+    fitted = inner.groupBy("i").agg(
+        F.max_by(
+            F.col("frac"),
+            F.floor(
+                (F.col("frac.num") * F.lit(1099511627776))
+                / F.col("frac.den")
+            ).cast("long"),
+        ).alias("best")
+    ).select(F.col("i").alias("rb"), "best")
+    base = aggb.agg(
+        F.sum("k").cast("long").alias("s_all"),
+        F.sum("n").cast("long").alias("n_all"),
+    )
+    keepbins = (
+        fitted.crossJoin(F.broadcast(base))
+        .where(
+            F.col("best.num") * F.col("n_all")
+            >= F.col("s_all") * F.col("best.den")
+        )
+        .select("rb")
+    )
+    keepers = docbins.join(F.broadcast(keepbins), "rb").select(
+        "doc_id", "source", "text", "n_words"
+    )
+
+    # -- stage 3: canonical exact dedup --
+    canon = keepers.withColumn(
+        "canonical_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+
+    # -- stage 4: Bloom-prefiltered decontamination --
+    j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
+    hp = (
+        "("
+        + spark_md5_int("concat(cast(j as string), '#', sh)")
+        + f") % {m}"
+    )
+    bloom = (
+        eval_sh.select(F.col("esh").alias("sh"), j)
+        .select(F.expr(hp).alias("p"))
+        .groupBy(F.expr("p DIV 32").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    train_sh = deduped.select(
+        "doc_id", F.explode(shexpr).alias("sh")
+    )
+    probes = train_sh.select("doc_id", "sh", j).select(
+        "doc_id", "sh", F.expr(hp).alias("p")
+    )
+    flagged_sh = (
+        probes.join(
+            F.broadcast(bloom), F.expr("word = p DIV 32"), "left"
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr(
+                        "bits & shiftleft(1L, cast(p % 32 as int))"
+                    )
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.sum("hit").alias("hits"))
+        .where(F.col("hits") == kbits)
+    )
+    contaminated = (
+        flagged_sh.join(
+            eval_sh.select(F.col("esh").alias("sh")), "sh"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    dropped = (
+        deduped.join(contaminated, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_decont"))
+    )
+
+    # -- stage 5: density-greedy knapsack at DOC grain --
+    stats = (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        )
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "docs_kept",
+            F.coalesce("docs_decont", F.lit(0))
+            .cast("long")
+            .alias("docs_decontaminated"),
+            "total_tokens",
+        )
+    )
+    v = f"({spark_md5_int('text')}) % 1000 + 1"
+    items = clean.select(
+        "doc_id",
+        "source",
+        F.expr(v).cast("long").alias("v"),
+        F.col("n_words").cast("long").alias("cst"),
+    )
+    bb = items.agg(
+        (F.sum("cst") / 2).cast("long").alias("budget")
+    )
+    key = F.expr("v * 1099511627776 div cst")
+    wd = Window.orderBy(key.desc(), "doc_id")
+    ordered = items.select(
+        "doc_id",
+        "source",
+        "v",
+        "cst",
+        F.sum("cst")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    )
+    selagg = (
+        ordered.crossJoin(F.broadcast(bb))
+        .where(F.col("cum_c") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_selected"),
+            F.sum("cst").cast("long").alias("selected_tokens"),
+            F.sum("v").cast("long").alias("selected_value"),
+        )
+    )
+    return stats.join(selagg, "source", "left").select(
+        "source",
+        "docs_kept",
+        "docs_decontaminated",
+        "total_tokens",
+        F.coalesce("docs_selected", F.lit(0))
+        .cast("long")
+        .alias("docs_selected"),
+        F.coalesce("selected_tokens", F.lit(0))
+        .cast("long")
+        .alias("selected_tokens"),
+        F.coalesce("selected_value", F.lit(0))
+        .cast("long")
+        .alias("selected_value"),
+    )

@@ -1169,3 +1169,322 @@ def test_bpe_supersteps_match_sequential_greedy(spark):
         ).collect()
     )
     assert got == expected
+
+
+def _wshingles(text: str, n: int):
+    toks = text.split()
+    return {
+        " ".join(toks[i : i + n])
+        for i in range(max(len(toks) - n + 1, 1))
+    }
+
+
+def test_seasonal_theil_sen_matches_fraction_walk(spark):
+    """Weekday medians re-picked from sorted lists, residual slopes
+    re-derived as exact Fractions, and the median slope selected by
+    Fraction order (the direct form the 2^40 key embedding
+    replaces)."""
+    import math
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += math.floor(
+            r.value * 100
+        )
+    by_dow = defaultdict(list)
+    for (et, d), cents in daily.items():
+        by_dow[(et, d.toordinal() % 7)].append(cents)
+    # toordinal of 1970-01-01 is 719163; 719163 % 7 == 4, and the
+    # oracle's (d - epoch) % 7 == (toordinal - 719163) % 7
+    med = {
+        k: sorted(v)[(len(v) - 1) // 2] for k, v in by_dow.items()
+    }
+    amp = defaultdict(list)
+    for (et, dow), m in med.items():
+        amp[et].append(m)
+    resid = defaultdict(list)
+    for (et, d), cents in sorted(daily.items()):
+        dow = d.toordinal() % 7
+        resid[et].append(cents - med[(et, dow)])
+    S = 1099511627776
+
+    def tkey(num, den):
+        q, rem = divmod(abs(num) * S, den)
+        return q if num >= 0 else -q
+
+    got = {
+        r.event_type: r
+        for r in STAGED["seasonal_theil_sen_residual_slope"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for et, rs in resid.items():
+        fr = []
+        for i in range(len(rs)):
+            for jj in range(i + 1, len(rs)):
+                fr.append((Fraction(rs[jj] - rs[i], jj - i),
+                           rs[jj] - rs[i], jj - i))
+        fr.sort(key=lambda t: t[0])
+        _, mnum, mden = fr[(len(fr) - 1) // 2]
+        g = got[et]
+        assert g.n_pairs == len(fr)
+        assert g.median_resid_slope_key == tkey(mnum, mden)
+        assert g.n_rising_pairs == sum(
+            1 for f, _, _ in fr if f > 0
+        )
+        assert g.n_falling_pairs == sum(
+            1 for f, _, _ in fr if f < 0
+        )
+        assert g.seasonal_amplitude_cents == (
+            max(amp[et]) - min(amp[et])
+        )
+    # the dow mapping must matter: at least two weekday medians
+    # differ for some type, or the composition graded nothing
+    assert any(max(v) > min(v) for v in amp.values())
+
+
+def test_interleave_k6_matches_protocol_replay(spark):
+    """The 6-position draft replayed pick by pick in plain Python
+    with three independent coins; both teams must win at least one
+    first pick across sources."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    got = defaultdict(dict)
+    for r in STAGED["team_draft_interleave_k6_generated"](
+        spark, SF_DIR
+    ).collect():
+        got[r.source][r.pos] = r
+    first_teams = set()
+    for src, docs in by_src.items():
+        sl = sorted(docs, key=lambda r: r.doc_id)[:40]
+        q = {r.doc_id: _md5int(r.text) % 1000 for r in sl}
+        ra = [
+            r.doc_id
+            for r in sorted(
+                sl, key=lambda r: (-r.n_chars, r.doc_id)
+            )
+        ]
+        rb = [
+            r.doc_id
+            for r in sorted(
+                sl, key=lambda r: (-q[r.doc_id], r.doc_id)
+            )
+        ]
+        teams = []
+        for rnd in (1, 3, 5):
+            c = _md5int(f"{src}#coin{rnd}") % 2
+            teams += [c, 1 - c]
+        picked = []
+        for pos, team in enumerate(teams, start=1):
+            ranking = ra if team == 0 else rb
+            pick = next(d for d in ranking if d not in picked)
+            picked.append(pick)
+            g = got[src][pos]
+            assert g.doc_id == pick, (src, pos)
+            assert g.team == team, (src, pos)
+            assert g.clicked == (q[pick] >= 500), (src, pos)
+        first_teams.add(teams[0])
+    assert first_teams == {0, 1}
+
+
+def test_mmr_lambda_sweep_matches_greedy_replay(spark):
+    """Each lambda's greedy selection replayed in plain Python with
+    true Jaccard micros; the readout sums and the halving-rule
+    lambda re-derived independently."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    shing = {}
+    rel = {}
+    for r in rows:
+        q = _md5int(r.text) % 1000
+        by_src[r.source].append((q, r.doc_id))
+        shing[r.doc_id] = _wshingles(r.text, 3)
+        rel[r.doc_id] = q * 1000
+
+    def jac(a, b):
+        sa, sb = shing[a], shing[b]
+        return (len(sa & sb) * 1000000) // max(len(sa | sb), 1)
+
+    sums = {}
+    for w in (0, 1, 3, 9):
+        tot_rel = tot_msim = nsrc = 0
+        for src, docs in by_src.items():
+            cand = [
+                d
+                for _, d in sorted(
+                    docs, key=lambda t: (-t[0], t[1])
+                )[:6]
+            ]
+            picked = []
+            for _rnd in range(3):
+                best = None
+                for d in cand:
+                    if d in picked:
+                        continue
+                    msim = max(
+                        (jac(d, p) for p in picked), default=0
+                    )
+                    score = rel[d] - w * msim
+                    k = (-score) * 8589934592 + d
+                    if best is None or k < best[0]:
+                        best = (k, d, msim)
+                picked.append(best[1])
+                tot_rel += rel[best[1]]
+                tot_msim += best[2]
+            nsrc += 1
+        sums[w] = (nsrc, tot_rel, tot_msim)
+    m0 = sums[0][2]
+    qual = [w for w in (1, 3, 9) if sums[w][2] * 2 <= m0]
+    plam = min(qual) if qual else 9
+    got = {
+        r.lam: r
+        for r in STAGED["mmr_lambda_sweep_learned"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for w in (0, 1, 3, 9):
+        g = got[w]
+        assert (
+            g.n_sources,
+            g.sum_rel_micros,
+            g.sum_msim_micros,
+        ) == sums[w], w
+        assert g.chosen == (w == plam), w
+
+
+def test_curation_v5_matches_python_pipeline(spark):
+    """The five-stage v5 chain re-run in plain Python: stages 1-4 as
+    the v4 witness (stack-based PAV, Fraction keep cut, canonical
+    dedup, exact 5-shingle decontam), then the density-greedy
+    knapsack replayed with TRUE Fraction densities instead of the
+    2^40 floor key."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "lang", "text"
+    ).collect()
+    pool = [r for r in rows if _md5int(str(r.doc_id)) % 10 != 0]
+    eval_docs = [
+        r for r in rows if _md5int(str(r.doc_id)) % 10 == 0
+    ]
+    eval_sh = set()
+    for r in eval_docs:
+        eval_sh |= _wshingles(r.text, 5)
+    doc_stats = {}
+    for r in pool:
+        toks = r.text.split()
+        if not toks:
+            continue
+        sents, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if _md5int(w) & 3 == 0:
+                sents.append(" ".join(cur))
+                cur = []
+        if cur:
+            sents.append(" ".join(cur))
+        ns, nd = len(sents), len(set(sents))
+        rb = 19 - min(19, (ns - nd) * 1000000 // ns // 50000)
+        doc_stats[r.doc_id] = (
+            r.source,
+            r.text,
+            len(toks),
+            rb,
+            1 if r.lang == "en" else 0,
+        )
+    agg = defaultdict(lambda: [0, 0])
+    for _, _, _, rb, y in doc_stats.values():
+        agg[rb][0] += 1
+        agg[rb][1] += y
+    pools = []
+    for rb in sorted(agg):
+        n, k = agg[rb]
+        pools.append(([rb], k, n))
+        while len(pools) > 1 and Fraction(
+            pools[-2][1], pools[-2][2]
+        ) > Fraction(pools[-1][1], pools[-1][2]):
+            rbs2, k2, n2 = pools.pop()
+            rbs1, k1, n1 = pools.pop()
+            pools.append((rbs1 + rbs2, k1 + k2, n1 + n2))
+    fitted = {}
+    for rbs, k, n in pools:
+        for rb in rbs:
+            fitted[rb] = Fraction(k, n)
+    base = Fraction(
+        sum(v[4] for v in doc_stats.values()), len(doc_stats)
+    )
+    kept = {
+        did: (src, text, nw)
+        for did, (src, text, nw, rb, _) in doc_stats.items()
+        if fitted[rb] >= base
+    }
+    canon = {}
+    for did, (src, text, nw) in sorted(kept.items()):
+        canon.setdefault(
+            hashlib.md5(text.encode()).hexdigest(), did
+        )
+    deduped = {
+        did: v
+        for did, v in kept.items()
+        if canon[hashlib.md5(v[1].encode()).hexdigest()] == did
+    }
+    clean, dropped = {}, Counter()
+    for did, (src, text, nw) in deduped.items():
+        if _wshingles(text, 5) & eval_sh:
+            dropped[src] += 1
+        else:
+            clean[did] = (src, text, nw)
+    totals, counts = Counter(), Counter()
+    for src, _, nw in clean.values():
+        totals[src] += nw
+        counts[src] += 1
+    # stage 5: density greedy with TRUE Fraction densities
+    items = [
+        (did, src, _md5int(text) % 1000 + 1, nw)
+        for did, (src, text, nw) in clean.items()
+    ]
+    budget = sum(c for _, _, _, c in items) // 2
+    items.sort(key=lambda t: (-Fraction(t[2], t[3]), t[0]))
+    sel = Counter()
+    sel_tok = Counter()
+    sel_val = Counter()
+    cum = 0
+    for did, src, v, c in items:
+        if cum + c > budget:
+            break
+        cum += c
+        sel[src] += 1
+        sel_tok[src] += c
+        sel_val[src] += v
+    got = {
+        r.source: r
+        for r in STAGED["curation_pipeline_v5_composed"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(totals)
+    for src in totals:
+        g = got[src]
+        assert (
+            g.docs_kept,
+            g.docs_decontaminated,
+            g.total_tokens,
+            g.docs_selected,
+            g.selected_tokens,
+            g.selected_value,
+        ) == (
+            counts[src],
+            dropped.get(src, 0),
+            totals[src],
+            sel.get(src, 0),
+            sel_tok.get(src, 0),
+            sel_val.get(src, 0),
+        ), src
+    assert 0 < sum(sel.values()) < len(clean)
