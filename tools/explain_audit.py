@@ -231,6 +231,20 @@ STAGED_AUDIT = [
     "benjamini_hochberg_fdr_stepup",  # bounded cell grid, ordering window, scalar cutoff
     "km_hazard_table_exact",  # per-user span collapse, bounded day-grid join
     "skew_salt_plan_from_histogram",  # per-key count grain, 1-row total broadcast
+    "benjamini_yekutieli_fdr_exact",  # bounded cell grid, harmonic scalar, step-up window
+    "mcnemar_paired_exact",  # paired contingency collapse, bounded cells
+    "kruskal_wallis_rank_exact",  # doubled-midrank windows, 1-row total scalar
+    "wasserstein_1d_histogram_exact",  # bounded histogram grid, prefix-sum transport
+    "capture_recapture_chapman_estimate",  # two-list collapse, bounded estimator frame
+    "allen_interval_relation_matrix",  # per-key interval pairs, bounded 13-relation census
+    "streaming_window_exact_median",  # watermarked tumbling agg, exact in-window median
+    "winnowing_fingerprint_density_certified",  # gram-grain explode, per-doc bounded window
+    "edit1_neighborhood_join_complete",  # deletion-signature equi-join, candidate-only verify
+    "bpe_merge_supersteps_greedy",  # per-word windows, 1-row argmax broadcast per step
+    "seasonal_theil_sen_residual_slope",  # bounded day frame, 7-row median broadcast
+    "team_draft_interleave_k6_generated",  # bounded slice, loop-generated draft rounds
+    "mmr_lambda_sweep_learned",  # shared sim frame, per-lambda bounded argmax rounds
+    "curation_pipeline_v5_composed",  # v4 stages + doc-grain density rank window
 ]
 
 

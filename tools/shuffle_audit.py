@@ -99,6 +99,12 @@ BOUNDED_BNL = {
     "density_greedy_budget_certified",   # 1-row budget + 1-row next-item scalars
     "benjamini_hochberg_fdr_stepup",     # 1-row m + 1-row k* scalars on the cell grid
     "km_hazard_table_exact",             # calendar-bounded day grid x lifespan frame
+    "benjamini_yekutieli_fdr_exact",     # 1-row harmonic-constant + cutoff scalars
+    "kruskal_wallis_rank_exact",         # 1-row grand-total scalar
+    "wasserstein_1d_histogram_exact",    # 1-row total-mass scalar
+    "bpe_merge_supersteps_greedy",       # 1-row argmax-pair + post-step stat scalars
+    "mmr_lambda_sweep_learned",          # 1-row msim_0 + learned-pick scalars
+    "curation_pipeline_v5_composed",     # v4's PAV pair range-join + 1-row base/budget scalars
     "skew_salt_plan_from_histogram",     # 1-row total scalar x per-key counts
 }
 
