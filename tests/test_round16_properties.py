@@ -372,3 +372,50 @@ def test_deletion_signatures_complete_at_distance_1(
         }
 
     assert sigs(word) & sigs(other)
+
+
+def _winnow_select(text: str, k: int, w: int):
+    """Direct winnowing: per window of w k-gram hashes, select the
+    min hash with ties to the rightmost position. Returns the set of
+    selected (gram, hash) fingerprints (position-free)."""
+    import hashlib as _h
+
+    n = len(text) - k + 1
+    hs = [
+        int(_h.md5(text[p : p + k].encode()).hexdigest()[:15], 16)
+        % (1 << 30)
+        for p in range(n)
+    ]
+    out = set()
+    for end in range(w - 1, n):
+        window = range(end - w + 1, end + 1)
+        mh = min(hs[p] for p in window)
+        pick = max(p for p in window if hs[p] == mh)
+        out.add((text[pick : pick + k], hs[pick]))
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=8, max_size=20),
+    st.text(alphabet="abcd", min_size=0, max_size=12),
+    st.text(alphabet="abcd", min_size=0, max_size=12),
+    st.text(alphabet="abcd", min_size=0, max_size=12),
+)
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(
+    common, pre_a, post_a, pre_b
+):
+    """winnowing_fingerprint_density_certified: the
+    Schleimer/Wilkerson/Aiken guarantee — any two documents sharing
+    a substring of length >= w + k - 1 share at least one selected
+    fingerprint, BECAUSE selection is a local function of each
+    window. k=5, w=4: common is >= 8 = w + k - 1 chars."""
+    k, w = 5, 4
+    doc_a = pre_a + common + post_a
+    doc_b = pre_b + common + pre_a  # reuse as unrelated suffix
+    fa = _winnow_select(doc_a, k, w)
+    fb = _winnow_select(doc_b, k, w)
+    # both docs contain `common`, whose k-gram windows are long
+    # enough to contain one FULL window of w hashes -> the rightmost-
+    # min rule picks the same (gram, hash) inside it on both sides
+    assert fa & fb, (doc_a, doc_b)
