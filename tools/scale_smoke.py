@@ -1356,6 +1356,165 @@ def round17b_family_probes(spark, n: int) -> None:
         f"{row['ns'] / row['nw']:.4f} vs 2/(w+1)={2 / (w + 1):.4f})"
     )
 
+    # --- edit1 deletion-neighborhood join: vocab-grain state ----
+    t0 = _t.time()
+    base = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 3)
+        .distinct()
+    )
+    planted = base.select(
+        F.concat(
+            F.expr(
+                f"substring(word, 1, cast(({spark_md5_int('word')})"
+                f" % length(word) as int))"
+            ),
+            F.expr(
+                f"substring(word, cast(({spark_md5_int('word')})"
+                f" % length(word) as int) + 2)"
+            ),
+        ).alias("word")
+    )
+    vocab = (
+        base.select("word", F.lit(1).alias("o"))
+        .unionByName(planted.select("word", F.lit(0).alias("o")))
+        .groupBy("word")
+        .agg(F.max("o").alias("is_orig"))
+    )
+    sigs = (
+        vocab.select("word", F.col("word").alias("sig"))
+        .unionByName(
+            vocab.select(
+                "word",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word)),"
+                        " i -> concat(substring(word, 1, i - 1),"
+                        " substring(word, i + 1)))"
+                    )
+                ).alias("sig"),
+            )
+        )
+        .distinct()
+    )
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            on=(F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("wa"), F.col("b.word").alias("wb")
+        )
+        .distinct()
+    )
+    npairs = cand.where(
+        F.levenshtein("wa", "wb") <= 1
+    ).count()
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} edit1_join={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, pairs={npairs:,}) — cost is "
+        f"the corpus word-distinct aggregate; signature/join state "
+        f"is VOCAB-grain and flat in corpus size"
+    )
+
+    # --- BPE supersteps: corpus-grain freq, vocab-grain state ----
+    t0 = _t.time()
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ).localCheckpoint()
+    state = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.expr("sequence(1, length(word))")).alias("p"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("p").cast("long").alias("pos"),
+            F.expr("substring(word, p, 1)").alias("sym"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    wn = _W.partitionBy("word").orderBy("pos")
+    merges = []
+    for _k in range(3):
+        n = state.withColumn("nxt", F.lead("sym").over(wn))
+        best = (
+            n.where(F.col("nxt").isNotNull())
+            .groupBy(
+                F.col("sym").alias("ml"), F.col("nxt").alias("mr")
+            )
+            .agg(F.sum("freq").cast("long").alias("mcnt"))
+            .orderBy(F.desc("mcnt"), "ml", "mr")
+            .limit(1)
+        )
+        m = n.crossJoin(F.broadcast(best)).withColumn(
+            "mt",
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.col("ml"))
+            & (F.col("nxt") == F.col("mr")),
+        )
+        g = m.withColumn(
+            "grp",
+            F.when(
+                F.col("mt"),
+                F.col("pos")
+                - F.row_number().over(
+                    _W.partitionBy("word", "mt").orderBy("pos")
+                ),
+            ),
+        )
+        e = g.withColumn(
+            "merged",
+            F.col("mt")
+            & (
+                (
+                    F.col("pos")
+                    - F.min("pos").over(
+                        _W.partitionBy("word", "grp")
+                    )
+                )
+                % 2
+                == 0
+            ),
+        )
+        r = e.select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("merged"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            F.coalesce(F.lag("merged").over(wn), F.lit(False)).alias(
+                "prevm"
+            ),
+        )
+        state = r.where(~F.col("prevm")).select(
+            "word",
+            "freq",
+            F.row_number().over(wn).cast("long").alias("pos"),
+            "sym",
+        ).localCheckpoint()
+        mrow = best.collect()[0]
+        merges.append(f"{mrow['ml']}+{mrow['mr']}")
+    ntok = state.agg(F.sum("freq")).collect()[0][0]
+    s = _t.time() - t0
+    print(
+        f"docs={docs_n:,} bpe_3_supersteps={s:.1f}s "
+        f"({int(docs_n / s):,} docs/s, merges={','.join(merges)}, "
+        f"tokens_after={ntok:,}) — corpus-grain cost is ONE word-"
+        f"frequency aggregate; superstep state is vocab x word-len "
+        f"(checkpointed per step here, the production form)"
+    )
+
 
 def main() -> None:
     import os as _os, sys as _sys
