@@ -380,3 +380,92 @@ def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
     assert "rk" in plan and "row_number" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_v5_density_stage_is_one_global_window(spark):
+    """v5's new budget stage must add only the doc-grain density
+    rank window and 1-row scalar broadcasts (budget, base rate) —
+    never a cartesian product at doc grain — on top of v4's
+    bounded-broadcast keep/dedup/Bloom stages."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    plan = (
+        STAGED["curation_pipeline_v5_composed"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # BroadcastNestedLoopJoin only for the 1-row scalar frames
+    # (budget/base): every one must be a build-side broadcast
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "BuildLeft" in seg[:60] or "BuildRight" in seg[:60]
+
+
+def test_bpe_supersteps_argmax_is_broadcast_per_round(spark):
+    """Each BPE superstep's argmax pair must reach the position
+    grain as a 1-row broadcast (limit 1 -> broadcast nested loop),
+    and the per-word windows must stay partitioned by word — no
+    global unpartitioned window over the position grain."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    df = STAGED["bpe_merge_supersteps_greedy"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # three supersteps -> at least three TakeOrderedAndProject or
+    # GlobalLimit argmax subtrees feeding broadcasts
+    assert (
+        plan.count("TakeOrderedAndProject")
+        + plan.count("GlobalLimit") >= 3
+    )
+    # the run-parity windows are word-partitioned: every window
+    # spec in the plan carries the word partition key
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        part = m.group(1)
+        assert "word" in part, part
+
+
+def test_mmr_sweep_shares_one_candidate_slice(spark):
+    """The four-lambda sweep must rank the corpus ONCE for the
+    candidate slice (plus one ranking per ranker inside it) and
+    never produce a doc-grain cartesian product; the learned-pick
+    and msim_0 frames are 1-row broadcasts."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    df = STAGED["mmr_lambda_sweep_learned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "BuildLeft" in seg[:60] or "BuildRight" in seg[:60]
+
+
+def test_edit1_candidates_come_from_signature_equi_join(spark):
+    """The distance-1 join must be a signature EQUI-join (hash or
+    sort-merge on sig), never an all-pairs product; levenshtein may
+    only appear as a post-join filter."""
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    df = STAGED["edit1_neighborhood_join_complete"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "sig" in plan and "levenshtein" in plan
+
+
+def test_winnowing_window_is_doc_partitioned(spark):
+    """The winnowing selection window must be partitioned by doc_id
+    (per-doc bounded ROWS frame) — never a global unpartitioned
+    window over the gram grain."""
+    import re as _re
+
+    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+
+    df = STAGED["winnowing_fingerprint_density_certified"](
+        spark, SF_DIR
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(1), m.group(1)
