@@ -2901,6 +2901,11 @@ def winnowing_fingerprint_density_certified(
     per-doc-bounded window pass, one per-doc aggregate — no joins,
     no corpus-grain window. The fingerprint sets (sel_key values)
     feed a bucket-join dedup exactly like minhash bands at 100 TB.
+    Domain bound: the composite key's position field is 2^20 wide,
+    so the rightmost-tie order is exact for docs up to ~1M chars;
+    longer docs must be windowed into <=2^20-char spans first (the
+    fixture corpus is ~350 chars/doc; both engines share the same
+    formula either way, so the oracle comparison is unaffected).
 
     Reference basis: fingerprint family (text_fingerprint TAIL —
     whole-doc hash; dedup_minhash_lsh flagship — random-permutation
