@@ -85,7 +85,10 @@ def main() -> None:
     # Session-scoped scratch root (VERDICT r15 "what's wrong" #2): every
     # tempfile.mkdtemp this process makes (streaming fixtures, layout
     # staging, replay checkpoints) lands under one directory removed at
-    # exit — a bench run leaves /tmp exactly as it found it.
+    # exit. The JVM side is routed here too (ADVICE r16 #2):
+    # spark.local.dir + -Djava.io.tmpdir cover the blockmgr/spark-*
+    # shuffle scratch and Derby/metastore side files that TMPDIR alone
+    # does not govern.
     import atexit
     import shutil
     import tempfile
@@ -110,7 +113,10 @@ def main() -> None:
             # backtracking (benign StackOverflowError spew, rc stays 0)
             extra={
                 "spark.ui.showConsoleProgress": "false",
-                "spark.driver.extraJavaOptions": "-Xss16m",
+                "spark.local.dir": scratch_root,
+                "spark.driver.extraJavaOptions": (
+                    f"-Xss16m -Djava.io.tmpdir={scratch_root}"
+                ),
             },
         )
     )

@@ -2829,11 +2829,17 @@ def allen_interval_relation_matrix(
 _WIN_K = 5  # k-gram length
 _WIN_W = 4  # winnowing window (hashes per window)
 _WIN_HMOD = 1073741824  # 2^30 hash range
-_WIN_PBASE = 1048576  # 2^20 position field in the composite key
+# 2^32 position field in the composite key: h < 2^30, so the widest key
+# is (2^30-1)*2^32 + (2^32-1) = 2^62-1, still int64-exact. A position
+# past 2^32 would need a >4.29 GB single string, beyond the JVM's 2 GB
+# array cap, so the bound is unreachable by construction — and BOTH
+# engines additionally enforce it with a fail-loud guard (assert_true /
+# error()) rather than silently mis-ordering ties.
+_WIN_PBASE = 4294967296
 
 
 def _winnow_oracle(
-    k: int = _WIN_K, w: int = _WIN_W
+    k: int = _WIN_K, w: int = _WIN_W, pbase: int = _WIN_PBASE
 ) -> str:
     from sparkksqldbbenchmark_spark.llm.hashing import sql_md5_int
 
@@ -2842,7 +2848,11 @@ def _winnow_oracle(
     WITH grams AS (
         SELECT d.doc_id, p.pos,
                ({h}) % {_WIN_HMOD} AS h,
-               length(d.text) - {k} + 1 AS n_grams
+               CASE WHEN length(d.text) - {k} + 1 > {pbase - 1}
+                    THEN CAST(error('winnowing: document exceeds the '
+                         || '{pbase}-char position bound; window into '
+                         || 'spans first') AS BIGINT)
+                    ELSE length(d.text) - {k} + 1 END AS n_grams
         FROM documents d,
              LATERAL (SELECT unnest(range(1,
                  greatest(length(d.text) - {k} + 2, 1))) AS pos) p
@@ -2850,7 +2860,7 @@ def _winnow_oracle(
     ),
     keyed AS (
         SELECT doc_id, pos, n_grams,
-               min(h * {_WIN_PBASE} + ({_WIN_PBASE} - 1 - pos))
+               min(h * {pbase} + ({pbase} - 1 - pos))
                    OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN {w - 1} PRECEDING
                               AND CURRENT ROW) AS sel_key
@@ -2901,28 +2911,57 @@ def winnowing_fingerprint_density_certified(
     per-doc-bounded window pass, one per-doc aggregate — no joins,
     no corpus-grain window. The fingerprint sets (sel_key values)
     feed a bucket-join dedup exactly like minhash bands at 100 TB.
-    Domain bound: the composite key's position field is 2^20 wide,
-    so the rightmost-tie order is exact for docs up to ~1M chars;
-    longer docs must be windowed into <=2^20-char spans first (the
-    fixture corpus is ~350 chars/doc; both engines share the same
-    formula either way, so the oracle comparison is unaffected).
+    Domain bound: the composite key reserves a 2^32-wide position
+    field (int64-exact since h < 2^30), unreachable by construction
+    — a position past 2^32 needs a >4.29 GB single string, beyond
+    the JVM's 2 GB array cap — and ENFORCED fail-loud in both
+    engines (assert_true / error()) so an out-of-range doc aborts
+    the query instead of silently mis-ordering rightmost ties.
 
     Reference basis: fingerprint family (text_fingerprint TAIL —
     whole-doc hash; dedup_minhash_lsh flagship — random-permutation
     sketches; this row adds the POSITIONAL selection scheme whose
     guarantee is substring-match coverage, the plagiarism/clone
     detector grain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _winnow_plan(docs)
+
+
+def _winnow_plan(
+    docs: DataFrame,
+    k: int = _WIN_K,
+    w: int = _WIN_W,
+    pbase: int = _WIN_PBASE,
+) -> DataFrame:
+    """The winnowing plan over any (doc_id, text) frame — factored so
+    tests can drive the tie-key stage past the old 2^20 position
+    boundary (via _winnow_from_grams on synthetic grams) and against a
+    small ``pbase`` to prove the guard fires. Note long docs should be
+    span-windowed for COST regardless of the key bound: substring(text,
+    pos, k) walks from the string head (variable-width encoding), so
+    gram extraction is O(len^2) bytes per doc — fine at the corpus's
+    hundreds of chars, wasteful at multi-MB."""
     from sparkksqldbbenchmark_spark.llm.hashing import spark_md5_int
 
-    k, w = _WIN_K, _WIN_W
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= k
-    )
+    docs = docs.where(F.length("text") >= k)
     h = spark_md5_int(f"substring(text, pos, {k})")
+    # Fail-loud position-bound guard: assert_true yields NULL when the
+    # bound holds, so coalesce passes the real gram count through; an
+    # oversized doc aborts the job with the message instead.
+    n_grams_checked = F.coalesce(
+        F.assert_true(
+            F.length("text") - k + 1 <= F.lit(pbase - 1),
+            F.lit(
+                f"winnowing: document exceeds the {pbase}-char "
+                "position bound; window into spans first"
+            ),
+        ).cast("int"),
+        F.length("text") - k + 1,
+    )
     grams = docs.select(
         "doc_id",
         "text",
-        (F.length("text") - k + 1).alias("n_grams"),
+        n_grams_checked.alias("n_grams"),
         F.explode(
             F.expr(f"sequence(1, length(text) - {k} + 1)")
         ).alias("pos"),
@@ -2932,6 +2971,14 @@ def winnowing_fingerprint_density_certified(
         "pos",
         (F.expr(h) % _WIN_HMOD).alias("h"),
     )
+    return _winnow_from_grams(grams, w, pbase)
+
+
+def _winnow_from_grams(
+    grams: DataFrame, w: int = _WIN_W, pbase: int = _WIN_PBASE
+) -> DataFrame:
+    """Selection + density over a (doc_id, n_grams, pos, h) frame: the
+    composite-key stage, where the position bound lives."""
     wf = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2942,8 +2989,8 @@ def winnowing_fingerprint_density_certified(
         "n_grams",
         "pos",
         F.min(
-            F.col("h") * _WIN_PBASE
-            + (F.lit(_WIN_PBASE - 1) - F.col("pos"))
+            F.col("h") * pbase
+            + (F.lit(pbase - 1) - F.col("pos"))
         )
         .over(wf)
         .alias("sel_key"),

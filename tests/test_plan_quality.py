@@ -322,10 +322,12 @@ def test_successive_halving_plan_is_lazy_and_exchange_visible(spark):
     assert not plan.strip().startswith("LocalTableScan")
     assert "Scan parquet" in plan
     assert plan.count("Exchange hashpartitioning") >= 3  # >=1 per rung
-    # the tie-rank windows are partitioned by the reward value
-    assert "partitionBy: [cum" in plan.replace("  ", " ") or (
-        "row_number()" in plan and "cum" in plan
-    )
+    # the tie-rank windows are partitioned by the reward value: the
+    # row_number window spec's FIRST argument (its partition spec) must
+    # be the cum column — asserted on the exact physical-plan spelling
+    # (ADVICE r16 #3: the old or-branch passed for any plan containing
+    # both tokens)
+    assert "row_number() windowspecdefinition(cum#" in plan
 
 
 def test_mg_sidecar_hot_set_is_broadcast_bounded(spark):

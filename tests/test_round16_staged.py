@@ -1054,6 +1054,89 @@ def test_winnowing_matches_direct_rightmost_min(spark):
     assert n_with_windows == len(got) > 0
 
 
+def test_winnowing_exact_past_old_2_20_boundary(spark):
+    """The rightmost-tie composite key is exact PAST the old 2^20
+    position bound (widened to 2^32 in round 17), proven on the
+    factored tie-key stage over synthetic grams — 1.05M positions,
+    period-2 hash ties near the 2^30 hash ceiling: every window holds
+    a two-way tie at maximal h, the worst case for both tie ordering
+    and int64 headroom — replayed against the direct rule at every
+    position, including all positions > 2^20. (Synthetic grams, not a
+    1M-char string: substring-based gram extraction is O(len^2) bytes
+    per doc; the key stage is where the bound lives.)"""
+    import pyspark.sql.functions as F
+
+    from sparkksqldbbenchmark_spark.plans.next_round import (
+        _WIN_W,
+        _winnow_from_grams,
+    )
+
+    w = _WIN_W
+    n = (1 << 20) + 5000
+    hmax = (1 << 30) - 1
+    grams = spark.range(1, n + 1).select(
+        F.lit("big").alias("doc_id"),
+        F.lit(n).cast("long").alias("n_grams"),
+        F.col("id").alias("pos"),
+        (F.lit(hmax) - F.col("id") % 2).alias("h"),
+    )
+    row = _winnow_from_grams(grams, w).collect()[0]
+    hs = {p: hmax - p % 2 for p in range(1, n + 1)}
+    selected = set()
+    for end in range(w, n + 1):
+        window = range(end - w + 1, end + 1)
+        mh = min(hs[p] for p in window)
+        selected.add(max(p for p in window if hs[p] == mh))
+    assert row.n_grams == n
+    assert row.n_windows == n - w + 1
+    assert row.n_selected == len(selected)
+    assert max(selected) > (1 << 20)  # picks past the old bound
+    assert row.density_pm == len(selected) * 10000 // (n - w + 1)
+    assert row.lower_bound_ok and row.upper_bound_ok
+
+
+def test_winnowing_position_bound_guard_fails_loud(spark):
+    """Both engines ABORT (assert_true / error()) on a doc whose gram
+    positions would overflow the composite key's position field,
+    instead of silently mis-ordering ties — proven against a small
+    pbase since a real 2^32-char string cannot be built."""
+    import duckdb
+    import pytest
+
+    from sparkksqldbbenchmark_spark.plans.next_round import (
+        _WIN_K,
+        _WIN_W,
+        _winnow_oracle,
+        _winnow_plan,
+    )
+
+    text = "ab" * 64  # 128 chars; 124 gram positions > pbase-1 = 63
+    df = spark.createDataFrame(
+        [("big", text)], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="position bound"):
+        _winnow_plan(df, _WIN_K, _WIN_W, pbase=64).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'big' AS doc_id, "
+        f"repeat('ab', 64) AS text"
+    )
+    with pytest.raises(Exception, match="position bound"):
+        con.execute(
+            _winnow_oracle(_WIN_K, _WIN_W, pbase=64)
+        ).fetchall()
+    # and the small pbase is NOT the reason the fixture corpus
+    # passes: the guard admits docs within bound
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT 'ok' AS doc_id, "
+        "repeat('ab', 16) AS text"
+    )
+    assert con2.execute(
+        _winnow_oracle(_WIN_K, _WIN_W, pbase=64)
+    ).fetchall()
+
+
 def _lev_le1(a: str, b: str) -> bool:
     if a == b:
         return True
