@@ -80,6 +80,7 @@ import sparkksqldbbenchmark_spark.plans.round13_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round14_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round15_queries  # noqa: F401
 import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
+import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
 
 from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 
@@ -997,7 +998,81 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 # a driver verdict. Remaining free slots are filled by the round-16
 # slot-filler rows in plans/round16_queries.py (see ROTATION_R16.md).
 # ------------------------------------------------------------------
+# Round-17 rotation (docs/ROTATION_R17.md; CORRECTNESS_r16 50/50
+# green, so no red stays for re-grade). INTO the head:
+#   26 of the 27 staged rows graduate (plans/round17_queries.py,
+#     formerly next_round.py; each 3-SF oracle-green, vanilla-swept,
+#     second-witnessed) — the 27th, team_draft_interleave_k6_generated,
+#     is HELD one round in the refilled staging area: its slot funds
+#     the foreachBatch fixture re-grade below, and its machinery is
+#     graded this round via the suite sibling
+#     team_draft_interleave_preference (same coin/draft scheme, k=4).
+#   The 15 remaining auto-checkpoint streaming TAIL rows come out of
+#     TAIL for their free re-grade (python_datasource_simple_stream,
+#     streaming_checkpoint_restart_resume,
+#     streaming_dedup_distinct_keys,
+#     streaming_dropdup_within_watermark, streaming_hopping_agg,
+#     streaming_latest_table, streaming_observe_metrics,
+#     streaming_session_window_agg, streaming_session_window_append,
+#     streaming_static_enrich, streaming_stream_full_outer_join,
+#     streaming_stream_join, streaming_stream_left_join,
+#     streaming_union_window_agg, streaming_watermarked_append) —
+#     with the 8 re-graded in r16, all 23 re-pinned rows then hold
+#     post-rmtree driver verdicts, retiring the ADVICE r15 pin-policy
+#     item completely.
+#   streaming_foreachbatch_exactly_once — its fixture-hygiene fix
+#     (materialize-then-rmtree, VERDICT r16 ask #4) voids its pin, so
+#     it re-grades in the head.
+# OUT of the head: the 42 non-flagship round-16 head rows below (the
+# 27 round-16 graduates + 2 ADVICE re-grades + 8 streaming re-grades
+# + 7 slot-fillers minus the 8 flagships that stay), every one green
+# in CORRECTNESS_r16 with implementing source unchanged since, pinned
+# via TAIL_SOURCE_SHA256; machinery coverage rationale per family in
+# docs/ROTATION_R17.md.
+# ------------------------------------------------------------------
 TAIL: tuple[str, ...] = (
+    "sequence_packing",
+    "token_budget_selection",
+    "streaming_chained_window_agg",
+    "streaming_cdc_latest",
+    "python_datasource_stream_agg",
+    "streaming_dedup_then_window",
+    "streaming_stateful_topk_per_key",
+    "streaming_rocksdb_state_store",
+    "temporal_split_straddle_audit",
+    "psi_drift_bins_exact",
+    "graph_pregel_superstep2",
+    "curation_pipeline_v3_composed",
+    "pav_isotonic_calibration_binned",
+    "kendall_tau_topk_exact",
+    "shapley_attribution_exact",
+    "bigram_draft_acceptance_rate",
+    "prefix_cache_hit_mass",
+    "k_anonymity_risk_audit",
+    "bootstrap_ci_daily_mean",
+    "join_cardinality_histogram_estimate",
+    "rolling_origin_backtest_folds",
+    "dpo_margin_pair_mining",
+    "streaming_union_multiple_watermarks",
+    "join_cardinality_skew_twin",
+    "reciprocal_rank_fusion_exact",
+    "cdc_chunk_dedup_mass",
+    "shapley_sampled_permutations_certified",
+    "fagin_ta_topk_certified",
+    "err_exact_dyadic",
+    "kmv_intersection_estimate_certified",
+    "padding_waste_sorted_vs_fifo",
+    "conformal_interval_coverage_exact",
+    "pinball_loss_exact",
+    "mmr_diversified_top3_exact",
+    "successive_halving_plan",
+    "l_diversity_risk_audit",
+    "join_cardinality_mg_sidecar_estimate",
+    "early_stopping_patience_plan",
+    "dow_seasonal_median_residuals",
+    "brier_reliability_bins_exact",
+    "mmr_diversified_topk_weighted",
+    "curation_pipeline_v4_composed",
     "streaming_watermark_late_drop",
     "streaming_outer_join_null_emission",
     "streaming_dedup_within_watermark_reemit",
@@ -1137,7 +1212,6 @@ TAIL: tuple[str, ...] = (
     "udtf_table_arg_partition_by",
     "session_window_dynamic_gap",
     "pca_power_iteration_1d",
-    "python_datasource_simple_stream",
     "running_distinct_users",
     "struct_equality_join",
     "semdedup_quantized_prune",
@@ -1149,7 +1223,6 @@ TAIL: tuple[str, ...] = (
     "binaryfile_source_scan",
     "csv_quoted_multiline_roundtrip",
     "span_corruption_mask_plan",
-    "streaming_checkpoint_restart_resume",
     "length_bucketed_batching",
     "kmeans_lloyd_step_quantized",
     "bitmap_distinct_functions",
@@ -1161,7 +1234,6 @@ TAIL: tuple[str, ...] = (
     "exact_substring_spans",
     "ngram_lm_familiarity",
     "state_store_reader_audit",
-    "streaming_foreachbatch_exactly_once",
     "python_datasource_stream_sink_roundtrip",
     "mapinarrow_token_stats",
     "bm25_odds_retrieval",
@@ -1206,7 +1278,6 @@ TAIL: tuple[str, ...] = (
     "observe_metrics_suite",
     "python_datasource_geojson_scan",
     "python_datasource_sink_roundtrip",
-    "streaming_observe_metrics",
     "inline_struct_explode",
     "string_suite2",
     "bitwise_suite",
@@ -1253,9 +1324,6 @@ TAIL: tuple[str, ...] = (
     "mixture_quota_largest_remainder",
     "ann_mrr_certified",
     "dup_graph_degree_stats",
-    "streaming_stream_full_outer_join",
-    "streaming_session_window_agg",
-    "streaming_session_window_append",
     "asof_tolerance_join",
     "robust_zscore_applyinpandas",
     "time_weighted_avg",
@@ -1286,8 +1354,6 @@ TAIL: tuple[str, ...] = (
     "ansi_percentile_suite",
     "ivf_recall_certified",
     "pq_quantization_error",
-    "streaming_dropdup_within_watermark",
-    "streaming_stream_left_join",
     "dedup_incremental_vs_corpus",
     "dedup_containment",
     "dedup_cross_source_matrix",
@@ -1316,8 +1382,6 @@ TAIL: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "dedup_embedding_cosine",
     "similarity_ivf_topk",
-    "streaming_hopping_agg",
-    "streaming_dedup_distinct_keys",
     "decontam_ngram_overlap",
     "deterministic_corpus_shuffle",
     "tpch_q8_market_share",
@@ -1343,19 +1407,15 @@ TAIL: tuple[str, ...] = (
     "passage_dup_stats",
     "fuzzy_dedup_levenshtein",
     "grouped_array_collect",
-    "streaming_stream_join",
-    "streaming_latest_table",
     "latency_nearest_rank_percentiles",
     "approx_count_distinct",
     "similarity_ann_lsh",
     "scalar_function_suite",
     "tpch_q1_pricing_summary",
     "curation_pipeline",
-    "streaming_watermarked_append",
     "pivot_hourly_by_type",
     "unpivot_measure_summary",
     "correlated_above_avg_orders",
-    "streaming_static_enrich",
     "tpch_q10_returned_items",
     "tpch_q4_semijoin_priority",
     "tpch_q7_volume_shipping",
@@ -1372,7 +1432,6 @@ TAIL: tuple[str, ...] = (
     "count_distinct_stations",
     "latest_by_rownumber",
     "weather_window_agg_by_station",
-    "streaming_union_window_agg",
     "latest_by_offset",
     "argmax_station",
     "tpch_q6_selective_scan",

@@ -52,50 +52,50 @@ EXPECTED_HEAD = (
     "dedup_minhash_lsh",
     "multimodal_decode_roundtrip",
     "streaming_window_agg",
+    "streaming_watermarked_append",
+    "streaming_latest_table",
     "streaming_update_mode_final",
     "streaming_sessionize",
-    "sequence_packing",
-    "token_budget_selection",
-    "streaming_chained_window_agg",
-    "streaming_cdc_latest",
-    "python_datasource_stream_agg",
-    "streaming_dedup_then_window",
-    "streaming_stateful_topk_per_key",
-    "streaming_rocksdb_state_store",
-    "temporal_split_straddle_audit",
-    "psi_drift_bins_exact",
-    "graph_pregel_superstep2",
-    "curation_pipeline_v3_composed",
-    "pav_isotonic_calibration_binned",
-    "kendall_tau_topk_exact",
-    "shapley_attribution_exact",
-    "bigram_draft_acceptance_rate",
-    "prefix_cache_hit_mass",
-    "k_anonymity_risk_audit",
-    "bootstrap_ci_daily_mean",
-    "join_cardinality_histogram_estimate",
-    "rolling_origin_backtest_folds",
-    "dpo_margin_pair_mining",
-    "streaming_union_multiple_watermarks",
-    "join_cardinality_skew_twin",
-    "reciprocal_rank_fusion_exact",
-    "cdc_chunk_dedup_mass",
-    "shapley_sampled_permutations_certified",
-    "fagin_ta_topk_certified",
-    "err_exact_dyadic",
-    "kmv_intersection_estimate_certified",
-    "padding_waste_sorted_vs_fifo",
-    "conformal_interval_coverage_exact",
-    "pinball_loss_exact",
-    "mmr_diversified_top3_exact",
-    "successive_halving_plan",
-    "l_diversity_risk_audit",
-    "join_cardinality_mg_sidecar_estimate",
-    "early_stopping_patience_plan",
-    "dow_seasonal_median_residuals",
-    "brier_reliability_bins_exact",
-    "mmr_diversified_topk_weighted",
-    "curation_pipeline_v4_composed",
+    "streaming_union_window_agg",
+    "streaming_stream_join",
+    "streaming_dedup_distinct_keys",
+    "streaming_static_enrich",
+    "streaming_hopping_agg",
+    "streaming_dropdup_within_watermark",
+    "streaming_stream_left_join",
+    "streaming_stream_full_outer_join",
+    "streaming_session_window_agg",
+    "streaming_session_window_append",
+    "streaming_observe_metrics",
+    "streaming_foreachbatch_exactly_once",
+    "python_datasource_simple_stream",
+    "streaming_checkpoint_restart_resume",
+    "supervised_discretization_merge_sweep",
+    "seasonal_cusum_residual_flags",
+    "rrf_weighted_fusion_exact",
+    "pareto_knee_maxcross",
+    "context_length_policy_sweep",
+    "density_greedy_budget_certified",
+    "sortkey_delta_compression_estimate",
+    "dp_sensitivity_noise_budget",
+    "theil_sen_slope_exact",
+    "team_draft_interleave_preference",
+    "benjamini_hochberg_fdr_stepup",
+    "km_hazard_table_exact",
+    "streaming_window_exact_median",
+    "skew_salt_plan_from_histogram",
+    "benjamini_yekutieli_fdr_exact",
+    "mcnemar_paired_exact",
+    "kruskal_wallis_rank_exact",
+    "wasserstein_1d_histogram_exact",
+    "capture_recapture_chapman_estimate",
+    "allen_interval_relation_matrix",
+    "winnowing_fingerprint_density_certified",
+    "edit1_neighborhood_join_complete",
+    "bpe_merge_supersteps_greedy",
+    "seasonal_theil_sen_residual_slope",
+    "mmr_lambda_sweep_learned",
+    "curation_pipeline_v5_composed",
 )
 
 
@@ -126,6 +126,48 @@ def test_graded_head_is_exactly_the_planned_cohort():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "sequence_packing": "d1d821a70312643e",
+    "token_budget_selection": "b43116ec577d49b7",
+    "streaming_chained_window_agg": "ecd11d1a31fd7a84",
+    "streaming_cdc_latest": "5039d35f9e1e1b9b",
+    "python_datasource_stream_agg": "a493150f366acb6c",
+    "streaming_dedup_then_window": "3f134b78252dad48",
+    "streaming_stateful_topk_per_key": "8a13bc14a2a2652e",
+    "streaming_rocksdb_state_store": "034144b248a022e4",
+    "temporal_split_straddle_audit": "6f6c5224aecd05ff",
+    "psi_drift_bins_exact": "42b6cc5f1f84a502",
+    "graph_pregel_superstep2": "826225853732bc4b",
+    "curation_pipeline_v3_composed": "86a0213b9626542f",
+    "pav_isotonic_calibration_binned": "d479055002c7f14c",
+    "kendall_tau_topk_exact": "e517fc62c4feba83",
+    "shapley_attribution_exact": "216bb90d1da23778",
+    "bigram_draft_acceptance_rate": "ab2244ecb6b09066",
+    "prefix_cache_hit_mass": "c52b4b11adcd5301",
+    "k_anonymity_risk_audit": "b9bddb62bfdbd37a",
+    "bootstrap_ci_daily_mean": "68f88716c88e80b6",
+    "join_cardinality_histogram_estimate": "a54253f1f607270f",
+    "rolling_origin_backtest_folds": "6a7776269b34e509",
+    "dpo_margin_pair_mining": "61e0152420682369",
+    "streaming_union_multiple_watermarks": "80f4a1535a21c805",
+    "join_cardinality_skew_twin": "c9180697c8db0697",
+    "reciprocal_rank_fusion_exact": "b3069121017afe68",
+    "cdc_chunk_dedup_mass": "9db3dd77dc50310d",
+    "shapley_sampled_permutations_certified": "e2aba38576ab7f3e",
+    "fagin_ta_topk_certified": "6ecc9bb1a1ca913e",
+    "err_exact_dyadic": "81ed2f5127cf5dbb",
+    "kmv_intersection_estimate_certified": "fb43505a72252e36",
+    "padding_waste_sorted_vs_fifo": "ac9ec75485544633",
+    "conformal_interval_coverage_exact": "e5103633c3f721e7",
+    "pinball_loss_exact": "97ceeb71fef0313d",
+    "mmr_diversified_top3_exact": "18f746a385a44862",
+    "successive_halving_plan": "3f86798bc395f9c1",
+    "l_diversity_risk_audit": "1d2a7972ab7235c6",
+    "join_cardinality_mg_sidecar_estimate": "416bb0727811fea3",
+    "early_stopping_patience_plan": "10ae16ab13c68902",
+    "dow_seasonal_median_residuals": "9b7c5e89edbcebc2",
+    "brier_reliability_bins_exact": "2038d1d4df4c6480",
+    "mmr_diversified_topk_weighted": "932e55dea874c227",
+    "curation_pipeline_v4_composed": "dcc5fb994b8f3733",
     "streaming_watermark_late_drop": "b0179450a79af04e",
     "streaming_outer_join_null_emission": "3a7c27656683f84b",
     "streaming_dedup_within_watermark_reemit": "53de4bc4ee463ad7",
@@ -265,7 +307,6 @@ TAIL_SOURCE_SHA256 = {
     "udtf_table_arg_partition_by": "c736274d6b6af7f8",
     "session_window_dynamic_gap": "cf6913403a3b2468",
     "pca_power_iteration_1d": "9631c106d6901db7",
-    "python_datasource_simple_stream": "3358b75dab79fb6a",
     "running_distinct_users": "da916cdae660ef9f",
     "struct_equality_join": "0c7a100576f186a7",
     "semdedup_quantized_prune": "b35a8f9b98721603",
@@ -277,7 +318,6 @@ TAIL_SOURCE_SHA256 = {
     "binaryfile_source_scan": "8fa11e2520f9a3ff",
     "csv_quoted_multiline_roundtrip": "aeb86a3b9b2b9b8d",
     "span_corruption_mask_plan": "792e368cf262a5cd",
-    "streaming_checkpoint_restart_resume": "d153805339eb1876",
     "length_bucketed_batching": "78d287e81cca2b5b",
     "kmeans_lloyd_step_quantized": "dd1d6ae684227195",
     "bitmap_distinct_functions": "e82906bd0dcc6d86",
@@ -289,7 +329,6 @@ TAIL_SOURCE_SHA256 = {
     "exact_substring_spans": "b8831704a444d9ba",
     "ngram_lm_familiarity": "7caaaa606abf973f",
     "state_store_reader_audit": "2b119cbdd85dce7b",
-    "streaming_foreachbatch_exactly_once": "e6a07fd2ecd0f3f0",
     "python_datasource_stream_sink_roundtrip": "2d1c3944b8a118fb",
     "mapinarrow_token_stats": "33f3bdedc202ab95",
     "bm25_odds_retrieval": "7f2f3adc4865241a",
@@ -334,7 +373,6 @@ TAIL_SOURCE_SHA256 = {
     "observe_metrics_suite": "fe0ff54e7f6b9f46",
     "python_datasource_geojson_scan": "ea634b9dbe41f465",
     "python_datasource_sink_roundtrip": "fde49e6c39abf651",
-    "streaming_observe_metrics": "039b95033515de38",
     "inline_struct_explode": "7672ed2280740b8e",
     "string_suite2": "03e79cf64ccc25d4",
     "bitwise_suite": "03fd3f5bca48c68f",
@@ -381,9 +419,6 @@ TAIL_SOURCE_SHA256 = {
     "mixture_quota_largest_remainder": "4d0fa720ac926d61",
     "ann_mrr_certified": "9e759722965f51d0",
     "dup_graph_degree_stats": "a446c8f75ef9aa53",
-    "streaming_stream_full_outer_join": "abe1c8944f839000",
-    "streaming_session_window_agg": "10ae7277208420ff",
-    "streaming_session_window_append": "4e701eefdf961a15",
     "asof_tolerance_join": "64f30a791cecf6e5",
     "robust_zscore_applyinpandas": "da035965dc00e987",
     "time_weighted_avg": "4fb72d4a3d754ae7",
@@ -414,8 +449,6 @@ TAIL_SOURCE_SHA256 = {
     "ansi_percentile_suite": "fe58238491e6433f",
     "ivf_recall_certified": "1cf3ca2a92948345",
     "pq_quantization_error": "86c7d59205f6d1c7",
-    "streaming_dropdup_within_watermark": "fa2ae20e44d217d3",
-    "streaming_stream_left_join": "b9c1b6c705c816e4",
     "dedup_incremental_vs_corpus": "a2e104a2e9b1aab0",
     "dedup_containment": "fe57c94a954c0384",
     "dedup_cross_source_matrix": "c39e91736f004d47",
@@ -444,8 +477,6 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q11_important_stock": "f7918ae47048c74d",
     "dedup_embedding_cosine": "62a2fc3f60555fc5",
     "similarity_ivf_topk": "b14a35f5826a039c",
-    "streaming_hopping_agg": "b6f79c1bd30569db",
-    "streaming_dedup_distinct_keys": "7bf2d94a40b3391e",
     "decontam_ngram_overlap": "01f1694c5aee338f",
     "deterministic_corpus_shuffle": "9457a847934fd5c2",
     "tpch_q8_market_share": "d3f952ad6bf41056",
@@ -471,19 +502,15 @@ TAIL_SOURCE_SHA256 = {
     "passage_dup_stats": "bf1b4b80d0e66322",
     "fuzzy_dedup_levenshtein": "5183024505069499",
     "grouped_array_collect": "04eb26ed4fe8301b",
-    "streaming_stream_join": "e2009beacb680751",
-    "streaming_latest_table": "b2c5c91c6a3b5f6a",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
     "similarity_ann_lsh": "eb04b49fd24d4272",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
     "curation_pipeline": "22b7a6831f8796fb",
-    "streaming_watermarked_append": "9e98c038d28932ee",
     "pivot_hourly_by_type": "2e1792039f38f357",
     "unpivot_measure_summary": "67586f8f74675978",
     "correlated_above_avg_orders": "c93beabc2a862670",
-    "streaming_static_enrich": "d746c8b32530de59",
     "tpch_q10_returned_items": "d84d82fc9ebde6b5",
     "tpch_q4_semijoin_priority": "f5d31001bea9a4b8",
     "tpch_q7_volume_shipping": "12ca103870c73bc9",
@@ -500,7 +527,6 @@ TAIL_SOURCE_SHA256 = {
     "count_distinct_stations": "48371d26e62bd910",
     "latest_by_rownumber": "780a1e09f354d759",
     "weather_window_agg_by_station": "21fe01649bff0da8",
-    "streaming_union_window_agg": "675fe80345c5efcb",
     "latest_by_offset": "7e309fbf1a7caa32",
     "argmax_station": "1a117b3f0ee6725b",
     "tpch_q6_selective_scan": "4fabef06b3159167",

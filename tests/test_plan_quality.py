@@ -389,7 +389,8 @@ def test_curation_v5_density_stage_is_one_global_window(spark):
     rank window and 1-row scalar broadcasts (budget, base rate) —
     never a cartesian product at doc grain — on top of v4's
     bounded-broadcast keep/dedup/Bloom stages."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     plan = (
         STAGED["curation_pipeline_v5_composed"](spark, SF_DIR)
@@ -410,7 +411,8 @@ def test_bpe_supersteps_argmax_is_broadcast_per_round(spark):
     grain as a 1-row broadcast (limit 1 -> broadcast nested loop),
     and the per-word windows must stay partitioned by word — no
     global unpartitioned window over the position grain."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     df = STAGED["bpe_merge_supersteps_greedy"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -435,7 +437,8 @@ def test_mmr_sweep_shares_one_candidate_slice(spark):
     candidate slice (plus one ranking per ranker inside it) and
     never produce a doc-grain cartesian product; the learned-pick
     and msim_0 frames are 1-row broadcasts."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     df = STAGED["mmr_lambda_sweep_learned"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -448,7 +451,8 @@ def test_edit1_candidates_come_from_signature_equi_join(spark):
     """The distance-1 join must be a signature EQUI-join (hash or
     sort-merge on sig), never an all-pairs product; levenshtein may
     only appear as a post-join filter."""
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     df = STAGED["edit1_neighborhood_join_complete"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -463,7 +467,8 @@ def test_winnowing_window_is_doc_partitioned(spark):
     window over the gram grain."""
     import re as _re
 
-    from sparkksqldbbenchmark_spark.plans.next_round import STAGED
+    import sparkksqldbbenchmark_spark.plans.round17_queries  # noqa: F401
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES as STAGED
 
     df = STAGED["winnowing_fingerprint_density_certified"](
         spark, SF_DIR
