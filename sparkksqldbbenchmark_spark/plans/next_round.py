@@ -269,11 +269,15 @@ _GT_SCALE = 1000000  # ppm scale for the adjusted-count readout
 
 def _gt_oracle(scale: int = _GT_SCALE) -> str:
     return f"""
-    WITH tokens AS (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
     ),
-    tok AS (SELECT word FROM tokens WHERE word <> ''),
-    counts AS (SELECT word, count(*) AS r FROM tok GROUP BY 1),
+    grams AS (
+        SELECT array_to_string(w[i:i+2], ' ') AS gram
+        FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) p
+        WHERE len(w) >= 3
+    ),
+    counts AS (SELECT gram, count(*) AS r FROM grams GROUP BY 1),
     fof AS (SELECT r, count(*) AS n_r FROM counts GROUP BY 1),
     tot AS (
         SELECT CAST(sum(r * n_r) AS BIGINT) AS n,
@@ -301,24 +305,30 @@ def good_turing_frequency_smoothing(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """GOOD-TURING FREQUENCY SMOOTHING (Good 1953) — the classical
-    language-model smoothing estimate: from the corpus unigram
-    frequency-of-frequencies table N_r (how many distinct words occur
-    exactly r times), the adjusted count is r* = (r+1) N_(r+1) / N_r
-    and the total probability mass reserved for UNSEEN words is
-    N_1 / N. Both are ratios of exact integers, graded as ppm-scaled
-    integer divisions (identical floor semantics in both engines); the
-    output grain is one row per occupied frequency class r, carrying
-    N_r, N_(r+1), r*, the corpus token total, and the unseen mass.
+    language-model smoothing estimate, computed over the corpus word
+    TRIGRAM counts (the n-gram-LM grain where the frequency spectrum
+    is Zipf-rich: the fixture unigram vocabulary is a ~28-word salad
+    with no singletons, while its trigram table populates classes
+    r = 1, 2, 3, ... exactly as an LM event table does): from the
+    frequency-of-frequencies table N_r (how many distinct trigrams
+    occur exactly r times), the adjusted count is
+    r* = (r+1) N_(r+1) / N_r and the total probability mass reserved
+    for UNSEEN events is N_1 / N. Both are ratios of exact integers,
+    graded as ppm-scaled integer divisions (identical floor semantics
+    in both engines); the output grain is one row per occupied
+    frequency class r, carrying N_r, N_(r+1), r*, the corpus event
+    total, and the unseen mass.
 
-    Scale shape: token-grain explode feeds ONE data shuffle (the
-    word-count aggregate, partial+final map-side combined); the
-    frequency-of-frequencies re-aggregate runs over the vocabulary
-    grain (already 1000x smaller), and the r -> r+1 self-join plus the
-    two corpus scalars operate on the O(100)-row N_r table — broadcast
-    territory at any corpus size. The N_r table is the same artifact a
-    100 TB LM-data pipeline computes for Katz backoff or for
-    simple-Good-Turing fitting; nothing in the plan holds more than
-    the vocabulary aggregate at once.
+    Scale shape: gram-grain explode (3 consecutive words joined; the
+    per-doc transform is a bounded array HOF, no self-join) feeds ONE
+    data shuffle (the trigram-count aggregate, partial+final map-side
+    combined); the frequency-of-frequencies re-aggregate runs over
+    the event-vocabulary grain (orders of magnitude smaller), and the
+    r -> r+1 self-join plus the two corpus scalars operate on the
+    O(100)-row N_r table — broadcast territory at any corpus size.
+    The N_r table is the same artifact a 100 TB LM-data pipeline
+    computes for Katz backoff or simple-Good-Turing fitting; nothing
+    in the plan holds more than the vocabulary aggregate at once.
 
     Reference basis: statistics family precedent (latency percentiles,
     correlation matrix — BenchmarkRunner.scala:155-170's derived-stat
@@ -326,10 +336,20 @@ def good_turing_frequency_smoothing(
     ngram-familiarity and BPE rows (docs/ROTATION_R17.md round-18
     seed list)."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        F.explode(F.split("text", " ")).alias("word")
-    ).where(F.col("word") != "")
-    counts = tokens.groupBy("word").agg(
+    grams = (
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i ->"
+                    " concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("gram")
+        )
+    )
+    counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("r")
     )
     fof = counts.groupBy("r").agg(
