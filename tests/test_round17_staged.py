@@ -57,3 +57,94 @@ def test_good_turing_matches_counter_replay(spark):
         fof.get(r + 1, 0) > 0 for r in fof
     ) and any(fof.get(r + 1, 0) == 0 for r in fof)
     assert 0 < n1 < n  # unseen mass is a proper fraction
+
+
+def test_winnowing_dedup_matches_direct_replay(spark):
+    """The full dedup grading replayed directly: corpus doubling,
+    per-doc winnowing selection (min hash per window, rightmost
+    tie), position-free fingerprint sets, df histogram, capped
+    candidate volume, and per-source planted recall — all in plain
+    Python."""
+    from sparkksqldbbenchmark_spark.plans.next_round import (
+        _WFD_CAP,
+        _WFD_HMOD,
+        _WFD_K,
+        _WFD_MINLEN,
+        _WFD_W,
+    )
+
+    k, w, cap = _WFD_K, _WFD_W, _WFD_CAP
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def winnow(text):
+        n = len(text) - k + 1
+        if n < 1:
+            return set()
+        hs = [
+            _md5int(text[p : p + k]) % _WFD_HMOD for p in range(n)
+        ]
+        sel = set()
+        for end in range(w - 1, n):
+            win = range(end - w + 1, end + 1)
+            mh = min(hs[p] for p in win)
+            sel.add(hs[max(p for p in win if hs[p] == mh)])
+        return sel
+
+    fps = {}
+    srcs = Counter()
+    planted = {}
+    for r in rows:
+        srcs[r.source] += 1
+        fps[r.doc_id] = (r.source, winnow(r.text))
+        if len(r.text) >= _WFD_MINLEN:
+            ptext = "zq" + r.text[10:70] + "xw"
+            planted[r.doc_id] = (r.source, winnow(ptext))
+    dfreq = Counter()
+    for _, (_, s) in fps.items():
+        dfreq.update(s)
+    for _, (_, s) in planted.items():
+        dfreq.update(s)
+    n_fp = len(dfreq)
+    n_hot = sum(1 for v in dfreq.values() if v > cap)
+    cand_vol = sum(
+        v * (v - 1) // 2 for v in dfreq.values() if v <= cap
+    )
+    per_src = {
+        s: [0, 0, 0] for s in srcs
+    }  # planted, certified, capped
+    for oid, (src, ps) in planted.items():
+        shared = ps & fps[oid][1]
+        per_src[src][0] += 1
+        if shared:
+            per_src[src][1] += 1
+        if any(dfreq[h] <= cap for h in shared):
+            per_src[src][2] += 1
+    got = {
+        r.source: r
+        for r in STAGED["winnowing_fingerprint_dedup_certified"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(srcs)
+    for s, (np_, nc, nk) in per_src.items():
+        g = got[s]
+        assert g.n_docs == srcs[s]
+        assert g.n_planted == np_
+        assert g.n_certified_found == nc == np_, (
+            "winnowing guarantee must certify every planted pair"
+        )
+        assert g.certified_recall_pm == (
+            nc * 10000 // np_ if np_ else 0
+        ) == 10000
+        assert g.n_capped_found == nk
+        assert g.capped_recall_pm == (
+            nk * 10000 // np_ if np_ else 0
+        )
+        assert g.n_fingerprints == n_fp
+        assert g.n_hot_fingerprints == n_hot
+        assert g.candidate_volume == cand_vol
+    assert n_hot > 0 and cand_vol > 0, (
+        "fixture must exercise both the cap and the rare buckets"
+    )
