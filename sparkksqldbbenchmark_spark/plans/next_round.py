@@ -751,3 +751,102 @@ def winnowing_fingerprint_dedup_certified(
             "candidate_volume",
         )
     )
+
+
+# ---------- BPE apply: frozen merges -> corpus tokenization ------
+
+_BPEA_STEPS = 3
+
+
+def _bpea_oracle(steps: int = _BPEA_STEPS) -> str:
+    from sparkksqldbbenchmark_spark.plans.round17_queries import (
+        _bpe_step_sql,
+    )
+
+    ctes = ",".join(_bpe_step_sql(k) for k in range(steps))
+    merges = ", ".join(
+        f"(SELECT ml || '+' || mr FROM b{k}) AS merge{k + 1}"
+        for k in range(steps)
+    )
+    return f"""
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 1
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT w.word, w.freq, CAST(p.pos AS BIGINT) AS pos,
+               substring(w.word, CAST(p.pos AS INTEGER), 1) AS sym
+        FROM words w, LATERAL (SELECT unnest(
+            range(1, length(w.word) + 1)) AS pos) p
+    ),{ctes},
+    mg AS (SELECT {merges})
+    SELECT s.word,
+           CAST(max(s.freq) AS BIGINT) AS freq,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(s.sym, '|' ORDER BY s.pos) AS toks,
+           max(m.merge1) AS merge1,
+           max(m.merge2) AS merge2,
+           max(m.merge3) AS merge3
+    FROM s{steps} s CROSS JOIN mg m
+    GROUP BY s.word
+    """
+
+
+@staged_query(
+    "bpe_apply_frozen_merges_tokenization", oracle=_bpea_oracle()
+)
+def bpe_apply_frozen_merges_tokenization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE TRAIN->APPLY ROUND TRIP — the ROTATION_R17 round-18 seed:
+    the graduated bpe_merge_supersteps_greedy row trains 3 merges and
+    grades per-step STATISTICS (pair, count, vocab size); this row
+    freezes those same learned merges and grades the TOKENIZATION the
+    apply side produces — the word-type-grain symbol sequences after
+    all merges, value-for-value — plus the frozen merge list itself
+    as constant columns. Training and applying on the same corpus
+    coincide state-wise, so the apply readout doubles as an
+    end-to-end audit of the run-parity greedy device: every word's
+    final token string must byte-match the sequential left-to-right
+    merge replay (see the witness test).
+
+    Scale shape: the apply is a SCAN-SIDE FOLD over the word-TYPE
+    table (distinct words, orders of magnitude smaller than the
+    corpus; each merge is one per-word bounded window pass + a 1-row
+    broadcast of the frozen pair — no supersteps over corpus grain,
+    no driver loop over data). At 100 TB the type table is the only
+    shuffled grain, exactly how production tokenizer-application
+    pipelines fold: tokenize types once, re-expand by frequency via
+    broadcast join. The per-word readout string is bounded by word
+    length.
+
+    Reference basis: tokenization family (bpe_merge_supersteps_greedy
+    r17 head — the train side whose _bpe_chain this row reuses;
+    text_token_counts TAIL — whitespace/BPE-ish counting per SURVEY
+    training-data ops)."""
+    from sparkksqldbbenchmark_spark.plans.round17_queries import (
+        _bpe_chain,
+    )
+
+    state, bests = _bpe_chain(spark, sf_dir, _BPEA_STEPS)
+    mg = None
+    for k, (best, _post) in enumerate(bests):
+        one = best.select(
+            F.concat("ml", F.lit("+"), "mr").alias(f"merge{k + 1}")
+        )
+        mg = one if mg is None else mg.crossJoin(one)
+    return (
+        state.groupBy("word")
+        .agg(
+            F.max("freq").cast("long").alias("freq"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, sym))), x -> x.sym), '|')"
+            ).alias("toks"),
+        )
+        .crossJoin(F.broadcast(mg))
+    )

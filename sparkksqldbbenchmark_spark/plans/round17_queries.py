@@ -3271,6 +3271,28 @@ def bpe_merge_supersteps_greedy(
     applies a FIXED regex tokenizer; this row TRAINS merges, the
     half the reference lacks; graph_pregel_superstep2 TAIL — the
     same unrolled-superstep device on graphs)."""
+    state, bests = _bpe_chain(spark, sf_dir, _BPE_STEPS)
+    stats = []
+    for k, (best, post) in enumerate(bests):
+        stats.append(
+            best.select(
+                F.lit(k + 1).alias("step"),
+                F.col("ml").alias("merge_left"),
+                F.col("mr").alias("merge_right"),
+                F.col("mcnt").alias("merge_count"),
+            ).crossJoin(post)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str, steps: int):
+    """The BPE superstep chain, factored so the staged apply row can
+    reuse the identical lazy plan: returns the final symbol state
+    (word, freq, pos, sym) plus per-step (best-pair, post-stats)
+    1-row frames. Pure plan construction — no action."""
     words = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -3294,8 +3316,8 @@ def bpe_merge_supersteps_greedy(
         )
     )
     wn = Window.partitionBy("word").orderBy("pos")
-    stats = []
-    for k in range(_BPE_STEPS):
+    bests = []
+    for _k in range(steps):
         n = state.withColumn("nxt", F.lead("sym").over(wn))
         best = (
             n.where(F.col("nxt").isNotNull())
@@ -3357,18 +3379,8 @@ def bpe_merge_supersteps_greedy(
             F.countDistinct("sym").cast("long").alias("n_vocab"),
             F.sum("freq").cast("long").alias("n_tokens"),
         )
-        stats.append(
-            best.select(
-                F.lit(k + 1).alias("step"),
-                F.col("ml").alias("merge_left"),
-                F.col("mr").alias("merge_right"),
-                F.col("mcnt").alias("merge_count"),
-            ).crossJoin(post)
-        )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+        bests.append((best, post))
+    return state, bests
 
 
 # ---------- seasonal Theil-Sen: robust slope on de-seasonalized --

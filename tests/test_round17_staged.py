@@ -148,3 +148,56 @@ def test_winnowing_dedup_matches_direct_replay(spark):
     assert n_hot > 0 and cand_vol > 0, (
         "fixture must exercise both the cap and the rare buckets"
     )
+
+
+def test_bpe_apply_matches_sequential_replay(spark):
+    """Train + apply replayed with the DIRECT sequential algorithm:
+    learn 3 merges by exact pair counting (ties lexicographic), then
+    apply each merge with a plain left-to-right scan per word — the
+    loop the run-parity windows replace. Every word's final token
+    string must byte-match."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "text"
+    ).collect()
+    freq = Counter(
+        w for r in rows for w in r.text.split(" ") if w != ""
+    )
+    state = {w: list(w) for w in freq}
+
+    merges = []
+    for _ in range(3):
+        pairs = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    got = {
+        r.word: r
+        for r in STAGED["bpe_apply_frozen_merges_tokenization"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(state)
+    for w, syms in state.items():
+        g = got[w]
+        assert g.freq == freq[w]
+        assert g.n_tokens == len(syms), w
+        assert g.toks == "|".join(syms), w
+        for i, (a, b) in enumerate(merges, start=1):
+            assert getattr(g, f"merge{i}") == a + "+" + b
+    # at least one word must actually shrink under the merges
+    assert any(len(s) < len(w) for w, s in state.items())
