@@ -201,3 +201,95 @@ def test_bpe_apply_matches_sequential_replay(spark):
             assert getattr(g, f"merge{i}") == a + "+" + b
     # at least one word must actually shrink under the merges
     assert any(len(s) < len(w) for w, s in state.items())
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[-1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit2_complete_vs_all_pairs_scan(spark):
+    """Completeness proven the hard way: the signature join's
+    confirmed pair set must equal the ALL-PAIRS Levenshtein <= 2
+    scan over the same vocabulary, and the signature/candidate
+    economics must match direct enumeration."""
+    rows = load_table(spark, SF_DIR, "documents").select(
+        "text"
+    ).collect()
+    base = sorted(
+        {
+            w
+            for r in rows
+            for w in r.text.split(" ")
+            if len(w) >= 4
+        }
+    )
+
+    def planted(w):
+        i0 = _md5int(w) % (len(w) - 1) + 1
+        j0 = i0 + 1 + _md5int("j#" + w) % (len(w) - i0)
+        return w[: i0 - 1] + w[i0 : j0 - 1] + w[j0:]
+
+    vocab = {w: 1 for w in base}
+    for w in base:
+        vocab.setdefault(planted(w), 0)
+
+    def sigs(w):
+        out = {w}
+        for i in range(len(w)):
+            out.add(w[:i] + w[i + 1 :])
+            for j in range(i + 1, len(w)):
+                out.add(w[:i] + w[i + 1 : j] + w[j + 1 :])
+        return out
+
+    sigmap = {w: sigs(w) for w in vocab}
+    n_signatures = sum(len(s) for s in sigmap.values())
+    words = sorted(vocab)
+    cand = set()
+    from collections import defaultdict
+
+    by_sig = defaultdict(list)
+    for w, ss in sigmap.items():
+        for s in ss:
+            by_sig[s].append(w)
+    for bucket in by_sig.values():
+        bucket.sort()
+        for x in range(len(bucket)):
+            for y in range(x + 1, len(bucket)):
+                cand.add((bucket[x], bucket[y]))
+    confirmed = {p for p in cand if _lev(*p) <= 2}
+    all_pairs = {
+        (a, b)
+        for ai, a in enumerate(words)
+        for b in words[ai + 1 :]
+        if _lev(a, b) <= 2
+    }
+    assert confirmed == all_pairs, "deletion signatures missed a pair"
+    got = {
+        (r.word_a, r.word_b): r
+        for r in STAGED["edit2_double_deletion_join_complete"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == confirmed
+    for (a, b), g in got.items():
+        assert g.lev == _lev(a, b) <= 2
+        assert g.a_in_corpus == (vocab[a] == 1)
+        assert g.b_in_corpus == (vocab[b] == 1)
+        assert g.n_signatures == n_signatures
+        assert g.n_candidate_pairs == len(cand)
+    # distance exactly 2 must occur (the planted double deletions)
+    assert any(g.lev == 2 for g in got.values())
