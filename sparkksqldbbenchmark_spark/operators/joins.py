@@ -155,6 +155,7 @@ def forward_fill(
     cols: Sequence[str],
     partition_cols: Sequence[str] = (),
     bucket_expr=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """pandas ffill (price_prediction.ipynb cell 14) — last non-null value
     carried forward along the time axis.
@@ -215,7 +216,13 @@ def forward_fill(
     # frame so upstream runs once. At cluster scale this is a
     # persist(MEMORY_AND_DISK) of the filled output — the price of the
     # global carry, still strictly cheaper than a 2x recompute.
-    out = out.localCheckpoint(eager=True)
+    # ``materialize=False`` is for callers whose input is ALREADY a tiny
+    # materialized frame (e.g. a checkpointed per-bucket aggregate): the
+    # 2x recompute of the fill is then cheaper than an extra
+    # materialization job, and the checkpoint here would only add a
+    # scheduling barrier.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
 
     # The running fill makes each bucket's LAST row carry the bucket's
     # last non-null value for every column (null only if the whole bucket

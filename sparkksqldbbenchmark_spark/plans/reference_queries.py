@@ -398,25 +398,42 @@ def region_zone_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multiway_timejoin_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + W1 — the notebook pipeline (price_prediction.ipynb cell 14):
     N hourly series → full-outer join fold on time → forward-fill. Spark
-    full-outer join keys coalesce automatically with `on=str`."""
+    full-outer join keys coalesce automatically with `on=str`.
+
+    The three series share ONE events scan + ONE aggregation (optimization
+    guide §2.3/§2.4: per-series filtered scans re-read the fact table N
+    times and shuffle N aggregations; aggregating once by (hour, type) and
+    deriving each series as a filter over the tiny materialized aggregate
+    is the 100 TB plan — the fold's join inputs are |hours| rows, never
+    |events|). The per-(hour, type) average equals the per-series average,
+    so the fold output is bit-identical to the N-scan form; the full-outer
+    fold itself (the J1 operator) is unchanged. The materialization is a
+    localCheckpoint at bench scale — persist/checkpoint on a cluster."""
     events = load_table(spark, sf_dir, "events")
+    per_type = (
+        events.where(F.col("event_type").isin("click", "view", "error"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(stable_avg("value", 2).alias("v"))
+        .select(F.col("window.start").alias("datetime"), "event_type", "v")
+        .localCheckpoint(eager=True)
+    )
 
     def series(event_type: str) -> DataFrame:
-        return (
-            events.where(F.col("event_type") == event_type)
-            .groupBy(F.window("ts", "1 hour"))
-            .agg(stable_avg("value", 2).alias(f"{event_type}_value"))
-            .select(
-                F.col("window.start").alias("datetime"),
-                f"{event_type}_value",
-            )
+        return per_type.where(F.col("event_type") == event_type).select(
+            "datetime", F.col("v").alias(f"{event_type}_value")
         )
 
     merged = multiway_outer_time_join(
         [series("click"), series("view"), series("error")], "datetime"
     )
     filled = forward_fill(
-        merged, "datetime", ["click_value", "view_value", "error_value"]
+        merged,
+        "datetime",
+        ["click_value", "view_value", "error_value"],
+        # the fold input is the checkpointed per-hour aggregate — the 2x
+        # recompute of the tiny fold is cheaper than a second
+        # materialization job (see forward_fill docstring)
+        materialize=False,
     )
     return filled.withColumn(
         "datetime", F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")
