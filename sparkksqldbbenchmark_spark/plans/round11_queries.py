@@ -1452,8 +1452,18 @@ def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (Xv and Xᵀs), and an unmaterialized lineage re-derives the
     # posexplode per consumer — 6 redundant scans over 3 iterations
     # (the iterative-reuse rule: pagerank checkpoints its edges the
-    # same way; at 10¹⁰ embeddings this is a cached/checkpointed table)
-    q = q.localCheckpoint(eager=True)
+    # same way; at 10¹⁰ embeddings this is a cached/checkpointed table).
+    # HASH-PARTITION it by vec_id BEFORE the checkpoint (optimization
+    # guide §2.4 — two operations keyed the same way share one exchange):
+    # localCheckpoint pins the physical partitioning, so every
+    # iteration's groupBy("vec_id") and q⋈s join are exchange-free on
+    # the q side. Without this, Catalyst auto-broadcast the per-vector
+    # s (fits the threshold at test SF — impossible at 10¹⁰ rows, where
+    # the fallback is a full SortMergeJoin re-shuffling q every
+    # iteration); s carries an explicit SHUFFLE_HASH hint so the
+    # co-partitioned join builds on the small per-partition s slice and
+    # never sorts q.
+    q = q.repartition(F.col("vec_id")).localCheckpoint(eager=True)
     v = q.select("j").distinct().select(
         "j", F.lit(1000000).cast("long").alias("v")
     )
@@ -1464,7 +1474,7 @@ def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("q") * F.col("v")).alias("s"))
         )
         w = (
-            q.join(s, "vec_id")
+            q.join(s.hint("shuffle_hash"), "vec_id")
             .groupBy("j")
             .agg(F.sum(F.col("q") * F.col("s")).alias("w"))
         )
@@ -1474,6 +1484,16 @@ def pca_power_iteration_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wq"),
         )
+        # truncate the unrolled lineage at the 64-row iterate: wq feeds
+        # BOTH the norm aggregate and the next v, so without a
+        # materialization barrier each iteration's plan embeds the prior
+        # iteration's subtree TWICE — the whole 3-step unroll grows
+        # exponentially (the measured plan carried 6 joins and re-derived
+        # q repeatedly). Checkpointing dim-bounded (64-row) state per
+        # iteration is the standard iterative-algorithm recipe (guide
+        # §3.3: very large plans — materialize an intermediate to
+        # truncate); cost is one tiny job per iteration at any scale.
+        wq = wq.localCheckpoint(eager=True)
         norm = wq.agg(
             F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias(
                 "nrm"
