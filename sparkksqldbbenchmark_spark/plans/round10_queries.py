@@ -2876,7 +2876,18 @@ def pagerank_dupgraph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)  # 3 consumers: fix plan
+    # 4 consumers: fix the plan, and HASH-PARTITION + SORT by src before
+    # the checkpoint (optimization guide §2.4): the checkpoint pins the
+    # physical partitioning/ordering, so every iteration's edges⋈ranks
+    # join is exchange-free AND sort-free on the (big) edge side — the
+    # unpartitioned form re-exchanged and re-sorted the edge list once
+    # per iteration (7 SortMergeJoins, each with its own edge shuffle).
+    edges = (
+        edges.repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    # derived exchange-free from the src-partitioned edges
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -2887,15 +2898,19 @@ def pagerank_dupgraph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(1000000000000 // n_nodes).cast("long").alias("rank")
     )
     for _ in range(3):
-        contrib = (
-            edges.join(
-                rank.withColumnRenamed("node", "src"), "src"
-            )
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank DIV d").alias("c"),
-            )
+        # guide §8 "decide with small rows": fold rank⋈deg into the
+        # |nodes|-grain per-source contribution FIRST (both sides are
+        # node-keyed and co-partitioned — exchange-free), then join the
+        # |edges|-grain side exactly once per iteration instead of
+        # twice. rank DIV d per src is identical computed per-src or
+        # per-edge-row.
+        per_src = (
+            rank.withColumnRenamed("node", "src")
+            .join(deg.hint("shuffle_hash"), "src")
+            .select("src", F.expr("rank DIV d").alias("c"))
+        )
+        contrib = edges.join(per_src.hint("shuffle_hash"), "src").select(
+            F.col("dst").alias("node"), "c"
         )
         rank = contrib.groupBy("node").agg(
             (
@@ -2904,7 +2919,7 @@ def pagerank_dupgraph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank")
         )
     return rank.join(
-        deg.withColumnRenamed("src", "node"), "node"
+        deg.hint("shuffle_hash").withColumnRenamed("src", "node"), "node"
     ).select(
         F.col("node").alias("doc_id"),
         F.col("rank").alias("pagerank_e12"),
