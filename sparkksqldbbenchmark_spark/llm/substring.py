@@ -63,10 +63,28 @@ def shared_span_stats(
     least one shared window appear. longest_span_tokens counts TOKENS
     (span windows + k − 1)."""
     pos = positional_window_hashes(df, text_col, id_col, k)
-    freq = pos.groupBy("h").agg(F.count_distinct(id_col).alias("nd"))
-    shared = pos.join(
-        freq.where(F.col("nd") >= min_docs), "h"
-    ).select(id_col, "pos")
+    if min_docs == 2:
+        # "occurs in >= 2 distinct documents" ⟺ min(id) != max(id) over
+        # the hash partition. Two window aggregates over ONE exchange on
+        # h replace the count_distinct aggregate + join-back, which
+        # computed the tokenize/hash projection TWICE (each consumer
+        # re-derived `pos`) and shuffled it twice (the aggregate's
+        # partial rows and the join's probe side do not share an
+        # exchange). Skew behavior is unchanged: a hot window hash lands
+        # in one task either way. min_docs > 2 keeps the general
+        # count_distinct form.
+        wh = Window.partitionBy("h")
+        shared = (
+            pos.withColumn("__id_min", F.min(id_col).over(wh))
+            .withColumn("__id_max", F.max(id_col).over(wh))
+            .where(F.col("__id_min") != F.col("__id_max"))
+            .select(id_col, "pos")
+        )
+    else:
+        freq = pos.groupBy("h").agg(F.count_distinct(id_col).alias("nd"))
+        shared = pos.join(
+            freq.where(F.col("nd") >= min_docs), "h"
+        ).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy(id_col, "grp").agg(
