@@ -108,7 +108,18 @@ def lsh_banded_buckets(
     from sparkksqldbbenchmark_spark.llm.hashing import _BMUL, _P31
 
     shingle_side = _with_shingles(df, text_col, id_col, shingle_n)
-    shingle_side = shingle_side.localCheckpoint(eager=True)
+    # HASH-PARTITION + SORT by doc id before the checkpoint (optimization
+    # guide §2.4 — share one exchange): the pinned partitioning makes the
+    # post-explode signature groupBy(id) exchange-free (explode is
+    # narrow), and the two verify joins downstream consume the shingle
+    # arrays exchange- AND sort-free — the heavy array column crosses the
+    # network exactly once (this repartition) instead of three times
+    # (signature aggregation + one exchange per verify side).
+    shingle_side = (
+        shingle_side.repartition(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)
+    )
     ex = shingle_side.select(
         id_col, F.explode("shingles").alias("s")
     ).withColumn("h", F.expr(f"{spark_md5_int('s')} & {_P31}"))
