@@ -1798,8 +1798,11 @@ def semdedup_quantized_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x").cast("double") * 100).cast("long").alias("q"),
     )
     # materialize the quantized grain once: four consumers below (the
-    # iterative-reuse rule, same as pagerank's edge checkpoint)
-    q = q.localCheckpoint(eager=True)
+    # iterative-reuse rule, same as pagerank's edge checkpoint), hash-
+    # partitioned by vec_id so the assignment aggregations
+    # (groupBy(vec_id, cid) / groupBy(vec_id)) and the pair-side
+    # vec_id joins run exchange-free on the matrix grain (guide §2.4)
+    q = q.repartition(F.col("vec_id")).localCheckpoint(eager=True)
     # SQL over a view of the quantized grain: the pairwise stage is a
     # self-join three deep, where DataFrame lineage tracking rejects
     # the reuse — SQL names resolve per alias, same plan either way
