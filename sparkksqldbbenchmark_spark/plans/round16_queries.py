@@ -353,6 +353,9 @@ def curation_pipeline_v3_composed(
     eval_docs = docs.where(evalsplit == 0)
     shexpr = F.expr(spark_word_shingles("text", 3))
     eval_sh = eval_docs.select(F.explode(shexpr).alias("esh")).distinct()
+    # two consumers (Bloom build + exact-verify join) — materialize so
+    # the eval-split shingle explode+distinct runs once
+    eval_sh = eval_sh.localCheckpoint(eager=True)
 
     # -- stage 1: Gopher dup-sentence keep (scan-side fold) --
     toks = pool.select(
@@ -394,6 +397,10 @@ def curation_pipeline_v3_composed(
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
     )
     deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+    # three consumers below (shingle probes, the anti-join, the
+    # semi-join) — materialize so the interpreted sentence fold, the
+    # Gopher cut and the md5 window run once, not three times
+    deduped = deduped.localCheckpoint(eager=True)
 
     # -- stage 3: Bloom-prefiltered decontamination --
     j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
@@ -449,6 +456,9 @@ def curation_pipeline_v3_composed(
         .select("doc_id")
         .distinct()
     )
+    # two consumers (anti + semi) — materialize the tiny id set so the
+    # shingle-probe subtree runs once
+    contaminated = contaminated.localCheckpoint(eager=True)
     clean = deduped.join(contaminated, "doc_id", "left_anti")
     dropped = (
         deduped.join(contaminated, "doc_id", "left_semi")
@@ -5165,6 +5175,9 @@ def curation_pipeline_v4_composed(
     eval_docs = docs.where(evalsplit == 0)
     shexpr = F.expr(spark_word_shingles("text", 5))
     eval_sh = eval_docs.select(F.explode(shexpr).alias("esh")).distinct()
+    # two consumers (Bloom build + exact-verify join) — materialize so
+    # the eval-split shingle explode+distinct runs once
+    eval_sh = eval_sh.localCheckpoint(eager=True)
 
     # -- stage 1: dup-sentence quality stats (scan-side fold) --
     toks = pool.select(
@@ -5214,6 +5227,15 @@ def curation_pipeline_v4_composed(
         ).alias("rb"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
+    # materialize the doc grain ONCE (optimization guide §5 caching
+    # rule: reused AND expensive to recompute): the sentence fold above
+    # is an interpreted higher-order aggregate — the single most
+    # expensive per-row expression in the pipeline — and docbins feeds
+    # both the bin frame and the keep join; without a barrier every
+    # downstream consumer re-ran the fold (measured 17.8 s for the
+    # whole row). At cluster scale this is the persist() every staged
+    # curation pipeline puts between its stages.
+    docbins = docbins.localCheckpoint(eager=True)
     grid = spark.range(nb).select(F.col("id").alias("rb"))
     # the 20-row bin frame feeds five PAV subtrees (cum lo/hi, the
     # i-frame, the base rate) — checkpoint it so the expensive
@@ -5307,6 +5329,10 @@ def curation_pipeline_v4_composed(
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
     )
     deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+    # three consumers below (shingle probes, the anti-join, the
+    # semi-join) — materialize so the md5 window and the keep join run
+    # once, not three times
+    deduped = deduped.localCheckpoint(eager=True)
 
     # -- stage 4: Bloom-prefiltered decontamination --
     j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
@@ -5360,6 +5386,9 @@ def curation_pipeline_v4_composed(
         .select("doc_id")
         .distinct()
     )
+    # two consumers (anti + semi) — the contaminated id set is tiny;
+    # materialize so the shingle-probe subtree runs once
+    contaminated = contaminated.localCheckpoint(eager=True)
     clean = deduped.join(contaminated, "doc_id", "left_anti")
     dropped = (
         deduped.join(contaminated, "doc_id", "left_semi")

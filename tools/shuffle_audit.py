@@ -106,6 +106,12 @@ BOUNDED_BNL = {
     "mmr_lambda_sweep_learned",          # 1-row msim_0 + learned-pick scalars
     "curation_pipeline_v5_composed",     # v4's PAV pair range-join + 1-row base/budget scalars
     "skew_salt_plan_from_histogram",     # 1-row total scalar x per-key counts
+    # round-18 staged cohort (added at r17 open: the mid-build stop left
+    # these four off the whitelist; every BNL is a constant-size frame):
+    "good_turing_frequency_smoothing",   # 1-row total scalar + r+1 left-broadcast
+    "winnowing_fingerprint_dedup_certified",  # 1-row corpus-stat scalars
+    "bpe_apply_frozen_merges_tokenization",  # k 1-row best-merge frames folded
+    "edit2_double_deletion_join_complete",   # 1-row edge/candidate count scalars
 }
 
 
