@@ -119,46 +119,58 @@ def graph_pregel_superstep2(
     ).unionAll(
         cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
+    # 3 consumers (deg, both gathers): checkpoint so the LSH bucket
+    # self-join runs once, and HASH-PARTITION + SORT by v first — both
+    # supersteps gather ON v, so the checkpoint's pinned layout makes
+    # every |E|-grain join exchange- and sort-free on the edge side
+    # (optimization guide §2.4; same pattern as pagerank_dupgraph_3iter).
+    edges = (
+        edges.repartition(F.col("v"))
+        .sortWithinPartitions("v")
+        .localCheckpoint(eager=True)
+    )
     deg = edges.groupBy(F.col("u").alias("doc")).agg(
         F.count(F.lit(1)).alias("degree")
     )
     h1 = (
         edges.join(
-            deg.select(F.col("doc").alias("v"), F.col("degree").alias("dn")),
+            deg.select(
+                F.col("doc").alias("v"), F.col("degree").alias("dn")
+            ).hint("shuffle_hash"),
             "v",
         )
         .groupBy(F.col("u").alias("doc"))
         .agg(F.sum("dn").alias("h1"))
     )
-    return (
+    # guide §8 "decide with small rows": fold the node-grain attributes
+    # (degree, h1) into ONE frame, aggregate the superstep-2 gather to
+    # node grain FIRST, then attach attributes with a node-grain join —
+    # the unfolded form joined the |E|-grain edges three times (u-deg,
+    # u-h1, v-h1). Checkpointed because two consumers (mn side + final
+    # attach) would otherwise each re-derive deg and h1 from edges.
+    nodes = deg.join(h1, "doc").localCheckpoint(eager=True)
+    h2 = (
         edges.join(
-            deg.select(F.col("doc").alias("u"), F.col("degree").alias("d0")),
-            "u",
-        )
-        .join(
-            h1.select(F.col("doc").alias("u"), F.col("h1").alias("m0")),
-            "u",
-        )
-        .join(
-            h1.select(F.col("doc").alias("v"), F.col("h1").alias("mn")),
+            nodes.select(
+                F.col("doc").alias("v"), F.col("h1").alias("mn")
+            ).hint("shuffle_hash"),
             "v",
         )
-        .groupBy(
-            F.col("u").alias("doc_id"),
-            F.col("d0").alias("degree"),
-            F.col("m0").alias("h1"),
-        )
+        .groupBy(F.col("u").alias("doc_id"))
         .agg(
             F.sum("mn").cast("long").alias("h2_sum"),
             F.max("mn").cast("long").alias("h2_max"),
         )
-        .select(
-            "doc_id",
-            F.col("degree").cast("long").alias("degree"),
-            F.col("h1").cast("long").alias("h1"),
-            "h2_sum",
-            "h2_max",
-        )
+    )
+    return h2.join(
+        nodes.withColumnRenamed("doc", "doc_id").hint("shuffle_hash"),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("h1").cast("long").alias("h1"),
+        "h2_sum",
+        "h2_max",
     )
 
 
