@@ -3756,6 +3756,11 @@ def mmr_lambda_sweep_learned(
         .where(F.col("rk") <= nc)
         .drop("rk")
     )
+    # consumed by s1 + every generated round (1 + (k-1)*|lambdas|
+    # consumers): checkpoint so the full-corpus ranking window runs
+    # once, partitioned by source so every round's groupBy(source)
+    # argmax and source-join is exchange-free (guide §2.4, §5)
+    cand = cand.repartition(F.col("source")).localCheckpoint(eager=True)
     a = cand.select(
         "source",
         F.col("doc_id").alias("da"),
@@ -3780,11 +3785,15 @@ def mmr_lambda_sweep_learned(
             ).alias("s"),
         )
     )
+    # the <= nc^2-per-source sim frame is shared by every round of
+    # every lambda — materialize it once (it is co-partitioned by
+    # source already: both join sides come off the pinned checkpoint)
+    sim = sim.localCheckpoint(eager=True)
     KEY = 8589934592
 
-    def argmax(df, score_col, i):
+    def argmax(df, score_col, i, keys=("source",)):
         key = (-score_col) * KEY + F.col("doc_id")
-        return df.groupBy("source").agg(
+        return df.groupBy(*keys).agg(
             F.min_by("doc_id", key).alias(f"d{i}"),
             F.min_by("rel", key).alias(f"r{i}"),
             *(
@@ -3794,74 +3803,98 @@ def mmr_lambda_sweep_learned(
             ),
         )
 
+    # Round 1 is lambda-independent (score = rel). Later rounds sweep
+    # the lambdas DATA-PARALLEL, lam as a COLUMN on a (source, lam)
+    # grain, instead of |lambdas| unrolled copies of the whole greedy
+    # tree: the unrolled form carried 208 Exchange references and
+    # leaned on runtime ReusedExchange to dedupe them; the column form
+    # builds one bounded tree (~4x fewer exchanges) that fuses into a
+    # single job over the two checkpoints. The greedy arithmetic per
+    # (source, lam) group is unchanged — identical integer scores,
+    # identical picks. (Per-pick eager checkpoints were tried and
+    # REJECTED: each |sources|-row barrier costs a serialized ~0.5 s
+    # 32-task job, eating the savings.)
     s1 = argmax(cand, F.col("rel"), 1)
-    readouts = []
-    for w in lams:
-        s = {1: s1}
-        for i in range(2, k + 1):
-            cur = cand
-            for j in range(1, i):
-                cur = cur.join(
-                    s[j].select("source", f"d{j}"), "source"
-                ).where(F.col("doc_id") != F.col(f"d{j}"))
-            for j in range(1, i):
-                cur = cur.join(
-                    sim.select(
-                        "source",
-                        F.col("da").alias("doc_id"),
-                        F.col("db").alias(f"dx{j}"),
-                        F.col("s").alias(f"sv{j}"),
-                    ),
-                    ["source", "doc_id"],
-                    "left",
-                ).where(
-                    F.col(f"dx{j}").isNull()
-                    | (F.col(f"dx{j}") == F.col(f"d{j}"))
-                )
-            msim = (
-                F.greatest(
-                    *[
-                        F.coalesce(f"sv{j}", F.lit(0))
-                        for j in range(1, i)
-                    ]
-                )
-                if i > 2
-                else F.coalesce("sv1", F.lit(0))
-            )
-            sc = cur.select(
-                "source", "doc_id", "rel", msim.alias("msim")
-            )
-            s[i] = argmax(
-                sc, F.col("rel") - w * F.col("msim"), i
-            )
-        joined = s[1]
-        for i in range(2, k + 1):
-            joined = joined.join(s[i], "source")
-        rel_sum = sum(
-            (F.col(f"r{i}") for i in range(2, k + 1)),
-            F.col("r1"),
+    lamdf = spark.range(len(lams)).select(
+        F.element_at(
+            F.array(*[F.lit(int(w)) for w in lams]),
+            (F.col("id") + 1).cast("int"),
         )
-        msim_sum = sum(
-            (F.col(f"m{i}") for i in range(3, k + 1)),
-            F.col("m2"),
-        )
-        readouts.append(
-            joined.agg(
-                F.count(F.lit(1)).cast("long").alias("n_sources"),
-                F.sum(rel_sum).cast("long").alias("sum_rel_micros"),
-                F.sum(msim_sum)
-                .cast("long")
-                .alias("sum_msim_micros"),
-            ).select(
-                F.lit(w).cast("long").alias("lam"),
-                "n_sources",
-                "sum_rel_micros",
-                "sum_msim_micros",
+        .cast("long")
+        .alias("lam")
+    )
+    s = {1: s1.crossJoin(F.broadcast(lamdf))}
+    for i in range(2, k + 1):
+        cur = cand.join(
+            F.broadcast(s[1].select("source", "lam", "d1")),
+            "source",
+        ).where(F.col("doc_id") != F.col("d1"))
+        for j in range(2, i):
+            cur = cur.join(
+                F.broadcast(s[j].select("source", "lam", f"d{j}")),
+                ["source", "lam"],
+            ).where(F.col("doc_id") != F.col(f"d{j}"))
+        for j in range(1, i):
+            cur = cur.join(
+                sim.select(
+                    "source",
+                    F.col("da").alias("doc_id"),
+                    F.col("db").alias(f"dx{j}"),
+                    F.col("s").alias(f"sv{j}"),
+                ),
+                ["source", "doc_id"],
+                "left",
+            ).where(
+                F.col(f"dx{j}").isNull()
+                | (F.col(f"dx{j}") == F.col(f"d{j}"))
             )
+        msim = (
+            F.greatest(
+                *[
+                    F.coalesce(f"sv{j}", F.lit(0))
+                    for j in range(1, i)
+                ]
+            )
+            if i > 2
+            else F.coalesce("sv1", F.lit(0))
         )
-    ro = readouts[0]
-    for r in readouts[1:]:
-        ro = ro.unionByName(r)
+        sc = cur.select(
+            "source", "lam", "doc_id", "rel", msim.alias("msim")
+        )
+        s[i] = argmax(
+            sc,
+            F.col("rel") - F.col("lam") * F.col("msim"),
+            i,
+            keys=("source", "lam"),
+        )
+    joined = s[1]
+    for i in range(2, k + 1):
+        joined = joined.join(s[i], ["source", "lam"])
+    rel_sum = sum(
+        (F.col(f"r{i}") for i in range(2, k + 1)),
+        F.col("r1"),
+    )
+    msim_sum = sum(
+        (F.col(f"m{i}") for i in range(3, k + 1)),
+        F.col("m2"),
+    )
+    # left join back to the lambda grid so a lambda with zero surviving
+    # sources still reads out (n_sources=0, null sums) exactly like the
+    # per-lambda agg-without-groupBy did
+    ro = F.broadcast(lamdf).join(
+        joined.groupBy("lam").agg(
+            F.count(F.lit(1)).cast("long").alias("ns"),
+            F.sum(rel_sum).cast("long").alias("sum_rel_micros"),
+            F.sum(msim_sum).cast("long").alias("sum_msim_micros"),
+        ),
+        "lam",
+        "left",
+    ).select(
+        "lam",
+        F.coalesce("ns", F.lit(0)).cast("long").alias("n_sources"),
+        "sum_rel_micros",
+        "sum_msim_micros",
+    )
     m0 = ro.where(F.col("lam") == 0).select(
         F.col("sum_msim_micros").alias("m")
     )
