@@ -3639,12 +3639,14 @@ def mmr_diversified_top3_exact(
     nc = _MMR_CANDS
     docs = load_table(spark, sf_dir, "documents")
     q = f"({spark_md5_int('text')}) % 1000"
-    cand = (
+    # rank on a NARROW projection (guide §2.3): the window shuffles
+    # (source, doc_id, qv) only; shingles are computed for the
+    # <= nc-per-source survivors after a broadcast join-back
+    ranked = (
         docs.select(
             "source",
             "doc_id",
-            (F.expr(q) * 1000).cast("long").alias("rel"),
-            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+            F.expr(q).alias("qv"),
             F.row_number()
             .over(
                 Window.partitionBy("source").orderBy(
@@ -3654,7 +3656,21 @@ def mmr_diversified_top3_exact(
             .alias("rk"),
         )
         .where(F.col("rk") <= nc)
-        .drop("rk")
+        .select("source", "doc_id", "qv")
+    )
+    # consumed by both sim sides: checkpoint so the ranking runs once,
+    # partitioned by source (guide §2.4, §5)
+    cand = (
+        docs.select("source", "doc_id", "text")
+        .join(F.broadcast(ranked), ["source", "doc_id"])
+        .select(
+            "source",
+            "doc_id",
+            (F.col("qv") * 1000).cast("long").alias("rel"),
+            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+        )
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
     )
     a = cand.select(
         "source",
@@ -3682,117 +3698,95 @@ def mmr_diversified_top3_exact(
             ).alias("s"),
         )
     )
-    KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
-
-    def argmax(df, score_col, out):
-        return df.groupBy("source").agg(
-            F.min_by(
-                "doc_id", (-score_col) * KEY + F.col("doc_id")
-            ).alias(out)
-        )
-
-    s1 = argmax(cand, F.col("rel"), "d1")
-    sc2 = (
-        cand.join(s1, "source")
-        .where(F.col("doc_id") != F.col("d1"))
+    # collapse each candidate's sim partners into a MAP column pinned
+    # on the candidate grain — the greedy rounds read similarities via
+    # element_at() instead of shuffle joins (guide §2.4; same device
+    # as mmr_diversified_topk_weighted)
+    base = (
+        cand.select("source", "doc_id", "rel")
         .join(
-            sim.select(
-                "source",
-                F.col("da").alias("doc_id"),
-                F.col("db").alias("d1x"),
-                F.col("s").alias("s1v"),
+            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("db", "s"))
+                ).alias("pm")
             ),
             ["source", "doc_id"],
             "left",
         )
-        .where(
-            (F.col("d1x").isNull()) | (F.col("d1x") == F.col("d1"))
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
+    )
+    KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
+
+    # min_by captures the winning row's rel/msim payloads alongside
+    # the pick (key unique per doc), so the per-round score frames are
+    # consumed ONCE — the pick re-joins and the final rel join back to
+    # cand are gone (guide §2.4); tiny picks broadcast into exclusions
+    def argmax(df, score_col, i):
+        key = (-score_col) * KEY + F.col("doc_id")
+        return df.groupBy("source").agg(
+            F.min_by("doc_id", key).alias(f"d{i}"),
+            F.min_by("rel", key).alias(f"r{i}"),
+            *(
+                [F.min_by("msim", key).alias(f"m{i}")]
+                if i > 1
+                else []
+            ),
         )
+
+    s1 = argmax(base, F.col("rel"), 1)
+    sc2 = (
+        base.join(F.broadcast(s1.select("source", "d1")), "source")
+        .where(F.col("doc_id") != F.col("d1"))
         .select(
             "source",
             "doc_id",
             "rel",
-            F.coalesce("s1v", F.lit(0)).alias("msim"),
+            "pm",
+            F.coalesce(
+                F.element_at("pm", F.col("d1")), F.lit(0)
+            ).alias("msim"),
         )
     )
-    s2 = argmax(sc2, F.col("rel") - F.col("msim"), "d2")
+    s2 = argmax(sc2, F.col("rel") - F.col("msim"), 2)
     sc3 = (
-        cand.join(s1, "source")
-        .join(s2, "source")
-        .where(
-            (F.col("doc_id") != F.col("d1"))
-            & (F.col("doc_id") != F.col("d2"))
-        )
-        .join(
-            sim.select(
-                "source",
-                F.col("da").alias("doc_id"),
-                F.col("db").alias("dx1"),
-                F.col("s").alias("sv1"),
-            ),
-            ["source", "doc_id"],
-            "left",
-        )
-        .where((F.col("dx1").isNull()) | (F.col("dx1") == F.col("d1")))
-        .join(
-            sim.select(
-                "source",
-                F.col("da").alias("doc_id"),
-                F.col("db").alias("dx2"),
-                F.col("s").alias("sv2"),
-            ),
-            ["source", "doc_id"],
-            "left",
-        )
-        .where((F.col("dx2").isNull()) | (F.col("dx2") == F.col("d2")))
+        sc2.join(F.broadcast(s2.select("source", "d2")), "source")
+        .where(F.col("doc_id") != F.col("d2"))
         .select(
             "source",
             "doc_id",
             "rel",
             F.greatest(
-                F.coalesce("sv1", F.lit(0)),
-                F.coalesce("sv2", F.lit(0)),
+                F.col("msim"),
+                F.coalesce(
+                    F.element_at("pm", F.col("d2")), F.lit(0)
+                ),
             ).alias("msim"),
         )
     )
-    s3 = argmax(sc3, F.col("rel") - F.col("msim"), "d3")
+    s3 = argmax(sc3, F.col("rel") - F.col("msim"), 3)
     p1 = s1.select(
         "source",
         F.lit(1).cast("long").alias("select_rank"),
         F.col("d1").alias("doc_id"),
+        F.col("r1").alias("rel_micros"),
         F.lit(0).cast("long").alias("max_sim_to_prior_micros"),
     )
-    p2 = (
-        sc2.join(s2, "source")
-        .where(F.col("doc_id") == F.col("d2"))
-        .select(
-            "source",
-            F.lit(2).cast("long").alias("select_rank"),
-            "doc_id",
-            F.col("msim").alias("max_sim_to_prior_micros"),
-        )
-    )
-    p3 = (
-        sc3.join(s3, "source")
-        .where(F.col("doc_id") == F.col("d3"))
-        .select(
-            "source",
-            F.lit(3).cast("long").alias("select_rank"),
-            "doc_id",
-            F.col("msim").alias("max_sim_to_prior_micros"),
-        )
-    )
-    picks = p1.unionByName(p2).unionByName(p3)
-    return picks.join(
-        cand.select("source", "doc_id", F.col("rel").alias("rel_micros")),
-        ["source", "doc_id"],
-    ).select(
+    p2 = s2.select(
         "source",
-        "select_rank",
-        "doc_id",
-        "rel_micros",
-        "max_sim_to_prior_micros",
+        F.lit(2).cast("long").alias("select_rank"),
+        F.col("d2").alias("doc_id"),
+        F.col("r2").alias("rel_micros"),
+        F.col("m2").alias("max_sim_to_prior_micros"),
     )
+    p3 = s3.select(
+        "source",
+        F.lit(3).cast("long").alias("select_rank"),
+        F.col("d3").alias("doc_id"),
+        F.col("r3").alias("rel_micros"),
+        F.col("m3").alias("max_sim_to_prior_micros"),
+    )
+    return p1.unionByName(p2).unionByName(p3)
 
 
 # ------------- successive-halving (Hyperband rung) plan --
@@ -4817,12 +4811,16 @@ def mmr_diversified_topk_weighted(
     nc, k, w = _WMMR_CANDS, _WMMR_K, _WMMR_SIM_W
     docs = load_table(spark, sf_dir, "documents")
     q = f"({spark_md5_int('text')}) % 1000"
-    cand = (
+    # rank on a NARROW projection (guide §2.3 project early): the old
+    # form computed the shingle arrays for EVERY corpus doc and pushed
+    # them through the ranking window's sort exchange; now the window
+    # shuffles (source, doc_id, qv) only, and shingles are computed
+    # for the <= nc-per-source survivors after a broadcast join-back.
+    ranked = (
         docs.select(
             "source",
             "doc_id",
-            (F.expr(q) * 1000).cast("long").alias("rel"),
-            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+            F.expr(q).alias("qv"),
             F.row_number()
             .over(
                 Window.partitionBy("source").orderBy(
@@ -4832,7 +4830,22 @@ def mmr_diversified_topk_weighted(
             .alias("rk"),
         )
         .where(F.col("rk") <= nc)
-        .drop("rk")
+        .select("source", "doc_id", "qv")
+    )
+    # consumed by every generated round: checkpoint so the ranking
+    # runs once, partitioned by source so each round's argmax is
+    # exchange-free (guide §2.4, §5)
+    cand = (
+        docs.select("source", "doc_id", "text")
+        .join(F.broadcast(ranked), ["source", "doc_id"])
+        .select(
+            "source",
+            "doc_id",
+            (F.col("qv") * 1000).cast("long").alias("rel"),
+            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+        )
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
     )
     a = cand.select(
         "source",
@@ -4858,83 +4871,93 @@ def mmr_diversified_topk_weighted(
             ).alias("s"),
         )
     )
+    # collapse each candidate's <= nc-1 sim partners into a MAP column
+    # and pin it on the candidate grain: every greedy round then reads
+    # its similarity with element_at() instead of a shuffle join — the
+    # rounds carry ZERO shuffle joins (the unrolled form ran k(k-1)/2
+    # sim joins, each 2 exchanges + 2 sorts of 32-task stages; that
+    # serialized stage latency dominated the runtime, guide §2.4)
+    base = (
+        cand.select("source", "doc_id", "rel")
+        .join(
+            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("db", "s"))
+                ).alias("pm")
+            ),
+            ["source", "doc_id"],
+            "left",
+        )
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
+    )
     KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
 
-    def argmax(df, score_col, out):
+    # the argmax captures the picked row's rel and msim PAYLOADS with
+    # the same composite min_by key (unique per doc, so it selects
+    # exactly the winning row's values) — the re-join of each round's
+    # score frame against its own argmax, and the final rel join back
+    # to cand, are gone: half the unrolled tree (guide §2.4). The tiny
+    # |sources|-row picks broadcast into the exclusion joins.
+    def argmax(df, score_col, i):
+        key = (-score_col) * KEY + F.col("doc_id")
         return df.groupBy("source").agg(
-            F.min_by(
-                "doc_id", (-score_col) * KEY + F.col("doc_id")
-            ).alias(out)
+            F.min_by("doc_id", key).alias(f"d{i}"),
+            F.min_by("rel", key).alias(f"r{i}"),
+            *(
+                [F.min_by("msim", key).alias(f"m{i}")]
+                if i > 1
+                else []
+            ),
         )
 
-    s = {1: argmax(cand, F.col("rel"), "d1")}
-    sc = {}
+    # incremental MMR state: after processing pick j, `cur` holds the
+    # still-unpicked candidates with msim = max similarity to the j
+    # picks so far — element_at(pm, d_j) is exactly the old left-join-
+    # and-filter slice (the partner row if present, else null -> 0),
+    # and greatest() over nonnegative micros accumulates identically
+    # to the one-shot greatest of all slices.
+    cur = base.withColumn("msim", F.lit(0).cast("long"))
+    s = {1: argmax(cur, F.col("rel"), 1)}
     for i in range(2, k + 1):
-        cur = cand
-        for j in range(1, i):
-            cur = cur.join(s[j], "source").where(
-                F.col("doc_id") != F.col(f"d{j}")
+        j = i - 1
+        cur = (
+            cur.join(
+                F.broadcast(s[j].select("source", f"d{j}")), "source"
             )
-        for j in range(1, i):
-            cur = cur.join(
-                sim.select(
-                    "source",
-                    F.col("da").alias("doc_id"),
-                    F.col("db").alias(f"dx{j}"),
-                    F.col("s").alias(f"sv{j}"),
-                ),
-                ["source", "doc_id"],
-                "left",
-            ).where(
-                F.col(f"dx{j}").isNull()
-                | (F.col(f"dx{j}") == F.col(f"d{j}"))
+            .where(F.col("doc_id") != F.col(f"d{j}"))
+            .select(
+                "source",
+                "doc_id",
+                "rel",
+                "pm",
+                F.greatest(
+                    F.col("msim"),
+                    F.coalesce(
+                        F.element_at("pm", F.col(f"d{j}")), F.lit(0)
+                    ),
+                ).alias("msim"),
             )
-        msim = (
-            F.greatest(
-                *[
-                    F.coalesce(f"sv{j}", F.lit(0))
-                    for j in range(1, i)
-                ]
-            )
-            if i > 2
-            else F.coalesce("sv1", F.lit(0))
         )
-        sc[i] = cur.select(
-            "source", "doc_id", "rel", msim.alias("msim")
-        )
-        s[i] = argmax(
-            sc[i], F.col("rel") - w * F.col("msim"), f"d{i}"
-        )
+        s[i] = argmax(cur, F.col("rel") - w * F.col("msim"), i)
     picks = s[1].select(
         "source",
         F.lit(1).cast("long").alias("select_rank"),
         F.col("d1").alias("doc_id"),
+        F.col("r1").alias("rel_micros"),
         F.lit(0).cast("long").alias("max_sim_to_prior_micros"),
     )
     for i in range(2, k + 1):
         picks = picks.unionByName(
-            sc[i]
-            .join(s[i], "source")
-            .where(F.col("doc_id") == F.col(f"d{i}"))
-            .select(
+            s[i].select(
                 "source",
                 F.lit(i).cast("long").alias("select_rank"),
-                "doc_id",
-                F.col("msim").alias("max_sim_to_prior_micros"),
+                F.col(f"d{i}").alias("doc_id"),
+                F.col(f"r{i}").alias("rel_micros"),
+                F.col(f"m{i}").alias("max_sim_to_prior_micros"),
             )
         )
-    return picks.join(
-        cand.select(
-            "source", "doc_id", F.col("rel").alias("rel_micros")
-        ),
-        ["source", "doc_id"],
-    ).select(
-        "source",
-        "select_rank",
-        "doc_id",
-        "rel_micros",
-        "max_sim_to_prior_micros",
-    )
+    return picks
 
 
 # ------- composed curation pipeline v4 (PAV-calibrated keep) --

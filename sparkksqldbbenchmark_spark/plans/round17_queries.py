@@ -3737,14 +3737,14 @@ def mmr_lambda_sweep_learned(
     nc, k, lams = _MLS_CANDS, _MLS_K, _MLS_LAMBDAS
     docs = load_table(spark, sf_dir, "documents")
     q = f"({spark_md5_int('text')}) % 1000"
-    cand = (
+    # rank on a NARROW projection (guide §2.3): the window shuffles
+    # (source, doc_id, qv) only; shingles are computed for the
+    # <= nc-per-source survivors after a broadcast join-back
+    ranked = (
         docs.select(
             "source",
             "doc_id",
-            (F.expr(q) * 1000).cast("long").alias("rel"),
-            F.expr(spark_word_shingles("text", 3)).alias(
-                "shingles"
-            ),
+            F.expr(q).alias("qv"),
             F.row_number()
             .over(
                 Window.partitionBy("source").orderBy(
@@ -3754,13 +3754,23 @@ def mmr_lambda_sweep_learned(
             .alias("rk"),
         )
         .where(F.col("rk") <= nc)
-        .drop("rk")
+        .select("source", "doc_id", "qv")
     )
-    # consumed by s1 + every generated round (1 + (k-1)*|lambdas|
-    # consumers): checkpoint so the full-corpus ranking window runs
-    # once, partitioned by source so every round's groupBy(source)
-    # argmax and source-join is exchange-free (guide §2.4, §5)
-    cand = cand.repartition(F.col("source")).localCheckpoint(eager=True)
+    # consumed by both sim sides: checkpoint so the ranking runs once,
+    # partitioned by source so every round's groupBy(source) argmax
+    # and source-join is exchange-free (guide §2.4, §5)
+    cand = (
+        docs.select("source", "doc_id", "text")
+        .join(F.broadcast(ranked), ["source", "doc_id"])
+        .select(
+            "source",
+            "doc_id",
+            (F.col("qv") * 1000).cast("long").alias("rel"),
+            F.expr(spark_word_shingles("text", 3)).alias("shingles"),
+        )
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
+    )
     a = cand.select(
         "source",
         F.col("doc_id").alias("da"),
@@ -3785,10 +3795,24 @@ def mmr_lambda_sweep_learned(
             ).alias("s"),
         )
     )
-    # the <= nc^2-per-source sim frame is shared by every round of
-    # every lambda — materialize it once (it is co-partitioned by
-    # source already: both join sides come off the pinned checkpoint)
-    sim = sim.localCheckpoint(eager=True)
+    # collapse each candidate's sim partners into a MAP column pinned
+    # on the candidate grain — every round of every lambda reads its
+    # similarity via element_at() instead of a shuffle join (guide
+    # §2.4; same device as mmr_diversified_topk_weighted)
+    base = (
+        cand.select("source", "doc_id", "rel")
+        .join(
+            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("db", "s"))
+                ).alias("pm")
+            ),
+            ["source", "doc_id"],
+            "left",
+        )
+        .repartition(F.col("source"))
+        .localCheckpoint(eager=True)
+    )
     KEY = 8589934592
 
     def argmax(df, score_col, i, keys=("source",)):
@@ -3814,7 +3838,7 @@ def mmr_lambda_sweep_learned(
     # identical picks. (Per-pick eager checkpoints were tried and
     # REJECTED: each |sources|-row barrier costs a serialized ~0.5 s
     # 32-task job, eating the savings.)
-    s1 = argmax(cand, F.col("rel"), 1)
+    s1 = argmax(base, F.col("rel"), 1)
     lamdf = spark.range(len(lams)).select(
         F.element_at(
             F.array(*[F.lit(int(w)) for w in lams]),
@@ -3824,45 +3848,38 @@ def mmr_lambda_sweep_learned(
         .alias("lam")
     )
     s = {1: s1.crossJoin(F.broadcast(lamdf))}
+    # incremental sweep state: after processing pick j, `cur` holds
+    # the still-unpicked candidates per (source, lam) with msim = max
+    # similarity to the picks so far — element_at(pm, d_j) is exactly
+    # the old left-join-and-filter sim slice, and greatest() over
+    # nonnegative micros accumulates identically
+    cur = base.crossJoin(F.broadcast(lamdf)).withColumn(
+        "msim", F.lit(0).cast("long")
+    )
     for i in range(2, k + 1):
-        cur = cand.join(
-            F.broadcast(s[1].select("source", "lam", "d1")),
-            "source",
-        ).where(F.col("doc_id") != F.col("d1"))
-        for j in range(2, i):
-            cur = cur.join(
+        j = i - 1
+        cur = (
+            cur.join(
                 F.broadcast(s[j].select("source", "lam", f"d{j}")),
                 ["source", "lam"],
-            ).where(F.col("doc_id") != F.col(f"d{j}"))
-        for j in range(1, i):
-            cur = cur.join(
-                sim.select(
-                    "source",
-                    F.col("da").alias("doc_id"),
-                    F.col("db").alias(f"dx{j}"),
-                    F.col("s").alias(f"sv{j}"),
-                ),
-                ["source", "doc_id"],
-                "left",
-            ).where(
-                F.col(f"dx{j}").isNull()
-                | (F.col(f"dx{j}") == F.col(f"d{j}"))
             )
-        msim = (
-            F.greatest(
-                *[
-                    F.coalesce(f"sv{j}", F.lit(0))
-                    for j in range(1, i)
-                ]
+            .where(F.col("doc_id") != F.col(f"d{j}"))
+            .select(
+                "source",
+                "lam",
+                "doc_id",
+                "rel",
+                "pm",
+                F.greatest(
+                    F.col("msim"),
+                    F.coalesce(
+                        F.element_at("pm", F.col(f"d{j}")), F.lit(0)
+                    ),
+                ).alias("msim"),
             )
-            if i > 2
-            else F.coalesce("sv1", F.lit(0))
-        )
-        sc = cur.select(
-            "source", "lam", "doc_id", "rel", msim.alias("msim")
         )
         s[i] = argmax(
-            sc,
+            cur,
             F.col("rel") - F.col("lam") * F.col("msim"),
             i,
             keys=("source", "lam"),

@@ -367,8 +367,12 @@ def test_curation_v4_keep_stage_is_bounded_broadcast(spark):
 
 def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
     """The loop-generated k=4 rounds must rank only the bounded
-    top-8-per-source candidate slice: exactly ONE ranking window over
-    the corpus (the slice), everything pairwise afterwards."""
+    top-8-per-source candidate slice: the corpus ranking window and
+    the sim self-join now run ONCE inside the eager checkpoint that
+    builds the candidate `base` (r17 optimization), so the final plan
+    must consume only checkpointed RDD scans — no corpus re-scan, no
+    window, no cartesian — and the greedy rounds must read partner
+    sims via the map column (element_at), not shuffle joins."""
     import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
     from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
@@ -378,8 +382,15 @@ def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
         .executedPlan()
         .toString()
     )
-    # the slice filter appears before the sim self-join
-    assert "rk" in plan and "row_number" in plan
+    # everything upstream (ranking window, shingles, sim self-join)
+    # is materialized behind the checkpoint: the final plan holds no
+    # corpus scan or ranking window at all
+    assert "Scan ExistingRDD" in plan
+    assert "row_number" not in plan
+    assert "FileScan" not in plan
+    # rounds read sims from the map column, never a shuffle join
+    assert "element_at" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
