@@ -4183,6 +4183,10 @@ def curation_pipeline_v5_composed(
     eval_sh = eval_docs.select(
         F.explode(shexpr).alias("esh")
     ).distinct()
+    # two consumers (Bloom build + exact-verify join) — materialize so
+    # the eval-split shingle explode+distinct runs once (the same four
+    # stage barriers as the measured v4 sibling, guide §5)
+    eval_sh = eval_sh.localCheckpoint(eager=True)
 
     # -- stage 1: dup-sentence quality stats (scan-side fold) --
     toks = pool.select(
@@ -4232,6 +4236,11 @@ def curation_pipeline_v5_composed(
         ).alias("rb"),
         "y",
     )
+    # materialize the doc grain ONCE (guide §5: reused AND expensive):
+    # the interpreted sentence fold above is the most expensive per-row
+    # expression in the pipeline, and docbins feeds both the bin frame
+    # and the keep join
+    docbins = docbins.localCheckpoint(eager=True)
     grid = spark.range(nb).select(F.col("id").alias("rb"))
     # checkpoint the 20-row bin frame: five PAV subtrees read it and
     # the sentence-fold lineage above it must compute ONCE
@@ -4325,6 +4334,10 @@ def curation_pipeline_v5_composed(
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
     )
     deduped = canon.where(F.col("doc_id") == F.col("canonical_id"))
+    # three consumers below (shingle probes, the anti-join, the
+    # semi-join) — materialize so the md5 window and the keep join run
+    # once, not three times
+    deduped = deduped.localCheckpoint(eager=True)
 
     # -- stage 4: Bloom-prefiltered decontamination --
     j = F.explode(F.sequence(F.lit(0), F.lit(kbits - 1))).alias("j")
@@ -4380,6 +4393,9 @@ def curation_pipeline_v5_composed(
         .select("doc_id")
         .distinct()
     )
+    # two consumers (anti + semi) — the contaminated id set is tiny;
+    # materialize so the shingle-probe subtree runs once
+    contaminated = contaminated.localCheckpoint(eager=True)
     clean = deduped.join(contaminated, "doc_id", "left_anti")
     dropped = (
         deduped.join(contaminated, "doc_id", "left_semi")

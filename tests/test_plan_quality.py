@@ -410,7 +410,11 @@ def test_curation_v5_density_stage_is_one_global_window(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    # the keep/dedup/Bloom stages are materialized behind eager
+    # checkpoints (r17 optimization): the final plan consumes
+    # checkpointed RDD scans, so no corpus FileScan remains
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
     # BroadcastNestedLoopJoin only for the 1-row scalar frames
     # (budget/base): every one must be a build-side broadcast
     for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
