@@ -1257,30 +1257,70 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel r6 — this adds the segmentation grid; the leveled rank is
     the global_row_index_two_level machinery applied three ways)."""
     orders = load_table(spark, sf_dir, "orders")
-    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
-    base = (
-        orders.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("f_cnt"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100).cast("long")
-            ).alias("m_cents"),
-        )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            "ck",
-            F.datediff(F.col("__maxd"), F.col("last_order")).alias(
-                "r_days"
-            ),
-            "f_cnt",
-            "m_cents",
-        )
+    base = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("m_cents"),
     )
-    base = _leveled_rank(base, "r_days", "ck", F.col("r_days"), "r_rk")
-    base = _leveled_rank(base, "f_cnt", "ck", F.col("f_cnt"), "f_rk")
-    base = _leveled_rank(
-        base, "m_cents", "ck", F.expr("m_cents DIV 1048576"), "m_rk"
+    # ONE two-level rank pass for all three metrics on an exploded
+    # (ck, metric, lvl, val) grain instead of three chained
+    # _leveled_rank calls (guide §2.3/§2.4): the chain ran a bucket
+    # histogram + carry + per-bucket window PER metric — 3x the
+    # exchanges and serialized stage depth; here one histogram, one
+    # carry window (partitioned by metric) and one per-(metric,
+    # bucket) row_number rank everything, then a customer-grain pivot
+    # restores the wide frame. Ranking recency by -days(last_order) is
+    # order-identical to r_days = maxd - last_order (constant shift),
+    # which also deletes the separate max-date scan and broadcast.
+    neg_days = (
+        -F.datediff(F.col("last_order"), F.lit("1970-01-01"))
+    ).cast("long")
+    m3 = base.select(
+        "ck",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("mt"),
+                    neg_days.alias("lvl"),
+                    neg_days.alias("val"),
+                ),
+                F.struct(
+                    F.lit("f").alias("mt"),
+                    F.col("f_cnt").cast("long").alias("lvl"),
+                    F.col("f_cnt").cast("long").alias("val"),
+                ),
+                F.struct(
+                    F.lit("m").alias("mt"),
+                    F.expr("m_cents DIV 1048576")
+                    .cast("long")
+                    .alias("lvl"),
+                    F.col("m_cents").cast("long").alias("val"),
+                ),
+            )
+        ).alias("e"),
+    ).select("ck", "e.mt", "e.lvl", "e.val")
+    hist = m3.groupBy("mt", "lvl").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wb = Window.partitionBy("mt").orderBy("lvl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = hist.select(
+        "mt",
+        "lvl",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__carry"),
+    )
+    wi = Window.partitionBy("mt", "lvl").orderBy("val", "ck")
+    ranked = m3.join(F.broadcast(carry), ["mt", "lvl"]).withColumn(
+        "rk",
+        (F.col("__carry") + F.row_number().over(wi)).cast("long"),
+    )
+    base = ranked.groupBy("ck").agg(
+        F.max(F.when(F.col("mt") == "r", F.col("rk"))).alias("r_rk"),
+        F.max(F.when(F.col("mt") == "f", F.col("rk"))).alias("f_rk"),
+        F.max(F.when(F.col("mt") == "m", F.col("rk"))).alias("m_rk"),
     )
     n = base.agg(F.count(F.lit(1)).alias("__n"))
     return (

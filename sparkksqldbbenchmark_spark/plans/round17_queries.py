@@ -3334,14 +3334,20 @@ def _bpe_chain(spark: SparkSession, sf_dir: str, steps: int):
             & (F.col("sym") == F.col("ml"))
             & (F.col("nxt") == F.col("mr")),
         )
+        # run grouping stays on the WORD partitioning (guide §2.4):
+        # the old (word, mt) row_number + (word, grp) min windows each
+        # re-exchanged the corpus grain per superstep; since every pos
+        # 1..len is present as a row, a maximal match-run starts
+        # exactly where mt flips on, so the run start is the last
+        # boundary position carried forward — two more passes over the
+        # SAME word-ordered partition, zero new exchanges. Identical
+        # parity: pos - run_start == pos - min(pos) of the run.
         g = m.withColumn(
-            "grp",
+            "bnd",
             F.when(
-                F.col("mt"),
-                F.col("pos")
-                - F.row_number().over(
-                    Window.partitionBy("word", "mt").orderBy("pos")
-                ),
+                F.col("mt")
+                & ~F.coalesce(F.lag("mt").over(wn), F.lit(False)),
+                F.col("pos"),
             ),
         )
         e = g.withColumn(
@@ -3350,8 +3356,8 @@ def _bpe_chain(spark: SparkSession, sf_dir: str, steps: int):
             & (
                 (
                     F.col("pos")
-                    - F.min("pos").over(
-                        Window.partitionBy("word", "grp")
+                    - F.last("bnd", ignorenulls=True).over(
+                        wn.rowsBetween(Window.unboundedPreceding, 0)
                     )
                 )
                 % 2
