@@ -2130,9 +2130,24 @@ def join_cardinality_skew_twin(
         .cast("long")
         .alias("predicted")
     )
-    act = ok.join(
-        ck.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")
-    ).agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    # actual = Σ_k n_o(k)·n_c(k) at KEY grain — the identical integer
+    # the row-grain join count produces (each key contributes exactly
+    # n_o·n_c pairs), without materializing the planted hot key's
+    # n_o·n_c row blow-up in a single task (guide §3.4: never explode
+    # a join you only aggregate). The graded failure is the
+    # ESTIMATOR's, not the grader's.
+    act = (
+        ok.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("a_o"))
+        .join(
+            ck.groupBy("k").agg(F.count(F.lit(1)).alias("a_c")), "k"
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("a_o") * F.col("a_c")), F.lit(0))
+            .cast("long")
+            .alias("actual")
+        )
+    )
     return est.crossJoin(F.broadcast(act)).select(
         "predicted",
         "actual",
@@ -4239,9 +4254,14 @@ def join_cardinality_mg_sidecar_estimate(
         .cast("long")
         .alias("rest_predicted")
     )
-    act = ok.join(
-        ck.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")
-    ).agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    # actual = Σ_k n_o(k)·n_c(k) at KEY grain from the per-key counts
+    # already aggregated above — identical integer, no hot-key row
+    # blow-up (guide §3.4; same device as the skew twin)
+    act = co.join(cc, "k").agg(
+        F.coalesce(F.sum(F.col("n_o") * F.col("n_c")), F.lit(0))
+        .cast("long")
+        .alias("actual")
+    )
     return (
         hot_mass.crossJoin(F.broadcast(rest))
         .crossJoin(F.broadcast(act))
