@@ -136,8 +136,8 @@ TAIL_SOURCE_SHA256 = {
     "streaming_rocksdb_state_store": "034144b248a022e4",
     "temporal_split_straddle_audit": "6f6c5224aecd05ff",
     "psi_drift_bins_exact": "42b6cc5f1f84a502",
-    "graph_pregel_superstep2": "826225853732bc4b",
-    "curation_pipeline_v3_composed": "86a0213b9626542f",
+    "graph_pregel_superstep2": "cf1fe21a8fd04905",
+    "curation_pipeline_v3_composed": "06ad4213180ab698",
     "pav_isotonic_calibration_binned": "d479055002c7f14c",
     "kendall_tau_topk_exact": "e517fc62c4feba83",
     "shapley_attribution_exact": "216bb90d1da23778",
@@ -149,7 +149,7 @@ TAIL_SOURCE_SHA256 = {
     "rolling_origin_backtest_folds": "6a7776269b34e509",
     "dpo_margin_pair_mining": "61e0152420682369",
     "streaming_union_multiple_watermarks": "80f4a1535a21c805",
-    "join_cardinality_skew_twin": "c9180697c8db0697",
+    "join_cardinality_skew_twin": "df524fe7fb0adc94",
     "reciprocal_rank_fusion_exact": "b3069121017afe68",
     "cdc_chunk_dedup_mass": "9db3dd77dc50310d",
     "shapley_sampled_permutations_certified": "e2aba38576ab7f3e",
@@ -159,15 +159,15 @@ TAIL_SOURCE_SHA256 = {
     "padding_waste_sorted_vs_fifo": "ac9ec75485544633",
     "conformal_interval_coverage_exact": "e5103633c3f721e7",
     "pinball_loss_exact": "97ceeb71fef0313d",
-    "mmr_diversified_top3_exact": "18f746a385a44862",
+    "mmr_diversified_top3_exact": "8781e4aac35ccb2b",
     "successive_halving_plan": "3f86798bc395f9c1",
     "l_diversity_risk_audit": "1d2a7972ab7235c6",
-    "join_cardinality_mg_sidecar_estimate": "416bb0727811fea3",
+    "join_cardinality_mg_sidecar_estimate": "5ba22ab18a62d6d6",
     "early_stopping_patience_plan": "10ae16ab13c68902",
     "dow_seasonal_median_residuals": "9b7c5e89edbcebc2",
     "brier_reliability_bins_exact": "2038d1d4df4c6480",
-    "mmr_diversified_topk_weighted": "932e55dea874c227",
-    "curation_pipeline_v4_composed": "dcc5fb994b8f3733",
+    "mmr_diversified_topk_weighted": "a47cd4a747040ad9",
+    "curation_pipeline_v4_composed": "6950faadebadd4b1",
     "streaming_watermark_late_drop": "b0179450a79af04e",
     "streaming_outer_join_null_emission": "3a7c27656683f84b",
     "streaming_dedup_within_watermark_reemit": "53de4bc4ee463ad7",
@@ -176,7 +176,7 @@ TAIL_SOURCE_SHA256 = {
     "delta_sign_runlength_stats": "6e440ddfa86f451a",
     "stratified_kfold_assignment": "a65e02a8e12f7b4a",
     "farthest_point_init_quantized": "885ffc1dc24aab81",
-    "attribution_last_touch_windowed": "a11c422c7d39e6d7",
+    "attribution_last_touch_windowed": "6792e25e9b7881e5",
     "null_scalar_breadth_suite": "f98a92ed51cd1759",
     "csv_escape_quote_matrix": "4534102345ccecb7",
     "monthly_revenue_mom_yoy": "d79d41f2b0364cf0",
@@ -189,17 +189,17 @@ TAIL_SOURCE_SHA256 = {
     "order_to_ship_leadtime_histogram": "bb36b11eb4d9e01d",
     "token_tv_distance_matrix": "1f4529c9d115159f",
     "chi2_independence_contingency": "c69c92d3e7150d5f",
-    "local_clustering_coefficient": "13d5df6ca2a231d5",
+    "local_clustering_coefficient": "e74be484a8de2230",
     "kmv_sketch_union_merge_certified": "ab16e4ab8875c04b",
     "skyline_pareto_frontier": "1d6dc75a70f81339",
     "streaming_full_outer_join_both_nulls": "da2efb54f4493586",
     "gopher_repetition_rules": "37cbcfe19a5f1699",
     "cohens_kappa_exact": "c9efd76ba57cc6b4",
     "waterfill_budget_allocation": "ee77677cbc9f3df8",
-    "graph_2hop_degree_sum": "07b9437270443cd6",
+    "graph_2hop_degree_sum": "b693f5f145904b2e",
     "data_retention_expiry_plan": "725f90cb9a493429",
     "decontam_bloom_prefilter_certified": "3349f499b50c885c",
-    "bbit_minwise_estimate_on_candidates": "c7e493ea4ca62bd3",
+    "bbit_minwise_estimate_on_candidates": "60c012b0f53fa1be",
     "audio_decimate_boxcar": "55914bbd740d8010",
     "jl_projection_distance_certified": "5e2f6856bdf836b8",
     "sft_loss_mask_plan": "aecc4f896998bf74",
@@ -223,7 +223,7 @@ TAIL_SOURCE_SHA256 = {
     "max_drawdown_summary": "14fe9fe8f142676c",
     "stickiness_dau_mau": "2487be0d73708295",
     "event_path_trigrams": "c0aeb17565709d06",
-    "rfm_segment_counts": "ddcfea38e597c9c1",
+    "rfm_segment_counts": "22f074f923949903",
     "equi_depth_partition_bounds": "9b0cf1da0f3732a2",
     "cohort_ltv_accumulation": "88a005233ecb4f67",
     "reservoir_bottomk_certified": "540fba811337fe0f",
@@ -231,11 +231,11 @@ TAIL_SOURCE_SHA256 = {
     "auc_rank_sum_exact": "4b3898891e0b990d",
     "pairwise_energy_sufficient_stats": "893b7c2a85dffc2e",
     "knn_loo_label_accuracy": "7a6d1a5c736b7a73",
-    "lsh_band_sensitivity_audit": "7155a4597848daec",
+    "lsh_band_sensitivity_audit": "d8115245b6caa5da",
     "suffix_lcp_repeat_stats": "27d3c7e18e2dd736",
-    "cc_hash_to_min_pointer_jump": "de7658bdb6fff81b",
+    "cc_hash_to_min_pointer_jump": "24791a65a7a93b6f",
     "ivf_cell_balance_audit": "f7718b205e8bc715",
-    "scd2_temporal_lookup_join": "7b9bc7f427c4dbce",
+    "scd2_temporal_lookup_join": "370e16e2a9dcac68",
     "array_sort_comparator_suite": "93d7ebc82f75efcc",
     "grouping_id_bitmask_report": "e8ae5c9f2e812422",
     "subject_access_export": "56f1c62a7b853074",
@@ -265,7 +265,7 @@ TAIL_SOURCE_SHA256 = {
     "oov_rate_by_source": "3aca6c40517ecad2",
     "mixture_epoch_repeat_planner": "ca1d8987e84e927e",
     "quality_threshold_sweep_confusion": "6440dd099d1e5ae8",
-    "feature_store_pit_join": "e5908dc258a62d44",
+    "feature_store_pit_join": "932a8ce8a1b9aedf",
     "token_pmi_top_pairs": "be27e44bfb226b62",
     "chi_square_uniformity_by_type": "44c2d7edd3ab5a95",
     "ivm_aggregate_delta_merge": "9c113d9d0561a8cc",
@@ -285,9 +285,9 @@ TAIL_SOURCE_SHA256 = {
     "rolling_24h_sliding_distinct": "604774e8076065a5",
     "embedding_norm_hof_vs_explode": "99378a6c5cb4a22d",
     "in_session_conversion_rate": "e34f81fb2971cdc2",
-    "labelprop_communities_2iter": "1c163fc5b20cd298",
+    "labelprop_communities_2iter": "cefa679902907889",
     "blocklist_term_scan": "2a57a89ecbdd8ddb",
-    "split_leakage_near_dup_audit": "1ba119d103e185f5",
+    "split_leakage_near_dup_audit": "d5afeaf33aedefaf",
     "hof_suite2": "e12d27e30a9c333b",
     "struct_field_mutation_suite": "fed2adf63c390e80",
     "named_window_clause_sql": "ddf7d96ea2d63853",
@@ -306,15 +306,15 @@ TAIL_SOURCE_SHA256 = {
     "hidden_file_metadata_scan": "cca0495a50b8f620",
     "udtf_table_arg_partition_by": "c736274d6b6af7f8",
     "session_window_dynamic_gap": "cf6913403a3b2468",
-    "pca_power_iteration_1d": "9631c106d6901db7",
+    "pca_power_iteration_1d": "3a3ddf0d1f0f58f8",
     "running_distinct_users": "da916cdae660ef9f",
     "struct_equality_join": "0c7a100576f186a7",
-    "semdedup_quantized_prune": "b35a8f9b98721603",
+    "semdedup_quantized_prune": "0e080158c9280831",
     "asof_nearest_join": "410f2c5981c27fdf",
     "mad_robust_outliers": "5889abcdb9741330",
-    "dupgraph_triangle_count": "9340012ec239c92f",
+    "dupgraph_triangle_count": "9b58a5c80de300e4",
     "vocab_dyadic_rank_mass": "161980b73fa49f76",
-    "kcore_dupgraph_3peel": "f5db156cb9352bcd",
+    "kcore_dupgraph_3peel": "1389d2635ed9d37d",
     "binaryfile_source_scan": "8fa11e2520f9a3ff",
     "csv_quoted_multiline_roundtrip": "aeb86a3b9b2b9b8d",
     "span_corruption_mask_plan": "792e368cf262a5cd",
@@ -326,7 +326,7 @@ TAIL_SOURCE_SHA256 = {
     "clustered_write_sorted_runs": "eb878b3f195d4100",
     "dedup_survivorship_merge": "67e2c4ea9734be6e",
     "video_mjpeg_frame_extract": "ce3710328575464c",
-    "exact_substring_spans": "b8831704a444d9ba",
+    "exact_substring_spans": "73a06e2f026626fd",
     "ngram_lm_familiarity": "7caaaa606abf973f",
     "state_store_reader_audit": "2b119cbdd85dce7b",
     "python_datasource_stream_sink_roundtrip": "2d1c3944b8a118fb",
@@ -357,12 +357,12 @@ TAIL_SOURCE_SHA256 = {
     "rolling_median_smooth": "1dd8a0e47fadc229",
     "grouped_gk_quantiles_certified": "8fdcbd8a5191e763",
     "quantile_normalization_cross_source": "6f93fff355b05122",
-    "minhash_estimate_error_certified": "56468ae9efd18520",
+    "minhash_estimate_error_certified": "77743c367dcea1c5",
     "decontam_max_span": "590a3965c4d8ce82",
     "pack_composition_audit": "f7fcf3e53938e989",
     "collision_probability_suite": "2203d90b0f945973",
     "fano_burstiness_by_type": "5734d3f242900abe",
-    "pagerank_dupgraph_3iter": "14fac02dbd41385e",
+    "pagerank_dupgraph_3iter": "fc7ed8dc5f706f86",
     "hll_union_reaggregate": "4a0e9ccc0fd43d1e",
     "series_shape_signature_buckets": "f37875b41dda93f4",
     "python_datasource_sink_append_audit": "8771f8dc3ec92ec8",
@@ -418,13 +418,13 @@ TAIL_SOURCE_SHA256 = {
     "ema_dyadic_decay": "3a1b8789df3ed109",
     "mixture_quota_largest_remainder": "4d0fa720ac926d61",
     "ann_mrr_certified": "9e759722965f51d0",
-    "dup_graph_degree_stats": "a446c8f75ef9aa53",
-    "asof_tolerance_join": "64f30a791cecf6e5",
+    "dup_graph_degree_stats": "18c1dca9a8b88710",
+    "asof_tolerance_join": "4f95708d318963ca",
     "robust_zscore_applyinpandas": "da035965dc00e987",
     "time_weighted_avg": "4fb72d4a3d754ae7",
     "decimal_arithmetic_suite": "f080906e716a37e1",
     "hint_join_strategies": "b50d25ec8d7681e3",
-    "hourly_series_pivot_fold": "e1795bfcdd77c6a6",
+    "hourly_series_pivot_fold": "6012df79024716e8",
     "udtf_chunk_documents": "260467e8f52fb23e",
     "xml_roundtrip_suite": "037466bf9e4254cd",
     "approx_topk_certified": "80830a00a00556e6",
@@ -449,8 +449,8 @@ TAIL_SOURCE_SHA256 = {
     "ansi_percentile_suite": "fe58238491e6433f",
     "ivf_recall_certified": "1cf3ca2a92948345",
     "pq_quantization_error": "86c7d59205f6d1c7",
-    "dedup_incremental_vs_corpus": "a2e104a2e9b1aab0",
-    "dedup_containment": "fe57c94a954c0384",
+    "dedup_incremental_vs_corpus": "e3104ec19c86ea35",
+    "dedup_containment": "fa7e120d3fa728cd",
     "dedup_cross_source_matrix": "c39e91736f004d47",
     "dedup_keep_best": "ee97ad570131032f",
     "domain_mixture_resample": "599681a9f19dc80a",
@@ -484,10 +484,10 @@ TAIL_SOURCE_SHA256 = {
     "cdc_snapshot_apply": "bbcd3d0d9c1385c9",
     "weather_window_agg_sql": "10e3d40e4c64ae71",
     "ksql_windowed_table": "64684741c0b2fe4e",
-    "dedup_exact": "09a09b18864441e0",
-    "dedup_simhash": "4cfa97525bd1b860",
-    "dedup_clusters": "6a3d68f7f765a34a",
-    "dedup_ngram_jaccard": "626fdf3ec0b8ce7c",
+    "dedup_exact": "518fedb46b8b0c06",
+    "dedup_simhash": "ceff2a8c1380a758",
+    "dedup_clusters": "4de12d563d451e5b",
+    "dedup_ngram_jaccard": "34b8781eabf22780",
     "tpch_q18_large_orders": "7f44c9dbd30c0cdf",
     "tpch_q19_disjunctive_predicates": "d2fc0f582dfcdd52",
     "tpch_q13_customer_distribution": "34db0404576d76bc",
@@ -520,7 +520,7 @@ TAIL_SOURCE_SHA256 = {
     "session_window_agg": "958aeb73f54fc5bc",
     "latency_percentiles": "d1aad1de2b6302ed",
     "value_counts": "77901eddede1bfe4",
-    "station_enrichment_join": "71710f1cc5925ea5",
+    "station_enrichment_join": "e6ed55ba88830f74",
     "group_by_sum_consumption": "884571c07dcfb90c",
     "validity_filter": "058154a455290ee4",
     "numeric_projection_summary": "e7ca50f8469d3141",
@@ -534,11 +534,11 @@ TAIL_SOURCE_SHA256 = {
     "text_fingerprint": "73475d3a3e413a14",
     "dirty_data_parsing": "dd8d04068d76f6ec",
     "time_rollup_hierarchy": "89cc8cd950222e2f",
-    "region_zone_lookup": "9f66a6df1060f2be",
+    "region_zone_lookup": "0b884f1e27a795aa",
     "text_lang_id": "43d81e9a93902bda",
     "top_k_values": "d386676c518380cd",
     "correlation_matrix": "e044c5edb25f8831",
-    "price_prediction_pipeline": "fc2da9e30016df5e",
+    "price_prediction_pipeline": "22b5465142750bfa",
     "flag_derivation_dropna": "5975c2e85d92f56b",
     "window_function_suite": "4af6a3771eb6902e",
     "kmv_distinct_sketch": "63dbb472efa588b6",
@@ -553,9 +553,9 @@ TAIL_SOURCE_SHA256 = {
     "hash_split_assignment": "3347ccd4ebc979d0",
     "text_repetition_ratio": "8463170c6768af92",
     "union_streams_agg": "61e8fd3254b80609",
-    "asof_join_latest_view": "0ba68b007cd74fe1",
+    "asof_join_latest_view": "f16c98520af8f5b5",
     "per_station_accumulation": "05cc7a087ecf6321",
-    "range_join_shipment_windows": "7f950454653b21cb",
+    "range_join_shipment_windows": "758fb58d4bbd52a8",
     "text_quality_scores": "c9148936e55f74b7",
 }
 INFRA_SOURCE_SHA256 = "2cba18208f7f59e9"

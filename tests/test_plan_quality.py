@@ -348,10 +348,12 @@ def test_mg_sidecar_hot_set_is_broadcast_bounded(spark):
 
 
 def test_curation_v4_keep_stage_is_bounded_broadcast(spark):
-    """The PAV keep stage must add only bounded-frame work: the
-    fitted-bins and base-rate frames reach the doc grain as
-    broadcasts, and the plan keeps v3's single Bloom broadcast
-    (no new corpus-grain exchange)."""
+    """The PAV keep stage must add only bounded-frame work on top of
+    the checkpointed stage boundaries (r17 optimization): the final
+    plan consumes eager-checkpoint RDD scans (no corpus FileScan
+    remains), and the fitted-bins/base-rate scalar frames reach the
+    doc grain only as build-side broadcasts — never a cartesian
+    product at doc grain."""
     import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
     from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
@@ -361,8 +363,14 @@ def test_curation_v4_keep_stage_is_bounded_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # stage boundaries are materialized behind eager checkpoints: the
+    # final plan reads checkpointed RDD scans, not the corpus files
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
+    # BroadcastNestedLoopJoin only for the bounded scalar frames
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "BuildLeft" in seg[:60] or "BuildRight" in seg[:60]
 
 
 def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
