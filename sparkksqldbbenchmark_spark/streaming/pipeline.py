@@ -17,6 +17,10 @@ reference — callers opt in explicitly.
 
 from __future__ import annotations
 
+import contextlib
+import math
+import os
+import re
 import tempfile
 from collections.abc import Sequence
 from dataclasses import dataclass, field
@@ -83,6 +87,110 @@ class WindowedPipeline:
         )
 
 
+def _file_stream_backlog_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind every file-stream source of ``df``.
+
+    Returns None when any stream source is not a readable local file
+    directory (rate/memory/python data sources) — callers then leave the
+    session's partition setting untouched rather than guess.
+    """
+    paths: set[str] = set()
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if not node.isStreaming():
+                continue  # static side of a stream-static join
+            if node.getClass().getSimpleName() != "StreamingRelation":
+                return None  # V2 / memory / rate / python source
+            m = re.match(r"FileSource\[(.+)\]$", node.sourceName())
+            if m is None:
+                return None
+            paths.add(m.group(1))
+    except Exception:  # noqa: BLE001 - sizing is best-effort only
+        return None
+    if not paths:
+        return None
+    total = 0
+    for p in paths:
+        if not os.path.isdir(p):
+            return None
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    return None
+    return total
+
+
+def scaled_state_partitions(df: DataFrame) -> int | None:
+    """AQE-style partition sizing for STATEFUL streams (guide §2: derive
+    partitioning from input size, not a constant tuned for one box).
+
+    AQE cannot coalesce stateful micro-batch plans (Spark disables it),
+    so a tiny availableNow backlog otherwise pays the per-partition
+    state-store tax (open + commit + delta file per store per batch) at
+    the session's full ``spark.sql.shuffle.partitions`` — measured 14 s
+    → 4.7 s on a 4-batch stream-stream join fixture when 32 state
+    partitions drop to 8, with byte-identical output (state partition
+    count never affects row values, only layout). The count is derived
+    from the backlog: ceil(backlog_bytes / target) clamped to
+    [2, session shuffle partitions], so a 100 TB backlog still gets the
+    session/cluster ceiling and only small backlogs coalesce down.
+
+    Env knobs (parameterised per the round rules, local defaults keep
+    the driver's bench comparable):
+      SPARK_GRAFT_STREAM_STATE_PARTS = auto (default) | session | <int>
+          "session" disables the derivation; an int pins the count.
+      SPARK_GRAFT_STREAM_STATE_TARGET_BYTES (default 64 MiB)
+          backlog bytes per state partition, the AQE advisory analogue.
+
+    Returns None (leave the session setting alone) for non-file sources.
+    """
+    mode = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "auto")
+    if mode == "session":
+        return None
+    if mode not in ("", "auto"):
+        return max(1, int(mode))
+    backlog = _file_stream_backlog_bytes(df)
+    if backlog is None:
+        return None
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(64 * 1024 * 1024)
+        )
+    )
+    session_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return max(2, min(session_parts, math.ceil(backlog / max(1, target))))
+
+
+@contextlib.contextmanager
+def stream_start_partitions(spark: SparkSession, n: int | None):
+    """Apply a derived state-partition count around ``writer.start()``.
+
+    StreamExecution clones the session (and its conf) synchronously in
+    start(), so setting spark.sql.shuffle.partitions only for the start
+    call scopes it to that query; the session value is restored before
+    any other work runs. On a checkpoint RESUME Spark takes the count
+    from the checkpoint and ignores this conf — consistent by design.
+    """
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
@@ -105,7 +213,10 @@ def run_to_memory(
         writer = writer.trigger(availableNow=True)
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
-    query = writer.start()
+    with stream_start_partitions(
+        df.sparkSession, scaled_state_partitions(df)
+    ):
+        query = writer.start()
     if available_now:
         query.awaitTermination(timeout_s)
         # An AUTO-created checkpoint is anonymous (the caller never
@@ -170,13 +281,16 @@ def run_foreach_batch_idempotent(
     auto_checkpoint = checkpoint is None
     if auto_checkpoint:
         checkpoint = tempfile.mkdtemp(prefix="ckpt_feb_")
-    query = (
-        df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_partitions(
+        df.sparkSession, scaled_state_partitions(df)
+    ):
+        query = (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = query.awaitTermination(timeout_s)
     if not finished:
         query.stop()

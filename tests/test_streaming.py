@@ -655,3 +655,43 @@ def test_ksql_session_window_executes(spark):
     # sunshine's 00:00:20 and 00:05:00 are 4m40s apart → two sessions
     assert sorted(per_metric["wind_speed"]) == [3]
     assert sorted(per_metric["sunshine"]) == [1, 1]
+
+
+def test_scaled_state_partitions_derives_from_backlog(spark, monkeypatch):
+    """r17 optimization: stateful streams size their state partition
+    count from the file-source backlog (AQE-style, since AQE cannot
+    coalesce stateful plans): tiny backlog -> floor of 2, never above
+    the session setting; non-file sources and the 'session' override
+    leave the session conf untouched (None)."""
+    import os
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        scaled_state_partitions,
+    )
+
+    d = tempfile.mkdtemp(prefix="ssp_")
+    spark.range(100).write.parquet(os.path.join(d, "in"))
+    sdf = spark.readStream.schema("id bigint").parquet(os.path.join(d, "in"))
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTS", raising=False)
+    got = scaled_state_partitions(sdf)
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert got == 2  # tiny backlog coalesces to the floor
+    assert got <= session_parts
+
+    # a 1-byte target makes every byte its own partition -> clamped to
+    # the session ceiling, never beyond it
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", "1")
+    assert scaled_state_partitions(sdf) == session_parts
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES")
+
+    # explicit overrides
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "session")
+    assert scaled_state_partitions(sdf) is None
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "7")
+    assert scaled_state_partitions(sdf) == 7
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTS")
+
+    # non-file source: no derivation
+    rate = spark.readStream.format("rate").load()
+    assert scaled_state_partitions(rate) is None
