@@ -2475,42 +2475,25 @@ def gopher_repetition_rules(
     text_repetition_ratio r2, quality_threshold_sweep_confusion r13
     — this adds the multi-rule composite KEEP verdict those rows
     feed)."""
-    from sparkksqldbbenchmark_spark.llm.hashing import (
-        spark_md5_int,
-        spark_tokens,
-    )
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.expr(spark_tokens("text")).alias("toks")
     ).where(F.size("toks") > 0)
-    # sentence strings rebuilt scan-side: fold over (word, boundary)
-    # pairs; a word whose md5 & 3 == 0 closes its sentence (the
-    # planted-boundary convention shared with the graduated chunker)
-    pairs = (
-        f"zip_with(toks, transform(toks, w -> "
-        f"({spark_md5_int('w')} & 3) = 0), "
-        f"(w, f) -> struct(w as w, f as f))"
+    # sentence boundaries scan-side: a word whose md5 & 3 == 0 closes
+    # its sentence (the planted-boundary convention shared with the
+    # graduated chunker). r18 optimization: O(n) boundary/slice counts
+    # (llm/sentences.py) replace the O(ns²) fold — identical integers.
+    from sparkksqldbbenchmark_spark.llm.sentences import (
+        with_sentence_counts,
     )
-    sents_expr = (
-        f"aggregate({pairs},"
-        " struct(cast(array() as array<string>) as ss, '' as cur),"
-        " (a, p) -> if(p.f,"
-        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
-        "   struct(a.ss as ss, if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)) as cur)),"
-        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
-    )
-    per_doc = toks.select(
-        "doc_id",
-        "toks",
-        F.expr(sents_expr).alias("sents"),
-    ).select(
+
+    per_doc = with_sentence_counts(toks).select(
         "doc_id",
         F.size("toks").cast("long").alias("n_words"),
-        F.size("sents").cast("long").alias("n_sentences"),
-        F.size(F.array_distinct("sents")).cast("long").alias("nd"),
+        F.col("ns").cast("long").alias("n_sentences"),
+        F.col("nd").cast("long").alias("nd"),
         F.size(
             F.expr("filter(toks, w -> length(w) <= 2)")
         ).cast("long").alias("n_short"),
@@ -4133,10 +4116,7 @@ def curation_pipeline_v2_composed(
     dedup_keep_best r5, token_budget_selection r4;
     gopher_repetition_rules / waterfill_budget_allocation staged
     this round)."""
-    from sparkksqldbbenchmark_spark.llm.hashing import (
-        spark_md5_int,
-        spark_tokens,
-    )
+    from sparkksqldbbenchmark_spark.llm.hashing import spark_tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -4145,28 +4125,19 @@ def curation_pipeline_v2_composed(
         "text",
         F.expr(spark_tokens("text")).alias("toks"),
     ).where(F.size("toks") > 0)
-    pairs = (
-        f"zip_with(toks, transform(toks, w -> "
-        f"({spark_md5_int('w')} & 3) = 0), "
-        f"(w, f) -> struct(w as w, f as f))"
+    # r18 optimization: O(n) boundary/slice sentence counts
+    # (llm/sentences.py) replace the O(ns²) fold — identical integers.
+    from sparkksqldbbenchmark_spark.llm.sentences import (
+        with_sentence_counts,
     )
-    sents_expr = (
-        f"aggregate({pairs},"
-        " struct(cast(array() as array<string>) as ss, '' as cur),"
-        " (a, p) -> if(p.f,"
-        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
-        "   struct(a.ss as ss, if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)) as cur)),"
-        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
-    )
-    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+
+    quality = with_sentence_counts(toks).select(
         "doc_id",
         "source",
         "text",
         F.size("toks").alias("n_words"),
-        F.size("sents").alias("ns"),
-        F.size(F.array_distinct("sents")).alias("nd"),
+        "ns",
+        "nd",
     )
     keepers = quality.where(
         (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000

@@ -369,35 +369,26 @@ def curation_pipeline_v3_composed(
     # the eval-split shingle explode+distinct runs once
     eval_sh = eval_sh.localCheckpoint(eager=True)
 
-    # -- stage 1: Gopher dup-sentence keep (scan-side fold) --
+    # -- stage 1: Gopher dup-sentence keep (scan-side, O(n)) --
+    # r18 optimization: O(n) boundary/slice sentence counts
+    # (llm/sentences.py) replace the O(ns²) fold — identical integers.
+    from sparkksqldbbenchmark_spark.llm.sentences import (
+        with_sentence_counts,
+    )
+
     toks = pool.select(
         "doc_id",
         "source",
         "text",
         F.expr(spark_tokens("text")).alias("toks"),
     ).where(F.size("toks") > 0)
-    pairs = (
-        f"zip_with(toks, transform(toks, w -> "
-        f"({spark_md5_int('w')} & 3) = 0), "
-        f"(w, f) -> struct(w as w, f as f))"
-    )
-    sents_expr = (
-        f"aggregate({pairs},"
-        " struct(cast(array() as array<string>) as ss, '' as cur),"
-        " (a, p) -> if(p.f,"
-        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
-        "   struct(a.ss as ss, if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)) as cur)),"
-        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
-    )
-    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+    quality = with_sentence_counts(toks).select(
         "doc_id",
         "source",
         "text",
         F.size("toks").alias("n_words"),
-        F.size("sents").alias("ns"),
-        F.size(F.array_distinct("sents")).alias("nd"),
+        "ns",
+        "nd",
     )
     keepers = quality.where(
         (F.col("ns") - F.col("nd")) * 1000000 / F.col("ns") < 300000
@@ -5234,7 +5225,15 @@ def curation_pipeline_v4_composed(
     # the eval-split shingle explode+distinct runs once
     eval_sh = eval_sh.localCheckpoint(eager=True)
 
-    # -- stage 1: dup-sentence quality stats (scan-side fold) --
+    # -- stage 1: dup-sentence quality stats (scan-side, O(n)) --
+    # r18 optimization (guide §4.1 prefer cheap native ops): ns/nd come
+    # from boundary positions + distinct token SLICES
+    # (llm/sentences.py) instead of the O(ns²) accumulate-struct fold —
+    # identical integers, linear per-row work.
+    from sparkksqldbbenchmark_spark.llm.sentences import (
+        with_sentence_counts,
+    )
+
     toks = pool.select(
         "doc_id",
         "source",
@@ -5242,29 +5241,14 @@ def curation_pipeline_v4_composed(
         "text",
         F.expr(spark_tokens("text")).alias("toks"),
     ).where(F.size("toks") > 0)
-    pairs = (
-        f"zip_with(toks, transform(toks, w -> "
-        f"({spark_md5_int('w')} & 3) = 0), "
-        f"(w, f) -> struct(w as w, f as f))"
-    )
-    sents_expr = (
-        f"aggregate({pairs},"
-        " struct(cast(array() as array<string>) as ss, '' as cur),"
-        " (a, p) -> if(p.f,"
-        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
-        "   struct(a.ss as ss, if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)) as cur)),"
-        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
-    )
-    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+    quality = with_sentence_counts(toks).select(
         "doc_id",
         "source",
         "lang",
         "text",
         F.size("toks").alias("n_words"),
-        F.size("sents").alias("ns"),
-        F.size(F.array_distinct("sents")).alias("nd"),
+        "ns",
+        "nd",
     )
 
     # -- stage 2: PAV-calibrated keep over the bounded bin frame --
