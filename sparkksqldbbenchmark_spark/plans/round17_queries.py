@@ -3801,50 +3801,86 @@ def mmr_lambda_sweep_learned(
             ).alias("s"),
         )
     )
-    # collapse each candidate's sim partners into a MAP column pinned
-    # on the candidate grain — every round of every lambda reads its
-    # similarity via element_at() instead of a shuffle join (guide
-    # §2.4; same device as mmr_diversified_topk_weighted)
-    base = (
-        cand.select("source", "doc_id", "rel")
-        .join(
-            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("db", "s"))
-                ).alias("pm")
-            ),
-            ["source", "doc_id"],
-            "left",
-        )
-        .repartition(F.col("source"))
-        .localCheckpoint(eager=True)
-    )
+    # r18 second pass (VERDICT r17 ask #5, guide §2.4/§4.2): the k-1
+    # generated argmax rounds serialized ~k stages per (source, lam)
+    # group and left 104 Exchange references. Since the JVM ranking
+    # already bounds every source to <= nc candidates, the ENTIRE
+    # greedy — all lambdas, all rounds — collapses into ONE cogrouped
+    # Arrow pass per source over the two checkpoint-aligned frames
+    # (candidates + pair sims, both already hash-partitioned by
+    # source, so the cogroup adds no exchange). The Python replica
+    # runs the identical integer arithmetic — score = rel - lam*msim,
+    # argmax key = (-score)*KEY + doc_id picked by min — so the picks
+    # and sums are bit-identical; Python ints are exact and the key
+    # magnitude (< 2^63) never overflows in either engine. A source
+    # with fewer than k candidates emits nothing, exactly like the
+    # old inner-join of the per-round argmax frames.
+    import pandas as pd
+
     KEY = 8589934592
+    lam_list = [int(w) for w in lams]
+    kk_rounds = k
 
-    def argmax(df, score_col, i, keys=("source",)):
-        key = (-score_col) * KEY + F.col("doc_id")
-        return df.groupBy(*keys).agg(
-            F.min_by("doc_id", key).alias(f"d{i}"),
-            F.min_by("rel", key).alias(f"r{i}"),
-            *(
-                [F.min_by("msim", key).alias(f"m{i}")]
-                if i > 1
-                else []
-            ),
+    def sweep_group(key, cpdf, spdf):
+        if len(cpdf) < kk_rounds:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "lam": pd.Series([], dtype="int64"),
+                    "rel_sum": pd.Series([], dtype="int64"),
+                    "msim_sum": pd.Series([], dtype="int64"),
+                }
+            )
+        src = key[0]
+        rel = {
+            int(d): int(r)
+            for d, r in zip(cpdf["doc_id"], cpdf["rel"])
+        }
+        simd = {
+            (int(da), int(db)): int(s)
+            for da, db, s in zip(spdf["da"], spdf["db"], spdf["s"])
+        }
+        rows = []
+        for lam in lam_list:
+            avail = set(rel)
+            msim = dict.fromkeys(avail, 0)
+            rel_sum = msim_sum = 0
+            for i in range(kk_rounds):
+                best_key = best_d = None
+                for d in avail:
+                    score = rel[d] - lam * msim[d]
+                    akey = (-score) * KEY + d
+                    if best_key is None or akey < best_key:
+                        best_key, best_d = akey, d
+                avail.discard(best_d)
+                rel_sum += rel[best_d]
+                if i > 0:
+                    msim_sum += msim[best_d]
+                for d in avail:
+                    s2 = simd.get((d, best_d), 0)
+                    if s2 > msim[d]:
+                        msim[d] = s2
+            rows.append((src, lam, rel_sum, msim_sum))
+        return pd.DataFrame(
+            rows, columns=["source", "lam", "rel_sum", "msim_sum"]
         )
 
-    # Round 1 is lambda-independent (score = rel). Later rounds sweep
-    # the lambdas DATA-PARALLEL, lam as a COLUMN on a (source, lam)
-    # grain, instead of |lambdas| unrolled copies of the whole greedy
-    # tree: the unrolled form carried 208 Exchange references and
-    # leaned on runtime ReusedExchange to dedupe them; the column form
-    # builds one bounded tree (~4x fewer exchanges) that fuses into a
-    # single job over the two checkpoints. The greedy arithmetic per
-    # (source, lam) group is unchanged — identical integer scores,
-    # identical picks. (Per-pick eager checkpoints were tried and
-    # REJECTED: each |sources|-row barrier costs a serialized ~0.5 s
-    # 32-task job, eating the savings.)
-    s1 = argmax(base, F.col("rel"), 1)
+    # the sim side renames its key: both cogroup inputs descend from
+    # the same checkpoint, and a same-name groupBy trips the
+    # ambiguous-self-join analyzer check
+    swept = (
+        cand.select("source", "doc_id", "rel")
+        .groupBy("source")
+        .cogroup(
+            sim.select(
+                F.col("source").alias("src2"), "da", "db", "s"
+            ).groupBy("src2")
+        )
+        .applyInPandas(
+            sweep_group,
+            "source string, lam long, rel_sum long, msim_sum long",
+        )
+    )
     lamdf = spark.range(len(lams)).select(
         F.element_at(
             F.array(*[F.lit(int(w)) for w in lams]),
@@ -3853,62 +3889,14 @@ def mmr_lambda_sweep_learned(
         .cast("long")
         .alias("lam")
     )
-    s = {1: s1.crossJoin(F.broadcast(lamdf))}
-    # incremental sweep state: after processing pick j, `cur` holds
-    # the still-unpicked candidates per (source, lam) with msim = max
-    # similarity to the picks so far — element_at(pm, d_j) is exactly
-    # the old left-join-and-filter sim slice, and greatest() over
-    # nonnegative micros accumulates identically
-    cur = base.crossJoin(F.broadcast(lamdf)).withColumn(
-        "msim", F.lit(0).cast("long")
-    )
-    for i in range(2, k + 1):
-        j = i - 1
-        cur = (
-            cur.join(
-                F.broadcast(s[j].select("source", "lam", f"d{j}")),
-                ["source", "lam"],
-            )
-            .where(F.col("doc_id") != F.col(f"d{j}"))
-            .select(
-                "source",
-                "lam",
-                "doc_id",
-                "rel",
-                "pm",
-                F.greatest(
-                    F.col("msim"),
-                    F.coalesce(
-                        F.element_at("pm", F.col(f"d{j}")), F.lit(0)
-                    ),
-                ).alias("msim"),
-            )
-        )
-        s[i] = argmax(
-            cur,
-            F.col("rel") - F.col("lam") * F.col("msim"),
-            i,
-            keys=("source", "lam"),
-        )
-    joined = s[1]
-    for i in range(2, k + 1):
-        joined = joined.join(s[i], ["source", "lam"])
-    rel_sum = sum(
-        (F.col(f"r{i}") for i in range(2, k + 1)),
-        F.col("r1"),
-    )
-    msim_sum = sum(
-        (F.col(f"m{i}") for i in range(3, k + 1)),
-        F.col("m2"),
-    )
     # left join back to the lambda grid so a lambda with zero surviving
     # sources still reads out (n_sources=0, null sums) exactly like the
     # per-lambda agg-without-groupBy did
     ro = F.broadcast(lamdf).join(
-        joined.groupBy("lam").agg(
+        swept.groupBy("lam").agg(
             F.count(F.lit(1)).cast("long").alias("ns"),
-            F.sum(rel_sum).cast("long").alias("sum_rel_micros"),
-            F.sum(msim_sum).cast("long").alias("sum_msim_micros"),
+            F.sum("rel_sum").cast("long").alias("sum_rel_micros"),
+            F.sum("msim_sum").cast("long").alias("sum_msim_micros"),
         ),
         "lam",
         "left",
@@ -4194,7 +4182,13 @@ def curation_pipeline_v5_composed(
     # stage barriers as the measured v4 sibling, guide §5)
     eval_sh = eval_sh.localCheckpoint(eager=True)
 
-    # -- stage 1: dup-sentence quality stats (scan-side fold) --
+    # -- stage 1: dup-sentence quality stats (scan-side, O(n)) --
+    # r18 optimization: O(n) boundary/slice sentence counts
+    # (llm/sentences.py) replace the O(ns²) fold — identical integers.
+    from sparkksqldbbenchmark_spark.llm.sentences import (
+        with_sentence_counts,
+    )
+
     toks = pool.select(
         "doc_id",
         "source",
@@ -4202,28 +4196,13 @@ def curation_pipeline_v5_composed(
         "text",
         F.expr(spark_tokens("text")).alias("toks"),
     ).where(F.size("toks") > 0)
-    pairs = (
-        f"zip_with(toks, transform(toks, w -> "
-        f"({spark_md5_int('w')} & 3) = 0), "
-        f"(w, f) -> struct(w as w, f as f))"
-    )
-    sents_expr = (
-        f"aggregate({pairs},"
-        " struct(cast(array() as array<string>) as ss, '' as cur),"
-        " (a, p) -> if(p.f,"
-        "   struct(concat(a.ss, array(if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)))) as ss, '' as cur),"
-        "   struct(a.ss as ss, if(a.cur = '', p.w,"
-        "          concat(a.cur, ' ', p.w)) as cur)),"
-        " a -> if(a.cur != '', concat(a.ss, array(a.cur)), a.ss))"
-    )
-    quality = toks.withColumn("sents", F.expr(sents_expr)).select(
+    quality = with_sentence_counts(toks).select(
         "doc_id",
         "source",
         "text",
         F.size("toks").alias("n_words"),
-        F.size("sents").alias("ns"),
-        F.size(F.array_distinct("sents")).alias("nd"),
+        "ns",
+        "nd",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
 
