@@ -300,6 +300,56 @@ def synth_video_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(batches, VIDEO_SCHEMA)
 
 
+def synth_frame_stats_plan(
+    df: DataFrame, id_col: str = "doc_id", every_n: int = 1
+) -> DataFrame:
+    """Fused synthesize→decode in ONE mapInPandas stage (r18, guide
+    §4.1): the full encode stack (per-frame JPEG + RIFF/AVI container
+    write) and the full two-layer decode (container walk + Huffman/IDCT
+    JPEG decode) run back to back inside the same Python worker, so the
+    AVI blobs never cross the Python↔JVM boundary at all — only the
+    fixed-width per-frame stats rows leave Python. Byte-for-byte the
+    same work as synth_video_blobs |> frame_stats_plan (both stacks
+    execute in full); it removes two Arrow transposes of the payload
+    column per row.
+
+    The ids are spread across the session's default parallelism first:
+    the codec work is pure-Python CPU at ROW grain, and a handful of
+    parquet row groups would otherwise serialize it on 1-2 tasks
+    (guide §2.6 idle-capacity; the repartition moves 8-byte ids, not
+    blobs)."""
+    import pandas as pd
+
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ids = ids.repartition(par)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k.name: [] for k in FRAME_STATS_SCHEMA.fields
+            }
+            for d in pdf["doc_id"]:
+                payload = encode_avi_mjpeg(
+                    [
+                        encode_jpeg(rows)
+                        for rows in synth_avi_frames(int(d))
+                    ]
+                )
+                w, h, _fps, frames = decode_avi_mjpeg(payload)
+                for idx in range(0, len(frames), every_n):
+                    fw, fh, _ch, rows = decode_jpeg(frames[idx])
+                    assert (fw, fh) == (w, h)
+                    out["doc_id"].append(int(d))
+                    out["frame_idx"].append(idx)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["pixel_sum"].append(sum(sum(r) for r in rows))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
 def frame_stats_plan(df: DataFrame, every_n: int = 1) -> DataFrame:
     """Full two-layer video decode inside mapInPandas: RIFF/AVI chunk
     walk, then a genuine baseline-JPEG decode of every ``every_n``-th

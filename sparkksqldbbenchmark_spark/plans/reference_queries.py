@@ -642,15 +642,24 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join+agg+top-k: broadcast the filtered customer dim;
     orders⋈lineitem shuffles on the order key — the only unavoidable
-    shuffle at scale. The lineitem side carries an explicit
-    SHUFFLE_MERGE hint: without it, the r9 plan audit (docs/PLANS.md)
-    showed Catalyst auto-BROADCASTING the filtered lineitem at the test
-    SFs (it fits the 10 MB threshold there) — a plan that cannot exist
-    at 100 TB, where lineitem is the biggest table. The hint pins the
-    production join strategy AND measured 1.4× faster locally
-    (0.82 s vs 1.16 s best-of-6 at sf0.1: single-threaded broadcast
-    build of a ~300k-row relation costs more than the parallel
-    shuffle)."""
+    shuffle at scale.
+
+    r18 optimization (guide §3.1 deliberate join strategy): the order-key
+    join is a SHUFFLED-HASH join building on the (orders ⋈ customer)
+    side — it replaces the r9 SHUFFLE_MERGE hint, deleting both SMJ
+    sorts (after-plan: 0 Sort nodes; paired A/B 0.664→0.625 s /
+    0.758→0.724 s min-of-5). The r9 audit point stands — never
+    broadcast lineitem-derived relations that cannot exist at 100 TB;
+    the orders build side is bounded per partition by the shuffle
+    partition count, which scales with the cluster. Pre-aggregating
+    lineitem to order grain before the join (guide §2.3) was tried and
+    REVERTED: order keys are near-unique in filtered lineitem (~3.6
+    rows/key), so partial aggregation compressed nothing and the extra
+    hash-aggregate pass measured 0.62 → 0.98 s.
+
+    Post-join aggregation reuses the join's l_orderkey partitioning
+    (no third exchange — o_orderdate is functionally dependent on the
+    key)."""
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -659,9 +668,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
-    ).hint("shuffle_merge")
+    )
     joined = l.join(
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).hint(
+            "shuffle_hash"
+        ),
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
     return (

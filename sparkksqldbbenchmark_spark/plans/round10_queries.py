@@ -320,23 +320,14 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 1, 15), 16, 10) as bigint) % {w}"
         )
 
-    rows_w = ev.select(
-        "event_type",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.expr(bucket("event_type", i)).alias("bucket"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("rb"),
-    ).select("event_type", "rb.i", "rb.bucket")
-    counters = rows_w.groupBy("i", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # r18 optimization (guide §2.3 decide with small rows): the sketch
+    # buckets depend ONLY on event_type, so the per-(row, bucket)
+    # counters are exactly sums of the per-type exact counts —
+    # c(i, b) = Σ_{type : h_i(type) = b} count(type). One scan of
+    # events (the truth aggregate, map-side partial) replaces the
+    # second full scan + 3× explode + 3× per-row md5 the old plan paid
+    # just to rebuild numbers already present in `truth`. Identical
+    # integers: count-of-rows per cell ≡ sum of per-type counts.
     truth = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("true_n")
     )
@@ -355,6 +346,12 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rb"),
     ).select("event_type", "true_n", "rb.i", "rb.bucket")
+    # two consumers (counter build + certificate probe) — materialize
+    # the |types|×d frame so the events aggregate runs once
+    keyed = keyed.localCheckpoint(eager=True)
+    counters = keyed.groupBy("i", "bucket").agg(
+        F.sum("true_n").cast("long").alias("c")
+    )
     return (
         keyed.join(F.broadcast(counters), ["i", "bucket"])
         .groupBy("event_type")

@@ -520,15 +520,16 @@ def video_mjpeg_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism across videos, codec work pinned to executors, with
     the downstream relational aggregate JVM-side."""
     from sparkksqldbbenchmark_spark.llm.video import (
-        frame_stats_plan,
-        synth_video_blobs,
+        synth_frame_stats_plan,
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 150
     )
-    blobs = synth_video_blobs(docs)
-    return frame_stats_plan(blobs, every_n=1)
+    # r18: fused synth→decode (one mapInPandas, blobs never cross the
+    # Python boundary) + row-grain repartition of the ids so the
+    # pure-Python codec work uses every core (llm/video.py)
+    return synth_frame_stats_plan(docs, every_n=1)
 
 
 # ------------------------------------------- SQL session variables --

@@ -499,3 +499,30 @@ def test_winnowing_window_is_doc_partitioned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "doc_id" in m.group(1), m.group(1)
+
+
+def test_countmin_single_events_scan(spark):
+    """r18: the count-min counters are derived from the per-type truth
+    aggregate (buckets depend only on event_type), so the plan must
+    scan events exactly ONCE — the old form paid a second full scan
+    plus a 3x explode just to rebuild numbers already in `truth`."""
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
+
+    df = QUERIES["countmin_heavy_hitters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") <= 1, plan
+
+
+def test_tpch_q3_no_sorts(spark):
+    """r18: the order-key join is a shuffled-hash join (build = the
+    filtered orders side); no Sort may survive in the plan (the top-10
+    readout is TakeOrderedAndProject, not a global sort)."""
+    from sparkksqldbbenchmark_spark.plans.registry import QUERIES
+
+    df = QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    import re as _re
+
+    assert not _re.search(r"\bSort \[", plan), plan

@@ -114,3 +114,40 @@ def test_container_transparency_random_frames():
         avi = encode_avi_mjpeg(frames, fps=rng.choice([10, 25, 30]))
         _w, _h, _fps, back = decode_avi_mjpeg(avi)
         assert back == frames
+
+
+def test_fused_synth_stats_matches_two_stage_pipeline(spark):
+    """r18: synth_frame_stats_plan fuses encode+decode into one
+    mapInPandas (blobs never cross the Python boundary). Its rows must
+    be identical to the two-stage synth -> decode pipeline, and the
+    plan must carry exactly ONE Python map stage plus the row-grain
+    repartition that spreads codec work across cores."""
+    from sparkksqldbbenchmark_spark.llm.video import (
+        synth_frame_stats_plan,
+    )
+
+    df = spark.range(25).withColumnRenamed("id", "doc_id")
+    two_stage = {
+        (r.doc_id, r.frame_idx): (r.width, r.height, r.pixel_sum)
+        for r in frame_stats_plan(
+            synth_video_blobs(df), every_n=1
+        ).collect()
+    }
+    fused_df = synth_frame_stats_plan(df, every_n=1)
+    fused = {
+        (r.doc_id, r.frame_idx): (r.width, r.height, r.pixel_sum)
+        for r in fused_df.collect()
+    }
+    assert fused == two_stage
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    # after execution AQE prints Final + Initial plans; count the final
+    plan = plan.split("== Initial Plan ==")[0]
+    n_map_nodes = sum(
+        1
+        for line in plan.splitlines()
+        if line.replace("+-", "").replace("*", "").strip().startswith(
+            "MapInPandas"
+        )
+    )
+    assert n_map_nodes == 1, plan
+    assert "Exchange" in plan  # the id repartition (8-byte rows)
