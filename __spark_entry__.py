@@ -1030,15 +1030,37 @@ from sparkksqldbbenchmark_spark.plans.registry import ORACLE, QUERIES
 # via TAIL_SOURCE_SHA256; machinery coverage rationale per family in
 # docs/ROTATION_R17.md.
 # ------------------------------------------------------------------
+# Round-18 rotation (optimization round; VERDICT r17 "Next round" #1).
+# INTO the head, for a fresh driver verdict:
+#   6 of the 14 streaming rows whose pins were staled by the 8840ba1
+#     state-partition change landing AFTER the r17 pin regeneration
+#     (streaming_cdc_latest, python_datasource_stream_agg,
+#     streaming_dedup_then_window, streaming_stateful_topk_per_key,
+#     streaming_rocksdb_state_store,
+#     streaming_union_multiple_watermarks) — the remaining 8 were
+#     re-graded locally (tools/check_correctness.py green at
+#     sf0.001/0.01/0.1 against the new pipeline.py) and re-pinned.
+#   curation_pipeline_v4_composed — its sentence-fold stage is
+#     optimized this round (guide §4), so it re-grades in the head
+#     rather than riding a re-pin.
+# OUT of the head: 7 round-17 head rows, every one green in
+# CORRECTNESS_r17 with implementing source unchanged since
+# (theil_sen_slope_exact, benjamini_hochberg_fdr_stepup,
+# benjamini_yekutieli_fdr_exact, mcnemar_paired_exact,
+# kruskal_wallis_rank_exact, wasserstein_1d_histogram_exact,
+# capture_recapture_chapman_estimate).
+# ------------------------------------------------------------------
 TAIL: tuple[str, ...] = (
+    "theil_sen_slope_exact",
+    "benjamini_hochberg_fdr_stepup",
+    "benjamini_yekutieli_fdr_exact",
+    "mcnemar_paired_exact",
+    "kruskal_wallis_rank_exact",
+    "wasserstein_1d_histogram_exact",
+    "capture_recapture_chapman_estimate",
     "sequence_packing",
     "token_budget_selection",
     "streaming_chained_window_agg",
-    "streaming_cdc_latest",
-    "python_datasource_stream_agg",
-    "streaming_dedup_then_window",
-    "streaming_stateful_topk_per_key",
-    "streaming_rocksdb_state_store",
     "temporal_split_straddle_audit",
     "psi_drift_bins_exact",
     "graph_pregel_superstep2",
@@ -1053,7 +1075,6 @@ TAIL: tuple[str, ...] = (
     "join_cardinality_histogram_estimate",
     "rolling_origin_backtest_folds",
     "dpo_margin_pair_mining",
-    "streaming_union_multiple_watermarks",
     "join_cardinality_skew_twin",
     "reciprocal_rank_fusion_exact",
     "cdc_chunk_dedup_mass",
@@ -1072,7 +1093,6 @@ TAIL: tuple[str, ...] = (
     "dow_seasonal_median_residuals",
     "brier_reliability_bins_exact",
     "mmr_diversified_topk_weighted",
-    "curation_pipeline_v4_composed",
     "streaming_watermark_late_drop",
     "streaming_outer_join_null_emission",
     "streaming_dedup_within_watermark_reemit",

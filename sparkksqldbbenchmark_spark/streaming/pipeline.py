@@ -154,19 +154,40 @@ def scaled_state_partitions(df: DataFrame) -> int | None:
     if mode == "session":
         return None
     if mode not in ("", "auto"):
-        return max(1, int(mode))
+        # Malformed values fall back to the session setting instead of
+        # aborting every stream start (ADVICE r17: the rest of this
+        # sizing path is deliberately best-effort).
+        try:
+            return max(1, int(mode))
+        except ValueError:
+            return None
     backlog = _file_stream_backlog_bytes(df)
     if backlog is None:
         return None
-    target = int(
-        os.environ.get(
-            "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(64 * 1024 * 1024)
+    try:
+        target = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES",
+                str(64 * 1024 * 1024),
+            )
         )
-    )
+    except ValueError:
+        target = 64 * 1024 * 1024
     session_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     return max(2, min(session_parts, math.ceil(backlog / max(1, target))))
+
+
+# Guards the set/start/restore window below: stream_start_partitions
+# temporarily mutates the session-global spark.sql.shuffle.partitions, so
+# two concurrent stream starts (or a batch job capturing the conf) on
+# other driver threads could observe the temporary value or be restored
+# over (ADVICE r17). All in-repo callers start streams from one driver
+# thread; the lock makes concurrent starts safe rather than assumed away.
+import threading
+
+_STREAM_START_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -183,12 +204,13 @@ def stream_start_partitions(spark: SparkSession, n: int | None):
         yield
         return
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _STREAM_START_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def run_to_memory(

@@ -46,6 +46,13 @@ def test_registry_order_fits_driver_window():
 # intended head. Pinning the head names makes that failure loud.
 # Regenerate on each deliberate rotation.
 EXPECTED_HEAD = (
+    "streaming_cdc_latest",
+    "python_datasource_stream_agg",
+    "streaming_dedup_then_window",
+    "streaming_stateful_topk_per_key",
+    "streaming_rocksdb_state_store",
+    "streaming_union_multiple_watermarks",
+    "curation_pipeline_v4_composed",
     "weather_window_agg",
     "multiway_timejoin_ffill",
     "tpch_q3_shipping_priority",
@@ -78,17 +85,10 @@ EXPECTED_HEAD = (
     "density_greedy_budget_certified",
     "sortkey_delta_compression_estimate",
     "dp_sensitivity_noise_budget",
-    "theil_sen_slope_exact",
     "team_draft_interleave_preference",
-    "benjamini_hochberg_fdr_stepup",
     "km_hazard_table_exact",
     "streaming_window_exact_median",
     "skew_salt_plan_from_histogram",
-    "benjamini_yekutieli_fdr_exact",
-    "mcnemar_paired_exact",
-    "kruskal_wallis_rank_exact",
-    "wasserstein_1d_histogram_exact",
-    "capture_recapture_chapman_estimate",
     "allen_interval_relation_matrix",
     "winnowing_fingerprint_density_certified",
     "edit1_neighborhood_join_complete",
@@ -126,18 +126,20 @@ def test_graded_head_is_exactly_the_planned_cohort():
 # it, or — only for a deliberate TAIL re-pin of an UNCHANGED-semantics
 # edit such as a comment fix — regenerate with `python tools/tail_hash.py`.
 TAIL_SOURCE_SHA256 = {
+    "theil_sen_slope_exact": "de212874d5ff856d",
+    "benjamini_hochberg_fdr_stepup": "7500e7a7da7d3545",
+    "benjamini_yekutieli_fdr_exact": "d4429e28e8505e50",
+    "mcnemar_paired_exact": "266355e75857a259",
+    "kruskal_wallis_rank_exact": "77a977c078eed85d",
+    "wasserstein_1d_histogram_exact": "8526f63eb13491d9",
+    "capture_recapture_chapman_estimate": "6f09dce3ab4d0ffd",
     "sequence_packing": "d1d821a70312643e",
     "token_budget_selection": "b43116ec577d49b7",
-    "streaming_chained_window_agg": "ecd11d1a31fd7a84",
-    "streaming_cdc_latest": "5039d35f9e1e1b9b",
-    "python_datasource_stream_agg": "a493150f366acb6c",
-    "streaming_dedup_then_window": "3f134b78252dad48",
-    "streaming_stateful_topk_per_key": "8a13bc14a2a2652e",
-    "streaming_rocksdb_state_store": "034144b248a022e4",
+    "streaming_chained_window_agg": "8f75e10be002754e",
     "temporal_split_straddle_audit": "6f6c5224aecd05ff",
     "psi_drift_bins_exact": "42b6cc5f1f84a502",
     "graph_pregel_superstep2": "cf1fe21a8fd04905",
-    "curation_pipeline_v3_composed": "06ad4213180ab698",
+    "curation_pipeline_v3_composed": "c7f72d273a523997",
     "pav_isotonic_calibration_binned": "d479055002c7f14c",
     "kendall_tau_topk_exact": "e517fc62c4feba83",
     "shapley_attribution_exact": "216bb90d1da23778",
@@ -148,7 +150,6 @@ TAIL_SOURCE_SHA256 = {
     "join_cardinality_histogram_estimate": "a54253f1f607270f",
     "rolling_origin_backtest_folds": "6a7776269b34e509",
     "dpo_margin_pair_mining": "61e0152420682369",
-    "streaming_union_multiple_watermarks": "80f4a1535a21c805",
     "join_cardinality_skew_twin": "df524fe7fb0adc94",
     "reciprocal_rank_fusion_exact": "b3069121017afe68",
     "cdc_chunk_dedup_mass": "9db3dd77dc50310d",
@@ -167,11 +168,10 @@ TAIL_SOURCE_SHA256 = {
     "dow_seasonal_median_residuals": "9b7c5e89edbcebc2",
     "brier_reliability_bins_exact": "2038d1d4df4c6480",
     "mmr_diversified_topk_weighted": "a47cd4a747040ad9",
-    "curation_pipeline_v4_composed": "6950faadebadd4b1",
-    "streaming_watermark_late_drop": "b0179450a79af04e",
-    "streaming_outer_join_null_emission": "3a7c27656683f84b",
-    "streaming_dedup_within_watermark_reemit": "53de4bc4ee463ad7",
-    "streaming_semi_join_first_match": "3955c3a84c783f8f",
+    "streaming_watermark_late_drop": "4e163260dba0aac8",
+    "streaming_outer_join_null_emission": "6fb8f9410cd2a6db",
+    "streaming_dedup_within_watermark_reemit": "424b6903466dda6e",
+    "streaming_semi_join_first_match": "2d662e8ae6e273d0",
     "cusum_drift_flags": "3aea7c00cc49746b",
     "delta_sign_runlength_stats": "6e440ddfa86f451a",
     "stratified_kfold_assignment": "a65e02a8e12f7b4a",
@@ -182,9 +182,9 @@ TAIL_SOURCE_SHA256 = {
     "monthly_revenue_mom_yoy": "d79d41f2b0364cf0",
     "longest_repeated_substring_extract": "741607ffa3979119",
     "weighted_bottomk_priority_sample": "8752bcf33143bb85",
-    "streaming_session_window_late_drop": "38a91516a84a7ef0",
+    "streaming_session_window_late_drop": "9a7d2d4715181025",
     "transition_dwell_matrix": "492f790f7b4111e4",
-    "streaming_dynamic_gap_session_late_drop": "414cbeba59db7fd3",
+    "streaming_dynamic_gap_session_late_drop": "f2cdf05714da32a1",
     "multi_probe_recall_at_k_certified": "5c618921d77cd9bc",
     "order_to_ship_leadtime_histogram": "bb36b11eb4d9e01d",
     "token_tv_distance_matrix": "1f4529c9d115159f",
@@ -192,8 +192,8 @@ TAIL_SOURCE_SHA256 = {
     "local_clustering_coefficient": "e74be484a8de2230",
     "kmv_sketch_union_merge_certified": "ab16e4ab8875c04b",
     "skyline_pareto_frontier": "1d6dc75a70f81339",
-    "streaming_full_outer_join_both_nulls": "da2efb54f4493586",
-    "gopher_repetition_rules": "37cbcfe19a5f1699",
+    "streaming_full_outer_join_both_nulls": "863f2c62803f1cf0",
+    "gopher_repetition_rules": "a859ec95071ed802",
     "cohens_kappa_exact": "c9efd76ba57cc6b4",
     "waterfill_budget_allocation": "ee77677cbc9f3df8",
     "graph_2hop_degree_sum": "b693f5f145904b2e",
@@ -203,7 +203,7 @@ TAIL_SOURCE_SHA256 = {
     "audio_decimate_boxcar": "55914bbd740d8010",
     "jl_projection_distance_certified": "5e2f6856bdf836b8",
     "sft_loss_mask_plan": "aecc4f896998bf74",
-    "curation_pipeline_v2_composed": "3c1828d21716f3fe",
+    "curation_pipeline_v2_composed": "f9e432f40b8091c3",
     "rendezvous_shard_assignment_certified": "0217b5c12be4dfcf",
     "average_precision_exact": "5bccabacbed09ec3",
     "macro_f1_exact": "23e770c834aa2d6b",
@@ -325,7 +325,7 @@ TAIL_SOURCE_SHA256 = {
     "rolling_correlation_24h": "e4892fdfb25738c2",
     "clustered_write_sorted_runs": "eb878b3f195d4100",
     "dedup_survivorship_merge": "67e2c4ea9734be6e",
-    "video_mjpeg_frame_extract": "ce3710328575464c",
+    "video_mjpeg_frame_extract": "1e1a4237ed058ba6",
     "exact_substring_spans": "73a06e2f026626fd",
     "ngram_lm_familiarity": "7caaaa606abf973f",
     "state_store_reader_audit": "2b119cbdd85dce7b",
@@ -333,7 +333,7 @@ TAIL_SOURCE_SHA256 = {
     "mapinarrow_token_stats": "33f3bdedc202ab95",
     "bm25_odds_retrieval": "7f2f3adc4865241a",
     "interval_coverage_sweep": "ff77416664403535",
-    "countmin_heavy_hitters": "2d1da37ee431fb68",
+    "countmin_heavy_hitters": "0f6ec0c409f45edd",
     "merkle_range_digest": "85b072788be4399c",
     "acf_lag_autocorr": "555f7393da610ffd",
     "pareto_frontier_skyline": "151c1a53ae3e25b3",

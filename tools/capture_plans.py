@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r17/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [names...]
-  suffix: "before" or "after" — file becomes plans/r17/<name>_<suffix>.txt
+  suffix: "before" or "after" — file becomes plans/$SPARK_GRAFT_PLANS_ROUND/
+          <name>_<suffix>.txt (round dir defaults to r18)
   names:  registered query names (default: the bench HEADLINE set plus the
           extended-bench list).
 
@@ -53,7 +54,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r17",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(

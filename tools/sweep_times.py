@@ -31,6 +31,8 @@ def main() -> None:
     args = sys.argv[1:]
     if "--repeat" in args:
         i = args.index("--repeat")
+        if i + 1 >= len(args):
+            sys.exit("--repeat needs a value (ADVICE r17)")
         repeat = int(args[i + 1])
         del args[i : i + 2]
     if args:
@@ -44,7 +46,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).count()
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    # Warm the parquet reader path against the CONFIGURED data dir
+    # (ADVICE r17: was hardcoded to sf0.001 regardless of SF_DIR).
+    warm = os.path.join(SF_DIR, "events.parquet")
+    if os.path.exists(warm):
+        spark.read.parquet(warm).count()
     queries = entrymod.queries()
     run_dir = stage_bench_layout(spark, SF_DIR)
     results: dict[str, float] = {}
