@@ -695,3 +695,89 @@ def test_scaled_state_partitions_derives_from_backlog(spark, monkeypatch):
     # non-file source: no derivation
     rate = spark.readStream.format("rate").load()
     assert scaled_state_partitions(rate) is None
+
+
+def test_malformed_state_partition_env_falls_back(spark, monkeypatch):
+    """ADVICE r17: a malformed SPARK_GRAFT_STREAM_STATE_PARTS or
+    ..._TARGET_BYTES must not raise at stream start — the parse falls
+    back to the session setting / the 64 MiB default."""
+    import os
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        scaled_state_partitions,
+    )
+
+    d = tempfile.mkdtemp(prefix="sspm_")
+    spark.range(100).write.parquet(os.path.join(d, "in"))
+    sdf = spark.readStream.schema("id bigint").parquet(
+        os.path.join(d, "in")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "not-a-number")
+    assert scaled_state_partitions(sdf) is None  # session fallback
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTS")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", "sixty-four-megs"
+    )
+    got = scaled_state_partitions(sdf)  # 64 MiB default target
+    assert got == 2  # tiny backlog -> floor, not an exception
+
+
+def test_state_partition_coalesce_layout_only(spark, monkeypatch):
+    """VERDICT r17 ask #2: the backlog-derived state partition count
+    changes state LAYOUT (stateOperators.numShufflePartitions), never
+    row values. One stateful availableNow aggregation run at the
+    session count and at the derived count must produce identical
+    rows; the progress must report the derived count. Full-size
+    evidence artifact: plans/r18/streaming_state_partitions_evidence.txt
+    (tools/state_partition_evidence.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkksqldbbenchmark_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    d = tempfile.mkdtemp(prefix="sspl_")
+    src = os.path.join(d, "in")
+    (
+        spark.range(200)
+        .select(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias(
+                "ts"
+            ),
+            (F.col("id") % 7).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(2)
+        .write.parquet(src)
+    )
+    sch = spark.read.parquet(src).schema
+
+    def run(env_val, name):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", env_val)
+        sdf = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "30 seconds"), "k")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("c"))
+            .select("window.start", "k", "sv", "c")
+        )
+        q = run_to_memory(sdf, name, output_mode="append", timeout_s=300)
+        prog = q.lastProgress or {}
+        ops = prog.get("stateOperators") or [{}]
+        rows = sorted(
+            (str(r.start), r.k, r.sv, r.c)
+            for r in spark.table(name).collect()
+        )
+        return rows, ops[0].get("numShufflePartitions")
+
+    rows32, parts32 = run("session", "sspl_session")
+    rows_auto, parts_auto = run("auto", "sspl_auto")
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTS")
+    assert rows32 == rows_auto and rows32  # identical values
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert parts32 == session_parts
+    assert parts_auto == 2  # tiny backlog -> derived floor
