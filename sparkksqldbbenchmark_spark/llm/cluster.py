@@ -46,16 +46,26 @@ def connected_components_min_label(
     # iterative lineage must be truncated each round (localCheckpoint) or
     # every convergence-check action re-executes all previous rounds —
     # quadratic re-execution. Checkpointing keeps each round O(1) jobs.
-    adj = adj.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    #
+    # r18 (guide §2.4, the pagerank/pregel recipe): both checkpoints pin
+    # a partitioning aligned with every per-round operation — adj on the
+    # gather key b, labels on id. The gather join (labels.id == adj.b)
+    # is then co-partitioned (ZERO exchange), the neighbor_min aggregate
+    # output (hash(a)) feeds the update join on id exchange-free, and
+    # `updated` inherits hash(id) for the next round and the convergence
+    # join. The only per-round exchange left is groupBy(a) — the one
+    # shuffle label propagation fundamentally needs. Previously the
+    # unpartitioned adj checkpoint was re-exchanged by b EVERY round.
+    adj = adj.repartition(F.col("b")).localCheckpoint(eager=True)
+    labels = labels.repartition(F.col("id")).localCheckpoint(eager=True)
     for i in range(max_iter):
         neighbor_min = (
-            labels.join(adj, labels.id == adj.b)
+            labels.join(adj.hint("shuffle_hash"), labels.id == adj.b)
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(

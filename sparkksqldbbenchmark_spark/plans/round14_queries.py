@@ -2916,35 +2916,41 @@ def graph_2hop_degree_sum(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    edges = cand.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(
-        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # r18 (guide §2.4/§5, the pagerank/pregel recipe): the whole
+    # MinHash/banding subtree above had NO barrier and re-ran once per
+    # consumer; the symmetric edge list is checkpointed ONCE,
+    # pre-partitioned on the gather key v so the degree attach below
+    # is exchange-free on the edge side.
+    edges = (
+        cand.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        .unionAll(
+            cand.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+            )
+        )
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy(F.col("u").alias("doc")).agg(
-        F.count(F.lit(1)).alias("degree")
+    deg = edges.groupBy(F.col("u").alias("v")).agg(
+        F.count(F.lit(1)).alias("dn")
     )
+    # deg(u) = |edge rows with that u| = the gather group's own row
+    # count, so the second degree join of the old form is redundant —
+    # degree comes free as count(1) in the same aggregate (identical
+    # integer: every edge row matches exactly one deg(v) row).
     return (
-        edges.join(
-            deg.select(
-                F.col("doc").alias("u"), F.col("degree").alias("d0")
-            ),
-            "u",
-        )
-        .join(
-            deg.select(
-                F.col("doc").alias("v"), F.col("degree").alias("dn")
-            ),
-            "v",
-        )
-        .groupBy(F.col("u").alias("doc_id"), F.col("d0").alias("degree"))
+        edges.join(deg.hint("shuffle_hash"), "v")
+        .groupBy(F.col("u").alias("doc_id"))
         .agg(
+            F.count(F.lit(1)).cast("long").alias("degree"),
             F.sum("dn").cast("long").alias("two_hop_degree_sum"),
             F.max("dn").cast("long").alias("max_neighbor_degree"),
         )
         .select(
             "doc_id",
-            F.col("degree").cast("long").alias("degree"),
+            "degree",
             "two_hop_degree_sum",
             "max_neighbor_degree",
         )

@@ -3691,7 +3691,9 @@ def mmr_diversified_top3_exact(
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size(F.array_union("sha", "shb"))
     sim = (
-        a.join(b, "source")
+        # bounded nc-per-source self-join: shuffled-hash (sort-free;
+        # both sides already co-partitioned by the checkpoint)
+        a.join(b.hint("shuffle_hash"), "source")
         .where(F.col("da") != F.col("db"))
         .select(
             "source",
@@ -3704,95 +3706,14 @@ def mmr_diversified_top3_exact(
             ).alias("s"),
         )
     )
-    # collapse each candidate's sim partners into a MAP column pinned
-    # on the candidate grain — the greedy rounds read similarities via
-    # element_at() instead of shuffle joins (guide §2.4; same device
-    # as mmr_diversified_topk_weighted)
-    base = (
-        cand.select("source", "doc_id", "rel")
-        .join(
-            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("db", "s"))
-                ).alias("pm")
-            ),
-            ["source", "doc_id"],
-            "left",
-        )
-        .repartition(F.col("source"))
-        .localCheckpoint(eager=True)
-    )
-    KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
+    # r18 (guide §2.4/§4.2): the whole 3-round greedy collapses into
+    # ONE cogrouped Arrow pass per source over the checkpoint-aligned
+    # candidate and pair-sim frames — identical integer arithmetic
+    # (score = rel − msim, argmax key = (−score)·2³³ + doc_id picked
+    # by min), no per-round argmax/exclusion stages (llm/mmr.py).
+    from sparkksqldbbenchmark_spark.llm.mmr import mmr_greedy_picks
 
-    # min_by captures the winning row's rel/msim payloads alongside
-    # the pick (key unique per doc), so the per-round score frames are
-    # consumed ONCE — the pick re-joins and the final rel join back to
-    # cand are gone (guide §2.4); tiny picks broadcast into exclusions
-    def argmax(df, score_col, i):
-        key = (-score_col) * KEY + F.col("doc_id")
-        return df.groupBy("source").agg(
-            F.min_by("doc_id", key).alias(f"d{i}"),
-            F.min_by("rel", key).alias(f"r{i}"),
-            *(
-                [F.min_by("msim", key).alias(f"m{i}")]
-                if i > 1
-                else []
-            ),
-        )
-
-    s1 = argmax(base, F.col("rel"), 1)
-    sc2 = (
-        base.join(F.broadcast(s1.select("source", "d1")), "source")
-        .where(F.col("doc_id") != F.col("d1"))
-        .select(
-            "source",
-            "doc_id",
-            "rel",
-            "pm",
-            F.coalesce(
-                F.element_at("pm", F.col("d1")), F.lit(0)
-            ).alias("msim"),
-        )
-    )
-    s2 = argmax(sc2, F.col("rel") - F.col("msim"), 2)
-    sc3 = (
-        sc2.join(F.broadcast(s2.select("source", "d2")), "source")
-        .where(F.col("doc_id") != F.col("d2"))
-        .select(
-            "source",
-            "doc_id",
-            "rel",
-            F.greatest(
-                F.col("msim"),
-                F.coalesce(
-                    F.element_at("pm", F.col("d2")), F.lit(0)
-                ),
-            ).alias("msim"),
-        )
-    )
-    s3 = argmax(sc3, F.col("rel") - F.col("msim"), 3)
-    p1 = s1.select(
-        "source",
-        F.lit(1).cast("long").alias("select_rank"),
-        F.col("d1").alias("doc_id"),
-        F.col("r1").alias("rel_micros"),
-        F.lit(0).cast("long").alias("max_sim_to_prior_micros"),
-    )
-    p2 = s2.select(
-        "source",
-        F.lit(2).cast("long").alias("select_rank"),
-        F.col("d2").alias("doc_id"),
-        F.col("r2").alias("rel_micros"),
-        F.col("m2").alias("max_sim_to_prior_micros"),
-    )
-    p3 = s3.select(
-        "source",
-        F.lit(3).cast("long").alias("select_rank"),
-        F.col("d3").alias("doc_id"),
-        F.col("r3").alias("rel_micros"),
-        F.col("m3").alias("max_sim_to_prior_micros"),
-    )
-    return p1.unionByName(p2).unionByName(p3)
+    return mmr_greedy_picks(cand, sim, k=3, w=1)
 
 
 # ------------- successive-halving (Hyperband rung) plan --
@@ -4869,7 +4790,9 @@ def mmr_diversified_topk_weighted(
         F.col("shingles").alias("shb"),
     )
     sim = (
-        a.join(b, "source")
+        # bounded nc-per-source self-join: shuffled-hash (sort-free;
+        # both sides already co-partitioned by the checkpoint)
+        a.join(b.hint("shuffle_hash"), "source")
         .where(F.col("da") != F.col("db"))
         .select(
             "source",
@@ -4882,93 +4805,15 @@ def mmr_diversified_topk_weighted(
             ).alias("s"),
         )
     )
-    # collapse each candidate's <= nc-1 sim partners into a MAP column
-    # and pin it on the candidate grain: every greedy round then reads
-    # its similarity with element_at() instead of a shuffle join — the
-    # rounds carry ZERO shuffle joins (the unrolled form ran k(k-1)/2
-    # sim joins, each 2 exchanges + 2 sorts of 32-task stages; that
-    # serialized stage latency dominated the runtime, guide §2.4)
-    base = (
-        cand.select("source", "doc_id", "rel")
-        .join(
-            sim.groupBy("source", F.col("da").alias("doc_id")).agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("db", "s"))
-                ).alias("pm")
-            ),
-            ["source", "doc_id"],
-            "left",
-        )
-        .repartition(F.col("source"))
-        .localCheckpoint(eager=True)
-    )
-    KEY = 8589934592  # 2^33: (-score)*2^33 + doc_id, exact argmax
+    # r18 (guide §2.4/§4.2): the whole k-round generated greedy
+    # collapses into ONE cogrouped Arrow pass per source over the
+    # checkpoint-aligned candidate and pair-sim frames — identical
+    # integer arithmetic (score = rel − w·msim, argmax key =
+    # (−score)·2³³ + doc_id picked by min), no per-round
+    # argmax/exclusion stages (llm/mmr.py).
+    from sparkksqldbbenchmark_spark.llm.mmr import mmr_greedy_picks
 
-    # the argmax captures the picked row's rel and msim PAYLOADS with
-    # the same composite min_by key (unique per doc, so it selects
-    # exactly the winning row's values) — the re-join of each round's
-    # score frame against its own argmax, and the final rel join back
-    # to cand, are gone: half the unrolled tree (guide §2.4). The tiny
-    # |sources|-row picks broadcast into the exclusion joins.
-    def argmax(df, score_col, i):
-        key = (-score_col) * KEY + F.col("doc_id")
-        return df.groupBy("source").agg(
-            F.min_by("doc_id", key).alias(f"d{i}"),
-            F.min_by("rel", key).alias(f"r{i}"),
-            *(
-                [F.min_by("msim", key).alias(f"m{i}")]
-                if i > 1
-                else []
-            ),
-        )
-
-    # incremental MMR state: after processing pick j, `cur` holds the
-    # still-unpicked candidates with msim = max similarity to the j
-    # picks so far — element_at(pm, d_j) is exactly the old left-join-
-    # and-filter slice (the partner row if present, else null -> 0),
-    # and greatest() over nonnegative micros accumulates identically
-    # to the one-shot greatest of all slices.
-    cur = base.withColumn("msim", F.lit(0).cast("long"))
-    s = {1: argmax(cur, F.col("rel"), 1)}
-    for i in range(2, k + 1):
-        j = i - 1
-        cur = (
-            cur.join(
-                F.broadcast(s[j].select("source", f"d{j}")), "source"
-            )
-            .where(F.col("doc_id") != F.col(f"d{j}"))
-            .select(
-                "source",
-                "doc_id",
-                "rel",
-                "pm",
-                F.greatest(
-                    F.col("msim"),
-                    F.coalesce(
-                        F.element_at("pm", F.col(f"d{j}")), F.lit(0)
-                    ),
-                ).alias("msim"),
-            )
-        )
-        s[i] = argmax(cur, F.col("rel") - w * F.col("msim"), i)
-    picks = s[1].select(
-        "source",
-        F.lit(1).cast("long").alias("select_rank"),
-        F.col("d1").alias("doc_id"),
-        F.col("r1").alias("rel_micros"),
-        F.lit(0).cast("long").alias("max_sim_to_prior_micros"),
-    )
-    for i in range(2, k + 1):
-        picks = picks.unionByName(
-            s[i].select(
-                "source",
-                F.lit(i).cast("long").alias("select_rank"),
-                F.col(f"d{i}").alias("doc_id"),
-                F.col(f"r{i}").alias("rel_micros"),
-                F.col(f"m{i}").alias("max_sim_to_prior_micros"),
-            )
-        )
-    return picks
+    return mmr_greedy_picks(cand, sim, k=k, w=w)
 
 
 # ------- composed curation pipeline v4 (PAV-calibrated keep) --

@@ -3788,7 +3788,9 @@ def mmr_lambda_sweep_learned(
         F.col("shingles").alias("shb"),
     )
     sim = (
-        a.join(b, "source")
+        # bounded nc-per-source self-join: shuffled-hash (sort-free;
+        # both sides already co-partitioned by the checkpoint)
+        a.join(b.hint("shuffle_hash"), "source")
         .where(F.col("da") != F.col("db"))
         .select(
             "source",

@@ -374,13 +374,14 @@ def test_curation_v4_keep_stage_is_bounded_broadcast(spark):
 
 
 def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
-    """The loop-generated k=4 rounds must rank only the bounded
-    top-8-per-source candidate slice: the corpus ranking window and
-    the sim self-join now run ONCE inside the eager checkpoint that
-    builds the candidate `base` (r17 optimization), so the final plan
-    must consume only checkpointed RDD scans — no corpus re-scan, no
-    window, no cartesian — and the greedy rounds must read partner
-    sims via the map column (element_at), not shuffle joins."""
+    """The k=4 greedy must rank only the bounded top-8-per-source
+    candidate slice: the corpus ranking window and the sim self-join
+    run ONCE inside the eager checkpoint that builds the candidate
+    slice (r17 optimization), and the whole selection is ONE cogrouped
+    Arrow pass over the checkpoint-aligned frames (r18, llm/mmr.py) —
+    the final plan must consume only checkpointed RDD scans (no corpus
+    re-scan, no window, no cartesian) and contain exactly one
+    FlatMapCoGroupsInPandas with no per-round join stages."""
     import sparkksqldbbenchmark_spark.plans.round16_queries  # noqa: F401
     from sparkksqldbbenchmark_spark.plans.registry import QUERIES
 
@@ -396,9 +397,11 @@ def test_wmmr_generated_rounds_keep_candidates_bounded(spark):
     assert "Scan ExistingRDD" in plan
     assert "row_number" not in plan
     assert "FileScan" not in plan
-    # rounds read sims from the map column, never a shuffle join
-    assert "element_at" in plan
+    # the greedy is one cogrouped Arrow pass; the only join left is
+    # the bounded per-source sim self-join, pinned sort-free
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan  # the nc-bounded sim self-join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
