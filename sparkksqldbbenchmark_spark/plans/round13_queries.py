@@ -2194,22 +2194,38 @@ def suffix_lcp_repeat_stats(
     wb = Window.partitionBy("source", "bkt").orderBy(
         "suf", "doc_id", "p"
     )
+    # r18 (guide §2.4 share one exchange; same fix as
+    # longest_repeated_substring_extract): the separate min/max bucket
+    # aggregate re-ran and re-shuffled the suffix explode; the bucket
+    # firsts/lasts are exactly the rows whose lag/lead is null under
+    # the identical (suf, doc_id, p) order, so both branches now share
+    # one ReusedExchange and the explode runs once.
     in_bucket = pos.select(
         "source",
         "bkt",
         "suf",
         F.lag("suf").over(wb).alias("prev"),
+        F.lead("suf").over(wb).alias("nxt"),
     )
-    # cross-bucket adjacency from the bounded per-bucket summary
-    summary = pos.groupBy("source", "bkt").agg(
-        F.min(F.struct("suf", "doc_id", "p")).alias("first_s"),
-        F.max(F.struct("suf", "doc_id", "p")).alias("last_s"),
+    bstats = (
+        in_bucket.where(
+            F.col("prev").isNull() | F.col("nxt").isNull()
+        )
+        .groupBy("source", "bkt")
+        .agg(
+            F.min(
+                F.when(F.col("prev").isNull(), F.col("suf"))
+            ).alias("fsuf"),
+            F.min(
+                F.when(F.col("nxt").isNull(), F.col("suf"))
+            ).alias("lsuf"),
+        )
     )
     ws = Window.partitionBy("source").orderBy("bkt")
-    boundary = summary.select(
+    boundary = bstats.select(
         "source",
-        F.col("first_s.suf").alias("suf"),
-        F.lag(F.col("last_s.suf")).over(ws).alias("prev"),
+        F.col("fsuf").alias("suf"),
+        F.lag("lsuf").over(ws).alias("prev"),
     ).where(F.col("prev").isNotNull())
     pairs = in_bucket.where(F.col("prev").isNotNull()).select(
         "source", "suf", "prev"
@@ -2330,9 +2346,17 @@ def cc_hash_to_min_pointer_jump(
         .select("u", "v")
         .dropDuplicates(["u", "v"])
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    # r18 (guide §2.4, the cluster.py recipe): pin the edge checkpoint
+    # on the gather key v — every round's edges⋈labels join and the
+    # certificate join are then exchange-free on the edge side (the
+    # unpartitioned checkpoint was re-exchanged every round).
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("p")
     )
@@ -2353,7 +2377,10 @@ def cc_hash_to_min_pointer_jump(
                 "p", F.coalesce("nm", F.col("p"))
             ).alias("p"),
         )
-        # pointer jump: p := p(p)
+        # pointer jump: p := p(p). `stepped` feeds BOTH sides of the
+        # jump self-join — barrier it (r18) so the propagation
+        # join+aggregate above runs once, not twice.
+        stepped = stepped.localCheckpoint(eager=True)
         labels = (
             stepped.join(
                 stepped.select(
@@ -3581,22 +3608,37 @@ def setsim_prefix_filter_join(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id", F.expr(spark_word_shingles("text", 3)).alias("sh")
+    # r18 (guide §2.4/§5, the dedup_minhash recipe): the shingle
+    # projection had FIVE consumers (tok twice, sz, both verify sides)
+    # and no barrier — it re-tokenized the corpus per consumer. One
+    # checkpoint pinned on doc_id makes the verify joins exchange- and
+    # sort-free on the array side, and the heavy arrays cross the
+    # network exactly once (inside the checkpoint job).
+    sets = (
+        docs.select(
+            "doc_id", F.expr(spark_word_shingles("text", 3)).alias("sh")
+        )
+        .repartition(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint(eager=True)
     )
     tok = sets.select("doc_id", F.explode("sh").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    sz = sets.select(
-        "doc_id", F.size("sh").cast("long").alias("n")
-    )
     rk_w = Window.partitionBy("doc_id").orderBy("df", "g")
-    # the frequency table is vocabulary-scale and the size table is
-    # doc-grain — neither is broadcastable at corpus scale; pin the
-    # spill-safe shuffled merge joins (a shuffle_hash build OOM'd at
-    # sf0.1 under the 8-partition check session).
+    # the frequency table is vocabulary-scale — not broadcastable at
+    # corpus scale; pin the spill-safe shuffled merge join (a
+    # shuffle_hash build OOM'd at sf0.1 under the 8-partition check
+    # session). The old doc-size join is gone: shingles are DISTINCT
+    # per doc, so n = the doc's own window row count — computed inside
+    # the ranking window's partition for free.
     ranked = (
         tok.join(dfreq.hint("merge"), "g")
-        .join(sz.hint("merge"), "doc_id")
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .cast("long"),
+        )
         .withColumn("rk", F.row_number().over(rk_w))
     )
     pfx = ranked.where(

@@ -878,18 +878,40 @@ def longest_repeated_substring_extract(
     wb = Window.partitionBy("source", "bkt").orderBy(
         "suf", "doc_id", "p"
     )
+    # r18 (guide §2.4 share one exchange): the old form consumed `pos`
+    # twice — the in-bucket lag window AND a separate min/max bucket
+    # aggregate whose partial-agg exchange child differed, so the
+    # suffix explode (16 bytes x every character) ran and shuffled
+    # TWICE. Both consumers now read the SAME windowed frame: the
+    # bucket firsts/lasts are exactly the rows whose lag/lead is null
+    # under the identical (suf, doc_id, p) order, so the two branches
+    # share one ReusedExchange and the explode runs once.
     in_bucket = pos.select(
-        "source", "suf", F.lag("suf").over(wb).alias("prev")
+        "source",
+        "bkt",
+        "suf",
+        F.lag("suf").over(wb).alias("prev"),
+        F.lead("suf").over(wb).alias("nxt"),
     )
-    summary = pos.groupBy("source", "bkt").agg(
-        F.min(F.struct("suf", "doc_id", "p")).alias("first_s"),
-        F.max(F.struct("suf", "doc_id", "p")).alias("last_s"),
+    bstats = (
+        in_bucket.where(
+            F.col("prev").isNull() | F.col("nxt").isNull()
+        )
+        .groupBy("source", "bkt")
+        .agg(
+            F.min(
+                F.when(F.col("prev").isNull(), F.col("suf"))
+            ).alias("fsuf"),
+            F.min(
+                F.when(F.col("nxt").isNull(), F.col("suf"))
+            ).alias("lsuf"),
+        )
     )
     ws = Window.partitionBy("source").orderBy("bkt")
-    boundary = summary.select(
+    boundary = bstats.select(
         "source",
-        F.col("first_s.suf").alias("suf"),
-        F.lag(F.col("last_s.suf")).over(ws).alias("prev"),
+        F.col("fsuf").alias("suf"),
+        F.lag("lsuf").over(ws).alias("prev"),
     ).where(F.col("prev").isNotNull())
     pairs = in_bucket.where(F.col("prev").isNotNull()).select(
         "source", "suf", "prev"
