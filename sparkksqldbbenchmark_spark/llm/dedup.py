@@ -75,19 +75,19 @@ def with_minhash_signature(
     )
 
 
-def lsh_banded_buckets(
+def lsh_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     num_hashes: int = 16,
-    bands: int = 4,
     shingle_n: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
-    """LSH front half shared by the pairwise and incremental dedups:
-    returns (shingle_side, buckets) where shingle_side is the
-    checkpointed (id, shingles) projection and buckets is the exploded
-    (id, band_idx, bh) band-bucket frame.
+    """Band-INDEPENDENT LSH front half (r18 split): returns
+    (shingle_side, sigged) where shingle_side is the checkpointed
+    (id, shingles) projection and sigged the k-minhash signature frame.
+    The signatures depend only on num_hashes — a band-sensitivity sweep
+    computes them ONCE and re-bands per configuration (band_buckets).
 
     explode → codegen'd md5 → groupBy-min signature. Higher-order-function
     lambdas are interpreted per element in Spark; the explode/aggregate
@@ -104,7 +104,6 @@ def lsh_banded_buckets(
     for verify — was the top remaining cost in this pipeline. At
     cluster scale the same sharing is a persist(DISK_ONLY)/checkpoint
     of the projection, amortized across both consumers."""
-    rows = num_hashes // bands
     from sparkksqldbbenchmark_spark.llm.hashing import _BMUL, _P31
 
     shingle_side = _with_shingles(df, text_col, id_col, shingle_n)
@@ -133,6 +132,19 @@ def lsh_banded_buckets(
         for j in range(num_hashes)
     ]
     sigged = ex.groupBy(id_col).agg(*sig_cols)
+    return shingle_side, sigged
+
+
+def band_buckets(
+    sigged: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exploded (id, band_idx, bh) band-bucket frame from a signature
+    frame (lsh_signatures)."""
+    rows = num_hashes // bands
 
     # band hash: md5 over the stringified minhash slice; only
     # (id, band_idx, bh) enters the bucket-join shuffle — shingle arrays
@@ -159,7 +171,35 @@ def lsh_banded_buckets(
     buckets = banded.select(
         F.col(id_col), F.explode(band_arr).alias("e")
     ).select(id_col, "e.band_idx", "e.bh")
+    return buckets
+
+
+def lsh_banded_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH front half shared by the pairwise and incremental dedups:
+    returns (shingle_side, buckets) where shingle_side is the
+    checkpointed (id, shingles) projection and buckets is the exploded
+    (id, band_idx, bh) band-bucket frame. (Composed from
+    lsh_signatures + band_buckets since the r18 split.)"""
+    shingle_side, sigged = lsh_signatures(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    buckets = band_buckets(
+        sigged, id_col, num_hashes=num_hashes, bands=bands
+    )
     return shingle_side, buckets
+
 
 
 def minhash_lsh_pairs(

@@ -2059,13 +2059,25 @@ def lsh_band_sensitivity_audit(
     Reference basis: dedup family (dedup_minhash_lsh flagship,
     minhash_estimate_error_certified r10 — this adds the operating-
     point sweep)."""
-    from sparkksqldbbenchmark_spark.llm.dedup import lsh_banded_buckets
+    from sparkksqldbbenchmark_spark.llm.dedup import (
+        band_buckets,
+        lsh_signatures,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r18 (guide §2.4): the 16 minhash signatures are band-INDEPENDENT —
+    # compute the shingle checkpoint and the signature frame ONCE and
+    # re-band per operating point (the old loop re-tokenized, re-hashed
+    # and re-checkpointed the whole corpus per bands value). sigged is
+    # (id, 16 longs) — checkpoint it so both band configs read it.
+    shingle_side, sigged = lsh_signatures(
+        docs, "text", "doc_id", num_hashes=16
+    )
+    sigged = sigged.localCheckpoint(eager=True)
     out = None
     for bands in (4, 8):
-        shingle_side, buckets = lsh_banded_buckets(
-            docs, "text", "doc_id", num_hashes=16, bands=bands
+        buckets = band_buckets(
+            sigged, "doc_id", num_hashes=16, bands=bands
         )
         left = buckets.select(
             F.col("doc_id").alias("doc_a"), "band_idx", "bh"

@@ -3077,6 +3077,12 @@ def kmv_intersection_estimate_certified(
             ).alias("h"),
         )
         .distinct()
+        # r18 (guide §5): four consumers (both sketch sides, both exact
+        # sides) re-exploded and re-hashed the corpus; the (grp, h)
+        # frame is narrow — materialize it once, partitioned on h so
+        # the exact-overlap self-join is exchange-free
+        .repartition(F.col("h"))
+        .localCheckpoint(eager=True)
     )
     sk = hsh.select(
         "grp",
