@@ -3383,30 +3383,41 @@ def labelprop_communities_2iter(
         .select("u", "v")
         .distinct()
     )
-    edges = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint(eager=True)
-    w = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("lbl")
+    # r18 (guide §2.4, the cluster.py recipe): edges pinned on the
+    # gather key dst and labels on node, so each round's gather join is
+    # co-partitioned (zero exchange); the modal-label argmax is a
+    # max_by aggregate over (cnt, -lbl) instead of a row_number window
+    # (same tie order: highest count, then lowest label) — partial
+    # map-side aggregation, no per-round sort.
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .repartition(F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(2):
         neigh = edges.join(
-            labels, edges["dst"] == labels["node"]
+            labels.hint("shuffle_hash"), edges["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "lbl")
         counted = neigh.groupBy("node", "lbl").agg(
             F.count(F.lit(1)).alias("cnt")
         )
         labels = (
-            counted.select(
-                "node", "lbl", F.row_number().over(w).alias("rk")
+            counted.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("cnt"), -F.col("lbl"))
+                ).alias("lbl")
             )
-            .where(F.col("rk") == 1)
-            .select("node", "lbl")
             .localCheckpoint(eager=True)
         )
     return labels.groupBy(
