@@ -138,7 +138,7 @@ TAIL_SOURCE_SHA256 = {
     "streaming_chained_window_agg": "8f75e10be002754e",
     "temporal_split_straddle_audit": "6f6c5224aecd05ff",
     "psi_drift_bins_exact": "42b6cc5f1f84a502",
-    "graph_pregel_superstep2": "cf1fe21a8fd04905",
+    "graph_pregel_superstep2": "3fa1853c75993da7",
     "curation_pipeline_v3_composed": "c7f72d273a523997",
     "pav_isotonic_calibration_binned": "d479055002c7f14c",
     "kendall_tau_topk_exact": "e517fc62c4feba83",
@@ -156,18 +156,18 @@ TAIL_SOURCE_SHA256 = {
     "shapley_sampled_permutations_certified": "e2aba38576ab7f3e",
     "fagin_ta_topk_certified": "6ecc9bb1a1ca913e",
     "err_exact_dyadic": "81ed2f5127cf5dbb",
-    "kmv_intersection_estimate_certified": "fb43505a72252e36",
+    "kmv_intersection_estimate_certified": "85dde66b5627bc7d",
     "padding_waste_sorted_vs_fifo": "ac9ec75485544633",
     "conformal_interval_coverage_exact": "e5103633c3f721e7",
     "pinball_loss_exact": "97ceeb71fef0313d",
-    "mmr_diversified_top3_exact": "8781e4aac35ccb2b",
+    "mmr_diversified_top3_exact": "83962923c70fd688",
     "successive_halving_plan": "3f86798bc395f9c1",
     "l_diversity_risk_audit": "1d2a7972ab7235c6",
     "join_cardinality_mg_sidecar_estimate": "5ba22ab18a62d6d6",
     "early_stopping_patience_plan": "10ae16ab13c68902",
     "dow_seasonal_median_residuals": "9b7c5e89edbcebc2",
     "brier_reliability_bins_exact": "2038d1d4df4c6480",
-    "mmr_diversified_topk_weighted": "a47cd4a747040ad9",
+    "mmr_diversified_topk_weighted": "d4dc0c0da2015221",
     "streaming_watermark_late_drop": "4e163260dba0aac8",
     "streaming_outer_join_null_emission": "6fb8f9410cd2a6db",
     "streaming_dedup_within_watermark_reemit": "424b6903466dda6e",
@@ -180,7 +180,7 @@ TAIL_SOURCE_SHA256 = {
     "null_scalar_breadth_suite": "f98a92ed51cd1759",
     "csv_escape_quote_matrix": "4534102345ccecb7",
     "monthly_revenue_mom_yoy": "d79d41f2b0364cf0",
-    "longest_repeated_substring_extract": "741607ffa3979119",
+    "longest_repeated_substring_extract": "922842425c5ebd7d",
     "weighted_bottomk_priority_sample": "8752bcf33143bb85",
     "streaming_session_window_late_drop": "9a7d2d4715181025",
     "transition_dwell_matrix": "492f790f7b4111e4",
@@ -189,17 +189,17 @@ TAIL_SOURCE_SHA256 = {
     "order_to_ship_leadtime_histogram": "bb36b11eb4d9e01d",
     "token_tv_distance_matrix": "1f4529c9d115159f",
     "chi2_independence_contingency": "c69c92d3e7150d5f",
-    "local_clustering_coefficient": "e74be484a8de2230",
+    "local_clustering_coefficient": "ffdc825c32aef0c2",
     "kmv_sketch_union_merge_certified": "ab16e4ab8875c04b",
     "skyline_pareto_frontier": "1d6dc75a70f81339",
     "streaming_full_outer_join_both_nulls": "863f2c62803f1cf0",
     "gopher_repetition_rules": "a859ec95071ed802",
     "cohens_kappa_exact": "c9efd76ba57cc6b4",
     "waterfill_budget_allocation": "ee77677cbc9f3df8",
-    "graph_2hop_degree_sum": "b693f5f145904b2e",
+    "graph_2hop_degree_sum": "c3af6d6ef779a87c",
     "data_retention_expiry_plan": "725f90cb9a493429",
     "decontam_bloom_prefilter_certified": "3349f499b50c885c",
-    "bbit_minwise_estimate_on_candidates": "60c012b0f53fa1be",
+    "bbit_minwise_estimate_on_candidates": "94b891705cc26aff",
     "audio_decimate_boxcar": "55914bbd740d8010",
     "jl_projection_distance_certified": "5e2f6856bdf836b8",
     "sft_loss_mask_plan": "aecc4f896998bf74",
@@ -231,9 +231,9 @@ TAIL_SOURCE_SHA256 = {
     "auc_rank_sum_exact": "4b3898891e0b990d",
     "pairwise_energy_sufficient_stats": "893b7c2a85dffc2e",
     "knn_loo_label_accuracy": "7a6d1a5c736b7a73",
-    "lsh_band_sensitivity_audit": "d8115245b6caa5da",
-    "suffix_lcp_repeat_stats": "27d3c7e18e2dd736",
-    "cc_hash_to_min_pointer_jump": "24791a65a7a93b6f",
+    "lsh_band_sensitivity_audit": "5bb5d110a5ff0e46",
+    "suffix_lcp_repeat_stats": "4ece341dcdc57dc0",
+    "cc_hash_to_min_pointer_jump": "aa8b7dc422f46317",
     "ivf_cell_balance_audit": "f7718b205e8bc715",
     "scd2_temporal_lookup_join": "370e16e2a9dcac68",
     "array_sort_comparator_suite": "93d7ebc82f75efcc",
@@ -242,7 +242,7 @@ TAIL_SOURCE_SHA256 = {
     "kmeanspp_d2_seeding_derandomized": "b922a903ed9978b3",
     "multi_probe_lsh_recall_certified": "945cf71d68c40166",
     "repeated_span_cut_plan": "cbc6dd18a4cb2047",
-    "setsim_prefix_filter_join": "b1203f80d6e7ea5a",
+    "setsim_prefix_filter_join": "6823e180f3263049",
     "bucketed_colocated_join_audit": "8cb0e5b3f1a47b64",
     "sentence_chunk_greedy_fold": "c4b7821ecbc71580",
     "bloom_prefilter_fpr_certified": "d1a52123a6cc43e7",
@@ -285,9 +285,9 @@ TAIL_SOURCE_SHA256 = {
     "rolling_24h_sliding_distinct": "604774e8076065a5",
     "embedding_norm_hof_vs_explode": "99378a6c5cb4a22d",
     "in_session_conversion_rate": "e34f81fb2971cdc2",
-    "labelprop_communities_2iter": "cefa679902907889",
+    "labelprop_communities_2iter": "fb24b770a27bc077",
     "blocklist_term_scan": "2a57a89ecbdd8ddb",
-    "split_leakage_near_dup_audit": "d5afeaf33aedefaf",
+    "split_leakage_near_dup_audit": "3961da710c049902",
     "hof_suite2": "e12d27e30a9c333b",
     "struct_field_mutation_suite": "fed2adf63c390e80",
     "named_window_clause_sql": "ddf7d96ea2d63853",
@@ -312,9 +312,9 @@ TAIL_SOURCE_SHA256 = {
     "semdedup_quantized_prune": "0e080158c9280831",
     "asof_nearest_join": "410f2c5981c27fdf",
     "mad_robust_outliers": "5889abcdb9741330",
-    "dupgraph_triangle_count": "9b58a5c80de300e4",
+    "dupgraph_triangle_count": "64ebda33b806fda9",
     "vocab_dyadic_rank_mass": "161980b73fa49f76",
-    "kcore_dupgraph_3peel": "1389d2635ed9d37d",
+    "kcore_dupgraph_3peel": "be5db8809fd0a7b0",
     "binaryfile_source_scan": "8fa11e2520f9a3ff",
     "csv_quoted_multiline_roundtrip": "aeb86a3b9b2b9b8d",
     "span_corruption_mask_plan": "792e368cf262a5cd",
@@ -324,7 +324,7 @@ TAIL_SOURCE_SHA256 = {
     "window_group_limit_pushdown": "f40f7aa023f3cf4d",
     "rolling_correlation_24h": "e4892fdfb25738c2",
     "clustered_write_sorted_runs": "eb878b3f195d4100",
-    "dedup_survivorship_merge": "67e2c4ea9734be6e",
+    "dedup_survivorship_merge": "ff1d5646f8678130",
     "video_mjpeg_frame_extract": "1e1a4237ed058ba6",
     "exact_substring_spans": "73a06e2f026626fd",
     "ngram_lm_familiarity": "7caaaa606abf973f",
@@ -357,16 +357,16 @@ TAIL_SOURCE_SHA256 = {
     "rolling_median_smooth": "1dd8a0e47fadc229",
     "grouped_gk_quantiles_certified": "8fdcbd8a5191e763",
     "quantile_normalization_cross_source": "6f93fff355b05122",
-    "minhash_estimate_error_certified": "77743c367dcea1c5",
+    "minhash_estimate_error_certified": "62c81e3bc5336091",
     "decontam_max_span": "590a3965c4d8ce82",
     "pack_composition_audit": "f7fcf3e53938e989",
     "collision_probability_suite": "2203d90b0f945973",
     "fano_burstiness_by_type": "5734d3f242900abe",
-    "pagerank_dupgraph_3iter": "fc7ed8dc5f706f86",
+    "pagerank_dupgraph_3iter": "ecb69fcba05d6edf",
     "hll_union_reaggregate": "4a0e9ccc0fd43d1e",
     "series_shape_signature_buckets": "f37875b41dda93f4",
     "python_datasource_sink_append_audit": "8771f8dc3ec92ec8",
-    "similarity_topk_cosine": "6001572f26a61cd2",
+    "similarity_topk_cosine": "39a10ce9797e015e",
     "map_function_suite": "e09b62e1890ef483",
     "array_algebra_suite": "39ab56f89f11fa47",
     "regexp_suite2": "4b589577a79a4216",
@@ -418,7 +418,7 @@ TAIL_SOURCE_SHA256 = {
     "ema_dyadic_decay": "3a1b8789df3ed109",
     "mixture_quota_largest_remainder": "4d0fa720ac926d61",
     "ann_mrr_certified": "9e759722965f51d0",
-    "dup_graph_degree_stats": "18c1dca9a8b88710",
+    "dup_graph_degree_stats": "93e9cb99fb54c5fc",
     "asof_tolerance_join": "4f95708d318963ca",
     "robust_zscore_applyinpandas": "da035965dc00e987",
     "time_weighted_avg": "4fb72d4a3d754ae7",
@@ -449,10 +449,10 @@ TAIL_SOURCE_SHA256 = {
     "ansi_percentile_suite": "fe58238491e6433f",
     "ivf_recall_certified": "1cf3ca2a92948345",
     "pq_quantization_error": "86c7d59205f6d1c7",
-    "dedup_incremental_vs_corpus": "e3104ec19c86ea35",
-    "dedup_containment": "fa7e120d3fa728cd",
+    "dedup_incremental_vs_corpus": "282140c2ef51dd48",
+    "dedup_containment": "481a7f427bbba4d8",
     "dedup_cross_source_matrix": "c39e91736f004d47",
-    "dedup_keep_best": "ee97ad570131032f",
+    "dedup_keep_best": "877065ddab90b1c9",
     "domain_mixture_resample": "599681a9f19dc80a",
     "partitioned_write_prune": "1423017b20c63fa0",
     "range_layout_scan": "f00c7a3babc6277d",
@@ -475,8 +475,8 @@ TAIL_SOURCE_SHA256 = {
     "tpch_q9_product_profit": "5f678cc3b755e07f",
     "tpch_q16_supplier_part_counts": "8c20945ecf349181",
     "tpch_q11_important_stock": "f7918ae47048c74d",
-    "dedup_embedding_cosine": "62a2fc3f60555fc5",
-    "similarity_ivf_topk": "b14a35f5826a039c",
+    "dedup_embedding_cosine": "0b1b9c4bdd070ec4",
+    "similarity_ivf_topk": "80152dadf9db64e5",
     "decontam_ngram_overlap": "01f1694c5aee338f",
     "deterministic_corpus_shuffle": "9457a847934fd5c2",
     "tpch_q8_market_share": "d3f952ad6bf41056",
@@ -484,10 +484,10 @@ TAIL_SOURCE_SHA256 = {
     "cdc_snapshot_apply": "bbcd3d0d9c1385c9",
     "weather_window_agg_sql": "10e3d40e4c64ae71",
     "ksql_windowed_table": "64684741c0b2fe4e",
-    "dedup_exact": "518fedb46b8b0c06",
-    "dedup_simhash": "ceff2a8c1380a758",
-    "dedup_clusters": "4de12d563d451e5b",
-    "dedup_ngram_jaccard": "34b8781eabf22780",
+    "dedup_exact": "578baa5e26ec8c6b",
+    "dedup_simhash": "1108d65a51aad4ab",
+    "dedup_clusters": "374bba47445fe828",
+    "dedup_ngram_jaccard": "5c3935144f766d4a",
     "tpch_q18_large_orders": "7f44c9dbd30c0cdf",
     "tpch_q19_disjunctive_predicates": "d2fc0f582dfcdd52",
     "tpch_q13_customer_distribution": "34db0404576d76bc",
@@ -504,7 +504,7 @@ TAIL_SOURCE_SHA256 = {
     "grouped_array_collect": "04eb26ed4fe8301b",
     "latency_nearest_rank_percentiles": "9282422b9e90fbb4",
     "approx_count_distinct": "d67fab316c388d17",
-    "similarity_ann_lsh": "eb04b49fd24d4272",
+    "similarity_ann_lsh": "f77760fd455872fc",
     "scalar_function_suite": "91f0c9ccaa1809b6",
     "tpch_q1_pricing_summary": "f54c3968bfa4f348",
     "curation_pipeline": "22b7a6831f8796fb",
